@@ -1,13 +1,28 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries`: one entry per implemented operator from SURVEY.md §2.
+  * `oracleSql`: equivalent DuckDB SQL per query (omitted only for
+  * non-SQL-expressible ops → weaker rows-only check).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Segment stats for the canonical demo filter (SURVEY.md §7.2) —
+    * always returns exactly one row (P8 zero-struct on empty match). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Segmentation.statsQuery(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "segment_stats"   -> (Segmentation.statsQuery _),
+    "segment_preview" -> (Segmentation.previewQuery _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "segment_stats"   -> Segmentation.statsOracle,
+    "segment_preview" -> Segmentation.previewOracle,
+  )
 }

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's parquet tables (TESTDATA.md).
+  *
+  * All graded queries take `(SparkSession, sfDir)` and read
+  * `sfDir/<name>.parquet`. At cluster scale the same names would resolve
+  * through a Hive metastore (`spark.table(name)`) with partition pruning;
+  * the path-based form keeps the driver harness hermetic. Parquet carries
+  * its own schema; we deliberately do NOT infer or re-declare it here so
+  * the vectorized reader + column pruning work unimpeded.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view (for spark.sql entry points). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ScalarFns._
+
+/** The reference's relational core — `query_crm` (`backend/tools.py:38-81`)
+  * — generalized to the driver's star schema (FIXTURES.md §3 transposition:
+  * fan → customer, total_spent → sum(o_totalprice), last_purchase_date →
+  * max(o_orderdate), genre → c_mktsegment).
+  *
+  * Semantics preserved exactly (SURVEY.md §2.2):
+  *  - P1 optional-predicate conjunction: absent predicate ⇒ true; empty
+  *    list/string disables (falsiness), numeric None-vs-0 distinction kept
+  *    via Option.
+  *  - P3/P4 recency bounds in float months, divisor 30.44, against a FIXED
+  *    as-of date (determinism; reference used `date.today()`).
+  *  - P5 spend threshold, P6 case-insensitive substring, P7 preview
+  *    projection, P8 empty-segment zero-struct.
+  *  - A1/A2/A3/A8 one-pass count + rounded averages; F10 deterministic
+  *    content-hash segment id replacing `uuid4().hex[:8]`.
+  *
+  * Scale notes (100 TB): the per-customer activity rollup is a partial+final
+  * hash aggregate on `o_custkey` (map-side combine shrinks the shuffle to
+  * one row per customer); the customer⋈activity join co-partitions on the
+  * same key so AQE can plan a single exchange; `nation` is broadcast. No
+  * driver-side collection anywhere.
+  */
+object Segmentation {
+
+  /** Fixed as-of date: the day after the max o_orderdate in the testdata,
+    * so "months since last order" is always non-negative. */
+  val DefaultAsOf = "2001-08-01"
+
+  /** The 5-optional-predicate filter of `query_crm` (`tools.py:38-44`),
+    * transposed. Falsiness semantics per `tools.py:60-67`: empty
+    * `segments`/`nameContains` disable those predicates; numeric
+    * thresholds use Option so 0 is a valid active threshold.
+    */
+  final case class SegmentFilter(
+      segments: Seq[String] = Nil,
+      minMonthsSinceLast: Option[Double] = None,
+      maxMonthsSinceLast: Option[Double] = None,
+      minTotalSpent: Option[Double] = None,
+      nameContains: String = "",
+      asOf: String = DefaultAsOf) {
+
+    /** Deterministic descriptor — feeds the content-hash segment id. */
+    def descriptor: String = Seq(
+      s"segments=${segments.map(_.toLowerCase).sorted.mkString(",")}",
+      s"min_months=${minMonthsSinceLast.getOrElse("")}",
+      s"max_months=${maxMonthsSinceLast.getOrElse("")}",
+      s"min_spent=${minTotalSpent.getOrElse("")}",
+      s"name_contains=${nameContains.toLowerCase}",
+      s"asof=$asOf").mkString("|")
+
+    /** Conjunction of the present predicates (P1): None ⇒ no filtering. */
+    def predicate: Option[Column] = {
+      val ps = Seq(
+        Option.when(segments.nonEmpty)(
+          lower(col("c_mktsegment")).isin(segments.map(_.toLowerCase): _*)),
+        minMonthsSinceLast.map(k => col("months_since_last") >= k),
+        maxMonthsSinceLast.map(k => col("months_since_last") <= k),
+        minTotalSpent.map(k => col("total_spent") >= k),
+        Option.when(nameContains.nonEmpty)(
+          containsIgnoreCase(col("c_name"), nameContains)))
+      ps.flatten.reduceOption(_ && _)
+    }
+  }
+
+  /** Customer activity rollup (J5 max-per-key + spend): one row per
+    * customer with `last_order_date`, `total_spent` (exact decimal) and
+    * `months_since_last` (F1). Left join keeps order-less customers
+    * (their recency/spend are null ⇒ excluded by any recency/spend
+    * predicate, same as SQL WHERE semantics).
+    */
+  def activity(customer: DataFrame, orders: DataFrame, asOf: String): DataFrame = {
+    val perCust = orders.groupBy(col("o_custkey")).agg(
+      max(to_date(col("o_orderdate"))).as("last_order_date"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).as("total_spent"))
+    customer
+      .join(perCust, customer("c_custkey") === perCust("o_custkey"), "left")
+      .drop("o_custkey")
+      .withColumn("months_since_last", monthsSince(col("last_order_date"), asOf))
+  }
+
+  private def filtered(act: DataFrame, f: SegmentFilter): DataFrame =
+    f.predicate.map(act.filter).getOrElse(act)
+
+  /** A1/A2/A3/A8 + P8 + F10: one-pass segment stats with zero-struct on
+    * empty match (global aggregate always yields exactly one row; nulls
+    * coalesced to 0 like `tools.py:69-70`).
+    */
+  def stats(act: DataFrame, f: SegmentFilter): DataFrame =
+    filtered(act, f).agg(
+      count(lit(1)).as("fan_count"),
+      coalesce(moneyAvg(col("total_spent")), lit(0.0)).as("avg_spent"),
+      coalesce(rateAvg(col("c_acctbal")), lit(0.0)).as("avg_acctbal"))
+    .withColumn("segment_id", contentId("seg_", lit(f.descriptor)))
+
+  /** P7 + L1: 9-column preview of the first 5 members under a TOTAL order
+    * (the reference's "file order" head-5 does not survive partitioning —
+    * SURVEY.md §7.4 pt 2).
+    */
+  def preview(act: DataFrame, nation: DataFrame, f: SegmentFilter, k: Int = 5): DataFrame =
+    filtered(act, f)
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_nationkey"), col("n_name"), col("c_acctbal"),
+        col("last_order_date"),
+        col("total_spent").cast("double").as("total_spent"),
+        round(col("months_since_last"), 2).as("months_since_last"))
+      .orderBy(col("c_custkey"))
+      .limit(k)
+
+  // ---- Graded query entries (SparkEntry wiring) ----
+
+  /** The canonical demo filter ("jazz fans who haven't bought tickets in
+    * the last 3 months", README.md:72) transposed per FIXTURES.md §3. */
+  val canonical: SegmentFilter = SegmentFilter(
+    segments = Seq("building"),
+    minMonthsSinceLast = Some(3.0),
+    minTotalSpent = Some(1000.0))
+
+  def statsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    stats(
+      activity(Tables(spark, sfDir, "customer"), Tables(spark, sfDir, "orders"),
+        canonical.asOf),
+      canonical)
+
+  def previewQuery(spark: SparkSession, sfDir: String): DataFrame =
+    preview(
+      activity(Tables(spark, sfDir, "customer"), Tables(spark, sfDir, "orders"),
+        canonical.asOf),
+      Tables(spark, sfDir, "nation"),
+      canonical)
+
+  /** Shared oracle CTE prefix (DuckDB) — mirrors `activity`. */
+  private def actCte(asOf: String): String =
+    s"""WITH act AS (
+       |  SELECT o_custkey,
+       |         max(CAST(o_orderdate AS DATE)) AS last_order_date,
+       |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent
+       |  FROM orders GROUP BY 1
+       |), seg AS (
+       |  SELECT c.*, a.last_order_date, a.total_spent,
+       |         date_diff('day', a.last_order_date, DATE '$asOf') / 30.44
+       |           AS months_since_last
+       |  FROM customer c LEFT JOIN act a ON c.c_custkey = a.o_custkey
+       |  WHERE lower(c.c_mktsegment) IN ('building')
+       |    AND date_diff('day', a.last_order_date, DATE '$asOf') / 30.44 >= 3.0
+       |    AND a.total_spent >= 1000.0
+       |)""".stripMargin
+
+  val statsOracle: String =
+    s"""${actCte(canonical.asOf)}
+       |SELECT count(*) AS fan_count,
+       |  coalesce(round(CAST(sum(CAST(total_spent AS DECIMAL(18,2))) AS DOUBLE)
+       |                 / count(*), 2), 0.0) AS avg_spent,
+       |  coalesce(round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+       |                 / count(*), 2), 0.0) AS avg_acctbal,
+       |  'seg_' || substr(md5('${canonical.descriptor}'), 1, 8) AS segment_id
+       |FROM seg""".stripMargin
+
+  val previewOracle: String =
+    s"""${actCte(canonical.asOf)}
+       |SELECT s.c_custkey, s.c_name, s.c_mktsegment, s.c_nationkey, n.n_name,
+       |  s.c_acctbal, s.last_order_date,
+       |  CAST(s.total_spent AS DOUBLE) AS total_spent,
+       |  round(s.months_since_last, 2) AS months_since_last
+       |FROM seg s JOIN nation n ON s.c_nationkey = n.n_nationkey
+       |ORDER BY s.c_custkey LIMIT 5""".stripMargin
+}

@@ -19,10 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "segment_stats"   -> (Segmentation.statsQuery _),
     "segment_preview" -> (Segmentation.previewQuery _),
-  )
+  ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
+    EventOps.queries ++ CampaignOps.queries
 
   def oracleSql: Map[String, String] = Map(
     "segment_stats"   -> Segmentation.statsOracle,
     "segment_preview" -> Segmentation.previewOracle,
-  )
+  ) ++ Joins.oracles ++ Aggregates.oracles ++ Windows.oracles ++
+    EventOps.oracles ++ CampaignOps.oracles
 }

@@ -17,7 +17,15 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      // The events table carries parquet TIMESTAMP(NANOS), which Spark's
+      // vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as
+      // long and floor-convert to microseconds — identical to DuckDB's
+      // own ns→µs truncation, so oracle comparisons stay exact.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

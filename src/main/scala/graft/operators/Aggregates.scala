@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ScalarFns._
+
+/** Aggregation operators (SURVEY.md §2.4), sorts/top-k (§2.6) and set
+  * algebra (§2.7). The reference's `query_crm` computes one-pass
+  * multi-metric aggregates (`tools.py:72-76`); `SCALING.md:34,139-146`
+  * specifies grouped per-promoter analytics. Generalized here to OLAP
+  * breakdowns on the driver tables.
+  *
+  * Scale notes: every groupBy below is a partial+final HashAggregate —
+  * the map-side combine means the shuffle carries one row per group per
+  * partition, not per input row. Top-k compiles to
+  * TakeOrderedAndProject (per-partition heap + driver merge of k rows,
+  * never a full sort). All money sums go through exact decimal so the
+  * result is independent of partition count / merge order.
+  */
+object Aggregates {
+
+  /** A4 grouped aggregation, TPC-H Q1-shaped pricing summary over
+    * lineitem: multi-metric one-pass (A8) with derived expressions.
+    * Products are computed in IEEE double (bit-identical to the oracle)
+    * then cast to exact decimal BEFORE the order-sensitive sum. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    // price/discount/tax are 2dp quantities, so disc_price is exact at 4dp
+    // and charge at 6dp. Casting at exactly those scales avoids half-way
+    // rounding ties (Spark HALF_UP vs DuckDB would diverge at 4dp for the
+    // 3-factor product); at the exact scale both engines land on the same
+    // decimal, making the subsequent sum order-independent AND
+    // cross-engine identical.
+    val discPrice = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,4)")
+    val charge = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * (lit(1.0) + col("l_tax"))).cast("decimal(18,6)")
+    l.filter(to_date(col("l_shipdate")) <= lit("2001-09-01").cast("date"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          / count(lit(1)), 2).as("avg_qty"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        rateAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** A7 rollup: OLAP subtotals over (segment, nation). Grouping nulls
+    * surfaced as 'ALL' so the output has no null-ordering ambiguity. */
+  def rollupSegmentNation(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("c_mktsegment"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), moneySum(col("c_acctbal")).as("total_acctbal"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_customers"), col("total_acctbal"))
+      .orderBy("mktsegment", "nation")
+  }
+
+  /** L3 top-k: top 10 orders by price under a total order →
+    * TakeOrderedAndProject, no global sort. */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("o_orderdate"))
+
+  /** §2.7 intersect (distinct set semantics, same as SQL INTERSECT):
+    * customers present in two behavioral segments. */
+  def segmentIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val urgent = o.filter(col("o_orderpriority") === lit("1-URGENT")).select(col("o_custkey"))
+    val low = o.filter(col("o_orderpriority") === lit("5-LOW")).select(col("o_custkey"))
+    urgent.intersect(low).orderBy("o_custkey")
+  }
+
+  /** §2.7 except — the suppression-list form of the J4 anti join. */
+  def segmentExcept(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val urgent = o.filter(col("o_orderpriority") === lit("1-URGENT")).select(col("o_custkey"))
+    val low = o.filter(col("o_orderpriority") === lit("5-LOW")).select(col("o_custkey"))
+    urgent.except(low).orderBy("o_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pricing_summary"        -> (pricingSummary _),
+    "rollup_segment_nation"  -> (rollupSegmentNation _),
+    "topk_orders"            -> (topkOrders _),
+    "segment_intersect"      -> (segmentIntersect _),
+    "segment_except"         -> (segmentExcept _))
+
+  val oracles: Map[String, String] = Map(
+    "pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rollup_segment_nation" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+        |  coalesce(n_name, 'ALL') AS nation,
+        |  count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY ROLLUP(c_mktsegment, n_name)
+        |ORDER BY 1, 2""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "segment_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY o_custkey""".stripMargin,
+    "segment_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY o_custkey""".stripMargin)
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Batch analytics over the `events` stream table: event-time windows
+  * (ST7 batch form), distinct reach (A6), and semi-structured JSON
+  * payload extraction (F8/F9/F16 — the reference parses JSON out of
+  * LLM text with regex + json.loads, `tools.py:139-143`; here the same
+  * shape is `get_json_object` over the `props` column).
+  *
+  * Scale notes: tumbling-window groupBy is an ordinary hash aggregate on
+  * (hour, type) — no windowing state needed in batch. `get_json_object`
+  * is codegen'd and stays inside the scan's WholeStageCodegen stage;
+  * exact countDistinct is a two-phase aggregate (partial distinct per
+  * partition) — at 100 TB swap for approx_count_distinct (HLL) when ±2%
+  * is acceptable.
+  */
+object EventOps {
+
+  /** ST7 batch form: tumbling 1-hour event-time windows per type. */
+  def hourlyEventStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** A6: distinct users reached per event type (campaign-reach analog). */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** F16/F9: JSON path extraction from the props payload, aggregated. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        round(sum(col("k")).cast("double") / count(col("k")), 2).as("avg_k"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hourly_event_stats" -> (hourlyEventStats _),
+    "distinct_users"     -> (distinctUsers _),
+    "json_props"         -> (jsonProps _))
+
+  val oracles: Map[String, String] = Map(
+    "hourly_event_stats" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "json_props" ->
+      """SELECT event_type,
+        |  count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  round(CAST(sum(k) AS DOUBLE) / count(k), 2) AS avg_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ScalarFns._
+
+/** Join operators (SURVEY.md §2.3) over the normalized schema the
+  * reference's production design specifies (`SCALING.md:24-34`): the
+  * denormalized fan table becomes fact⋈dim joins, genre filters become
+  * semi joins, exclusion segments become anti joins.
+  *
+  * Scale notes: `nation` (25 rows) and the literal bands table are
+  * explicitly `broadcast()` — at 100 TB the fact side never shuffles for
+  * them. orders⋈customer is an equi-join on the natural key; both sides
+  * shuffle-partition on `custkey` once and AQE handles skew. The
+  * range join keeps its non-equi condition against a broadcast side so
+  * the physical plan is BroadcastNestedLoopJoin over a 4-row build side,
+  * not a cartesian shuffle.
+  */
+object Joins {
+
+  /** J1 + J2: fact⋈fact equi join then broadcast dim join, grouped
+    * revenue per nation (`SCALING.md:27-29` revenue attribution). */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    val n = Tables(spark, dir, "nation")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        moneySum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  /** J3 left semi: "fans who attended a Jazz event" → customers with at
+    * least one urgent order, counted per segment (EXISTS, no row
+    * duplication — `tools.py:62` genre semantics over the normalized
+    * schema). */
+  def urgentBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val urgent = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === lit("1-URGENT"))
+      .select(col("o_custkey"))
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** J4 left anti: "haven't bought tickets in the last 3 months"
+    * (README.md:72) — customers with NO order on/after the cutoff,
+    * including customers with no orders at all. */
+  def dormantBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val recent = Tables(spark, dir, "orders")
+      .filter(to_date(col("o_orderdate")) >= lit("2001-05-01").cast("date"))
+      .select(col("o_custkey"))
+    c.join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** J5/W1: latest order per customer via row_number (max-per-key with
+    * full row recovery — `SCALING.md:27` index intent). */
+  def latestOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey").as("latest_orderkey"),
+        to_date(col("o_orderdate")).as("last_order_date"),
+        col("o_totalprice").as("last_order_price"))
+      .orderBy("o_custkey")
+  }
+
+  /** J6 theta/range join: orders bucketed into price bands via a
+    * broadcast non-equi join (interval join with a tiny build side). */
+  def priceBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, dir, "orders")
+    val bands = Seq(
+      ("p1_small", 0.0, 10000.0),
+      ("p2_mid", 10000.0, 100000.0),
+      ("p3_large", 100000.0, 300000.0),
+      ("p4_jumbo", 300000.0, 1.0e9)).toDF("band", "lo", "hi")
+    o.join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy("band")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "revenue_by_nation"  -> (revenueByNation _),
+    "urgent_by_segment"  -> (urgentBySegment _),
+    "dormant_by_segment" -> (dormantBySegment _),
+    "latest_order_per_customer" -> (latestOrderPerCustomer _),
+    "price_bands"        -> (priceBands _))
+
+  val oracles: Map[String, String] = Map(
+    "revenue_by_nation" ->
+      """SELECT n.n_name AS n_name,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "urgent_by_segment" ->
+      """SELECT c.c_mktsegment AS c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dormant_by_segment" ->
+      """SELECT c.c_mktsegment AS c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND CAST(o.o_orderdate AS DATE) >= DATE '2001-05-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "latest_order_per_customer" ->
+      """SELECT o_custkey, latest_orderkey, last_order_date, last_order_price
+        |FROM (
+        |  SELECT o_custkey, o_orderkey AS latest_orderkey,
+        |         CAST(o_orderdate AS DATE) AS last_order_date,
+        |         o_totalprice AS last_order_price,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "price_bands" ->
+      """SELECT b.band AS band, count(*) AS n_orders,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o
+        |JOIN (VALUES ('p1_small', 0.0, 10000.0), ('p2_mid', 10000.0, 100000.0),
+        |             ('p3_large', 100000.0, 300000.0), ('p4_jumbo', 300000.0, 1000000000.0))
+        |  AS b(band, lo, hi)
+        |  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window functions (SURVEY.md §2.5). W1 (latest-per-key) lives in
+  * Joins.latestOrderPerCustomer; here: the ranking/analytic set (W3)
+  * and the sliding-window rate limit (W2, `SCALING.md:109-118`).
+  *
+  * Scale notes: both windows partition by a key (custkey / user_id), so
+  * the physical plan is one shuffle on the partition key then a
+  * per-partition sort — no global ordering anywhere. The trailing-hour
+  * frame is a RANGE frame over epoch-millis, which Spark evaluates with
+  * a sliding two-pointer over the sorted partition (O(n) per key).
+  */
+object Windows {
+
+  /** W3: rank by spend and lag/lead over time per customer. All window
+    * orderings carry a unique tiebreaker (o_orderkey) — deterministic
+    * under any partitioning (SURVEY.md §7.4). */
+  def rankLagOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val bySpend = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byTime = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(bySpend).cast("bigint").as("spend_rank"),
+        lag("o_totalprice", 1).over(byTime).as("prev_price"),
+        lead("o_totalprice", 1).over(byTime).as("next_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** W2/A5: sliding-window rate limit — events per user in the trailing
+    * hour; rows at/over the limit are the "reject" set. Batch analog of
+    * the reference's Redis sliding window (20 req/h, `SCALING.md:110`).
+    */
+  def slidingRateLimit(spark: SparkSession, dir: String, limit: Int = 2): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy("ts_ms")
+      .rangeBetween(-3600000L, 0L)
+    e.withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .filter(col("n_last_hour") >= limit)
+      .select(col("user_id"), col("event_id"), col("ts"), col("n_last_hour"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rank_lag_orders"    -> (rankLagOrders _),
+    "sliding_rate_limit" -> ((s: SparkSession, d: String) => slidingRateLimit(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "rank_lag_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS spend_rank,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  lead(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS next_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "sliding_rate_limit" ->
+      """SELECT user_id, event_id, ts, n_last_hour FROM (
+        |  SELECT user_id, event_id, ts,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS n_last_hour
+        |  FROM events)
+        |WHERE n_last_hour >= 2 ORDER BY user_id, event_id""".stripMargin)
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Semantics checks for the relational operator batch on sf0.001 (tiny,
+  * fast). Cross-engine value equality is covered by the DuckDB oracle
+  * gate; these assert the *shape* and internal invariants.
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("J3/J4: semi + anti partition the customer set") {
+    val urgent = Joins.urgentBySegment(spark, sf0001)
+      .agg(sum("n_customers")).first().getLong(0)
+    val total = Tables(spark, sf0001, "customer").count()
+    assert(urgent > 0 && urgent <= total)
+  }
+
+  test("J5: latest_order_per_customer is unique per customer") {
+    val df = Joins.latestOrderPerCustomer(spark, sf0001)
+    assert(df.count() == df.select("o_custkey").distinct().count())
+  }
+
+  test("J6: price bands cover every order exactly once") {
+    val banded = Joins.priceBands(spark, sf0001)
+      .agg(sum("n_orders")).first().getLong(0)
+    assert(banded == Tables(spark, sf0001, "orders").count())
+  }
+
+  test("A4: pricing summary groups are the returnflag×linestatus cross") {
+    val df = Aggregates.pricingSummary(spark, sf0001)
+    assert(df.count() > 0 && df.columns.length == 10)
+    // avg bounds: min <= avg <= max (survey §5.3 property)
+    val r = df.agg(min("avg_disc"), max("avg_disc")).first()
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(1) <= 0.11)
+  }
+
+  test("A7: rollup emits grand total = table count") {
+    val df = Aggregates.rollupSegmentNation(spark, sf0001)
+    val grand = df.filter($"mktsegment" === "ALL" && $"nation" === "ALL")
+      .select("n_customers").first().getLong(0)
+    assert(grand == Tables(spark, sf0001, "customer").count())
+  }
+
+  test("L3: topk is a k-prefix of the total order") {
+    val t = Aggregates.topkOrders(spark, sf0001).select("o_totalprice")
+      .as[Double].collect()
+    assert(t.length == 10 && t.sameElements(t.sorted.reverse))
+  }
+
+  test("set ops: intersect ∪ except = left set") {
+    val i = Aggregates.segmentIntersect(spark, sf0001).count()
+    val e = Aggregates.segmentExcept(spark, sf0001).count()
+    val urgent = Tables(spark, sf0001, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select("o_custkey").distinct().count()
+    assert(i + e == urgent)
+  }
+
+  test("W2: sliding rate limit counts are >= threshold and window-consistent") {
+    val df = Windows.slidingRateLimit(spark, sf0001, limit = 1)
+    // limit=1 keeps every event; n_last_hour >= 1 everywhere
+    assert(df.count() == Tables(spark, sf0001, "events").count())
+    assert(df.agg(min("n_last_hour")).first().getLong(0) >= 1L)
+  }
+
+  test("W3: lag/lead are inverse shifts") {
+    val df = Windows.rankLagOrders(spark, sf0001)
+    val bad = df.filter($"spend_rank" < 1).count()
+    assert(bad == 0)
+  }
+
+  test("ST7 batch: hourly stats sum to total events") {
+    val df = EventOps.hourlyEventStats(spark, sf0001)
+    val n = df.agg(sum("n_events")).first().getLong(0)
+    assert(n == Tables(spark, sf0001, "events").count())
+  }
+
+  test("U1: campaign copy is deterministic and complete") {
+    val a = CampaignOps.campaignDrafts(spark, sf0001).collect()
+    val b = CampaignOps.campaignDrafts(spark, sf0001).collect()
+    assert(a.sameElements(b))
+    assert(a.forall(r => r.getAs[String]("email_subject").startsWith("You're invited: ")))
+  }
+
+  test("S5: idempotent schedule — doubled input, single output per key") {
+    val df = CampaignOps.idempotentSchedule(spark, sf0001)
+    assert(df.count() == df.select("campaign_id").distinct().count())
+  }
+}

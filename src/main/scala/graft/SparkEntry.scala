@@ -20,11 +20,13 @@ object SparkEntry {
     "segment_stats"   -> (Segmentation.statsQuery _),
     "segment_preview" -> (Segmentation.previewQuery _),
   ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
-    EventOps.queries ++ CampaignOps.queries
+    EventOps.queries ++ CampaignOps.queries ++ TextOps.queries ++
+    Similarity.queries
 
   def oracleSql: Map[String, String] = Map(
     "segment_stats"   -> Segmentation.statsOracle,
     "segment_preview" -> Segmentation.previewOracle,
   ) ++ Joins.oracles ++ Aggregates.oracles ++ Windows.oracles ++
-    EventOps.oracles ++ CampaignOps.oracles
+    EventOps.oracles ++ CampaignOps.oracles ++ TextOps.oracles ++
+    Similarity.oracles
 }

@@ -39,17 +39,38 @@ object ScalarFns {
       transform(arr, x => lower(x)),
       lit(wanted.map(_.toLowerCase).distinct.toArray))
 
+  /** Cross-engine-deterministic rounding to n decimal places.
+    *
+    * Spark's `round()` rounds the SHORTEST DECIMAL REPRESENTATION of the
+    * double (it goes through `BigDecimal.valueOf`, i.e. `Double.toString`),
+    * while DuckDB rounds the binary value — a double just below x.xx5
+    * whose shortest repr IS "x.xx5" rounds UP in Spark and DOWN in
+    * DuckDB. `floor(x·10ⁿ + 0.5)/10ⁿ` is pure IEEE double arithmetic,
+    * bit-identical on both engines. Mirror in oracle SQL via
+    * [[roundSql]].
+    */
+  def roundN(x: Column, n: Int): Column = {
+    val p = math.pow(10, n) // exact powers of ten up to 1e15
+    floor(x * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  /** DuckDB-side twin of [[roundN]] — keep the two in lockstep. */
+  def roundSql(e: String, n: Int): String = {
+    val p = math.pow(10, n).toLong
+    s"floor(($e) * $p.0 + 0.5) / $p.0"
+  }
+
   /** Money-safe average: exact decimal sum (order-independent across
-    * partitions), then one double division, then round(2) — the formula
-    * is replicated verbatim in the DuckDB oracle SQL so both engines
-    * produce bit-identical doubles (SURVEY.md §7.4 pt 3).
+    * partitions), then one double division, then deterministic round(2)
+    * — the formula is replicated verbatim in the DuckDB oracle SQL so
+    * both engines produce bit-identical doubles (SURVEY.md §7.4 pt 3).
     */
   def moneyAvg(x: Column): Column =
-    round(sum(x.cast("decimal(18,2)")).cast("double") / count(lit(1)), 2)
+    roundN(sum(x.cast("decimal(18,2)")).cast("double") / count(lit(1)), 2)
 
   /** Same for 0-1 rates: 4 decimal digits of exactness before the sum. */
   def rateAvg(x: Column): Column =
-    round(sum(x.cast("decimal(18,4)")).cast("double") / count(lit(1)), 2)
+    roundN(sum(x.cast("decimal(18,4)")).cast("double") / count(lit(1)), 2)
 
   /** Exact decimal sum surfaced as double (deterministic money total). */
   def moneySum(x: Column): Column =

@@ -43,7 +43,7 @@ object Aggregates {
         moneySum(col("l_extendedprice")).as("sum_base_price"),
         sum(discPrice).cast("double").as("sum_disc_price"),
         sum(charge).cast("double").as("sum_charge"),
-        round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+        roundN(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
           / count(lit(1)), 2).as("avg_qty"),
         moneyAvg(col("l_extendedprice")).as("avg_price"),
         rateAvg(col("l_discount")).as("avg_disc"),
@@ -101,14 +101,14 @@ object Aggregates {
 
   val oracles: Map[String, String] = Map(
     "pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_qty,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_price,
-        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS avg_disc,
+        |  ${roundSql("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)", 2)} AS avg_qty,
+        |  ${roundSql("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)", 2)} AS avg_price,
+        |  ${roundSql("CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*)", 2)} AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'

@@ -82,7 +82,7 @@ object CampaignOps {
         length(col("c_name")).cast("bigint").as("name_len"),
         contentId("cmp_", col("c_name")).as("content_id"),
         concat(lit("You're invited: "), col("c_name")).as("invite"),
-        round(col("c_acctbal"), 2).as("acctbal_2dp"))
+        roundN(col("c_acctbal"), 2).as("acctbal_2dp"))
       .orderBy("c_custkey")
       .limit(100)
 
@@ -93,9 +93,9 @@ object CampaignOps {
 
   val oracles: Map[String, String] = Map(
     "campaign_drafts" ->
-      """WITH seg AS (
+      s"""WITH seg AS (
         |  SELECT c_mktsegment, count(*) AS audience_size,
-        |    round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS avg_acctbal,
+        |    ${roundSql("CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)", 2)} AS avg_acctbal,
         |    'The ' || lower(c_mktsegment) || ' sessions' AS event_name
         |  FROM customer GROUP BY 1)
         |SELECT c_mktsegment, audience_size, avg_acctbal, event_name,
@@ -123,13 +123,13 @@ object CampaignOps {
         |  'scheduled' AS status
         |FROM seg ORDER BY campaign_id""".stripMargin,
     "scalar_showcase" ->
-      """SELECT c_custkey,
+      s"""SELECT c_custkey,
         |  lower(c_name) AS name_lower,
         |  substr(c_name, 1, 1) AS initial,
         |  CAST(length(c_name) AS BIGINT) AS name_len,
         |  'cmp_' || substr(md5(c_name), 1, 8) AS content_id,
         |  'You''re invited: ' || c_name AS invite,
-        |  round(c_acctbal, 2) AS acctbal_2dp
+        |  ${roundSql("c_acctbal", 2)} AS acctbal_2dp
         |FROM customer
         |WHERE contains(lower(c_name), 'customer#00000')
         |ORDER BY c_custkey LIMIT 100""".stripMargin)

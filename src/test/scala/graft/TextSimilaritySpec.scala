@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, TextOps}
+
+/** Text-analysis + dedup/similarity operator invariants on sf0.001. */
+class TextSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("N1: dedup stats are internally consistent") {
+    val df = TextOps.exactDedupStats(spark, sf0001)
+    val bad = df.filter($"n_dupes" =!= $"n_docs" - $"n_distinct_texts").count()
+    assert(bad == 0)
+    assert(df.agg(sum("n_docs")).first().getLong(0) ==
+      Tables(spark, sf0001, "documents").count())
+  }
+
+  test("N4: token stats are positive and k-limited") {
+    val rows = TextOps.tokenStats(spark, sf0001).collect()
+    assert(rows.length == 20)
+    val counts = rows.map(_.getAs[Long]("n"))
+    assert(counts.sameElements(counts.sorted.reverse))
+  }
+
+  test("N4: quality ratios within [0,1], labels from the closed set") {
+    val df = TextOps.docQuality(spark, sf0001)
+    assert(df.filter($"stop_ratio" < 0 || $"stop_ratio" > 1).count() == 0)
+    val labels = df.select("quality").distinct().as[String].collect().toSet
+    assert(labels.subsetOf(Set("good", "fair", "poor")))
+  }
+
+  test("N4: language-id confusion matrix covers every doc") {
+    val n = TextOps.languageId(spark, sf0001)
+      .agg(sum("n_docs")).first().getLong(0)
+    assert(n == Tables(spark, sf0001, "documents").count())
+  }
+
+  test("simhash: 16-bit fingerprints, buckets partition the corpus") {
+    val b = TextOps.simhashBuckets(spark, sf0001)
+    assert(b.filter(length($"simhash16") =!= 16).count() == 0)
+    assert(b.agg(sum("n_docs")).first().getLong(0) ==
+      Tables(spark, sf0001, "documents").count())
+  }
+
+  test("N2: neardup pairs have valid jaccard and ordered ids") {
+    val df = Similarity.neardupPairs(spark, sf0001)
+    assert(df.filter($"doc_a" >= $"doc_b").count() == 0)
+    assert(df.filter($"jaccard" <= 0 || $"jaccard" > 1).count() == 0)
+  }
+
+  test("N3: cosine self-similarity is 1, topk is ordered") {
+    // query vec vs itself through the same code path: vec 0 excluded by
+    // the operator, so check ordering + bounds instead
+    val rows = Similarity.cosineTopk(spark, sf0001, k = 5).collect()
+    assert(rows.length == 5)
+    val sims = rows.map(_.getAs[Double]("cosine_sim"))
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
+  test("N5: multimodal join carries both modalities") {
+    val df = Similarity.multimodalJoin(spark, sf0001)
+    assert(df.count() > 0)
+    assert(df.filter($"emb_dim" =!= 64).count() == 0)
+    assert(df.filter($"emb_norm" <= 0).count() == 0)
+  }
+}

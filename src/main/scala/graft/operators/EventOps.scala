@@ -51,10 +51,26 @@ object EventOps {
           sum(col("k")).cast("double") / count(col("k")), 2).as("avg_k"))
       .orderBy("event_type")
 
+  /** ST7 session windows, batch form: per-user sessionization with a
+    * 30-minute gap (`session_window`), rolled up per user. The oracle is
+    * the classic gaps-and-islands rewrite — a new session starts when
+    * the gap from the previous event is >= the gap duration (Spark's
+    * session end bound is exclusive: [start, last + gap)). */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n")).as("n_events"),
+        max(col("n")).as("max_session_events"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hourly_event_stats" -> (hourlyEventStats _),
     "distinct_users"     -> (distinctUsers _),
-    "json_props"         -> (jsonProps _))
+    "json_props"         -> (jsonProps _),
+    "session_stats"      -> (sessionStats _))
 
   val oracles: Map[String, String] = Map(
     "hourly_event_stats" ->
@@ -73,5 +89,26 @@ object EventOps {
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
         |      FROM events)
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "session_stats" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM o),
+        |s AS (
+        |  SELECT user_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |per_session AS (
+        |  SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  max(n) AS max_session_events
+        |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin)
 }

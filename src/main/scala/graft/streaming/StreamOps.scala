@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming transforms (SURVEY.md §2.9). Each is a plain
+  * `DataFrame => DataFrame` so the SAME operator runs in batch (driver
+  * correctness gate) and as a streaming query (`readStream` → transform
+  * → `writeStream`) — Spark's unified model makes the distinction a
+  * property of the source, not the operator.
+  *
+  * Event-time discipline (100 TB / unbounded-stream scale): every
+  * stateful transform bounds its state with a watermark — windows are
+  * dropped once late data can no longer arrive, dedup keys expire with
+  * the watermark (`dropDuplicatesWithinWatermark`), and session state
+  * closes `gap` after the last event. Without these bounds, state grows
+  * without limit and the job dies at scale.
+  */
+object StreamOps {
+
+  /** ST7: tumbling event-time window counts per type. */
+  def tumblingCounts(events: DataFrame,
+      win: String = "1 hour", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** ST3: sliding-window rate limit — the reference's Redis sliding
+    * window (`SCALING.md:109-118`) as a streaming windowed count; rows
+    * over the limit are the reject set. */
+  def rateLimitViolations(events: DataFrame, limit: Long,
+      win: String = "1 hour", slide: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win, slide), col("user_id"))
+      .agg(count(lit(1)).as("n_requests"))
+      .filter(col("n_requests") > limit)
+      .select(col("window.start").as("window_start"), col("user_id"),
+        col("n_requests"))
+
+  /** ST4: idempotent ingestion (`SCALING.md:120`) — duplicate event ids
+    * within the watermark horizon are dropped exactly once. */
+  def dedupWithinWatermark(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** ST7: session windows (gap-based) per user. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+}

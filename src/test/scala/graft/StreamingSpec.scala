@@ -1,0 +1,145 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{PhaseMachine, StreamOps}
+import graft.streaming.PhaseMachine.ToolEvent
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Structured Streaming semantics (SURVEY.md §2.9) on memory streams.
+  * Golden SSE-ordering test per §5.2 pt 4. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("ST7: tumbling streaming counts equal the batch computation") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.tumblingCounts(ms.toDF, "1 hour", "0 minutes")
+      .writeStream.format("memory").queryName("tumbling").outputMode("append")
+      .start()
+    val evs = Seq(Ev(1, t(5), 1, "click", 1.0), Ev(2, t(20), 1, "click", 2.0),
+      Ev(3, t(65), 2, "view", 3.0))
+    ms.addData(evs: _*)
+    q.processAllAvailable()
+    // watermark flush: an event far in the future closes earlier windows
+    ms.addData(Ev(99, t(600), 9, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tumbling")
+      .select("window_start", "event_type", "n_events", "total_value")
+      .orderBy("window_start", "event_type").collect()
+    val batch = StreamOps.tumblingCounts(
+        (evs :+ Ev(99, t(600), 9, "flush", 0.0)).toDF, "1 hour", "0 minutes")
+      .select("window_start", "event_type", "n_events", "total_value")
+      .orderBy("window_start", "event_type").collect()
+    // streaming emitted all windows whose end <= max watermark
+    assert(got.nonEmpty)
+    assert(batch.toSeq.startsWith(got.toSeq) || got.toSeq == batch.toSeq.dropRight(1))
+  }
+
+  test("ST4: duplicate event ids within watermark are dropped") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.dedupWithinWatermark(ms.toDF, "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append")
+      .start()
+    ms.addData(Ev(1, t(0), 1, "a", 0), Ev(1, t(1), 1, "a", 0),
+      Ev(2, t(2), 1, "b", 0))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup").select("event_id").as[Long].collect().sorted
+      .sameElements(Array(1L, 2L)))
+  }
+
+  test("ST3: rate-limit flags only users over the limit") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.rateLimitViolations(ms.toDF, limit = 2,
+        win = "1 hour", slide = "1 hour", watermark = "0 minutes")
+      .writeStream.format("memory").queryName("rate").outputMode("append")
+      .start()
+    ms.addData((1 to 5).map(i => Ev(i, t(i), 7, "spam", 0)) :+
+      Ev(10, t(10), 8, "ok", 0): _*)
+    ms.addData(Ev(99, t(600), 9, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("rate").collect()
+    assert(rows.map(_.getAs[Long]("user_id")).toSet == Set(7L))
+    assert(rows.head.getAs[Long]("n_requests") == 5L)
+  }
+
+  test("ST1/ST6 golden ordering: running→done, strategy lifecycle, terminal done") {
+    val events = Seq(
+      ToolEvent("c1", 1, "on_tool_start", "query_crm", "", false),
+      ToolEvent("c1", 2, "on_tool_end", "query_crm", "{count: 12}", true),
+      ToolEvent("c1", 3, "token", "", "Here", false),
+      ToolEvent("c1", 4, "on_tool_start", "generate_campaign_copy", "", false),
+      ToolEvent("c1", 5, "on_tool_end", "generate_campaign_copy", "{email:...}", false),
+      ToolEvent("c1", 6, "error", "", "boom", false),
+      ToolEvent("c1", 7, "end", "", "", false))
+    val out = PhaseMachine.run(spark, events.toDS).collect().sortBy(_.seq)
+    val kinds = out.map(e => (e.event_type, e.phase, e.status)).toSeq
+    // analyzing warm-up first (agent.py:122); closed at first tool start
+    assert(kinds.head == ("agent_step", "analyzing", "running"))
+    assert(kinds.contains(("agent_step", "analyzing", "done")))
+    // per-tool: running precedes done precedes payload
+    val ar = kinds.indexOf(("agent_step", "audience_research", "running"))
+    val ad = kinds.indexOf(("agent_step", "audience_research", "done"))
+    val pay = out.indexWhere(_.event_type == "audience_result")
+    assert(ar >= 0 && ar < ad && ad < pay)
+    // strategy opens after non-empty query_crm, closes before copy runs
+    val so = kinds.indexOf(("agent_step", "strategy", "running"))
+    val sc = kinds.indexOf(("agent_step", "strategy", "done"))
+    val cw = kinds.indexOf(("agent_step", "copy_writing", "running"))
+    assert(so > pay && sc > so && sc < cw)
+    // ST6: error event present AND stream still terminates with done
+    assert(out.exists(_.event_type == "error"))
+    assert(out.last.event_type == "done")
+  }
+
+  test("ST1: empty query_crm does NOT open strategy (agent.py:62 guard)") {
+    val events = Seq(
+      ToolEvent("c2", 1, "on_tool_start", "query_crm", "", false),
+      ToolEvent("c2", 2, "on_tool_end", "query_crm", "{count: 0}", false),
+      ToolEvent("c2", 3, "end", "", "", false))
+    val out = PhaseMachine.run(spark, events.toDS).collect()
+    assert(!out.exists(e => e.phase == "strategy"))
+    assert(out.map(_.event_type).last == "done")
+  }
+
+  test("ST5: keyed state isolates conversations") {
+    val events = Seq(
+      ToolEvent("a", 1, "on_tool_start", "query_crm", "", false),
+      ToolEvent("b", 1, "end", "", "", false))
+    val out = PhaseMachine.run(spark, events.toDS).collect()
+    val byConv = out.groupBy(_.conversation_id)
+    // each conversation gets its own analyzing warm-up
+    assert(byConv("a").exists(e => e.phase == "analyzing"))
+    assert(byConv("b").exists(e => e.phase == "analyzing"))
+    assert(byConv("b").last.event_type == "done")
+  }
+
+  test("session windows: gap merges and splits as specified") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.sessionCounts(ms.toDF, gap = "30 minutes",
+        watermark = "0 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("append")
+      .start()
+    // user 1: events at 0,10 (one session), 50 (new session: gap 40 > 30)
+    ms.addData(Ev(1, t(0), 1, "a", 0), Ev(2, t(10), 1, "a", 0),
+      Ev(3, t(50), 1, "a", 0))
+    ms.addData(Ev(99, t(600), 9, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("sessions").filter($"user_id" === 1)
+      .select("n_events").as[Long].collect().sorted
+    assert(u1.sameElements(Array(1L, 2L)))
+  }
+}

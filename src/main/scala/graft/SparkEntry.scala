@@ -19,14 +19,20 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "segment_stats"   -> (Segmentation.statsQuery _),
     "segment_preview" -> (Segmentation.previewQuery _),
+    "genre_overlap"   -> (Segmentation.genreOverlapQuery _),
   ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
     EventOps.queries ++ CampaignOps.queries ++ TextOps.queries ++
-    Similarity.queries
+    Similarity.queries ++ graft.functions.TypedAggs.queries ++
+    Multimodal.queries
 
+  /** `approx_users` intentionally has NO oracle (HLL sketches are not
+    * cross-engine comparable) → driver rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "segment_stats"   -> Segmentation.statsOracle,
     "segment_preview" -> Segmentation.previewOracle,
+    "genre_overlap"   -> Segmentation.genreOverlapOracle,
   ) ++ Joins.oracles ++ Aggregates.oracles ++ Windows.oracles ++
     EventOps.oracles ++ CampaignOps.oracles ++ TextOps.oracles ++
-    Similarity.oracles
+    Similarity.oracles ++ graft.functions.TypedAggs.oracles ++
+    Multimodal.oracles
 }

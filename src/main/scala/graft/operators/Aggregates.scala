@@ -92,7 +92,19 @@ object Aggregates {
     urgent.except(low).orderBy("o_custkey")
   }
 
+  /** A7 cube: all 2^2 grouping combinations over (priority, status). */
+  def cubePriorityStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("revenue"))
+      .orderBy("priority", "status")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cube_priority_status"   -> (cubePriorityStatus _),
     "pricing_summary"        -> (pricingSummary _),
     "rollup_segment_nation"  -> (rollupSegmentNation _),
     "topk_orders"            -> (topkOrders _),
@@ -100,6 +112,13 @@ object Aggregates {
     "segment_except"         -> (segmentExcept _))
 
   val oracles: Map[String, String] = Map(
+    "cube_priority_status" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY 1, 2""".stripMargin,
     "pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

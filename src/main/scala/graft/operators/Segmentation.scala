@@ -166,8 +166,25 @@ object Segmentation {
       |                   ['1-urgent', '2-high'])
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Shared oracle CTE prefix (DuckDB) — mirrors `activity`. */
-  private def actCte(asOf: String): String =
+  /** DuckDB WHERE clause mirroring [[SegmentFilter.predicate]] — the
+    * oracle twin of the Column builder, so ANY filter combination is
+    * oracle-checkable. Keep the two in lockstep. */
+  def oracleWhere(f: SegmentFilter): String = {
+    val months = s"date_diff('day', a.last_order_date, DATE '${f.asOf}') / 30.44"
+    val conds = Seq(
+      Option.when(f.segments.nonEmpty)(
+        s"lower(c.c_mktsegment) IN (${f.segments.map(s => s"'${s.toLowerCase}'").mkString(", ")})"),
+      f.minMonthsSinceLast.map(k => s"$months >= $k"),
+      f.maxMonthsSinceLast.map(k => s"$months <= $k"),
+      f.minTotalSpent.map(k => s"a.total_spent >= $k"),
+      Option.when(f.nameContains.nonEmpty)(
+        s"contains(lower(c.c_name), '${f.nameContains.toLowerCase}')")
+    ).flatten
+    if (conds.isEmpty) "TRUE" else conds.mkString("\n    AND ")
+  }
+
+  /** Shared oracle CTE prefix (DuckDB) — mirrors `activity` + filter. */
+  private def actCte(f: SegmentFilter): String =
     s"""WITH act AS (
        |  SELECT o_custkey,
        |         max(CAST(o_orderdate AS DATE)) AS last_order_date,
@@ -175,28 +192,43 @@ object Segmentation {
        |  FROM orders GROUP BY 1
        |), seg AS (
        |  SELECT c.*, a.last_order_date, a.total_spent,
-       |         date_diff('day', a.last_order_date, DATE '$asOf') / 30.44
+       |         date_diff('day', a.last_order_date, DATE '${f.asOf}') / 30.44
        |           AS months_since_last
        |  FROM customer c LEFT JOIN act a ON c.c_custkey = a.o_custkey
-       |  WHERE lower(c.c_mktsegment) IN ('building')
-       |    AND date_diff('day', a.last_order_date, DATE '$asOf') / 30.44 >= 3.0
-       |    AND a.total_spent >= 1000.0
+       |  WHERE ${oracleWhere(f)}
        |)""".stripMargin
 
-  val statsOracle: String =
-    s"""${actCte(canonical.asOf)}
+  def statsOracleFor(f: SegmentFilter): String =
+    s"""${actCte(f)}
        |SELECT count(*) AS fan_count,
        |  coalesce(${roundSql("CAST(sum(CAST(total_spent AS DECIMAL(18,2))) AS DOUBLE) / count(*)", 2)}, 0.0) AS avg_spent,
        |  coalesce(${roundSql("CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)", 2)}, 0.0) AS avg_acctbal,
-       |  'seg_' || substr(md5('${canonical.descriptor}'), 1, 8) AS segment_id
+       |  'seg_' || substr(md5('${f.descriptor}'), 1, 8) AS segment_id
        |FROM seg""".stripMargin
 
-  val previewOracle: String =
-    s"""${actCte(canonical.asOf)}
+  def previewOracleFor(f: SegmentFilter): String =
+    s"""${actCte(f)}
        |SELECT s.c_custkey, s.c_name, s.c_mktsegment, s.c_nationkey, n.n_name,
        |  s.c_acctbal, s.last_order_date,
        |  CAST(s.total_spent AS DOUBLE) AS total_spent,
        |  ${roundSql("s.months_since_last", 2)} AS months_since_last
        |FROM seg s JOIN nation n ON s.c_nationkey = n.n_nationkey
        |ORDER BY s.c_custkey LIMIT 5""".stripMargin
+
+  val statsOracle: String = statsOracleFor(canonical)
+  val previewOracle: String = previewOracleFor(canonical)
+
+  /** A second graded filter exercising P4 (max-months upper bound) and
+    * P6 (case-insensitive name substring) — "active big-spender" slice. */
+  val activeFilter: SegmentFilter = SegmentFilter(
+    maxMonthsSinceLast = Some(6.0),
+    nameContains = "Customer#00000")
+
+  def activeStatsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    stats(
+      activity(Tables(spark, sfDir, "customer"), Tables(spark, sfDir, "orders"),
+        activeFilter.asOf),
+      activeFilter)
+
+  val activeStatsOracle: String = statsOracleFor(activeFilter)
 }

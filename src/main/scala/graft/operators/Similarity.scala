@@ -106,6 +106,72 @@ object Similarity {
       .limit(k)
   }
 
+  /** N3 scale path — IVF (inverted-file) bucket assignment.
+    * Centroids are the embeddings of vec_id < 8: deterministic seeds,
+    * no iterative k-means, so the assignment is oracle-checkable. (A
+    * production build would learn centroids offline and broadcast them
+    * exactly the same way — the plan shape is identical.) Assignment =
+    * argmax cosine over the broadcast centroid set, ties to the
+    * smallest centroid id. One scan, no shuffle except the tiny
+    * row_number partition on vec_id. */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("s").desc, col("cid"))
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        expr("cosine_sim(embedding, cv)").as("s"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  /** N3 scale path: top-k cosine restricted to the query's IVF bucket —
+    * scans ~1/nlist of the corpus instead of all of it. Recall is
+    * bounded by bucket quality (nprobe=1 here); raise nprobe by
+    * unioning neighbor buckets. */
+  def cosineTopkIvf(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    val assign = ivfAssign(spark, dir)
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val qBucket = assign.filter(col("vec_id") === 0).select(col("cid"))
+    val cands = assign.join(broadcast(qBucket), Seq("cid"))
+      .filter(col("vec_id") =!= 0).select(col("vec_id"))
+    e.join(cands, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.ScalarFns.roundN(
+          expr("cosine_sim(embedding, qv)"), 6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** N2 embedding-cosine near-dup: candidate pairs share an IVF bucket
+    * (pairwise math is per-bucket, never corpus²); pairs at/over the
+    * cosine threshold are reported. */
+  def embeddingNeardup(spark: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val assign = ivfAssign(spark, dir)
+    val withVec = e.join(assign, Seq("vec_id"))
+      .select(col("cid"), col("vec_id"), col("embedding"))
+    val a = withVec.select(col("cid"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+    val b = withVec.select(col("cid"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("cid")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        graft.functions.ScalarFns.roundN(
+          expr("cosine_sim(ea, eb)"), 6).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** N5 multimodal row: text metadata ⋈ embedding vector in one frame
     * (arrays kept out of the graded output; dim + norm summarize). */
   def multimodalJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -122,9 +188,28 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "neardup_pairs"   -> (neardupPairs _),
-    "cosine_topk"     -> ((s: SparkSession, d: String) => cosineTopk(s, d)),
-    "multimodal_join" -> (multimodalJoin _))
+    "neardup_pairs"     -> (neardupPairs _),
+    "cosine_topk"       -> ((s: SparkSession, d: String) => cosineTopk(s, d)),
+    "cosine_topk_ivf"   -> ((s: SparkSession, d: String) => cosineTopkIvf(s, d)),
+    "embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNeardup(s, d)),
+    "multimodal_join"   -> (multimodalJoin _))
+
+  /** Shared IVF-assignment CTE (DuckDB) — mirrors [[ivfAssign]]. */
+  private def ivfCte: String = {
+    val cos = s"(${duckDot("e.embedding", "c.cv")} / " +
+      s"(sqrt(${duckDot("e.embedding", "e.embedding")}) * sqrt(${duckDot("c.cv", "c.cv")})))"
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+       |sims AS (
+       |  SELECT e.vec_id, c.cid, $cos AS s
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |    FROM sims)
+       |  WHERE rn = 1)""".stripMargin
+  }
 
   private val shingleCte =
     """WITH toks AS (
@@ -175,6 +260,37 @@ object Similarity {
          |JOIN sizes sa ON i.doc_a = sa.doc_id
          |JOIN sizes sb ON i.doc_b = sb.doc_id
          |ORDER BY 1, 2""".stripMargin,
+    "cosine_topk_ivf" ->
+      s"""$ivfCte,
+         |qb AS (SELECT cid FROM assign WHERE vec_id = 0),
+         |cands AS (SELECT a.vec_id FROM assign a JOIN qb ON a.cid = qb.cid
+         |          WHERE a.vec_id <> 0),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  ${graft.functions.ScalarFns.roundSql(
+              s"""${duckDot("e.embedding", "q.qv")}
+                 |    / (sqrt(${duckDot("e.embedding", "e.embedding")})
+                 |       * sqrt(${duckDot("q.qv", "q.qv")}))""".stripMargin, 6)} AS cosine_sim
+         |FROM embeddings e JOIN cands ON e.vec_id = cands.vec_id, q
+         |ORDER BY cosine_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "embedding_neardup" ->
+      s"""$ivfCte,
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM assign a JOIN assign b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT p.vec_a, p.vec_b,
+         |    ${graft.functions.ScalarFns.roundSql(
+              s"""${duckDot("ea.embedding", "eb.embedding")}
+                 |      / (sqrt(${duckDot("ea.embedding", "ea.embedding")})
+                 |         * sqrt(${duckDot("eb.embedding", "eb.embedding")}))""".stripMargin, 6)} AS cosine_sim
+         |  FROM pairs p
+         |  JOIN embeddings ea ON ea.vec_id = p.vec_a
+         |  JOIN embeddings eb ON eb.vec_id = p.vec_b)
+         |SELECT vec_a, vec_b, cosine_sim FROM scored
+         |WHERE cosine_sim >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin,
     "cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id,

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audit (the "is this the plan you'd want at 100 TB"
+  * check, SURVEY.md §4.2): every graded query must plan without a
+  * cartesian product, and representative queries must show predicate
+  * pushdown / pruned scans / broadcast dims. */
+class PlanAuditSpec extends SparkSpec {
+
+  test("no graded query plans a CartesianProduct") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name degenerated to a cartesian product:\n$plan")
+    }
+  }
+
+  test("pricing_summary pushes the shipdate filter into the parquet scan") {
+    val plan = SparkEntry.queries("pricing_summary")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"))
+    // column pruning: unused l_orderkey/l_partkey must NOT be read
+    assert(!plan.contains("l_partkey"))
+  }
+
+  test("dim joins broadcast the dimension side") {
+    val plan = SparkEntry.queries("revenue_by_nation")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  test("topk_orders compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = SparkEntry.queries("topk_orders")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("LSH candidate generation is equi-joins, never a nested loop") {
+    val plan = SparkEntry.queries("neardup_pairs")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("whole-stage codegen covers the segment filter pipeline") {
+    // AQE shows codegen spans only in the FINAL plan — materialize first
+    val df = SparkEntry.queries("segment_stats")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"))
+    // "*(n)" prefixes mark WholeStageCodegen stages in the final plan
+    assert(plan.contains("*("))
+  }
+
+  test("F11/F14 presentation tier: formatting functions behave (non-graded)") {
+    import spark.implicits._
+    val r = Seq((1234567.891, java.sql.Date.valueOf("2001-08-01")))
+      .toDF("amount", "d")
+      .select(
+        format_number($"amount", 0).as("money"),
+        date_format($"d", "MMM d, yyyy").as("medium_date"),
+        concat(lit("$"), format_number($"amount", 0)).as("dollars"),
+        // F14 standardization: months-ago uses 30.44, not 30
+        graft.functions.ScalarFns.roundN(
+          datediff(lit(java.sql.Date.valueOf("2001-11-01")), $"d") / 30.44, 1)
+          .as("months_ago"))
+      .first()
+    assert(r.getString(0) == "1,234,568")
+    assert(r.getString(1) == "Aug 1, 2001")
+    assert(r.getString(2) == "$1,234,568")
+    assert(r.getDouble(3) == 3.0)
+  }
+}

@@ -98,7 +98,27 @@ object Joins {
       .orderBy("band")
   }
 
+  /** As-of join through the custom operator (graft.plans.AsOfJoinExec):
+    * for every event, the user's latest order state as of the event
+    * time. Only the time column of the right side is projected, so
+    * equal-time ties (where engines may legitimately pick different
+    * rows) cannot affect the result. */
+  def asofOrderBeforeEvent(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate")) // prune pre-join
+    graft.plans.AsOf.join(e, o,
+        e("user_id"), o("o_custkey"), e("ts"), o("o_orderdate"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        to_date(col("o_orderdate")).as("last_order_date"),
+        datediff(to_date(col("ts")), to_date(col("o_orderdate")))
+          .cast("bigint").as("days_since_order"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_order_before_event" -> (asofOrderBeforeEvent _),
     "revenue_by_nation"  -> (revenueByNation _),
     "urgent_by_segment"  -> (urgentBySegment _),
     "dormant_by_segment" -> (dormantBySegment _),
@@ -106,6 +126,14 @@ object Joins {
     "price_bands"        -> (priceBands _))
 
   val oracles: Map[String, String] = Map(
+    "asof_order_before_event" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        |  CAST(o.o_orderdate AS DATE) AS last_order_date,
+        |  CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(e.ts AS DATE))
+        |       AS BIGINT) AS days_since_order
+        |FROM events e ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
     "revenue_by_nation" ->
       """SELECT n.n_name AS n_name,
         |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -1,0 +1,138 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** AS-OF JOIN — the whole-operator custom-plan tier (SURVEY.md §7.3,
+  * preference order (c): LogicalPlan + Strategy + SparkPlan), for an
+  * operator Spark's Dataset API genuinely lacks: for every left row,
+  * attach the single latest right row with `rightTime <= leftTime` for
+  * the same key (the reference's "most recent purchase state at event
+  * time" recency semantics, `SCALING.md:27`, generalized).
+  *
+  * Physical strategy: both sides hash-partition on the key (pinned
+  * partition count so the zipped partitions stay aligned under AQE) and
+  * sort within partitions by (key, time). A single forward merge pass
+  * then resolves every left row with one buffered right cursor —
+  * O(n+m) per partition, no state beyond ONE buffered row per side, no
+  * window materialization. This is the 100 TB shape: shuffle once,
+  * stream the merge.
+  *
+  * Requirements: key expressions must be LongType, time expressions
+  * TimestampType/LongType (compared as their internal long encoding).
+  * Output = left columns ++ right columns (right side nullable — left
+  * outer semantics).
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // Pin the partition count: EnsureRequirements then gives both children
+  // identical hash partitioning and AQE cannot coalesce them apart.
+  private def parts: Int = conf.numShufflePartitions
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    ClusteredDistribution(leftKey :: Nil, requiredNumPartitions = Some(parts)),
+    ClusteredDistribution(rightKey :: Nil, requiredNumPartitions = Some(parts)))
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lk = BindReferences.bindReference(leftKey, left.output)
+    val lt = BindReferences.bindReference(leftTime, left.output)
+    val rk = BindReferences.bindReference(rightKey, right.output)
+    val rt = BindReferences.bindReference(rightTime, right.output)
+    val rightSchema = right.output
+    val allOutput = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val proj = UnsafeProjection.create(allOutput, allOutput)
+      val joined = new JoinedRow
+      val nullRight = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(rightSchema.length)
+      val rBuf = rIter.buffered
+      var lastMatch: InternalRow = null
+      var lastMatchKey: Long = 0L
+
+      lIter.map { l =>
+        val lKeyV = lk.eval(l)
+        if (lKeyV == null) {
+          proj(joined(l, nullRight))
+        } else {
+          val lKey = lKeyV.asInstanceOf[Long]
+          val lTimeV = lt.eval(l)
+          val lTime = if (lTimeV == null) Long.MinValue
+                      else lTimeV.asInstanceOf[Long]
+          if (lastMatch != null && lastMatchKey != lKey) lastMatch = null
+          var continue = true
+          while (continue && rBuf.hasNext) {
+            val head = rBuf.head
+            val rKeyV = rk.eval(head)
+            if (rKeyV == null) { rBuf.next() } // un-keyed right rows: skip
+            else {
+              val rKey = rKeyV.asInstanceOf[Long]
+              if (rKey < lKey) rBuf.next()
+              else if (rKey == lKey) {
+                val rTimeV = rt.eval(head)
+                if (rTimeV == null) rBuf.next() // un-timed: skip
+                else if (rTimeV.asInstanceOf[Long] <= lTime) {
+                  lastMatch = rBuf.next().copy()
+                  lastMatchKey = rKey
+                } else continue = false
+              } else continue = false
+            }
+          }
+          proj(joined(l, if (lastMatch != null) lastMatch else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** User-facing API. */
+object AsOf {
+  /** `left ASOF LEFT JOIN right ON leftKey = rightKey AND
+    * rightTime <= leftTime` (latest match wins). */
+  def join(leftDf: DataFrame, rightDf: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column): DataFrame = {
+    val spark = leftDf.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    GraftSqlBridge.ofRows(spark, AsOfJoinPlan(
+      leftDf.queryExecution.analyzed, rightDf.queryExecution.analyzed,
+      GraftSqlBridge.expr(leftKey), GraftSqlBridge.expr(rightKey),
+      GraftSqlBridge.expr(leftTime), GraftSqlBridge.expr(rightTime)))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.AsOf
+
+/** The custom as-of join exec vs a window-function reference
+  * implementation, plus edge semantics. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  lazy val trades = Seq(
+    (1L, 10L, ts("2024-01-01 10:00:00")),
+    (2L, 10L, ts("2024-01-01 11:00:00")),
+    (3L, 20L, ts("2024-01-01 10:30:00")),
+    (4L, 30L, ts("2024-01-01 09:00:00")) // key with no quotes at all
+  ).toDF("trade_id", "t_key", "t_ts")
+
+  lazy val quotes = Seq(
+    (10L, ts("2024-01-01 09:55:00"), 1.0),
+    (10L, ts("2024-01-01 10:30:00"), 2.0), // between trade 1 and 2
+    (10L, ts("2024-01-01 12:00:00"), 3.0), // after everything
+    (20L, ts("2024-01-01 10:30:00"), 5.0)  // exactly equal time: matches
+  ).toDF("q_key", "q_ts", "price")
+
+  test("as-of picks the latest right row at-or-before each left time") {
+    val r = AsOf.join(trades, quotes,
+        trades("t_key"), quotes("q_key"), trades("t_ts"), quotes("q_ts"))
+      .select($"trade_id", $"price").orderBy("trade_id").collect()
+    assert(r.map(x => (x.getLong(0), Option(x.get(1)))).toSeq == Seq(
+      (1L, Some(1.0)), // 09:55 quote
+      (2L, Some(2.0)), // 10:30 quote; 12:00 one is in the future
+      (3L, Some(5.0)), // boundary: q_ts == t_ts matches (<=)
+      (4L, None)))     // no quotes for key 30 → left outer null
+  }
+
+  test("matches the window-function reference implementation on real data") {
+    val e = Tables(spark, sf0001, "events")
+      .select($"event_id", $"user_id", $"ts")
+    val o = Tables(spark, sf0001, "orders")
+      .select($"o_custkey", $"o_orderdate")
+    val viaAsof = graft.operators.Joins.asofOrderBeforeEvent(spark, sf0001)
+      .select("event_id", "last_order_date")
+
+    val viaWindow = e.join(o,
+        e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"), "left")
+      .withColumn("rn", row_number().over(Window.partitionBy("event_id")
+        .orderBy(col("o_orderdate").desc_nulls_last)))
+      .filter($"rn" === 1)
+      .select($"event_id", to_date($"o_orderdate").as("last_order_date"))
+
+    assert(viaAsof.count() == e.count()) // exactly one output row per left row
+    assert(viaAsof.exceptAll(viaWindow).count() == 0)
+    assert(viaWindow.exceptAll(viaAsof).count() == 0)
+  }
+
+  test("survives repartitioning of inputs (distribution requirement works)") {
+    val r = AsOf.join(trades.repartition(7), quotes.repartition(3),
+        trades("t_key"), quotes("q_key"), trades("t_ts"), quotes("q_ts"))
+      .count()
+    assert(r == 4L)
+  }
+}

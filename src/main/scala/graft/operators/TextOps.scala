@@ -128,13 +128,16 @@ object TextOps {
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val high = Seq("8", "9", "a", "b", "c", "d", "e", "f")
       .map(s => s"'$s'").mkString(", ")
+    // hash each token ONCE, then slice 16 hex chars — not 16 md5 calls
+    // (Catalyst CSE does not dedup across aggregate functions)
     val bitSums = (1 to 16).map(i =>
-      sum(expr(s"CASE WHEN substring(md5(term), $i, 1) IN ($high) THEN 1 ELSE -1 END"))
+      sum(expr(s"CASE WHEN substring(h, $i, 1) IN ($high) THEN 1 ELSE -1 END"))
         .as(s"s$i"))
     val bits = (1 to 16).map(i =>
       when(col(s"s$i") > 0, "1").otherwise("0"))
     Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(toks).as("term"))
+      .select(col("doc_id"), md5(col("term")).as("h"))
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), concat(bits: _*).as("simhash16"))
@@ -168,7 +171,7 @@ object TextOps {
     val highSql = Seq("8", "9", "a", "b", "c", "d", "e", "f")
       .map(s => s"'$s'").mkString(", ")
     val simhashBitSums = (1 to 16).map(i =>
-      s"sum(CASE WHEN substr(md5(term), $i, 1) IN ($highSql) THEN 1 ELSE -1 END) AS s$i")
+      s"sum(CASE WHEN substr(h, $i, 1) IN ($highSql) THEN 1 ELSE -1 END) AS s$i")
       .mkString(",\n    ")
     val simhashConcat = (1 to 16).map(i =>
       s"CASE WHEN s$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
@@ -224,7 +227,7 @@ object TextOps {
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
       "simhash_buckets" ->
         s"""WITH terms AS (
-           |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+           |  SELECT doc_id, md5(unnest(list_filter(string_split(text, ' '), x -> x <> ''))) AS h
            |  FROM documents),
            |sums AS (
            |  SELECT doc_id,

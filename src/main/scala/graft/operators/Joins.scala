@@ -117,7 +117,44 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** The spark.sql entry surface (SURVEY.md §3.1 lifecycle: SQL text →
+    * Catalyst parse/analyze over registered views): 4-table star join
+    * up to region, written ONCE in dialect-neutral SQL that runs
+    * verbatim as its own DuckDB oracle. */
+  val revenueByRegionSql: String =
+    """SELECT r.r_name AS region,
+      |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def revenueByRegion(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(revenueByRegionSql)
+  }
+
+  /** J1/J2 over the remaining dimensions: lineitem ⋈ part ⋈ supplier —
+    * revenue and supplier-nation spread per brand (both dims broadcast). */
+  def brandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part")
+    val s = Tables(spark, dir, "supplier")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        moneySum(col("l_extendedprice")).as("revenue"),
+        countDistinct(col("s_nationkey")).as("n_supplier_nations"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "revenue_by_region" -> (revenueByRegion _),
+    "brand_revenue"     -> (brandRevenue _),
     "asof_order_before_event" -> (asofOrderBeforeEvent _),
     "revenue_by_nation"  -> (revenueByNation _),
     "urgent_by_segment"  -> (urgentBySegment _),
@@ -126,6 +163,15 @@ object Joins {
     "price_bands"        -> (priceBands _))
 
   val oracles: Map[String, String] = Map(
+    "revenue_by_region" -> revenueByRegionSql,
+    "brand_revenue" ->
+      """SELECT p.p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(DISTINCT s.s_nationkey) AS n_supplier_nations
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "asof_order_before_event" ->
       """SELECT e.event_id, e.user_id, e.ts,
         |  CAST(o.o_orderdate AS DATE) AS last_order_date,

@@ -54,13 +54,20 @@ object Similarity {
     // At 100 TB use persist(DISK_ONLY) or a materialized shingle table;
     // the plan shape is unchanged.
     val sh = shingles(spark, dir).cache()
-    val sig = signaturesFrom(sh).cache()
-    val cand = (0 to 3).map { i =>
-      val a = sig.select(col("doc_id").as("doc_a"), col(s"m$i").as("m"))
-      val b = sig.select(col("doc_id").as("doc_b"), col(s"m$i").as("m"))
-      a.join(b, Seq("m")).filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"))
-    }.reduce(_ union _).distinct()
+    // One shuffle, not four: unpivot the 4 band minhashes to
+    // (doc, band, m) rows and self-join on (band, m). Identical
+    // candidate set to four per-band joins, but a single exchange.
+    val bands = signaturesFrom(sh)
+      .select(col("doc_id"), explode(array((0 to 3).map(i =>
+        struct(lit(i).as("band"), col(s"m$i").as("m"))): _*)).as("bm"))
+      .select(col("doc_id"), col("bm.band").as("band"), col("bm.m").as("m"))
+      .cache()
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("m"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("m")),
+        Seq("band", "m"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
 
     val shd = sh.distinct().cache()
     val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))

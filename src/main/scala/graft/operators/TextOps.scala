@@ -144,6 +144,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Winnowing document fingerprints (the MOSS scheme): hash each word
+    * 3-gram (rolling-hash analog), slide a 4-hash window, keep the
+    * window minimum; the distinct kept hashes fingerprint the document.
+    * Guarantees any shared run of ≥ 6 tokens between two docs shares a
+    * fingerprint. Min over md5 hex strings = engine-independent. */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    Tables(spark, dir, "documents")
+      .withColumn("t", toks)
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(t) - 2), i -> " +
+          "concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"))
+        .as(Seq("pos", "s")))
+      .withColumn("sel", min(md5(col("s"))).over(win))
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("sel")).as("n_fingerprints"),
+        min(col("sel")).as("min_fp"),
+        max(col("sel")).as("max_fp"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash bucket sizes — identical fingerprints = near-dup buckets. */
   def simhashBuckets(spark: SparkSession, dir: String): DataFrame =
     simhash(spark, dir)
@@ -158,7 +182,8 @@ object TextOps {
     "doc_quality"       -> (docQuality _),
     "language_id"       -> (languageId _),
     "token_count_bpe"   -> (tokenCount _),
-    "simhash_buckets"   -> (simhashBuckets _))
+    "simhash_buckets"   -> (simhashBuckets _),
+    "winnow_fingerprints" -> (winnowFingerprints _))
 
   private val stopArrSql = stopwords.map(s => s"'$s'").mkString(", ")
 
@@ -235,6 +260,24 @@ object TextOps {
            |  FROM terms GROUP BY 1),
            |fp AS (SELECT doc_id, $simhashConcat AS simhash16 FROM sums)
            |SELECT simhash16, count(*) AS n_docs, min(doc_id) AS min_doc
-           |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin)
+           |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin,
+      "winnow_fingerprints" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id,
+          |    unnest(list_transform(generate_series(1, len(t) - 2),
+          |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s,
+          |    unnest(range(len(t) - 2)) AS pos
+          |  FROM toks WHERE len(t) >= 3),
+          |sel AS (
+          |  SELECT doc_id,
+          |    min(md5(s)) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+          |  FROM sh)
+          |SELECT doc_id, count(DISTINCT sel) AS n_fingerprints,
+          |  min(sel) AS min_fp, max(sel) AS max_fp
+          |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 }

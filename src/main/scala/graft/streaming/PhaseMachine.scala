@@ -51,7 +51,7 @@ object PhaseMachine {
     "schedule_campaign" -> "scheduled")
 
   final case class ConvState(started: Boolean, strategyOpen: Boolean,
-      analyzingOpen: Boolean)
+      analyzingOpen: Boolean, nextSeq: Long = 0L)
 
   /** Pure per-conversation transition function: events (seq-ordered) →
     * SSE events. Also usable directly in batch tests. */
@@ -59,7 +59,7 @@ object PhaseMachine {
       state: GroupState[ConvState]): Iterator[SseEvent] = {
     var st = state.getOption.getOrElse(ConvState(false, false, true))
     val out = Seq.newBuilder[SseEvent]
-    var seq = 0L
+    var seq = st.nextSeq // output ordering continues across micro-batches
     def emit(tpe: String, phase: String, status: String, data: String = ""): Unit = {
       out += SseEvent(convId, seq, tpe, phase, status, data); seq += 1
     }
@@ -93,7 +93,7 @@ object PhaseMachine {
         case _       => ()
       }
     }
-    state.update(st)
+    state.update(st.copy(nextSeq = seq))
     out.result().iterator
   }
 

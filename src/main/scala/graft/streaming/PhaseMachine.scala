@@ -97,6 +97,43 @@ object PhaseMachine {
     out.result().iterator
   }
 
+  /** ST2 token micro-batching (`Chat.tsx:67-92`): accumulate token
+    * payloads per conversation and flush the WHOLE buffer once it
+    * reaches `minChars` (the reference flushes its entire buffer at
+    * ~50 chars, it does not split into exact-size chunks); `end`
+    * flushes any remainder. Keyed state = one pending string per live
+    * conversation. */
+  final case class Chunk(conversation_id: String, chunk_seq: Long, text: String)
+  final case class BufState(pending: String, nextChunk: Long)
+
+  def batchTokens(spark: SparkSession, events: Dataset[ToolEvent],
+      minChars: Int = 50): Dataset[Chunk] = {
+    implicit val ce = Encoders.product[Chunk]
+    implicit val be = Encoders.product[BufState]
+    events
+      .groupByKey(_.conversation_id)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: String, evs: Iterator[ToolEvent], state: GroupState[BufState]) =>
+          var st = state.getOption.getOrElse(BufState("", 0L))
+          val out = Seq.newBuilder[Chunk]
+          def flush(): Unit = if (st.pending.nonEmpty) {
+            out += Chunk(id, st.nextChunk, st.pending)
+            st = BufState("", st.nextChunk + 1)
+          }
+          evs.toSeq.sortBy(_.seq).foreach { e =>
+            e.kind match {
+              case "token" =>
+                st = st.copy(pending = st.pending + e.payload)
+                if (st.pending.length >= minChars) flush()
+              case "end" => flush()
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Wire the machine over a (batch or streaming) Dataset of ToolEvents. */
   def run(spark: SparkSession, events: Dataset[ToolEvent]): Dataset[SseEvent] = {
     implicit val se = Encoders.product[SseEvent]

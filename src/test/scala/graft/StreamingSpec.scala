@@ -125,6 +125,45 @@ class StreamingSpec extends SparkSpec {
     assert(byConv("b").last.event_type == "done")
   }
 
+  test("ST2: token micro-batching flushes whole buffer at ~50 chars") {
+    val tok = (1 to 12).map(i =>
+      ToolEvent("c1", i, "token", "", s"word$i ", false)) :+
+      ToolEvent("c1", 99, "end", "", "", false)
+    val chunks = PhaseMachine.batchTokens(spark, tok.toDS)
+      .collect().sortBy(_.chunk_seq)
+    // concatenation preserved, order preserved
+    assert(chunks.map(_.text).mkString == (1 to 12).map(i => s"word$i ").mkString)
+    // every chunk except the final flush is >= 50 chars
+    assert(chunks.dropRight(1).forall(_.text.length >= 50))
+    assert(chunks.map(_.chunk_seq).toSeq == chunks.indices.map(_.toLong))
+  }
+
+  test("streaming replay of the real events table ≡ batch aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("part-000.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = stream.groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"event_type", $"n")
+    val q = agg.writeStream.format("memory").queryName("replay")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("replay").orderBy("ws", "event_type").collect()
+    val batch = Tables(spark, sf0001, "events")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"event_type", $"n")
+      .orderBy("ws", "event_type").collect()
+    assert(streamed.sameElements(batch))
+  }
+
   test("session windows: gap merges and splits as specified") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[Ev]

@@ -51,6 +51,10 @@ object CampaignOps {
       (Seq(col("c_mktsegment"), col("audience_size"), col("avg_acctbal"),
         col("event_name")) ++ copyTemplate(col("event_name"), sendDate)): _*)
     withCopy
+      // L2 remainder arithmetic (`AudienceCard.tsx:34-37`: "N more fans"
+      // beyond the 5-row preview)
+      .withColumn("more_fans",
+        greatest(col("audience_size") - 5, lit(0L)).cast("bigint"))
       .withColumn("sms_len", length(col("sms_body")).cast("bigint"))
       .withColumn("sms_over_budget", length(col("sms_body")) > 160)
       .withColumn("segment_id", contentId("seg_", col("c_mktsegment")))
@@ -99,6 +103,7 @@ object CampaignOps {
         |    'The ' || lower(c_mktsegment) || ' sessions' AS event_name
         |  FROM customer GROUP BY 1)
         |SELECT c_mktsegment, audience_size, avg_acctbal, event_name,
+        |  CAST(greatest(audience_size - 5, 0) AS BIGINT) AS more_fans,
         |  'You''re invited: ' || event_name AS email_subject,
         |  'Don''t miss ' || event_name || ' on 2001-09-15' AS email_preview,
         |  'Hi there, ' || event_name || ' is happening on 2001-09-15. We''d love to see you there. Tickets are moving fast!' AS email_body,

@@ -1,0 +1,37 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Regenerate PLANS.md: final (AQE-resolved) physical plans for the
+  * headline queries — the "is this the plan you'd want" artifact.
+  * Run: `sbt "runMain graft.PlanDump"` */
+object PlanDump {
+  val headline = Seq("segment_stats", "pricing_summary", "revenue_by_nation",
+    "neardup_pairs", "cosine_topk", "cosine_topk_ivf",
+    "asof_order_before_event", "sliding_rate_limit")
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val sb = new StringBuilder(
+      "# PLANS — final physical plans of headline queries (sf0.01, AQE final)\n\n" +
+      "Regenerate with `sbt \"runMain graft.PlanDump\"`. Things to check per\n" +
+      "plan: `PushedFilters`/`ReadSchema` on scans, `BroadcastHashJoin` for\n" +
+      "dims, partial+final `HashAggregate`, `TakeOrderedAndProject` for\n" +
+      "top-k, `*(n)` whole-stage-codegen spans, no `CartesianProduct`.\n")
+    headline.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // resolve AQE to the final plan
+      sb.append(s"\n## $name\n\n```\n")
+      sb.append(df.queryExecution.executedPlan.toString.take(6000))
+      sb.append("\n```\n")
+    }
+    Files.writeString(Paths.get("PLANS.md"), sb.toString)
+    println(s"wrote PLANS.md (${headline.size} plans)")
+    spark.stop()
+  }
+}

@@ -103,7 +103,25 @@ object Aggregates {
         col("n_orders"), col("revenue"))
       .orderBy("priority", "status")
 
+  /** A7 GROUPING SETS — explicit grouping-set list, written once in
+    * dialect-neutral SQL that is its own DuckDB oracle (both engines
+    * share the syntax). */
+  val groupingSetsSql: String =
+    """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+      |  coalesce(n_name, 'ALL') AS nation,
+      |  count(*) AS n_customers,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+      |ORDER BY 1, 2""".stripMargin
+
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(groupingSetsSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "grouping_sets_stats"    -> (groupingSets _),
     "cube_priority_status"   -> (cubePriorityStatus _),
     "pricing_summary"        -> (pricingSummary _),
     "rollup_segment_nation"  -> (rollupSegmentNation _),
@@ -112,6 +130,7 @@ object Aggregates {
     "segment_except"         -> (segmentExcept _))
 
   val oracles: Map[String, String] = Map(
+    "grouping_sets_stats" -> groupingSetsSql,
     "cube_priority_status" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
         |  coalesce(o_orderstatus, 'ALL') AS status,

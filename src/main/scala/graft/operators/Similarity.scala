@@ -27,8 +27,6 @@ import graft.Tables
   */
 object Similarity {
 
-  private val tokArr = "list_filter" // marker for doc parity; see oracles
-
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .withColumn("t", filter(split(col("text"), " "), t => t =!= ""))

@@ -94,9 +94,31 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Graded query: resize (metadata transform — STUB: a real resize
+    * would transform payload bytes; the metadata/plan shape is the real
+    * part) + frame sampling for video rows: every 8th frame index up to
+    * `width`, exploded to one row per sampled frame with a
+    * deterministic frame id. Generator (U4) over a sequence — the
+    * frame-sample plumbing a video pipeline needs. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .filter(col("kind") === "video")
+      .withColumn("resized_w", least(col("width"), lit(224)))
+      .withColumn("resized_h", least(col("height"), lit(224)))
+      .select(col("doc_id"), col("resized_w"), col("resized_h"),
+        posexplode(expr("sequence(0, width, 8)")).as(Seq("frame_no", "frame_idx")))
+      .withColumn("frame_id",
+        concat(lit("frm_"), substring(md5(concat_ws(":",
+          col("doc_id"), col("frame_idx"))), 1, 8)))
+      .select(col("doc_id"), col("frame_no").cast("bigint").as("frame_no"),
+        col("frame_idx").cast("bigint").as("frame_idx"),
+        col("resized_w"), col("resized_h"), col("frame_id"))
+      .orderBy("doc_id", "frame_no")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_stats"    -> (mediaStats _),
-    "media_features" -> (mediaFeatures _))
+    "media_features" -> (mediaFeatures _),
+    "frame_sample"   -> (frameSample _))
 
   private val byteSql = (0 to 3).map { i =>
     val hi = s"strpos('0123456789abcdef', substr(md5(text), ${2 * i + 1}, 1)) - 1"
@@ -112,6 +134,22 @@ object Multimodal {
         |  CAST(sum(octet_length(unhex(md5(text)))) AS BIGINT) AS total_bytes,
         |  max(CAST(n_chars % 640 AS INT)) AS max_width
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "frame_sample" ->
+      """WITH vids AS (
+        |  SELECT doc_id,
+        |    CAST(n_chars % 640 AS INT) AS width,
+        |    CAST(least(CAST(n_chars % 640 AS INT), 224) AS INT) AS resized_w,
+        |    CAST(least(CAST(n_chars % 480 AS INT), 224) AS INT) AS resized_h
+        |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+        |frames AS (
+        |  SELECT doc_id, resized_w, resized_h,
+        |    unnest(range(0, len(generate_series(0, width, 8)))) AS frame_no,
+        |    unnest(generate_series(0, width, 8)) AS frame_idx
+        |  FROM vids)
+        |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |  CAST(frame_idx AS BIGINT) AS frame_idx, resized_w, resized_h,
+        |  'frm_' || substr(md5(doc_id || ':' || frame_idx), 1, 8) AS frame_id
+        |FROM frames ORDER BY doc_id, frame_no""".stripMargin,
     "media_features" ->
       s"""SELECT doc_id,
          |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

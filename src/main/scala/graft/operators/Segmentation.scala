@@ -169,16 +169,20 @@ object Segmentation {
   /** DuckDB WHERE clause mirroring [[SegmentFilter.predicate]] — the
     * oracle twin of the Column builder, so ANY filter combination is
     * oracle-checkable. Keep the two in lockstep. */
+  /** Escape a value for a single-quoted SQL literal (doubles quotes —
+    * an O'Brien name filter must not break the generated oracle). */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   def oracleWhere(f: SegmentFilter): String = {
     val months = s"date_diff('day', a.last_order_date, DATE '${f.asOf}') / 30.44"
     val conds = Seq(
       Option.when(f.segments.nonEmpty)(
-        s"lower(c.c_mktsegment) IN (${f.segments.map(s => s"'${s.toLowerCase}'").mkString(", ")})"),
+        s"lower(c.c_mktsegment) IN (${f.segments.map(s => sqlLit(s.toLowerCase)).mkString(", ")})"),
       f.minMonthsSinceLast.map(k => s"$months >= $k"),
       f.maxMonthsSinceLast.map(k => s"$months <= $k"),
       f.minTotalSpent.map(k => s"a.total_spent >= $k"),
       Option.when(f.nameContains.nonEmpty)(
-        s"contains(lower(c.c_name), '${f.nameContains.toLowerCase}')")
+        s"contains(lower(c.c_name), ${sqlLit(f.nameContains.toLowerCase)})")
     ).flatten
     if (conds.isEmpty) "TRUE" else conds.mkString("\n    AND ")
   }
@@ -203,7 +207,7 @@ object Segmentation {
        |SELECT count(*) AS fan_count,
        |  coalesce(${roundSql("CAST(sum(CAST(total_spent AS DECIMAL(18,2))) AS DOUBLE) / count(*)", 2)}, 0.0) AS avg_spent,
        |  coalesce(${roundSql("CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)", 2)}, 0.0) AS avg_acctbal,
-       |  'seg_' || substr(md5('${f.descriptor}'), 1, 8) AS segment_id
+       |  'seg_' || substr(md5(${sqlLit(f.descriptor)}), 1, 8) AS segment_id
        |FROM seg""".stripMargin
 
   def previewOracleFor(f: SegmentFilter): String =

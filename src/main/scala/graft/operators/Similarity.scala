@@ -77,13 +77,20 @@ object Similarity {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
 
-    inter
+    val result = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         graft.functions.ScalarFns.roundN(col("n_inter").cast("double")
           / (col("na") + col("nb") - col("n_inter")), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+      .cache()
+    // Materialize the (small) pair table, then release the big shingle
+    // caches — Verify/Bench run ~40 more queries in this session and
+    // must not compete with stale cached exchange inputs for memory.
+    result.count()
+    sh.unpersist(); bands.unpersist(); shd.unpersist()
+    result
   }
 
   /** Left-fold double dot product of two float arrays — order-pinned to

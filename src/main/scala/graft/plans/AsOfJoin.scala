@@ -127,6 +127,17 @@ object AsOf {
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column): DataFrame = {
     val spark = leftDf.sparkSession
+    // Self-join guard: AsOfJoinPlan is injected post-analysis, so the
+    // analyzer's DeduplicateRelations never runs on it. Shared ExprIds
+    // between the two sides would make the output projection silently
+    // bind right-side columns to left-side ordinals — refuse loudly
+    // instead of returning wrong data.
+    val leftIds = leftDf.queryExecution.analyzed.outputSet
+    val overlap = rightDf.queryExecution.analyzed.output.filter(leftIds.contains)
+    require(overlap.isEmpty,
+      s"AsOf.join: left and right share attributes ${overlap.mkString(", ")} — " +
+        "self as-of joins need an independent second scan of the table " +
+        "(re-read it via Tables/spark.read) rather than the same DataFrame.")
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy

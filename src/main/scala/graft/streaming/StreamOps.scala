@@ -40,7 +40,9 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), win, slide), col("user_id"))
       .agg(count(lit(1)).as("n_requests"))
-      .filter(col("n_requests") > limit)
+      // >= to match the batch twin (Windows.slidingRateLimit): a user AT
+      // the limit is in the reject set in both forms
+      .filter(col("n_requests") >= limit)
       .select(col("window.start").as("window_start"), col("user_id"),
         col("n_requests"))
 

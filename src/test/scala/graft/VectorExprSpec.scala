@@ -52,15 +52,22 @@ class VectorExprSpec extends SparkSpec {
     assert(ext.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
 
-  test("cosine_topk through the native kernel matches the HOF operator") {
-    VectorExpressions.register(spark)
-    val hof = Similarity.cosineTopk(spark, sf0001, k = 10).collect()
+  test("cosine_topk (native kernel) matches an independent HOF top-k pipeline") {
+    // Similarity.cosineTopk runs the NATIVE kernel; rebuild the top-k
+    // with the pure-HOF cosine so the two sides exercise different code
+    val hofCos =
+      "aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / " +
+        "(sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) * " +
+        "sqrt(aggregate(zip_with(qv, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))"
+    val native = Similarity.cosineTopk(spark, sf0001, k = 10).collect()
     val e = Tables(spark, sf0001, "embeddings")
     val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
-    val native = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+    val hof = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
       .select($"vec_id",
-        graft.functions.ScalarFns.roundN(expr("cosine_sim(embedding, qv)"), 6)
-          .as("cosine_sim"))
+        graft.functions.ScalarFns.roundN(expr(hofCos), 6).as("cosine_sim"))
       .orderBy($"cosine_sim".desc, $"vec_id").limit(10).collect()
     assert(hof.sameElements(native))
   }

@@ -39,6 +39,14 @@ class ContractSpec extends AnyFunSuite {
       s"oracles using round() instead of the floor formula: $offenders")
   }
 
+  test("every graded query is documented in OPERATORS.md") {
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("OPERATORS.md")))
+    val undocumented = SparkEntry.queries.keySet.filterNot(doc.contains)
+    assert(undocumented.isEmpty,
+      s"queries missing from OPERATORS.md: $undocumented")
+  }
+
   test("no oracle references current_date/now (determinism contract)") {
     val offenders = SparkEntry.oracleSql.collect {
       case (name, sql) if sql.toLowerCase.contains("current_date") ||

@@ -15,11 +15,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def rmTree(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(rmTree)
+      p.delete(); ()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Remove any dump from a previous run: a stale (passing) parquet
+        // under this name would make a broken query look green to the
+        // hash compare.
+        rmTree(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

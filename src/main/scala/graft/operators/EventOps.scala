@@ -102,17 +102,17 @@ object EventOps {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "session_stats" ->
       """WITH o AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |  FROM events),
         |m AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM o),
         |s AS (
         |  SELECT user_id,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM m),
         |per_session AS (

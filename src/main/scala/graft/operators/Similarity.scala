@@ -31,10 +31,8 @@ object Similarity {
     Tables(spark, dir, "documents")
       .withColumn("t", filter(split(col("text"), " "), t => t =!= ""))
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(t) - 2), i -> " +
-          "concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"))
-        .as("s"))
+      .select(col("doc_id"),
+        explode(expr(graft.functions.Shingles.sparkExpr)).as("s"))
 
   /** 4-band (b=4, r=1) MinHash signatures per doc. */
   private def signaturesFrom(sh: DataFrame): DataFrame = {
@@ -224,13 +222,11 @@ object Similarity {
   }
 
   private val shingleCte =
-    """WITH toks AS (
-      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-      |  FROM documents),
+    s"""WITH toks AS (
+      |  ${graft.functions.Shingles.duckToks}),
       |sh AS (
       |  SELECT doc_id,
-      |    unnest(list_transform(generate_series(1, len(t) - 2),
-      |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+      |    unnest(${graft.functions.Shingles.duckExpr}) AS s
       |  FROM toks WHERE len(t) >= 3)""".stripMargin
 
   private def duckDot(a: String, b: String): String =

@@ -22,6 +22,11 @@ object Skew {
     * the probe side) — it only needs to DISTRIBUTE, not be unique. */
   def saltedJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, saltBy: Column, n: Int): DataFrame = {
+    require(n > 0, s"salt fan-out must be positive, got $n")
+    // withColumn would silently OVERWRITE a pre-existing __salt column
+    // (e.g. a caller chaining salted joins) — fail loudly instead.
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedJoin inputs must not already carry a __salt column")
     val l = left.withColumn("__salt", pmod(hash(saltBy), lit(n)))
     val r = right.withColumn("__salt",
       explode(lit((0 until n).toArray)))

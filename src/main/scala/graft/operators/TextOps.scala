@@ -155,10 +155,8 @@ object TextOps {
     Tables(spark, dir, "documents")
       .withColumn("t", toks)
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(1, size(t) - 2), i -> " +
-          "concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"))
-        .as(Seq("pos", "s")))
+      .select(col("doc_id"),
+        posexplode(expr(graft.functions.Shingles.sparkExpr)).as(Seq("pos", "s")))
       .withColumn("sel", min(md5(col("s"))).over(win))
       .groupBy(col("doc_id"))
       .agg(
@@ -262,13 +260,11 @@ object TextOps {
            |SELECT simhash16, count(*) AS n_docs, min(doc_id) AS min_doc
            |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin,
       "winnow_fingerprints" ->
-        """WITH toks AS (
-          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-          |  FROM documents),
+        s"""WITH toks AS (
+          |  ${graft.functions.Shingles.duckToks}),
           |sh AS (
           |  SELECT doc_id,
-          |    unnest(list_transform(generate_series(1, len(t) - 2),
-          |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s,
+          |    unnest(${graft.functions.Shingles.duckExpr}) AS s,
           |    unnest(range(len(t) - 2)) AS pos
           |  FROM toks WHERE len(t) >= 3),
           |sel AS (

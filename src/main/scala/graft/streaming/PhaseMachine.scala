@@ -51,7 +51,7 @@ object PhaseMachine {
     "schedule_campaign" -> "scheduled")
 
   final case class ConvState(started: Boolean, strategyOpen: Boolean,
-      analyzingOpen: Boolean, nextSeq: Long = 0L)
+      analyzingOpen: Boolean, nextSeq: Long = 0L, closed: Boolean = false)
 
   /** Pure per-conversation transition function: events (seq-ordered) →
     * SSE events. Also usable directly in batch tests. */
@@ -68,7 +68,8 @@ object PhaseMachine {
       st = st.copy(started = true)
     }
     events.toSeq.sortBy(_.seq).foreach { e =>
-      e.kind match {
+      if (st.closed) () // terminal done already sent — ignore stragglers
+      else e.kind match {
         case "on_tool_start" =>
           if (st.analyzingOpen) { // first tool ends the analyzing phase
             emit("agent_step", "analyzing", "done")
@@ -88,9 +89,17 @@ object PhaseMachine {
             st = st.copy(strategyOpen = true)
           }
         case "token" => emit("token", "", "", e.payload)
-        case "error" => emit("error", "", "", e.payload) // ST6: done still follows
-        case "end"   => emit("done", "", "")
-        case _       => ()
+        case "error" =>
+          // ST6 (agent.py:182-185): the catch-all emits `error` and the
+          // FINALLY emits terminal `done` — the stream must terminate
+          // even if the runtime dies and no `end` event ever arrives.
+          emit("error", "", "", e.payload)
+          emit("done", "", "")
+          st = st.copy(closed = true)
+        case "end" =>
+          emit("done", "", "")
+          st = st.copy(closed = true)
+        case _ => ()
       }
     }
     state.update(st.copy(nextSeq = seq))
@@ -125,7 +134,7 @@ object PhaseMachine {
               case "token" =>
                 st = st.copy(pending = st.pending + e.payload)
                 if (st.pending.length >= minChars) flush()
-              case "end" => flush()
+              case "end" | "error" => flush() // error terminates too (ST6)
               case _ => ()
             }
           }

@@ -103,6 +103,18 @@ class StreamingSpec extends SparkSpec {
     assert(out.last.event_type == "done")
   }
 
+  test("ST6: error WITHOUT a trailing end still terminates with done") {
+    val events = Seq(
+      ToolEvent("cx", 1, "on_tool_start", "query_crm", "", false),
+      ToolEvent("cx", 2, "error", "", "runtime died", false)) // no "end"!
+    val out = PhaseMachine.run(spark, events.toDS).collect().sortBy(_.seq)
+    assert(out.last.event_type == "done")
+    // and a straggler end after the close is ignored (exactly one done)
+    val out2 = PhaseMachine.run(spark,
+      (events :+ ToolEvent("cx", 3, "end", "", "", false)).toDS).collect()
+    assert(out2.count(_.event_type == "done") == 1)
+  }
+
   test("ST1: empty query_crm does NOT open strategy (agent.py:62 guard)") {
     val events = Seq(
       ToolEvent("c2", 1, "on_tool_start", "query_crm", "", false),

@@ -120,7 +120,43 @@ object Aggregates {
     spark.sql(groupingSetsSql)
   }
 
+  /** Pivot: segment counts as columns per nation. The pivot value list
+    * is EXPLICIT (deterministic output schema — never inferred from
+    * data); missing combinations are 0 on both engines. */
+  def pivotSegmentCounts(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val c = Tables(spark, dir, "customer")
+    val pivoted = c.groupBy(col("c_nationkey"))
+      .pivot("c_mktsegment", segs)
+      .agg(count(lit(1)))
+    segs.foldLeft(pivoted)((df, s) =>
+        df.withColumn(s, coalesce(col(s), lit(0L))))
+      .orderBy("c_nationkey")
+  }
+
+  /** Exact median without interpolation ambiguity: pick the middle
+    * element(s) by row_number and average them through the exact
+    * decimal path — engine-independent, unlike percentile/quantile
+    * interpolation formulas. */
+  def medianAcctbal(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables(spark, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("c_mktsegment")))
+      // `div` = integer division (Spark's `/` on longs yields DOUBLE,
+      // which silently misses the lower-middle row of even-sized groups)
+      .filter(expr("rn = (n + 1) div 2 OR rn = n div 2 + 1"))
+      .groupBy(col("c_mktsegment"))
+      .agg(roundN(sum(col("c_acctbal").cast("decimal(18,4)")).cast("double")
+        / count(lit(1)), 2).as("median_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_segment_counts"   -> (pivotSegmentCounts _),
+    "median_acctbal"         -> (medianAcctbal _),
     "grouping_sets_stats"    -> (groupingSets _),
     "cube_priority_status"   -> (cubePriorityStatus _),
     "pricing_summary"        -> (pricingSummary _),
@@ -130,6 +166,26 @@ object Aggregates {
     "segment_except"         -> (segmentExcept _))
 
   val oracles: Map[String, String] = Map(
+    "pivot_segment_counts" -> {
+      val cols = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        .map(s =>
+          s"""CAST(sum(CASE WHEN c_mktsegment = '$s' THEN 1 ELSE 0 END) AS BIGINT) AS "$s"""")
+        .mkString(",\n  ")
+      s"""SELECT c_nationkey,
+         |  $cols
+         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "median_acctbal" ->
+      s"""WITH r AS (
+         |  SELECT c_mktsegment, c_acctbal,
+         |    row_number() OVER (PARTITION BY c_mktsegment
+         |      ORDER BY c_acctbal, c_custkey) AS rn,
+         |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+         |  FROM customer)
+         |SELECT c_mktsegment,
+         |  ${roundSql("CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)", 2)} AS median_acctbal
+         |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "grouping_sets_stats" -> groupingSetsSql,
     "cube_priority_status" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,

@@ -154,7 +154,20 @@ object Aggregates {
       .orderBy("c_mktsegment")
   }
 
+  /** Unpivot (melt): the pivoted wide table back to long form —
+    * round-trips pivot → unpivot so wide analytics exports stay
+    * queryable. Explicit value-column list (stable schema). */
+  def unpivotSegmentCounts(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    pivotSegmentCounts(spark, dir)
+      .unpivot(Array(col("c_nationkey")), segs.map(col).toArray,
+        "mktsegment", "n_customers")
+      .filter(col("n_customers") > 0)
+      .orderBy("c_nationkey", "mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "unpivot_segment_counts" -> (unpivotSegmentCounts _),
     "pivot_segment_counts"   -> (pivotSegmentCounts _),
     "median_acctbal"         -> (medianAcctbal _),
     "grouping_sets_stats"    -> (groupingSets _),
@@ -166,6 +179,11 @@ object Aggregates {
     "segment_except"         -> (segmentExcept _))
 
   val oracles: Map[String, String] = Map(
+    // unpivot(pivot(x)) minus empty cells ≡ the plain group-by
+    "unpivot_segment_counts" ->
+      """SELECT c_nationkey, c_mktsegment AS mktsegment,
+        |  count(*) AS n_customers
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "pivot_segment_counts" -> {
       val cols = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
         .map(s =>

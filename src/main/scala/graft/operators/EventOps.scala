@@ -75,7 +75,29 @@ object EventOps {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** Data-quality outlier detection: per-type z-scores with mean and
+    * variance derived from EXACT decimal sums (Σx, Σx²), so the stats —
+    * and therefore the flagged set — are independent of partition
+    * merge order, unlike stddev_samp/avg over doubles. Flags |z| >= 3.
+    */
+  def valueOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val stats = e.groupBy(col("event_type")).agg(
+      (sum(col("value").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))).as("mean"),
+      (sum((col("value") * col("value")).cast("decimal(28,10)")).cast("double")
+        / count(lit(1))).as("mean_sq"))
+      .withColumn("std", sqrt(col("mean_sq") - col("mean") * col("mean")))
+    e.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .filter(abs(col("z")) >= 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        graft.functions.ScalarFns.roundN(col("z"), 4).as("z_score"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "value_outliers"     -> (valueOutliers _),
     "hourly_event_stats" -> (hourlyEventStats _),
     "distinct_users"     -> (distinctUsers _),
     "json_props"         -> (jsonProps _),
@@ -83,6 +105,19 @@ object EventOps {
     "approx_users"       -> (approxUsers _))
 
   val oracles: Map[String, String] = Map(
+    "value_outliers" ->
+      s"""WITH s AS (
+         |  SELECT event_type,
+         |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean,
+         |    CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS mean_sq
+         |  FROM events GROUP BY 1),
+         |z AS (
+         |  SELECT e.event_id, e.event_type, e.value,
+         |    (e.value - s.mean) / sqrt(s.mean_sq - s.mean * s.mean) AS z
+         |  FROM events e JOIN s ON e.event_type = s.event_type)
+         |SELECT event_id, event_type, value,
+         |  ${graft.functions.ScalarFns.roundSql("z", 4)} AS z_score
+         |FROM z WHERE abs(z) >= 3.0 ORDER BY event_id""".stripMargin,
     "hourly_event_stats" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n_events,

@@ -22,7 +22,16 @@ object Bench {
     // indistinguishable from a passing one.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try {
+        // Hash every output column and sum — count() alone would let
+        // ColumnPruning strip the projection expressions, benchmarking
+        // projection-heavy queries as near no-ops.
+        val df = fn(spark, sfDir)
+        import org.apache.spark.sql.functions.{col, expr, xxhash64}
+        df.select(xxhash64(df.columns.map(col): _*).as("h"))
+          .agg(expr("bit_xor(h)")).collect() // xor: no ANSI long overflow
+        true
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false

@@ -9,6 +9,12 @@ package graft.functions
   * Both operate on a column `t` = the document's non-empty token array.
   */
 object Shingles {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, filter, split}
+
+  /** Spark-side tokenizer (non-empty whitespace tokens of `text`) — the
+    * Column twin of [[duckToks]]'s list_filter/string_split. */
+  def sparkToks: Column = filter(split(col("text"), " "), t => t =!= "")
   /** Spark SQL: list of word-3-grams of token array `t` (1-based
     * element_at; empty list when size(t) < 3 is NOT handled here — the
     * caller must filter `size(t) >= 3` first, because Spark's

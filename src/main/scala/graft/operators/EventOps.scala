@@ -87,7 +87,12 @@ object EventOps {
         / count(lit(1))).as("mean"),
       (sum((col("value") * col("value")).cast("decimal(28,10)")).cast("double")
         / count(lit(1))).as("mean_sq"))
-      .withColumn("std", sqrt(col("mean_sq") - col("mean") * col("mean")))
+      // clamp: a constant-valued group can make mean_sq − mean² a tiny
+      // NEGATIVE double (~-1e-18) → Spark sqrt = NaN (flags everything),
+      // DuckDB sqrt = hard error. Clamped, std=0 → z NULL → filtered,
+      // identically on both engines.
+      .withColumn("std",
+        sqrt(greatest(col("mean_sq") - col("mean") * col("mean"), lit(0.0))))
     e.join(broadcast(stats), Seq("event_type"))
       .withColumn("z", (col("value") - col("mean")) / col("std"))
       .filter(abs(col("z")) >= 3.0)
@@ -113,7 +118,7 @@ object EventOps {
          |  FROM events GROUP BY 1),
          |z AS (
          |  SELECT e.event_id, e.event_type, e.value,
-         |    (e.value - s.mean) / sqrt(s.mean_sq - s.mean * s.mean) AS z
+         |    (e.value - s.mean) / sqrt(greatest(s.mean_sq - s.mean * s.mean, 0.0)) AS z
          |  FROM events e JOIN s ON e.event_type = s.event_type)
          |SELECT event_id, event_type, value,
          |  ${graft.functions.ScalarFns.roundSql("z", 4)} AS z_score

@@ -29,7 +29,7 @@ object Similarity {
 
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .withColumn("t", filter(split(col("text"), " "), t => t =!= ""))
+      .withColumn("t", graft.functions.Shingles.sparkToks)
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
         explode(expr(graft.functions.Shingles.sparkExpr)).as("s"))

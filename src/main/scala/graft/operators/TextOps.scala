@@ -24,7 +24,7 @@ object TextOps {
   /** Shared stopword list (quality scoring + language ID). */
   val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
 
-  private def toks: Column = filter(split(col("text"), " "), t => t =!= "")
+  private def toks: Column = graft.functions.Shingles.sparkToks
 
   /** N1 exact dedup: per-source duplicate accounting
     * (`dropDuplicates("text")` is the action form; this is the audit). */

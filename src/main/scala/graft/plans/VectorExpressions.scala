@@ -36,12 +36,20 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  // NULL semantics match the HOF formulation exactly (required for the
+  // FuseCosineHof rewrite to be sound): length mismatch or any null
+  // element yields NULL — zip_with pads the shorter array with nulls,
+  // which nulls the product, the fold, and the division.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
@@ -54,14 +62,22 @@ case class CosineSim(left: Expression, right: Expression)
       val (n, dot, na, nb, i) = (ctx.freshName("n"), ctx.freshName("dot"),
         ctx.freshName("na"), ctx.freshName("nb"), ctx.freshName("i"))
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double xv = (double) $a.getFloat($i);
-         |  double yv = (double) $b.getFloat($i);
-         |  $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else {
+         |      double xv = (double) $a.getFloat($i);
+         |      double yv = (double) $b.getFloat($i);
+         |      $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
+         |    }
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -113,7 +113,8 @@ object PhaseMachine {
     * flushes any remainder. Keyed state = one pending string per live
     * conversation. */
   final case class Chunk(conversation_id: String, chunk_seq: Long, text: String)
-  final case class BufState(pending: String, nextChunk: Long)
+  final case class BufState(pending: String, nextChunk: Long,
+      closed: Boolean = false)
 
   def batchTokens(spark: SparkSession, events: Dataset[ToolEvent],
       minChars: Int = 50): Dataset[Chunk] = {
@@ -127,14 +128,17 @@ object PhaseMachine {
           val out = Seq.newBuilder[Chunk]
           def flush(): Unit = if (st.pending.nonEmpty) {
             out += Chunk(id, st.nextChunk, st.pending)
-            st = BufState("", st.nextChunk + 1)
+            st = st.copy(pending = "", nextChunk = st.nextChunk + 1)
           }
           evs.toSeq.sortBy(_.seq).foreach { e =>
-            e.kind match {
+            if (st.closed) () // terminated — ignore straggler tokens (ST6)
+            else e.kind match {
               case "token" =>
                 st = st.copy(pending = st.pending + e.payload)
                 if (st.pending.length >= minChars) flush()
-              case "end" | "error" => flush() // error terminates too (ST6)
+              case "end" | "error" => // error terminates too (ST6)
+                flush()
+                st = st.copy(closed = true)
               case _ => ()
             }
           }

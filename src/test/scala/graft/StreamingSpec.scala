@@ -150,6 +150,15 @@ class StreamingSpec extends SparkSpec {
     assert(chunks.map(_.chunk_seq).toSeq == chunks.indices.map(_.toLong))
   }
 
+  test("ST2/ST6: tokens after end/error produce no further chunks") {
+    val tok = Seq(
+      ToolEvent("c9", 1, "token", "", "x" * 60, false),
+      ToolEvent("c9", 2, "error", "", "boom", false),
+      ToolEvent("c9", 3, "token", "", "y" * 60, false)) // straggler
+    val chunks = PhaseMachine.batchTokens(spark, tok.toDS).collect()
+    assert(chunks.length == 1 && chunks.head.text == "x" * 60)
+  }
+
   test("streaming replay of the real events table ≡ batch aggregation") {
     val dir = java.nio.file.Files.createTempDirectory("events_stream")
     java.nio.file.Files.copy(

@@ -37,6 +37,18 @@ class VectorExprSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("cosine_sim NULL semantics equal the HOF (mismatch/null element)") {
+    VectorExpressions.register(spark)
+    val df = Seq(
+      ("mismatch", Array(1.0f, 2.0f), Array(3.0f)),
+      ("equal", Array(1.0f, 2.0f), Array(3.0f, 4.0f)))
+      .toDF("c", "a", "b")
+    val r = df.selectExpr("c", "cosine_sim(a, b) AS k").collect()
+      .map(x => x.getString(0) -> Option(x.get(1))).toMap
+    assert(r("mismatch").isEmpty) // NULL, like zip_with's null padding
+    assert(r("equal").isDefined)
+  }
+
   test("cosine_sim rejects wrong input types at analysis") {
     VectorExpressions.register(spark)
     intercept[Exception] {

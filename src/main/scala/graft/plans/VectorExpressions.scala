@@ -87,10 +87,15 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
-  /** Register `cosine_sim` into a session's function registry (U2). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+  /** Register `cosine_sim` into a session's function registry (U2).
+    * Idempotent: query builders call this defensively, so a 50-query
+    * session would otherwise re-register (and WARN) once per query. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("cosine_sim")))
+      reg.createOrReplaceTempFunction(
+        "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+  }
 }
 
 /** SparkSessionExtensions entry point — the (c)-tier registration path:

@@ -21,6 +21,7 @@ object SparkEntry {
     "segment_preview" -> (Segmentation.previewQuery _),
     "genre_overlap"   -> (Segmentation.genreOverlapQuery _),
     "segment_active_stats" -> (Segmentation.activeStatsQuery _),
+    "segment_stats_empty"  -> (Segmentation.emptyStatsQuery _),
   ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
     EventOps.queries ++ CampaignOps.queries ++ TextOps.queries ++
     Similarity.queries ++ graft.functions.TypedAggs.queries ++
@@ -33,6 +34,7 @@ object SparkEntry {
     "segment_preview" -> Segmentation.previewOracle,
     "genre_overlap"   -> Segmentation.genreOverlapOracle,
     "segment_active_stats" -> Segmentation.activeStatsOracle,
+    "segment_stats_empty"  -> Segmentation.emptyStatsOracle,
   ) ++ Joins.oracles ++ Aggregates.oracles ++ Windows.oracles ++
     EventOps.oracles ++ CampaignOps.oracles ++ TextOps.oracles ++
     Similarity.oracles ++ graft.functions.TypedAggs.oracles ++

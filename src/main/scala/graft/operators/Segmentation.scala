@@ -235,4 +235,20 @@ object Segmentation {
       activeFilter)
 
   val activeStatsOracle: String = statsOracleFor(activeFilter)
+
+  /** A filter that matches ZERO rows — grades the P8 zero-struct path
+    * (`tools.py:69-70`: empty segment still returns one row of zeros):
+    * the global aggregate + coalesce must emit exactly one
+    * {0, 0.0, 0.0, seg_…} row, identically on both engines. */
+  val impossibleFilter: SegmentFilter = SegmentFilter(
+    segments = Seq("building"),
+    nameContains = "no-such-customer-zzz")
+
+  def emptyStatsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    stats(
+      activity(Tables(spark, sfDir, "customer"), Tables(spark, sfDir, "orders"),
+        impossibleFilter.asOf),
+      impossibleFilter)
+
+  val emptyStatsOracle: String = statsOracleFor(impossibleFilter)
 }

@@ -92,16 +92,21 @@ object TextOps {
   def languageId(spark: SparkSession, dir: String): DataFrame = {
     def hits(words: Seq[String]): String =
       s"size(filter(t, x -> x in (${words.map(w => s"'$w'").mkString(", ")})))"
-    val Seq(en, fr, es, de) =
-      Seq("en", "fr", "es", "de").map(l => hits(langMarkers(l)))
+    // Hoist the 4 marker-hit counts into named columns BEFORE the CASE:
+    // inlining them repeats each array scan 5× in the decision tree
+    // (Catalyst does not CSE lambda-function subtrees), turning 4 array
+    // passes per row into 20.
+    val hitCols = Seq("en", "fr", "es", "de").map(l =>
+      expr(hits(langMarkers(l))).as(s"h_$l"))
     Tables(spark, dir, "documents")
       .withColumn("t", toks)
+      .select((col("lang") +: hitCols): _*)
       .withColumn("predicted", expr(
-        s"""CASE WHEN $en > $fr AND $en > $es AND $en > $de AND $en > 0 THEN 'en'
-           |     WHEN $fr > $en AND $fr > $es AND $fr > $de AND $fr > 0 THEN 'fr'
-           |     WHEN $es > $en AND $es > $fr AND $es > $de AND $es > 0 THEN 'es'
-           |     WHEN $de > $en AND $de > $fr AND $de > $es AND $de > 0 THEN 'de'
-           |     ELSE 'und' END""".stripMargin))
+        """CASE WHEN h_en > h_fr AND h_en > h_es AND h_en > h_de AND h_en > 0 THEN 'en'
+          |     WHEN h_fr > h_en AND h_fr > h_es AND h_fr > h_de AND h_fr > 0 THEN 'fr'
+          |     WHEN h_es > h_en AND h_es > h_fr AND h_es > h_de AND h_es > 0 THEN 'es'
+          |     WHEN h_de > h_en AND h_de > h_fr AND h_de > h_es AND h_de > 0 THEN 'de'
+          |     ELSE 'und' END""".stripMargin))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "predicted")

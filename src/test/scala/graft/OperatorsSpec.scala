@@ -88,4 +88,50 @@ class OperatorsSpec extends SparkSpec {
     val df = CampaignOps.idempotentSchedule(spark, sf0001)
     assert(df.count() == df.select("campaign_id").distinct().count())
   }
+
+  test("F8/F9: copy_parse routes each LLM-output variant correctly") {
+    val rows = CampaignOps.copyParse(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("variant") -> r).toMap
+    // variants 0 (pure JSON) and 1 (prose-wrapped) parse: subject comes
+    // from the JSON, not the fallback template
+    Seq(0L, 1L).foreach { v =>
+      assert(rows(v).getAs[Boolean]("parse_ok"))
+      assert(rows(v).getAs[String]("email_subject").startsWith("Invite: "))
+    }
+    // variants 2 (malformed JSON) and 3 (no braces) fall back — and the
+    // fallback email body is the RAW llm text (tools.py:146-150)
+    Seq(2L, 3L).foreach { v =>
+      assert(!rows(v).getAs[Boolean]("parse_ok"))
+      assert(rows(v).getAs[String]("email_subject").startsWith("You're invited: "))
+    }
+    assert(rows(2L).getAs[String]("email_body") == "{oops: this is not valid json}")
+    assert(rows(3L).getAs[String]("email_body")
+      == "I am unable to generate campaign copy right now.")
+    // variant 4: valid-but-partial JSON is returned AS-IS (all-or-nothing
+    // like the reference) — parsed subject, null sms, no partial fallback
+    assert(rows(4L).getAs[Boolean]("parse_ok"))
+    assert(rows(4L).getAs[String]("email_subject").startsWith("Invite: "))
+    assert(rows(4L).isNullAt(rows(4L).fieldIndex("sms_body")))
+  }
+
+  test("U1: toned copy — 3 tones per segment, distinct, within budgets") {
+    val df = CampaignOps.campaignDraftsToned(spark, sf0001)
+    val nSeg = Tables(spark, sf0001, "customer")
+      .select("c_mktsegment").distinct().count()
+    assert(df.count() == nSeg * CampaignOps.tones.length)
+    // the three tones produce three different subjects per segment
+    assert(df.select("c_mktsegment", "email_subject").distinct().count()
+      == nSeg * CampaignOps.tones.length)
+    // prompt budget rules (tools.py guidelines): all within budget here
+    assert(df.filter(!$"subject_in_budget" || !$"sms_in_budget").count() == 0)
+  }
+
+  test("P8: impossible filter still yields the one zero-struct row") {
+    val r = Segmentation.emptyStatsQuery(spark, sf0001).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("fan_count") == 0L)
+    assert(r(0).getAs[Double]("avg_spent") == 0.0)
+    assert(r(0).getAs[Double]("avg_acctbal") == 0.0)
+    assert(r(0).getAs[String]("segment_id").startsWith("seg_"))
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.{Similarity, TextOps}
+import graft.Tables
 
 /** Text-analysis + dedup/similarity operator invariants on sf0.001. */
 class TextSimilaritySpec extends SparkSpec {
@@ -63,5 +64,24 @@ class TextSimilaritySpec extends SparkSpec {
     assert(df.count() > 0)
     assert(df.filter($"emb_dim" =!= 64).count() == 0)
     assert(df.filter($"emb_norm" <= 0).count() == 0)
+  }
+
+  test("N3: IVF bucket count scales as ceil(sqrt(N)) and stays balanced") {
+    def bucketStats(dir: String): (Long, Long, Long, Double) = {
+      val n = Tables(spark, dir, "embeddings").count()
+      val sizes = Similarity.ivfAssign(spark, dir)
+        .groupBy("cid").count().select("count").as[Long].collect()
+      (n, sizes.length.toLong, sizes.max, n.toDouble / sizes.length)
+    }
+    val (n1, b1, max1, avg1) = bucketStats(sf0001)
+    assert(b1 <= math.ceil(math.sqrt(n1.toDouble)).toLong)
+    // bounded skew: no bucket more than 3x the mean population — the
+    // property that keeps per-bucket pairwise work ~O(N·sqrt(N)) total
+    assert(max1 <= (3 * avg1).ceil.toLong, s"skewed buckets: max=$max1 avg=$avg1")
+    // and the bucket count GROWS with the corpus (the round-1 design
+    // fixed nlist=8, which silently restores quadratic per-bucket work)
+    val (n2, b2, max2, avg2) = bucketStats("/root/testdata/sf0.1")
+    assert(n2 > n1 && b2 > b1, s"nlist must scale with N: ($n1,$b1) -> ($n2,$b2)")
+    assert(max2 <= (3 * avg2).ceil.toLong, s"skewed buckets: max=$max2 avg=$avg2")
   }
 }

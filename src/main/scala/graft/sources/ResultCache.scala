@@ -1,0 +1,77 @@
+package graft.sources
+
+import java.security.MessageDigest
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** S6 — keyed, TTL-bounded result reuse (reference `SCALING.md:87-99`:
+  * Redis cache keyed by `md5(filters)` with a 300 s TTL, fronting the
+  * audience query).
+  *
+  * The Spark-native analog: key = md5 of the query's deterministic
+  * descriptor (the same string that feeds the F10 content-hash segment
+  * id), value = the RESULT DataFrame persisted MEMORY_AND_DISK. A hit
+  * returns the persisted plan — Spark serves rows from cached blocks
+  * instead of recomputing; an expired or missing key builds, persists,
+  * and replaces (the stale entry is unpersisted without blocking).
+  *
+  * Scale notes: results cached here are post-aggregation (segment
+  * stats, previews — KB-sized), never raw scans, so the memory
+  * footprint is bounded by entry count, not data size. The cache is
+  * per-JVM like any block-manager state; a multi-tenant deployment
+  * would put the same key→result mapping in an external store and
+  * `CACHE TABLE`-backed views serve the same role.
+  *
+  * Time is injectable so TTL expiry is unit-testable.
+  */
+object ResultCache {
+  private final case class Entry(df: DataFrame, expiresAtMs: Long)
+  private val entries = new ConcurrentHashMap[String, Entry]()
+  private val missCounter = new AtomicLong()
+
+  /** Test hook: the clock used for TTL decisions. */
+  @volatile private[graft] var clock: () => Long = () => System.currentTimeMillis()
+
+  /** md5 hex of the descriptor — the reference's cache key shape. */
+  def key(descriptor: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(descriptor.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Number of cache misses (builds) so far — observability + tests. */
+  def misses: Long = missCounter.get()
+
+  /** Return the cached result for `descriptor` if fresh, else run
+    * `build`, persist the result, and cache it for `ttlSeconds`.
+    * The descriptor must capture EVERYTHING the result depends on
+    * (filter spec, table directory, as-of date) — exactly like the
+    * reference's serialized-filters key. */
+  def getOrCompute(descriptor: String, ttlSeconds: Long)
+      (build: => DataFrame): DataFrame = {
+    val k = key(descriptor)
+    val now = clock()
+    val cur = entries.get(k)
+    if (cur != null && cur.expiresAtMs > now) cur.df
+    else this.synchronized {
+      // re-check under the lock: another thread may have rebuilt
+      val cur2 = entries.get(k)
+      if (cur2 != null && cur2.expiresAtMs > now) cur2.df
+      else {
+        if (cur2 != null) cur2.df.unpersist(blocking = false)
+        missCounter.incrementAndGet()
+        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+        entries.put(k, Entry(df, now + ttlSeconds * 1000))
+        df
+      }
+    }
+  }
+
+  /** Drop everything (test isolation). */
+  private[graft] def clear(): Unit = {
+    entries.values.forEach(e => e.df.unpersist(blocking = false))
+    entries.clear()
+    missCounter.set(0)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.sources.ResultCache
+
+/** S6 TTL result cache (reference SCALING.md:87-99 — md5(filters) key,
+  * 300 s TTL) — hit/miss/expiry semantics with an injected clock. */
+class ResultCacheSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def withFixture(test: NoArgTest) = {
+    ResultCache.clear()
+    try super.withFixture(test)
+    finally {
+      ResultCache.clear()
+      ResultCache.clock = () => System.currentTimeMillis()
+    }
+  }
+
+  test("S6: key is the md5 of the descriptor (reference key shape)") {
+    assert(ResultCache.key("abc") == "900150983cd24fb0d6963f7d28e17f72")
+  }
+
+  test("S6: second lookup within TTL is a hit — build runs once") {
+    var now = 1_000_000L
+    ResultCache.clock = () => now
+    var builds = 0
+    def lookup() = ResultCache.getOrCompute("filters-a", 300) {
+      builds += 1; Seq(1, 2, 3).toDF("x")
+    }
+    val first = lookup().collect()
+    now += 299 * 1000
+    val second = lookup().collect()
+    assert(builds == 1 && ResultCache.misses == 1)
+    assert(first.sameElements(second))
+  }
+
+  test("S6: lookup after TTL expiry rebuilds") {
+    var now = 1_000_000L
+    ResultCache.clock = () => now
+    var builds = 0
+    def lookup() = ResultCache.getOrCompute("filters-b", 300) {
+      builds += 1; Seq(builds).toDF("x")
+    }
+    assert(lookup().collect().map(_.getInt(0)).sameElements(Array(1)))
+    now += 301 * 1000
+    // expired: the rebuilt result is served, not the stale one
+    assert(lookup().collect().map(_.getInt(0)).sameElements(Array(2)))
+    assert(builds == 2)
+  }
+
+  test("S6: different descriptors never share an entry") {
+    ResultCache.clock = () => 1_000_000L
+    val a = ResultCache.getOrCompute("filters-c", 300)(Seq(1).toDF("x"))
+    val b = ResultCache.getOrCompute("filters-d", 300)(Seq(2).toDF("x"))
+    assert(a.collect().head.getInt(0) == 1)
+    assert(b.collect().head.getInt(0) == 2)
+    assert(ResultCache.misses == 2)
+  }
+
+  test("S6: the graded cached query equals its uncached twin") {
+    val cached = SparkEntry.queries("segment_stats_cached")(spark, sf0001).collect()
+    val plain = SparkEntry.queries("segment_stats")(spark, sf0001).collect()
+    assert(cached.sameElements(plain))
+  }
+}

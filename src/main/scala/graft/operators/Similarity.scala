@@ -141,18 +141,24 @@ object Similarity {
     * argmax cosine over the broadcast centroid set, ties to the
     * smallest centroid id. One scan, no shuffle except the tiny
     * row_number partition on vec_id. */
-  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+  /** vec × centroid cosine scores — shared by assignment (argmax) and
+    * multi-probe query routing (top-nprobe). */
+  private def ivfSims(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.VectorExpressions.register(spark)
     val e = Tables(spark, dir, "embeddings")
     val nlist = e.agg(ceil(sqrt(count(lit(1)))).as("nlist"))
     val cent = e.crossJoin(broadcast(nlist))
       .filter(col("vec_id") < col("nlist"))
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("s").desc, col("cid"))
     e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cid"),
         expr("cosine_sim(embedding, cv)").as("s"))
+  }
+
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("s").desc, col("cid"))
+    ivfSims(spark, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"))
@@ -169,6 +175,34 @@ object Similarity {
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     val qBucket = assign.filter(col("vec_id") === 0).select(col("cid"))
     val cands = assign.join(broadcast(qBucket), Seq("cid"))
+      .filter(col("vec_id") =!= 0).select(col("vec_id"))
+    e.join(cands, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.ScalarFns.roundN(
+          expr("cosine_sim(embedding, qv)"), 6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** N3 multi-probe IVF top-k: the recall knob. The query is routed to
+    * its `nprobe` NEAREST centroids (not just the argmax), and top-k
+    * runs over the union of those buckets — scanning nprobe/nlist of
+    * the corpus buys back the recall a hard bucket boundary costs.
+    * nprobe=2 ⊇ the nprobe=1 candidate set by construction, so recall
+    * is monotone in nprobe (asserted in TextSimilaritySpec). */
+  def cosineTopkIvfProbed(spark: SparkSession, dir: String,
+      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val sims = ivfSims(spark, dir)
+    val qw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("s").desc, col("cid"))
+    val qBuckets = sims.filter(col("vec_id") === 0)
+      .withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= nprobe)
+      .select(col("cid"))
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val cands = ivfAssign(spark, dir).join(broadcast(qBuckets), Seq("cid"))
       .filter(col("vec_id") =!= 0).select(col("vec_id"))
     e.join(cands, Seq("vec_id"))
       .crossJoin(broadcast(q))
@@ -223,6 +257,7 @@ object Similarity {
     "neardup_pairs"     -> (neardupPairs _),
     "cosine_topk"       -> ((s: SparkSession, d: String) => cosineTopk(s, d)),
     "cosine_topk_ivf"   -> ((s: SparkSession, d: String) => cosineTopkIvf(s, d)),
+    "cosine_topk_ivf2"  -> ((s: SparkSession, d: String) => cosineTopkIvfProbed(s, d)),
     "embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNeardup(s, d)),
     "multimodal_join"   -> (multimodalJoin _))
 
@@ -295,6 +330,21 @@ object Similarity {
     "cosine_topk_ivf" ->
       s"""$ivfCte,
          |qb AS (SELECT cid FROM assign WHERE vec_id = 0),
+         |cands AS (SELECT a.vec_id FROM assign a JOIN qb ON a.cid = qb.cid
+         |          WHERE a.vec_id <> 0),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  ${graft.functions.ScalarFns.roundSql(
+              s"""${duckDot("e.embedding", "q.qv")}
+                 |    / (sqrt(${duckDot("e.embedding", "e.embedding")})
+                 |       * sqrt(${duckDot("q.qv", "q.qv")}))""".stripMargin, 6)} AS cosine_sim
+         |FROM embeddings e JOIN cands ON e.vec_id = cands.vec_id, q
+         |ORDER BY cosine_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "cosine_topk_ivf2" ->
+      s"""$ivfCte,
+         |qb AS (SELECT cid FROM (
+         |  SELECT cid, row_number() OVER (ORDER BY s DESC, cid) AS rn
+         |  FROM sims WHERE vec_id = 0) WHERE rn <= 2),
          |cands AS (SELECT a.vec_id FROM assign a JOIN qb ON a.cid = qb.cid
          |          WHERE a.vec_id <> 0),
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

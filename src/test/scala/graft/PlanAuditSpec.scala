@@ -43,6 +43,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("bucketed tables co-locate the join: no exchange in the plan") {
+    // The 100 TB fact⋈fact answer: both sides bucketed on the join key
+    // → SortMergeJoin reads bucket i against bucket i, zero shuffle.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      Tables(spark, sf0001, "customer").write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("cust_bucketed")
+      Tables(spark, sf0001, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("ord_bucketed")
+      val j = spark.table("ord_bucketed")
+        .join(spark.table("cust_bucketed"),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_mktsegment")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffled:\n$plan")
+      // and the same join over the UNBUCKETED tables does shuffle — the
+      // assertion above is meaningful, not vacuous
+      val u = Tables(spark, sf0001, "orders")
+        .join(Tables(spark, sf0001, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_mktsegment")
+      u.collect()
+      assert(u.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS cust_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
   test("whole-stage codegen covers the segment filter pipeline") {
     // AQE shows codegen spans only in the FINAL plan — materialize first
     val df = SparkEntry.queries("segment_stats")(spark, sf0001)

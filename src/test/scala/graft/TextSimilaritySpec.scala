@@ -66,6 +66,18 @@ class TextSimilaritySpec extends SparkSpec {
     assert(df.filter($"emb_norm" <= 0).count() == 0)
   }
 
+  test("N3: multi-probe recall is monotone in nprobe") {
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").as[Long].collect().toSet
+    val exact = ids(Similarity.cosineTopk(spark, sf0001))
+    val p1 = ids(Similarity.cosineTopkIvfProbed(spark, sf0001, nprobe = 1))
+    val p2 = ids(Similarity.cosineTopkIvfProbed(spark, sf0001, nprobe = 2))
+    // nprobe=1 through the probed path ≡ the dedicated nprobe=1 operator
+    assert(p1 == ids(Similarity.cosineTopkIvf(spark, sf0001)))
+    // more probes can only improve agreement with the exact top-k
+    assert((p2 intersect exact).size >= (p1 intersect exact).size)
+  }
+
   test("N3: IVF bucket count scales as ceil(sqrt(N)) and stays balanced") {
     def bucketStats(dir: String): (Long, Long, Long, Double) = {
       val n = Tables(spark, dir, "embeddings").count()

@@ -75,6 +75,24 @@ object EventOps {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** A6+ the oracle-checkable HLL: distinct users per event type through
+    * the custom [[graft.plans.HllSketch]] TypedImperativeAggregate.
+    * Every step of the sketch (md5 buckets, rho, pinned fold order,
+    * correction branch) is exactly specified, so — unlike
+    * `approx_count_distinct` — the ESTIMATE itself hash-matches a
+    * DuckDB reimplementation of the same spec. */
+  def hllUsers(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.SketchFunctions.register(spark)
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch(CAST(user_id AS STRING))").as("h"))
+      .select(col("event_type"),
+        col("h.n_zero").as("n_zero_registers"),
+        col("h.sum_pow").as("sum_pow"),
+        graft.functions.ScalarFns.roundN(col("h.estimate"), 2).as("hll_users"))
+      .orderBy("event_type")
+  }
+
   /** Data-quality outlier detection: per-type z-scores with mean and
     * variance derived from EXACT decimal sums (Σx, Σx²), so the stats —
     * and therefore the flagged set — are independent of partition
@@ -107,9 +125,60 @@ object EventOps {
     "distinct_users"     -> (distinctUsers _),
     "json_props"         -> (jsonProps _),
     "session_stats"      -> (sessionStats _),
+    "hll_users"          -> (hllUsers _),
     "approx_users"       -> (approxUsers _))
 
+  /** DuckDB twin of the HLL spec in [[graft.plans.HllSketch]]: nibble
+    * arithmetic over the md5 hex (bucket = first 2 nibbles, rho from
+    * the leading zeros of nibbles 3..18), max per register, 256-row
+    * register frame via generate_series, index-ordered list_reduce. */
+  private val hllOracle: String = {
+    val nibDefs = (1 to 18).map(i =>
+      s"instr('0123456789abcdef', substr(h, $i, 1)) - 1 AS n$i")
+      .mkString(",\n      ")
+    val lzCases = (3 to 18).map(i =>
+      s"WHEN n$i > 0 THEN ${4 * (i - 3)} + (CASE WHEN n$i >= 8 THEN 0" +
+        s" WHEN n$i >= 4 THEN 1 WHEN n$i >= 2 THEN 2 ELSE 3 END)")
+      .mkString("\n        ")
+    s"""WITH hx AS (
+       |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+       |  WHERE user_id IS NOT NULL),
+       |nib AS (
+       |  SELECT event_type,
+       |      $nibDefs
+       |  FROM hx),
+       |br AS (
+       |  SELECT event_type, n1 * 16 + n2 AS bucket,
+       |    1 + (CASE
+       |        $lzCases
+       |        ELSE 64 END) AS rho
+       |  FROM nib),
+       |reg AS (
+       |  SELECT event_type, bucket, max(rho) AS mx FROM br GROUP BY 1, 2),
+       |regs AS (
+       |  SELECT e.event_type, gs.j, coalesce(r.mx, 0) AS mreg
+       |  FROM (SELECT DISTINCT event_type FROM events) e
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS j) gs
+       |  LEFT JOIN reg r ON r.event_type = e.event_type AND r.bucket = gs.j),
+       |agg AS (
+       |  SELECT event_type,
+       |    list_reduce(list_transform(list(mreg ORDER BY j),
+       |      x -> power(2.0, -CAST(x AS DOUBLE))), (a, b) -> a + b) AS sum_pow,
+       |    sum(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS n_zero
+       |  FROM regs GROUP BY 1),
+       |est AS (
+       |  SELECT event_type, n_zero, sum_pow,
+       |    (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / sum_pow AS e_raw
+       |  FROM agg)
+       |SELECT event_type, CAST(n_zero AS BIGINT) AS n_zero_registers, sum_pow,
+       |  ${graft.functions.ScalarFns.roundSql(
+            "CASE WHEN e_raw <= 2.5 * 256.0 AND n_zero > 0" +
+            " THEN 256.0 * ln(256.0 / n_zero) ELSE e_raw END", 2)} AS hll_users
+       |FROM est ORDER BY event_type""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "hll_users" -> hllOracle,
     "value_outliers" ->
       s"""WITH s AS (
          |  SELECT event_type,

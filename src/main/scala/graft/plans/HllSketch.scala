@@ -1,0 +1,118 @@
+package graft.plans
+
+import java.security.MessageDigest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A6 at scale, as a CUSTOM Catalyst aggregate: HyperLogLog over a
+  * string key, implemented as a `TypedImperativeAggregate[Array[Byte]]`
+  * — the binary-buffer imperative tier Spark itself uses for sketches
+  * (planned into ObjectHashAggregate; partial sketches merge
+  * associatively, so the shuffle carries 256-byte registers, not rows).
+  *
+  * Unlike `approx_count_distinct` (whose sketch is engine-private, so
+  * the graded `approx_users` twin is rows-only), every step here is
+  * EXACTLY specified and reproducible in ANSI-ish SQL, which makes the
+  * estimate itself oracle-checkable cross-engine:
+  *
+  *  - hash = md5(key): bucket = first byte (b=8, m=256 registers);
+  *    w = bytes 1..8 as a big-endian u64; rho = leading-zeros(w)+1
+  *    (w = 0 → 65).
+  *  - registers merge by elementwise max.
+  *  - Σ2^−M folded LEFT-TO-RIGHT in register-index order (0..255) —
+  *    pinned fold order, same discipline as the cosine kernel — so the
+  *    double is bit-identical to DuckDB's `list_reduce` over
+  *    `list(m ORDER BY j)`.
+  *  - E = α₂₅₆·m²/Σ2^−M with the standard small-range correction
+  *    (E ≤ 2.5m and V>0 → m·ln(m/V)).
+  *
+  * Output is a struct {estimate, n_zero, sum_pow} so the graded query
+  * exposes the correction inputs, not just the final number.
+  */
+case class HllSketch(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  private val m = 256
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val d = MessageDigest.getInstance("MD5")
+        .digest(v.asInstanceOf[UTF8String].getBytes)
+      val bucket = d(0) & 0xff
+      var w = 0L
+      var i = 1
+      while (i <= 8) { w = (w << 8) | (d(i) & 0xffL); i += 1 }
+      val rho = if (w == 0L) 65 else java.lang.Long.numberOfLeadingZeros(w) + 1
+      if (rho > (buf(bucket) & 0xff)) buf(bucket) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) {
+      if ((b2(i) & 0xff) > (b1(i) & 0xff)) b1(i) = b2(i)
+      i += 1
+    }
+    b1
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    // left-to-right in index order: bit-identical to the oracle's
+    // list_reduce over list(m ORDER BY j)
+    var sumPow = 0.0
+    var zeros = 0L
+    var i = 0
+    while (i < m) {
+      val reg = buf(i) & 0xff
+      sumPow += math.pow(2.0, -reg)
+      if (reg == 0) zeros += 1
+      i += 1
+    }
+    val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    val eRaw = alpha * 256.0 * 256.0 / sumPow
+    val est =
+      if (eRaw <= 2.5 * 256.0 && zeros > 0) 256.0 * math.log(256.0 / zeros)
+      else eRaw
+    new GenericInternalRow(Array[Any](est, zeros, sumPow))
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("estimate", DoubleType, nullable = false),
+    StructField("n_zero", LongType, nullable = false),
+    StructField("sum_pow", DoubleType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_sketch"
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllSketch =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllSketch =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): HllSketch =
+    copy(child = newChild)
+}
+
+object SketchFunctions {
+  /** Register `hll_sketch` (idempotent, like cosine_sim). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("hll_sketch")))
+      reg.createOrReplaceTempFunction(
+        "hll_sketch", exprs => HllSketch(exprs.head), "built-in")
+  }
+}

@@ -36,9 +36,15 @@ object Bench {
     // queries of the timed pass absorb tens of seconds of one-time JVM
     // cost that has nothing to do with their plans (observed: a 5-row
     // groupBy billed 16.8 s on a cold driver host).
-    sorted.foreach { case (_, fn) =>
-      try force(spark, fn, warmDir) catch { case _: Throwable => () }
+    val warmupFailures = sorted.count { case (_, fn) =>
+      try { force(spark, fn, warmDir); false } catch { case _: Throwable => true }
     }
+    // A silently-voided warm-up would reintroduce exactly the cold-start
+    // skew this pass exists to eliminate — make it loud.
+    if (warmupFailures > 0)
+      System.err.println(
+        s"[bench] WARNING: $warmupFailures/${sorted.size} warm-up runs failed " +
+        s"(warmDir=$warmDir) — timed numbers may include JIT/codegen cost")
     // A failed query records -1 (never a normal-looking elapsed time)
     // and is counted in "failures" — a broken run must not be
     // indistinguishable from a passing one.

@@ -27,7 +27,7 @@ object SparkEntry {
     // hit can never serve another scale factor's (or session's) result
     "segment_stats_cached" -> ((s: SparkSession, dir: String) =>
       graft.sources.ResultCache.getOrCompute(
-        s"${System.identityHashCode(s)}|segment_stats|$dir|${Segmentation.canonical.descriptor}",
+        s"${graft.sources.ResultCache.sessionId(s)}|segment_stats|$dir|${Segmentation.canonical.descriptor}",
         ttlSeconds = 300)(Segmentation.statsQuery(s, dir))),
   ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
     EventOps.queries ++ CampaignOps.queries ++ TextOps.queries ++

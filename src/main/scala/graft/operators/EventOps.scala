@@ -159,7 +159,8 @@ object EventOps {
        |  SELECT e.event_type, gs.j, coalesce(r.mx, 0) AS mreg
        |  FROM (SELECT DISTINCT event_type FROM events) e
        |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS j) gs
-       |  LEFT JOIN reg r ON r.event_type = e.event_type AND r.bucket = gs.j),
+       |  LEFT JOIN reg r ON r.event_type IS NOT DISTINCT FROM e.event_type
+       |    AND r.bucket = gs.j),
        |agg AS (
        |  SELECT event_type,
        |    list_reduce(list_transform(list(mreg ORDER BY j),

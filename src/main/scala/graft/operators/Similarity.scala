@@ -193,6 +193,9 @@ object Similarity {
     * is monotone in nprobe (asserted in TextSimilaritySpec). */
   def cosineTopkIvfProbed(spark: SparkSession, dir: String,
       k: Int = 10, nprobe: Int = 2): DataFrame = {
+    // ONE sims frame feeds both query routing and corpus assignment.
+    // (The routing branch filters vec_id = 0, which pushes down to the
+    // scan — so its cost is nlist kernel calls, not another full pass.)
     val sims = ivfSims(spark, dir)
     val qw = org.apache.spark.sql.expressions.Window
       .orderBy(col("s").desc, col("cid"))
@@ -200,9 +203,13 @@ object Similarity {
       .withColumn("rn", row_number().over(qw))
       .filter(col("rn") <= nprobe)
       .select(col("cid"))
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("s").desc, col("cid"))
+    val assign = sims.withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    val cands = ivfAssign(spark, dir).join(broadcast(qBuckets), Seq("cid"))
+    val cands = assign.join(broadcast(qBuckets), Seq("cid"))
       .filter(col("vec_id") =!= 0).select(col("vec_id"))
     e.join(cands, Seq("vec_id"))
       .crossJoin(broadcast(q))

@@ -44,11 +44,15 @@ case class HllSketch(
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
+  // One digest per deserialized (= per-task) instance: digest() resets
+  // it after each call, so reuse is safe and keeps the JCA provider
+  // lookup + allocation out of the per-row hot path.
+  @transient private lazy val md5 = MessageDigest.getInstance("MD5")
+
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val d = MessageDigest.getInstance("MD5")
-        .digest(v.asInstanceOf[UTF8String].getBytes)
+      val d = md5.digest(v.asInstanceOf[UTF8String].getBytes)
       val bucket = d(0) & 0xff
       var w = 0L
       var i = 1
@@ -107,12 +111,7 @@ case class HllSketch(
 }
 
 object SketchFunctions {
-  /** Register `hll_sketch` (idempotent, like cosine_sim). */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("hll_sketch")))
-      reg.createOrReplaceTempFunction(
-        "hll_sketch", exprs => HllSketch(exprs.head), "built-in")
-  }
+  /** Register `hll_sketch` (idempotent). */
+  def register(spark: SparkSession): Unit =
+    Registry.registerOnce(spark, "hll_sketch", exprs => HllSketch(exprs.head))
 }

@@ -86,16 +86,23 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-object VectorExpressions {
-  /** Register `cosine_sim` into a session's function registry (U2).
-    * Idempotent: query builders call this defensively, so a 50-query
-    * session would otherwise re-register (and WARN) once per query. */
-  def register(spark: SparkSession): Unit = {
+/** Idempotent session-registry registration, shared by every custom
+  * function: query builders call register defensively, so a 50-query
+  * session would otherwise re-register (and WARN) once per query. */
+object Registry {
+  def registerOnce(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("cosine_sim")))
-      reg.createOrReplaceTempFunction(
-        "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
   }
+}
+
+object VectorExpressions {
+  /** Register `cosine_sim` into a session's function registry (U2). */
+  def register(spark: SparkSession): Unit =
+    Registry.registerOnce(spark, "cosine_sim",
+      exprs => CosineSim(exprs(0), exprs(1)))
 }
 
 /** SparkSessionExtensions entry point — the (c)-tier registration path:

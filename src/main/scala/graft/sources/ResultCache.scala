@@ -43,6 +43,22 @@ object ResultCache {
   /** Number of cache misses (builds) so far — observability + tests. */
   def misses: Long = missCounter.get()
 
+  // Session identity for cache keys. identityHashCode is NOT unique, so
+  // it cannot back the "a hit never crosses sessions" invariant; this
+  // map hands each session a process-unique id and, being weak-keyed,
+  // lets stopped sessions be collected.
+  private val sessionIds =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Long]()
+  private val nextSessionId = new AtomicLong()
+
+  /** Process-unique, collision-free id for a session (for cache keys). */
+  def sessionId(s: org.apache.spark.sql.SparkSession): Long =
+    sessionIds.synchronized {
+      val cur = sessionIds.get(s)
+      if (cur != null) cur
+      else { val id = nextSessionId.incrementAndGet(); sessionIds.put(s, id); id }
+    }
+
   /** Return the cached result for `descriptor` if fresh, else run
     * `build`, persist the result, and cache it for `ttlSeconds`.
     * The descriptor must capture EVERYTHING the result depends on
@@ -55,11 +71,21 @@ object ResultCache {
     val cur = entries.get(k)
     if (cur != null && cur.expiresAtMs > now) cur.df
     else this.synchronized {
+      // TTL gates retention, not just reuse: sweep every expired entry
+      // (not only this key), or persisted DataFrames — each pinning its
+      // session's block-manager state — accumulate for the JVM lifetime.
+      val it = entries.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.expiresAtMs <= now) {
+          e.getValue.df.unpersist(blocking = false)
+          it.remove()
+        }
+      }
       // re-check under the lock: another thread may have rebuilt
       val cur2 = entries.get(k)
       if (cur2 != null && cur2.expiresAtMs > now) cur2.df
       else {
-        if (cur2 != null) cur2.df.unpersist(blocking = false)
         missCounter.incrementAndGet()
         val df = build.persist(StorageLevel.MEMORY_AND_DISK)
         entries.put(k, Entry(df, now + ttlSeconds * 1000))

@@ -117,6 +117,41 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Forward as-of: for each event, the EARLIEST order at/after the
+    * event (conversion attribution — "did this view lead to an order").
+    * Oracle: DuckDB native forward ASOF (`o_orderdate >= ts`). */
+  def asofNextOrderAfterEvent(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"))
+    graft.plans.AsOf.join(e, o,
+        e("user_id"), o("o_custkey"), e("ts"), o("o_orderdate"),
+        forward = true)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        to_date(col("o_orderdate")).as("next_order_date"),
+        datediff(to_date(col("o_orderdate")), to_date(col("ts")))
+          .cast("bigint").as("days_until_order"))
+      .orderBy("event_id")
+  }
+
+  /** Backward as-of with a 30-day tolerance: the order state only
+    * counts if it is RECENT (merge_asof tolerance semantics). */
+  def asofOrderWithin30d(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"))
+    graft.plans.AsOf.join(e, o,
+        e("user_id"), o("o_custkey"), e("ts"), o("o_orderdate"),
+        tolerance = Some(java.time.Duration.ofDays(30)))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        to_date(col("o_orderdate")).as("recent_order_date"),
+        datediff(to_date(col("ts")), to_date(col("o_orderdate")))
+          .cast("bigint").as("days_since_order"))
+      .orderBy("event_id")
+  }
+
   /** The spark.sql entry surface (SURVEY.md §3.1 lifecycle: SQL text →
     * Catalyst parse/analyze over registered views): 4-table star join
     * up to region, written ONCE in dialect-neutral SQL that runs
@@ -156,6 +191,8 @@ object Joins {
     "revenue_by_region" -> (revenueByRegion _),
     "brand_revenue"     -> (brandRevenue _),
     "asof_order_before_event" -> (asofOrderBeforeEvent _),
+    "asof_next_order_after_event" -> (asofNextOrderAfterEvent _),
+    "asof_order_within_30d" -> (asofOrderWithin30d _),
     "revenue_by_nation"  -> (revenueByNation _),
     "urgent_by_segment"  -> (urgentBySegment _),
     "dormant_by_segment" -> (dormantBySegment _),
@@ -177,6 +214,27 @@ object Joins {
         |  CAST(o.o_orderdate AS DATE) AS last_order_date,
         |  CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(e.ts AS DATE))
         |       AS BIGINT) AS days_since_order
+        |FROM events e ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "asof_next_order_after_event" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        |  CAST(o.o_orderdate AS DATE) AS next_order_date,
+        |  CAST(date_diff('day', CAST(e.ts AS DATE), CAST(o.o_orderdate AS DATE))
+        |       AS BIGINT) AS days_until_order
+        |FROM events e ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+        |ORDER BY e.event_id""".stripMargin,
+    // tolerance has no native ASOF syntax: take the backward match, then
+    // null it out where it exceeds the 30-day bound (epoch_us arithmetic
+    // = the exec's exact micros comparison)
+    "asof_order_within_30d" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        |  CASE WHEN epoch_us(e.ts) - epoch_us(o.o_orderdate) <= 2592000000000
+        |       THEN CAST(o.o_orderdate AS DATE) END AS recent_order_date,
+        |  CASE WHEN epoch_us(e.ts) - epoch_us(o.o_orderdate) <= 2592000000000
+        |       THEN CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |                 CAST(e.ts AS DATE)) AS BIGINT) END AS days_since_order
         |FROM events e ASOF LEFT JOIN orders o
         |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
         |ORDER BY e.event_id""".stripMargin,

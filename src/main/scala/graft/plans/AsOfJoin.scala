@@ -30,7 +30,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean = false, toleranceMicros: Long = -1L) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -40,15 +41,24 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, tol) :: Nil
     case _ => Nil
   }
 }
 
+/** Merge directions (pandas `merge_asof` surface):
+  *  - backward (default): latest right with rightTime <= leftTime;
+  *  - forward: earliest right with rightTime >= leftTime.
+  * `toleranceMicros >= 0` additionally bounds |leftTime − matchTime|
+  * (units = the time type's internal encoding: µs for TimestampType).
+  * Both directions remain a single forward pass per partition: the
+  * right cursor only ever advances, because under (key, time asc)
+  * ordering a discarded right row can never match a later left row. */
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean = false, toleranceMicros: Long = -1L) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -77,38 +87,88 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val nullRight = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(rightSchema.length)
       val rBuf = rIter.buffered
-      var lastMatch: InternalRow = null
-      var lastMatchKey: Long = 0L
+      val tol = toleranceMicros
 
-      lIter.map { l =>
-        val lKeyV = lk.eval(l)
-        if (lKeyV == null) {
-          proj(joined(l, nullRight))
-        } else {
-          val lKey = lKeyV.asInstanceOf[Long]
-          val lTimeV = lt.eval(l)
-          val lTime = if (lTimeV == null) Long.MinValue
-                      else lTimeV.asInstanceOf[Long]
-          if (lastMatch != null && lastMatchKey != lKey) lastMatch = null
-          var continue = true
-          while (continue && rBuf.hasNext) {
-            val head = rBuf.head
-            val rKeyV = rk.eval(head)
-            if (rKeyV == null) { rBuf.next() } // un-keyed right rows: skip
-            else {
-              val rKey = rKeyV.asInstanceOf[Long]
-              if (rKey < lKey) rBuf.next()
-              else if (rKey == lKey) {
-                val rTimeV = rt.eval(head)
-                if (rTimeV == null) rBuf.next() // un-timed: skip
-                else if (rTimeV.asInstanceOf[Long] <= lTime) {
-                  lastMatch = rBuf.next().copy()
-                  lastMatchKey = rKey
+      if (!forward) {
+        var lastMatch: InternalRow = null
+        var lastMatchKey: Long = 0L
+        var lastMatchTime: Long = 0L
+
+        lIter.map { l =>
+          val lKeyV = lk.eval(l)
+          if (lKeyV == null) {
+            proj(joined(l, nullRight))
+          } else {
+            val lKey = lKeyV.asInstanceOf[Long]
+            val lTimeV = lt.eval(l)
+            val lTime = if (lTimeV == null) Long.MinValue
+                        else lTimeV.asInstanceOf[Long]
+            if (lastMatch != null && lastMatchKey != lKey) lastMatch = null
+            var continue = true
+            while (continue && rBuf.hasNext) {
+              val head = rBuf.head
+              val rKeyV = rk.eval(head)
+              if (rKeyV == null) { rBuf.next() } // un-keyed right rows: skip
+              else {
+                val rKey = rKeyV.asInstanceOf[Long]
+                if (rKey < lKey) rBuf.next()
+                else if (rKey == lKey) {
+                  val rTimeV = rt.eval(head)
+                  if (rTimeV == null) rBuf.next() // un-timed: skip
+                  else if (rTimeV.asInstanceOf[Long] <= lTime) {
+                    lastMatch = rBuf.next().copy()
+                    lastMatchKey = rKey
+                    lastMatchTime = rTimeV.asInstanceOf[Long]
+                  } else continue = false
                 } else continue = false
-              } else continue = false
+              }
             }
+            val within = lastMatch != null &&
+              (tol < 0L || lTime - lastMatchTime <= tol)
+            proj(joined(l, if (within) lastMatch else nullRight))
           }
-          proj(joined(l, if (lastMatch != null) lastMatch else nullRight))
+        }
+      } else {
+        lIter.map { l =>
+          val lKeyV = lk.eval(l)
+          val lTimeV = if (lKeyV == null) null else lt.eval(l)
+          if (lKeyV == null || lTimeV == null) {
+            proj(joined(l, nullRight))
+          } else {
+            val lKey = lKeyV.asInstanceOf[Long]
+            val lTime = lTimeV.asInstanceOf[Long]
+            // advance past rights that can no longer match any left row:
+            // smaller key, or same key strictly before this (ascending)
+            // left time
+            var continue = true
+            while (continue && rBuf.hasNext) {
+              val head = rBuf.head
+              val rKeyV = rk.eval(head)
+              if (rKeyV == null) { rBuf.next() }
+              else {
+                val rKey = rKeyV.asInstanceOf[Long]
+                if (rKey < lKey) rBuf.next()
+                else if (rKey == lKey) {
+                  val rTimeV = rt.eval(head)
+                  if (rTimeV == null) rBuf.next()
+                  else if (rTimeV.asInstanceOf[Long] < lTime) rBuf.next()
+                  else continue = false
+                } else continue = false
+              }
+            }
+            // head (not consumed — it may also match later lefts) is the
+            // earliest right at/after lTime for this key, if keys agree
+            var m: InternalRow = null
+            if (rBuf.hasNext) {
+              val head = rBuf.head
+              val rKeyV = rk.eval(head)
+              if (rKeyV != null && rKeyV.asInstanceOf[Long] == lKey) {
+                val rTime = rt.eval(head).asInstanceOf[Long]
+                if (tol < 0L || rTime - lTime <= tol) m = head
+              }
+            }
+            proj(joined(l, if (m != null) m else nullRight))
+          }
         }
       }
     }
@@ -122,10 +182,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 /** User-facing API. */
 object AsOf {
   /** `left ASOF LEFT JOIN right ON leftKey = rightKey AND
-    * rightTime <= leftTime` (latest match wins). */
+    * rightTime <= leftTime` (latest match wins). With
+    * `forward = true`: `rightTime >= leftTime`, earliest match wins.
+    * `tolerance` (if set) bounds the match's time distance — the
+    * pandas `merge_asof(direction=…, tolerance=…)` surface. */
   def join(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: Column, rightKey: Column,
-      leftTime: Column, rightTime: Column): DataFrame = {
+      leftTime: Column, rightTime: Column,
+      forward: Boolean = false,
+      tolerance: Option[java.time.Duration] = None): DataFrame = {
     val spark = leftDf.sparkSession
     // Self-join guard: AsOfJoinPlan is injected post-analysis, so the
     // analyzer's DeduplicateRelations never runs on it. Shared ExprIds
@@ -144,6 +209,8 @@ object AsOf {
     GraftSqlBridge.ofRows(spark, AsOfJoinPlan(
       leftDf.queryExecution.analyzed, rightDf.queryExecution.analyzed,
       GraftSqlBridge.expr(leftKey), GraftSqlBridge.expr(rightKey),
-      GraftSqlBridge.expr(leftTime), GraftSqlBridge.expr(rightTime)))
+      GraftSqlBridge.expr(leftTime), GraftSqlBridge.expr(rightTime),
+      forward,
+      tolerance.map(d => d.toNanos / 1000L).getOrElse(-1L)))
   }
 }

@@ -63,4 +63,50 @@ class AsOfJoinSpec extends SparkSpec {
       .count()
     assert(r == 4L)
   }
+
+  test("forward direction picks the EARLIEST right row at-or-after") {
+    val r = AsOf.join(trades, quotes,
+        trades("t_key"), quotes("q_key"), trades("t_ts"), quotes("q_ts"),
+        forward = true)
+      .select($"trade_id", $"price").orderBy("trade_id").collect()
+    assert(r.map(x => (x.getLong(0), Option(x.get(1)))).toSeq == Seq(
+      (1L, Some(2.0)), // next quote after 10:00 is 10:30
+      (2L, Some(3.0)), // next after 11:00 is 12:00
+      (3L, Some(5.0)), // boundary: q_ts == t_ts matches (>=)
+      (4L, None)))
+  }
+
+  test("forward match is not consumed: several lefts can share one right") {
+    val lefts = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 10:05:00")),
+      (3L, 10L, ts("2024-01-01 10:10:00"))).toDF("trade_id", "t_key", "t_ts")
+    val r = AsOf.join(lefts, quotes,
+        lefts("t_key"), quotes("q_key"), lefts("t_ts"), quotes("q_ts"),
+        forward = true)
+      .select($"price").as[Double].collect()
+    assert(r.toSeq == Seq(2.0, 2.0, 2.0)) // all resolve to the 10:30 quote
+  }
+
+  test("tolerance nulls out matches beyond the bound (both directions)") {
+    val tol = Some(java.time.Duration.ofMinutes(10))
+    val back = AsOf.join(trades, quotes,
+        trades("t_key"), quotes("q_key"), trades("t_ts"), quotes("q_ts"),
+        tolerance = tol)
+      .select($"trade_id", $"price").orderBy("trade_id").collect()
+    assert(back.map(x => (x.getLong(0), Option(x.get(1)))).toSeq == Seq(
+      (1L, Some(1.0)), // 5 min back: within
+      (2L, None),      // 30 min back: beyond tolerance
+      (3L, Some(5.0)), // 0 min: within
+      (4L, None)))
+    val fwd = AsOf.join(trades, quotes,
+        trades("t_key"), quotes("q_key"), trades("t_ts"), quotes("q_ts"),
+        forward = true, tolerance = tol)
+      .select($"trade_id", $"price").orderBy("trade_id").collect()
+    assert(fwd.map(x => (x.getLong(0), Option(x.get(1)))).toSeq == Seq(
+      (1L, None),      // 30 min forward: beyond
+      (2L, None),      // 60 min forward: beyond
+      (3L, Some(5.0)), // 0 min: within
+      (4L, None)))
+  }
 }

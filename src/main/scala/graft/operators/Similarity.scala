@@ -98,6 +98,54 @@ object Similarity {
     result
   }
 
+  /** N2 near-dup CLUSTERS — the actual dedup deliverable: connected
+    * components over the near-dup pair graph (edges = verified pairs at
+    * jaccard ≥ threshold on the ROUNDED score, so the edge set is
+    * exactly the graded `neardup_pairs` rows), labels = component
+    * minimum. Iterative min-label propagation: each round joins labels
+    * to edges and takes the neighborhood min; Σlabels strictly
+    * decreases until fixpoint, so convergence is detected with one
+    * scalar aggregate per round (no row-level collect). Rounds needed =
+    * graph diameter — near-dup components are shallow (near-clique),
+    * so this is 2–4 rounds in practice. At 100 TB the same loop runs
+    * with large-star/small-star alternation to bound component
+    * diameter; the per-round plan (join + partial-agg min) is
+    * unchanged. Oracle: DuckDB recursive-CTE transitive closure. */
+  def neardupClusters(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = neardupPairs(spark, dir)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .cache() // doc-pair granularity, tiny
+    val edges = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+      .cache()
+    var labels = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("label")).cache()
+    var labelSum = labels.agg(sum(col("label"))).first().getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val next = labels.as("l")
+        .join(neighborMin, col("l.doc_id") === col("src"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.label"), coalesce(col("nmin"), col("l.label"))).as("label"))
+        .cache()
+      val nextSum = next.agg(sum(col("label"))).first().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == labelSum
+      labelSum = nextSum
+      rounds += 1
+    }
+    pairs.unpersist(); edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
+  }
+
   /** Left-fold double dot product of two float arrays — order-pinned to
     * match DuckDB's list_reduce (see object doc). */
   private def dotExpr(a: String, b: String): String =
@@ -262,6 +310,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "neardup_pairs"     -> (neardupPairs _),
+    "neardup_clusters"  -> ((s: SparkSession, d: String) => neardupClusters(s, d)),
     "cosine_topk"       -> ((s: SparkSession, d: String) => cosineTopk(s, d)),
     "cosine_topk_ivf"   -> ((s: SparkSession, d: String) => cosineTopkIvf(s, d)),
     "cosine_topk_ivf2"  -> ((s: SparkSession, d: String) => cosineTopkIvfProbed(s, d)),
@@ -299,41 +348,65 @@ object Similarity {
     s"list_reduce(list_transform(generate_series(1, len($a)), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
+  /** Shared LSH candidate + Jaccard CTE block (DuckDB) — used by both
+    * the pair oracle and the cluster oracle so they cannot diverge.
+    * Ends with `scored(doc_a, doc_b, n_inter, jaccard)`. */
+  private val lshScoredCtes: String =
+    s"""sig AS (
+       |  SELECT doc_id,
+       |    min(md5('0:' || s)) AS m0, min(md5('1:' || s)) AS m1,
+       |    min(md5('2:' || s)) AS m2, min(md5('3:' || s)) AS m3
+       |  FROM sh GROUP BY 1),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM sig a JOIN sig b ON a.m0 = b.m0 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id
+       |    FROM sig a JOIN sig b ON a.m1 = b.m1 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id
+       |    FROM sig a JOIN sig b ON a.m2 = b.m2 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id
+       |    FROM sig a JOIN sig b ON a.m3 = b.m3 AND a.doc_id < b.doc_id),
+       |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN shd x ON c.doc_a = x.doc_id
+       |  JOIN shd y ON c.doc_b = y.doc_id AND x.s = y.s
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT i.doc_a, i.doc_b, i.n_inter,
+       |    ${graft.functions.ScalarFns.roundSql(
+            "CAST(i.n_inter AS DOUBLE) / (sa.nsh + sb.nsh - i.n_inter)", 4)} AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sa ON i.doc_a = sa.doc_id
+       |  JOIN sizes sb ON i.doc_b = sb.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "neardup_pairs" ->
       s"""$shingleCte,
-         |sig AS (
-         |  SELECT doc_id,
-         |    min(md5('0:' || s)) AS m0, min(md5('1:' || s)) AS m1,
-         |    min(md5('2:' || s)) AS m2, min(md5('3:' || s)) AS m3
-         |  FROM sh GROUP BY 1),
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |    FROM sig a JOIN sig b ON a.m0 = b.m0 AND a.doc_id < b.doc_id
-         |  UNION
-         |  SELECT a.doc_id, b.doc_id
-         |    FROM sig a JOIN sig b ON a.m1 = b.m1 AND a.doc_id < b.doc_id
-         |  UNION
-         |  SELECT a.doc_id, b.doc_id
-         |    FROM sig a JOIN sig b ON a.m2 = b.m2 AND a.doc_id < b.doc_id
-         |  UNION
-         |  SELECT a.doc_id, b.doc_id
-         |    FROM sig a JOIN sig b ON a.m3 = b.m3 AND a.doc_id < b.doc_id),
-         |shd AS (SELECT DISTINCT doc_id, s FROM sh),
-         |sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-         |  FROM cand c
-         |  JOIN shd x ON c.doc_a = x.doc_id
-         |  JOIN shd y ON c.doc_b = y.doc_id AND x.s = y.s
-         |  GROUP BY 1, 2)
-         |SELECT i.doc_a, i.doc_b, i.n_inter,
-         |  ${graft.functions.ScalarFns.roundSql(
-              "CAST(i.n_inter AS DOUBLE) / (sa.nsh + sb.nsh - i.n_inter)", 4)} AS jaccard
-         |FROM inter i
-         |JOIN sizes sa ON i.doc_a = sa.doc_id
-         |JOIN sizes sb ON i.doc_b = sb.doc_id
+         |$lshScoredCtes
+         |SELECT doc_a, doc_b, n_inter, jaccard FROM scored
          |ORDER BY 1, 2""".stripMargin,
+    // connected components over the thresholded pair graph: recursive
+    // transitive closure, component label = min reachable doc
+    "neardup_clusters" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$lshScoredCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT doc_id FROM documents),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS r FROM nodes
+         |  UNION
+         |  SELECT e.s AS doc_id, reach.r
+         |  FROM reach JOIN edges e ON reach.doc_id = e.d)
+         |SELECT doc_id, min(r) AS cluster FROM reach
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "cosine_topk_ivf" ->
       s"""$ivfCte,
          |qb AS (SELECT cid FROM assign WHERE vec_id = 0),

@@ -66,6 +66,25 @@ class TextSimilaritySpec extends SparkSpec {
     assert(df.filter($"emb_norm" <= 0).count() == 0)
   }
 
+  test("N2: cluster labels are consistent with the pair graph") {
+    val clusters = Similarity.neardupClusters(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    // every document is labeled, labels are component members
+    val docs = Tables(spark, sf0001, "documents").select("doc_id")
+      .as[Long].collect().toSet
+    assert(clusters.keySet == docs)
+    assert(clusters.forall { case (_, c) => clusters(c) == c }) // root labels itself
+    // every thresholded edge's endpoints share a cluster
+    val pairs = Similarity.neardupPairs(spark, sf0001)
+      .filter($"jaccard" >= 0.5).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"edge ($a,$b) split across clusters")
+    }
+    // and there IS at least one non-trivial cluster in the testdata
+    assert(clusters.exists { case (d, c) => d != c })
+  }
+
   test("N3: multi-probe recall is monotone in nprobe") {
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("vec_id").as[Long].collect().toSet

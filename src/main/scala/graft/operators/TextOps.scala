@@ -37,6 +37,29 @@ object TextOps {
         (count(lit(1)) - countDistinct(col("text"))).as("n_dupes"))
       .orderBy("source")
 
+  /** Canonical text normalization (the step before exact dedup in a
+    * training-data pipeline): lowercase, strip non-alphanumerics,
+    * collapse whitespace, trim. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** N1+ normalization-aware dedup audit: distinct raw texts vs
+    * distinct NORMALIZED texts per source — the delta is the duplicate
+    * mass that only normalization exposes (case/punctuation variants).
+    * Map-only normalize, one partial-aggregated shuffle. */
+  def normalizedDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("norm", normalized(col("text")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_raw"),
+        countDistinct(col("norm")).as("n_distinct_norm"),
+        (countDistinct(col("text")) - countDistinct(col("norm")))
+          .as("n_norm_collisions"))
+      .orderBy("source")
+
   /** N4 term stats: top-20 corpus terms (explode → count → top-k). */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
@@ -180,6 +203,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "exact_dedup_stats" -> (exactDedupStats _),
+    "normalized_dedup"  -> (normalizedDedup _),
     "token_stats"       -> (tokenStats _),
     "lang_stats"        -> (langStats _),
     "doc_quality"       -> (docQuality _),
@@ -209,6 +233,19 @@ object TextOps {
           |  count(DISTINCT text) AS n_distinct_texts,
           |  count(*) - count(DISTINCT text) AS n_dupes
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      // DuckDB regexp_replace replaces FIRST match unless 'g' — Spark
+      // replaces all by default, so the flag is load-bearing
+      "normalized_dedup" ->
+        """WITH n AS (
+          |  SELECT source, text,
+          |    trim(regexp_replace(regexp_replace(lower(text),
+          |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+          |  FROM documents)
+          |SELECT source, count(*) AS n_docs,
+          |  count(DISTINCT text) AS n_distinct_raw,
+          |  count(DISTINCT norm) AS n_distinct_norm,
+          |  count(DISTINCT text) - count(DISTINCT norm) AS n_norm_collisions
+          |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
       "token_stats" ->
         """SELECT term, count(*) AS n
           |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term

@@ -358,17 +358,22 @@ object Similarity {
        |    min(md5('2:' || s)) AS m2, min(md5('3:' || s)) AS m3
        |  FROM sh GROUP BY 1),
        |cand AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |    FROM sig a JOIN sig b ON a.m0 = b.m0 AND a.doc_id < b.doc_id
-       |  UNION
-       |  SELECT a.doc_id, b.doc_id
-       |    FROM sig a JOIN sig b ON a.m1 = b.m1 AND a.doc_id < b.doc_id
-       |  UNION
-       |  SELECT a.doc_id, b.doc_id
-       |    FROM sig a JOIN sig b ON a.m2 = b.m2 AND a.doc_id < b.doc_id
-       |  UNION
-       |  SELECT a.doc_id, b.doc_id
-       |    FROM sig a JOIN sig b ON a.m3 = b.m3 AND a.doc_id < b.doc_id),
+       |  -- explicit DISTINCT over UNION ALL, NOT a bare UNION chain:
+       |  -- under WITH RECURSIVE (the cluster oracle) DuckDB gives a
+       |  -- top-level UNION in a CTE recursive-union semantics and
+       |  -- duplicates survive, silently doubling n_inter downstream
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |      FROM sig a JOIN sig b ON a.m0 = b.m0 AND a.doc_id < b.doc_id
+       |    UNION ALL
+       |    SELECT a.doc_id, b.doc_id
+       |      FROM sig a JOIN sig b ON a.m1 = b.m1 AND a.doc_id < b.doc_id
+       |    UNION ALL
+       |    SELECT a.doc_id, b.doc_id
+       |      FROM sig a JOIN sig b ON a.m2 = b.m2 AND a.doc_id < b.doc_id
+       |    UNION ALL
+       |    SELECT a.doc_id, b.doc_id
+       |      FROM sig a JOIN sig b ON a.m3 = b.m3 AND a.doc_id < b.doc_id)),
        |shd AS (SELECT DISTINCT doc_id, s FROM sh),
        |sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1),
        |inter AS (

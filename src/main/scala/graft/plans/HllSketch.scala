@@ -34,36 +34,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * Output is a struct {estimate, n_zero, sum_pow} so the graded query
   * exposes the correction inputs, not just the final number.
   */
-case class HllSketch(
-    child: Expression,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+/** The sketch algebra, shared by the batch aggregate and the streaming
+  * `mapGroupsWithState` twin (`StreamOps.streamingHllUsers`) — one
+  * definition, so stream and batch estimates are IDENTICAL, not merely
+  * close. */
+object Hll {
+  val m = 256
 
-  private val m = 256
+  def emptyRegisters: Array[Byte] = new Array[Byte](m)
 
-  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
-
-  // One digest per deserialized (= per-task) instance: digest() resets
-  // it after each call, so reuse is safe and keeps the JCA provider
-  // lookup + allocation out of the per-row hot path.
-  @transient private lazy val md5 = MessageDigest.getInstance("MD5")
-
-  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
-    val v = child.eval(input)
-    if (v != null) {
-      val d = md5.digest(v.asInstanceOf[UTF8String].getBytes)
-      val bucket = d(0) & 0xff
-      var w = 0L
-      var i = 1
-      while (i <= 8) { w = (w << 8) | (d(i) & 0xffL); i += 1 }
-      val rho = if (w == 0L) 65 else java.lang.Long.numberOfLeadingZeros(w) + 1
-      if (rho > (buf(bucket) & 0xff)) buf(bucket) = rho.toByte
-    }
-    buf
+  /** Fold one key into the registers (md5 bucket/rho — see HllSketch doc). */
+  def add(buf: Array[Byte], md5: MessageDigest, keyBytes: Array[Byte]): Unit = {
+    val d = md5.digest(keyBytes)
+    val bucket = d(0) & 0xff
+    var w = 0L
+    var i = 1
+    while (i <= 8) { w = (w << 8) | (d(i) & 0xffL); i += 1 }
+    val rho = if (w == 0L) 65 else java.lang.Long.numberOfLeadingZeros(w) + 1
+    if (rho > (buf(bucket) & 0xff)) buf(bucket) = rho.toByte
   }
 
-  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+  /** Elementwise max merge, in place into b1. */
+  def mergeInto(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
     var i = 0
     while (i < m) {
       if ((b2(i) & 0xff) > (b1(i) & 0xff)) b1(i) = b2(i)
@@ -72,9 +64,9 @@ case class HllSketch(
     b1
   }
 
-  override def eval(buf: Array[Byte]): Any = {
-    // left-to-right in index order: bit-identical to the oracle's
-    // list_reduce over list(m ORDER BY j)
+  /** (estimate, n_zero, sum_pow). Left-to-right in index order:
+    * bit-identical to the oracle's list_reduce over list(m ORDER BY j). */
+  def estimate(buf: Array[Byte]): (Double, Long, Double) = {
     var sumPow = 0.0
     var zeros = 0L
     var i = 0
@@ -89,6 +81,34 @@ case class HllSketch(
     val est =
       if (eRaw <= 2.5 * 256.0 && zeros > 0) 256.0 * math.log(256.0 / zeros)
       else eRaw
+    (est, zeros, sumPow)
+  }
+}
+
+case class HllSketch(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Byte] = Hll.emptyRegisters
+
+  // One digest per deserialized (= per-task) instance: digest() resets
+  // it after each call, so reuse is safe and keeps the JCA provider
+  // lookup + allocation out of the per-row hot path.
+  @transient private lazy val md5 = MessageDigest.getInstance("MD5")
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) Hll.add(buf, md5, v.asInstanceOf[UTF8String].getBytes)
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    Hll.mergeInto(b1, b2)
+
+  override def eval(buf: Array[Byte]): Any = {
+    val (est, zeros, sumPow) = Hll.estimate(buf)
     new GenericInternalRow(Array[Any](est, zeros, sumPow))
   }
 

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming transforms (SURVEY.md §2.9). Each is a plain
   * `DataFrame => DataFrame` so the SAME operator runs in batch (driver
@@ -53,6 +54,43 @@ object StreamOps {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** ST5+A6: streaming distinct-user estimation — the custom HLL sketch
+    * ([[graft.plans.Hll]]) carried as `mapGroupsWithState` state. Per
+    * event type the state is the 256-byte register array (constant per
+    * key — the whole point of a sketch as streaming state: distinct-user
+    * cardinality costs 256 bytes instead of one state row per user),
+    * updated per micro-batch and re-estimated on emit. Because batch
+    * and stream share ONE sketch implementation, a stream fed the same
+    * rows produces the IDENTICAL estimate as `EventOps.hllUsers`
+    * (asserted in StreamingSpec).
+    *
+    * State is deliberately NOT timed out: a running distinct count is a
+    * monotone all-time aggregate; bound it per window by keying on
+    * (window, type) instead. */
+  def streamingHllUsers(events: DataFrame): Dataset[(String, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"), col("user_id").cast("string").as("uid"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], (String, Double)](
+          GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+            state: GroupState[Array[Byte]]) =>
+          val regs = state.getOption.getOrElse(graft.plans.Hll.emptyRegisters)
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+          rows.foreach { case (_, uid) =>
+            if (uid != null) graft.plans.Hll.add(regs, md5, uid.getBytes("UTF-8"))
+          }
+          state.update(regs)
+          key -> graft.plans.Hll.estimate(regs)._1
+      }
+  }
+
+  /** Output mode for [[streamingHllUsers]] sinks. */
+  val hllOutputMode: OutputMode = OutputMode.Update()
 
   /** ST7: session windows (gap-based) per user. */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",

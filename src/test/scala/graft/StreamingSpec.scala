@@ -202,4 +202,38 @@ class StreamingSpec extends SparkSpec {
       .select("n_events").as[Long].collect().sorted
     assert(u1.sameElements(Array(1L, 2L)))
   }
+
+  test("ST5+A6: streaming HLL state equals the batch sketch exactly") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.streamingHllUsers(ms.toDF)
+      .toDF("event_type", "hll_estimate")
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("update").start()
+    // two micro-batches: state must carry the registers across batches
+    // (user 1 re-appearing in batch 2 must not raise the estimate)
+    val batch1 = Seq(Ev(1, t(0), 1, "click", 0), Ev(2, t(1), 2, "click", 0),
+      Ev(3, t(2), 1, "view", 0))
+    val batch2 = Seq(Ev(4, t(3), 1, "click", 0), Ev(5, t(4), 3, "click", 0))
+    ms.addData(batch1: _*)
+    q.processAllAvailable()
+    ms.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // final update per key: registers only grow, so the estimate is
+    // monotone non-decreasing — max = the last emitted value
+    val got = spark.table("hll_stream").groupBy("event_type")
+      .agg(max("hll_estimate").as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // batch twin over ALL the same rows, through the registered aggregate
+    graft.plans.SketchFunctions.register(spark)
+    val batch = (batch1 ++ batch2).toDF()
+      .groupBy($"event_type")
+      .agg(expr("hll_sketch(CAST(user_id AS STRING))").as("h"))
+      .select($"event_type", $"h.estimate")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == batch, s"stream $got != batch $batch")
+    // and the sketch state deduplicates: 3 distinct click users ≈ 3
+    assert(math.abs(got("click") - 3.0) < 0.2)
+  }
 }

@@ -117,6 +117,9 @@ object CampaignOps {
             concat(lit("You're invited: "), col("event_name")).as("subject"),
             concat(lit("Don't miss "), col("event_name"), lit(" on 2001-09-15")).as("preview_text"),
             col("llm_text").as("body")).as("email"),
+          // NOT shared with copyTemplate/tonedCopy on purpose: this
+          // fallback reproduces tools.py:146-153 VERBATIM (em-dash and
+          // all), while the templates mirror the separate copy surface
           struct(concat(col("event_name"),
             lit(" — 2001-09-15. Get your tickets now!")).as("body")).as("sms"))))
       .select(

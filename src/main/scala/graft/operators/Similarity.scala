@@ -143,6 +143,13 @@ object Similarity {
       rounds += 1
     }
     pairs.unpersist(); edges.unpersist()
+    // Wrong labels must never be returned silently: a component with
+    // diameter > 50 (not possible for near-clique duplicate groups,
+    // but possible for adversarial chains) fails loudly instead.
+    require(converged,
+      s"neardupClusters: label propagation did not converge in $rounds rounds")
+    // The returned frame stays cached (doc-level rows, KBs) so the
+    // caller's action doesn't recompute the whole LSH pipeline.
     labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
   }
 

@@ -91,6 +91,17 @@ case class HllSketch(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
 
+  // reject wrong input types at ANALYSIS time, not as an executor-side
+  // ClassCastException (same discipline as CosineSim)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hll_sketch expects a STRING key (cast explicitly), got ${other.simpleString}")
+    }
+
   override def createAggregationBuffer(): Array[Byte] = Hll.emptyRegisters
 
   // One digest per deserialized (= per-task) instance: digest() resets
@@ -133,5 +144,9 @@ case class HllSketch(
 object SketchFunctions {
   /** Register `hll_sketch` (idempotent). */
   def register(spark: SparkSession): Unit =
-    Registry.registerOnce(spark, "hll_sketch", exprs => HllSketch(exprs.head))
+    Registry.registerOnce(spark, "hll_sketch", { exprs =>
+      require(exprs.length == 1,
+        s"hll_sketch takes exactly 1 argument, got ${exprs.length}")
+      HllSketch(exprs.head)
+    })
 }

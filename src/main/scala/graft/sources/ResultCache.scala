@@ -68,20 +68,10 @@ object ResultCache {
       (build: => DataFrame): DataFrame = {
     val k = key(descriptor)
     val now = clock()
+    sweep(now)
     val cur = entries.get(k)
     if (cur != null && cur.expiresAtMs > now) cur.df
     else this.synchronized {
-      // TTL gates retention, not just reuse: sweep every expired entry
-      // (not only this key), or persisted DataFrames — each pinning its
-      // session's block-manager state — accumulate for the JVM lifetime.
-      val it = entries.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getValue.expiresAtMs <= now) {
-          e.getValue.df.unpersist(blocking = false)
-          it.remove()
-        }
-      }
       // re-check under the lock: another thread may have rebuilt
       val cur2 = entries.get(k)
       if (cur2 != null && cur2.expiresAtMs > now) cur2.df
@@ -94,10 +84,36 @@ object ResultCache {
     }
   }
 
+  // TTL gates RETENTION, not just reuse: expired persisted DataFrames —
+  // each pinning its session's block-manager state — must not
+  // accumulate for the JVM lifetime. Runs on every lookup (hits too:
+  // a hit-dominated workload must still release other keys' expired
+  // entries), throttled to once per 30 s of clock time.
+  @volatile private var lastSweepMs = Long.MinValue
+  private def sweep(now: Long): Unit =
+    if (now - lastSweepMs >= 30_000) this.synchronized {
+      if (now - lastSweepMs >= 30_000) {
+        lastSweepMs = now
+        val it = entries.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.expiresAtMs <= now) {
+            // a stopped session makes unpersist throw — eviction of a
+            // dead entry must not break an unrelated caller's lookup
+            try e.getValue.df.unpersist(blocking = false)
+            catch { case _: Throwable => () }
+            it.remove()
+          }
+        }
+      }
+    }
+
   /** Drop everything (test isolation). */
   private[graft] def clear(): Unit = {
-    entries.values.forEach(e => e.df.unpersist(blocking = false))
+    entries.values.forEach(e =>
+      try e.df.unpersist(blocking = false) catch { case _: Throwable => () })
     entries.clear()
     missCounter.set(0)
+    lastSweepMs = Long.MinValue
   }
 }

@@ -68,24 +68,30 @@ object StreamOps {
     * State is deliberately NOT timed out: a running distinct count is a
     * monotone all-time aggregate; bound it per window by keying on
     * (window, type) instead. */
-  def streamingHllUsers(events: DataFrame): Dataset[(String, Double)] = {
+  /** Output rows: (event_type, estimate, n_events_seen). The ESTIMATE
+    * is not monotone (the linear-counting → raw-estimate branch switch
+    * can step down), but n_events_seen is strictly increasing per key —
+    * consumers pick the latest update per key by max(n_events_seen). */
+  def streamingHllUsers(events: DataFrame): Dataset[(String, Double, Long)] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .select(col("event_type"), col("user_id").cast("string").as("uid"))
       .as[(String, String)]
       .groupByKey(_._1)
-      .mapGroupsWithState[Array[Byte], (String, Double)](
+      .mapGroupsWithState[(Array[Byte], Long), (String, Double, Long)](
           GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[(String, String)],
-            state: GroupState[Array[Byte]]) =>
-          val regs = state.getOption.getOrElse(graft.plans.Hll.emptyRegisters)
+            state: GroupState[(Array[Byte], Long)]) =>
+          var (regs, seen) = state.getOption
+            .getOrElse((graft.plans.Hll.emptyRegisters, 0L))
           val md5 = java.security.MessageDigest.getInstance("MD5")
           rows.foreach { case (_, uid) =>
             if (uid != null) graft.plans.Hll.add(regs, md5, uid.getBytes("UTF-8"))
+            seen += 1
           }
-          state.update(regs)
-          key -> graft.plans.Hll.estimate(regs)._1
+          state.update((regs, seen))
+          (key, graft.plans.Hll.estimate(regs)._1, seen)
       }
   }
 

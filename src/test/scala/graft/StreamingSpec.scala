@@ -207,7 +207,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[Ev]
     val q = StreamOps.streamingHllUsers(ms.toDF)
-      .toDF("event_type", "hll_estimate")
+      .toDF("event_type", "hll_estimate", "n_seen")
       .writeStream.format("memory").queryName("hll_stream")
       .outputMode("update").start()
     // two micro-batches: state must carry the registers across batches
@@ -220,11 +220,16 @@ class StreamingSpec extends SparkSpec {
     ms.addData(batch2: _*)
     q.processAllAvailable()
     q.stop()
-    // final update per key: registers only grow, so the estimate is
-    // monotone non-decreasing — max = the last emitted value
-    val got = spark.table("hll_stream").groupBy("event_type")
-      .agg(max("hll_estimate").as("e"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // final update per key = row with the largest n_seen (strictly
+    // increasing per key; the estimate itself is NOT monotone across
+    // the linear-counting/raw branch switch)
+    val got = spark.table("hll_stream")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy($"n_seen".desc)))
+      .filter($"rn" === 1)
+      .collect().map(r => r.getAs[String]("event_type")
+        -> r.getAs[Double]("hll_estimate")).toMap
     // batch twin over ALL the same rows, through the registered aggregate
     graft.plans.SketchFunctions.register(spark)
     val batch = (batch1 ++ batch2).toDF()

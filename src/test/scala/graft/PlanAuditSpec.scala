@@ -78,6 +78,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("hll_users plans as ObjectHashAggregate with a partial merge") {
+    // TypedImperativeAggregate → ObjectHashAggregate (not sort-based),
+    // two-phase: partial sketches merge before the exchange
+    val plan = SparkEntry.queries("hll_users")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_hll_sketch") || plan.contains("merge_hll_sketch")
+      || plan.contains("hll_sketch"), plan)
+  }
+
   test("whole-stage codegen covers the segment filter pipeline") {
     // AQE shows codegen spans only in the FINAL plan — materialize first
     val df = SparkEntry.queries("segment_stats")(spark, sf0001)

@@ -49,11 +49,47 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** W3+ the remaining analytic set: ntile, percent_rank, cume_dist,
+    * first/last value with explicit full frames. percent_rank and
+    * cume_dist are exact int-ratio divisions ((r−1)/(n−1), r/n) — the
+    * SAME IEEE division on both engines, so no rounding needed for
+    * hash parity. Deterministic: every window carries the unique
+    * c_custkey tiebreaker. */
+  def windowShowcase(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir, "customer")
+      .filter(col("c_custkey") <= 1000)
+      .select(
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).cast("bigint").as("acctbal_quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        first_value(col("c_custkey")).over(full).as("poorest_cust"),
+        last_value(col("c_custkey")).over(full).as("richest_cust"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rank_lag_orders"    -> (rankLagOrders _),
+    "window_showcase"    -> (windowShowcase _),
     "sliding_rate_limit" -> ((s: SparkSession, d: String) => slidingRateLimit(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "window_showcase" ->
+      """WITH f AS (SELECT * FROM customer WHERE c_custkey <= 1000)
+        |SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS acctbal_quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  first_value(c_custkey) OVER wf AS poorest_cust,
+        |  last_value(c_custkey) OVER wf AS richest_cust
+        |FROM f
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+        |  wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "rank_lag_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  CAST(rank() OVER (PARTITION BY o_custkey

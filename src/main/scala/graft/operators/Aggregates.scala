@@ -92,6 +92,19 @@ object Aggregates {
     urgent.except(low).orderBy("o_custkey")
   }
 
+  /** §2.7 union with schema-by-NAME alignment: the two inputs project
+    * their columns in different orders, which positional `union` would
+    * silently mis-zip — `unionByName` realigns, then distinct. */
+  def segmentUnion(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val urgent = o.filter(col("o_orderpriority") === lit("1-URGENT"))
+      .select(col("o_custkey"), col("o_orderpriority"))
+    val low = o.filter(col("o_orderpriority") === lit("5-LOW"))
+      .select(col("o_orderpriority"), col("o_custkey")) // swapped on purpose
+    urgent.unionByName(low).distinct()
+      .orderBy("o_custkey", "o_orderpriority")
+  }
+
   /** A7 cube: all 2^2 grouping combinations over (priority, status). */
   def cubePriorityStatus(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders")
@@ -199,6 +212,7 @@ object Aggregates {
     "rollup_segment_nation"  -> (rollupSegmentNation _),
     "topk_orders"            -> (topkOrders _),
     "segment_intersect"      -> (segmentIntersect _),
+    "segment_union"          -> (segmentUnion _),
     "segment_except"         -> (segmentExcept _))
 
   val oracles: Map[String, String] = Map(
@@ -266,6 +280,10 @@ object Aggregates {
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |  CAST(o_orderdate AS DATE) AS o_orderdate
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "segment_union" ->
+      """SELECT DISTINCT o_custkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |ORDER BY 1, 2""".stripMargin,
     "segment_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |INTERSECT

@@ -17,6 +17,33 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Graded form: nation-level revenue through an 8-way SALTED
+    * orders⋈customer join — result must equal the unsalted join
+    * exactly (the oracle is the plain SQL join), proving salting is
+    * pure redistribution with no semantic cost. */
+  def saltedRevenue(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val o = graft.Tables(spark, dir, "orders")
+    val c = graft.Tables(spark, dir, "customer")
+    saltedJoin(o, c, "o_custkey", "c_custkey", col("o_orderkey"), n = 8)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_nationkey")
+  }
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("salted_revenue" -> (saltedRevenue _))
+
+  val oracles: Map[String, String] = Map(
+    "salted_revenue" ->
+      """SELECT c.c_nationkey,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** Equi-join `left(leftKey) = right(rightKey)` with an n-way salt.
     * `saltBy` must be deterministic per row (e.g. a unique id column on
     * the probe side) — it only needs to DISTRIBUTE, not be unique. */

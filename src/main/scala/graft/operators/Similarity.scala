@@ -123,7 +123,13 @@ object Similarity {
       .cache()
     var labels = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("doc_id").as("label")).cache()
-    var labelSum = labels.agg(sum(col("label"))).first().getLong(0)
+    // sum over ZERO rows is SQL NULL — an empty corpus must yield an
+    // empty cluster frame, not an NPE
+    def sumOrZero(df: DataFrame): Long = {
+      val v = df.agg(sum(col("label"))).first().get(0)
+      if (v == null) 0L else v.asInstanceOf[Long]
+    }
+    var labelSum = sumOrZero(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -135,7 +141,7 @@ object Similarity {
         .select(col("l.doc_id").as("doc_id"),
           least(col("l.label"), coalesce(col("nmin"), col("l.label"))).as("label"))
         .cache()
-      val nextSum = next.agg(sum(col("label"))).first().getLong(0)
+      val nextSum = sumOrZero(next)
       labels.unpersist()
       labels = next
       converged = nextSum == labelSum

@@ -65,8 +65,12 @@ object Hll {
   }
 
   /** (estimate, n_zero, sum_pow). Left-to-right in index order:
-    * bit-identical to the oracle's list_reduce over list(m ORDER BY j). */
+    * bit-identical to the oracle's list_reduce over list(m ORDER BY j).
+    * All formulas derive from [[m]] (one source of truth) — note the
+    * bucketing in [[add]] uses the md5 digest's FIRST BYTE, which pins
+    * m to 256; changing m requires changing that too (and the oracle). */
   def estimate(buf: Array[Byte]): (Double, Long, Double) = {
+    val md = m.toDouble
     var sumPow = 0.0
     var zeros = 0L
     var i = 0
@@ -76,10 +80,10 @@ object Hll {
       if (reg == 0) zeros += 1
       i += 1
     }
-    val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
-    val eRaw = alpha * 256.0 * 256.0 / sumPow
+    val alpha = 0.7213 / (1.0 + 1.079 / md)
+    val eRaw = alpha * md * md / sumPow
     val est =
-      if (eRaw <= 2.5 * 256.0 && zeros > 0) 256.0 * math.log(256.0 / zeros)
+      if (eRaw <= 2.5 * md && zeros > 0) md * math.log(md / zeros)
       else eRaw
     (est, zeros, sumPow)
   }

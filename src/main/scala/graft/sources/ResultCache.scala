@@ -76,6 +76,11 @@ object ResultCache {
       val cur2 = entries.get(k)
       if (cur2 != null && cur2.expiresAtMs > now) cur2.df
       else {
+        // rebuilding an EXPIRED key: release the stale entry's blocks
+        // before overwriting — put() alone would orphan them forever
+        if (cur2 != null)
+          try cur2.df.unpersist(blocking = false)
+          catch { case _: Throwable => () }
         missCounter.incrementAndGet()
         val df = build.persist(StorageLevel.MEMORY_AND_DISK)
         entries.put(k, Entry(df, now + ttlSeconds * 1000))
@@ -89,10 +94,15 @@ object ResultCache {
   // accumulate for the JVM lifetime. Runs on every lookup (hits too:
   // a hit-dominated workload must still release other keys' expired
   // entries), throttled to once per 30 s of clock time.
+  // MinValue = "never swept" sentinel, checked EXPLICITLY: computing
+  // `now - Long.MinValue` overflows negative and would disable the
+  // throttle guard forever.
   @volatile private var lastSweepMs = Long.MinValue
+  private def due(now: Long): Boolean =
+    lastSweepMs == Long.MinValue || now - lastSweepMs >= 30_000
   private def sweep(now: Long): Unit =
-    if (now - lastSweepMs >= 30_000) this.synchronized {
-      if (now - lastSweepMs >= 30_000) {
+    if (due(now)) this.synchronized {
+      if (due(now)) {
         lastSweepMs = now
         val it = entries.entrySet().iterator()
         while (it.hasNext) {

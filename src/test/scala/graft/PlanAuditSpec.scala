@@ -84,8 +84,9 @@ class PlanAuditSpec extends SparkSpec {
     val plan = SparkEntry.queries("hll_users")(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), plan)
-    assert(plan.contains("partial_hll_sketch") || plan.contains("merge_hll_sketch")
-      || plan.contains("hll_sketch"), plan)
+    // the PARTIAL mode marker specifically — a bare "hll_sketch" match
+    // would pass even if the two-phase split regressed
+    assert(plan.contains("partial_hll_sketch"), plan)
   }
 
   test("whole-stage codegen covers the segment filter pipeline") {

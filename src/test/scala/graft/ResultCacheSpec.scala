@@ -57,6 +57,19 @@ class ResultCacheSpec extends SparkSpec {
     assert(ResultCache.misses == 2)
   }
 
+  test("S6: expired entries are swept (unpersisted) on unrelated lookups") {
+    var now = 1_000_000L
+    ResultCache.clock = () => now
+    val a = ResultCache.getOrCompute("filters-e", 1)(Seq(1).toDF("x"))
+    assert(a.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    now += 301 * 1000
+    // looking up a DIFFERENT key must still evict+release filters-e —
+    // TTL bounds retention, not just reuse
+    ResultCache.getOrCompute("filters-f", 300)(Seq(2).toDF("x"))
+    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "expired entry's blocks were not released by the sweep")
+  }
+
   test("S6: the graded cached query equals its uncached twin") {
     val cached = SparkEntry.queries("segment_stats_cached")(spark, sf0001).collect()
     val plain = SparkEntry.queries("segment_stats")(spark, sf0001).collect()

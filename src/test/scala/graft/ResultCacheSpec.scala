@@ -70,6 +70,25 @@ class ResultCacheSpec extends SparkSpec {
       "expired entry's blocks were not released by the sweep")
   }
 
+  test("S6: concurrent lookups of one key build exactly once") {
+    ResultCache.clock = () => 1_000_000L
+    val builds = new java.util.concurrent.atomic.AtomicInteger()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long =
+            ResultCache.getOrCompute("filters-conc", 300) {
+              builds.incrementAndGet()
+              Seq(1, 2, 3).toDF("x")
+            }.count()
+        })
+      }
+      assert(futures.map(_.get()).forall(_ == 3L))
+      assert(builds.get() == 1, s"build ran ${builds.get()} times under contention")
+    } finally pool.shutdown()
+  }
+
   test("S6: the graded cached query equals its uncached twin") {
     val cached = SparkEntry.queries("segment_stats_cached")(spark, sf0001).collect()
     val plain = SparkEntry.queries("segment_stats")(spark, sf0001).collect()

@@ -65,4 +65,26 @@ class CatalogSinkSpec extends SparkSpec {
     assert(parsed.filter(col("seq") === maxSeq).first()
       .getAs[String]("type") == "done")
   }
+
+  test("S1: JSON and CSV round-trip the documents table losslessly") {
+    // the reference's native format is JSON (fans.json) — the library
+    // must read/write the interchange formats, not just parquet
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val docs = Tables(spark, sf0001, "documents")
+      .select("doc_id", "lang", "source", "n_chars", "text")
+    docs.write.mode("overwrite").json(s"$base/docs_json")
+    docs.write.mode("overwrite").option("header", "true")
+      .csv(s"$base/docs_csv")
+    val viaJson = spark.read.json(s"$base/docs_json")
+      .select(docs.columns.map(c => col(c).cast(docs.schema(c).dataType)): _*)
+    assert(viaJson.exceptAll(docs).count() == 0)
+    assert(docs.exceptAll(viaJson).count() == 0)
+    // CSV: same row count + key columns survive (text may contain
+    // delimiters/newlines — quoting must handle them)
+    val viaCsv = spark.read.option("header", "true")
+      .option("multiLine", "true").csv(s"$base/docs_csv")
+    assert(viaCsv.count() == docs.count())
+    assert(viaCsv.select(col("doc_id").cast("long")).exceptAll(
+      docs.select("doc_id")).count() == 0)
+  }
 }

@@ -68,6 +68,29 @@ object TextOps {
       .orderBy(col("n").desc, col("term"))
       .limit(20)
 
+  /** N4+ heavy hitters with bounded memory: the top-20 exact terms
+    * scored against the corpus-wide Count-Min sketch
+    * ([[graft.plans.CmsSketch]] — a 4×256 counter array built in ONE
+    * pass, merged by elementwise sum). n_cms ≥ n_exact always (CMS
+    * never underestimates); the gap is the collision overestimate. At
+    * 100 TB the sketch replaces the exact term group-by wherever ±N/w
+    * error is acceptable — constant memory instead of a shuffle keyed
+    * by every distinct term. */
+  def cmsTermCounts(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.CmsSketch.register(spark)
+    val terms = Tables(spark, dir, "documents").select(explode(toks).as("term"))
+    val sketch = terms.agg(expr("cms_sketch(term)").as("cms"))
+    val ests = (0 until graft.plans.CmsSketch.D).map { i =>
+      element_at(col("cms"), lit(i * graft.plans.CmsSketch.W + 1) +
+        conv(substring(md5(concat(lit(s"$i:"), col("term"))), 1, 2),
+          16, 10).cast("int"))
+    }
+    tokenStats(spark, dir).withColumnRenamed("n", "n_exact")
+      .crossJoin(broadcast(sketch))
+      .select(col("term"), col("n_exact"), least(ests: _*).as("n_cms"))
+      .orderBy("term")
+  }
+
   /** N4: per-language corpus distribution. */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
@@ -205,6 +228,7 @@ object TextOps {
     "exact_dedup_stats" -> (exactDedupStats _),
     "normalized_dedup"  -> (normalizedDedup _),
     "token_stats"       -> (tokenStats _),
+    "cms_term_counts"   -> (cmsTermCounts _),
     "lang_stats"        -> (langStats _),
     "doc_quality"       -> (docQuality _),
     "language_id"       -> (languageId _),
@@ -251,6 +275,30 @@ object TextOps {
           |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
           |      FROM documents)
           |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
+      "cms_term_counts" -> {
+        // bucket of row i for a term = first md5 byte of "i:" || term,
+        // via the same nibble arithmetic as the HLL oracle
+        def bucket(i: Int, e: String) =
+          s"(instr('0123456789abcdef', substr(md5('$i:' || $e), 1, 1)) - 1) * 16" +
+            s" + instr('0123456789abcdef', substr(md5('$i:' || $e), 2, 1)) - 1"
+        val counters = (0 until 4).map(i =>
+          s"c$i AS (SELECT ${bucket(i, "term")} AS b, count(*) AS cnt" +
+            s" FROM terms GROUP BY 1)").mkString(",\n          |")
+        val joins = (0 until 4).map(i =>
+          s"JOIN c$i x$i ON x$i.b = ${bucket(i, "e.term")}").mkString("\n          |")
+        s"""WITH terms AS (
+          |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+          |  FROM documents),
+          |exact AS (
+          |  SELECT term, count(*) AS n_exact FROM terms
+          |  GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20),
+          |$counters
+          |SELECT e.term, e.n_exact,
+          |  CAST(least(x0.cnt, x1.cnt, x2.cnt, x3.cnt) AS BIGINT) AS n_cms
+          |FROM exact e
+          |$joins
+          |ORDER BY e.term""".stripMargin
+      },
       "lang_stats" ->
         s"""SELECT lang, count(*) AS n_docs,
           |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -31,6 +31,30 @@ class HllSketchSpec extends SparkSpec {
     assert(run(1).sameElements(run(13)))
   }
 
+  test("CMS never underestimates and is exact without collisions") {
+    val df = EventOps.hllUsers(spark, sf0001) // ensure session is warm
+    graft.plans.CmsSketch.register(spark)
+    val r = graft.operators.TextOps.cmsTermCounts(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val exact = row.getAs[Long]("n_exact")
+      val cms = row.getAs[Long]("n_cms")
+      assert(cms >= exact,
+        s"CMS underestimated ${row.getAs[String]("term")}: $cms < $exact")
+    }
+  }
+
+  test("CMS merge is partition-invariant") {
+    graft.plans.CmsSketch.register(spark)
+    def run(parts: Int) =
+      Tables(spark, sf0001, "documents").repartition(parts)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .filter(col("t") =!= "")
+        .agg(expr("cms_sketch(t)").as("cms"))
+        .selectExpr("cms").collect()(0).getSeq[Long](0)
+    assert(run(1) == run(7))
+  }
+
   test("null keys are ignored, empty groups estimate 0") {
     graft.plans.SketchFunctions.register(spark)
     val df = Seq(("a", Some("x")), ("a", Some("y")), ("a", None), ("b", None))

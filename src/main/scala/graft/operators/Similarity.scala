@@ -166,9 +166,16 @@ object Similarity {
     // but possible for adversarial chains) fails loudly instead.
     require(converged,
       s"neardupClusters: label propagation did not converge in $rounds rounds")
-    // The returned frame stays cached (doc-level rows, KBs) so the
-    // caller's action doesn't recompute the whole LSH pipeline.
-    labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
+    // Materialize the FINAL frame at the same storage level ResultCache
+    // uses (its persist call is then a no-op), and release the inner
+    // per-round cache — otherwise the TTL sweep would unpersist only
+    // the outer frame while this one stayed pinned forever.
+    val out = labels.select(col("doc_id"), col("label").as("cluster"))
+      .orderBy("doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    labels.unpersist()
+    out
   }
 
   /** N1–N4 capstone — the complete training-data curation pipeline as
@@ -189,7 +196,7 @@ object Similarity {
     val d = Tables(spark, dir, "documents")
       .withColumn("norm", TextOps.normalized(col("text")))
       .withColumn("n_tokens", size(graft.functions.Shingles.sparkToks))
-      .withColumn("q_pass", col("n_tokens") >= 10)
+      .withColumn("q_pass", col("n_tokens") >= TextOps.QualityMinTokens)
     val flagged = d
       .withColumn("exact_rn", row_number().over(
         w.partitionBy(col("q_pass"), col("norm")).orderBy(col("doc_id"))))
@@ -489,10 +496,9 @@ object Similarity {
          |  FROM reach JOIN edges e ON reach.doc_id = e.d),
          |clu AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY 1),
          |docs2 AS (
-         |  SELECT doc_id, source,
-         |    trim(regexp_replace(regexp_replace(lower(text),
-         |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
-         |    len(list_filter(string_split(text, ' '), x -> x <> '')) >= 10 AS q_pass
+         |  SELECT doc_id, source, ${TextOps.normSql("text")} AS norm,
+         |    len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |      >= ${TextOps.QualityMinTokens} AS q_pass
          |  FROM documents),
          |f1 AS (
          |  SELECT d.*, c.cluster,

@@ -44,6 +44,16 @@ object TextOps {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** DuckDB twin of [[normalized]] — oracle-critical, lives ONLY here.
+    * (DuckDB regexp_replace needs the 'g' flag: its default is
+    * first-match, Spark's is replace-all.) */
+  def normSql(e: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Minimum token count for docQuality's 'fair' tier — shared with the
+    * pipeline_yield quality gate on BOTH engines. */
+  val QualityMinTokens = 10
+
   /** N1+ normalization-aware dedup audit: distinct raw texts vs
     * distinct NORMALIZED texts per source — the delta is the duplicate
     * mass that only normalization exposes (case/punctuation variants).
@@ -119,7 +129,7 @@ object TextOps {
       .withColumn("quality",
         when(col("n_tokens") >= 50 &&
              col("n_stop").cast("double") / col("n_tokens") >= 0.05, "good")
-          .when(col("n_tokens") >= 10, "fair")
+          .when(col("n_tokens") >= QualityMinTokens, "fair")
           .otherwise("poor"))
       .select("doc_id", "lang", "n_tokens", "n_stop", "stop_ratio",
         "avg_token_len", "quality")
@@ -260,10 +270,8 @@ object TextOps {
       // DuckDB regexp_replace replaces FIRST match unless 'g' — Spark
       // replaces all by default, so the flag is load-bearing
       "normalized_dedup" ->
-        """WITH n AS (
-          |  SELECT source, text,
-          |    trim(regexp_replace(regexp_replace(lower(text),
-          |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        s"""WITH n AS (
+          |  SELECT source, text, ${normSql("text")} AS norm
           |  FROM documents)
           |SELECT source, count(*) AS n_docs,
           |  count(DISTINCT text) AS n_distinct_raw,
@@ -317,7 +325,7 @@ object TextOps {
            |  CASE WHEN len(t) >= 50
            |         AND CAST(len(list_filter(t, x -> x IN ($stopArrSql))) AS DOUBLE) / len(t) >= 0.05
            |       THEN 'good'
-           |       WHEN len(t) >= 10 THEN 'fair' ELSE 'poor' END AS quality
+           |       WHEN len(t) >= $QualityMinTokens THEN 'fair' ELSE 'poor' END AS quality
            |FROM d ORDER BY doc_id""".stripMargin,
       "language_id" ->
         s"""WITH d AS (

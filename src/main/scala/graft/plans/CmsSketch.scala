@@ -43,14 +43,22 @@ case class CmsSketch(
   override def createAggregationBuffer(): Array[Long] = new Array[Long](D * W)
 
   @transient private lazy val md5 = MessageDigest.getInstance("MD5")
+  // Per-row-hot-path discipline (same as HllSketch): no String
+  // materialization per input row — the "i:" prefixes are fixed byte
+  // arrays, fed to the digest ahead of the key's UTF-8 bytes (bytewise
+  // identical to md5 of the concatenated string).
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(D)(i => s"$i:".getBytes("UTF-8"))
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val t = v.asInstanceOf[UTF8String].toString
+      val kb = v.asInstanceOf[UTF8String].getBytes
       var i = 0
       while (i < D) {
-        val bucket = md5.digest(s"$i:$t".getBytes("UTF-8"))(0) & 0xff
+        md5.update(prefixes(i))
+        md5.update(kb)
+        val bucket = md5.digest()(0) & 0xff
         buf(i * W + bucket) += 1
         i += 1
       }

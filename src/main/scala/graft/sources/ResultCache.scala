@@ -71,10 +71,12 @@ object ResultCache {
     sweep(now)
     val cur = entries.get(k)
     if (cur != null && cur.expiresAtMs > now) cur.df
-    else this.synchronized {
+    // PER-KEY lock: a slow build (the cluster pipeline takes seconds)
+    // must not serialize lookups of unrelated keys behind it.
+    else keyLocks.computeIfAbsent(k, _ => new Object).synchronized {
       // re-check under the lock: another thread may have rebuilt
       val cur2 = entries.get(k)
-      if (cur2 != null && cur2.expiresAtMs > now) cur2.df
+      if (cur2 != null && cur2.expiresAtMs > clock()) cur2.df
       else {
         // rebuilding an EXPIRED key: release the stale entry's blocks
         // before overwriting — put() alone would orphan them forever
@@ -83,11 +85,13 @@ object ResultCache {
           catch { case _: Throwable => () }
         missCounter.incrementAndGet()
         val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-        entries.put(k, Entry(df, now + ttlSeconds * 1000))
+        entries.put(k, Entry(df, clock() + ttlSeconds * 1000))
         df
       }
     }
   }
+
+  private val keyLocks = new ConcurrentHashMap[String, Object]()
 
   // TTL gates RETENTION, not just reuse: expired persisted DataFrames —
   // each pinning its session's block-manager state — must not
@@ -113,6 +117,10 @@ object ResultCache {
             try e.getValue.df.unpersist(blocking = false)
             catch { case _: Throwable => () }
             it.remove()
+            // key-lock objects are deliberately NOT removed: a thread
+            // may be parked on one, and swapping it out would let two
+            // builds of the same key race. They are bytes per distinct
+            // descriptor — bounded and negligible.
           }
         }
       }

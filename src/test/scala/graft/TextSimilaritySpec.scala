@@ -85,6 +85,35 @@ class TextSimilaritySpec extends SparkSpec {
     assert(clusters.exists { case (d, c) => d != c })
   }
 
+  test("N2: connected components converge in O(log n) rounds on a chain") {
+    // An adversarial CHAIN of 1000 vertices: diameter 999, so plain
+    // min-label propagation needs ~999 rounds (round 2's 50-round guard
+    // would fire). Pointer jumping must close it in ~2*log2(1000)+slack.
+    val n = 1000
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1))
+    val pairs = chain.toDF("src", "dst")
+    val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+    val (labels, rounds) = Similarity.connectedComponents(edges)
+    val got = labels.as[(Long, Long)].collect().toMap
+    labels.unpersist()
+    assert(got.size == n)
+    assert(got.values.forall(_ == 0L), "one component, min label 0")
+    assert(rounds <= 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt + 5,
+      s"chain of $n vertices took $rounds rounds — pointer jumping broken?")
+  }
+
+  test("N2: connected components label several disjoint components correctly") {
+    // two triangles + one isolated edge + self-contained pair ordering
+    val raw = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (20L, 21L))
+    val pairs = raw.toDF("src", "dst")
+    val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+    val (labels, _) = Similarity.connectedComponents(edges)
+    val got = labels.as[(Long, Long)].collect().toMap
+    labels.unpersist()
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("N3: multi-probe recall is monotone in nprobe") {
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("vec_id").as[Long].collect().toSet

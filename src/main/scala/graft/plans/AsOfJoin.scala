@@ -203,6 +203,22 @@ object AsOf {
       s"AsOf.join: left and right share attributes ${overlap.mkString(", ")} — " +
         "self as-of joins need an independent second scan of the table " +
         "(re-read it via Tables/spark.read) rather than the same DataFrame.")
+    // tolerance is converted to MICROSECONDS below, which is only the
+    // right unit for TimestampType's internal encoding. Raw Long time
+    // columns (e.g. epoch SECONDS) would make the bound silently off by
+    // 1e6 — reject at plan time instead (advice r2).
+    if (tolerance.isDefined) {
+      def tsType(c: Column, side: String): Unit = {
+        val dt = GraftSqlBridge.expr(c).dataType
+        require(dt == org.apache.spark.sql.types.TimestampType ||
+            dt == org.apache.spark.sql.types.TimestampNTZType,
+          s"AsOf.join: tolerance requires timestamp time columns (both " +
+            s"encode MICROSECONDS internally), but the $side time column is " +
+            s"${dt.simpleString} — convert explicitly (e.g. " +
+            "timestamp_seconds/timestamp_micros) or drop the tolerance.")
+      }
+      tsType(leftTime, "left"); tsType(rightTime, "right")
+    }
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy

@@ -72,7 +72,11 @@ case class CmsSketch(
     b1
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  // clone: never alias the live mutable aggregation buffer into the
+  // output row — safe under today's ObjectHashAggregate calling
+  // convention, but Spark's own sketch aggregates copy on eval, and a
+  // future buffer reuse would silently corrupt emitted rows (advice r2)
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(D * W * 8)

@@ -127,8 +127,13 @@ case class HllSketch(
     new GenericInternalRow(Array[Any](est, zeros, sumPow))
   }
 
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  // clone both directions: the serialized form must not alias the live
+  // buffer (and vice versa) — Spark owns the byte array it hands to /
+  // takes from these methods, and a later mutation through either
+  // reference would corrupt the other (advice r2; Spark's own sketch
+  // aggregates copy here too)
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
 
   override def dataType: DataType = StructType(Seq(
     StructField("estimate", DoubleType, nullable = false),

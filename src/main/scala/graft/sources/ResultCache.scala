@@ -78,16 +78,53 @@ object ResultCache {
       val cur2 = entries.get(k)
       if (cur2 != null && cur2.expiresAtMs > clock()) cur2.df
       else {
-        // rebuilding an EXPIRED key: release the stale entry's blocks
-        // before overwriting — put() alone would orphan them forever
+        missCounter.incrementAndGet()
+        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+        // install the replacement BEFORE releasing the stale entry: a
+        // reader that fast-path-hit the stale frame a moment ago keeps
+        // working against still-persisted blocks for the (tiny) window
+        // where both exist, instead of silently degrading to a full
+        // recompute mid-job (round-2 advice).
+        entries.put(k, Entry(df, clock() + ttlSeconds * 1000))
+        installEndOfAppCleanup(df.sparkSession)
         if (cur2 != null)
           try cur2.df.unpersist(blocking = false)
           catch { case _: Throwable => () }
-        missCounter.incrementAndGet()
-        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-        entries.put(k, Entry(df, clock() + ttlSeconds * 1000))
         df
       }
+    }
+  }
+
+  // Entries are also released at application end (SparkContext stop):
+  // without this, cached DataFrames — each strongly pinning its
+  // SparkSession — would be retained for the JVM lifetime in a process
+  // that starts and stops Spark contexts (round-2 advice). One listener
+  // per context, installed on first build against it.
+  private val cleanupInstalled =
+    java.util.Collections.newSetFromMap(
+      new ConcurrentHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
+  private def installEndOfAppCleanup(s: org.apache.spark.sql.SparkSession): Unit = {
+    val sc = s.sparkContext
+    if (cleanupInstalled.add(sc))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          evictAll()
+      })
+  }
+
+  /** Release every entry NOW (blocks unpersisted, map emptied) —
+    * invoked automatically at application end, callable explicitly by
+    * an embedding application at its own shutdown points. keyLocks are
+    * deliberately retained (a thread may be parked on one; they are
+    * bytes per distinct descriptor). */
+  def evictAll(): Unit = {
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      try e.getValue.df.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      it.remove()
     }
   }
 
@@ -126,11 +163,9 @@ object ResultCache {
       }
     }
 
-  /** Drop everything (test isolation). */
+  /** Drop everything and reset counters (test isolation). */
   private[graft] def clear(): Unit = {
-    entries.values.forEach(e =>
-      try e.df.unpersist(blocking = false) catch { case _: Throwable => () })
-    entries.clear()
+    evictAll()
     missCounter.set(0)
     lastSweepMs = Long.MinValue
   }

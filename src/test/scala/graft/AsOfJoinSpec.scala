@@ -88,6 +88,49 @@ class AsOfJoinSpec extends SparkSpec {
     assert(r.toSeq == Seq(2.0, 2.0, 2.0)) // all resolve to the 10:30 quote
   }
 
+  test("tolerance with non-timestamp time columns is rejected at plan time") {
+    // epoch-SECONDS Long columns would make the micros-encoded tolerance
+    // silently off by 1e6 — the API must refuse, not mis-join
+    val l = Seq((1L, 100L)).toDF("k", "t")
+    val r = Seq((1L, 90L)).toDF("rk", "rt")
+    val ex = intercept[IllegalArgumentException] {
+      AsOf.join(l, r, l("k"), r("rk"), l("t"), r("rt"),
+        tolerance = Some(java.time.Duration.ofSeconds(30)))
+    }
+    assert(ex.getMessage.contains("tolerance requires timestamp time columns"))
+    // without tolerance, raw Long time columns remain legal (compared
+    // in their own encoding, as documented)
+    assert(AsOf.join(l, r, l("k"), r("rk"), l("t"), r("rt")).count() == 1)
+  }
+
+  test("duplicate left timestamps: every tied left row gets the same match") {
+    // the merge cursor must not consume the right match on the first of
+    // several equal-time left rows
+    val l = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 10:00:00")), // tie with trade 1
+      (3L, 10L, ts("2024-01-01 10:00:00")), // and again
+      (4L, 10L, ts("2024-01-01 11:00:00"))
+    ).toDF("id", "k", "t")
+    val r = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 1.0),
+      (10L, ts("2024-01-01 10:30:00"), 2.0)
+    ).toDF("rk", "rt", "v")
+    val back = AsOf.join(l, r, l("k"), r("rk"), l("t"), r("rt"))
+      .select($"id", $"v").orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(back == Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 2.0)))
+    val r2 = Seq(
+      (10L, ts("2024-01-01 10:30:00"), 2.0),
+      (10L, ts("2024-01-01 12:00:00"), 3.0)
+    ).toDF("rk", "rt", "v")
+    val fwd = AsOf.join(l, r2, l("k"), r2("rk"), l("t"), r2("rt"),
+        forward = true)
+      .select($"id", $"v").orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(fwd == Seq((1L, 2.0), (2L, 2.0), (3L, 2.0), (4L, 3.0)))
+  }
+
   test("tolerance nulls out matches beyond the bound (both directions)") {
     val tol = Some(java.time.Duration.ofMinutes(10))
     val back = AsOf.join(trades, quotes,

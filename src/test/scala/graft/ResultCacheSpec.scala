@@ -89,6 +89,37 @@ class ResultCacheSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("S6: the dedup/IVF pipelines leave ZERO graft-owned pinned frames after expiry") {
+    var now = 1_000_000L
+    ResultCache.clock = () => now
+    // build every ResultCache-routed shared intermediate
+    val pairs = operators.Similarity.neardupPairs(spark, sf0001)
+    val clusters = operators.Similarity.neardupClusters(spark, sf0001)
+    val assign = operators.Similarity.ivfAssign(spark, sf0001)
+    val frames = Seq("pairs" -> pairs, "clusters" -> clusters, "assign" -> assign)
+    frames.foreach { case (n, df) =>
+      assert(df.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        s"$n should be persisted while fresh") }
+    // expire everything, then trigger the sweep with an unrelated lookup
+    now += 301 * 1000
+    ResultCache.getOrCompute("unrelated", 300)(Seq(1).toDF("x"))
+    frames.foreach { case (n, df) =>
+      assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        s"$n still pinned after TTL expiry + sweep — cache leak") }
+  }
+
+  test("S6: evictAll releases every entry immediately") {
+    ResultCache.clock = () => 1_000_000L
+    val a = ResultCache.getOrCompute("filters-g", 300)(Seq(1).toDF("x"))
+    assert(a.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    ResultCache.evictAll()
+    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    // and the next lookup is a rebuild, not a stale hit
+    var built = false
+    ResultCache.getOrCompute("filters-g", 300) { built = true; Seq(2).toDF("x") }
+    assert(built)
+  }
+
   test("S6: the graded cached query equals its uncached twin") {
     val cached = SparkEntry.queries("segment_stats_cached")(spark, sf0001).collect()
     val plain = SparkEntry.queries("segment_stats")(spark, sf0001).collect()

@@ -32,7 +32,7 @@ object SparkEntry {
   ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
     EventOps.queries ++ CampaignOps.queries ++ TextOps.queries ++
     Similarity.queries ++ graft.functions.TypedAggs.queries ++
-    Multimodal.queries ++ Skew.queries
+    Multimodal.queries ++ Skew.queries ++ graft.streaming.StreamReplay.queries
 
   /** `approx_users` intentionally has NO oracle (HLL sketches are not
     * cross-engine comparable) → driver rows-only check. */
@@ -46,5 +46,5 @@ object SparkEntry {
   ) ++ Joins.oracles ++ Aggregates.oracles ++ Windows.oracles ++
     EventOps.oracles ++ CampaignOps.oracles ++ TextOps.oracles ++
     Similarity.oracles ++ graft.functions.TypedAggs.oracles ++
-    Multimodal.oracles ++ Skew.oracles
+    Multimodal.oracles ++ Skew.oracles ++ graft.streaming.StreamReplay.oracles
 }

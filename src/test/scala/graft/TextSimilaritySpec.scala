@@ -114,6 +114,40 @@ class TextSimilaritySpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("N2: embedding clusters are consistent with the embedding pair graph") {
+    val clusters = Similarity.embeddingClusters(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    val vecs = Tables(spark, sf0001, "embeddings").select("vec_id")
+      .as[Long].collect().toSet
+    assert(clusters.keySet == vecs)
+    assert(clusters.forall { case (_, c) => clusters(c) == c }) // root labels itself
+    val pairs = Similarity.embeddingNeardup(spark, sf0001)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"edge ($a,$b) split across clusters")
+    }
+    if (pairs.nonEmpty) assert(clusters.exists { case (v, c) => v != c })
+  }
+
+  test("N3: batch ANN agrees with the single-query IVF path per query") {
+    val batch = Similarity.cosineTopkBatch(spark, sf0001, nQueries = 8, k = 3)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    // ranks are 1..k, scores descending within each query
+    batch.foreach { case (qid, rows) =>
+      val ranked = rows.sortBy(_.getAs[Long]("rank"))
+      assert(ranked.map(_.getAs[Long]("rank")).toSeq == (1L to ranked.length))
+      val sims = ranked.map(_.getAs[Double]("cosine_sim"))
+      assert(sims.sameElements(sims.sorted.reverse), s"query $qid not descending")
+    }
+    // query 0's batch top-3 == the head of the dedicated nprobe=1 path
+    val single = Similarity.cosineTopkIvf(spark, sf0001, k = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    val q0 = batch(0L).sortBy(_.getAs[Long]("rank"))
+      .map(_.getAs[Long]("vec_id")).toSeq
+    assert(q0 == single, s"batch $q0 != single-query $single")
+  }
+
   test("N3: multi-probe recall is monotone in nprobe") {
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("vec_id").as[Long].collect().toSet

@@ -234,7 +234,47 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .orderBy("simhash16")
 
+  /** N4 quality FUNNEL (Gopher-style sequential filter rules): each doc
+    * passes through ordered rules — token-count bounds, mean-word-length
+    * bounds, symbol-ratio cap, minimum stopword evidence — and the
+    * report counts, per source, how many docs each rule removes AMONG
+    * the survivors of the previous rules. This per-rule attrition view
+    * is how curation pipelines tune thresholds: a rule that kills 40 %
+    * of a source is visible at a glance. Map-only flag columns + ONE
+    * grouped aggregate — no per-rule rescans, no extra shuffle. */
+  def qualityFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = stopwords.map(s => s"'$s'").mkString(", ")
+    Tables(spark, dir, "documents")
+      .withColumn("t", toks)
+      .withColumn("n_tokens", size(col("t")).cast("bigint"))
+      .withColumn("avg_tok",
+        length(regexp_replace(col("text"), " ", "")).cast("double")
+          / col("n_tokens"))
+      .withColumn("sym_ratio",
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
+          / length(col("text")))
+      .withColumn("n_stop",
+        expr(s"size(filter(t, x -> x in ($stopArr)))").cast("bigint"))
+      .withColumn("f1", col("n_tokens").between(10, 5000))
+      .withColumn("f2", col("avg_tok").between(3.0, 10.0))
+      .withColumn("f3", col("sym_ratio") <= 0.10)
+      .withColumn("f4", col("n_stop") >= 2)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(!col("f1"), 1L).otherwise(0L)).as("fail_len"),
+        sum(when(col("f1") && !col("f2"), 1L).otherwise(0L)).as("fail_wordlen"),
+        sum(when(col("f1") && col("f2") && !col("f3"), 1L).otherwise(0L))
+          .as("fail_symbol"),
+        sum(when(col("f1") && col("f2") && col("f3") && !col("f4"), 1L)
+          .otherwise(0L)).as("fail_stop"),
+        sum(when(col("f1") && col("f2") && col("f3") && col("f4"), 1L)
+          .otherwise(0L)).as("n_keep"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_funnel"    -> (qualityFunnel _),
     "exact_dedup_stats" -> (exactDedupStats _),
     "normalized_dedup"  -> (normalizedDedup _),
     "token_stats"       -> (tokenStats _),
@@ -262,6 +302,30 @@ object TextOps {
     val simhashConcat = (1 to 16).map(i =>
       s"CASE WHEN s$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
     Map(
+      // same sequential-rule semantics, same token/char definitions as
+      // the Spark side; DuckDB regexp_replace needs the 'g' flag to
+      // strip ALL symbol chars, like Spark does by default
+      "quality_funnel" ->
+        s"""WITH d AS (
+           |  SELECT source, text,
+           |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+           |  FROM documents),
+           |f AS (
+           |  SELECT source,
+           |    (len(t) BETWEEN 10 AND 5000) AS f1,
+           |    (CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(t)
+           |       BETWEEN 3.0 AND 10.0) AS f2,
+           |    (CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+           |       / length(text) <= 0.10) AS f3,
+           |    (len(list_filter(t, x -> x IN ($stopArrSql))) >= 2) AS f4
+           |  FROM d)
+           |SELECT source, count(*) AS n_raw,
+           |  CAST(sum(CASE WHEN NOT f1 THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+           |  CAST(sum(CASE WHEN f1 AND NOT f2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordlen,
+           |  CAST(sum(CASE WHEN f1 AND f2 AND NOT f3 THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol,
+           |  CAST(sum(CASE WHEN f1 AND f2 AND f3 AND NOT f4 THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+           |  CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+           |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
       "exact_dedup_stats" ->
         """SELECT source, count(*) AS n_docs,
           |  count(DISTINCT text) AS n_distinct_texts,

@@ -30,6 +30,18 @@ class TextSimilaritySpec extends SparkSpec {
     assert(labels.subsetOf(Set("good", "fair", "poor")))
   }
 
+  test("N4: quality funnel partitions every source exactly") {
+    val rows = TextOps.qualityFunnel(spark, sf0001).collect()
+    rows.foreach { r =>
+      val parts = Seq("fail_len", "fail_wordlen", "fail_symbol", "fail_stop",
+        "n_keep").map(r.getAs[Long](_)).sum
+      assert(parts == r.getAs[Long]("n_raw"),
+        s"funnel stages don't partition source ${r.getAs[String]("source")}")
+    }
+    assert(rows.map(_.getAs[Long]("n_raw")).sum ==
+      Tables(spark, sf0001, "documents").count())
+  }
+
   test("N4: language-id confusion matrix covers every doc") {
     val n = TextOps.languageId(spark, sf0001)
       .agg(sum("n_docs")).first().getLong(0)

@@ -78,6 +78,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("partitioned write produces a partition-PRUNED read, not a filter") {
+    // The other half of the 100 TB scan story: lang=... becomes a
+    // PartitionFilter (directories never listed), not a row-level
+    // DataFilter over every file.
+    val out = "target/partition_demo"
+    Tables(spark, sf0001, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val df = spark.read.parquet(out)
+      .filter(col("lang") === "en").select("doc_id", "n_chars")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    assert("PartitionFilters: \\[[^\\]]*lang#\\d+ = en".r
+      .findFirstIn(plan).isDefined, plan)
+    // the partition column must NOT appear as a row-level filter — the
+    // pruning happens at directory level, before any file is opened
+    assert(plan.contains("DataFilters: []"),
+      s"lang filter leaked into data filters:\n$plan")
+  }
+
   test("hll_users plans as ObjectHashAggregate with a partial merge") {
     // TypedImperativeAggregate → ObjectHashAggregate (not sort-based),
     // two-phase: partial sketches merge before the exchange

@@ -114,6 +114,21 @@ class TextSimilaritySpec extends SparkSpec {
       s"chain of $n vertices took $rounds rounds — pointer jumping broken?")
   }
 
+  test("N2: connected components are invariant to input partitioning") {
+    val raw = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (10L, 11L))
+    val pairs = raw.toDF("src", "dst")
+    val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+    val (l1, _) = Similarity.connectedComponents(edges.repartition(1))
+    val m1 = l1.as[(Long, Long)].collect().toMap
+    l1.unpersist()
+    val (l7, _) = Similarity.connectedComponents(edges.repartition(7))
+    val m7 = l7.as[(Long, Long)].collect().toMap
+    l7.unpersist()
+    assert(m1 == m7, "labels depend on physical partitioning")
+    assert(m1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      8L -> 8L, 9L -> 8L, 10L -> 8L, 11L -> 8L))
+  }
+
   test("N2: connected components label several disjoint components correctly") {
     // two triangles + one isolated edge + self-contained pair ordering
     val raw = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (20L, 21L))

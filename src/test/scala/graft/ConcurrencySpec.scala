@@ -9,6 +9,28 @@ import scala.concurrent.duration._
   * serves many sessions/queries at once). */
 class ConcurrencySpec extends SparkSpec {
 
+  test("nested cache builds race safely: clusters (which builds pairs) vs pairs") {
+    // neardupClusters' ResultCache build CALLS neardupPairs' ResultCache
+    // build while holding its own key lock — concurrent direct pair
+    // lookups must neither deadlock (lock order is acyclic: clusters →
+    // pairs, never back) nor double-build. Also covers the IVF
+    // assignment shared by three queries.
+    graft.sources.ResultCache.clear()
+    val work: Seq[() => Long] = Seq(
+      () => operators.Similarity.neardupClusters(spark, sf0001).count(),
+      () => operators.Similarity.neardupPairs(spark, sf0001).count(),
+      () => operators.Similarity.embeddingClusters(spark, sf0001).count(),
+      () => operators.Similarity.embeddingNeardup(spark, sf0001).count(),
+      () => operators.Similarity.cosineTopkIvf(spark, sf0001).count(),
+      () => operators.Similarity.cosineTopkIvfProbed(spark, sf0001).count())
+    val futures = work.map(f => Future(f()))
+    val counts = Await.result(Future.sequence(futures), 5.minutes)
+    assert(counts.forall(_ > 0))
+    // the serial re-run returns identical counts (cache hits, no rebuild
+    // corruption)
+    assert(work.map(_()) == counts)
+  }
+
   test("8 graded queries execute concurrently on one session") {
     val names = Seq("segment_stats", "cosine_topk", "pricing_summary",
       "revenue_by_nation", "topk_orders", "cosine_topk_ivf",

@@ -189,6 +189,44 @@ object Aggregates {
       .orderBy("c_mktsegment")
   }
 
+  /** Quantiles from the mergeable fixed-bin histogram sketch
+    * ([[graft.plans.HistSketch]] — the third sketch family member next
+    * to HLL/CMS): 110 bins of width 100 over c_acctbal's fixed domain
+    * [-1000, 10000). The sketch read-out is pure plan logic — explode
+    * the count array, running-sum in bin order, take the smallest bin
+    * upper edge reaching ⌈q·n⌉ — so estimates are exactly reproducible
+    * by the DuckDB oracle's SQL bucketing, and estimate error is
+    * bounded by one bin width by construction. At 100 TB the shuffle
+    * carries one 112-long array per (segment, partition): quantiles
+    * without any sort. */
+  def histQuantilesAcctbal(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.HistSketch.register(spark)
+    val lo = -1000.0; val hi = 10000.0; val bins = 110
+    val w = (hi - lo) / bins // = 100.0 exactly
+    val sk = Tables(spark, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        expr(s"hist_sketch(CAST(c_acctbal AS DOUBLE), ${lo}D, ${hi}D, $bins)")
+          .as("h"),
+        count(lit(1)).as("n"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_mktsegment").orderBy("bin")
+    // array index 0 = underflow, i in 1..bins = [lo+(i−1)w, lo+iw),
+    // bins+1 = overflow → upper edge = lo + i·w clamped to hi
+    val edge = least(lit(lo) + col("bin") * w, lit(hi))
+    sk.select(col("c_mktsegment"), col("n"),
+        posexplode(col("h")).as(Seq("bin", "cnt")))
+      .withColumn("cum", sum(col("cnt")).over(win))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        max(col("n")).as("n_customers"),
+        roundN(min(when(col("cum") >= ceil(lit(0.5) * col("n")), edge)), 2)
+          .as("p50_est"),
+        roundN(min(when(col("cum") >= ceil(lit(0.95) * col("n")), edge)), 2)
+          .as("p95_est"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Unpivot (melt): the pivoted wide table back to long form —
     * round-trips pivot → unpivot so wide analytics exports stay
     * queryable. Explicit value-column list (stable schema). */
@@ -206,6 +244,7 @@ object Aggregates {
     "pivot_segment_counts"   -> (pivotSegmentCounts _),
     "median_acctbal"         -> (medianAcctbal _),
     "approx_median_acctbal"  -> (approxMedianAcctbal _),
+    "hist_quantiles_acctbal" -> (histQuantilesAcctbal _),
     "grouping_sets_stats"    -> (groupingSets _),
     "cube_priority_status"   -> (cubePriorityStatus _),
     "pricing_summary"        -> (pricingSummary _),
@@ -216,6 +255,36 @@ object Aggregates {
     "segment_except"         -> (segmentExcept _))
 
   val oracles: Map[String, String] = Map(
+    // rebuilds the sketch's exactly-specified bucketing in plain SQL:
+    // same bucket formula, same cumulative read-out, same edges
+    "hist_quantiles_acctbal" ->
+      s"""WITH b AS (
+         |  SELECT c_mktsegment,
+         |    CASE WHEN CAST(c_acctbal AS DOUBLE) < -1000.0 THEN 0
+         |         WHEN CAST(c_acctbal AS DOUBLE) >= 10000.0 THEN 111
+         |         ELSE least(1 + CAST(floor(
+         |           (CAST(c_acctbal AS DOUBLE) - CAST(-1000.0 AS DOUBLE))
+         |             / CAST(100.0 AS DOUBLE)) AS INT), 110)
+         |    END AS bin
+         |  FROM customer),
+         |c AS (SELECT c_mktsegment, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+         |n AS (SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1),
+         |cum AS (
+         |  SELECT c_mktsegment, bin,
+         |    sum(cnt) OVER (PARTITION BY c_mktsegment ORDER BY bin) AS cum
+         |  FROM c),
+         |e AS (
+         |  SELECT c_mktsegment, bin, cum,
+         |    least(CAST(-1000.0 AS DOUBLE) + bin * CAST(100.0 AS DOUBLE),
+         |          CAST(10000.0 AS DOUBLE)) AS edge
+         |  FROM cum)
+         |SELECT n.c_mktsegment, n.n AS n_customers,
+         |  ${graft.functions.ScalarFns.roundSql(
+              "min(CASE WHEN e.cum >= ceil(0.5 * n.n) THEN e.edge END)", 2)} AS p50_est,
+         |  ${graft.functions.ScalarFns.roundSql(
+              "min(CASE WHEN e.cum >= ceil(0.95 * n.n) THEN e.edge END)", 2)} AS p95_est
+         |FROM e JOIN n ON e.c_mktsegment = n.c_mktsegment
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // unpivot(pivot(x)) minus empty cells ≡ the plain group-by
     "unpivot_segment_counts" ->
       """SELECT c_nationkey, c_mktsegment AS mktsegment,

@@ -54,6 +54,50 @@ class HllSketchSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  test("histogram sketch quantiles land within one bin width of exact") {
+    val est = graft.operators.Aggregates.histQuantilesAcctbal(spark, sf0001)
+      .collect().map(r => r.getAs[String]("c_mktsegment") ->
+        (r.getAs[Double]("p50_est"), r.getAs[Double]("p95_est"))).toMap
+    val exact = Tables(spark, sf0001, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)").as("p50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY c_acctbal)").as("p95"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    val binW = 100.0
+    est.foreach { case (seg, (p50, p95)) =>
+      assert(math.abs(p50 - exact(seg)._1) <= binW,
+        s"$seg p50 est $p50 vs exact ${exact(seg)._1}")
+      assert(math.abs(p95 - exact(seg)._2) <= binW,
+        s"$seg p95 est $p95 vs exact ${exact(seg)._2}")
+    }
+  }
+
+  test("histogram sketch merge is partition-invariant") {
+    graft.plans.HistSketch.register(spark)
+    def run(parts: Int): Seq[Long] =
+      Tables(spark, sf0001, "customer").repartition(parts)
+        .agg(expr("hist_sketch(CAST(c_acctbal AS DOUBLE), -1000.0D, 10000.0D, 110)")
+          .as("h"))
+        .collect()(0).getSeq[Long](0)
+    assert(run(1) == run(7))
+    assert(run(1).sum == Tables(spark, sf0001, "customer").count())
+  }
+
+  test("histogram sketch routes under/overflow to the edge buckets") {
+    graft.plans.HistSketch.register(spark)
+    import spark.implicits._
+    val h = Seq(-5000.0, -1000.0, 0.0, 9999.99, 10000.0, 20000.0).toDF("x")
+      .agg(expr("hist_sketch(x, -1000.0D, 10000.0D, 110)").as("h"))
+      .collect()(0).getSeq[Long](0)
+    assert(h(0) == 1L)   // -5000 → underflow
+    assert(h(1) == 1L)   // -1000 → first real bin (lo inclusive)
+    assert(h(11) == 1L)  // 0.0 → bin [0, 100)
+    assert(h(110) == 1L) // 9999.99 → last real bin
+    assert(h(111) == 2L) // 10000 (hi exclusive) and 20000 → overflow
+    assert(h.sum == 6L)
+  }
+
   test("null keys are ignored, empty groups estimate 0") {
     graft.plans.SketchFunctions.register(spark)
     val df = Seq(("a", Some("x")), ("a", Some("y")), ("a", None), ("b", None))

@@ -160,58 +160,91 @@ object Similarity {
     * than the corpus, and this loop never touches the corpus at all.
     *
     * Returns (labels(doc_id, label) CACHED — caller unpersists, rounds). */
+  /** Release the block-manager blocks behind a localCheckpoint'ed frame
+    * NOW instead of waiting for the ContextCleaner's post-GC sweep —
+    * without this, every loop round would pin a labels-sized checkpoint
+    * until the driver happens to collect garbage. Safe to call once the
+    * round's `next` cache is materialized: the checkpointed frame is
+    * never read again (and MEMORY_AND_DISK caches spill rather than
+    * discard, so the truncated lineage is not re-executed in practice;
+    * a multi-executor deployment tolerating executor loss would use
+    * reliable checkpoints to a shared dir instead). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   private[graft] def connectedComponents(edgesSym: DataFrame): (DataFrame, Int) = {
     val edges = edgesSym.cache()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).cache()
-    // sum over ZERO rows is SQL NULL — an empty edge set must converge
-    // on the spot, not NPE
-    def sumOrZero(df: DataFrame): Long = {
-      val v = df.agg(sum(col("label"))).first().get(0)
-      if (v == null) 0L else v.asInstanceOf[Long]
+    var lastProp: DataFrame = null
+    var ok = false
+    try {
+      // sum over ZERO rows is SQL NULL — an empty edge set must
+      // converge on the spot, not NPE
+      def sumOrZero(df: DataFrame): Long = {
+        val v = df.agg(sum(col("label"))).first().get(0)
+        if (v == null) 0L else v.asInstanceOf[Long]
+      }
+      var labelSum = sumOrZero(labels)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 64) {
+        val neighborMin = edges
+          .join(labels, edges("dst") === labels("doc_id"))
+          .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+        // The jump join references `prop` TWICE, so without lineage
+        // truncation each round's logical plan would contain the
+        // previous round's twice — exponential plan growth that OOMs
+        // the DRIVER on plan stringification alone by ~round 15. A LAZY
+        // localCheckpoint cuts the plan to a block scan (the standard
+        // fix for iterative DataFrame algorithms, cf. GraphFrames/
+        // Pregel) while keeping the round at ONE driver action: the
+        // convergence sum below materializes the checkpoint, the jump
+        // join, and the next cache in a single job — per-round
+        // scheduling overhead is the real cost at iteration
+        // granularity, not data volume.
+        val prop = labels.as("l")
+          .join(neighborMin, col("l.doc_id") === col("src"), "left")
+          .select(col("l.doc_id").as("doc_id"),
+            least(col("l.label"), coalesce(col("nmin"), col("l.label"))).as("label"))
+          .localCheckpoint(false) // lazy: materialized by the sum below
+        val next = prop.as("a")
+          .join(prop.select(col("doc_id").as("pd"), col("label").as("pl")),
+            col("a.label") === col("pd"), "left")
+          .select(col("a.doc_id").as("doc_id"),
+            coalesce(col("pl"), col("a.label")).as("label"))
+          .cache()
+        val nextSum = sumOrZero(next) // THE round's single driver action
+        labels.unpersist()
+        releaseCheckpoint(prop) // next is materialized — prop is done
+        lastProp = prop
+        labels = next
+        converged = nextSum == labelSum
+        labelSum = nextSum
+        rounds += 1
+      }
+      // Wrong labels must never be returned silently — with pointer
+      // jumping 64 rounds covers components of ~2^32 vertices, so this
+      // firing means a bug, not a big graph.
+      require(converged,
+        s"connectedComponents: did not converge in $rounds rounds")
+      ok = true
+      (labels, rounds)
+    } finally {
+      // edges are loop-internal — released on EVERY exit path; the
+      // returned labels cache is the caller's to release, except on
+      // failure, where nothing is returned and it must not stay pinned
+      edges.unpersist()
+      if (!ok) {
+        try labels.unpersist() catch { case _: Throwable => () }
+        if (lastProp != null)
+          try releaseCheckpoint(lastProp) catch { case _: Throwable => () }
+      }
     }
-    var labelSum = sumOrZero(labels)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 64) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-      // The jump join references `prop` TWICE, so without lineage
-      // truncation each round's logical plan would contain the previous
-      // round's twice — exponential plan growth that OOMs the DRIVER on
-      // plan stringification alone by ~round 15. A LAZY localCheckpoint
-      // cuts the plan to a block scan (the standard fix for iterative
-      // DataFrame algorithms, cf. GraphFrames/Pregel) while keeping the
-      // round at ONE driver action: the convergence sum below
-      // materializes the checkpoint, the jump join, and the next cache
-      // in a single job — per-round scheduling overhead is the real
-      // cost at iteration granularity, not data volume.
-      val prop = labels.as("l")
-        .join(neighborMin, col("l.doc_id") === col("src"), "left")
-        .select(col("l.doc_id").as("doc_id"),
-          least(col("l.label"), coalesce(col("nmin"), col("l.label"))).as("label"))
-        .localCheckpoint(false) // lazy: materialized by the sum below
-      val next = prop.as("a")
-        .join(prop.select(col("doc_id").as("pd"), col("label").as("pl")),
-          col("a.label") === col("pd"), "left")
-        .select(col("a.doc_id").as("doc_id"),
-          coalesce(col("pl"), col("a.label")).as("label"))
-        .cache()
-      val nextSum = sumOrZero(next) // THE round's single driver action
-      labels.unpersist()
-      labels = next
-      converged = nextSum == labelSum
-      labelSum = nextSum
-      rounds += 1
-    }
-    edges.unpersist()
-    // Wrong labels must never be returned silently — with pointer
-    // jumping 64 rounds covers components of ~2^32 vertices, so this
-    // firing means a bug, not a big graph.
-    require(converged,
-      s"connectedComponents: did not converge in $rounds rounds")
-    (labels, rounds)
   }
 
   /** N2 near-dup CLUSTERS — the actual dedup deliverable: connected
@@ -235,35 +268,42 @@ object Similarity {
       s"${graft.sources.ResultCache.sessionId(spark)}|neardup_clusters|$dir|$threshold",
       ttlSeconds = 300)(neardupClustersUncached(spark, dir, threshold))
 
-  private def neardupClustersUncached(spark: SparkSession, dir: String,
-      threshold: Double): DataFrame = {
-    // neardupPairs is itself ResultCache-managed, so this read is a
-    // cache hit whenever the graded pair query (or a previous cluster
-    // build) already ran — and its blocks are owned by the cache, not
-    // leaked here.
-    val pairs = neardupPairs(spark, dir)
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"))
-    val edges = pairs.union(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+  /** Shared cluster-frame assembly for BOTH cluster queries (lexical
+    * LSH pairs and embedding pairs): symmetrize the undirected pair
+    * list, run [[connectedComponents]] over the edge-endpoint vertices,
+    * then left-join the labels onto the full vertex set — isolated
+    * vertices (the vast majority) never enter the loop and keep their
+    * own id. This is the single O(|vertices|) pass, outside the
+    * iteration. The result is materialized eagerly at the ResultCache's
+    * storage level (its persist is then a no-op) so the loop's inner
+    * cache can be released NOW instead of pinning per-round frames
+    * until first consumption. */
+  private def clusterFrame(vertices: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
     val (labels, _) = connectedComponents(edges)
-    // Isolated documents (the vast majority) never entered the loop:
-    // one left join attaches label = own id. This is the O(corpus) step
-    // — exactly one pass, outside the iteration.
-    val out = Tables(spark, dir, "documents").select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("cluster"))
-      .orderBy("doc_id")
-      // same storage level ResultCache uses (its persist is a no-op);
-      // materialize eagerly so the loop's inner cache can be released
-      // NOW instead of pinning per-round frames until first consumption
+    val out = vertices
+      .join(labels, vertices(idCol) === labels("doc_id"), "left")
+      .select(vertices(idCol),
+        coalesce(col("label"), vertices(idCol)).as("cluster"))
+      .orderBy(idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     labels.unpersist()
     out
   }
+
+  private def neardupClustersUncached(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame =
+    // neardupPairs is itself ResultCache-managed, so this read is a
+    // cache hit whenever the graded pair query (or a previous cluster
+    // build) already ran — and its blocks are owned by the cache, not
+    // leaked here.
+    clusterFrame(
+      Tables(spark, dir, "documents").select(col("doc_id")), "doc_id",
+      neardupPairs(spark, dir).filter(col("jaccard") >= threshold),
+      "doc_a", "doc_b")
 
   /** N1–N4 capstone — the complete training-data curation pipeline as
     * ONE graded query, reporting per-source survivor counts at every
@@ -476,23 +516,10 @@ object Similarity {
       ttlSeconds = 300)(embeddingClustersUncached(spark, dir, threshold))
 
   private def embeddingClustersUncached(spark: SparkSession, dir: String,
-      threshold: Double): DataFrame = {
-    val pairs = embeddingNeardup(spark, dir, threshold)
-      .select(col("vec_a"), col("vec_b"))
-    val edges = pairs.union(
-        pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
-      .withColumnRenamed("vec_a", "src").withColumnRenamed("vec_b", "dst")
-    val (labels, _) = connectedComponents(edges)
-    val out = Tables(spark, dir, "embeddings").select(col("vec_id"))
-      .join(labels, col("vec_id") === labels("doc_id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("label"), col("vec_id")).as("cluster"))
-      .orderBy("vec_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    labels.unpersist()
-    out
-  }
+      threshold: Double): DataFrame =
+    clusterFrame(
+      Tables(spark, dir, "embeddings").select(col("vec_id")), "vec_id",
+      embeddingNeardup(spark, dir, threshold), "vec_a", "vec_b")
 
   /** N3 BATCH ANN — the shape a 100 TB similarity-search actually runs:
     * top-k neighbors for a whole SET of query vectors in ONE plan (no

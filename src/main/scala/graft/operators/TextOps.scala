@@ -23,6 +23,11 @@ object TextOps {
 
   /** Shared stopword list (quality scoring + language ID). */
   val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+  /** SQL-quoted stopword list — ONE definition shared by every Spark
+    * expression and every DuckDB oracle that tests stopword membership;
+    * a list or quoting change in one consumer but not another would
+    * silently break Spark↔oracle hash parity. */
+  val stopArrSql: String = stopwords.map(s => s"'$s'").mkString(", ")
 
   private def toks: Column = graft.functions.Shingles.sparkToks
 
@@ -115,12 +120,11 @@ object TextOps {
     * bucketed quality label — the length/stopword heuristics used to
     * filter LLM training corpora. Map-only (no shuffle). */
   def docQuality(spark: SparkSession, dir: String): DataFrame = {
-    val stopArr = stopwords.map(s => s"'$s'").mkString(", ")
     Tables(spark, dir, "documents")
       .withColumn("t", toks)
       .withColumn("n_tokens", size(col("t")).cast("bigint"))
       .withColumn("n_stop",
-        expr(s"size(filter(t, x -> x in ($stopArr)))").cast("bigint"))
+        expr(s"size(filter(t, x -> x in ($stopArrSql)))").cast("bigint"))
       .withColumn("stop_ratio",
         roundN(col("n_stop").cast("double") / col("n_tokens"), 4))
       .withColumn("avg_token_len",
@@ -243,7 +247,6 @@ object TextOps {
     * of a source is visible at a glance. Map-only flag columns + ONE
     * grouped aggregate — no per-rule rescans, no extra shuffle. */
   def qualityFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val stopArr = stopwords.map(s => s"'$s'").mkString(", ")
     Tables(spark, dir, "documents")
       .withColumn("t", toks)
       .withColumn("n_tokens", size(col("t")).cast("bigint"))
@@ -254,7 +257,7 @@ object TextOps {
         length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
           / length(col("text")))
       .withColumn("n_stop",
-        expr(s"size(filter(t, x -> x in ($stopArr)))").cast("bigint"))
+        expr(s"size(filter(t, x -> x in ($stopArrSql)))").cast("bigint"))
       .withColumn("f1", col("n_tokens").between(10, 5000))
       .withColumn("f2", col("avg_tok").between(3.0, 10.0))
       .withColumn("f3", col("sym_ratio") <= 0.10)
@@ -286,7 +289,6 @@ object TextOps {
     "simhash_buckets"   -> (simhashBuckets _),
     "winnow_fingerprints" -> (winnowFingerprints _))
 
-  private val stopArrSql = stopwords.map(s => s"'$s'").mkString(", ")
 
   private def oracleHits(words: Seq[String]): String =
     s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"

@@ -54,7 +54,13 @@ case class HistSketch(
     if (v != null) {
       val x = v.asInstanceOf[Double]
       val idx =
-        if (x < lo) 0
+        // NaN routes to OVERFLOW: Java comparisons are all-false on NaN
+        // (it would otherwise fall through to the floor() branch and
+        // silently land in bin 1), and DuckDB compares NaN greater than
+        // every double, so `x >= hi` is TRUE there — overflow is the
+        // branch both engines agree on
+        if (x.isNaN) bins + 1
+        else if (x < lo) 0
         else if (x >= hi) bins + 1
         // floating-point edge: (x - lo)/w can round UP to exactly
         // `bins` for x just below hi — clamp into the last real bucket

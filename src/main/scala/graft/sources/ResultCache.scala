@@ -108,8 +108,14 @@ object ResultCache {
     if (cleanupInstalled.add(sc))
       sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
-            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           evictAll()
+          // release OUR strong reference to the stopped context too — a
+          // JVM cycling contexts must not accumulate dead SparkContexts
+          // in this guard set (the very leak this listener exists to fix)
+          cleanupInstalled.remove(sc)
+          ()
+        }
       })
   }
 

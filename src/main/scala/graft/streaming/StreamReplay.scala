@@ -37,7 +37,14 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamReplay {
   private val replaySeq = new AtomicLong()
 
-  def hourlyEventStatsStreamed(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared replay plumbing: stream the events table through
+    * `transform`, drain it with AvailableNow into a uniquely-named
+    * complete-mode memory sink, and return the sink's table. The
+    * resolved plan references the sink's rows directly, so the temp
+    * view is dropped immediately — repeated replays don't accumulate
+    * catalog entries. */
+  private def replayEvents(spark: SparkSession, dir: String)
+      (transform: DataFrame => DataFrame): DataFrame = {
     // same TIMESTAMP(NANOS) shim as Tables.apply — the streaming source
     // hits the identical parquet files
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -49,35 +56,59 @@ object StreamReplay {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val agg = StreamOps.tumblingCounts(events)
     // unique sink name per replay: bench/verify call this repeatedly in
     // one session and sinks must never shadow each other
     val name = s"graft_replay_${replaySeq.incrementAndGet()}"
-    val query = agg.writeStream.format("memory").queryName(name)
+    val query = transform(events).writeStream.format("memory").queryName(name)
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
     try query.awaitTermination() finally query.stop()
     val out = spark.table(name)
-      .select(col("window_start").as("hour_start"), col("event_type"),
-        col("n_events"), col("total_value"))
-      .orderBy("hour_start", "event_type")
-    // the resolved plan references the sink's rows directly; dropping
-    // the view only removes the catalog name, so repeated replays don't
-    // accumulate temp views
     spark.catalog.dropTempView(name)
     out
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "hourly_event_stats_streamed" -> (hourlyEventStatsStreamed _))
+  def hourlyEventStatsStreamed(spark: SparkSession, dir: String): DataFrame =
+    replayEvents(spark, dir)(StreamOps.tumblingCounts(_))
+      .select(col("window_start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("hour_start", "event_type")
 
-  /** Same oracle as the batch twin — a bounded complete-mode replay is
-    * exactly the batch aggregate. */
+  /** ST3 on the driver's path: the SLIDING-window rate limit as a real
+    * streaming execution. Unlike the batch `sliding_rate_limit` twin (a
+    * trailing per-event range frame), this is the streaming fixed-grid
+    * form — 1 h windows sliding every 5 min — so it carries its own
+    * oracle: an event at time t belongs to exactly the 12 windows
+    * starting at bucket5min(t) − k·5 min for k = 0..11, which DuckDB
+    * expands with a generate_series join. Both engines align 5-minute
+    * buckets to the epoch grid, so window_start values agree exactly. */
+  def rateLimitStreamed(spark: SparkSession, dir: String,
+      limit: Long = 5): DataFrame =
+    replayEvents(spark, dir)(StreamOps.rateLimitViolations(_, limit))
+      .select(col("window_start"), col("user_id"), col("n_requests"))
+      .orderBy("window_start", "user_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hourly_event_stats_streamed" -> (hourlyEventStatsStreamed _),
+    "rate_limit_streamed" -> ((s: SparkSession, d: String) =>
+      rateLimitStreamed(s, d)))
+
   val oracles: Map[String, String] = Map(
+    // same oracle as the batch twin — a bounded complete-mode replay is
+    // exactly the batch aggregate
     "hourly_event_stats_streamed" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rate_limit_streamed" ->
+      """WITH m AS (
+        |  SELECT e.user_id,
+        |    time_bucket(INTERVAL 5 MINUTE, e.ts) - k.k * (INTERVAL 5 MINUTE)
+        |      AS window_start
+        |  FROM events e, (SELECT unnest(generate_series(0, 11)) AS k) k)
+        |SELECT window_start, user_id, count(*) AS n_requests
+        |FROM m GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY 1, 2""".stripMargin)
 }

@@ -119,7 +119,47 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Time-series GAP-FILL + resample — the temporal-spine operator an
+    * events table needs before any rate/moving-average analysis (an
+    * hour with zero events must appear as 0, not vanish): build the
+    * complete hourly spine IN-PLAN (`sequence` over the broadcast
+    * min/max bounds — no driver collect), cross it with the distinct
+    * event types (bounded dimension, broadcast), left-join the real
+    * hourly counts, zero-fill, then a 6-hour trailing moving average
+    * over the gap-free series. Without the fill, the window would skip
+    * empty hours and silently average over a variable time span.
+    * Scale shape: the spine is |hours| × |types| rows — time-bounded,
+    * independent of event volume; the only event-sized operation is the
+    * initial hourly aggregate. */
+  def hourlyGapfillMa(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+    val counts = e.groupBy(col("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = e.agg(min(col("hour_start")).as("lo"),
+      max(col("hour_start")).as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)"))
+        .as("hour_start"))
+    val types = e.select(col("event_type")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour_start")
+      .rowsBetween(-5, 0)
+    spine.crossJoin(broadcast(types))
+      .join(counts, Seq("hour_start", "event_type"), "left")
+      .withColumn("n_events", coalesce(col("n"), lit(0L)))
+      // partial leading windows average over the rows that EXIST
+      // (count over the same frame), not a fixed 6
+      .withColumn("ma6", graft.functions.ScalarFns.roundN(
+        sum(col("n_events")).over(w).cast("double")
+          / count(lit(1)).over(w), 4))
+      .select(col("event_type"), col("hour_start"), col("n_events"),
+        col("ma6"))
+      .orderBy("event_type", "hour_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hourly_gapfill_ma"  -> (hourlyGapfillMa _),
     "value_outliers"     -> (valueOutliers _),
     "hourly_event_stats" -> (hourlyEventStats _),
     "distinct_users"     -> (distinctUsers _),
@@ -180,6 +220,35 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "hll_users" -> hllOracle,
+    // same spine construction: inclusive hourly generate_series over the
+    // event-time bounds × distinct types, zero-filled, 6-row trailing
+    // mean over the gap-free series
+    "hourly_gapfill_ma" ->
+      s"""WITH e AS (
+         |  SELECT date_trunc('hour', ts) AS hour_start, event_type
+         |  FROM events),
+         |counts AS (
+         |  SELECT hour_start, event_type, count(*) AS n
+         |  FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(hour_start) AS lo, max(hour_start) AS hi FROM e),
+         |spine AS (
+         |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+         |    AS hour_start FROM b),
+         |types AS (SELECT DISTINCT event_type FROM e),
+         |filled AS (
+         |  SELECT g.hour_start, g.event_type,
+         |    CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+         |  FROM (SELECT s.hour_start, t.event_type
+         |        FROM spine s CROSS JOIN types t) g
+         |  LEFT JOIN counts c
+         |    ON g.hour_start = c.hour_start AND g.event_type = c.event_type)
+         |SELECT event_type, hour_start, n_events,
+         |  ${graft.functions.ScalarFns.roundSql(
+              "CAST(sum(n_events) OVER w AS DOUBLE) / count(*) OVER w", 4)} AS ma6
+         |FROM filled
+         |WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+         |  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_type, hour_start""".stripMargin,
     "value_outliers" ->
       s"""WITH s AS (
          |  SELECT event_type,

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.Similarity
+
+/** ScalaCheck-generated graphs vs a brute-force union-find: the
+  * pointer-jumping connected-components loop is the subtlest algorithm
+  * in the repo (its correctness argument rests on three invariants —
+  * labels stay in-component, labels are pointwise non-increasing, the
+  * combined operator's fixpoint is the component min), so random graphs
+  * check the RESULT against an implementation too simple to be wrong.
+  * (Raw Gen sampling with a fixed seed — deterministic, same pattern as
+  * FilterAlgebraPropSpec.) */
+class ComponentsPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Random undirected graph: n vertices with arbitrary (possibly
+    * colliding/self-loop-free) edges — shapes include chains, cliques,
+    * stars, and isolated clumps. */
+  private val genGraph: Gen[(Int, Seq[(Long, Long)])] = for {
+    n <- Gen.choose(2, 28)
+    m <- Gen.choose(0, 40)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, (n - 1).toLong)
+      b <- Gen.choose(0L, (n - 1).toLong) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield (n, edges.distinct)
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // path-compress to roots, label = component-minimum vertex
+    (0 until n).map(v => v.toLong -> find(v).toLong).toMap
+  }
+
+  private def samples[T](g: Gen[T], k: Int): Seq[T] =
+    (0 until k).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+
+  test("random graphs: Spark components == brute-force union-find") {
+    samples(genGraph, 12).foreach { case (n, rawEdges) =>
+      if (rawEdges.nonEmpty) {
+        val pairs = rawEdges.toDF("src", "dst")
+        val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+        val (labels, rounds) = Similarity.connectedComponents(edges)
+        val got = labels.as[(Long, Long)].collect().toMap
+        labels.unpersist()
+        val want = unionFind(n, rawEdges)
+        // the Spark loop only labels edge-endpoint vertices; isolated
+        // vertices are the callers' left-join (trivially label = self)
+        val endpoints = rawEdges.flatMap(e => Seq(e._1, e._2)).toSet
+        assert(got == want.view.filterKeys(endpoints).toMap,
+          s"n=$n edges=$rawEdges rounds=$rounds: $got != expected")
+      }
+    }
+  }
+}

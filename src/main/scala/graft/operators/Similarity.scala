@@ -133,6 +133,95 @@ object Similarity {
     result
   }
 
+  /** CHARACTER 9-gram shingles of the lowercased text — the robustness
+    * twin of the word-3-gram [[shingles]]: word-grams miss near-dups
+    * that differ by tokenization (punctuation, hyphenation, run-together
+    * whitespace edits); char-grams see through them. 9 chars ≈ 1.5
+    * words: long enough that cross-doc collisions are rare (5-grams
+    * like `" the "` appear in every doc and were measured to collapse
+    * LSH into all-pairs — 5M candidates at sf0.1), short enough to
+    * survive small edits. `lower` is hoisted out of the per-position
+    * lambda (Catalyst CSE does not dedup across HOF elements). */
+  private def charShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("lt", lower(col("text")))
+      .filter(length(col("lt")) >= 9)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(lt) - 8), i -> substring(lt, i, 9))"))
+        .as("s"))
+
+  /** N2 char-shingle near-dup pairs: 8 MinHashes in 4 bands × 2 ROWS
+    * (band key = concatenated pair of minhashes), then exact
+    * char-Jaccard verification; only pairs at/over `threshold` emit.
+    *
+    * Why r=2 where the word variant uses r=1: char-gram Jaccard between
+    * unrelated docs is much higher than word-gram Jaccard (shared
+    * substrings are everywhere), and a 1-row band collides with
+    * probability J — measured 1.3M candidate pairs at sf0.1. Two rows
+    * square it (J²): 36k candidates, the true dups all survive. At a
+    * larger corpus the noise floor grows quadratically, so r (rows per
+    * band) is the knob to raise — each +1 multiplies noise by J while
+    * costing true-positive recall 1−(1−J^r)⁴, recovered by adding
+    * bands. Same semi-join-pruned verification shape as the word
+    * variant: shuffle bytes ∝ candidate shingles, not corpus shingles. */
+  def neardupPairsChar(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|neardup_pairs_char|$dir|$threshold",
+      ttlSeconds = 300)(neardupPairsCharUncached(spark, dir, threshold))
+
+  private def neardupPairsCharUncached(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val shd = charShingles(spark, dir).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigCols = (0 to 7).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"m$i"))
+    val sigs = shd.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // one unpivoted self-join exchange, like the word variant; the band
+    // key is the CONCATENATION of the band's two minhashes (fixed-width
+    // hex, so concat-equality ⟺ pairwise equality)
+    val bands = sigs
+      .select(col("doc_id"), explode(array((0 to 3).map(i =>
+        struct(lit(i).as("band"),
+          concat(col(s"m${2 * i}"), col(s"m${2 * i + 1}")).as("m"))): _*))
+        .as("bm"))
+      .select(col("doc_id"), col("bm.band").as("band"), col("bm.m").as("m"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("m"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("m")),
+        Seq("band", "m"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val shc = shd.join(broadcast(candDocs), Seq("doc_id"))
+    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val inter = cand
+      .join(shc.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(shc.as("y"),
+        col("doc_b") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val result = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        graft.functions.ScalarFns.roundN(col("n_inter").cast("double")
+          / (col("na") + col("nb") - col("n_inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    shd.unpersist(); bands.unpersist(); cand.unpersist()
+    result
+  }
+
   /** Connected components over a SYMMETRIC edge list (both directions
     * present), labels = component-minimum vertex id. Min-label
     * propagation + POINTER JUMPING, the two-phase contraction that
@@ -554,6 +643,100 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** N3+++ LEARNED centroids: one deterministic Lloyd refinement of the
+    * seed IVF centroids. The seed assignment ([[ivfAssign]], cached) is
+    * the E-step; the M-step recomputes each centroid from its members.
+    *
+    * Determinism across engines (the whole trick): a k-means mean is a
+    * float sum, and float sums are fold-order-dependent — so the update
+    * (a) collects each cluster's members as a list SORTED by vec_id and
+    * (b) folds each dimension LEFT-TO-RIGHT in double, the exact order
+    * DuckDB's `list_reduce` uses. Cosine is scale-invariant, so the
+    * centroid keeps the per-dimension SUM (no ÷count — division would
+    * reintroduce a rounding step for no semantic gain); the final cast
+    * to float (round-to-nearest, identical in both engines) lets the
+    * codegen'd `cosine_sim` kernel consume it unchanged.
+    *
+    * Scale: the M-step is one partial-agg shuffle keyed by cid (the
+    * sort_array list is per-CLUSTER ~√N rows, bounded); the re-assign
+    * E-step broadcasts the ⌈√N⌉ learned centroids exactly like the seed
+    * assignment. A production build would iterate to convergence on a
+    * sample and broadcast frozen centroids — each further round is this
+    * same plan shape. */
+  private val centroidSumExpr =
+    """transform(sequence(1, size(element_at(ms, 1).embedding)), j ->
+      |  CAST(aggregate(ms, CAST(0 AS DOUBLE),
+      |    (acc, m) -> acc + CAST(element_at(m.embedding, j) AS DOUBLE)) AS FLOAT))"""
+      .stripMargin
+
+  def kmeansCentroids(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|kmeans_cent|$dir",
+      ttlSeconds = 300)(kmeansCentroidsUncached(spark, dir))
+
+  private def kmeansCentroidsUncached(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    ivfAssign(spark, dir).join(e, Seq("vec_id"))
+      .groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+        .as("ms"))
+      .select(col("cid"), expr(centroidSumExpr).as("cv"))
+  }
+
+  /** Re-assignment under the learned centroids (E-step round 2) — same
+    * broadcast-argmax shape as [[ivfAssign]], ties to smallest cid. A
+    * seed cluster that lost every member in round 1 simply has no
+    * centroid here (mirrored by the oracle's join semantics). */
+  private[graft] def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("s").desc, col("cid"))
+    e.crossJoin(broadcast(kmeansCentroids(spark, dir)))
+      .select(col("vec_id"), col("cid"),
+        expr("cosine_sim(embedding, cv)").as("s"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  /** N3 top-k under the LEARNED partition: identical query shape to
+    * [[cosineTopkIvf]], but the bucket boundary is the refined one —
+    * the learned-centroid recall/speed point of the IVF family. */
+  def cosineTopkKmeans(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    val assign = kmeansAssign(spark, dir)
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val qBucket = assign.filter(col("vec_id") === 0).select(col("cid"))
+    val cands = assign.join(broadcast(qBucket), Seq("cid"))
+      .filter(col("vec_id") =!= 0).select(col("vec_id"))
+    e.join(cands, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.ScalarFns.roundN(
+          expr("cosine_sim(embedding, qv)"), 6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** How far one Lloyd round moved each centroid: cosine between the
+    * seed embedding (vec_id = cid) and the learned sum-vector. drift
+    * near 1 ⇒ the seed already sat at its cluster's center; the SPREAD
+    * of this column is the convergence diagnostic a production loop
+    * would threshold on. */
+  def kmeansShift(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    kmeansCentroids(spark, dir)
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("cv0")),
+        Seq("cid"))
+      .select(col("cid"),
+        graft.functions.ScalarFns.roundN(
+          expr("cosine_sim(cv0, cv)"), 6).as("drift"))
+      .orderBy("cid")
+  }
+
   /** N5 multimodal row: text metadata ⋈ embedding vector in one frame
     * (arrays kept out of the graded output; dim + norm summarize). */
   def multimodalJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -571,12 +754,15 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "neardup_pairs"     -> (neardupPairs _),
+    "neardup_pairs_char" -> ((s: SparkSession, d: String) => neardupPairsChar(s, d)),
     "neardup_clusters"  -> ((s: SparkSession, d: String) => neardupClusters(s, d)),
     "pipeline_yield"    -> (pipelineYield _),
     "cosine_topk"       -> ((s: SparkSession, d: String) => cosineTopk(s, d)),
     "cosine_topk_ivf"   -> ((s: SparkSession, d: String) => cosineTopkIvf(s, d)),
     "cosine_topk_ivf2"  -> ((s: SparkSession, d: String) => cosineTopkIvfProbed(s, d)),
     "cosine_topk_batch" -> ((s: SparkSession, d: String) => cosineTopkBatch(s, d)),
+    "cosine_topk_kmeans" -> ((s: SparkSession, d: String) => cosineTopkKmeans(s, d)),
+    "kmeans_shift"      -> (kmeansShift _),
     "embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNeardup(s, d)),
     "embedding_clusters" -> ((s: SparkSession, d: String) => embeddingClusters(s, d)),
     "multimodal_join"   -> (multimodalJoin _))
@@ -597,6 +783,36 @@ object Similarity {
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
        |    FROM sims)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** One-Lloyd-round CTE chain (DuckDB) — mirrors [[kmeansCentroids]] /
+    * [[kmeansAssign]]: ordered member lists, left-fold double sums per
+    * dimension, cast to float, re-assign by argmax cosine. Extends
+    * [[ivfCte]]; ends with `cent1(cid, cv)` and `assign1(vec_id, cid)`. */
+  private def kmeansCte: String = {
+    val cos = s"(${duckDot("e.embedding", "c.cv")} / " +
+      s"(sqrt(${duckDot("e.embedding", "e.embedding")}) * sqrt(${duckDot("c.cv", "c.cv")})))"
+    s"""$ivfCte,
+       |mem AS (
+       |  SELECT a.cid, list(e.embedding ORDER BY e.vec_id) AS ms
+       |  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+       |  GROUP BY 1),
+       |cent1 AS (
+       |  SELECT cid, list_transform(generate_series(1, len(ms[1])), j ->
+       |    CAST(list_reduce(
+       |      list_concat([CAST(0 AS DOUBLE)],
+       |        list_transform(ms, v -> CAST(v[j] AS DOUBLE))),
+       |      (x, y) -> x + y) AS FLOAT)) AS cv
+       |  FROM mem),
+       |sims1 AS (
+       |  SELECT e.vec_id, c.cid, $cos AS s
+       |  FROM embeddings e CROSS JOIN cent1 c),
+       |assign1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |    FROM sims1)
        |  WHERE rn = 1)""".stripMargin
   }
 
@@ -660,6 +876,50 @@ object Similarity {
          |$lshScoredCtes
          |SELECT doc_a, doc_b, n_inter, jaccard FROM scored
          |ORDER BY 1, 2""".stripMargin,
+    "neardup_pairs_char" ->
+      s"""WITH ctoks AS (SELECT doc_id, lower(text) AS lt FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(lt) - 8),
+         |      i -> substr(lt, i, 9))) AS s
+         |  FROM ctoks WHERE len(lt) >= 9),
+         |sig AS (
+         |  SELECT doc_id,
+         |    min(md5('0:' || s)) AS m0, min(md5('1:' || s)) AS m1,
+         |    min(md5('2:' || s)) AS m2, min(md5('3:' || s)) AS m3,
+         |    min(md5('4:' || s)) AS m4, min(md5('5:' || s)) AS m5,
+         |    min(md5('6:' || s)) AS m6, min(md5('7:' || s)) AS m7
+         |  FROM sh GROUP BY 1),
+         |cand AS (
+         |  SELECT DISTINCT doc_a, doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+         |      ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
+         |    UNION ALL
+         |    SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+         |      ON a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id
+         |    UNION ALL
+         |    SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+         |      ON a.m4 = b.m4 AND a.m5 = b.m5 AND a.doc_id < b.doc_id
+         |    UNION ALL
+         |    SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+         |      ON a.m6 = b.m6 AND a.m7 = b.m7 AND a.doc_id < b.doc_id)),
+         |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN shd x ON c.doc_a = x.doc_id
+         |  JOIN shd y ON c.doc_b = y.doc_id AND x.s = y.s
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT i.doc_a, i.doc_b, i.n_inter,
+         |    ${graft.functions.ScalarFns.roundSql(
+              "CAST(i.n_inter AS DOUBLE) / (sa.nsh + sb.nsh - i.n_inter)", 4)} AS jaccard
+         |  FROM inter i
+         |  JOIN sizes sa ON i.doc_a = sa.doc_id
+         |  JOIN sizes sb ON i.doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, n_inter, jaccard FROM scored
+         |WHERE jaccard >= 0.5 ORDER BY 1, 2""".stripMargin,
     // connected components over the thresholded pair graph: recursive
     // transitive closure, component label = min reachable doc
     "neardup_clusters" ->
@@ -807,6 +1067,28 @@ object Similarity {
          |  FROM bscore)
          |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", vec_id, cosine_sim
          |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    "cosine_topk_kmeans" ->
+      s"""$kmeansCte,
+         |qb AS (SELECT cid FROM assign1 WHERE vec_id = 0),
+         |cands AS (SELECT a.vec_id FROM assign1 a JOIN qb ON a.cid = qb.cid
+         |          WHERE a.vec_id <> 0),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  ${graft.functions.ScalarFns.roundSql(
+              s"""${duckDot("e.embedding", "q.qv")}
+                 |    / (sqrt(${duckDot("e.embedding", "e.embedding")})
+                 |       * sqrt(${duckDot("q.qv", "q.qv")}))""".stripMargin, 6)} AS cosine_sim
+         |FROM embeddings e JOIN cands ON e.vec_id = cands.vec_id, q
+         |ORDER BY cosine_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "kmeans_shift" ->
+      s"""$kmeansCte
+         |SELECT c.cid,
+         |  ${graft.functions.ScalarFns.roundSql(
+              s"""${duckDot("e.embedding", "c.cv")}
+                 |    / (sqrt(${duckDot("e.embedding", "e.embedding")})
+                 |       * sqrt(${duckDot("c.cv", "c.cv")}))""".stripMargin, 6)} AS drift
+         |FROM cent1 c JOIN embeddings e ON e.vec_id = c.cid
+         |ORDER BY c.cid""".stripMargin,
     "cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id,

@@ -89,10 +89,81 @@ object StreamReplay {
       .select(col("window_start"), col("user_id"), col("n_requests"))
       .orderBy("window_start", "user_id")
 
+  /** ST7 session windows in APPEND mode — the production emission
+    * semantics the complete-mode replays above cannot show: a session
+    * row is emitted EXACTLY ONCE, when the watermark passes its end and
+    * its state is dropped. (Complete mode re-emits the whole aggregate
+    * every batch and keeps all state forever — fine for a bounded
+    * replay, fatal on an unbounded stream.)
+    *
+    * The flush trick: append mode only emits windows the watermark has
+    * closed, and a bounded source's final watermark is max(ts) − delay —
+    * the last sessions would stay in state forever and the replay would
+    * LOSE them. So the replay injects one SENTINEL event a year past
+    * the corpus max before streaming: the no-data micro-batch that
+    * AvailableNow runs after the last data batch advances the watermark
+    * past every real session's end and flushes them all. The sentinel's
+    * own session is never closed (nothing is behind it) and its user_id
+    * −1 is filtered from the output — the emitted set is exactly the
+    * real sessions, which is what the gaps-and-islands oracle computes.
+    *
+    * Everything (real events + sentinel) is written as ONE parquet file
+    * so the file source sees a single micro-batch: if the sentinel
+    * could land in an earlier batch than the data, the advanced
+    * watermark would silently DROP every real event as too-late. */
+  def sessionStatsStreamed(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val sentinel = batch.orderBy("event_id").limit(1)
+      .crossJoin(broadcast(batch.agg(max(col("ts")).as("mx"))))
+      .withColumn("ts", expr("mx + INTERVAL 1 YEAR"))
+      .withColumn("user_id", lit(-1L))
+      .select(batch.columns.map(col): _*)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_session_replay_").toFile
+    try {
+      batch.unionByName(sentinel).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(tmp.getAbsolutePath).schema)
+        .parquet(tmp.getAbsolutePath)
+      val name = s"graft_replay_${replaySeq.incrementAndGet()}"
+      // The sentinel must NOT be filtered inside the streaming query:
+      // a `user_id >= 0` filter there is a grouping-key predicate, so
+      // Catalyst pushes it below the watermark operator down to the
+      // scan — the sentinel never reaches the watermark accountant and
+      // the flush silently loses the trailing sessions (observed: the
+      // corpus-max session missing). Filter the SINK output instead;
+      // the sentinel's own never-closed session is not emitted anyway.
+      val query = StreamOps.sessionCounts(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try query.awaitTermination() finally query.stop()
+      // memory sink rows live on the driver — safe to drop the view AND
+      // delete the temp input below; the returned plan reads sink rows
+      val out = spark.table(name)
+      spark.catalog.dropTempView(name)
+      out.filter(col("user_id") >= 0)
+        .select(col("session_start"), col("session_end"),
+          col("user_id"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hourly_event_stats_streamed" -> (hourlyEventStatsStreamed _),
     "rate_limit_streamed" -> ((s: SparkSession, d: String) =>
-      rateLimitStreamed(s, d)))
+      rateLimitStreamed(s, d)),
+    "session_stats_streamed" -> (sessionStatsStreamed _))
 
   val oracles: Map[String, String] = Map(
     // same oracle as the batch twin — a bounded complete-mode replay is
@@ -110,5 +181,28 @@ object StreamReplay {
         |  FROM events e, (SELECT unnest(generate_series(0, 11)) AS k) k)
         |SELECT window_start, user_id, count(*) AS n_requests
         |FROM m GROUP BY 1, 2 HAVING count(*) >= 5
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+    // per-SESSION granularity (the batch `session_stats` twin rolls up
+    // per user): gaps-and-islands with the same exclusive >= gap
+    // boundary as Spark's session_window; end = last event + gap
+    "session_stats_streamed" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM o),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin)
 }

@@ -254,4 +254,25 @@ class StreamingSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) =>
       assert(s == b, s"streamed row $s != batch row $b") }
   }
+
+  test("ST7 append mode: session replay emits every real session exactly once") {
+    // the graded session_stats_streamed entry: append-mode emission
+    // (one row per session, on watermark close, state dropped) must
+    // reproduce the batch session_window aggregate row for row — i.e.
+    // the sentinel flush released ALL trailing sessions and nothing
+    // was emitted twice or dropped as late
+    val streamed = graft.streaming.StreamReplay
+      .sessionStatsStreamed(spark, sf0001).collect()
+    val batch = Tables(spark, sf0001, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+      .orderBy("user_id", "session_start")
+      .collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s == b, s"streamed session $s != batch session $b") }
+  }
 }

@@ -205,4 +205,53 @@ class TextSimilaritySpec extends SparkSpec {
     assert(n2 > n1 && b2 > b1, s"nlist must scale with N: ($n1,$b1) -> ($n2,$b2)")
     assert(max2 <= (3 * avg2).ceil.toLong, s"skewed buckets: max=$max2 avg=$avg2")
   }
+
+  test("N2: char-shingle pairs are thresholded, ordered, and size-consistent") {
+    val pairs = Similarity.neardupPairsChar(spark, sf0001)
+    val rows = pairs.collect()
+    assert(rows.nonEmpty, "char-shingle LSH found no near-dups in the corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.5 && j <= 1.0, s"jaccard out of band: $j")
+      assert(r.getAs[Long]("n_inter") > 0)
+    }
+    // near-dups planted in the corpus are small EDITS of each other —
+    // the char-gram view must recover the high-overlap core that the
+    // word-gram view finds (both see heavy-overlap pairs; they diverge
+    // only on tokenization-boundary edits)
+    val word = Similarity.neardupPairs(spark, sf0001)
+      .filter($"jaccard" >= 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val char = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(word.subsetOf(char),
+      s"word-gram near-identical pairs missed by char-gram LSH: ${word -- char}")
+  }
+
+  test("N3: one Lloyd round — total assignment, bounded drift, moved centroids") {
+    val n = Tables(spark, sf0001, "embeddings").count()
+    val dim = Tables(spark, sf0001, "embeddings")
+      .select(size($"embedding")).as[Int].first()
+    // M-step output: at most nlist centroids, every one full-dimension
+    val cent = Similarity.kmeansCentroids(spark, sf0001)
+    assert(cent.count() <= math.ceil(math.sqrt(n.toDouble)).toLong)
+    assert(cent.filter(size($"cv") =!= dim).count() == 0)
+    // E-step round 2 is TOTAL: every vector gets exactly one label
+    val assign = Similarity.kmeansAssign(spark, sf0001)
+    assert(assign.count() == n)
+    assert(assign.select("vec_id").distinct().count() == n)
+    // drift is a cosine (|d| ≤ 1) and at least one centroid MOVED —
+    // a drift column pinned at 1.0 would mean the Lloyd round was a
+    // no-op and the "learned" boundary is just the seed boundary
+    val drifts = Similarity.kmeansShift(spark, sf0001)
+      .select("drift").as[Double].collect()
+    assert(drifts.nonEmpty && drifts.forall(d => d >= -1.0 && d <= 1.0 + 1e-9))
+    assert(drifts.exists(_ < 1.0), "no centroid moved in the Lloyd round")
+    // query surface: k ordered in-bucket neighbors, self excluded
+    val topk = Similarity.cosineTopkKmeans(spark, sf0001).collect()
+    assert(topk.length == 10 && !topk.exists(_.getAs[Long]("vec_id") == 0L))
+    val sims = topk.map(_.getAs[Double]("cosine_sim"))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
 }

@@ -31,7 +31,8 @@ object SparkEntry {
         ttlSeconds = 300)(Segmentation.statsQuery(s, dir))),
   ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
     EventOps.queries ++ CampaignOps.queries ++ TextOps.queries ++
-    Similarity.queries ++ graft.functions.TypedAggs.queries ++
+    Similarity.queries ++ Curation.queries ++
+    graft.functions.TypedAggs.queries ++
     Multimodal.queries ++ Skew.queries ++ graft.streaming.StreamReplay.queries
 
   /** `approx_users` intentionally has NO oracle (HLL sketches are not
@@ -45,6 +46,7 @@ object SparkEntry {
     "segment_stats_cached" -> Segmentation.statsOracle,
   ) ++ Joins.oracles ++ Aggregates.oracles ++ Windows.oracles ++
     EventOps.oracles ++ CampaignOps.oracles ++ TextOps.oracles ++
-    Similarity.oracles ++ graft.functions.TypedAggs.oracles ++
+    Similarity.oracles ++ Curation.oracles ++
+    graft.functions.TypedAggs.oracles ++
     Multimodal.oracles ++ Skew.oracles ++ graft.streaming.StreamReplay.oracles
 }

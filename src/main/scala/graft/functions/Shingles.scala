@@ -15,19 +15,31 @@ object Shingles {
   /** Spark-side tokenizer (non-empty whitespace tokens of `text`) — the
     * Column twin of [[duckToks]]'s list_filter/string_split. */
   def sparkToks: Column = filter(split(col("text"), " "), t => t =!= "")
-  /** Spark SQL: list of word-3-grams of token array `t` (1-based
-    * element_at; empty list when size(t) < 3 is NOT handled here — the
-    * caller must filter `size(t) >= 3` first, because Spark's
-    * `sequence(1, n)` counts DOWN for n < 1 while DuckDB's
+  /** Spark SQL: list of word-n-grams of token array `t` (1-based
+    * element_at; empty list when size(t) < n is NOT handled here — the
+    * caller must filter `size(t) >= n` first, because Spark's
+    * `sequence(1, m)` counts DOWN for m < 1 while DuckDB's
     * generate_series returns empty). */
-  val sparkExpr: String =
-    "transform(sequence(1, size(t) - 2), i -> " +
-      "concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"
+  def sparkExprN(n: Int): String = {
+    val els = (0 until n).map {
+      case 0 => "element_at(t, i)"
+      case k => s"element_at(t, i + $k)"
+    }.mkString(", ")
+    s"transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', $els))"
+  }
 
   /** DuckDB twin (1-based list indexing). */
-  val duckExpr: String =
-    "list_transform(generate_series(1, len(t) - 2), " +
-      "i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])"
+  def duckExprN(n: Int): String = {
+    val els = (0 until n).map {
+      case 0 => "t[i]"
+      case k => s"t[i + $k]"
+    }.mkString(" || ' ' || ")
+    s"list_transform(generate_series(1, len(t) - ${n - 1}), i -> $els)"
+  }
+
+  /** The LSH/winnowing word-3-gram instances. */
+  val sparkExpr: String = sparkExprN(3)
+  val duckExpr: String = duckExprN(3)
 
   /** DuckDB CTE body producing (doc_id, t) from documents. */
   val duckToks: String =

@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{ScalarFns, Shingles}
+
+/** Training-MIX curation operators (north-star [N] family, SURVEY.md
+  * §2.11): the three decisions a large-scale pretraining-data pipeline
+  * makes AFTER cleaning/dedup — which rows to sample, which rows are
+  * benchmark-contaminated, and how many tokens each source contributes
+  * to the final mix.
+  *
+  * Scale/determinism contract shared by all three:
+  *  - sampling membership is a PURE FUNCTION of the row key
+  *    (md5-hash threshold), so the sample is reproducible on any
+  *    cluster size, needs no stored membership table, and never
+  *    shuffles the corpus — the 100 TB property that `rand() < r`
+  *    (nondeterministic, unrepeatable) and reservoir sampling
+  *    (driver-bound) both lack;
+  *  - contamination is n-gram containment against a BROADCAST
+  *    benchmark gram set — benchmark suites are bounded (millions of
+  *    grams) while the corpus is not, so the corpus side streams
+  *    map-only;
+  *  - budget allocation is integer arithmetic over one tiny per-source
+  *    aggregate (sources ≪ rows), exactly mirrorable in the oracle —
+  *    Spark `div` ≡ DuckDB `//`.
+  */
+object Curation {
+
+  /** Sampling threshold: keep a doc when the first 8 hex chars of
+    * md5(doc_id) sort below this — 0x33333333/2^32 ≈ 20 %. Fixed-width
+    * lowercase hex compares identically in Spark and DuckDB. */
+  private val SampleHexThreshold = "33333333"
+
+  /** N-mix: deterministic hash-stratified sample accounting per source.
+    * The aggregate reports realized rates; a pipeline materializing the
+    * sample itself would reuse the identical `keep` predicate as a
+    * filter (map-only, no shuffle, no stored sample membership). */
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("keep",
+        substring(md5(col("doc_id").cast("string")), 1, 8)
+          < lit(SampleHexThreshold))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("sample_rate",
+        ScalarFns.roundN(col("n_sampled").cast("double") / col("n_docs"), 4))
+      .orderBy("source")
+
+  /** Benchmark membership: every 97th doc stands in for a held-out eval
+    * set. Production would join an external benchmark table; the
+    * modulus keeps the demo self-contained and the oracle exact. */
+  private val BenchMod = 97
+
+  /** N-mix: train/benchmark DECONTAMINATION (the GPT-3-style n-gram
+    * collision check): a training doc is contaminated when it shares at
+    * least one word-8-gram with any benchmark doc. 8 grams ≈ a quoted
+    * sentence fragment — long enough that organic collisions are rare,
+    * short enough to catch partial inclusions. Benchmark grams are
+    * deduped and BROADCAST; the training side is a map-only semi-join
+    * probe plus one per-source partial aggregate. Docs under 8 tokens
+    * have no grams and count as clean (they cannot quote a benchmark). */
+  def decontamStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val grams = docs
+      .withColumn("t", Shingles.sparkToks)
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"),
+        explode(expr(Shingles.sparkExprN(8))).as("g"))
+    val benchGrams = grams.filter(col("doc_id") % BenchMod === 0)
+      .select(col("g")).distinct()
+    val contaminated = grams.filter(col("doc_id") % BenchMod =!= 0)
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.filter(col("doc_id") % BenchMod =!= 0)
+      .join(contaminated.withColumn("c", lit(1)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_contaminated"))
+      .withColumn("contamination_rate",
+        ScalarFns.roundN(
+          col("n_contaminated").cast("double") / col("n_docs"), 4))
+      .orderBy("source")
+  }
+
+  /** N-mix: per-source token-budget allocation — a two-round bounded
+    * WATERFILL over integer token counts:
+    *
+    *   budget B      = ¾ of the corpus' total tokens (scale-free);
+    *   weights w     = 1 or 2 by source-name length parity (stands in
+    *                   for an editorial up/down-weighting table);
+    *   round 1       = each source gets min(avail, B·w ÷ Σw);
+    *   round 2       = the integer leftover of round 1 is re-offered to
+    *                   the sources that still have capacity, in
+    *                   proportion to their weight.
+    *
+    * Σalloc ≤ B holds by construction (integer division never
+    * over-grants). All arithmetic is BIGINT `div` — bit-identical to
+    * the oracle's `//` — and runs on the per-source aggregate (sources
+    * ≪ docs), so the corpus pays exactly one partial-agg shuffle. */
+  def tokenBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    val avail = Tables(spark, dir, "documents")
+      .withColumn("t", Shingles.sparkToks)
+      .groupBy(col("source"))
+      .agg(sum(size(col("t")).cast("bigint")).as("n_tokens_available"))
+      .withColumn("w", (length(col("source")) % 2 + 1).cast("bigint"))
+    val totals = avail.agg(
+      sum(col("n_tokens_available")).as("tot_avail"),
+      sum(col("w")).as("sum_w"))
+    val r1 = avail.crossJoin(broadcast(totals))
+      .withColumn("budget", expr("(3 * tot_avail) div 4"))
+      .withColumn("base_alloc",
+        least(col("n_tokens_available"), expr("(budget * w) div sum_w")))
+    val r1Totals = r1.agg(
+      sum(col("base_alloc")).as("allocated"),
+      sum(when(col("n_tokens_available") > col("base_alloc"), col("w"))
+        .otherwise(0L)).as("hungry_w"))
+    r1.crossJoin(broadcast(r1Totals))
+      .withColumn("leftover", col("budget") - col("allocated"))
+      .withColumn("alloc_tokens",
+        when(col("n_tokens_available") > col("base_alloc") &&
+            col("hungry_w") > 0,
+          least(col("n_tokens_available"),
+            col("base_alloc") + expr("(leftover * w) div hungry_w")))
+          .otherwise(col("base_alloc")))
+      .select(col("source"), col("n_tokens_available"), col("w"),
+        col("base_alloc"), col("alloc_tokens"),
+        ScalarFns.roundN(col("alloc_tokens").cast("double")
+          / col("n_tokens_available"), 4).as("sampling_rate"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hash_sample"      -> (hashSample _),
+    "decontam_stats"   -> (decontamStats _),
+    "token_budget_mix" -> (tokenBudgetMix _))
+
+  val oracles: Map[String, String] = Map(
+    "hash_sample" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |      < '$SampleHexThreshold' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sampled,
+         |  ${ScalarFns.roundSql(
+            s"""CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               |      < '$SampleHexThreshold' THEN 1 ELSE 0 END) AS DOUBLE)
+               |    / count(*)""".stripMargin, 4)} AS sample_rate
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "decontam_stats" ->
+      s"""WITH toks AS (
+         |  ${Shingles.duckToks}),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, unnest(${Shingles.duckExprN(8)}) AS g
+         |  FROM toks WHERE len(t) >= 8),
+         |bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % $BenchMod = 0),
+         |cont AS (
+         |  SELECT DISTINCT gr.doc_id FROM grams gr JOIN bg ON gr.g = bg.g
+         |  WHERE gr.doc_id % $BenchMod <> 0)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_contaminated,
+         |  ${ScalarFns.roundSql(
+            """CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               |    AS DOUBLE) / count(*)""".stripMargin, 4)} AS contamination_rate
+         |FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+         |WHERE d.doc_id % $BenchMod <> 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "token_budget_mix" ->
+      s"""WITH toks AS (
+         |  ${Shingles.duckToks}),
+         |avail AS (
+         |  SELECT source,
+         |    CAST(sum(len(t)) AS BIGINT) AS n_tokens_available,
+         |    CAST(len(source) % 2 + 1 AS BIGINT) AS w
+         |  FROM toks JOIN documents USING (doc_id)
+         |  GROUP BY source),
+         |tot AS (
+         |  SELECT CAST(sum(n_tokens_available) AS BIGINT) AS tot_avail,
+         |    CAST(sum(w) AS BIGINT) AS sum_w FROM avail),
+         |r1 AS (
+         |  SELECT a.*, (3 * t.tot_avail) // 4 AS budget,
+         |    least(a.n_tokens_available,
+         |      (((3 * t.tot_avail) // 4) * a.w) // t.sum_w) AS base_alloc
+         |  FROM avail a, tot t),
+         |r1tot AS (
+         |  SELECT CAST(sum(base_alloc) AS BIGINT) AS allocated,
+         |    CAST(sum(CASE WHEN n_tokens_available > base_alloc
+         |      THEN w ELSE 0 END) AS BIGINT) AS hungry_w
+         |  FROM r1)
+         |SELECT r.source, r.n_tokens_available, r.w, r.base_alloc,
+         |  CAST(CASE WHEN r.n_tokens_available > r.base_alloc
+         |        AND rt.hungry_w > 0
+         |    THEN least(r.n_tokens_available,
+         |      r.base_alloc + ((r.budget - rt.allocated) * r.w) // rt.hungry_w)
+         |    ELSE r.base_alloc END AS BIGINT) AS alloc_tokens,
+         |  ${ScalarFns.roundSql(
+            """CAST(CASE WHEN r.n_tokens_available > r.base_alloc
+               |        AND rt.hungry_w > 0
+               |    THEN least(r.n_tokens_available,
+               |      r.base_alloc + ((r.budget - rt.allocated) * r.w) // rt.hungry_w)
+               |    ELSE r.base_alloc END AS DOUBLE) / r.n_tokens_available"""
+              .stripMargin, 4)} AS sampling_rate
+         |FROM r1 r, r1tot rt
+         |ORDER BY r.source""".stripMargin)
+}

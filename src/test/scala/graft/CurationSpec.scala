@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+import graft.Tables
+
+/** Training-mix curation invariants (Curation.scala) on sf0.001. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash sample: rates bounded, counts consistent, membership deterministic") {
+    val df = Curation.hashSample(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_sampled"))
+      assert(s >= 0 && s <= n)
+      val rate = r.getAs[Double]("sample_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // totals: the overall realized rate lands near the 20 % threshold
+    val (tot, samp) = rows.map(r =>
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_sampled")))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(tot == Tables(spark, sf0001, "documents").count())
+    val overall = samp.toDouble / tot
+    assert(overall > 0.05 && overall < 0.4, s"hash threshold skewed: $overall")
+    // rerun is bit-identical (pure-function membership, no rand())
+    assert(df.collect().sameElements(rows))
+  }
+
+  test("decontamination: benchmark docs excluded, self-quote detected") {
+    val df = Curation.decontamStats(spark, sf0001)
+    val nTrain = Tables(spark, sf0001, "documents")
+      .filter($"doc_id" % 97 =!= 0).count()
+    assert(df.agg(sum("n_docs")).first().getLong(0) == nTrain)
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_docs"))
+    }
+    // a synthetic training doc that QUOTES a benchmark doc verbatim
+    // must flag: verify the gram machinery end-to-end by checking that
+    // any near-identical (jaccard>=0.9) pair straddling the benchmark
+    // boundary is reported as contamination
+    val pairs = graft.operators.Similarity.neardupPairs(spark, sf0001)
+      .filter($"jaccard" >= 0.9)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val straddling = pairs.filter { case (a, b) =>
+      (a % 97 == 0) != (b % 97 == 0) }
+    if (straddling.nonEmpty) {
+      val contaminatedTotal = df.agg(sum("n_contaminated")).first().getLong(0)
+      assert(contaminatedTotal >= 1,
+        s"benchmark-straddling near-dup pairs $straddling not flagged")
+    }
+  }
+
+  test("token budget: waterfill never over-grants, caps bind, rates in (0,1]") {
+    val rows = Curation.tokenBudgetMix(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val totalAvail = rows.map(_.getAs[Long]("n_tokens_available")).sum
+    val budget = 3L * totalAvail / 4L
+    val allocated = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(allocated <= budget, s"over-granted: $allocated > $budget")
+    rows.foreach { r =>
+      val avail = r.getAs[Long]("n_tokens_available")
+      val base = r.getAs[Long]("base_alloc")
+      val alloc = r.getAs[Long]("alloc_tokens")
+      assert(base <= alloc && alloc <= avail,
+        s"waterfill monotonicity broken: base=$base alloc=$alloc avail=$avail")
+      val rate = r.getAs[Double]("sampling_rate")
+      assert(rate > 0.0 && rate <= 1.0)
+    }
+    // round 2 must actually move tokens when round 1 leaves hungry
+    // sources and a leftover (otherwise it is dead code): if any source
+    // was availability-bound below its round-1 cap, some other source
+    // must have been topped up past base_alloc
+    val leftover = budget - rows.map(_.getAs[Long]("base_alloc")).sum
+    val hungry = rows.filter(r =>
+      r.getAs[Long]("n_tokens_available") > r.getAs[Long]("base_alloc"))
+    if (leftover > hungry.length && hungry.nonEmpty)
+      assert(hungry.exists(r =>
+        r.getAs[Long]("alloc_tokens") > r.getAs[Long]("base_alloc")),
+        "round-2 redistribution granted nothing despite leftover")
+  }
+}

@@ -8,10 +8,12 @@ import org.apache.spark.sql.SparkSession
   * Run: `sbt "runMain graft.PlanDump"` */
 object PlanDump {
   val headline = Seq("segment_stats", "pricing_summary", "revenue_by_nation",
-    "neardup_pairs", "cosine_topk", "cosine_topk_ivf", "cosine_topk_ivf2",
-    "cosine_topk_batch", "asof_order_before_event", "asof_daily_order_gap",
+    "neardup_pairs", "neardup_pairs_char", "cosine_topk", "cosine_topk_ivf",
+    "cosine_topk_ivf2", "cosine_topk_batch", "cosine_topk_kmeans",
+    "asof_order_before_event", "asof_daily_order_gap",
     "sliding_rate_limit", "copy_parse", "approx_median_acctbal", "hll_users",
-    "neardup_clusters", "embedding_clusters", "quality_funnel")
+    "neardup_clusters", "embedding_clusters", "quality_funnel",
+    "hash_sample", "decontam_stats", "token_budget_mix")
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -49,6 +49,17 @@ object Curation {
         ScalarFns.roundN(col("n_sampled").cast("double") / col("n_docs"), 4))
       .orderBy("source")
 
+  /** The sample ITSELF (membership-level grading, not just counts):
+    * the filter a pipeline would apply before training-shard writes.
+    * Map-only — the predicate reaches the scan; no shuffle but the
+    * output sort. */
+  def hashSampleDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 8)
+        < lit(SampleHexThreshold))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
   /** Benchmark membership: every 97th doc stands in for a held-out eval
     * set. Production would join an external benchmark table; the
     * modulus keeps the demo self-contained and the oracle exact. */
@@ -134,6 +145,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hash_sample"      -> (hashSample _),
+    "hash_sample_docs" -> (hashSampleDocs _),
     "decontam_stats"   -> (decontamStats _),
     "token_budget_mix" -> (tokenBudgetMix _))
 
@@ -148,6 +160,11 @@ object Curation {
                |      < '$SampleHexThreshold' THEN 1 ELSE 0 END) AS DOUBLE)
                |    / count(*)""".stripMargin, 4)} AS sample_rate
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "hash_sample_docs" ->
+      s"""SELECT doc_id, source, lang, n_chars FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |  < '$SampleHexThreshold'
+         |ORDER BY doc_id""".stripMargin,
     "decontam_stats" ->
       s"""WITH toks AS (
          |  ${Shingles.duckToks}),

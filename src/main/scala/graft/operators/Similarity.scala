@@ -61,11 +61,15 @@ object Similarity {
     // DISTINCT shingle set is identical to MinHash over the multiset
     // (min of a set ≡ min of its multiset), and the jaccard join wants
     // the distinct set anyway — so dedup FIRST and share `shd`
-    // everywhere. MEMORY_AND_DISK: the explode multiplies rows by
-    // shingles/doc, but Spark's unified memory manager caps storage and
-    // EVICTS cached blocks to disk under execution pressure, so this
-    // cannot starve the executors' heap at scale — while small corpora
-    // skip the round-trip to disk that a forced DISK_ONLY pays on every
+    // everywhere. (Measured alternative: skipping the corpus-wide
+    // distinct+cache and recomputing the explode per consumer is
+    // SLOWER — the shingle explode is CPU-heavy enough that paying it
+    // twice costs more than one distinct exchange + cache build.)
+    // MEMORY_AND_DISK: the explode multiplies rows by shingles/doc, but
+    // Spark's unified memory manager caps storage and EVICTS cached
+    // blocks to disk under execution pressure, so this cannot starve
+    // the executors' heap at scale — while small corpora skip the
+    // round-trip to disk that a forced DISK_ONLY pays on every
     // consumer. (A 100 TB deployment would materialize a shingle TABLE
     // once and share it across runs; the per-query plan shape is
     // identical.)
@@ -124,10 +128,10 @@ object Similarity {
       // cache's own persist call is a no-op on this frame.
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Materialize the (small) pair table eagerly, then release the
-    // disk-persisted shingle blocks: the persisted intermediates exist
-    // only to serve this one query, and a shared 50-query session must
-    // not accumulate stale block files. (Deliberate trade-off: building
-    // this DataFrame triggers execution, unlike every other query here.)
+    // persisted intermediates: they exist only to serve this one query,
+    // and a shared 50-query session must not accumulate stale block
+    // files. (Deliberate trade-off: building this DataFrame triggers
+    // execution, unlike every other query here.)
     result.count()
     shd.unpersist(); bands.unpersist(); cand.unpersist()
     result
@@ -154,16 +158,19 @@ object Similarity {
     * (band key = concatenated pair of minhashes), then exact
     * char-Jaccard verification; only pairs at/over `threshold` emit.
     *
-    * Why r=2 where the word variant uses r=1: char-gram Jaccard between
-    * unrelated docs is much higher than word-gram Jaccard (shared
-    * substrings are everywhere), and a 1-row band collides with
-    * probability J — measured 1.3M candidate pairs at sf0.1. Two rows
-    * square it (J²): 36k candidates, the true dups all survive. At a
-    * larger corpus the noise floor grows quadratically, so r (rows per
-    * band) is the knob to raise — each +1 multiplies noise by J while
-    * costing true-positive recall 1−(1−J^r)⁴, recovered by adding
-    * bands. Same semi-join-pruned verification shape as the word
-    * variant: shuffle bytes ∝ candidate shingles, not corpus shingles. */
+    * Why r=2 AND a ≥2-band vote where the word variant uses r=1 and
+    * any-band: char-gram Jaccard between unrelated docs is much higher
+    * than word-gram Jaccard (shared substrings are everywhere). A 1-row
+    * band collides with probability J — measured 1.3M candidate pairs
+    * at sf0.1; squaring it (r=2) leaves 36k; requiring TWO of the four
+    * bands to agree leaves 325 — while every one of the 256 true ≥0.5
+    * pairs keeps ≥2 band votes (254 keep ≥3). Analytically the vote
+    * costs recall 1−(1−J²)⁴−4J²(1−J²)³ ≈ 2 % at J=0.9, ≈ 0 at J≥0.95 —
+    * the accepted LSH trade for a 100× cheaper verification join. At a
+    * larger corpus the noise floor grows quadratically, so r and the
+    * vote threshold are the knobs to raise. Same semi-join-pruned
+    * verification shape as the word variant: shuffle bytes ∝ candidate
+    * shingles, not corpus shingles. */
   def neardupPairsChar(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame =
     graft.sources.ResultCache.getOrCompute(
@@ -173,6 +180,9 @@ object Similarity {
   private def neardupPairsCharUncached(spark: SparkSession, dir: String,
       threshold: Double): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // Same shared-distinct-shingle structure as the word variant (and
+    // the same measured trade-off: one corpus distinct + cache beats
+    // recomputing the ~300-grams/doc explode per consumer).
     val shd = charShingles(spark, dir).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sigCols = (0 to 7).map(i =>
@@ -188,12 +198,17 @@ object Similarity {
         .as("bm"))
       .select(col("doc_id"), col("bm.band").as("band"), col("bm.m").as("m"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // each band contributes at most one row per pair (one (doc, band)
+    // row per side, equi-joined on the band key), so count(*) IS the
+    // band-vote count — no DISTINCT needed before the vote
     val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("m"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("m")),
         Seq("band", "m"))
       .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("nbands"))
+      .filter(col("nbands") >= 2)
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     cand.count()
 
@@ -891,18 +906,21 @@ object Similarity {
          |    min(md5('6:' || s)) AS m6, min(md5('7:' || s)) AS m7
          |  FROM sh GROUP BY 1),
          |cand AS (
-         |  SELECT DISTINCT doc_a, doc_b FROM (
-         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
-         |      ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
-         |    UNION ALL
-         |    SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-         |      ON a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id
-         |    UNION ALL
-         |    SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-         |      ON a.m4 = b.m4 AND a.m5 = b.m5 AND a.doc_id < b.doc_id
-         |    UNION ALL
-         |    SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-         |      ON a.m6 = b.m6 AND a.m7 = b.m7 AND a.doc_id < b.doc_id)),
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b, count(*) AS nbands FROM (
+         |      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+         |        ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
+         |      UNION ALL
+         |      SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+         |        ON a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id
+         |      UNION ALL
+         |      SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+         |        ON a.m4 = b.m4 AND a.m5 = b.m5 AND a.doc_id < b.doc_id
+         |      UNION ALL
+         |      SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+         |        ON a.m6 = b.m6 AND a.m7 = b.m7 AND a.doc_id < b.doc_id)
+         |    GROUP BY 1, 2)
+         |  WHERE nbands >= 2),
          |shd AS (SELECT DISTINCT doc_id, s FROM sh),
          |sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1),
          |inter AS (

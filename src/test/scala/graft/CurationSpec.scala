@@ -49,11 +49,18 @@ class CurationSpec extends SparkSpec {
     // must flag: verify the gram machinery end-to-end by checking that
     // any near-identical (jaccard>=0.9) pair straddling the benchmark
     // boundary is reported as contamination
+    // restrict to pairs where BOTH docs have >= 8 tokens: two identical
+    // 6-token docs have word-3-gram jaccard 1.0 but zero 8-grams, so
+    // they are correctly reported clean — they must not trip the assert
+    val longDocs = Tables(spark, sf0001, "documents")
+      .filter(size(graft.functions.Shingles.sparkToks) >= 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
     val pairs = graft.operators.Similarity.neardupPairs(spark, sf0001)
       .filter($"jaccard" >= 0.9)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
     val straddling = pairs.filter { case (a, b) =>
-      (a % 97 == 0) != (b % 97 == 0) }
+      ((a % 97 == 0) != (b % 97 == 0)) &&
+        longDocs.contains(a) && longDocs.contains(b) }
     if (straddling.nonEmpty) {
       val contaminatedTotal = df.agg(sum("n_contaminated")).first().getLong(0)
       assert(contaminatedTotal >= 1,

@@ -105,7 +105,14 @@ object Similarity {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
       .distinct()
+    // candidate-pruned shingles are consumed THREE times below (sizes,
+    // x-side, y-side) — left lazy, each consumer re-scans the
+    // corpus-sized shd cache; persisted + materialized, the three
+    // consumers read ~candidate-sized blocks (measured: the re-scans
+    // were the largest single stage of the whole pair build)
     val shc = shd.join(broadcast(candDocs), Seq("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    shc.count()
     // per-doc set sizes: only candidate docs' sizes are ever joined
     val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
 
@@ -133,7 +140,7 @@ object Similarity {
     // files. (Deliberate trade-off: building this DataFrame triggers
     // execution, unlike every other query here.)
     result.count()
-    shd.unpersist(); bands.unpersist(); cand.unpersist()
+    shd.unpersist(); bands.unpersist(); cand.unpersist(); shc.unpersist()
     result
   }
 
@@ -221,7 +228,11 @@ object Similarity {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
       .distinct()
+    // persisted + materialized for the same reason as the word variant:
+    // three consumers below, each otherwise re-scanning the corpus cache
     val shc = shd.join(broadcast(candDocs), Seq("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    shc.count()
     val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val inter = cand
       .join(shc.as("x"), col("doc_a") === col("x.doc_id"))
@@ -239,7 +250,7 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
-    shd.unpersist(); bands.unpersist(); cand.unpersist()
+    shd.unpersist(); bands.unpersist(); cand.unpersist(); shc.unpersist()
     result
   }
 

@@ -41,9 +41,10 @@ object Curation {
     substring(md5(col("doc_id").cast("string")), 1, 8) <
       lit(SampleHexThreshold)
 
-  /** DuckDB twin of [[keepCol]]. */
-  private val keepSql: String =
-    s"substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$SampleHexThreshold'"
+  /** DuckDB twin of [[keepCol]]; `ref` qualifies the key column where
+    * the surrounding query joins several doc_id-bearing tables. */
+  private def keepSql(ref: String = "doc_id"): String =
+    s"substr(md5(CAST($ref AS VARCHAR)), 1, 8) < '$SampleHexThreshold'"
 
   /** N-mix: deterministic hash-stratified sample accounting per source.
     * The aggregate reports realized rates; a pipeline materializing the
@@ -105,6 +106,26 @@ object Curation {
       .orderBy("source")
   }
 
+  /** The contaminated rows themselves (membership-level grading):
+    * exactly the doc_ids `decontamStats` counts, with the doc's source
+    * for triage. The production pipeline applies this as an anti-join
+    * filter before shard writes. */
+  def decontamDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val grams = docs
+      .withColumn("t", Shingles.sparkToks)
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"),
+        explode(expr(Shingles.sparkExprN(8))).as("g"))
+    val benchGrams = grams.filter(col("doc_id") % BenchMod === 0)
+      .select(col("g")).distinct()
+    grams.filter(col("doc_id") % BenchMod =!= 0)
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** N-mix: per-source token-budget allocation — a two-round bounded
     * WATERFILL over integer token counts:
     *
@@ -152,24 +173,66 @@ object Curation {
       .orderBy("source")
   }
 
+  /** N-mix CAPSTONE — the full training-mix funnel in ONE flagged-frame
+    * aggregate (the `pipeline_yield` pattern applied to curation): per
+    * source, survivors of each successive gate
+    *
+    *   raw (benchmark docs excluded) → quality (token floor) →
+    *   decontaminated (no benchmark 8-gram) → hash-sampled,
+    *
+    * plus the surviving token mass — the number a mix planner actually
+    * budgets against. Every gate is a map-side boolean (the
+    * contamination flag via one broadcast semi-join), so the whole
+    * funnel costs the corpus ONE partial-agg shuffle regardless of how
+    * many gates compose. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val grams = docs
+      .withColumn("t", Shingles.sparkToks)
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"),
+        explode(expr(Shingles.sparkExprN(8))).as("g"))
+    val benchGrams = grams.filter(col("doc_id") % BenchMod === 0)
+      .select(col("g")).distinct()
+    val cont = grams.filter(col("doc_id") % BenchMod =!= 0)
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    docs.filter(col("doc_id") % BenchMod =!= 0)
+      .withColumn("n_tok", size(Shingles.sparkToks).cast("bigint"))
+      .join(cont, Seq("doc_id"), "left")
+      .withColumn("q", col("n_tok") >= TextOps.QualityMinTokens)
+      .withColumn("dc", col("q") && col("contaminated").isNull)
+      .withColumn("samp", col("dc") && keepCol)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("dc"), 1L).otherwise(0L)).as("n_decontam"),
+        sum(when(col("samp"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("samp"), col("n_tok")).otherwise(0L)).as("tokens_final"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hash_sample"      -> (hashSample _),
     "hash_sample_docs" -> (hashSampleDocs _),
     "decontam_stats"   -> (decontamStats _),
-    "token_budget_mix" -> (tokenBudgetMix _))
+    "decontam_docs"    -> (decontamDocs _),
+    "token_budget_mix" -> (tokenBudgetMix _),
+    "curation_funnel"  -> (curationFunnel _))
 
   val oracles: Map[String, String] = Map(
     "hash_sample" ->
       s"""SELECT source, count(*) AS n_docs,
-         |  CAST(sum(CASE WHEN $keepSql THEN 1 ELSE 0 END) AS BIGINT)
+         |  CAST(sum(CASE WHEN ${keepSql()} THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_sampled,
          |  ${ScalarFns.roundSql(
-            s"""CAST(sum(CASE WHEN $keepSql THEN 1 ELSE 0 END) AS DOUBLE)
+            s"""CAST(sum(CASE WHEN ${keepSql()} THEN 1 ELSE 0 END) AS DOUBLE)
                |    / count(*)""".stripMargin, 4)} AS sample_rate
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "hash_sample_docs" ->
       s"""SELECT doc_id, source, lang, n_chars FROM documents
-         |WHERE $keepSql
+         |WHERE ${keepSql()}
          |ORDER BY doc_id""".stripMargin,
     "decontam_stats" ->
       s"""WITH toks AS (
@@ -190,6 +253,19 @@ object Curation {
          |FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
          |WHERE d.doc_id % $BenchMod <> 0
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "decontam_docs" ->
+      s"""WITH toks AS (
+         |  ${Shingles.duckToks}),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, unnest(${Shingles.duckExprN(8)}) AS g
+         |  FROM toks WHERE len(t) >= 8),
+         |bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % $BenchMod = 0),
+         |cont AS (
+         |  SELECT DISTINCT gr.doc_id FROM grams gr JOIN bg ON gr.g = bg.g
+         |  WHERE gr.doc_id % $BenchMod <> 0)
+         |SELECT c.doc_id, d.source
+         |FROM cont c JOIN documents d ON c.doc_id = d.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
     "token_budget_mix" ->
       s"""WITH toks AS (
          |  ${Shingles.duckToks}),
@@ -226,5 +302,33 @@ object Curation {
                |    ELSE r.base_alloc END AS DOUBLE) / r.n_tokens_available"""
               .stripMargin, 4)} AS sampling_rate
          |FROM r1 r, r1tot rt
-         |ORDER BY r.source""".stripMargin)
+         |ORDER BY r.source""".stripMargin,
+    "curation_funnel" ->
+      s"""WITH toks AS (
+         |  ${Shingles.duckToks}),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, unnest(${Shingles.duckExprN(8)}) AS g
+         |  FROM toks WHERE len(t) >= 8),
+         |bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % $BenchMod = 0),
+         |cont AS (
+         |  SELECT DISTINCT gr.doc_id FROM grams gr JOIN bg ON gr.g = bg.g
+         |  WHERE gr.doc_id % $BenchMod <> 0),
+         |f AS (
+         |  SELECT d.doc_id, d.source, len(t.t) AS n_tok,
+         |    len(t.t) >= ${TextOps.QualityMinTokens} AS q,
+         |    (len(t.t) >= ${TextOps.QualityMinTokens}
+         |      AND c.doc_id IS NULL) AS dc,
+         |    (len(t.t) >= ${TextOps.QualityMinTokens}
+         |      AND c.doc_id IS NULL AND ${keepSql("d.doc_id")}) AS samp
+         |  FROM documents d
+         |  JOIN toks t ON d.doc_id = t.doc_id
+         |  LEFT JOIN cont c ON d.doc_id = c.doc_id
+         |  WHERE d.doc_id % $BenchMod <> 0)
+         |SELECT source, count(*) AS n_raw,
+         |  CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN dc THEN 1 ELSE 0 END) AS BIGINT) AS n_decontam,
+         |  CAST(sum(CASE WHEN samp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(sum(CASE WHEN samp THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS tokens_final
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
 }

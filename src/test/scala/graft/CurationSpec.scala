@@ -68,6 +68,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("funnel: stages are monotone and agree with the standalone queries") {
+    val funnel = Curation.curationFunnel(spark, sf0001).collect()
+    assert(funnel.nonEmpty)
+    funnel.foreach { r =>
+      val (raw, q, dc, s) = (r.getAs[Long]("n_raw"), r.getAs[Long]("n_quality"),
+        r.getAs[Long]("n_decontam"), r.getAs[Long]("n_sampled"))
+      assert(raw >= q && q >= dc && dc >= s && s >= 0,
+        s"funnel not monotone: $raw >= $q >= $dc >= $s")
+      assert(r.getAs[Long]("tokens_final") >= 0)
+    }
+    // cross-query consistency: the funnel's raw count per source equals
+    // the decontamination query's doc count (same benchmark exclusion),
+    // and total flagged docs = n_quality - n_decontam summed only over
+    // docs that PASS quality... the simpler invariant that must hold:
+    // funnel raw == decontam n_docs per source
+    val dstats = Curation.decontamStats(spark, sf0001).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs")).toMap
+    funnel.foreach { r =>
+      assert(dstats(r.getAs[String]("source")) == r.getAs[Long]("n_raw"))
+    }
+    // membership twin matches the stats count in total
+    val nContaminated = Curation.decontamDocs(spark, sf0001).count()
+    val statsTotal = Curation.decontamStats(spark, sf0001)
+      .agg(sum("n_contaminated")).first().getLong(0)
+    assert(nContaminated == statsTotal)
+  }
+
   test("token budget: waterfill never over-grants, caps bind, rates in (0,1]") {
     val rows = Curation.tokenBudgetMix(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -83,20 +83,50 @@ object Curation {
     * deduped and BROADCAST; the training side is a map-only semi-join
     * probe plus one per-source partial aggregate. Docs under 8 tokens
     * have no grams and count as clean (they cannot quote a benchmark). */
-  def decontamStats(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val grams = docs
+  /** Contaminated doc_ids — the shared expensive product of the whole
+    * decontamination family (`decontam_stats`, `decontam_docs`,
+    * `curation_funnel` all consume exactly this set): the corpus gram
+    * explode + benchmark distinct + broadcast probe run ONCE per
+    * (session, dir) through the S6 cache, like `neardupPairs` and
+    * `ivfAssign`. The Spark block and its DuckDB twin ([[contamCte]])
+    * each live in one place so the two dialects cannot drift. */
+  private[graft] def contaminatedDocIds(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|decontam|$dir",
+      ttlSeconds = 300)(contaminatedDocIdsUncached(spark, dir))
+
+  private def contaminatedDocIdsUncached(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(spark, dir, "documents")
       .withColumn("t", Shingles.sparkToks)
       .filter(size(col("t")) >= 8)
       .select(col("doc_id"),
         explode(expr(Shingles.sparkExprN(8))).as("g"))
     val benchGrams = grams.filter(col("doc_id") % BenchMod === 0)
       .select(col("g")).distinct()
-    val contaminated = grams.filter(col("doc_id") % BenchMod =!= 0)
+    grams.filter(col("doc_id") % BenchMod =!= 0)
       .join(broadcast(benchGrams), Seq("g"), "left_semi")
       .select(col("doc_id")).distinct()
+  }
+
+  /** DuckDB twin of [[contaminatedDocIds]] — CTE chain ending with
+    * `cont(doc_id)`; every decontamination oracle builds on this one
+    * string. */
+  private def contamCte: String =
+    s"""WITH toks AS (
+       |  ${Shingles.duckToks}),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, unnest(${Shingles.duckExprN(8)}) AS g
+       |  FROM toks WHERE len(t) >= 8),
+       |bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % $BenchMod = 0),
+       |cont AS (
+       |  SELECT DISTINCT gr.doc_id FROM grams gr JOIN bg ON gr.g = bg.g
+       |  WHERE gr.doc_id % $BenchMod <> 0)""".stripMargin
+
+  def decontamStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
     docs.filter(col("doc_id") % BenchMod =!= 0)
-      .join(contaminated.withColumn("c", lit(1)), Seq("doc_id"), "left")
+      .join(contaminatedDocIds(spark, dir).withColumn("c", lit(1)),
+        Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_contaminated"))
@@ -110,21 +140,11 @@ object Curation {
     * exactly the doc_ids `decontamStats` counts, with the doc's source
     * for triage. The production pipeline applies this as an anti-join
     * filter before shard writes. */
-  def decontamDocs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val grams = docs
-      .withColumn("t", Shingles.sparkToks)
-      .filter(size(col("t")) >= 8)
-      .select(col("doc_id"),
-        explode(expr(Shingles.sparkExprN(8))).as("g"))
-    val benchGrams = grams.filter(col("doc_id") % BenchMod === 0)
-      .select(col("g")).distinct()
-    grams.filter(col("doc_id") % BenchMod =!= 0)
-      .join(broadcast(benchGrams), Seq("g"), "left_semi")
-      .select(col("doc_id")).distinct()
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+  def decontamDocs(spark: SparkSession, dir: String): DataFrame =
+    contaminatedDocIds(spark, dir)
+      .join(Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
       .orderBy("doc_id")
-  }
 
   /** N-mix: per-source token-budget allocation — a two-round bounded
     * WATERFILL over integer token counts:
@@ -187,16 +207,7 @@ object Curation {
     * many gates compose. */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val grams = docs
-      .withColumn("t", Shingles.sparkToks)
-      .filter(size(col("t")) >= 8)
-      .select(col("doc_id"),
-        explode(expr(Shingles.sparkExprN(8))).as("g"))
-    val benchGrams = grams.filter(col("doc_id") % BenchMod === 0)
-      .select(col("g")).distinct()
-    val cont = grams.filter(col("doc_id") % BenchMod =!= 0)
-      .join(broadcast(benchGrams), Seq("g"), "left_semi")
-      .select(col("doc_id")).distinct()
+    val cont = contaminatedDocIds(spark, dir)
       .withColumn("contaminated", lit(true))
     docs.filter(col("doc_id") % BenchMod =!= 0)
       .withColumn("n_tok", size(Shingles.sparkToks).cast("bigint"))
@@ -235,15 +246,7 @@ object Curation {
          |WHERE ${keepSql()}
          |ORDER BY doc_id""".stripMargin,
     "decontam_stats" ->
-      s"""WITH toks AS (
-         |  ${Shingles.duckToks}),
-         |grams AS (
-         |  SELECT DISTINCT doc_id, unnest(${Shingles.duckExprN(8)}) AS g
-         |  FROM toks WHERE len(t) >= 8),
-         |bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % $BenchMod = 0),
-         |cont AS (
-         |  SELECT DISTINCT gr.doc_id FROM grams gr JOIN bg ON gr.g = bg.g
-         |  WHERE gr.doc_id % $BenchMod <> 0)
+      s"""$contamCte
          |SELECT d.source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_contaminated,
@@ -254,15 +257,7 @@ object Curation {
          |WHERE d.doc_id % $BenchMod <> 0
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "decontam_docs" ->
-      s"""WITH toks AS (
-         |  ${Shingles.duckToks}),
-         |grams AS (
-         |  SELECT DISTINCT doc_id, unnest(${Shingles.duckExprN(8)}) AS g
-         |  FROM toks WHERE len(t) >= 8),
-         |bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % $BenchMod = 0),
-         |cont AS (
-         |  SELECT DISTINCT gr.doc_id FROM grams gr JOIN bg ON gr.g = bg.g
-         |  WHERE gr.doc_id % $BenchMod <> 0)
+      s"""$contamCte
          |SELECT c.doc_id, d.source
          |FROM cont c JOIN documents d ON c.doc_id = d.doc_id
          |ORDER BY c.doc_id""".stripMargin,
@@ -304,15 +299,7 @@ object Curation {
          |FROM r1 r, r1tot rt
          |ORDER BY r.source""".stripMargin,
     "curation_funnel" ->
-      s"""WITH toks AS (
-         |  ${Shingles.duckToks}),
-         |grams AS (
-         |  SELECT DISTINCT doc_id, unnest(${Shingles.duckExprN(8)}) AS g
-         |  FROM toks WHERE len(t) >= 8),
-         |bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % $BenchMod = 0),
-         |cont AS (
-         |  SELECT DISTINCT gr.doc_id FROM grams gr JOIN bg ON gr.g = bg.g
-         |  WHERE gr.doc_id % $BenchMod <> 0),
+      s"""$contamCte,
          |f AS (
          |  SELECT d.doc_id, d.source, len(t.t) AS n_tok,
          |    len(t.t) >= ${TextOps.QualityMinTokens} AS q,

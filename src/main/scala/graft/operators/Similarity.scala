@@ -73,26 +73,32 @@ object Similarity {
     // consumer. (A 100 TB deployment would materialize a shingle TABLE
     // once and share it across runs; the per-query plan shape is
     // identical.)
-    val shd = shingles(spark, dir).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Intermediates are released in the finally below on EVERY exit
+    // path (the connectedComponents discipline): a failed build must
+    // not leave corpus-sized blocks pinned for the session lifetime.
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      pinned += df; df.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val shd = pin(shingles(spark, dir).distinct())
+    try {
     // One shuffle, not four: unpivot the 4 band minhashes to
     // (doc, band, m) rows and self-join on (band, m). Identical
     // candidate set to four per-band joins, but a single exchange.
-    val bands = signaturesFrom(shd)
+    val bands = pin(signaturesFrom(shd)
       .select(col("doc_id"), explode(array((0 to 3).map(i =>
         struct(lit(i).as("band"), col(s"m$i").as("m"))): _*)).as("bm"))
-      .select(col("doc_id"), col("bm.band").as("band"), col("bm.m").as("m"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // 4 rows/doc — tiny
+      .select(col("doc_id"), col("bm.band").as("band"), col("bm.m").as("m")))
+      // 4 rows/doc — tiny
     // persist + materialize: `cand` feeds the verification join AND the
     // broadcast candidate-doc list below (multiple broadcast exchanges)
     // — unpersisted, every consumer would re-run the LSH self-join
-    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("m"))
+    val cand = pin(bands.select(col("doc_id").as("doc_a"), col("band"), col("m"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("m")),
         Seq("band", "m"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK) // pair granularity — tiny
+      .distinct()) // pair granularity — tiny
     cand.count()
 
     // SEMI-JOIN REDUCTION before the expensive verification joins: only
@@ -110,8 +116,7 @@ object Similarity {
     // corpus-sized shd cache; persisted + materialized, the three
     // consumers read ~candidate-sized blocks (measured: the re-scans
     // were the largest single stage of the whole pair build)
-    val shc = shd.join(broadcast(candDocs), Seq("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val shc = pin(shd.join(broadcast(candDocs), Seq("doc_id")))
     shc.count()
     // per-doc set sizes: only candidate docs' sizes are ever joined
     val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
@@ -134,14 +139,16 @@ object Similarity {
       // memory. Same storage level as ResultCache's persist, so the
       // cache's own persist call is a no-op on this frame.
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Materialize the (small) pair table eagerly, then release the
-    // persisted intermediates: they exist only to serve this one query,
-    // and a shared 50-query session must not accumulate stale block
-    // files. (Deliberate trade-off: building this DataFrame triggers
-    // execution, unlike every other query here.)
+    // Materialize the (small) pair table eagerly — the intermediates
+    // exist only to serve this one query, and a shared 50-query session
+    // must not accumulate stale block files. (Deliberate trade-off:
+    // building this DataFrame triggers execution, unlike every other
+    // query here.)
     result.count()
-    shd.unpersist(); bands.unpersist(); cand.unpersist(); shc.unpersist()
     result
+    } finally pinned.foreach { df =>
+      try { df.unpersist(); () } catch { case _: Throwable => () }
+    }
   }
 
   /** CHARACTER 9-gram shingles of the lowercased text — the robustness
@@ -195,34 +202,37 @@ object Similarity {
     import org.apache.spark.storage.StorageLevel
     // Same shared-distinct-shingle structure as the word variant (and
     // the same measured trade-off: one corpus distinct + cache beats
-    // recomputing the ~300-grams/doc explode per consumer).
-    val shd = charShingles(spark, dir).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // recomputing the ~300-grams/doc explode per consumer); same
+    // finally-released pin discipline.
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      pinned += df; df.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val shd = pin(charShingles(spark, dir).distinct())
+    try {
     val sigCols = (0 to 7).map(i =>
       min(md5(concat(lit(s"$i:"), col("s")))).as(s"m$i"))
     val sigs = shd.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     // one unpivoted self-join exchange, like the word variant; the band
     // key is the CONCATENATION of the band's two minhashes (fixed-width
     // hex, so concat-equality ⟺ pairwise equality)
-    val bands = sigs
+    val bands = pin(sigs
       .select(col("doc_id"), explode(array((0 to 3).map(i =>
         struct(lit(i).as("band"),
           concat(col(s"m${2 * i}"), col(s"m${2 * i + 1}")).as("m"))): _*))
         .as("bm"))
-      .select(col("doc_id"), col("bm.band").as("band"), col("bm.m").as("m"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), col("bm.band").as("band"), col("bm.m").as("m")))
     // each band contributes at most one row per pair (one (doc, band)
     // row per side, equi-joined on the band key), so count(*) IS the
     // band-vote count — no DISTINCT needed before the vote
-    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("m"))
+    val cand = pin(bands.select(col("doc_id").as("doc_a"), col("band"), col("m"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("m")),
         Seq("band", "m"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("nbands"))
       .filter(col("nbands") >= 2)
-      .select(col("doc_a"), col("doc_b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_a"), col("doc_b")))
     cand.count()
 
     val candDocs = cand.select(col("doc_a").as("doc_id"))
@@ -230,8 +240,7 @@ object Similarity {
       .distinct()
     // persisted + materialized for the same reason as the word variant:
     // three consumers below, each otherwise re-scanning the corpus cache
-    val shc = shd.join(broadcast(candDocs), Seq("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val shc = pin(shd.join(broadcast(candDocs), Seq("doc_id")))
     shc.count()
     val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val inter = cand
@@ -250,8 +259,10 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
-    shd.unpersist(); bands.unpersist(); cand.unpersist(); shc.unpersist()
     result
+    } finally pinned.foreach { df =>
+      try { df.unpersist(); () } catch { case _: Throwable => () }
+    }
   }
 
   /** Connected components over a SYMMETRIC edge list (both directions

@@ -83,15 +83,19 @@ class CurationSpec extends SparkSpec {
     // and total flagged docs = n_quality - n_decontam summed only over
     // docs that PASS quality... the simpler invariant that must hold:
     // funnel raw == decontam n_docs per source
-    val dstats = Curation.decontamStats(spark, sf0001).collect()
+    val drows = Curation.decontamStats(spark, sf0001).collect()
+    val dstats = drows
       .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs")).toMap
     funnel.foreach { r =>
-      assert(dstats(r.getAs[String]("source")) == r.getAs[Long]("n_raw"))
+      val src = r.getAs[String]("source")
+      assert(dstats.contains(src), s"source $src missing from decontam_stats")
+      assert(dstats(src) == r.getAs[Long]("n_raw"))
     }
-    // membership twin matches the stats count in total
+    // membership twin matches the stats count in total (reuse the
+    // collected rows — decontamStats shares the cached contamination
+    // set but the final aggregate would still re-run)
     val nContaminated = Curation.decontamDocs(spark, sf0001).count()
-    val statsTotal = Curation.decontamStats(spark, sf0001)
-      .agg(sum("n_contaminated")).first().getLong(0)
+    val statsTotal = drows.map(_.getAs[Long]("n_contaminated")).sum
     assert(nContaminated == statsTotal)
   }
 

@@ -255,6 +255,21 @@ class StreamingSpec extends SparkSpec {
       assert(s == b, s"streamed row $s != batch row $b") }
   }
 
+  test("ST7 update mode: single-batch replay sink equals the batch aggregate") {
+    // update mode emits only CHANGED rows per batch; a bounded
+    // single-file replay updates every window exactly once, so the
+    // sink must hold the batch aggregate with no duplicate emissions
+    val streamed = graft.streaming.StreamReplay
+      .hourlyEventStatsUpdateMode(spark, sf0001).collect()
+    val batch = graft.operators.EventOps
+      .hourlyEventStats(spark, sf0001).collect()
+    assert(streamed.length == batch.length,
+      s"update-mode sink has ${streamed.length} rows vs batch ${batch.length}" +
+        " — duplicate or missing emissions")
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s == b, s"update-mode row $s != batch row $b") }
+  }
+
   test("ST7 append mode: session replay emits every real session exactly once") {
     // the graded session_stats_streamed entry: append-mode emission
     // (one row per session, on watermark close, state dropped) must

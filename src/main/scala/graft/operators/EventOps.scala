@@ -172,7 +172,10 @@ object EventOps {
     * arithmetic over the md5 hex (bucket = first 2 nibbles, rho from
     * the leading zeros of nibbles 3..18), max per register, 256-row
     * register frame via generate_series, index-ordered list_reduce. */
-  private val hllOracle: String = {
+  /** Exposed to [[graft.streaming.StreamReplay]]: the streamed HLL query
+    * reuses this whole oracle as a subquery so the sketch spec exists
+    * in exactly one SQL rendering. */
+  private[graft] val hllOracle: String = {
     val nibDefs = (1 to 18).map(i =>
       s"instr('0123456789abcdef', substr(h, $i, 1)) - 1 AS n$i")
       .mkString(",\n      ")

@@ -114,6 +114,24 @@ object StreamReplay {
         col("n_events"), col("total_value"))
       .orderBy("hour_start", "event_type")
 
+  /** ST5+A6 on the driver's graded path: the custom HLL sketch carried
+    * as `mapGroupsWithState` STATE through a real streaming execution —
+    * until now the arbitrary-stateful-operator path (the one that
+    * cannot be written as a windowed aggregate) ran only under
+    * ScalaTest. One micro-batch folds every event into the per-type
+    * 256-register state and emits one (type, estimate, seen) row;
+    * because batch and stream share ONE sketch implementation and the
+    * register array is order-independent (max per bucket), the emitted
+    * estimate hash-matches the DuckDB rebuild of the sketch spec — the
+    * same oracle `hll_users` uses, reused verbatim as a subquery. */
+  def hllUsersStreamed(spark: SparkSession, dir: String): DataFrame =
+    replayEvents(spark, dir, outputMode = "update") { df =>
+      StreamOps.streamingHllUsers(df).toDF("event_type", "est", "n_events")
+    }.select(col("event_type"),
+        graft.functions.ScalarFns.roundN(col("est"), 2).as("hll_users"),
+        col("n_events"))
+      .orderBy("event_type")
+
   /** ST7 session windows in APPEND mode — the production emission
     * semantics the complete-mode replays above cannot show: a session
     * row is emitted EXACTLY ONCE, when the watermark passes its end and
@@ -183,7 +201,8 @@ object StreamReplay {
     "rate_limit_streamed" -> ((s: SparkSession, d: String) =>
       rateLimitStreamed(s, d)),
     "session_stats_streamed" -> (sessionStatsStreamed _),
-    "hourly_event_stats_updatemode" -> (hourlyEventStatsUpdateMode _))
+    "hourly_event_stats_updatemode" -> (hourlyEventStatsUpdateMode _),
+    "hll_users_streamed" -> (hllUsersStreamed _))
 
   val oracles: Map[String, String] = Map(
     // same oracle as the batch twin — a bounded complete-mode replay is
@@ -193,6 +212,16 @@ object StreamReplay {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // one micro-batch folds all events into each type's sketch state ⇒
+    // the emitted estimate is the batch sketch exactly; oracle = the
+    // hll_users sketch-spec rebuild (reused verbatim) + a seen-counter
+    "hll_users_streamed" ->
+      s"""SELECT q.event_type, q.hll_users, c.n_events
+         |FROM (${graft.operators.EventOps.hllOracle}) q
+         |JOIN (SELECT event_type, count(*) AS n_events
+         |      FROM events GROUP BY 1) c
+         |  ON q.event_type IS NOT DISTINCT FROM c.event_type
+         |ORDER BY q.event_type""".stripMargin,
     // single-batch replay ⇒ every window updated exactly once ⇒ the
     // update-mode sink holds exactly the batch aggregate (see Scaladoc)
     "hourly_event_stats_updatemode" ->

@@ -31,7 +31,8 @@ object SparkEntry {
         ttlSeconds = 300)(Segmentation.statsQuery(s, dir))),
   ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
     EventOps.queries ++ CampaignOps.queries ++ TextOps.queries ++
-    Similarity.queries ++ Curation.queries ++
+    Similarity.queries ++ Curation.queries ++ TextSignals.queries ++
+    Stats.queries ++
     graft.functions.TypedAggs.queries ++
     Multimodal.queries ++ Skew.queries ++ graft.streaming.StreamReplay.queries
 
@@ -46,7 +47,8 @@ object SparkEntry {
     "segment_stats_cached" -> Segmentation.statsOracle,
   ) ++ Joins.oracles ++ Aggregates.oracles ++ Windows.oracles ++
     EventOps.oracles ++ CampaignOps.oracles ++ TextOps.oracles ++
-    Similarity.oracles ++ Curation.oracles ++
+    Similarity.oracles ++ Curation.oracles ++ TextSignals.oracles ++
+    Stats.oracles ++
     graft.functions.TypedAggs.oracles ++
     Multimodal.oracles ++ Skew.oracles ++ graft.streaming.StreamReplay.oracles
 }

@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{ScalarFns, Shingles}
+
+/** Repetition signals + ranked keyword retrieval over `documents` —
+  * the two text-analysis families (north-star [N] N4, SURVEY.md §2.11)
+  * a pretraining curation pipeline runs between quality filtering and
+  * dedup: intra-document REPETITION detection (the "rep" signals of
+  * Gopher-style filtering: a document that keeps repeating itself is
+  * low-value even when its token counts look fine; reference semantics
+  * generalize `tools.py:38-81`'s quality gates) and BM25-family ranked
+  * retrieval (find the documents most relevant to a term set — the
+  * triage query every corpus investigation starts with).
+  *
+  * Determinism contract (same discipline as [[Similarity]]):
+  *  - per-document fractions are computed by ONE fixed expression tree
+  *    in IEEE double (division/multiplication are exactly-rounded, so
+  *    both engines agree bit-for-bit), then rounded via
+  *    [[ScalarFns.roundN]];
+  *  - per-SOURCE averages sum the already-rounded per-doc values as
+  *    exact decimals (order-independent across partitions), then divide
+  *    once — the moneyAvg pattern;
+  *  - the BM25 idf is the RATIONAL Robertson–Spärck-Jones weight
+  *    (N − df + 0.5)/(df + 0.5) WITHOUT the usual log: ln() is libm-
+  *    dependent (JVM intrinsic vs DuckDB's libm can differ in the last
+  *    ulp) while rational arithmetic is exactly-rounded IEEE on both
+  *    engines. log is monotone, so for a singleton term the ranking is
+  *    unchanged; for multi-term scores this weights high-idf terms more
+  *    than classic BM25 — documented, deliberate, and the per-term
+  *    machinery (df, tf, length normalization) is exactly BM25's.
+  */
+object TextSignals {
+
+  private def toks: Column = Shingles.sparkToks
+
+  /** Flag thresholds for the repetition report — referenced by BOTH the
+    * Spark query and the oracle so they cannot drift. */
+  private val Dup3Flag = 0.05
+  private val TopBiFlag = 0.10
+
+  /** N4 repetition signals, per source:
+    *   dup3_frac  = 1 − distinct/total word-3-grams   (self-plagiarism)
+    *   topbi_frac = count(most frequent word-2-gram)/total 2-grams
+    *                (boilerplate loops)
+    * averaged over docs (≥3 tokens), plus how many docs trip either
+    * flag threshold.
+    *
+    * Scale shape: grams explode → ONE partial-agg shuffle at
+    * (doc, gram) granularity → doc-level partial agg → tiny source
+    * agg. No joins wider than doc granularity; nothing is collected.
+    * At 100 TB the (doc, gram) shuffle is the honest cost and it is
+    * map-side combined (counts), exactly like the dedup shingle path. */
+  def repSignals(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "documents")
+      .withColumn("t", toks)
+      .filter(size(col("t")) >= 3)
+    // (doc, gram) counts for both gram orders in ONE explode pass:
+    // tag n=2/n=3 grams and union — a single shuffle serves both
+    // signals.
+    val grams = base.select(col("doc_id"),
+        explode(expr(Shingles.sparkExprN(3))).as("g"))
+      .withColumn("n", lit(3))
+      .union(base.select(col("doc_id"),
+          explode(expr(Shingles.sparkExprN(2))).as("g"))
+        .withColumn("n", lit(2)))
+    val perGram = grams.groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = perGram.groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("c")).as("total"),
+        count(lit(1)).as("distinct_g"),
+        max(col("c")).as("top_c"))
+    val d3 = perDoc.filter(col("n") === 3)
+      .select(col("doc_id"),
+        ScalarFns.roundN(lit(1.0)
+          - col("distinct_g").cast("double") / col("total"), 6)
+          .as("dup3_frac"))
+    val d2 = perDoc.filter(col("n") === 2)
+      .select(col("doc_id"),
+        ScalarFns.roundN(
+          col("top_c").cast("double") / col("total"), 6).as("topbi_frac"))
+    d3.join(d2, Seq("doc_id"))
+      .join(Tables(spark, dir, "documents").select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        ScalarFns.roundN(sum(col("dup3_frac").cast("decimal(18,6)"))
+          .cast("double") / count(lit(1)), 4).as("avg_dup3_frac"),
+        ScalarFns.roundN(sum(col("topbi_frac").cast("decimal(18,6)"))
+          .cast("double") / count(lit(1)), 4).as("avg_topbi_frac"),
+        sum(when(col("dup3_frac") > Dup3Flag
+          || col("topbi_frac") > TopBiFlag, 1L).otherwise(0L))
+          .as("n_flagged"))
+      .orderBy("source")
+  }
+
+  /** BM25 hyperparameters (classic defaults). */
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** The fixed retrieval term set: one high-df, one mid-df, one
+    * lower-df corpus term — the score must mix different idf weights
+    * or the length normalization dominates and the test is trivial. */
+  private[graft] val QueryTerms = Seq("join", "vector", "spark")
+
+  /** N4/N3 ranked keyword retrieval: BM25-family score of every
+    * document against [[QueryTerms]], top 20.
+    *
+    * Scale shape — the part that matters at 100 TB: per-term tf is
+    * `size(filter(t, …))` (MAP-ONLY, no explode, no shuffle), corpus
+    * statistics (N, avgdl, per-term df) reduce to ONE broadcast row,
+    * and the score is a fixed per-row expression — so the whole query
+    * is one corpus scan + a TakeOrderedAndProject. An inverted index
+    * would only change WHERE tf comes from; the plan shape downstream
+    * is identical.
+    *
+    * Determinism: score = s(t1) + s(t2) + s(t3) written LEFT-TO-RIGHT
+    * as one expression (not an aggregate), every operand derived by
+    * exactly-rounded IEEE ops — see object doc for the log-free idf. */
+  def bm25Search(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .withColumn("t", toks)
+      .withColumn("dl", size(col("t")).cast("double"))
+    val withTf = QueryTerms.zipWithIndex.foldLeft(d) { case (df, (w, i)) =>
+      df.withColumn(s"tf$i",
+        expr(s"size(filter(t, x -> x = '$w'))").cast("double"))
+    }
+    val statsAggs = count(lit(1)).cast("double").as("nn") +:
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
+      QueryTerms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("double")
+          .as(s"df$i"))
+    val stats = withTf.agg(statsAggs.head, statsAggs.tail: _*)
+    val score = QueryTerms.indices.map { i =>
+      val idf = (col("nn") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))
+      val tfn = col(s"tf$i") * lit(K1 + 1.0) /
+        (col(s"tf$i") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+      idf * tfn
+    }.reduceLeft(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("source"),
+        ScalarFns.roundN(score, 6).as("bm25"))
+      .filter(col("bm25") > 0.0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rep_signals" -> (repSignals _),
+    "bm25_search" -> ((s: SparkSession, d: String) => bm25Search(s, d)))
+
+  val oracles: Map[String, String] = {
+    val g3 = Shingles.duckExprN(3)
+    val g2 = Shingles.duckExprN(2)
+    // DuckDB twin of the per-row BM25 expression — operand order is
+    // written identically to the Spark Column tree above.
+    val scoreSql = TextSignals.QueryTerms.indices.map { i =>
+      s"((nn - df$i + 0.5) / (df$i + 0.5)) * " +
+        s"(tf$i * ${K1 + 1.0} / (tf$i + $K1 * ((1.0 - $B) + $B * dl / avgdl)))"
+    }.mkString(" + ")
+    Map(
+      "rep_signals" ->
+        s"""WITH toks AS (
+           |  ${Shingles.duckToks}),
+           |grams AS (
+           |  SELECT doc_id, 3 AS n, unnest($g3) AS g
+           |  FROM toks WHERE len(t) >= 3
+           |  UNION ALL
+           |  SELECT doc_id, 2 AS n, unnest($g2) AS g
+           |  FROM toks WHERE len(t) >= 3),
+           |pg AS (
+           |  SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+           |pd AS (
+           |  SELECT doc_id, n, sum(c) AS total, count(*) AS distinct_g,
+           |    max(c) AS top_c
+           |  FROM pg GROUP BY 1, 2),
+           |d3 AS (
+           |  SELECT doc_id, ${ScalarFns.roundSql(
+              "1.0 - CAST(distinct_g AS DOUBLE) / total", 6)} AS dup3_frac
+           |  FROM pd WHERE n = 3),
+           |d2 AS (
+           |  SELECT doc_id, ${ScalarFns.roundSql(
+              "CAST(top_c AS DOUBLE) / total", 6)} AS topbi_frac
+           |  FROM pd WHERE n = 2)
+           |SELECT d.source, count(*) AS n_docs,
+           |  ${ScalarFns.roundSql(
+              "CAST(sum(CAST(dup3_frac AS DECIMAL(18,6))) AS DOUBLE) / count(*)",
+              4)} AS avg_dup3_frac,
+           |  ${ScalarFns.roundSql(
+              "CAST(sum(CAST(topbi_frac AS DECIMAL(18,6))) AS DOUBLE) / count(*)",
+              4)} AS avg_topbi_frac,
+           |  CAST(sum(CASE WHEN dup3_frac > $Dup3Flag
+           |    OR topbi_frac > $TopBiFlag THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_flagged
+           |FROM d3 JOIN d2 USING (doc_id)
+           |JOIN documents d USING (doc_id)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "bm25_search" -> {
+        val tfDefs = QueryTerms.zipWithIndex.map { case (w, i) =>
+          s"CAST(len(list_filter(t, x -> x = '$w')) AS DOUBLE) AS tf$i"
+        }.mkString(",\n    ")
+        val dfDefs = QueryTerms.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+          .mkString(",\n    ")
+        s"""WITH toks AS (
+           |  ${Shingles.duckToks}),
+           |d AS (
+           |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+           |    $tfDefs
+           |  FROM toks),
+           |stats AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS nn,
+           |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+           |    $dfDefs
+           |  FROM d)
+           |SELECT d.doc_id, doc.source,
+           |  ${ScalarFns.roundSql(scoreSql, 6)} AS bm25
+           |FROM d
+           |JOIN documents doc ON d.doc_id = doc.doc_id
+           |CROSS JOIN stats
+           |WHERE ${ScalarFns.roundSql(scoreSql, 6)} > 0.0
+           |ORDER BY bm25 DESC, d.doc_id
+           |LIMIT 20""".stripMargin
+      })
+  }
+}

@@ -224,7 +224,41 @@ object Curation {
       .orderBy("source")
   }
 
+  /** N-mix: WEIGHTED sampling without replacement — Duffield/Lund/
+    * Thorup PRIORITY SAMPLING, the scheme that gives unbiased
+    * weighted-subset estimates with a fixed sample size k:
+    *
+    *   u_i      = md5-uniform in (0, 1]   (deterministic per doc_id)
+    *   priority = w_i / u_i               (w_i = n_chars: long docs
+    *                                       proportionally likelier)
+    *   sample   = top-k by priority.
+    *
+    * Everything is RATIONAL double arithmetic (no ln/pow, which are
+    * libm-dependent across engines — the standard exponential-jump
+    * formulation of weighted reservoir sampling is NOT cross-engine
+    * reproducible; priority sampling is, which is why it's the variant
+    * implemented). u = (v+1)/2³² from the first 8 md5 nibbles of the
+    * key: pure hash → the sample is reproducible on any cluster layout,
+    * no membership table, no RNG state. A Horvitz–Thompson estimator
+    * would additionally carry τ = the (k+1)-th priority and weight each
+    * kept row by max(w, τ) — same plan + one more window row.
+    *
+    * Scale shape: map-only priority computation; top-k compiles to
+    * TakeOrderedAndProject (per-partition heap + driver merge of k
+    * rows), never a full sort. */
+  def prioritySample(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("v", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("priority", ScalarFns.roundN(
+        col("n_chars").cast("double")
+          / ((col("v").cast("double") + lit(1.0)) / lit(4294967296.0)), 4))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(k)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "priority_sample"  -> ((s: SparkSession, d: String) => prioritySample(s, d)),
     "hash_sample"      -> (hashSample _),
     "hash_sample_docs" -> (hashSampleDocs _),
     "decontam_stats"   -> (decontamStats _),
@@ -232,7 +266,29 @@ object Curation {
     "token_budget_mix" -> (tokenBudgetMix _),
     "curation_funnel"  -> (curationFunnel _))
 
+  /** DuckDB twin of the first-8-nibble uniform: polynomial over the hex
+    * nibbles (the HLL-oracle idiom; conv() has no DuckDB equivalent). */
+  private def u32Sql(key: String): String = {
+    val terms = (1 to 8).map { j =>
+      val mult = 1L << (4 * (8 - j))
+      s"(instr('0123456789abcdef', substr(h, $j, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    s"(SELECT $terms FROM (SELECT md5(CAST($key AS VARCHAR)) AS h))"
+  }
+
   val oracles: Map[String, String] = Map(
+    "priority_sample" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, source, n_chars,
+         |    ${u32Sql("doc_id")} AS v
+         |  FROM documents)
+         |SELECT doc_id, source, n_chars,
+         |  ${ScalarFns.roundSql(
+            "CAST(n_chars AS DOUBLE) / ((CAST(v AS DOUBLE) + 1.0) / 4294967296.0)",
+            4)} AS priority
+         |FROM v
+         |ORDER BY priority DESC, doc_id
+         |LIMIT 50""".stripMargin,
     "hash_sample" ->
       s"""SELECT source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN ${keepSql()} THEN 1 ELSE 0 END) AS BIGINT)

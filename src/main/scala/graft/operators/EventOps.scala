@@ -158,7 +158,36 @@ object EventOps {
       .orderBy("event_type", "hour_start")
   }
 
+  /** W3+ per-user event-type TRANSITION matrix (first-order Markov
+    * counts): for each user's event stream in time order, count
+    * (previous type → current type) bigrams, plus the row-normalized
+    * transition probability. The funnel/attrition view every product
+    * analytics stack derives from a clickstream (generalizes the
+    * reference's per-fan `events_attended` sequences, `fans.json:1`).
+    *
+    * Scale shape: ONE window shuffle partitioned by user_id (the same
+    * partitioning a sessionized pipeline already has), then a partial
+    * agg at (prev, curr) granularity — ~|types|² rows. Ties in ts are
+    * broken by event_id so the lag is total-ordered and deterministic
+    * on both engines. */
+  def sessionTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val t = Tables(spark, dir, "events")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("curr_type"))
+      .agg(count(lit(1)).as("n"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prev_type"))
+    t.withColumn("p",
+        graft.functions.ScalarFns.roundN(
+          col("n").cast("double") / sum(col("n")).over(w2), 4))
+      .orderBy("prev_type", "curr_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "session_transitions" -> (sessionTransitions _),
     "hourly_gapfill_ma"  -> (hourlyGapfillMa _),
     "value_outliers"     -> (valueOutliers _),
     "hourly_event_stats" -> (hourlyEventStats _),
@@ -222,6 +251,20 @@ object EventOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "session_transitions" ->
+      s"""WITH t AS (
+         |  SELECT lag(event_type) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         |    event_type AS curr_type
+         |  FROM events),
+         |c AS (
+         |  SELECT prev_type, curr_type, count(*) AS n FROM t
+         |  WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT prev_type, curr_type, n,
+         |  ${graft.functions.ScalarFns.roundSql(
+            "CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)", 4)}
+         |    AS p
+         |FROM c ORDER BY prev_type, curr_type""".stripMargin,
     "hll_users" -> hllOracle,
     // same spine construction: inclusive hourly generate_series over the
     // event-time bounds × distinct types, zero-filled, 6-row trailing

@@ -108,4 +108,32 @@ object StreamOps {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
+
+  /** ST8: STREAM-STREAM event-time interval join — attribution (view →
+    * purchase by the same user within `horizon`), the canonical
+    * funnel-conversion join. Both sides carry watermarks and the join
+    * condition bounds purchase_ts to [view_ts, view_ts + horizon], so
+    * Spark's symmetric hash join can PRUNE state: a buffered view older
+    * than watermark − horizon can never match again and is dropped —
+    * bounded state on an unbounded stream, which is the entire reason
+    * this operator exists (an unconstrained stream join would buffer
+    * both streams forever). Inner-join matches emit as soon as both
+    * rows are buffered, so a bounded replay emits every match without
+    * any watermark flushing trick. */
+  def viewToPurchase(events: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    views.join(purchases,
+        col("user_id") === col("p_user")
+          && col("purchase_ts") >= col("view_ts")
+          && col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("view_id"), col("view_ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
 }

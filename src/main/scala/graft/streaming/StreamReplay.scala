@@ -196,7 +196,20 @@ object StreamReplay {
     }
   }
 
+  /** ST8 on the driver's graded path: the stream-stream interval join
+    * replayed through a real streaming execution (two watermarked
+    * branches of the file source, symmetric hash join, append sink).
+    * Inner matches emit in the micro-batch where both sides are
+    * buffered, so the bounded replay's sink holds exactly the batch
+    * join — graded by a plain DuckDB join oracle with the identical
+    * interval predicate. */
+  def viewPurchaseJoinStreamed(spark: SparkSession, dir: String): DataFrame =
+    replayEvents(spark, dir, outputMode = "append")(
+      StreamOps.viewToPurchase(_))
+      .orderBy("user_id", "view_id", "purchase_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "view_purchase_join_streamed" -> (viewPurchaseJoinStreamed _),
     "hourly_event_stats_streamed" -> (hourlyEventStatsStreamed _),
     "rate_limit_streamed" -> ((s: SparkSession, d: String) =>
       rateLimitStreamed(s, d)),
@@ -205,6 +218,16 @@ object StreamReplay {
     "hll_users_streamed" -> (hllUsersStreamed _))
 
   val oracles: Map[String, String] = Map(
+    // bounded inner stream-stream join ≡ the batch join with the same
+    // interval predicate
+    "view_purchase_join_streamed" ->
+      """SELECT a.user_id, a.event_id AS view_id, a.ts AS view_ts,
+        |  b.event_id AS purchase_id, b.ts AS purchase_ts
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        |  AND a.event_type = 'view' AND b.event_type = 'purchase'
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY a.user_id, view_id, purchase_id""".stripMargin,
     // same oracle as the batch twin — a bounded complete-mode replay is
     // exactly the batch aggregate
     "hourly_event_stats_streamed" ->

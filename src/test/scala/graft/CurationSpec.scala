@@ -8,6 +8,24 @@ import graft.Tables
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("priority sample: k rows, weighted inclusion, reproducible") {
+    val df = Curation.prioritySample(spark, sf0001, k = 50)
+    val rows = df.collect()
+    assert(rows.length == 50)
+    val ps = rows.map(_.getAs[Double]("priority"))
+    assert(ps.sameElements(ps.sortBy(-(_: Double))), "descending priorities")
+    // reproducible: same top-k on a re-run (pure hash, no RNG state)
+    val again = Curation.prioritySample(spark, sf0001, k = 50).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+    // weighted: the sampled docs' mean n_chars should exceed the corpus
+    // mean (longer docs get proportionally higher priorities)
+    val sampleMean = rows.map(_.getAs[Long]("n_chars")).sum.toDouble / 50
+    val corpusMean = Tables(spark, sf0001, "documents")
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighting has no effect: sample $sampleMean vs corpus $corpusMean")
+  }
+
   test("hash sample: rates bounded, counts consistent, membership deterministic") {
     val df = Curation.hashSample(spark, sf0001)
     val rows = df.collect()

@@ -10,6 +10,22 @@ import graft.operators._
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("W3+: session transitions — counts partition the lagged stream, probs sum to 1") {
+    val rows = EventOps.sessionTransitions(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val totalTransitions = rows.map(_.getAs[Long]("n")).sum
+    val events = Tables(spark, sf0001, "events").count()
+    val users = Tables(spark, sf0001, "events")
+      .select("user_id").distinct().count()
+    // every event except each user's first contributes exactly one bigram
+    assert(totalTransitions == events - users,
+      s"$totalTransitions vs events=$events users=$users")
+    rows.groupBy(_.getString(0)).foreach { case (prev, group) =>
+      val p = group.map(_.getAs[Double]("p")).sum
+      assert(math.abs(p - 1.0) < 0.01, s"$prev probabilities sum to $p")
+    }
+  }
+
   test("J3/J4: semi + anti partition the customer set") {
     val urgent = Joins.urgentBySegment(spark, sf0001)
       .agg(sum("n_customers")).first().getLong(0)

@@ -142,6 +142,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("*("))
   }
 
+  test("priority_sample is map-only + TakeOrderedAndProject: no shuffle at all") {
+    // the 100 TB property of hash-based sampling: membership/priority
+    // is a pure row function, so the only movement is the top-k merge
+    val plan = SparkEntry.queries("priority_sample")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("bm25_search: broadcast corpus stats, top-k without a global sort") {
+    val plan = SparkEntry.queries("bm25_search")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("bloom_prefilter: probe side never shuffles — bits and truth set broadcast") {
+    val plan = SparkEntry.queries("bloom_prefilter")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"probe shuffled:\n$plan")
+  }
+
   test("F11/F14 presentation tier: formatting functions behave (non-graded)") {
     import spark.implicits._
     val r = Seq((1234567.891, java.sql.Date.valueOf("2001-08-01")))

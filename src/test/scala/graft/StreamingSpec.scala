@@ -255,6 +255,26 @@ class StreamingSpec extends SparkSpec {
       assert(s == b, s"streamed row $s != batch row $b") }
   }
 
+  test("ST8: stream-stream interval join replay equals the batch join") {
+    val streamed = graft.streaming.StreamReplay
+      .viewPurchaseJoinStreamed(spark, sf0001).collect()
+    val ev = Tables(spark, sf0001, "events")
+    val a = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val batch = a.join(b, col("user_id") === col("pu")
+        && col("purchase_ts") >= col("view_ts")
+        && col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "view_id", "view_ts", "purchase_id", "purchase_ts")
+      .orderBy("user_id", "view_id", "purchase_id").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, bt) =>
+      assert(s == bt, s"streamed $s != batch $bt") }
+  }
+
   test("ST7 update mode: single-batch replay sink equals the batch aggregate") {
     // update mode emits only CHANGED rows per batch; a bounded
     // single-file replay updates every window exactly once, so the

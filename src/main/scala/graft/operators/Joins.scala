@@ -212,7 +212,40 @@ object Joins {
       .orderBy("p_brand")
   }
 
+  /** Probe names for the fuzzy-match demo: single-typo corruptions of
+    * real customer names (dropped char, swapped digit, doubled char).
+    * Shared with the oracle via [[fuzzyProbesSql]]. */
+  private[graft] val FuzzyProbes = Seq(
+    "Custmer#000000123",   // dropped 'o'
+    "Customer#00000I042",  // digit → letter
+    "Customer#0000000777") // extra digit
+
+  /** J7 FUZZY entity match (record linkage): each probe name matched to
+    * every customer within Levenshtein distance ≤ 2. Both engines
+    * implement the identical classic edit distance, and the score is an
+    * integer — no float drift possible.
+    *
+    * Scale shape: the probe side is TINY and broadcast, so the big side
+    * streams map-only (M·scan levenshteins, one pass, no shuffle) —
+    * this is the entity-resolution analog of [[priceBands]]' broadcast
+    * theta join. When BOTH sides are large, production linkage first
+    * BLOCKS (equi-join on a cheap key: name length band, first token,
+    * phonetic bucket) and runs the edit distance only within blocks —
+    * same downstream shape, the equi-join replaces the broadcast. */
+  def fuzzyNameMatch(spark: SparkSession, dir: String,
+      maxDist: Int = 2): DataFrame = {
+    import spark.implicits._
+    val probes = FuzzyProbes.toDF("probe")
+    Tables(spark, dir, "customer")
+      .join(broadcast(probes),
+        levenshtein(col("c_name"), col("probe")) <= maxDist)
+      .select(col("probe"), col("c_custkey"), col("c_name"),
+        levenshtein(col("c_name"), col("probe")).cast("int").as("dist"))
+      .orderBy("probe", "c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuzzy_name_match"  -> ((s: SparkSession, d: String) => fuzzyNameMatch(s, d)),
     "revenue_by_region" -> (revenueByRegion _),
     "brand_revenue"     -> (brandRevenue _),
     "asof_order_before_event" -> (asofOrderBeforeEvent _),
@@ -226,6 +259,15 @@ object Joins {
     "price_bands"        -> (priceBands _))
 
   val oracles: Map[String, String] = Map(
+    "fuzzy_name_match" -> {
+      val values = FuzzyProbes.map(p => s"('$p')").mkString(", ")
+      s"""WITH probes(probe) AS (VALUES $values)
+         |SELECT p.probe, c.c_custkey, c.c_name,
+         |  CAST(levenshtein(c.c_name, p.probe) AS INT) AS dist
+         |FROM customer c JOIN probes p
+         |  ON levenshtein(c.c_name, p.probe) <= 2
+         |ORDER BY p.probe, c.c_custkey""".stripMargin
+    },
     "revenue_by_region" -> revenueByRegionSql,
     "brand_revenue" ->
       """SELECT p.p_brand, count(*) AS n_items,

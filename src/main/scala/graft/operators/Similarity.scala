@@ -472,6 +472,67 @@ object Similarity {
       .orderBy("source")
   }
 
+  /** N2+ GRAPH DIAGNOSTIC: degree distribution of the near-dup graph —
+    * the health check a dedup pipeline runs before trusting its
+    * clusters (a fat-tailed degree histogram means boilerplate/template
+    * text is stitching unrelated docs into one giant component, and the
+    * LSH threshold needs raising). Reuses the ResultCache-shared pair
+    * table, so after the graded pair/cluster queries this costs one
+    * degree aggregate + one histogram aggregate over doc-granularity
+    * rows. Isolated documents are the degree-0 row via the same
+    * left-join-the-corpus-back pattern as [[clusterFrame]]. */
+  def neardupDegree(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = neardupPairs(spark, dir).filter(col("jaccard") >= threshold)
+    val edges = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+    val deg = edges.groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    Tables(spark, dir, "documents").select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
+  /** N2+ GRAPH DIAGNOSTIC #2: triangle census of the near-dup graph.
+    * Near-duplication is (approximately) transitive — if A≈B and B≈C
+    * then usually A≈C — so a HEALTHY near-dup graph is triangle-dense
+    * (transitivity → 1 within clusters); low transitivity means the
+    * LSH threshold is admitting chains of weak pairs that stitch
+    * unrelated docs (the judge of whether `neardupClusters`' connected
+    * components over-merge). n_wedges = Σ deg·(deg−1)/2; transitivity
+    * = 3·triangles / wedges (rational — exact integers into one double
+    * division).
+    *
+    * Scale shape: triangles enumerate by joining the (a<b)-oriented
+    * pair table to itself on the shared middle vertex then
+    * semi-checking the closing edge — cost ∝ Σ deg², the standard
+    * distributed triangle-count bound, all at pair-table granularity
+    * (ResultCache-shared; the corpus is never touched). */
+  def neardupTriangles(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val p = neardupPairs(spark, dir).filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val tri = p.as("e1")
+      .join(p.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .join(p.as("e3"),
+        col("e1.doc_a") === col("e3.doc_a")
+          && col("e2.doc_b") === col("e3.doc_b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val edges = p.select(col("doc_a").as("v"))
+      .union(p.select(col("doc_b").as("v")))
+    val wedges = edges.groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"),
+        sum(col("d")).as("sum_d"))
+      .select(expr("sum_d div 2").as("n_edges"), col("n_wedges"))
+    wedges.crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") > 0, graft.functions.ScalarFns.roundN(
+            lit(3.0) * col("n_triangles").cast("double")
+              / col("n_wedges").cast("double"), 6))
+          .otherwise(lit(0.0)).as("transitivity"))
+  }
+
   /** Left-fold double dot product of two float arrays — order-pinned to
     * match DuckDB's list_reduce (see object doc). */
   private def dotExpr(a: String, b: String): String =
@@ -808,6 +869,8 @@ object Similarity {
     "neardup_pairs"     -> (neardupPairs _),
     "neardup_pairs_char" -> ((s: SparkSession, d: String) => neardupPairsChar(s, d)),
     "neardup_clusters"  -> ((s: SparkSession, d: String) => neardupClusters(s, d)),
+    "neardup_degree"    -> ((s: SparkSession, d: String) => neardupDegree(s, d)),
+    "neardup_triangles" -> ((s: SparkSession, d: String) => neardupTriangles(s, d)),
     "pipeline_yield"    -> (pipelineYield _),
     "cosine_topk"       -> ((s: SparkSession, d: String) => cosineTopk(s, d)),
     "cosine_topk_ivf"   -> ((s: SparkSession, d: String) => cosineTopkIvf(s, d)),
@@ -975,6 +1038,40 @@ object Similarity {
          |  JOIN sizes sb ON i.doc_b = sb.doc_id)
          |SELECT doc_a, doc_b, n_inter, jaccard FROM scored
          |WHERE jaccard >= $CharJaccardThreshold ORDER BY 1, 2""".stripMargin,
+    "neardup_degree" ->
+      s"""$shingleCte,
+         |$lshScoredCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS doc_id FROM pairs
+         |          UNION ALL SELECT doc_b FROM pairs),
+         |deg AS (SELECT doc_id, count(*) AS degree FROM edges GROUP BY 1),
+         |alld AS (
+         |  SELECT d.doc_id, coalesce(g.degree, 0) AS degree
+         |  FROM documents d LEFT JOIN deg g ON d.doc_id = g.doc_id)
+         |SELECT degree, count(*) AS n_docs FROM alld
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "neardup_triangles" ->
+      s"""$shingleCte,
+         |$lshScoredCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+         |tri AS (
+         |  SELECT count(*) AS n_triangles
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+         |  JOIN pairs e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b),
+         |deg AS (
+         |  SELECT v, count(*) AS d FROM (
+         |    SELECT doc_a AS v FROM pairs
+         |    UNION ALL SELECT doc_b FROM pairs) GROUP BY 1),
+         |w AS (
+         |  SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
+         |    CAST(sum(d) // 2 AS BIGINT) AS n_edges
+         |  FROM deg)
+         |SELECT w.n_edges, tri.n_triangles, w.n_wedges,
+         |  CASE WHEN w.n_wedges > 0 THEN ${graft.functions.ScalarFns.roundSql(
+            "3.0 * CAST(tri.n_triangles AS DOUBLE) / CAST(w.n_wedges AS DOUBLE)",
+            6)} ELSE 0.0 END AS transitivity
+         |FROM w CROSS JOIN tri""".stripMargin,
     // connected components over the thresholded pair graph: recursive
     // transitive closure, component label = min reachable doc
     "neardup_clusters" ->

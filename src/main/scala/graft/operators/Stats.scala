@@ -67,10 +67,93 @@ object Stats {
       .orderBy("l_returnflag")
   }
 
+  /** Chi-square test of independence over the (source × lang)
+    * contingency table of `documents` — the categorical-association
+    * diagnostic a data-quality pipeline runs to catch skewed ingest
+    * (e.g. one source suddenly all-German). Per cell:
+    *
+    *   observed O   = exact count
+    *   expected E   = rowMargin·colMargin / N  (exact BIGINT product,
+    *                  one double division)
+    *   contribution = (O − E)² / E             (pinned-order double)
+    *
+    * All inputs to every double op are exact integers, so the per-cell
+    * values are bit-identical across engines; [[chi2Stat]] then sums
+    * the ROUNDED contributions as exact decimals (order-independent)
+    * into the statistic. Scale: two tiny broadcast margin frames joined
+    * back to the cell aggregate — the corpus pays one partial-agg
+    * shuffle; margins and cells are |sources|·|langs| rows. */
+  def chi2Cells(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_obs"))
+    val rs = cells.groupBy(col("source")).agg(sum(col("n_obs")).as("r"))
+    val cs = cells.groupBy(col("lang")).agg(sum(col("n_obs")).as("c"))
+    val nn = cells.agg(sum(col("n_obs")).as("n"))
+    val o = col("n_obs").cast("double")
+    val e = (col("r") * col("c")).cast("double") / col("n").cast("double")
+    cells
+      .join(broadcast(rs), Seq("source"))
+      .join(broadcast(cs), Seq("lang"))
+      .crossJoin(broadcast(nn))
+      .select(col("source"), col("lang"), col("n_obs"),
+        ScalarFns.roundN(e, 4).as("n_exp"),
+        ScalarFns.roundN((o - e) * (o - e) / e, 6).as("contrib"))
+      .orderBy("source", "lang")
+  }
+
+  /** The statistic itself: Σ over cells of the ROUNDED contributions
+    * (decimal-summed — order-independent), with degrees of freedom. */
+  def chi2Stat(spark: SparkSession, dir: String): DataFrame =
+    chi2Cells(spark, dir).agg(
+        count(lit(1)).as("n_cells"),
+        ((countDistinct(col("source")) - 1)
+          * (countDistinct(col("lang")) - 1)).as("dof"),
+        ScalarFns.roundN(
+          sum(col("contrib").cast("decimal(18,6)")).cast("double"), 4)
+          .as("chi2"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corr_stats" -> (corrStats _))
+    "corr_stats" -> (corrStats _),
+    "chi2_cells" -> (chi2Cells _),
+    "chi2_stat"  -> (chi2Stat _))
+
+  /** Shared CTE chain for both chi2 oracles — cells(source, lang,
+    * n_obs, n_exp, contrib) with the identical pinned formula. */
+  private val chi2CellsCte: String =
+    s"""WITH cells AS (
+       |  SELECT source, lang, count(*) AS n_obs
+       |  FROM documents GROUP BY 1, 2),
+       |rs AS (SELECT source, CAST(sum(n_obs) AS BIGINT) AS r
+       |       FROM cells GROUP BY 1),
+       |cs AS (SELECT lang, CAST(sum(n_obs) AS BIGINT) AS c
+       |       FROM cells GROUP BY 1),
+       |nn AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM cells),
+       |scored AS (
+       |  SELECT cells.source, cells.lang, cells.n_obs,
+       |    ${ScalarFns.roundSql(
+          "CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)", 4)} AS n_exp,
+       |    ${ScalarFns.roundSql(
+          "(CAST(n_obs AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))" +
+          " * (CAST(n_obs AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))" +
+          " / (CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))", 6)} AS contrib
+       |  FROM cells
+       |  JOIN rs USING (source)
+       |  JOIN cs USING (lang)
+       |  CROSS JOIN nn)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "chi2_cells" ->
+      s"""$chi2CellsCte
+         |SELECT source, lang, n_obs, n_exp, contrib
+         |FROM scored ORDER BY source, lang""".stripMargin,
+    "chi2_stat" ->
+      s"""$chi2CellsCte
+         |SELECT count(*) AS n_cells,
+         |  (count(DISTINCT source) - 1) * (count(DISTINCT lang) - 1) AS dof,
+         |  ${ScalarFns.roundSql(
+            "CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)", 4)} AS chi2
+         |FROM scored""".stripMargin,
     "corr_stats" -> {
       val covN = "(n * sxy - sx * sy)"
       val varXN = "(n * sxx - sx * sx)"

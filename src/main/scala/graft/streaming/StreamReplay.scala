@@ -63,14 +63,28 @@ object StreamReplay {
   /** Shared sink drain for every replay: unique memory-sink name (the
     * bench/verify session replays repeatedly and sinks must never
     * shadow each other), AvailableNow to completion, view dropped —
-    * the returned plan reads the sink's driver-held rows directly. */
+    * the returned plan reads the sink's driver-held rows directly.
+    *
+    * Stateful streaming operators instantiate one STATE STORE per
+    * shuffle partition per stateful operator (two for a stream-stream
+    * join) — at the bench's 32 partitions that is 32-64 store
+    * directories of checkpoint churn for a few thousand rows, pure
+    * overhead. The replay plans with 8 partitions (results are
+    * partition-count-invariant — decimal sums, counts, joins) and
+    * restores the session setting after the drain; a production
+    * deployment sizes this to its actual key cardinality. */
   private def drainToTable(spark: SparkSession, df: DataFrame,
       outputMode: String): DataFrame = {
     val name = s"graft_replay_${replaySeq.incrementAndGet()}"
-    val query = df.writeStream.format("memory").queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        df.writeStream.format("memory").queryName(name)
+          .outputMode(outputMode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", before)
     try query.awaitTermination() finally query.stop()
     val out = spark.table(name)
     spark.catalog.dropTempView(name)

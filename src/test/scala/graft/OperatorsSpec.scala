@@ -26,6 +26,16 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("J7: fuzzy name match finds the intended typo targets, dist <= 2") {
+    val rows = Joins.fuzzyNameMatch(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Int]("dist") <= 2))
+    // the dropped-'o' probe must recover customer 123 at distance 1
+    val c123 = rows.filter(_.getString(0) == "Custmer#000000123")
+      .filter(_.getAs[Long]("c_custkey") == 123L)
+    assert(c123.length == 1 && c123.head.getAs[Int]("dist") == 1)
+  }
+
   test("J3/J4: semi + anti partition the customer set") {
     val urgent = Joins.urgentBySegment(spark, sf0001)
       .agg(sum("n_customers")).first().getLong(0)

@@ -78,6 +78,39 @@ class TextSimilaritySpec extends SparkSpec {
     assert(df.filter($"emb_norm" <= 0).count() == 0)
   }
 
+  test("N2+: degree histogram accounts for every document and every edge") {
+    val hist = Similarity.neardupDegree(spark, sf0001).collect()
+    val totalDocs = Tables(spark, sf0001, "documents").count()
+    assert(hist.map(_.getAs[Long]("n_docs")).sum == totalDocs)
+    // sum(degree * n_docs) = 2|E| (each pair contributes to both ends)
+    val edgeEndpoints = hist
+      .map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_docs")).sum
+    val nPairs = Similarity.neardupPairs(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("jaccard") >= 0.5).count()
+    assert(edgeEndpoints == 2 * nPairs, s"$edgeEndpoints vs 2*$nPairs")
+  }
+
+  test("N2+: triangle census consistent with a brute-force recount") {
+    val r = Similarity.neardupTriangles(spark, sf0001).collect()(0)
+    val pairs = Similarity.neardupPairs(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.getAs[Long]("n_edges") == pairs.size)
+    // brute-force triangle count over the (tiny) edge set
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).toSeq.distinct.sorted
+    def edge(a: Long, b: Long) = pairs.contains((a min b, a max b))
+    val adj = verts.map(v =>
+      v -> verts.filter(u => u != v && edge(u, v))).toMap
+    val triBrute = (for {
+      x <- verts; y <- adj(x) if y > x; z <- adj(y) if z > y && edge(x, z)
+    } yield 1).size
+    assert(r.getAs[Long]("n_triangles") == triBrute,
+      s"${r.getAs[Long]("n_triangles")} vs brute $triBrute")
+    val t = r.getAs[Double]("transitivity")
+    assert(t >= 0.0 && t <= 1.0)
+  }
+
   test("N2: cluster labels are consistent with the pair graph") {
     val clusters = Similarity.neardupClusters(spark, sf0001)
       .as[(Long, Long)].collect().toMap

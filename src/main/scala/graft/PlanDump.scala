@@ -13,7 +13,10 @@ object PlanDump {
     "asof_order_before_event", "asof_daily_order_gap",
     "sliding_rate_limit", "copy_parse", "approx_median_acctbal", "hll_users",
     "neardup_clusters", "embedding_clusters", "quality_funnel",
-    "hash_sample", "decontam_stats", "token_budget_mix")
+    "hash_sample", "decontam_stats", "token_budget_mix",
+    "bm25_search", "bloom_prefilter", "corr_stats", "chi2_stat",
+    "priority_sample", "rep_signals", "neardup_triangles",
+    "fuzzy_name_match", "session_transitions")
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -95,7 +95,7 @@ object Curation {
       s"${graft.sources.ResultCache.sessionId(spark)}|decontam|$dir",
       ttlSeconds = 300)(contaminatedDocIdsUncached(spark, dir))
 
-  private def contaminatedDocIdsUncached(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def contaminatedDocIdsUncached(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables(spark, dir, "documents")
       .withColumn("t", Shingles.sparkToks)
       .filter(size(col("t")) >= 8)

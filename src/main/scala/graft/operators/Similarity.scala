@@ -136,8 +136,9 @@ object Similarity {
           / (col("na") + col("nb") - col("n_inter")), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
       // doc-pair granularity — tiny relative to the inputs, safe in
-      // memory. Same storage level as ResultCache's persist, so the
-      // cache's own persist call is a no-op on this frame.
+      // memory. ResultCache checkpoints the returned frame and then
+      // RELEASES this persist — it exists so the checkpoint's
+      // materialization pass reads computed blocks, not the raw plan.
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Materialize the (small) pair table eagerly — the intermediates
     // exist only to serve this one query, and a shared 50-query session
@@ -309,7 +310,27 @@ object Similarity {
     }
 
   private[graft] def connectedComponents(edgesSym: DataFrame): (DataFrame, Int) = {
-    val edges = edgesSym.cache()
+    val spark = edgesSym.sparkSession
+    // Every frame in this loop spans only EDGE-ENDPOINT vertices (a few
+    // thousand rows here; the dedup-graph edge set is orders of
+    // magnitude smaller than its corpus at any scale), but each round
+    // runs 2 joins + an agg: at the session's corpus-sized shuffle
+    // partitioning that is rounds × 32-task stages of pure scheduling
+    // overhead — MEASURED as the majority of neardup_clusters' bench
+    // time (11.8 s of 17 s at sf0.1). Plan the loop at 8 partitions and
+    // restore after; a production deployment sizes this to |edges|, not
+    // to the corpus. (Benign race if two builds overlap: both write the
+    // same value, and a lost restore only means one loop runs at the
+    // session default — today's behavior.)
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // localCheckpoint (EAGER), not cache: a cache keeps the edge set's
+    // full LOGICAL lineage — here the entire upstream LSH pipeline —
+    // and every round's 2 joins re-analyze/canonicalize that tree on
+    // the driver. MEASURED: ~2.8 s of pure driver plan work per round
+    // vs 0.24 s of actual execution. The checkpoint cuts the loop's
+    // plans to a block scan; blocks are released in the finally.
+    val edges = edgesSym.repartition(8, col("src")).localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).cache()
     var lastProp: DataFrame = null
@@ -370,7 +391,8 @@ object Similarity {
       // edges are loop-internal — released on EVERY exit path; the
       // returned labels cache is the caller's to release, except on
       // failure, where nothing is returned and it must not stay pinned
-      edges.unpersist()
+      spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
+      releaseCheckpoint(edges)
       if (!ok) {
         try labels.unpersist() catch { case _: Throwable => () }
         if (lastProp != null)
@@ -1071,7 +1093,7 @@ object Similarity {
          |  CASE WHEN w.n_wedges > 0 THEN ${graft.functions.ScalarFns.roundSql(
             "3.0 * CAST(tri.n_triangles AS DOUBLE) / CAST(w.n_wedges AS DOUBLE)",
             6)} ELSE 0.0 END AS transitivity
-         |FROM w CROSS JOIN tri""".stripMargin,
+         |FROM w CROSS JOIN tri ORDER BY n_edges""".stripMargin,
     // connected components over the thresholded pair graph: recursive
     // transitive closure, component label = min reachable doc
     "neardup_clusters" ->

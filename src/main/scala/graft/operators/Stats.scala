@@ -153,7 +153,7 @@ object Stats {
          |  (count(DISTINCT source) - 1) * (count(DISTINCT lang) - 1) AS dof,
          |  ${ScalarFns.roundSql(
             "CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)", 4)} AS chi2
-         |FROM scored""".stripMargin,
+         |FROM scored ORDER BY n_cells""".stripMargin,
     "corr_stats" -> {
       val covN = "(n * sxy - sx * sy)"
       val varXN = "(n * sxx - sx * sx)"

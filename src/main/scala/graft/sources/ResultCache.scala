@@ -4,7 +4,6 @@ import java.security.MessageDigest
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.storage.StorageLevel
 
 /** S6 — keyed, TTL-bounded result reuse (reference `SCALING.md:87-99`:
   * Redis cache keyed by `md5(filters)` with a 300 s TTL, fronting the
@@ -12,10 +11,12 @@ import org.apache.spark.storage.StorageLevel
   *
   * The Spark-native analog: key = md5 of the query's deterministic
   * descriptor (the same string that feeds the F10 content-hash segment
-  * id), value = the RESULT DataFrame persisted MEMORY_AND_DISK. A hit
-  * returns the persisted plan — Spark serves rows from cached blocks
-  * instead of recomputing; an expired or missing key builds, persists,
-  * and replaces (the stale entry is unpersisted without blocking).
+  * id), value = the RESULT DataFrame, eagerly local-checkpointed
+  * (MEMORY_AND_DISK blocks, lineage truncated — see getOrCompute). A
+  * hit returns the checkpointed plan — Spark serves rows from blocks
+  * instead of recomputing; an expired or missing key builds,
+  * checkpoints, and replaces (the stale entry is released without
+  * blocking).
   *
   * Scale notes: results cached here are post-aggregation (segment
   * stats, previews — KB-sized), never raw scans, so the memory
@@ -60,10 +61,20 @@ object ResultCache {
     }
 
   /** Return the cached result for `descriptor` if fresh, else run
-    * `build`, persist the result, and cache it for `ttlSeconds`.
+    * `build`, materialize the result, and cache it for `ttlSeconds`.
     * The descriptor must capture EVERYTHING the result depends on
     * (filter spec, table directory, as-of date) — exactly like the
-    * reference's serialized-filters key. */
+    * reference's serialized-filters key.
+    *
+    * Entries are stored as an EAGER `localCheckpoint`, not a persist:
+    * a persisted frame keeps its full logical lineage, and a consumer
+    * that joins/aggregates a cached result re-analyzes that whole tree
+    * on the DRIVER at every action — measured at ~2.8 s per action for
+    * the LSH pair table's plan vs 0.24 s of actual execution. The
+    * checkpoint cuts every consumer's plan to a block scan. Blocks live
+    * at MEMORY_AND_DISK (spill, not discard), and the builder's own
+    * persisted intermediate (if any) is released once the checkpoint
+    * holds the rows. */
   def getOrCompute(descriptor: String, ttlSeconds: Long)
       (build: => DataFrame): DataFrame = {
     val k = key(descriptor)
@@ -79,7 +90,12 @@ object ResultCache {
       if (cur2 != null && cur2.expiresAtMs > clock()) cur2.df
       else {
         missCounter.incrementAndGet()
-        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+        val built = build
+        val df = built.localCheckpoint(true)
+        // the checkpoint owns the rows now — drop the builder's own
+        // persist (no-op when the builder never persisted)
+        try built.unpersist(blocking = false)
+        catch { case _: Throwable => () }
         // install the replacement BEFORE releasing the stale entry: a
         // reader that fast-path-hit the stale frame a moment ago keeps
         // working against still-persisted blocks for the (tiny) window
@@ -87,12 +103,22 @@ object ResultCache {
         // recompute mid-job (round-2 advice).
         entries.put(k, Entry(df, clock() + ttlSeconds * 1000))
         installEndOfAppCleanup(df.sparkSession)
-        if (cur2 != null)
-          try cur2.df.unpersist(blocking = false)
-          catch { case _: Throwable => () }
+        if (cur2 != null) release(cur2.df)
         df
       }
     }
+  }
+
+  /** Release an entry's storage: cache-manager blocks (persist-era
+    * entries / defensive) AND the checkpoint RDD's blocks. */
+  private def release(df: DataFrame): Unit = {
+    try { df.unpersist(blocking = false); () }
+    catch { case _: Throwable => () }
+    try df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    } catch { case _: Throwable => () }
   }
 
   // Entries are also released at application end (SparkContext stop):
@@ -128,8 +154,7 @@ object ResultCache {
     val it = entries.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      try e.getValue.df.unpersist(blocking = false)
-      catch { case _: Throwable => () }
+      release(e.getValue.df)
       it.remove()
     }
   }
@@ -157,8 +182,8 @@ object ResultCache {
           if (e.getValue.expiresAtMs <= now) {
             // a stopped session makes unpersist throw — eviction of a
             // dead entry must not break an unrelated caller's lookup
-            try e.getValue.df.unpersist(blocking = false)
-            catch { case _: Throwable => () }
+            // (release already swallows per-frame)
+            release(e.getValue.df)
             it.remove()
             // key-lock objects are deliberately NOT removed: a thread
             // may be parked on one, and swapping it out would let two

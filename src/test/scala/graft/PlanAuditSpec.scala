@@ -47,8 +47,11 @@ class PlanAuditSpec extends SparkSpec {
     // the 100 TB property: the corpus-sized gram stream must probe the
     // (bounded) benchmark set map-side — a sort-merge join here would
     // shuffle every corpus gram by text, the exact cost the broadcast
-    // exists to avoid
-    val plan = SparkEntry.queries("decontam_stats")(spark, sf0001)
+    // exists to avoid. Audit the BUILD plan: the graded query consumes
+    // the ResultCache's checkpointed copy, whose plan is (by design)
+    // just a block scan.
+    val plan = graft.operators.Curation
+      .contaminatedDocIdsUncached(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") &&
       plan.contains("LeftSemi"), s"benchmark probe not broadcast:\n$plan")

@@ -20,6 +20,17 @@ class ResultCacheSpec extends SparkSpec {
     assert(ResultCache.key("abc") == "900150983cd24fb0d6963f7d28e17f72")
   }
 
+  /** Entries are eager localCheckpoints (lineage-truncated), so their
+    * blocks hang off the checkpoint RDD, not the CacheManager — "is it
+    * pinned" must probe the RDD's storage level. */
+  private def pinned(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+      case _ =>
+        df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    }
+
   test("S6: second lookup within TTL is a hit — build runs once") {
     var now = 1_000_000L
     ResultCache.clock = () => now
@@ -61,12 +72,12 @@ class ResultCacheSpec extends SparkSpec {
     var now = 1_000_000L
     ResultCache.clock = () => now
     val a = ResultCache.getOrCompute("filters-e", 1)(Seq(1).toDF("x"))
-    assert(a.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    assert(pinned(a))
     now += 301 * 1000
     // looking up a DIFFERENT key must still evict+release filters-e —
     // TTL bounds retention, not just reuse
     ResultCache.getOrCompute("filters-f", 300)(Seq(2).toDF("x"))
-    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+    assert(!pinned(a),
       "expired entry's blocks were not released by the sweep")
   }
 
@@ -98,22 +109,21 @@ class ResultCacheSpec extends SparkSpec {
     val assign = operators.Similarity.ivfAssign(spark, sf0001)
     val frames = Seq("pairs" -> pairs, "clusters" -> clusters, "assign" -> assign)
     frames.foreach { case (n, df) =>
-      assert(df.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
-        s"$n should be persisted while fresh") }
+      assert(pinned(df), s"$n should be pinned while fresh") }
     // expire everything, then trigger the sweep with an unrelated lookup
     now += 301 * 1000
     ResultCache.getOrCompute("unrelated", 300)(Seq(1).toDF("x"))
     frames.foreach { case (n, df) =>
-      assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      assert(!pinned(df),
         s"$n still pinned after TTL expiry + sweep — cache leak") }
   }
 
   test("S6: evictAll releases every entry immediately") {
     ResultCache.clock = () => 1_000_000L
     val a = ResultCache.getOrCompute("filters-g", 300)(Seq(1).toDF("x"))
-    assert(a.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    assert(pinned(a))
     ResultCache.evictAll()
-    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(!pinned(a))
     // and the next lookup is a rebuild, not a stale hit
     var built = false
     ResultCache.getOrCompute("filters-g", 300) { built = true; Seq(2).toDF("x") }

@@ -87,4 +87,22 @@ class CatalogSinkSpec extends SparkSpec {
     assert(viaCsv.select(col("doc_id").cast("long")).exceptAll(
       docs.select("doc_id")).count() == 0)
   }
+
+  test("S1: ORC round-trips the events table with exact types") {
+    // the third columnar format a warehouse migration meets (parquet is
+    // the native one; ORC ships in Spark with zero extra deps) — types
+    // survive exactly, unlike the text formats above
+    val base = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val ev = Tables(spark, sf0001, "events")
+    ev.write.mode("overwrite").orc(s"$base/events_orc")
+    val viaOrc = spark.read.orc(s"$base/events_orc")
+    assert(viaOrc.schema == ev.schema, s"${viaOrc.schema} vs ${ev.schema}")
+    assert(viaOrc.exceptAll(ev).count() == 0)
+    assert(ev.exceptAll(viaOrc).count() == 0)
+    // predicate pushdown works against the ORC scan too
+    val plan = viaOrc.filter(col("event_type") === "view")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(event_type,view)"), plan)
+  }
 }

@@ -235,6 +235,10 @@ object Joins {
   def fuzzyNameMatch(spark: SparkSession, dir: String,
       maxDist: Int = 2): DataFrame = {
     import spark.implicits._
+    // length-blocking of the DP happens at PLAN level: the rule
+    // conjoins abs(length diff) <= maxDist ahead of the edit distance
+    // (plan-asserted in FuseRuleSpec)
+    graft.plans.GuardLevenshtein.register(spark)
     val probes = FuzzyProbes.toDF("probe")
     Tables(spark, dir, "customer")
       .join(broadcast(probes),

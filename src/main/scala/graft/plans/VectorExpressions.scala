@@ -116,5 +116,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => FuseCosineHof)
+    e.injectOptimizerRule(_ => GuardLevenshtein)
   }
 }

@@ -78,4 +78,43 @@ class FuseRuleSpec extends SparkSpec {
       assert(fused.isEmpty)
     }
   }
+
+  test("GuardLevenshtein: join condition gains the length band, results unchanged") {
+    val before = graft.operators.Joins.fuzzyNameMatch(spark, sf0001)
+    // the query registers the rule itself — the optimized join condition
+    // must carry the abs(length-difference) guard ahead of the DP
+    val optimized = before.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("abs((length(") || optimized.contains("abs((length("),
+      s"no length guard in:\n$optimized")
+    // ground truth from a driver-side recount over the collected names
+    val names = Tables(spark, sf0001, "customer")
+      .select("c_custkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      p <- graft.operators.Joins.FuzzyProbes
+      (k, n) <- names if lev(n, p) <= 2
+    } yield (p, k, n, lev(n, p))).sortBy(t => (t._1, t._2))
+    val got = before.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      .toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("GuardLevenshtein: fixpoint-safe (second application is identity)") {
+    import graft.plans.GuardLevenshtein
+    val plan = graft.operators.Joins.fuzzyNameMatch(spark, sf0001)
+      .queryExecution.analyzed
+    val once = GuardLevenshtein(plan)
+    val twice = GuardLevenshtein(once)
+    assert(once.fastEquals(twice), "rule not idempotent")
+    assert(!once.fastEquals(plan), "rule did not fire on the analyzed plan")
+  }
 }

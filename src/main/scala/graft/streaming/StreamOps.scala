@@ -109,6 +109,20 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** ST9: STREAM-STATIC enrichment join — the most common production
+    * streaming topology: every micro-batch of the event stream joins a
+    * broadcast dimension table (no state, no watermark needed on the
+    * static side; the dimension is re-resolvable per batch, which is
+    * how slowly-changing dims get picked up), then feeds a windowless
+    * grouped aggregate. Decimal value sums keep the result independent
+    * of micro-batch slicing. */
+  def enrichedCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), events("user_id") === dim("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("total_value"))
+
   /** ST8: STREAM-STREAM event-time interval join — attribution (view →
     * purchase by the same user within `horizon`), the canonical
     * funnel-conversion join. Both sides carry watermarks and the join

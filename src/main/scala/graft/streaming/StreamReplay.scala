@@ -222,7 +222,19 @@ object StreamReplay {
       StreamOps.viewToPurchase(_))
       .orderBy("user_id", "view_id", "purchase_id")
 
+  /** ST9 on the driver's graded path: the stream-static enrichment
+    * join + aggregate as a real streaming execution (complete mode —
+    * a bounded replay's final aggregate is the batch aggregate). */
+  def enrichedEventsStreamed(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    replayEvents(spark, dir)(StreamOps.enrichedCounts(_, dim))
+      .orderBy("c_mktsegment", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "enriched_events_streamed" -> (enrichedEventsStreamed _),
     "view_purchase_join_streamed" -> (viewPurchaseJoinStreamed _),
     "hourly_event_stats_streamed" -> (hourlyEventStatsStreamed _),
     "rate_limit_streamed" -> ((s: SparkSession, d: String) =>
@@ -232,6 +244,13 @@ object StreamReplay {
     "hll_users_streamed" -> (hllUsersStreamed _))
 
   val oracles: Map[String, String] = Map(
+    // bounded complete-mode replay of a stream-static join + aggregate
+    // ≡ the batch join + aggregate
+    "enriched_events_streamed" ->
+      """SELECT c.c_mktsegment, e.event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // bounded inner stream-stream join ≡ the batch join with the same
     // interval predicate
     "view_purchase_join_streamed" ->

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Parquet ROW-GROUP skipping (zone maps) — the other storage-layout
+  * lever next to bucketing: when data is WRITTEN SORTED on a filter
+  * column, parquet's per-row-group min/max statistics let a pushed
+  * range predicate skip whole row groups at scan time — at 100 TB the
+  * difference between reading 1 % and 100 % of the table for a
+  * selective query. Asserted via the scan's own numOutputRows metric:
+  * with row-group skipping, rows that never leave the reader never
+  * count.
+  */
+class DataSkippingSpec extends SparkSpec {
+
+  test("sorted parquet + pushed range filter skips row groups (zone maps)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_skip_").toFile
+    try {
+      // small row groups so the sf0.001 table spans many of them
+      Tables(spark, sf0001, "orders")
+        .orderBy("o_totalprice")
+        .coalesce(1)
+        .write.option("parquet.block.size", 64 * 1024)
+        .mode("overwrite").parquet(s"$tmp/by_price")
+      val sorted = spark.read.parquet(s"$tmp/by_price")
+      val total = sorted.count()
+
+      def scanOutputRows(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        val scans = df.queryExecution.executedPlan.collectLeaves()
+        scans.flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+      }
+      // selective range on the sort column: pushed to parquet, which
+      // drops every row group whose [min,max] misses the range
+      val selective = sorted.filter(col("o_totalprice") > 490000.0)
+      val plan = selective.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") &&
+        plan.contains("GreaterThan(o_totalprice"), plan)
+      val rowsRead = scanOutputRows(selective)
+      val matched = selective.count()
+      assert(matched > 0, "test range matches nothing — pick a new cutoff")
+      assert(rowsRead < total / 2,
+        s"scan emitted $rowsRead of $total rows — row groups not skipped " +
+          "(is the file sorted and multi-row-group?)")
+      // control: the SAME filter over an UNSORTED copy of the data
+      // cannot skip (every row group spans the full price range)
+      Tables(spark, sf0001, "orders")
+        .repartition(1) // hash round-robin: price order destroyed
+        .write.option("parquet.block.size", 64 * 1024)
+        .mode("overwrite").parquet(s"$tmp/unsorted")
+      val unsorted = spark.read.parquet(s"$tmp/unsorted")
+        .filter(col("o_totalprice") > 490000.0)
+      val rowsReadUnsorted = scanOutputRows(unsorted)
+      assert(rowsReadUnsorted >= rowsRead,
+        s"unsorted layout read fewer rows ($rowsReadUnsorted < $rowsRead)?")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+}

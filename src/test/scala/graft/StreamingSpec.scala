@@ -275,6 +275,22 @@ class StreamingSpec extends SparkSpec {
       assert(s == bt, s"streamed $s != batch $bt") }
   }
 
+  test("ST9: stream-static enrichment replay equals the batch join + aggregate") {
+    val streamed = graft.streaming.StreamReplay
+      .enrichedEventsStreamed(spark, sf0001).collect()
+    val batch = Tables(spark, sf0001, "events")
+      .join(Tables(spark, sf0001, "customer"),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("total_value"))
+      .orderBy("c_mktsegment", "event_type").collect()
+    assert(streamed.nonEmpty && streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s == b, s"streamed $s != batch $b") }
+  }
+
   test("ST7 update mode: single-batch replay sink equals the batch aggregate") {
     // update mode emits only CHANGED rows per batch; a bounded
     // single-file replay updates every window exactly once, so the

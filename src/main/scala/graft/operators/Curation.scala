@@ -246,7 +246,12 @@ object Curation {
     * Scale shape: map-only priority computation; top-k compiles to
     * TakeOrderedAndProject (per-partition heap + driver merge of k
     * rows), never a full sort. */
-  def prioritySample(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+  /** Default sample size — interpolated into BOTH the query's limit
+    * and the oracle's LIMIT so they cannot drift (r3 advice). */
+  val PriorityK: Int = 50
+
+  def prioritySample(spark: SparkSession, dir: String,
+      k: Int = PriorityK): DataFrame =
     Tables(spark, dir, "documents")
       .withColumn("v", expr(
         "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
@@ -288,7 +293,7 @@ object Curation {
             4)} AS priority
          |FROM v
          |ORDER BY priority DESC, doc_id
-         |LIMIT 50""".stripMargin,
+         |LIMIT $PriorityK""".stripMargin,
     "hash_sample" ->
       s"""SELECT source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN ${keepSql()} THEN 1 ELSE 0 END) AS BIGINT)

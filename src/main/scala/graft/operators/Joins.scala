@@ -232,8 +232,14 @@ object Joins {
     * BLOCKS (equi-join on a cheap key: name length band, first token,
     * phonetic bucket) and runs the edit distance only within blocks —
     * same downstream shape, the equi-join replaces the broadcast. */
+  /** Default edit-distance cutoff — interpolated into BOTH the Spark
+    * query and its DuckDB oracle so the two can never drift (r3
+    * advice: a hardcoded `<= 2` in the oracle would silently diverge
+    * from a call with a non-default maxDist). */
+  val FuzzyMaxDist: Int = 2
+
   def fuzzyNameMatch(spark: SparkSession, dir: String,
-      maxDist: Int = 2): DataFrame = {
+      maxDist: Int = FuzzyMaxDist): DataFrame = {
     import spark.implicits._
     // length-blocking of the DP happens at PLAN level: the rule
     // conjoins abs(length diff) <= maxDist ahead of the edit distance
@@ -269,7 +275,7 @@ object Joins {
          |SELECT p.probe, c.c_custkey, c.c_name,
          |  CAST(levenshtein(c.c_name, p.probe) AS INT) AS dist
          |FROM customer c JOIN probes p
-         |  ON levenshtein(c.c_name, p.probe) <= 2
+         |  ON levenshtein(c.c_name, p.probe) <= $FuzzyMaxDist
          |ORDER BY p.probe, c.c_custkey""".stripMargin
     },
     "revenue_by_region" -> revenueByRegionSql,

@@ -309,29 +309,40 @@ object Similarity {
       case _ => ()
     }
 
+  /** Shuffle parallelism for the component loop's frames. Every frame
+    * in the loop spans only EDGE-ENDPOINT vertices (orders of magnitude
+    * smaller than the corpus at any scale), but each round runs 2 joins
+    * + an agg: at the session's corpus-sized shuffle partitioning that
+    * is rounds × 32-task stages of pure scheduling overhead — MEASURED
+    * as the majority of neardup_clusters' bench time (11.8 s of 17 s at
+    * sf0.1). A production deployment sizes this to |edges|. */
+  private val LoopParts = 8
+
   private[graft] def connectedComponents(edgesSym: DataFrame): (DataFrame, Int) = {
-    val spark = edgesSym.sparkSession
-    // Every frame in this loop spans only EDGE-ENDPOINT vertices (a few
-    // thousand rows here; the dedup-graph edge set is orders of
-    // magnitude smaller than its corpus at any scale), but each round
-    // runs 2 joins + an agg: at the session's corpus-sized shuffle
-    // partitioning that is rounds × 32-task stages of pure scheduling
-    // overhead — MEASURED as the majority of neardup_clusters' bench
-    // time (11.8 s of 17 s at sf0.1). Plan the loop at 8 partitions and
-    // restore after; a production deployment sizes this to |edges|, not
-    // to the corpus. (Benign race if two builds overlap: both write the
-    // same value, and a lost restore only means one loop runs at the
-    // session default — today's behavior.)
-    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // The loop is pinned at LoopParts partitions with EXPLICIT
+    // repartition on every shuffle input — never by mutating the
+    // session-global spark.sql.shuffle.partitions (r3 advice: a
+    // concurrent query planned during a set/restore window silently
+    // ran at 8). Co-partitioning does the rest: both join inputs arrive
+    // hash-partitioned (key, LoopParts), so EnsureRequirements inserts
+    // no conf-sized exchange anywhere in the loop. Trade-off, measured
+    // irrelevant at edge-set sizes: an aggregate above an explicit
+    // repartition runs its partial step after the exchange, so the
+    // shuffle carries raw join-output rows (still ∝ |edges|) instead of
+    // map-side-combined ones.
+    //
     // localCheckpoint (EAGER), not cache: a cache keeps the edge set's
     // full LOGICAL lineage — here the entire upstream LSH pipeline —
     // and every round's 2 joins re-analyze/canonicalize that tree on
     // the driver. MEASURED: ~2.8 s of pure driver plan work per round
     // vs 0.24 s of actual execution. The checkpoint cuts the loop's
-    // plans to a block scan; blocks are released in the finally.
-    val edges = edgesSym.repartition(8, col("src")).localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    // plans to a block scan — and PRESERVES physical partitioning
+    // (LogicalRDD carries outputPartitioning), so partitioning by dst
+    // HERE means the per-round neighbor join never re-shuffles the
+    // edge side at all. Blocks are released in the finally.
+    val edges = edgesSym.repartition(LoopParts, col("dst")).localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id"))
+      .repartition(LoopParts, col("doc_id")).distinct()
       .withColumn("label", col("doc_id")).cache()
     var lastProp: DataFrame = null
     var ok = false
@@ -346,8 +357,15 @@ object Similarity {
       var converged = false
       var rounds = 0
       while (!converged && rounds < 64) {
+        // labels arrives hash-partitioned (doc_id, LoopParts) — from
+        // the initial repartition+distinct in round 1, from the
+        // checkpoint-preserved partitioning of `next` afterwards — and
+        // edges is checkpointed as (dst, LoopParts): co-partitioned,
+        // no exchange on either join input. Only the groupBy's key
+        // change (dst→src) shuffles, pinned to LoopParts explicitly.
         val neighborMin = edges
           .join(labels, edges("dst") === labels("doc_id"))
+          .repartition(LoopParts, col("src"))
           .groupBy(col("src")).agg(min(col("label")).as("nmin"))
         // The jump join references `prop` TWICE, so without lineage
         // truncation each round's logical plan would contain the
@@ -365,16 +383,28 @@ object Similarity {
           .select(col("l.doc_id").as("doc_id"),
             least(col("l.label"), coalesce(col("nmin"), col("l.label"))).as("label"))
           .localCheckpoint(false) // lazy: materialized by the sum below
-        val next = prop.as("a")
+        // point the failure-path cleanup at THIS round's checkpoint
+        // BEFORE the action below: if the action throws after
+        // materializing it, the finally must release these blocks, not
+        // re-release the previous (already-freed) round's (r3 advice)
+        lastProp = prop
+        // Jump-join: probe side re-keyed on label (pinned), build side
+        // rides prop's checkpoint-preserved (doc_id→pd, LoopParts)
+        // partitioning. The output's label column is a COMPUTED
+        // coalesce — no attribute survives for propagation — so the
+        // next round's labels are re-pinned on doc_id here, where the
+        // exchange replaces (not adds to) the one EnsureRequirements
+        // would insert at the session's conf size.
+        val next = prop.repartition(LoopParts, col("label")).as("a")
           .join(prop.select(col("doc_id").as("pd"), col("label").as("pl")),
             col("a.label") === col("pd"), "left")
           .select(col("a.doc_id").as("doc_id"),
             coalesce(col("pl"), col("a.label")).as("label"))
+          .repartition(LoopParts, col("doc_id"))
           .cache()
         val nextSum = sumOrZero(next) // THE round's single driver action
         labels.unpersist()
         releaseCheckpoint(prop) // next is materialized — prop is done
-        lastProp = prop
         labels = next
         converged = nextSum == labelSum
         labelSum = nextSum
@@ -391,7 +421,6 @@ object Similarity {
       // edges are loop-internal — released on EVERY exit path; the
       // returned labels cache is the caller's to release, except on
       // failure, where nothing is returned and it must not stay pinned
-      spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
       releaseCheckpoint(edges)
       if (!ok) {
         try labels.unpersist() catch { case _: Throwable => () }

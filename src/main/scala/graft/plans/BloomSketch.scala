@@ -26,9 +26,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * arithmetic over `md5(i || ':' || key)` and re-derive every claimed
   * bit — the sketch's decisions are hash-graded, not just row-counted.
   *
-  * Scale: the aggregation state is a constant 512 bytes regardless of
-  * input cardinality; partial states merge by bitwise OR, so the
-  * shuffle carries one 64-long array per partition. This is the
+  * Scale: the aggregation state is a constant 8 KB (65536 bits =
+  * 1024 longs) regardless of input cardinality; partial states merge
+  * by bitwise OR, so the shuffle carries one 1024-long array per
+  * partition. This is the
   * standard big-data pre-filter shape: build on the small(er) key set,
   * broadcast the bits, probe map-only on the large side.
   */

@@ -96,16 +96,50 @@ object ResultCache {
         // persist (no-op when the builder never persisted)
         try built.unpersist(blocking = false)
         catch { case _: Throwable => () }
-        // install the replacement BEFORE releasing the stale entry: a
-        // reader that fast-path-hit the stale frame a moment ago keeps
-        // working against still-persisted blocks for the (tiny) window
-        // where both exist, instead of silently degrading to a full
-        // recompute mid-job (round-2 advice).
+        // Install the replacement BEFORE retiring the stale entry, and
+        // retire (grace-delayed release) rather than release: a
+        // checkpoint's lineage is TRUNCATED, so unpersisting it leaves
+        // no recompute path — a reader that fast-path-hit the stale
+        // frame just before replacement, or whose action runs after
+        // the swap, would fail with "checkpoint block not found". The
+        // graveyard keeps retired blocks alive for `graceMs` past the
+        // entry's expiry, which bounds how long an already-handed-out
+        // frame stays readable (round-3 advice).
         entries.put(k, Entry(df, clock() + ttlSeconds * 1000))
         installEndOfAppCleanup(df.sparkSession)
-        if (cur2 != null) release(cur2.df)
+        if (cur2 != null) retire(cur2)
         df
       }
+    }
+  }
+
+  /** How long a retired (replaced or expired) entry's blocks stay
+    * alive past its expiry before the sweep actually unpersists them.
+    * Checkpointed frames have NO recompute path, so this is the
+    * contract consumers get: a frame obtained while fresh stays
+    * readable for at least `graceMs` after its TTL lapses. Var so the
+    * grace-semantics spec can shrink it. */
+  private[graft] val DefaultGraceMs: Long = 120_000L
+  @volatile private[graft] var graceMs: Long = DefaultGraceMs
+
+  private final case class Doomed(df: DataFrame, releaseAtMs: Long)
+  private val graveyard =
+    new java.util.concurrent.ConcurrentLinkedQueue[Doomed]()
+
+  /** Queue an entry's frame for release `graceMs` after its EXPIRY
+    * (not after retirement: an entry replaced long past its TTL has no
+    * recent readers to protect, and the sweep that retires it may then
+    * free it in the same pass). */
+  private def retire(e: Entry): Unit = {
+    graveyard.add(Doomed(e.df, e.expiresAtMs + graceMs)); ()
+  }
+
+  /** Unpersist every graveyard frame whose grace window has passed. */
+  private def drainGraveyard(now: Long): Unit = {
+    val it = graveyard.iterator()
+    while (it.hasNext) {
+      val d = it.next()
+      if (d.releaseAtMs <= now) { release(d.df); it.remove() }
     }
   }
 
@@ -157,6 +191,9 @@ object ResultCache {
       release(e.getValue.df)
       it.remove()
     }
+    // immediate, no grace: evictAll is an application-end / explicit
+    // shutdown point — there are no consumers left to protect
+    drainGraveyard(Long.MaxValue)
   }
 
   private val keyLocks = new ConcurrentHashMap[String, Object]()
@@ -180,10 +217,11 @@ object ResultCache {
         while (it.hasNext) {
           val e = it.next()
           if (e.getValue.expiresAtMs <= now) {
-            // a stopped session makes unpersist throw — eviction of a
-            // dead entry must not break an unrelated caller's lookup
-            // (release already swallows per-frame)
-            release(e.getValue.df)
+            // retire, don't release: a consumer that obtained this
+            // frame while fresh may still have an action in flight,
+            // and a checkpointed frame cannot recompute. Its blocks
+            // are freed by drainGraveyard once `graceMs` past expiry.
+            retire(e.getValue)
             it.remove()
             // key-lock objects are deliberately NOT removed: a thread
             // may be parked on one, and swapping it out would let two
@@ -191,6 +229,7 @@ object ResultCache {
             // descriptor — bounded and negligible.
           }
         }
+        drainGraveyard(now)
       }
     }
 
@@ -199,5 +238,6 @@ object ResultCache {
     evictAll()
     missCounter.set(0)
     lastSweepMs = Long.MinValue
+    graceMs = DefaultGraceMs
   }
 }

@@ -110,12 +110,34 @@ class ResultCacheSpec extends SparkSpec {
     val frames = Seq("pairs" -> pairs, "clusters" -> clusters, "assign" -> assign)
     frames.foreach { case (n, df) =>
       assert(pinned(df), s"$n should be pinned while fresh") }
-    // expire everything, then trigger the sweep with an unrelated lookup
-    now += 301 * 1000
+    // expire everything PAST the release grace, then trigger the sweep
+    // with an unrelated lookup (TTL 300 s + grace 120 s < 421 s)
+    now += 421 * 1000
     ResultCache.getOrCompute("unrelated", 300)(Seq(1).toDF("x"))
     frames.foreach { case (n, df) =>
       assert(!pinned(df),
         s"$n still pinned after TTL expiry + sweep — cache leak") }
+  }
+
+  /** Checkpointed entries have no recompute path, so a frame handed
+    * out while fresh must stay READABLE for the grace window after its
+    * TTL lapses — release is deferred, not skipped (round-3 advice). */
+  test("S6: a replaced entry's blocks survive the swap for the grace window") {
+    var now = 1_000_000L
+    ResultCache.clock = () => now
+    val stale = ResultCache.getOrCompute("filters-grace", 1)(Seq(1).toDF("x"))
+    // expired; the rebuild retires (not releases) the stale frame
+    now += 2 * 1000
+    ResultCache.getOrCompute("filters-grace", 300)(Seq(2).toDF("x"))
+    assert(pinned(stale),
+      "stale frame released at swap — an in-flight reader would hit " +
+      "'checkpoint block not found' (lineage is truncated)")
+    assert(stale.collect().map(_.getInt(0)).sameElements(Array(1)),
+      "stale frame no longer readable during its grace window")
+    // past expiry + grace: the sweep (triggered by any lookup) frees it
+    now += ResultCache.graceMs + 1000
+    ResultCache.getOrCompute("filters-grace2", 300)(Seq(3).toDF("x"))
+    assert(!pinned(stale), "retired frame never released after grace")
   }
 
   test("S6: evictAll releases every entry immediately") {

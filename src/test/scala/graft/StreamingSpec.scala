@@ -255,6 +255,23 @@ class StreamingSpec extends SparkSpec {
       assert(s == b, s"streamed row $s != batch row $b") }
   }
 
+  test("ST4 driver surface: duplicate-injected replay dedups to exactly the source rows") {
+    // the graded dedup_streamed entry: every event arrives TWICE (two
+    // unioned file-source branches), flows through the real
+    // dropDuplicatesWithinWatermark op into a parquet FILE sink, and
+    // the committed files must hold exactly the unique source rows
+    val got = graft.streaming.StreamReplay.dedupStreamed(spark, sf0001)
+    val want = Tables(spark, sf0001, "events")
+      .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+      .orderBy("event_id")
+    assert(got.collect().sameElements(want.collect()),
+      "deduped replay differs from the unique source rows")
+    // and the result never lived on the driver: the graded frame's
+    // plan reads sink FILES, not a LocalRelation of collected rows
+    assert(got.queryExecution.sparkPlan.toString.contains("FileScan"),
+      "dedup_streamed should read back committed sink files")
+  }
+
   test("ST8: stream-stream interval join replay equals the batch join") {
     val streamed = graft.streaming.StreamReplay
       .viewPurchaseJoinStreamed(spark, sf0001).collect()
@@ -325,5 +342,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == batch.length)
     streamed.zip(batch).foreach { case (s, b) =>
       assert(s == b, s"streamed session $s != batch session $b") }
+    // the sentinel-appended input is materialized ONCE per corpus dir
+    // and reused — a second replay must do no corpus rewrite (r3
+    // advice item 4: the coalesce(1) write is off the per-call path)
+    val inputPath = graft.streaming.StreamReplay.sessionInputs.get(sf0001)
+    assert(inputPath != null, "session replay input not cached")
+    val mtimes = Option(new java.io.File(inputPath).listFiles)
+      .getOrElse(Array.empty).map(f => f.getName -> f.lastModified).toMap
+    val again = graft.streaming.StreamReplay
+      .sessionStatsStreamed(spark, sf0001).collect()
+    assert(again.sameElements(streamed))
+    val after = Option(new java.io.File(inputPath).listFiles)
+      .getOrElse(Array.empty).map(f => f.getName -> f.lastModified).toMap
+    assert(mtimes == after,
+      "second session replay rewrote its input — the materialization " +
+      "must be cached per corpus dir")
   }
 }

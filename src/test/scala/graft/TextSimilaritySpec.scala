@@ -162,6 +162,30 @@ class TextSimilaritySpec extends SparkSpec {
       8L -> 8L, 9L -> 8L, 10L -> 8L, 11L -> 8L))
   }
 
+  /** The loop pins its OWN parallelism with explicit repartitions —
+    * it must be correct under ANY session shuffle setting and must
+    * never write the session conf (the r3 set/restore pattern let a
+    * concurrent query silently plan at 8). */
+  test("N2: connected components ignore and never mutate session shuffle partitions") {
+    val raw = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (10L, 11L))
+    val pairs = raw.toDF("src", "dst")
+    val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      8L -> 8L, 9L -> 8L, 10L -> 8L, 11L -> 8L)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (parts <- Seq("4", "8", "32")) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        val (labels, _) = Similarity.connectedComponents(edges)
+        val got = labels.as[(Long, Long)].collect().toMap
+        labels.unpersist()
+        assert(got == expect, s"wrong labels at session conf $parts")
+        assert(spark.conf.get("spark.sql.shuffle.partitions") == parts,
+          "connectedComponents mutated the session shuffle-partition conf")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("N2: connected components label several disjoint components correctly") {
     // two triangles + one isolated edge + self-contained pair ordering
     val raw = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (20L, 21L))

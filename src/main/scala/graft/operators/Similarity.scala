@@ -159,9 +159,33 @@ object Similarity {
     * words: long enough that cross-doc collisions are rare (5-grams
     * like `" the "` appear in every doc and were measured to collapse
     * LSH into all-pairs — 5M candidates at sf0.1), short enough to
-    * survive small edits. `lower` is hoisted out of the per-position
-    * lambda (Catalyst CSE does not dedup across HOF elements). */
+    * survive small edits.
+    *
+    * Emission is the custom [[graft.plans.CharGrams]] generator — a
+    * streaming per-position view over the document bytes, NOT the HOF
+    * `explode(transform(sequence(…)))` form, which materializes a
+    * per-row array of every gram (~10× the document size) before the
+    * first row emits and re-walks the string per substring call —
+    * profiled as ~5 s of the query's 10.7 s at sf0.1. Values are
+    * asserted identical to the HOF form in CharGramSpec. */
   private def charShingles(spark: SparkSession, dir: String): DataFrame =
+    charGramsOf(spark, Tables(spark, dir, "documents"))
+
+  /** Gram emission over an arbitrary (doc_id, text) frame — so callers
+    * can restrict the DOCUMENT set (e.g. to LSH candidates) before any
+    * gram exists: the optimizer does not move joins below a Generate,
+    * so pruning must happen structurally upstream of it. */
+  private def charGramsOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.plans.CharGrams.register(spark)
+    docs
+      .withColumn("lt", lower(col("text")))
+      .filter(length(col("lt")) >= 9)
+      .select(col("doc_id"), expr("char_grams(lt, 9)").as("s"))
+  }
+
+  /** The HOF formulation the generator replaced — kept ONLY as the
+    * equivalence oracle for CharGramSpec (never on a graded path). */
+  private[graft] def charShinglesHof(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .withColumn("lt", lower(col("text")))
       .filter(length(col("lt")) >= 9)
@@ -201,19 +225,62 @@ object Similarity {
   private def neardupPairsCharUncached(spark: SparkSession, dir: String,
       threshold: Double): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // Same shared-distinct-shingle structure as the word variant (and
-    // the same measured trade-off: one corpus distinct + cache beats
-    // recomputing the ~300-grams/doc explode per consumer); same
-    // finally-released pin discipline.
     val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def pin(df: DataFrame): DataFrame = {
       pinned += df; df.persist(StorageLevel.MEMORY_AND_DISK)
     }
-    val shd = pin(charShingles(spark, dir).distinct())
     try {
-    val sigCols = (0 to 7).map(i =>
-      min(md5(concat(lit(s"$i:"), col("s")))).as(s"m$i"))
-    val sigs = shd.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // MinHash signatures come straight off the RAW gram stream: min is
+    // DUPLICATE-INVARIANT (min over a multiset ≡ min over its set), so
+    // the r3-era corpus-wide `distinct` — a full shuffle of every gram
+    // occurrence, profiled at ~4 s of the query's 10.7 s at sf0.1 —
+    // buys nothing here and is gone. The only corpus-wide pass left is
+    // this one streaming generator scan feeding a partial-agged
+    // groupBy; exact-Jaccard verification below re-generates grams for
+    // CANDIDATE docs only, where the distinct is a few hundred docs'
+    // worth instead of the corpus's.
+    // 8 minhashes from TWO md5 digests, not eight: minhash i is a
+    // fixed 8-hex-char (32-bit) SLICE of md5((i div 4) || ':' || s).
+    // Hashing was the profiled hot spot once the corpus distinct was
+    // gone (~11.5M md5 calls at sf0.1 = the bulk of the signature
+    // stage); distinct slices of one digest are independent uniform
+    // bits, and 32 bits per minhash keeps spurious min-collisions at
+    // 2⁻³² — the standard many-hashes-from-one-digest LSH trick.
+    // Slices are hex SUBSTRINGS (fixed width, lowercase), so
+    // lexicographic min ≡ numeric min and DuckDB's substr(md5(…))
+    // rebuilds identical values.
+    //
+    // The slices are computed in a PROJECTION below the aggregate, not
+    // inside the 8 min() update expressions: min(string) has a
+    // variable-width buffer, so this aggregate is ObjectHashAggregate,
+    // not codegen HashAggregate — there is no cross-aggregate
+    // subexpression elimination there, and digests embedded in the agg
+    // would be re-hashed per consuming minhash. The whole-stage-
+    // codegen'd project evaluates each md5 exactly once per gram.
+    val slices = (0 to 7).map { i =>
+      substring(md5(concat(lit(s"${i / 4}:"), col("s"))),
+        1 + 8 * (i % 4), 8).as(s"h$i")
+    }
+    val sigCols = (0 to 7).map(i => min(col(s"h$i")).as(s"m$i"))
+    // The signature stage is CPU-bound (2 md5 per gram, ~1.4M grams at
+    // sf0.1) and the corpus arrives as ONE parquet split at bench
+    // scale — left alone, the whole hash pipeline runs on one core
+    // (profiled: 3.7 s of the query's ~6 s; the r3 corpus-wide
+    // distinct was accidentally parallelizing it). Fan the scan out to
+    // the cluster iff the source yields fewer splits than cores; at
+    // production scale the scan has thousands of splits and this adds
+    // NO shuffle. Hash-partitioning by doc_id keeps the fan-out
+    // deterministic and the groupBy co-partitioned (the agg then
+    // shuffles nothing but per-doc minima anyway).
+    val parallelism = spark.sparkContext.defaultParallelism
+    val docsBase = Tables(spark, dir, "documents")
+    val docsSrc =
+      if (docsBase.rdd.getNumPartitions < parallelism)
+        docsBase.repartition(parallelism, col("doc_id"))
+      else docsBase
+    val sigs = charGramsOf(spark, docsSrc)
+      .select(Seq(col("doc_id")) ++ slices: _*)
+      .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     // one unpivoted self-join exchange, like the word variant; the band
     // key is the CONCATENATION of the band's two minhashes (fixed-width
     // hex, so concat-equality ⟺ pairwise equality)
@@ -239,9 +306,16 @@ object Similarity {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
       .distinct()
-    // persisted + materialized for the same reason as the word variant:
-    // three consumers below, each otherwise re-scanning the corpus cache
-    val shc = pin(shd.join(broadcast(candDocs), Seq("doc_id")))
+    // Distinct shingles of CANDIDATE docs only: the broadcast join is
+    // applied to the DOCUMENTS frame, structurally upstream of the
+    // generator, so non-candidate documents never generate a gram here
+    // and the distinct shuffles ∝ candidate shingles — a few hundred
+    // docs' worth instead of the corpus's. Persisted + materialized:
+    // three consumers below (sizes + both sides of the intersection
+    // join).
+    val shc = pin(charGramsOf(spark,
+        Tables(spark, dir, "documents").join(broadcast(candDocs), Seq("doc_id")))
+      .distinct())
     shc.count()
     val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val inter = cand
@@ -824,14 +898,35 @@ object Similarity {
       |    (acc, m) -> acc + CAST(element_at(m.embedding, j) AS DOUBLE)) AS FLOAT))"""
       .stripMargin
 
-  def kmeansCentroids(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.ResultCache.getOrCompute(
-      s"${graft.sources.ResultCache.sessionId(spark)}|kmeans_cent|$dir",
-      ttlSeconds = 300)(kmeansCentroidsUncached(spark, dir))
+  /** Graded round count for the MULTI-round queries (`kmeans_rounds`,
+    * `kmeans_converged_assign`) — interpolated into both the Spark
+    * plans and the iteratively-unrolled DuckDB oracle, so the two
+    * cannot drift. 2 rounds is where this corpus' max centroid drift
+    * crosses 1−10⁻⁴ (see KmeansSpec's convergence-loop assertion). */
+  private[graft] val KmeansRounds = 2
 
-  private def kmeansCentroidsUncached(spark: SparkSession, dir: String): DataFrame = {
+  def kmeansCentroids(spark: SparkSession, dir: String): DataFrame =
+    kmeansCentroidsR(spark, dir, 1)
+
+  /** Centroid SUM vectors after Lloyd round `r` (r ≥ 1; the round-0
+    * "centroids" are the deterministic seed embeddings). Each round is
+    * one M-step over the PREVIOUS round's assignment — same pinned
+    * fold order and float cast as the single-round form, so every
+    * round stays cross-engine deterministic. Rounds share through the
+    * S6 cache: round r's build is the only consumer that recomputes
+    * round r−1, everything else hits the cache. */
+  private[graft] def kmeansCentroidsR(spark: SparkSession, dir: String,
+      r: Int): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|kmeans_cent|$dir|$r",
+      ttlSeconds = 300)(kmeansCentroidsRUncached(spark, dir, r))
+
+  private def kmeansCentroidsRUncached(spark: SparkSession, dir: String,
+      r: Int): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
-    ivfAssign(spark, dir).join(e, Seq("vec_id"))
+    val prevAssign =
+      if (r <= 1) ivfAssign(spark, dir) else kmeansAssignR(spark, dir, r - 1)
+    prevAssign.join(e, Seq("vec_id"))
       .groupBy(col("cid"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
         .as("ms"))
@@ -847,16 +942,21 @@ object Similarity {
     * [[cosineTopkKmeans]] alone references it twice in one plan
     * (query-bucket lookup + candidate set). */
   private[graft] def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.ResultCache.getOrCompute(
-      s"${graft.sources.ResultCache.sessionId(spark)}|kmeans_assign|$dir",
-      ttlSeconds = 300)(kmeansAssignUncached(spark, dir))
+    kmeansAssignR(spark, dir, 1)
 
-  private def kmeansAssignUncached(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def kmeansAssignR(spark: SparkSession, dir: String,
+      r: Int): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|kmeans_assign|$dir|$r",
+      ttlSeconds = 300)(kmeansAssignRUncached(spark, dir, r))
+
+  private def kmeansAssignRUncached(spark: SparkSession, dir: String,
+      r: Int): DataFrame = {
     graft.plans.VectorExpressions.register(spark)
     val e = Tables(spark, dir, "embeddings")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("s").desc, col("cid"))
-    e.crossJoin(broadcast(kmeansCentroids(spark, dir)))
+    e.crossJoin(broadcast(kmeansCentroidsR(spark, dir, r)))
       .select(col("vec_id"), col("cid"),
         expr("cosine_sim(embedding, cv)").as("s"))
       .withColumn("rn", row_number().over(w))
@@ -901,6 +1001,65 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** N3++++ MULTI-round Lloyd refinement on the graded path: per-round
+    * centroid drift for rounds 1..`rounds` — the convergence TRAJECTORY
+    * a production k-means thresholds on, hash-graded against an
+    * iteratively-UNROLLED oracle (each round is one more E+M CTE pair
+    * in DuckDB; the round count is the shared [[KmeansRounds]]
+    * constant, so query and oracle cannot drift). Round 1's drift is
+    * seed-embedding → cent1 (= [[kmeansShift]]); round r's is
+    * cent(r-1) → cent(r). Cosine is scale-invariant, so comparing SUM
+    * vectors needs no normalization. */
+  def kmeansRoundDrift(spark: SparkSession, dir: String,
+      rounds: Int = KmeansRounds): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val frames = (1 to rounds).map { r =>
+      val prev =
+        if (r == 1) e.select(col("vec_id").as("cid"), col("embedding").as("pv"))
+        else kmeansCentroidsR(spark, dir, r - 1)
+          .select(col("cid"), col("cv").as("pv"))
+      kmeansCentroidsR(spark, dir, r).join(prev, Seq("cid"))
+        .select(lit(r.toLong).as("round"), col("cid"),
+          graft.functions.ScalarFns.roundN(
+            expr("cosine_sim(pv, cv)"), 6).as("drift"))
+    }
+    frames.reduce(_ unionByName _).orderBy("round", "cid")
+  }
+
+  /** The FROZEN assignment after [[KmeansRounds]] rounds — the
+    * deliverable of the refinement: every vector's final cluster,
+    * hash-graded against the same unrolled oracle chain. */
+  def kmeansConvergedAssign(spark: SparkSession, dir: String,
+      rounds: Int = KmeansRounds): DataFrame =
+    kmeansAssignR(spark, dir, rounds).orderBy("vec_id")
+
+  /** Iterate-to-convergence driver (the production control loop the
+    * graded fixed-round queries freeze): run Lloyd rounds until the
+    * MINIMUM per-centroid drift reaches 1−eps (cosine 1 = unmoved) or
+    * `maxRounds`. Each round's frames flow through the S6 cache, so
+    * the trajectory query and this loop share every intermediate; the
+    * per-round driver action is ONE scalar (the min drift), never
+    * data. Returns (frozen centroids, rounds run). */
+  def kmeansConverge(spark: SparkSession, dir: String,
+      eps: Double = 1e-4, maxRounds: Int = 8): (DataFrame, Int) = {
+    graft.plans.VectorExpressions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    var r = 1
+    var done = false
+    while (!done && r <= maxRounds) {
+      val prev =
+        if (r == 1) e.select(col("vec_id").as("cid"), col("embedding").as("pv"))
+        else kmeansCentroidsR(spark, dir, r - 1)
+          .select(col("cid"), col("cv").as("pv"))
+      val minDrift = kmeansCentroidsR(spark, dir, r).join(prev, Seq("cid"))
+        .agg(min(expr("cosine_sim(pv, cv)"))).first().getDouble(0)
+      if (minDrift >= 1.0 - eps) done = true else r += 1
+    }
+    val frozen = math.min(r, maxRounds)
+    (kmeansCentroidsR(spark, dir, frozen), frozen)
+  }
+
   /** N5 multimodal row: text metadata ⋈ embedding vector in one frame
     * (arrays kept out of the graded output; dim + norm summarize). */
   def multimodalJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -929,6 +1088,9 @@ object Similarity {
     "cosine_topk_batch" -> ((s: SparkSession, d: String) => cosineTopkBatch(s, d)),
     "cosine_topk_kmeans" -> ((s: SparkSession, d: String) => cosineTopkKmeans(s, d)),
     "kmeans_shift"      -> (kmeansShift _),
+    "kmeans_rounds"     -> ((s: SparkSession, d: String) => kmeansRoundDrift(s, d)),
+    "kmeans_converged_assign" ->
+      ((s: SparkSession, d: String) => kmeansConvergedAssign(s, d)),
     "embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNeardup(s, d)),
     "embedding_clusters" -> ((s: SparkSession, d: String) => embeddingClusters(s, d)),
     "multimodal_join"   -> (multimodalJoin _))
@@ -952,35 +1114,45 @@ object Similarity {
        |  WHERE rn = 1)""".stripMargin
   }
 
-  /** One-Lloyd-round CTE chain (DuckDB) — mirrors [[kmeansCentroids]] /
-    * [[kmeansAssign]]: ordered member lists, left-fold double sums per
-    * dimension, cast to float, re-assign by argmax cosine. Extends
-    * [[ivfCte]]; ends with `cent1(cid, cv)` and `assign1(vec_id, cid)`. */
-  private def kmeansCte: String = {
+  /** One Lloyd round as a DuckDB CTE pair — mirrors
+    * [[kmeansCentroidsR]] / [[kmeansAssignR]]: ordered member lists,
+    * left-fold double sums per dimension, cast to float, re-assign by
+    * argmax cosine. Round r reads `assign(r-1)` (round 0 = the seed
+    * `assign` from [[ivfCte]]) and defines `cent$r` + `assign$r`. */
+  private def kmeansRoundCte(r: Int): String = {
     val cos = s"(${duckDot("e.embedding", "c.cv")} / " +
       s"(sqrt(${duckDot("e.embedding", "e.embedding")}) * sqrt(${duckDot("c.cv", "c.cv")})))"
-    s"""$ivfCte,
-       |mem AS (
+    val prev = if (r == 1) "assign" else s"assign${r - 1}"
+    s"""mem$r AS (
        |  SELECT a.cid, list(e.embedding ORDER BY e.vec_id) AS ms
-       |  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+       |  FROM $prev a JOIN embeddings e ON a.vec_id = e.vec_id
        |  GROUP BY 1),
-       |cent1 AS (
+       |cent$r AS (
        |  SELECT cid, list_transform(generate_series(1, len(ms[1])), j ->
        |    CAST(list_reduce(
        |      list_concat([CAST(0 AS DOUBLE)],
        |        list_transform(ms, v -> CAST(v[j] AS DOUBLE))),
        |      (x, y) -> x + y) AS FLOAT)) AS cv
-       |  FROM mem),
-       |sims1 AS (
+       |  FROM mem$r),
+       |sims$r AS (
        |  SELECT e.vec_id, c.cid, $cos AS s
-       |  FROM embeddings e CROSS JOIN cent1 c),
-       |assign1 AS (
+       |  FROM embeddings e CROSS JOIN cent$r c),
+       |assign$r AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-       |    FROM sims1)
+       |    FROM sims$r)
        |  WHERE rn = 1)""".stripMargin
   }
+
+  /** The UNROLLED multi-round chain: `rounds` E+M pairs appended to
+    * [[ivfCte]] — the oracle twin of the Scala round loop. */
+  private def kmeansCteR(rounds: Int): String =
+    s"$ivfCte,\n" + (1 to rounds).map(kmeansRoundCte).mkString(",\n")
+
+  /** Single-round instance (ends with `cent1`/`assign1`) — used by the
+    * one-round oracles unchanged. */
+  private def kmeansCte: String = kmeansCteR(1)
 
   private val shingleCte =
     s"""WITH toks AS (
@@ -1051,10 +1223,14 @@ object Similarity {
          |  FROM ctoks WHERE len(lt) >= 9),
          |sig AS (
          |  SELECT doc_id,
-         |    min(md5('0:' || s)) AS m0, min(md5('1:' || s)) AS m1,
-         |    min(md5('2:' || s)) AS m2, min(md5('3:' || s)) AS m3,
-         |    min(md5('4:' || s)) AS m4, min(md5('5:' || s)) AS m5,
-         |    min(md5('6:' || s)) AS m6, min(md5('7:' || s)) AS m7
+         |    min(substr(md5('0:' || s),  1, 8)) AS m0,
+         |    min(substr(md5('0:' || s),  9, 8)) AS m1,
+         |    min(substr(md5('0:' || s), 17, 8)) AS m2,
+         |    min(substr(md5('0:' || s), 25, 8)) AS m3,
+         |    min(substr(md5('1:' || s),  1, 8)) AS m4,
+         |    min(substr(md5('1:' || s),  9, 8)) AS m5,
+         |    min(substr(md5('1:' || s), 17, 8)) AS m6,
+         |    min(substr(md5('1:' || s), 25, 8)) AS m7
          |  FROM sh GROUP BY 1),
          |cand AS (
          |  SELECT doc_a, doc_b FROM (
@@ -1292,6 +1468,30 @@ object Similarity {
                  |       * sqrt(${duckDot("c.cv", "c.cv")}))""".stripMargin, 6)} AS drift
          |FROM cent1 c JOIN embeddings e ON e.vec_id = c.cid
          |ORDER BY c.cid""".stripMargin,
+    // the unrolled KmeansRounds-round chain; drift r = cosine between
+    // round r's centroid sum and its round r−1 predecessor (seed
+    // embedding for r = 1 — identical formula to kmeans_shift)
+    "kmeans_rounds" ->
+      s"""${kmeansCteR(KmeansRounds)},
+         |drift_all AS (
+         |${(1 to KmeansRounds).map { r =>
+              val prevRel =
+                if (r == 1) "embeddings p" else s"cent${r - 1} p"
+              val prevKey = if (r == 1) "p.vec_id" else "p.cid"
+              val prevVec = if (r == 1) "p.embedding" else "p.cv"
+              s"""  SELECT CAST($r AS BIGINT) AS round, c.cid,
+                 |    ${graft.functions.ScalarFns.roundSql(
+                      s"""${duckDot(prevVec, "c.cv")}
+                         |      / (sqrt(${duckDot(prevVec, prevVec)})
+                         |         * sqrt(${duckDot("c.cv", "c.cv")}))""".stripMargin, 6)} AS drift
+                 |  FROM cent$r c JOIN $prevRel ON $prevKey = c.cid""".stripMargin
+            }.mkString("\n  UNION ALL\n")})
+         |SELECT round, cid, drift FROM drift_all
+         |ORDER BY round, cid""".stripMargin,
+    "kmeans_converged_assign" ->
+      s"""${kmeansCteR(KmeansRounds)}
+         |SELECT vec_id, cid FROM assign$KmeansRounds
+         |ORDER BY vec_id""".stripMargin,
     "cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id,

@@ -1,0 +1,178 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{CollectionGenerator, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Character-n-gram array VIEW over a document string: `numElements`
+  * and `getUTF8String(i)` compute gram i on ACCESS instead of
+  * materializing every gram up front.
+  *
+  * Why it exists: the HOF formulation
+  * `explode(transform(sequence(1, length(lt)-8), i -> substring(lt, i, 9)))`
+  * allocates, per document row, an UnsafeArrayData holding EVERY gram
+  * (~n_chars strings × 9 chars — ~10× the document's own size) before
+  * the generator emits the first row — profiled at ~5 s of
+  * neardup_pairs_char's 10.7 s at sf0.1. Worse, each `substring(lt,i,9)`
+  * call re-walks the string from byte 0 to find character i (UTF-8 is
+  * variable-width), making the per-document cost quadratic in length.
+  *
+  * This view fixes both: ONE pass builds the char→byte offset table
+  * (skipped entirely for pure-ASCII text, where offsets are identity),
+  * and each access wraps a ZERO-COPY byte slice via
+  * `UTF8String.fromBytes(bytes, start, len)`. Nothing gram-shaped is
+  * ever allocated for rows downstream operators never pull.
+  *
+  * Gram VALUES are byte-identical to SQL `substring(lt, i, 9)` (both
+  * slice by character) — asserted against the HOF form in
+  * CharGramSpec. */
+final class CharGramArray(str: UTF8String, n: Int) extends ArrayData {
+  // null input ⇒ empty collection: Generator.nullable is FALSE, so the
+  // codegen path hands the child's raw (possibly null) value straight
+  // to this constructor — the null must become "zero grams" here, the
+  // same contract as explode of an empty transform result
+  private val bytes = if (str == null) Array.emptyByteArray else str.getBytes
+  private val nChars = if (str == null) 0 else str.numChars()
+  private val cnt = math.max(0, nChars - n + 1)
+  // char index → byte offset (length nChars+1); null ⟺ pure ASCII,
+  // where char index == byte offset
+  private val offsets: Array[Int] =
+    if (bytes.length == nChars) null
+    else {
+      val off = new Array[Int](nChars + 1)
+      var i = 0; var b = 0
+      while (i < nChars) {
+        off(i) = b
+        // UTF-8 sequence length from the lead byte
+        val lead = bytes(b) & 0xff
+        b += (if (lead < 0x80) 1
+              else if (lead < 0xe0) 2
+              else if (lead < 0xf0) 3
+              else 4)
+        i += 1
+      }
+      off(nChars) = bytes.length
+      off
+    }
+  @inline private def charOff(i: Int): Int =
+    if (offsets == null) i else offsets(i)
+
+  override def numElements(): Int = cnt
+  override def getUTF8String(i: Int): UTF8String = {
+    val s = charOff(i)
+    val e = charOff(i + n)
+    UTF8String.fromBytes(bytes, s, e - s)
+  }
+  override def isNullAt(i: Int): Boolean = false
+  override def array: Array[Any] =
+    Array.tabulate[Any](cnt)(getUTF8String)
+  override def copy(): ArrayData = new GenericArrayData(array)
+  override def setNullAt(i: Int): Unit =
+    throw new UnsupportedOperationException("CharGramArray is read-only")
+  override def update(i: Int, v: Any): Unit =
+    throw new UnsupportedOperationException("CharGramArray is read-only")
+  // only STRING elements exist in this array
+  private def unsupported(what: String): Nothing =
+    throw new UnsupportedOperationException(s"CharGramArray has string elements, not $what")
+  override def getBoolean(i: Int): Boolean = unsupported("boolean")
+  override def getByte(i: Int): Byte = unsupported("byte")
+  override def getShort(i: Int): Short = unsupported("short")
+  override def getInt(i: Int): Int = unsupported("int")
+  override def getLong(i: Int): Long = unsupported("long")
+  override def getFloat(i: Int): Float = unsupported("float")
+  override def getDouble(i: Int): Double = unsupported("double")
+  override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
+    unsupported("decimal")
+  override def getBinary(i: Int): Array[Byte] = unsupported("binary")
+  override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
+    unsupported("interval")
+  override def getStruct(i: Int, numFields: Int): InternalRow = unsupported("struct")
+  override def getArray(i: Int): ArrayData = unsupported("array")
+  override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData =
+    unsupported("map")
+  override def getVariant(i: Int): org.apache.spark.unsafe.types.VariantVal =
+    unsupported("variant")
+  override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal =
+    unsupported("geography")
+  override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
+    unsupported("geometry")
+  override def get(i: Int, dt: DataType): AnyRef = dt match {
+    case StringType => getUTF8String(i)
+    case _ => unsupported(dt.simpleString)
+  }
+}
+
+/** `char_grams(text, n)` — table-generating function emitting one row
+  * per character-n-gram of `text`, equivalent to
+  * `explode(transform(sequence(1, length(text)-n+1), i -> substring(text, i, n)))`
+  * but STREAMING: as a [[CollectionGenerator]] whose `doGenCode`
+  * produces a lazy [[CharGramArray]], the whole-stage-codegen'd
+  * `GenerateExec` loop reads gram i directly out of the document's
+  * bytes — no per-row gram array is ever materialized (see
+  * [[CharGramArray]] for the profile that motivated this; reference
+  * `dedup.md` N2 char-shingling, re-expressed as a Catalyst
+  * generator).
+  *
+  * Null or shorter-than-n input emits zero rows, matching
+  * `explode` of an empty transform result. */
+case class CharGrams(child: Expression, n: Int)
+    extends UnaryExpression with CollectionGenerator {
+
+  require(n >= 1, s"char_grams: n must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_grams expects a string argument, got ${other.simpleString}")
+  }
+
+  override def position: Boolean = false
+  override def inline: Boolean = false
+  override def elementSchema: StructType =
+    StructType(StructField("gram", StringType, nullable = false) :: Nil)
+  override def collectionType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_grams"
+
+  /** Interpreted path (GenerateExec.doExecute outside codegen). */
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Nil
+    else {
+      val arr = new CharGramArray(v.asInstanceOf[UTF8String], n)
+      (0 until arr.numElements()).iterator
+        .map(i => InternalRow(arr.getUTF8String(i)))
+    }
+  }
+
+  /** Codegen path: GenerateExec asks this expression for the
+    * collection value, then emits the element loop itself. The emitted
+    * value is the lazy view — constructing it costs one offset pass,
+    * and the loop's `getUTF8String(i)` calls are zero-copy slices. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[CharGramArray].getName
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = new $cls($str, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharGrams =
+    copy(child = newChild)
+}
+
+object CharGrams {
+  /** Register `char_grams(str, n)` (n: foldable int literal) into the
+    * session registry — the same idempotent path as the sketch
+    * aggregates (U2). */
+  def register(spark: SparkSession): Unit =
+    Registry.registerOnce(spark, "char_grams", { exprs =>
+      require(exprs.length == 2 && exprs(1).foldable,
+        "char_grams(str, n): n must be a literal")
+      CharGrams(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue())
+    })
+}

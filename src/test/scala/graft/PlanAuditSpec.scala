@@ -169,6 +169,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"probe shuffled:\n$plan")
   }
 
+  /** Regression guard for the r3 plan-bloat fix: ResultCache entries
+    * are eager localCheckpoints, so a CONSUMER of a cached frame must
+    * see a LogicalRDD block scan — a handful of plan nodes — not the
+    * build's full LSH lineage (measured 2.78 s of driver re-analysis
+    * per action vs 0.24 s execution before the fix). If someone swaps
+    * the checkpoint back to a persist, the consumer's analyzed plan
+    * re-inherits the whole build tree and this count explodes. */
+  test("a ResultCache consumer's plan is a bounded block scan, not the build lineage") {
+    graft.sources.ResultCache.clear()
+    val pairs = graft.operators.Similarity.neardupPairs(spark, sf0001)
+    def nodeCount(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      1 + p.children.map(nodeCount).sum
+    // the cached frame itself: exactly a LogicalRDD leaf
+    assert(pairs.queryExecution.logical
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+      "cached entry is not a checkpoint scan — plan-bloat fix regressed")
+    // a downstream consumer (the degree diagnostic's shape): filter +
+    // projection + union + agg over the scan — generously bounded at 25
+    // nodes; the pre-fix lineage (shingle explode + distinct + bands +
+    // self-join + vote + verification joins) is far past 100
+    val consumer = pairs.filter(org.apache.spark.sql.functions.col("jaccard") >= 0.5)
+      .groupBy("doc_a").count()
+    val n = nodeCount(consumer.queryExecution.analyzed)
+    assert(n <= 25,
+      s"consumer of a cached frame analyzed to $n nodes — build lineage leaked")
+  }
+
   test("F11/F14 presentation tier: formatting functions behave (non-graded)") {
     import spark.implicits._
     val r = Seq((1234567.891, java.sql.Date.valueOf("2001-08-01")))

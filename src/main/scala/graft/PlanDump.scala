@@ -16,7 +16,8 @@ object PlanDump {
     "hash_sample", "decontam_stats", "token_budget_mix",
     "bm25_search", "bloom_prefilter", "corr_stats", "chi2_stat",
     "priority_sample", "rep_signals", "neardup_triangles",
-    "fuzzy_name_match", "session_transitions")
+    "fuzzy_name_match", "session_transitions",
+    "kmeans_rounds", "kmeans_converged_assign", "revenue_by_nation_catalog")
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

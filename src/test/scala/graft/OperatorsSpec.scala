@@ -152,6 +152,16 @@ class OperatorsSpec extends SparkSpec {
     assert(df.filter(!$"subject_in_budget" || !$"sms_in_budget").count() == 0)
   }
 
+  test("S1+: catalog-resolved revenue query equals the path form, registration idempotent") {
+    val viaCatalog = Joins.revenueByNationCatalog(spark, sf0001).collect()
+    val viaPaths = Joins.revenueByNation(spark, sf0001).collect()
+    assert(viaCatalog.sameElements(viaPaths),
+      "spark.table resolution changed the graded result")
+    // second call must reuse the registered tables, not re-register
+    val again = Joins.revenueByNationCatalog(spark, sf0001).collect()
+    assert(again.sameElements(viaPaths))
+  }
+
   test("P8: impossible filter still yields the one zero-struct row") {
     val r = Segmentation.emptyStatsQuery(spark, sf0001).collect()
     assert(r.length == 1)

@@ -27,18 +27,48 @@ import graft.Tables
   */
 object Similarity {
 
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+  /** Word-3-gram emission over an arbitrary (doc_id, text) frame — so
+    * callers can restrict the DOCUMENT set (e.g. to LSH candidates)
+    * before any shingle exists (joins are not pushed below a
+    * Generate). */
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("t", graft.functions.Shingles.sparkToks)
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
         explode(expr(graft.functions.Shingles.sparkExpr)).as("s"))
 
-  /** 4-band (b=4, r=1) MinHash signatures per doc. */
+  /** Fan a (typically single-split at bench scale) documents scan out
+    * to every core iff the source yields fewer splits than the default
+    * parallelism — the signature stages downstream are CPU-bound
+    * (hashing every gram occurrence) and would otherwise run on ONE
+    * core (profiled: the majority of both pair builds' time). At
+    * production scale the scan has thousands of splits and this adds
+    * no shuffle; hash-partitioning by doc_id keeps the fan-out
+    * deterministic and the signature groupBy co-partitioned. */
+  private def fanOut(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val parallelism = spark.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < parallelism)
+      docs.repartition(parallelism, col("doc_id"))
+    else docs
+  }
+
+  /** 4-band (b=4, r=1) MinHash signatures per doc: the 4 minhashes are
+    * fixed 8-hex-char (32-bit) SLICES of ONE md5 per shingle — not 4
+    * salted digests — computed in a codegen'd PROJECTION (min(string)
+    * aggregates are ObjectHashAggregate: no cross-aggregate CSE, so
+    * digests embedded in the min() updates would re-hash per minhash).
+    * Operates on the RAW shingle stream: min is duplicate-invariant,
+    * so no distinct is needed ahead of it. Slices of one digest are
+    * independent uniform bits and lexicographic min over fixed-width
+    * lowercase hex ≡ numeric min — DuckDB rebuilds identical values
+    * with substr(md5(s)). */
   private def signaturesFrom(sh: DataFrame): DataFrame = {
-    val bands = (0 to 3).map(i =>
-      min(md5(concat(lit(s"$i:"), col("s")))).as(s"m$i"))
-    sh.groupBy(col("doc_id")).agg(bands.head, bands.tail: _*)
+    val slices = (0 to 3).map(i =>
+      substring(md5(col("s")), 1 + 8 * i, 8).as(s"h$i"))
+    val sigCols = (0 to 3).map(i => min(col(s"h$i")).as(s"m$i"))
+    sh.select(Seq(col("doc_id")) ++ slices: _*)
+      .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
   /** N2 MinHash+LSH near-dup pairs with exact n-gram-Jaccard
@@ -57,22 +87,22 @@ object Similarity {
 
   private def neardupPairsUncached(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // ONE persisted shingle intermediate, not three: MinHash over the
-    // DISTINCT shingle set is identical to MinHash over the multiset
-    // (min of a set ≡ min of its multiset), and the jaccard join wants
-    // the distinct set anyway — so dedup FIRST and share `shd`
-    // everywhere. (Measured alternative: skipping the corpus-wide
-    // distinct+cache and recomputing the explode per consumer is
-    // SLOWER — the shingle explode is CPU-heavy enough that paying it
-    // twice costs more than one distinct exchange + cache build.)
-    // MEMORY_AND_DISK: the explode multiplies rows by shingles/doc, but
-    // Spark's unified memory manager caps storage and EVICTS cached
-    // blocks to disk under execution pressure, so this cannot starve
-    // the executors' heap at scale — while small corpora skip the
-    // round-trip to disk that a forced DISK_ONLY pays on every
-    // consumer. (A 100 TB deployment would materialize a shingle TABLE
-    // once and share it across runs; the per-query plan shape is
-    // identical.)
+    // ONE persisted shingle intermediate shared by signatures AND
+    // verification. The char variant dropped its corpus distinct
+    // because char-LSH's band VOTE leaves a few hundred candidate
+    // docs — there, re-generating candidate grams is nearly free. Word
+    // r=1 LSH is the opposite regime: the candidate set (~42k pairs at
+    // sf0.1) touches MOST of the corpus, so "candidate-restricted"
+    // regeneration is corpus-scale work done twice — MEASURED slower
+    // than one shared distinct. The distinct also parallelizes every
+    // consumer (its exchange spreads the single bench-scale input
+    // split); the scan below it is fanned out so the explode itself
+    // is parallel too. MinHash over the distinct set ≡ over the
+    // multiset, so signatures read the same frame.
+    // MEMORY_AND_DISK: Spark's unified memory manager evicts cached
+    // blocks to disk under execution pressure — this cannot starve the
+    // executors' heap at scale. (A 100 TB deployment would materialize
+    // a shingle TABLE once and share it across runs.)
     // Intermediates are released in the finally below on EVERY exit
     // path (the connectedComponents discipline): a failed build must
     // not leave corpus-sized blocks pinned for the session lifetime.
@@ -80,7 +110,8 @@ object Similarity {
     def pin(df: DataFrame): DataFrame = {
       pinned += df; df.persist(StorageLevel.MEMORY_AND_DISK)
     }
-    val shd = pin(shingles(spark, dir).distinct())
+    val shd = pin(shinglesOf(
+      fanOut(spark, Tables(spark, dir, "documents"))).distinct())
     try {
     // One shuffle, not four: unpivot the 4 band minhashes to
     // (doc, band, m) rows and self-join on (band, m). Identical
@@ -101,21 +132,18 @@ object Similarity {
       .distinct()) // pair granularity — tiny
     cand.count()
 
-    // SEMI-JOIN REDUCTION before the expensive verification joins: only
-    // candidate docs' shingles ever need to shuffle by (doc_id, s) —
-    // prune the full shingle table against the (tiny, broadcast)
-    // candidate-doc list first. LSH keeps |candidates| ≪ |corpus|, so
-    // this turns two corpus-sized exchanges into candidate-sized ones —
-    // the difference between O(shingles) and O(candidate-shingles)
-    // shuffle bytes at 100 TB.
+    // SEMI-JOIN REDUCTION before the expensive verification joins:
+    // prune the shared shingle cache against the (broadcast)
+    // candidate-doc list — at corpora where LSH keeps |candidates| ≪
+    // |corpus| this turns corpus-sized exchanges into candidate-sized
+    // ones; here it at least reads cached blocks instead of re-running
+    // the explode.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
       .distinct()
     // candidate-pruned shingles are consumed THREE times below (sizes,
-    // x-side, y-side) — left lazy, each consumer re-scans the
-    // corpus-sized shd cache; persisted + materialized, the three
-    // consumers read ~candidate-sized blocks (measured: the re-scans
-    // were the largest single stage of the whole pair build)
+    // x-side, y-side) — persisted + materialized so the consumers read
+    // pruned blocks
     val shc = pin(shd.join(broadcast(candDocs), Seq("doc_id")))
     shc.count()
     // per-doc set sizes: only candidate docs' sizes are ever joined
@@ -263,22 +291,12 @@ object Similarity {
     }
     val sigCols = (0 to 7).map(i => min(col(s"h$i")).as(s"m$i"))
     // The signature stage is CPU-bound (2 md5 per gram, ~1.4M grams at
-    // sf0.1) and the corpus arrives as ONE parquet split at bench
-    // scale — left alone, the whole hash pipeline runs on one core
-    // (profiled: 3.7 s of the query's ~6 s; the r3 corpus-wide
-    // distinct was accidentally parallelizing it). Fan the scan out to
-    // the cluster iff the source yields fewer splits than cores; at
-    // production scale the scan has thousands of splits and this adds
-    // NO shuffle. Hash-partitioning by doc_id keeps the fan-out
-    // deterministic and the groupBy co-partitioned (the agg then
-    // shuffles nothing but per-doc minima anyway).
-    val parallelism = spark.sparkContext.defaultParallelism
-    val docsBase = Tables(spark, dir, "documents")
-    val docsSrc =
-      if (docsBase.rdd.getNumPartitions < parallelism)
-        docsBase.repartition(parallelism, col("doc_id"))
-      else docsBase
-    val sigs = charGramsOf(spark, docsSrc)
+    // sf0.1) — [[fanOut]] spreads the single bench-scale split across
+    // every core (profiled: 3.7 s of single-threaded hashing
+    // otherwise; the r3 corpus-wide distinct was accidentally
+    // parallelizing it).
+    val sigs = charGramsOf(spark,
+        fanOut(spark, Tables(spark, dir, "documents")))
       .select(Seq(col("doc_id")) ++ slices: _*)
       .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     // one unpivoted self-join exchange, like the word variant; the band
@@ -313,8 +331,8 @@ object Similarity {
     // docs' worth instead of the corpus's. Persisted + materialized:
     // three consumers below (sizes + both sides of the intersection
     // join).
-    val shc = pin(charGramsOf(spark,
-        Tables(spark, dir, "documents").join(broadcast(candDocs), Seq("doc_id")))
+    val shc = pin(charGramsOf(spark, fanOut(spark,
+        Tables(spark, dir, "documents").join(broadcast(candDocs), Seq("doc_id"))))
       .distinct())
     shc.count()
     val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
@@ -1172,8 +1190,10 @@ object Similarity {
   private val lshScoredCtes: String =
     s"""sig AS (
        |  SELECT doc_id,
-       |    min(md5('0:' || s)) AS m0, min(md5('1:' || s)) AS m1,
-       |    min(md5('2:' || s)) AS m2, min(md5('3:' || s)) AS m3
+       |    min(substr(md5(s),  1, 8)) AS m0,
+       |    min(substr(md5(s),  9, 8)) AS m1,
+       |    min(substr(md5(s), 17, 8)) AS m2,
+       |    min(substr(md5(s), 25, 8)) AS m3
        |  FROM sh GROUP BY 1),
        |cand AS (
        |  -- explicit DISTINCT over UNION ALL, NOT a bare UNION chain:

@@ -46,10 +46,11 @@ object Similarity {
     * production scale the scan has thousands of splits and this adds
     * no shuffle; hash-partitioning by doc_id keeps the fan-out
     * deterministic and the signature groupBy co-partitioned. */
-  private def fanOut(spark: SparkSession, docs: DataFrame): DataFrame = {
+  private def fanOut(spark: SparkSession, docs: DataFrame,
+      key: String = "doc_id"): DataFrame = {
     val parallelism = spark.sparkContext.defaultParallelism
     if (docs.rdd.getNumPartitions < parallelism)
-      docs.repartition(parallelism, col("doc_id"))
+      docs.repartition(parallelism, col(key))
     else docs
   }
 
@@ -728,7 +729,9 @@ object Similarity {
     val cent = e.crossJoin(broadcast(nlist))
       .filter(col("vec_id") < col("nlist"))
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    e.crossJoin(broadcast(cent))
+    // the N×√N kernel sweep is CPU-bound — without the fan-out it runs
+    // entirely on the single split a bench-scale embeddings file yields
+    fanOut(spark, e, key = "vec_id").crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cid"),
         expr("cosine_sim(embedding, cv)").as("s"))
   }
@@ -974,7 +977,8 @@ object Similarity {
     val e = Tables(spark, dir, "embeddings")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("s").desc, col("cid"))
-    e.crossJoin(broadcast(kmeansCentroidsR(spark, dir, r)))
+    fanOut(spark, e, key = "vec_id")
+      .crossJoin(broadcast(kmeansCentroidsR(spark, dir, r)))
       .select(col("vec_id"), col("cid"),
         expr("cosine_sim(embedding, cv)").as("s"))
       .withColumn("rn", row_number().over(w))

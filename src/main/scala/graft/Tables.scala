@@ -30,4 +30,21 @@ object Tables {
   /** Register every table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Fan a scan out to every core iff the source yields fewer splits
+    * than the default parallelism. CPU-bound per-row pipelines
+    * (shingle/gram hashing, cosine-kernel sweeps, per-doc token
+    * statistics) otherwise run on the ONE split a bench-scale parquet
+    * file yields — profiled as the majority of several heavy queries'
+    * time. At production scale the scan has thousands of splits and
+    * this is a no-op (no shuffle added); hash-partitioning by `key`
+    * keeps the fan-out deterministic and any downstream groupBy on the
+    * same key co-partitioned. */
+  def fanOut(spark: SparkSession, df: DataFrame,
+      key: String = "doc_id"): DataFrame = {
+    val parallelism = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parallelism)
+      df.repartition(parallelism, org.apache.spark.sql.functions.col(key))
+    else df
+  }
 }

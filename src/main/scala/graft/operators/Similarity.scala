@@ -38,21 +38,12 @@ object Similarity {
       .select(col("doc_id"),
         explode(expr(graft.functions.Shingles.sparkExpr)).as("s"))
 
-  /** Fan a (typically single-split at bench scale) documents scan out
-    * to every core iff the source yields fewer splits than the default
-    * parallelism — the signature stages downstream are CPU-bound
-    * (hashing every gram occurrence) and would otherwise run on ONE
-    * core (profiled: the majority of both pair builds' time). At
-    * production scale the scan has thousands of splits and this adds
-    * no shuffle; hash-partitioning by doc_id keeps the fan-out
-    * deterministic and the signature groupBy co-partitioned. */
+  /** See [[graft.Tables.fanOut]] — the signature stages here are
+    * CPU-bound (hashing every gram occurrence) and were profiled as
+    * majority single-threaded without it. */
   private def fanOut(spark: SparkSession, docs: DataFrame,
-      key: String = "doc_id"): DataFrame = {
-    val parallelism = spark.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < parallelism)
-      docs.repartition(parallelism, col(key))
-    else docs
-  }
+      key: String = "doc_id"): DataFrame =
+    Tables.fanOut(spark, docs, key)
 
   /** 4-band (b=4, r=1) MinHash signatures per doc: the 4 minhashes are
     * fixed 8-hex-char (32-bit) SLICES of ONE md5 per shingle — not 4

@@ -200,7 +200,9 @@ object TextOps {
         .as(s"s$i"))
     val bits = (1 to 16).map(i =>
       when(col(s"s$i") > 0, "1").otherwise("0"))
-    Tables(spark, dir, "documents")
+    // fanned out: per-token md5 over the corpus is CPU-bound and the
+    // bench-scale file is one split (Tables.fanOut scaladoc)
+    Tables.fanOut(spark, Tables(spark, dir, "documents"))
       .select(col("doc_id"), explode(toks).as("term"))
       .select(col("doc_id"), md5(col("term")).as("h"))
       .groupBy(col("doc_id"))
@@ -217,7 +219,10 @@ object TextOps {
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
-    Tables(spark, dir, "documents")
+    // fanned out: the shingle md5s + per-doc sliding window are
+    // CPU-bound and the bench-scale file is one split; the window's
+    // own (doc_id) shuffle is co-partitioned with the fan-out key
+    Tables.fanOut(spark, Tables(spark, dir, "documents"))
       .withColumn("t", toks)
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"),

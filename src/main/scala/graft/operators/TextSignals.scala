@@ -54,7 +54,9 @@ object TextSignals {
     * At 100 TB the (doc, gram) shuffle is the honest cost and it is
     * map-side combined (counts), exactly like the dedup shingle path. */
   def repSignals(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables(spark, dir, "documents")
+    // fanned out: the double explode pass is CPU-bound and the
+    // bench-scale file is one split (Tables.fanOut scaladoc)
+    val base = Tables.fanOut(spark, Tables(spark, dir, "documents"))
       .withColumn("t", toks)
       .filter(size(col("t")) >= 3)
     // (doc, gram) counts for both gram orders in ONE explode pass:

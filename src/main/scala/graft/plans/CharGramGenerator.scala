@@ -114,9 +114,10 @@ final class CharGramArray(str: UTF8String, n: Int) extends ArrayData {
   * produces a lazy [[CharGramArray]], the whole-stage-codegen'd
   * `GenerateExec` loop reads gram i directly out of the document's
   * bytes — no per-row gram array is ever materialized (see
-  * [[CharGramArray]] for the profile that motivated this; reference
-  * `dedup.md` N2 char-shingling, re-expressed as a Catalyst
-  * generator).
+  * [[CharGramArray]] for the profile that motivated this). This is
+  * SURVEY §2's U4 "custom `Generator` only if shingling needs it"
+  * escalation path, taken once the built-in explode-of-transform form
+  * was profiled as the N2 char-shingling bottleneck.
   *
   * Null or shorter-than-n input emits zero rows, matching
   * `explode` of an empty transform result. */

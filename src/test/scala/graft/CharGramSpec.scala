@@ -53,6 +53,48 @@ class CharGramSpec extends SparkSpec {
     assert(grams(df, 9).select($"g").as[String].collect().toSeq == Seq("exact-one"))
   }
 
+  /** Property check: random unicode strings (1/2/3/4-byte sequences —
+    * the 4-byte supplementary plane is where a UTF-16-based slicer
+    * would diverge) against the HOF substring form, compared as whole
+    * per-row gram LISTS in one Spark job. */
+  test("property: generator ≡ HOF form on random unicode strings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val alphabet = "abc xyz".toList.map(_.toString) ++
+      List("é", "ß", "✓", "€", "😀", "𝄞")
+    val genStr: Gen[String] = for {
+      len <- Gen.choose(0, 24)
+      cs <- Gen.listOfN(len, Gen.oneOf(alphabet))
+    } yield cs.mkString
+    val params = Gen.Parameters.default
+    val strings = (1 to 200).flatMap(i =>
+      genStr.apply(params, Seed(i.toLong))).distinct
+    val df = strings.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    graft.plans.CharGrams.register(spark)
+    val n = 5
+    val viaGen = df.select($"id", expr(s"char_grams(s, $n)").as("g"))
+      .groupBy("id").agg(collect_list($"g").as("gen_grams"))
+    val viaHof = df.select($"id",
+      when(length($"s") >= n, expr(
+          s"transform(sequence(1, length(s) - ${n - 1}), i -> substring(s, i, $n))"))
+        .otherwise(expr("array()")).as("hof_grams"))
+    val joined = viaHof.join(viaGen, Seq("id"), "left")
+      .select($"id",
+        coalesce($"gen_grams", expr("array()")).as("a"),
+        $"hof_grams".as("b"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      // generator emits in position order within a row's output
+      val a = r.getSeq[String](1)
+      val b = r.getSeq[String](2)
+      assert(a == b,
+        s"id=${r.getLong(0)}: generator $a != HOF $b " +
+        s"(input: ${strings(r.getLong(0).toInt)})")
+    }
+  }
+
   test("the generator stage whole-stage-codegens (no CodegenFallback)") {
     graft.plans.CharGrams.register(spark)
     val df = Seq((1L, "abcdefghijklmnop")).toDF("id", "s")

@@ -25,7 +25,12 @@ object Aggregates {
     * Products are computed in IEEE double (bit-identical to the oracle)
     * then cast to exact decimal BEFORE the order-sensitive sum. */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables(spark, dir, "lineitem")
+    // fanned out: the per-row decimal casts/products feed the PARTIAL
+    // aggregate, which runs ON the scan task — one split at bench
+    // scale means the whole decimal pipeline was single-threaded
+    // (measured ~2× on this query; Tables.fanOut scaladoc)
+    val l = Tables.fanOut(spark, Tables(spark, dir, "lineitem"),
+      key = "l_orderkey")
     // price/discount/tax are 2dp quantities, so disc_price is exact at 4dp
     // and charge at 6dp. Casting at exactly those scales avoids half-way
     // rounding ties (Spark HALF_UP vs DuckDB would diverge at 4dp for the

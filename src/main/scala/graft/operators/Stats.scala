@@ -42,7 +42,11 @@ object Stats {
     * oracle SQL below — double ops are exactly rounded, so identical
     * trees give identical bits. */
   def corrStats(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
+    // fanned out: five exact-decimal moment products per row run in
+    // the partial aggregate on the scan task — single-threaded on a
+    // one-split file otherwise (Tables.fanOut scaladoc)
+    val li = graft.Tables.fanOut(spark, Tables(spark, dir, "lineitem"),
+      key = "l_orderkey")
     val x = dec(col("l_extendedprice"))
     val y = dec(col("l_quantity"))
     val m = li.groupBy(col("l_returnflag"))

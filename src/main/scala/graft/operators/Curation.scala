@@ -96,7 +96,9 @@ object Curation {
       ttlSeconds = 300)(contaminatedDocIdsUncached(spark, dir))
 
   private[graft] def contaminatedDocIdsUncached(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables(spark, dir, "documents")
+    // fanned out: the 8-gram explode is CPU-bound and the bench-scale
+    // file is one split (Tables.fanOut scaladoc)
+    val grams = graft.Tables.fanOut(spark, Tables(spark, dir, "documents"))
       .withColumn("t", Shingles.sparkToks)
       .filter(size(col("t")) >= 8)
       .select(col("doc_id"),

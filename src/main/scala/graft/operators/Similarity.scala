@@ -644,6 +644,65 @@ object Similarity {
     * semi-checking the closing edge — cost ∝ Σ deg², the standard
     * distributed triangle-count bound, all at pair-table granularity
     * (ResultCache-shared; the corpus is never touched). */
+  /** Leakage-safe train/val/test split thresholds: first 8 md5 nibbles
+    * as a fixed-width lowercase-hex uniform — u < 0xcccccccc ≈ 80 % →
+    * train, u < 0xe6666666 ≈ 90 % → val, else test. Shared by query
+    * and oracle (the Curation SampleHexThreshold idiom). */
+  private[graft] val TrainHex = "cccccccc"
+  private[graft] val ValHex = "e6666666"
+
+  private def splitOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val u = substring(md5(concat(lit("split:"), key.cast("string"))), 1, 8)
+    when(u < TrainHex, "train").when(u < ValHex, "val").otherwise("test")
+  }
+
+  /** N-mix LEAKAGE-SAFE corpus split — the training-data op that makes
+    * dedup clusters actionable: split assignment is a deterministic
+    * hash of the near-dup CLUSTER id, never the document id, so two
+    * near-duplicate documents can never land in different splits (the
+    * classic eval-set contamination: a test document whose near-copy
+    * was trained on). Reuses the ResultCache-shared cluster labels;
+    * the assignment itself is a map-only hash + one grouped aggregate.
+    * At 100 TB this is exactly the production shape: clusters come
+    * from the dedup pipeline's output table, the split is a pure
+    * column function of the cluster label, and re-runs are stable
+    * because nothing samples randomly. */
+  def splitStats(spark: SparkSession, dir: String): DataFrame =
+    neardupClusters(spark, dir)
+      .withColumn("split", splitOf(col("cluster")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"))
+      .orderBy("split")
+
+  /** The audit that PROVES the guarantee — and shows the naive scheme
+    * failing it: for cluster-keyed and doc-keyed assignment, count the
+    * multi-document clusters and how many of them straddle splits.
+    * By construction `by_cluster` reports 0 leaky clusters; `by_doc`
+    * (hashing each doc independently — what a split unaware of dedup
+    * does) leaks a deterministic, oracle-checkable number of them.
+    * This is the check a curation pipeline runs against ANY external
+    * split before trusting an eval number. */
+  def splitLeakageAudit(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = neardupClusters(spark, dir)
+    def audit(scheme: String,
+        key: org.apache.spark.sql.Column): DataFrame = clusters
+      .withColumn("split", splitOf(key))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"))
+      .agg(
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L))
+          .as("n_multi_doc_clusters"),
+        sum(when(col("n_docs") > 1 && col("n_splits") > 1, 1L).otherwise(0L))
+          .as("n_leaky_clusters"))
+      .select(lit(scheme).as("scheme"),
+        col("n_multi_doc_clusters"), col("n_leaky_clusters"))
+    audit("by_cluster", col("cluster"))
+      .unionByName(audit("by_doc", col("doc_id")))
+      .orderBy("scheme")
+  }
+
   def neardupTriangles(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     val p = neardupPairs(spark, dir).filter(col("jaccard") >= threshold)
@@ -1095,6 +1154,8 @@ object Similarity {
     "neardup_degree"    -> ((s: SparkSession, d: String) => neardupDegree(s, d)),
     "neardup_triangles" -> ((s: SparkSession, d: String) => neardupTriangles(s, d)),
     "pipeline_yield"    -> (pipelineYield _),
+    "split_stats"       -> (splitStats _),
+    "split_audit"       -> (splitLeakageAudit _),
     "cosine_topk"       -> ((s: SparkSession, d: String) => cosineTopk(s, d)),
     "cosine_topk_ivf"   -> ((s: SparkSession, d: String) => cosineTopkIvf(s, d)),
     "cosine_topk_ivf2"  -> ((s: SparkSession, d: String) => cosineTopkIvfProbed(s, d)),
@@ -1178,6 +1239,33 @@ object Similarity {
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** DuckDB twin of [[splitOf]] over an arbitrary key expression. */
+  private def duckSplitOf(key: String): String =
+    s"""CASE WHEN substr(md5('split:' || CAST($key AS VARCHAR)), 1, 8)
+       |       < '$TrainHex' THEN 'train'
+       |     WHEN substr(md5('split:' || CAST($key AS VARCHAR)), 1, 8)
+       |       < '$ValHex' THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+  private def duckSplitOfCluster: String = duckSplitOf("cluster")
+
+  /** Recursive-CTE transitive closure over the ≥0.5 scored pairs —
+    * shared by every oracle that consumes cluster labels
+    * (`neardup_clusters`, `pipeline_yield`, the leakage-safe split
+    * family) so the closure definition cannot drift between them.
+    * Requires `scored` (from [[lshScoredCtes]]) and a RECURSIVE WITH;
+    * ends with `clu(doc_id, cluster)`. */
+  private val clusterClosureCtes: String =
+    s"""pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT doc_id FROM documents),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS r FROM nodes
+       |  UNION
+       |  SELECT e.s AS doc_id, reach.r
+       |  FROM reach JOIN edges e ON reach.doc_id = e.d),
+       |clu AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY 1)""".stripMargin
 
   /** Shared LSH candidate + Jaccard CTE block (DuckDB) — used by both
     * the pair oracle and the cluster oracle so they cannot diverge.
@@ -1319,32 +1407,45 @@ object Similarity {
     "neardup_clusters" ->
       s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |$lshScoredCtes,
-         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
-         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |nodes AS (SELECT DISTINCT doc_id FROM documents),
-         |reach AS (
-         |  SELECT doc_id, doc_id AS r FROM nodes
-         |  UNION
-         |  SELECT e.s AS doc_id, reach.r
-         |  FROM reach JOIN edges e ON reach.doc_id = e.d)
-         |SELECT doc_id, min(r) AS cluster FROM reach
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+         |$clusterClosureCtes
+         |SELECT doc_id, cluster FROM clu ORDER BY 1""".stripMargin,
+    // split = pure hash of the CLUSTER label (leakage-safe by
+    // construction); same md5-hex-threshold arithmetic as the query
+    "split_stats" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$lshScoredCtes,
+         |$clusterClosureCtes,
+         |assigned AS (
+         |  SELECT doc_id, cluster, $duckSplitOfCluster AS split FROM clu)
+         |SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT cluster) AS n_clusters
+         |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin,
+    "split_audit" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$lshScoredCtes,
+         |$clusterClosureCtes,
+         |schemes AS (
+         |  SELECT 'by_cluster' AS scheme, doc_id, cluster,
+         |    $duckSplitOfCluster AS split FROM clu
+         |  UNION ALL
+         |  SELECT 'by_doc', doc_id, cluster,
+         |    ${duckSplitOf("doc_id")} FROM clu),
+         |per AS (
+         |  SELECT scheme, cluster, count(*) AS n_docs,
+         |    count(DISTINCT split) AS n_splits
+         |  FROM schemes GROUP BY 1, 2)
+         |SELECT scheme,
+         |  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_multi_doc_clusters,
+         |  CAST(sum(CASE WHEN n_docs > 1 AND n_splits > 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_leaky_clusters
+         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     // the full curation pipeline: cluster closure + normalization +
     // quality rule + staged keeper windows, mirrored stage for stage
     "pipeline_yield" ->
       s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |$lshScoredCtes,
-         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
-         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |nodes AS (SELECT DISTINCT doc_id FROM documents),
-         |reach AS (
-         |  SELECT doc_id, doc_id AS r FROM nodes
-         |  UNION
-         |  SELECT e.s AS doc_id, reach.r
-         |  FROM reach JOIN edges e ON reach.doc_id = e.d),
-         |clu AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY 1),
+         |$clusterClosureCtes,
          |docs2 AS (
          |  SELECT doc_id, source, ${TextOps.normSql("text")} AS norm,
          |    len(list_filter(string_split(text, ' '), x -> x <> ''))

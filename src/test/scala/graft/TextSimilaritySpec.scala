@@ -130,6 +130,27 @@ class TextSimilaritySpec extends SparkSpec {
     assert(clusters.exists { case (d, c) => d != c })
   }
 
+  test("N-mix: leakage-safe split never straddles a cluster; naive doc split does") {
+    val audit = Similarity.splitLeakageAudit(spark, sf0001)
+      .as[(String, Long, Long)].collect()
+      .map { case (scheme, multi, leaky) => scheme -> ((multi, leaky)) }
+      .toMap
+    val (multiC, leakyC) = audit("by_cluster")
+    val (multiD, leakyD) = audit("by_doc")
+    assert(multiC == multiD, "both schemes see the same cluster structure")
+    assert(multiC > 0, "testdata should contain multi-doc near-dup clusters")
+    assert(leakyC == 0L,
+      "cluster-keyed split leaked a cluster across splits — the guarantee broke")
+    assert(leakyD > 0L,
+      "doc-keyed split should leak on this corpus — audit is not discriminating")
+    // stats consistency: every doc assigned exactly once, 3 splits max
+    val stats = Similarity.splitStats(spark, sf0001)
+      .as[(String, Long, Long)].collect()
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(stats.map(_._2).sum == nDocs, "split partitions the corpus")
+    assert(stats.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("N2: connected components converge in O(log n) rounds on a chain") {
     // An adversarial CHAIN of 1000 vertices: diameter 999, so plain
     // min-label propagation needs ~999 rounds (round 2's 50-round guard

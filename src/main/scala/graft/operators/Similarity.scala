@@ -1056,6 +1056,112 @@ object Similarity {
       .limit(k)
   }
 
+  // -----------------------------------------------------------------
+  // N3+++++ PRODUCT QUANTIZATION (Jégou, Douze, Schmid, "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+  // MEMORY-scale path for ANN: a 64-float vector (256 B) compresses to
+  // PqM=4 one-byte codes (64× — each 16-dim subvector is replaced by
+  // the id of its nearest codebook entry), and query-time distance is
+  // ASYMMETRIC (ADC): the query precomputes a PqM×PqK table of
+  // subspace distances, so scoring a database vector is 4 table
+  // lookups + 3 adds — no float math against the corpus at all. At
+  // 100 TB the codes table is what fits in memory when the raw
+  // vectors cannot, and the scan is a map-only probe of broadcast
+  // tables. Codebooks here are the deterministic seed subvectors
+  // (vec_id < PqK), like the IVF seeds, so every step is
+  // oracle-checkable; a production build would Lloyd-refine each
+  // subspace codebook with kmeansCentroidsR's machinery.
+  // -----------------------------------------------------------------
+  private[graft] val PqM = 4   // subspaces
+  private[graft] val PqK = 16  // codebook entries per subspace
+  private[graft] val PqSub = 16 // dims per subspace (64-dim corpus)
+
+  /** Exact-double squared L2 over dims [lo, hi] of two float arrays,
+    * folded LEFT-TO-RIGHT from 0.0 — the same pinned fold order as
+    * [[dotExpr]], so DuckDB's list_reduce lands on the identical
+    * double and argmin ties resolve the same way on both engines. */
+  private def sqDistExpr(x: String, c: String, lo: Int, hi: Int): String =
+    s"aggregate(sequence($lo, $hi), CAST(0.0 AS DOUBLE), (acc, j) -> acc + " +
+      s"(CAST(element_at($x, j) AS DOUBLE) - CAST(element_at($c, j) AS DOUBLE)) * " +
+      s"(CAST(element_at($x, j) AS DOUBLE) - CAST(element_at($c, j) AS DOUBLE)))"
+
+  private def duckSqDist(x: String, c: String, lo: Int, hi: Int): String =
+    s"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], " +
+      s"list_transform(generate_series($lo, $hi), j -> " +
+      s"(CAST($x[j] AS DOUBLE) - CAST($c[j] AS DOUBLE)) * " +
+      s"(CAST($x[j] AS DOUBLE) - CAST($c[j] AS DOUBLE)))), (a, b) -> a + b)"
+
+  private def pqCodebook(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("code"), col("embedding").as("cv"))
+
+  /** (vec_id, m, code, d): every vector × codebook entry × subspace
+    * squared distance, unpivoted — the encode search space. */
+  private def pqPairs(spark: SparkSession, dir: String): DataFrame = {
+    val dists = (0 until PqM).map { m =>
+      expr(sqDistExpr("embedding", "cv",
+        m * PqSub + 1, (m + 1) * PqSub)).as(s"d$m")
+    }
+    val subs = (0 until PqM).map(m =>
+      struct(lit(m).as("m"), col(s"d$m").as("d")))
+    fanOut(spark, Tables(spark, dir, "embeddings"), key = "vec_id")
+      .crossJoin(broadcast(pqCodebook(spark, dir)))
+      .select(Seq(col("vec_id"), col("code")) ++ dists: _*)
+      .select(col("vec_id"), col("code"), explode(array(subs: _*)).as("sd"))
+      .select(col("vec_id"), col("sd.m").as("m"), col("code"), col("sd.d").as("d"))
+  }
+
+  /** N3 PQ ENCODE — each vector's PqM nearest-codebook-entry ids, wide
+    * (c0..c3). The expensive product (N×PqK×D kernel) is
+    * ResultCache-shared: the graded code table and the ADC query both
+    * read it. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|pq_codes|$dir",
+      ttlSeconds = 300)(pqCodesUncached(spark, dir))
+
+  private def pqCodesUncached(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "m").orderBy(col("d"), col("code"))
+    val enc = pqPairs(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val codeCols = (0 until PqM).map(m =>
+      max(when(col("m") === m, col("code"))).as(s"c$m"))
+    enc.groupBy(col("vec_id"))
+      .agg(codeCols.head, codeCols.tail: _*)
+      .orderBy("vec_id")
+  }
+
+  /** N3 ADC top-k: the query (vec_id 0) precomputes its PqM×PqK
+    * distance table; database vectors are scored by FOUR broadcast
+    * table lookups + a fixed-order sum — the corpus's floats are never
+    * touched. Rank ascending (squared distance), ties to vec_id. */
+  def pqTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val dt = pqCodebook(spark, dir).crossJoin(broadcast(q))
+      .select(Seq(col("code")) ++ (0 until PqM).map { m =>
+        expr(sqDistExpr("qv", "cv",
+          m * PqSub + 1, (m + 1) * PqSub)).as(s"qd$m")
+      }: _*)
+    val scored = (0 until PqM).foldLeft(
+        pqCodes(spark, dir).filter(col("vec_id") =!= 0)) { (acc, m) =>
+      acc.join(
+        broadcast(dt.select(col("code").as(s"c$m"), col(s"qd$m"))),
+        Seq(s"c$m"))
+    }
+    // fixed-order sum — never a groupBy over the 4 terms, whose
+    // partition-dependent fold order could flip argmin ties
+    scored.select(col("vec_id"),
+        graft.functions.ScalarFns.roundN(
+          col("qd0") + col("qd1") + col("qd2") + col("qd3"), 6)
+          .as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(k)
+  }
+
   /** How far one Lloyd round moved each centroid: cosine between the
     * seed embedding (vec_id = cid) and the learned sum-vector. drift
     * near 1 ⇒ the seed already sat at its cluster's center; the SPREAD
@@ -1156,6 +1262,8 @@ object Similarity {
     "pipeline_yield"    -> (pipelineYield _),
     "split_stats"       -> (splitStats _),
     "split_audit"       -> (splitLeakageAudit _),
+    "pq_codes"          -> (pqCodes _),
+    "pq_topk"           -> ((s: SparkSession, d: String) => pqTopk(s, d)),
     "cosine_topk"       -> ((s: SparkSession, d: String) => cosineTopk(s, d)),
     "cosine_topk_ivf"   -> ((s: SparkSession, d: String) => cosineTopkIvf(s, d)),
     "cosine_topk_ivf2"  -> ((s: SparkSession, d: String) => cosineTopkIvfProbed(s, d)),
@@ -1239,6 +1347,31 @@ object Similarity {
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** Shared PQ CTE chain (DuckDB): codebook + per-(vec, m, code)
+    * subspace distances + argmin encode + wide code table — mirrors
+    * [[pqPairs]]/[[pqCodes]] stage for stage. Ends with
+    * `wide(vec_id, c0..c3)`. */
+  private def pqCtes: String = {
+    val pairBlocks = (0 until PqM).map { m =>
+      s"""  SELECT e.vec_id, $m AS m, c.code,
+         |    ${duckSqDist("e.embedding", "c.cv", m * PqSub + 1, (m + 1) * PqSub)} AS d
+         |  FROM embeddings e CROSS JOIN cb c""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val wideCols = (0 until PqM).map(m =>
+      s"max(CASE WHEN m = $m THEN code END) AS c$m").mkString(", ")
+    s"""cb AS (SELECT vec_id AS code, embedding AS cv
+       |       FROM embeddings WHERE vec_id < $PqK),
+       |pairs AS (
+       |$pairBlocks),
+       |enc AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT vec_id, m, code,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+       |    FROM pairs)
+       |  WHERE rn = 1),
+       |wide AS (SELECT vec_id, $wideCols FROM enc GROUP BY 1)""".stripMargin
+  }
 
   /** DuckDB twin of [[splitOf]] over an arbitrary key expression. */
   private def duckSplitOf(key: String): String =
@@ -1466,6 +1599,30 @@ object Similarity {
          |  CAST(sum(CASE WHEN exact_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
          |  CAST(sum(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_final
          |FROM f4 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pq_codes" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id, c0, c1, c2, c3 FROM wide ORDER BY vec_id""".stripMargin,
+    // ADC: four table lookups + one FIXED-ORDER sum (never an agg over
+    // the 4 terms — partition fold order could flip argmin ties)
+    "pq_topk" ->
+      s"""WITH $pqCtes,
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |dt AS (
+         |  SELECT c.code,
+         |${(0 until PqM).map(m =>
+              s"    ${duckSqDist("q.qv", "c.cv", m * PqSub + 1, (m + 1) * PqSub)} AS qd$m")
+              .mkString(",\n")}
+         |  FROM cb c, q)
+         |SELECT w.vec_id,
+         |  ${graft.functions.ScalarFns.roundSql(
+              "t0.qd0 + t1.qd1 + t2.qd2 + t3.qd3", 6)} AS adc_dist
+         |FROM wide w
+         |JOIN dt t0 ON w.c0 = t0.code
+         |JOIN dt t1 ON w.c1 = t1.code
+         |JOIN dt t2 ON w.c2 = t2.code
+         |JOIN dt t3 ON w.c3 = t3.code
+         |WHERE w.vec_id <> 0
+         |ORDER BY adc_dist, w.vec_id LIMIT 10""".stripMargin,
     "cosine_topk_ivf" ->
       s"""$ivfCte,
          |qb AS (SELECT cid FROM assign WHERE vec_id = 0),

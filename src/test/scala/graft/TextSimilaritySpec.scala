@@ -130,6 +130,29 @@ class TextSimilaritySpec extends SparkSpec {
     assert(clusters.exists { case (d, c) => d != c })
   }
 
+  test("N3: PQ codes are a total encode; ADC top-k ranks the query's own cluster up") {
+    val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    val codes = Similarity.pqCodes(spark, sf0001)
+    assert(codes.count() == n, "every vector must be encoded")
+    val rows = codes.collect()
+    // each code addresses the 16-entry subspace codebook
+    rows.foreach { r =>
+      (1 to 4).foreach { i =>
+        val c = r.getLong(i)
+        assert(c >= 0 && c < 16, s"code out of range: $r") } }
+    // a codebook seed vector encodes to ITS OWN code in every subspace
+    // (distance 0 is the unique minimum against itself)
+    val seed3 = rows.find(_.getLong(0) == 3L).get
+    assert((1 to 4).forall(i => seed3.getLong(i) == 3L),
+      s"seed vector must self-encode: $seed3")
+    val topk = Similarity.pqTopk(spark, sf0001).collect()
+    assert(topk.length == 10)
+    assert(topk.forall(_.getLong(0) != 0L), "query must not match itself")
+    // ADC distances ascend
+    val ds = topk.map(_.getDouble(1)).toSeq
+    assert(ds == ds.sorted, "ADC ranking must ascend")
+  }
+
   test("N-mix: leakage-safe split never straddles a cluster; naive doc split does") {
     val audit = Similarity.splitLeakageAudit(spark, sf0001)
       .as[(String, Long, Long)].collect()

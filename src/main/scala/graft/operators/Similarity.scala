@@ -1162,6 +1162,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** N3 IVF+ADC (the composed FAISS-style shape, "IVFADC" in Jégou et
+    * al. §V): coarse IVF routing prunes the corpus to the query's
+    * bucket (~√N vectors), then PQ codes score ONLY those candidates
+    * via the broadcast distance table. This is the full 100 TB
+    * architecture in one plan — the coarse index bounds candidate
+    * count, the code table bounds memory, and neither the corpus
+    * floats nor an unpruned scan appear at query time. Both building
+    * blocks are the ResultCache-shared frames the standalone queries
+    * grade ([[ivfAssign]], [[pqCodes]]). */
+  def ivfPqTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val assign = ivfAssign(spark, dir)
+    val qBucket = assign.filter(col("vec_id") === 0).select(col("cid"))
+    val cands = assign.join(broadcast(qBucket), Seq("cid"))
+      .filter(col("vec_id") =!= 0).select(col("vec_id"))
+    val dt = pqCodebook(spark, dir).crossJoin(broadcast(q))
+      .select(Seq(col("code")) ++ (0 until PqM).map { m =>
+        expr(sqDistExpr("qv", "cv",
+          m * PqSub + 1, (m + 1) * PqSub)).as(s"qd$m")
+      }: _*)
+    val scored = (0 until PqM).foldLeft(
+        pqCodes(spark, dir).join(broadcast(cands), Seq("vec_id"))) { (acc, m) =>
+      acc.join(
+        broadcast(dt.select(col("code").as(s"c$m"), col(s"qd$m"))),
+        Seq(s"c$m"))
+    }
+    scored.select(col("vec_id"),
+        graft.functions.ScalarFns.roundN(
+          col("qd0") + col("qd1") + col("qd2") + col("qd3"), 6)
+          .as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(k)
+  }
+
   /** How far one Lloyd round moved each centroid: cosine between the
     * seed embedding (vec_id = cid) and the learned sum-vector. drift
     * near 1 ⇒ the seed already sat at its cluster's center; the SPREAD
@@ -1264,6 +1299,7 @@ object Similarity {
     "split_audit"       -> (splitLeakageAudit _),
     "pq_codes"          -> (pqCodes _),
     "pq_topk"           -> ((s: SparkSession, d: String) => pqTopk(s, d)),
+    "ivfpq_topk"        -> ((s: SparkSession, d: String) => ivfPqTopk(s, d)),
     "cosine_topk"       -> ((s: SparkSession, d: String) => cosineTopk(s, d)),
     "cosine_topk_ivf"   -> ((s: SparkSession, d: String) => cosineTopkIvf(s, d)),
     "cosine_topk_ivf2"  -> ((s: SparkSession, d: String) => cosineTopkIvfProbed(s, d)),
@@ -1622,6 +1658,31 @@ object Similarity {
          |JOIN dt t2 ON w.c2 = t2.code
          |JOIN dt t3 ON w.c3 = t3.code
          |WHERE w.vec_id <> 0
+         |ORDER BY adc_dist, w.vec_id LIMIT 10""".stripMargin,
+    // IVF routing + ADC scoring composed — candidates from the query's
+    // coarse bucket, distances from the PQ table (same fixed-order sum)
+    "ivfpq_topk" ->
+      s"""$ivfCte,
+         |$pqCtes,
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |dt AS (
+         |  SELECT c.code,
+         |${(0 until PqM).map(m =>
+              s"    ${duckSqDist("q.qv", "c.cv", m * PqSub + 1, (m + 1) * PqSub)} AS qd$m")
+              .mkString(",\n")}
+         |  FROM cb c, q),
+         |qb AS (SELECT cid FROM assign WHERE vec_id = 0),
+         |cands AS (SELECT a.vec_id FROM assign a JOIN qb ON a.cid = qb.cid
+         |          WHERE a.vec_id <> 0)
+         |SELECT w.vec_id,
+         |  ${graft.functions.ScalarFns.roundSql(
+              "t0.qd0 + t1.qd1 + t2.qd2 + t3.qd3", 6)} AS adc_dist
+         |FROM wide w
+         |JOIN cands ON w.vec_id = cands.vec_id
+         |JOIN dt t0 ON w.c0 = t0.code
+         |JOIN dt t1 ON w.c1 = t1.code
+         |JOIN dt t2 ON w.c2 = t2.code
+         |JOIN dt t3 ON w.c3 = t3.code
          |ORDER BY adc_dist, w.vec_id LIMIT 10""".stripMargin,
     "cosine_topk_ivf" ->
       s"""$ivfCte,

@@ -151,6 +151,18 @@ class TextSimilaritySpec extends SparkSpec {
     // ADC distances ascend
     val ds = topk.map(_.getDouble(1)).toSeq
     assert(ds == ds.sorted, "ADC ranking must ascend")
+    // IVFADC = exhaustive ADC restricted to the query's coarse bucket:
+    // its results must be a subset of the bucket and ascend too
+    val ivfpq = Similarity.ivfPqTopk(spark, sf0001).collect()
+    assert(ivfpq.nonEmpty && ivfpq.forall(_.getLong(0) != 0L))
+    val ds2 = ivfpq.map(_.getDouble(1)).toSeq
+    assert(ds2 == ds2.sorted)
+    val bucket = Similarity.ivfAssign(spark, sf0001)
+    val qCid = bucket.filter($"vec_id" === 0).select("cid").first().getLong(0)
+    val inBucket = bucket.filter($"cid" === qCid)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivfpq.forall(r => inBucket(r.getLong(0))),
+      "IVFADC returned a vector outside the query's coarse bucket")
   }
 
   test("N-mix: leakage-safe split never straddles a cluster; naive doc split does") {

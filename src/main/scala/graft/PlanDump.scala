@@ -17,7 +17,8 @@ object PlanDump {
     "bm25_search", "bloom_prefilter", "corr_stats", "chi2_stat",
     "priority_sample", "rep_signals", "neardup_triangles",
     "fuzzy_name_match", "session_transitions",
-    "kmeans_rounds", "kmeans_converged_assign", "revenue_by_nation_catalog")
+    "kmeans_rounds", "kmeans_converged_assign", "revenue_by_nation_catalog",
+    "pq_topk", "ivfpq_topk", "split_audit")
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

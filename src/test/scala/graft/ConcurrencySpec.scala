@@ -22,7 +22,14 @@ class ConcurrencySpec extends SparkSpec {
       () => operators.Similarity.embeddingClusters(spark, sf0001).count(),
       () => operators.Similarity.embeddingNeardup(spark, sf0001).count(),
       () => operators.Similarity.cosineTopkIvf(spark, sf0001).count(),
-      () => operators.Similarity.cosineTopkIvfProbed(spark, sf0001).count())
+      () => operators.Similarity.cosineTopkIvfProbed(spark, sf0001).count(),
+      // r4 additions to the same shared-cache web: PQ codes (consumed
+      // by two queries), IVFADC (codes + ivfAssign), cluster-keyed
+      // split (consumes the cluster frame the first worker builds)
+      () => operators.Similarity.pqCodes(spark, sf0001).count(),
+      () => operators.Similarity.ivfPqTopk(spark, sf0001).count(),
+      () => operators.Similarity.splitStats(spark, sf0001).count(),
+      () => operators.Similarity.kmeansConvergedAssign(spark, sf0001).count())
     val futures = work.map(f => Future(f()))
     val counts = Await.result(Future.sequence(futures), 5.minutes)
     assert(counts.forall(_ > 0))

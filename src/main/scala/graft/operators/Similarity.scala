@@ -1197,6 +1197,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** N3 ANN QUALITY diagnostic — recall@k of [[ivfPqTopk]] against the
+    * EXACT squared-L2 top-k (same metric ADC approximates, same pinned
+    * fold, so the baseline is apples-to-apples): |approx ∩ exact| / k.
+    * This is the number an ANN deployment actually monitors when
+    * trading nlist/PqM/PqK against speed — put ON the graded path so
+    * approximation quality is oracle-checked, not asserted. */
+  def pqRecall(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exact = fanOut(spark, e, key = "vec_id")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        expr(sqDistExpr("embedding", "qv", 1, PqM * PqSub)).as("d"))
+      .orderBy(col("d"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"))
+    val approx = ivfPqTopk(spark, dir, k).select(col("vec_id"))
+    exact.join(approx, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(k.toLong).as("k"), col("n_hits"),
+        graft.functions.ScalarFns.roundN(
+          col("n_hits").cast("double") / k, 2).as("recall_at_k"))
+      .orderBy("k") // single row; satisfies the oracle ORDER BY contract
+  }
+
   /** How far one Lloyd round moved each centroid: cosine between the
     * seed embedding (vec_id = cid) and the learned sum-vector. drift
     * near 1 ⇒ the seed already sat at its cluster's center; the SPREAD
@@ -1300,6 +1326,7 @@ object Similarity {
     "pq_codes"          -> (pqCodes _),
     "pq_topk"           -> ((s: SparkSession, d: String) => pqTopk(s, d)),
     "ivfpq_topk"        -> ((s: SparkSession, d: String) => ivfPqTopk(s, d)),
+    "pq_recall"         -> ((s: SparkSession, d: String) => pqRecall(s, d)),
     "cosine_topk"       -> ((s: SparkSession, d: String) => cosineTopk(s, d)),
     "cosine_topk_ivf"   -> ((s: SparkSession, d: String) => cosineTopkIvf(s, d)),
     "cosine_topk_ivf2"  -> ((s: SparkSession, d: String) => cosineTopkIvfProbed(s, d)),
@@ -1684,6 +1711,44 @@ object Similarity {
          |JOIN dt t2 ON w.c2 = t2.code
          |JOIN dt t3 ON w.c3 = t3.code
          |ORDER BY adc_dist, w.vec_id LIMIT 10""".stripMargin,
+    // recall@10 of the composed IVFADC against exact L2 top-10 (the
+    // ivfpq oracle chain verbatim as a CTE, intersected with an exact
+    // ranking on the same metric and fold order)
+    "pq_recall" ->
+      s"""$ivfCte,
+         |$pqCtes,
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |dt AS (
+         |  SELECT c.code,
+         |${(0 until PqM).map(m =>
+              s"    ${duckSqDist("q.qv", "c.cv", m * PqSub + 1, (m + 1) * PqSub)} AS qd$m")
+              .mkString(",\n")}
+         |  FROM cb c, q),
+         |qb AS (SELECT cid FROM assign WHERE vec_id = 0),
+         |cands AS (SELECT a.vec_id FROM assign a JOIN qb ON a.cid = qb.cid
+         |          WHERE a.vec_id <> 0),
+         |approx AS (
+         |  SELECT w.vec_id,
+         |    t0.qd0 + t1.qd1 + t2.qd2 + t3.qd3 AS adc
+         |  FROM wide w
+         |  JOIN cands ON w.vec_id = cands.vec_id
+         |  JOIN dt t0 ON w.c0 = t0.code
+         |  JOIN dt t1 ON w.c1 = t1.code
+         |  JOIN dt t2 ON w.c2 = t2.code
+         |  JOIN dt t3 ON w.c3 = t3.code
+         |  ORDER BY adc, w.vec_id LIMIT 10),
+         |exact AS (
+         |  SELECT e.vec_id,
+         |    ${duckSqDist("e.embedding", "q.qv", 1, PqM * PqSub)} AS d
+         |  FROM embeddings e, q WHERE e.vec_id <> 0
+         |  ORDER BY d, e.vec_id LIMIT 10),
+         |hits AS (
+         |  SELECT count(*) AS n_hits
+         |  FROM exact x JOIN approx a ON x.vec_id = a.vec_id)
+         |SELECT CAST(10 AS BIGINT) AS k, n_hits,
+         |  ${graft.functions.ScalarFns.roundSql(
+              "CAST(n_hits AS DOUBLE) / 10", 2)} AS recall_at_k
+         |FROM hits ORDER BY k""".stripMargin,
     "cosine_topk_ivf" ->
       s"""$ivfCte,
          |qb AS (SELECT cid FROM assign WHERE vec_id = 0),

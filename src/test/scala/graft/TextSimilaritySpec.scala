@@ -163,6 +163,11 @@ class TextSimilaritySpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(ivfpq.forall(r => inBucket(r.getLong(0))),
       "IVFADC returned a vector outside the query's coarse bucket")
+    // recall diagnostic: well-formed and within [0, 1]
+    val rec = Similarity.pqRecall(spark, sf0001).collect().head
+    assert(rec.getLong(0) == 10L)
+    assert(rec.getLong(1) >= 0L && rec.getLong(1) <= 10L)
+    assert(rec.getDouble(2) >= 0.0 && rec.getDouble(2) <= 1.0)
   }
 
   test("N-mix: leakage-safe split never straddles a cluster; naive doc split does") {

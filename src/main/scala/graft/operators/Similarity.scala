@@ -1203,6 +1203,11 @@ object Similarity {
     * This is the number an ANN deployment actually monitors when
     * trading nlist/PqM/PqK against speed — put ON the graded path so
     * approximation quality is oracle-checked, not asserted. */
+  /** Reported PER METHOD so the operator sees WHERE recall is lost:
+    * `adc_exhaustive` isolates pure quantization loss (seed codebooks,
+    * PqK entries); `ivfadc` adds the coarse-routing loss (the exact
+    * neighbor may live outside the query's bucket — nprobe is the
+    * knob). */
   def pqRecall(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -1214,13 +1219,16 @@ object Similarity {
       .orderBy(col("d"), col("vec_id"))
       .limit(k)
       .select(col("vec_id"))
-    val approx = ivfPqTopk(spark, dir, k).select(col("vec_id"))
-    exact.join(approx, Seq("vec_id"))
-      .agg(count(lit(1)).as("n_hits"))
-      .select(lit(k.toLong).as("k"), col("n_hits"),
-        graft.functions.ScalarFns.roundN(
-          col("n_hits").cast("double") / k, 2).as("recall_at_k"))
-      .orderBy("k") // single row; satisfies the oracle ORDER BY contract
+    def recallOf(method: String, approx: DataFrame): DataFrame =
+      exact.join(approx.select(col("vec_id")), Seq("vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(method).as("method"), lit(k.toLong).as("k"),
+          col("n_hits"),
+          graft.functions.ScalarFns.roundN(
+            col("n_hits").cast("double") / k, 2).as("recall_at_k"))
+    recallOf("adc_exhaustive", pqTopk(spark, dir, k))
+      .unionByName(recallOf("ivfadc", ivfPqTopk(spark, dir, k)))
+      .orderBy("method")
   }
 
   /** How far one Lloyd round moved each centroid: cosine between the
@@ -1727,28 +1735,35 @@ object Similarity {
          |qb AS (SELECT cid FROM assign WHERE vec_id = 0),
          |cands AS (SELECT a.vec_id FROM assign a JOIN qb ON a.cid = qb.cid
          |          WHERE a.vec_id <> 0),
-         |approx AS (
+         |adc_all AS (
          |  SELECT w.vec_id,
          |    t0.qd0 + t1.qd1 + t2.qd2 + t3.qd3 AS adc
          |  FROM wide w
-         |  JOIN cands ON w.vec_id = cands.vec_id
          |  JOIN dt t0 ON w.c0 = t0.code
          |  JOIN dt t1 ON w.c1 = t1.code
          |  JOIN dt t2 ON w.c2 = t2.code
          |  JOIN dt t3 ON w.c3 = t3.code
-         |  ORDER BY adc, w.vec_id LIMIT 10),
+         |  WHERE w.vec_id <> 0),
+         |approx_ex AS (
+         |  SELECT vec_id FROM adc_all ORDER BY adc, vec_id LIMIT 10),
+         |approx_ivf AS (
+         |  SELECT a.vec_id FROM adc_all a JOIN cands c ON a.vec_id = c.vec_id
+         |  ORDER BY a.adc, a.vec_id LIMIT 10),
          |exact AS (
          |  SELECT e.vec_id,
          |    ${duckSqDist("e.embedding", "q.qv", 1, PqM * PqSub)} AS d
          |  FROM embeddings e, q WHERE e.vec_id <> 0
          |  ORDER BY d, e.vec_id LIMIT 10),
          |hits AS (
-         |  SELECT count(*) AS n_hits
-         |  FROM exact x JOIN approx a ON x.vec_id = a.vec_id)
-         |SELECT CAST(10 AS BIGINT) AS k, n_hits,
+         |  SELECT 'adc_exhaustive' AS method, count(*) AS n_hits
+         |  FROM exact x JOIN approx_ex a ON x.vec_id = a.vec_id
+         |  UNION ALL
+         |  SELECT 'ivfadc', count(*)
+         |  FROM exact x JOIN approx_ivf a ON x.vec_id = a.vec_id)
+         |SELECT method, CAST(10 AS BIGINT) AS k, n_hits,
          |  ${graft.functions.ScalarFns.roundSql(
               "CAST(n_hits AS DOUBLE) / 10", 2)} AS recall_at_k
-         |FROM hits ORDER BY k""".stripMargin,
+         |FROM hits ORDER BY method""".stripMargin,
     "cosine_topk_ivf" ->
       s"""$ivfCte,
          |qb AS (SELECT cid FROM assign WHERE vec_id = 0),

@@ -163,11 +163,16 @@ class TextSimilaritySpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(ivfpq.forall(r => inBucket(r.getLong(0))),
       "IVFADC returned a vector outside the query's coarse bucket")
-    // recall diagnostic: well-formed and within [0, 1]
-    val rec = Similarity.pqRecall(spark, sf0001).collect().head
-    assert(rec.getLong(0) == 10L)
-    assert(rec.getLong(1) >= 0L && rec.getLong(1) <= 10L)
-    assert(rec.getDouble(2) >= 0.0 && rec.getDouble(2) <= 1.0)
+    // recall diagnostic: both methods present; routing can only LOSE
+    // candidates relative to the exhaustive ADC ranking's recall... not
+    // strictly (set difference of top-k), so assert only well-formedness
+    val rec = Similarity.pqRecall(spark, sf0001).collect()
+    assert(rec.map(_.getString(0)).toSeq == Seq("adc_exhaustive", "ivfadc"))
+    rec.foreach { r =>
+      assert(r.getLong(1) == 10L)
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 10L)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
   }
 
   test("N-mix: leakage-safe split never straddles a cluster; naive doc split does") {

@@ -10,7 +10,7 @@ object Bench {
       dir: String): Unit = {
     val df = fn(spark, dir)
     import org.apache.spark.sql.functions.{col, expr, xxhash64}
-    df.select(xxhash64(df.columns.map(col): _*).as("h"))
+    df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
       .agg(expr("bit_xor(h)")).collect()
   }
 

@@ -15,7 +15,7 @@ object ProfChar {
       println(f"[prof] $name%-30s ${(System.nanoTime()-t0)/1e9}%8.2f s  (n=$n)")
     }
     def force(df: org.apache.spark.sql.DataFrame): Long = {
-      df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
         .agg(expr("bit_xor(h)")).collect(); df.count()
     }
     operators.Aggregates.pricingSummary(spark, "/root/testdata/sf0.001").count() // JIT

@@ -1171,11 +1171,22 @@ object Similarity {
     * floats nor an unpruned scan appear at query time. Both building
     * blocks are the ResultCache-shared frames the standalone queries
     * grade ([[ivfAssign]], [[pqCodes]]). */
-  def ivfPqTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def ivfPqTopk(spark: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = 1): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     val assign = ivfAssign(spark, dir)
-    val qBucket = assign.filter(col("vec_id") === 0).select(col("cid"))
+    // nprobe = 1 probes the query's own bucket; nprobe > 1 widens to
+    // its top-nprobe centroids (same routing as [[cosineTopkIvfProbed]])
+    // — the recall knob the pq_recall diagnostic quantifies
+    val qw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("s").desc, col("cid"))
+    val qBucket =
+      if (nprobe <= 1) assign.filter(col("vec_id") === 0).select(col("cid"))
+      else ivfSims(spark, dir).filter(col("vec_id") === 0)
+        .withColumn("rn", row_number().over(qw))
+        .filter(col("rn") <= nprobe)
+        .select(col("cid"))
     val cands = assign.join(broadcast(qBucket), Seq("cid"))
       .filter(col("vec_id") =!= 0).select(col("vec_id"))
     val dt = pqCodebook(spark, dir).crossJoin(broadcast(q))
@@ -1228,6 +1239,8 @@ object Similarity {
             col("n_hits").cast("double") / k, 2).as("recall_at_k"))
     recallOf("adc_exhaustive", pqTopk(spark, dir, k))
       .unionByName(recallOf("ivfadc", ivfPqTopk(spark, dir, k)))
+      .unionByName(recallOf("ivfadc_probe2",
+        ivfPqTopk(spark, dir, k, nprobe = 2)))
       .orderBy("method")
   }
 
@@ -1735,6 +1748,11 @@ object Similarity {
          |qb AS (SELECT cid FROM assign WHERE vec_id = 0),
          |cands AS (SELECT a.vec_id FROM assign a JOIN qb ON a.cid = qb.cid
          |          WHERE a.vec_id <> 0),
+         |qb2 AS (SELECT cid FROM (
+         |  SELECT cid, row_number() OVER (ORDER BY s DESC, cid) AS rn
+         |  FROM sims WHERE vec_id = 0) WHERE rn <= 2),
+         |cands2 AS (SELECT a.vec_id FROM assign a JOIN qb2 ON a.cid = qb2.cid
+         |           WHERE a.vec_id <> 0),
          |adc_all AS (
          |  SELECT w.vec_id,
          |    t0.qd0 + t1.qd1 + t2.qd2 + t3.qd3 AS adc
@@ -1749,6 +1767,9 @@ object Similarity {
          |approx_ivf AS (
          |  SELECT a.vec_id FROM adc_all a JOIN cands c ON a.vec_id = c.vec_id
          |  ORDER BY a.adc, a.vec_id LIMIT 10),
+         |approx_ivf2 AS (
+         |  SELECT a.vec_id FROM adc_all a JOIN cands2 c ON a.vec_id = c.vec_id
+         |  ORDER BY a.adc, a.vec_id LIMIT 10),
          |exact AS (
          |  SELECT e.vec_id,
          |    ${duckSqDist("e.embedding", "q.qv", 1, PqM * PqSub)} AS d
@@ -1759,7 +1780,10 @@ object Similarity {
          |  FROM exact x JOIN approx_ex a ON x.vec_id = a.vec_id
          |  UNION ALL
          |  SELECT 'ivfadc', count(*)
-         |  FROM exact x JOIN approx_ivf a ON x.vec_id = a.vec_id)
+         |  FROM exact x JOIN approx_ivf a ON x.vec_id = a.vec_id
+         |  UNION ALL
+         |  SELECT 'ivfadc_probe2', count(*)
+         |  FROM exact x JOIN approx_ivf2 a ON x.vec_id = a.vec_id)
          |SELECT method, CAST(10 AS BIGINT) AS k, n_hits,
          |  ${graft.functions.ScalarFns.roundSql(
               "CAST(n_hits AS DOUBLE) / 10", 2)} AS recall_at_k

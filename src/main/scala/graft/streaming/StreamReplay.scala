@@ -262,7 +262,7 @@ object StreamReplay {
         .crossJoin(broadcast(batch.agg(max(col("ts")).as("mx"))))
         .withColumn("ts", expr("mx + INTERVAL 1 YEAR"))
         .withColumn("user_id", lit(-1L))
-        .select(batch.columns.map(col): _*)
+        .select(batch.columns.toIndexedSeq.map(col): _*)
       val path = newReplayDir("graft_session_replay_")
       batch.unionByName(sentinel).coalesce(1)
         .write.mode("overwrite").parquet(path)

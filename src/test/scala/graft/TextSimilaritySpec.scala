@@ -166,8 +166,13 @@ class TextSimilaritySpec extends SparkSpec {
     // recall diagnostic: both methods present; routing can only LOSE
     // candidates relative to the exhaustive ADC ranking's recall... not
     // strictly (set difference of top-k), so assert only well-formedness
+    // NOTE: recall is NOT asserted monotone in nprobe — a wider probe
+    // adds ADC-scored candidates whose quantization error can evict
+    // true neighbors from the top-k (observed in the other direction:
+    // bucket restriction IMPROVED recall by filtering false positives)
     val rec = Similarity.pqRecall(spark, sf0001).collect()
-    assert(rec.map(_.getString(0)).toSeq == Seq("adc_exhaustive", "ivfadc"))
+    assert(rec.map(_.getString(0)).toSeq ==
+      Seq("adc_exhaustive", "ivfadc", "ivfadc_probe2"))
     rec.foreach { r =>
       assert(r.getLong(1) == 10L)
       assert(r.getLong(2) >= 0L && r.getLong(2) <= 10L)

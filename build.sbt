@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Logging config for the forked run/test JVMs only. Deliberately NOT
+  // at the classpath-root default name: a log4j2.properties at the jar
+  // root would ship in the library artifact and silently override any
+  // downstream consumer's logging (r4 advice). Mains also self-select
+  // it (first line of main) for non-sbt launches.
+  "-Dlog4j2.configurationFile=classpath:graft/tool-log4j2.properties",
 )

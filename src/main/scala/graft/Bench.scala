@@ -15,6 +15,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    ToolLogging.init()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Tiny SF used for the untimed warm-up pass (JIT/codegen compile).
@@ -75,11 +76,26 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+    // Short headline record (≤120 bytes). The full per-query line above
+    // is ~5 KB; a bounded TAIL capture clips its HEAD, losing the
+    // "metric":"total" field (BENCH_r03 and BENCH_r04 both parsed:
+    // null). Printing this compact line LAST guarantees any tail window
+    // big enough for one line contains a parseable total.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failures":$failures,"sf":"$sfDir"}"""
+    // Also persist both records to the repo so the numbers survive even
+    // a zero-length capture.
+    try {
+      val p = java.nio.file.Paths.get("BENCH_SELF.json")
+      java.nio.file.Files.write(p,
+        (line + "\n" + summary + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     // Stop BEFORE printing: shutdown emits its own log lines, and the
     // JSON record must be the last thing on stdout so a tail-capturing
     // harness always sees it (round 3's record was lost to log spam).
     try spark.stop() catch { case _: Throwable => () }
     println(line)
+    println(summary)
     System.out.flush()
   }
 }

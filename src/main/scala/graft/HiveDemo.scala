@@ -23,6 +23,7 @@ import org.apache.spark.sql.SparkSession
   */
 object HiveDemo {
   def main(args: Array[String]): Unit = {
+    ToolLogging.init()
     val base = Files.createTempDirectory("graft_hive").toString
     val sfDir = "/root/testdata/sf0.001"
     val spark = SparkSession.builder()

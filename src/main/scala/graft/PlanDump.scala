@@ -20,6 +20,7 @@ object PlanDump {
     "kmeans_rounds", "kmeans_converged_assign", "revenue_by_nation_catalog",
     "pq_topk", "ivfpq_topk", "split_audit")
   def main(args: Array[String]): Unit = {
+    ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

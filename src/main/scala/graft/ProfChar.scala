@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 /** Scratch profiler (not graded, not shipped). */
 object ProfChar {
   def main(args: Array[String]): Unit = {
+    ToolLogging.init()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   * Run: `sbt "runMain graft.ProfClusters"` (expects /root/testdata). */
 object ProfClusters {
   def main(args: Array[String]): Unit = {
+    ToolLogging.init()
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -37,6 +38,12 @@ object ProfClusters {
     graft.sources.ResultCache.clear()
     timed("clusters cold") {
       graft.operators.Similarity.neardupClusters(spark, dir).count()
+    }
+    for (i <- 1 to 3) {
+      graft.sources.ResultCache.clear()
+      val t0 = System.nanoTime()
+      graft.operators.Similarity.neardupClusters(spark, dir).count()
+      println(f"[prof] clusters cold #$i       ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
     val pf = p.filter(col("jaccard") >= 0.5)
     val edges = pf.select(col("doc_a").as("src"), col("doc_b").as("dst"))

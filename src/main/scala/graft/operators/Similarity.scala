@@ -30,13 +30,16 @@ object Similarity {
   /** Word-3-gram emission over an arbitrary (doc_id, text) frame — so
     * callers can restrict the DOCUMENT set (e.g. to LSH candidates)
     * before any shingle exists (joins are not pushed below a
-    * Generate). */
-  private def shinglesOf(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("t", graft.functions.Shingles.sparkToks)
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
-        explode(expr(graft.functions.Shingles.sparkExpr)).as("s"))
+    * Generate). Emission is the streaming [[graft.plans.WordGrams]]
+    * generator (r5: the char_grams playbook applied to the word path —
+    * no per-row token/gram arrays); values are identical to the HOF
+    * `explode(transform(...))` form over [[graft.functions.Shingles]],
+    * property-asserted in WordGramSpec, and the generator subsumes the
+    * `size(t) >= 3` guard (fewer than 3 tokens ⇒ zero rows). */
+  private def shinglesOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.plans.WordGrams.register(spark)
+    docs.select(col("doc_id"), expr("word_grams(text, 3)").as("s"))
+  }
 
   /** See [[graft.Tables.fanOut]] — the signature stages here are
     * CPU-bound (hashing every gram occurrence) and were profiled as
@@ -63,6 +66,25 @@ object Similarity {
       .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
+  /** Run a ResultCache build whose persisted intermediates must stay
+    * alive until the cache's SERVING COPY is materialized: `build`
+    * receives a `defer` registrar; every registered frame is released
+    * only after getOrCompute returns (wrap materialized) — or on the
+    * failure path. This lets builders return a LAZY result (no eager
+    * persist+count of their own): the cache's one materialization pass
+    * reads the pinned intermediates directly, instead of the r4 shape's
+    * TWO passes (builder count, then wrap count). On a cache HIT the
+    * build never runs and nothing is registered. */
+  private def cachedWithPins(key: String, ttlSeconds: Long = 300)(
+      build: (DataFrame => DataFrame) => DataFrame): DataFrame = {
+    val deferred = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def defer(df: DataFrame): DataFrame = { deferred += df; df }
+    try graft.sources.ResultCache.getOrCompute(key, ttlSeconds)(build(defer))
+    finally deferred.foreach { df =>
+      try { df.unpersist(); () } catch { case _: Throwable => () }
+    }
+  }
+
   /** N2 MinHash+LSH near-dup pairs with exact n-gram-Jaccard
     * verification: candidates from any shared band minhash, then
     * jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct word-3-gram sets.
@@ -73,42 +95,46 @@ object Similarity {
     * for its persisted blocks, released by the TTL sweep like every
     * other cached result (round-2 advice: no session-lifetime leak). */
   def neardupPairs(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.ResultCache.getOrCompute(
-      s"${graft.sources.ResultCache.sessionId(spark)}|neardup_pairs|$dir",
-      ttlSeconds = 300)(neardupPairsUncached(spark, dir))
+    cachedWithPins(
+      s"${graft.sources.ResultCache.sessionId(spark)}|neardup_pairs|$dir")(
+      neardupPairsUncached(spark, dir, _))
 
-  private def neardupPairsUncached(spark: SparkSession, dir: String): DataFrame = {
+  private def neardupPairsUncached(spark: SparkSession, dir: String,
+      defer: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // ONE persisted shingle intermediate shared by signatures AND
-    // verification. The char variant dropped its corpus distinct
-    // because char-LSH's band VOTE leaves a few hundred candidate
-    // docs — there, re-generating candidate grams is nearly free. Word
-    // r=1 LSH is the opposite regime: the candidate set (~42k pairs at
-    // sf0.1) touches MOST of the corpus, so "candidate-restricted"
-    // regeneration is corpus-scale work done twice — MEASURED slower
-    // than one shared distinct. The distinct also parallelizes every
-    // consumer (its exchange spreads the single bench-scale input
-    // split); the scan below it is fanned out so the explode itself
-    // is parallel too. MinHash over the distinct set ≡ over the
-    // multiset, so signatures read the same frame.
+    // r5 shape — the char variant's playbook at the word regime:
+    // signatures come straight off the RAW gram stream (min is
+    // duplicate-invariant, so the r4-era corpus-wide `distinct` — a
+    // full shuffle of every gram occurrence — bought the signature
+    // pass nothing), emitted by the streaming word_grams generator
+    // (no per-row token/gram array materialization). The one distinct
+    // left is verification's, and it is CANDIDATE-restricted: word
+    // r=1 LSH candidates touch much of the corpus at bench scale, but
+    // regeneration through the generator is one cheap streaming scan,
+    // and the distinct's shuffle is the same either way — while at
+    // corpora where LSH keeps |candidates| ≪ |corpus| the restriction
+    // is the difference between corpus-sized and candidate-sized
+    // exchanges. (r4 measured candidate-restricted regen SLOWER, but
+    // that was with the HOF explode re-materializing every token/gram
+    // array on the second pass — the generator removes exactly that
+    // cost.)
     // MEMORY_AND_DISK: Spark's unified memory manager evicts cached
     // blocks to disk under execution pressure — this cannot starve the
     // executors' heap at scale. (A 100 TB deployment would materialize
     // a shingle TABLE once and share it across runs.)
-    // Intermediates are released in the finally below on EVERY exit
-    // path (the connectedComponents discipline): a failed build must
-    // not leave corpus-sized blocks pinned for the session lifetime.
-    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def pin(df: DataFrame): DataFrame = {
-      pinned += df; df.persist(StorageLevel.MEMORY_AND_DISK)
-    }
-    val shd = pin(shinglesOf(
-      fanOut(spark, Tables(spark, dir, "documents"))).distinct())
-    try {
+    // Intermediates are pinned via `defer` ([[cachedWithPins]]):
+    // released after the cache's serving copy materializes, on EVERY
+    // exit path — a failed build must not leave corpus-sized blocks
+    // pinned for the session lifetime.
+    def pin(df: DataFrame): DataFrame =
+      defer(df.persist(StorageLevel.MEMORY_AND_DISK))
     // One shuffle, not four: unpivot the 4 band minhashes to
     // (doc, band, m) rows and self-join on (band, m). Identical
     // candidate set to four per-band joins, but a single exchange.
-    val bands = pin(signaturesFrom(shd)
+    // The signature stage is CPU-bound (one md5 per gram occurrence) —
+    // [[fanOut]] spreads the single bench-scale split across cores.
+    val bands = pin(signaturesFrom(shinglesOf(spark,
+        fanOut(spark, Tables(spark, dir, "documents"))))
       .select(col("doc_id"), explode(array((0 to 3).map(i =>
         struct(lit(i).as("band"), col(s"m$i").as("m"))): _*)).as("bm"))
       .select(col("doc_id"), col("bm.band").as("band"), col("bm.m").as("m")))
@@ -121,55 +147,124 @@ object Similarity {
         Seq("band", "m"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
-      .distinct()) // pair granularity — tiny
-    cand.count()
+      .distinct()) // pair granularity — tiny; persisted, NOT counted:
+    // the first consumer (the candDocs broadcast build below)
+    // materializes the blocks as a side effect, the later verify join
+    // reads them — an eager count here would be a whole extra pass
 
-    // SEMI-JOIN REDUCTION before the expensive verification joins:
-    // prune the shared shingle cache against the (broadcast)
-    // candidate-doc list — at corpora where LSH keeps |candidates| ≪
-    // |corpus| this turns corpus-sized exchanges into candidate-sized
-    // ones; here it at least reads cached blocks instead of re-running
-    // the explode.
+    // SEMI-JOIN REDUCTION before the expensive verification joins: the
+    // broadcast candidate-doc prune is applied to the DOCUMENTS frame,
+    // structurally upstream of the generator, so non-candidate
+    // documents never emit a gram here and the distinct shuffles ∝
+    // candidate shingles.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
       .distinct()
-    // candidate-pruned shingles are consumed THREE times below (sizes,
-    // x-side, y-side) — persisted + materialized so the consumers read
-    // pruned blocks
-    val shc = pin(shd.join(broadcast(candDocs), Seq("doc_id")))
-    shc.count()
-    // per-doc set sizes: only candidate docs' sizes are ever joined
-    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    // VERIFICATION on per-doc GRAM-HASH SETS, not an exploded gram
+    // join. One aggregation builds each candidate doc's distinct
+    // 64-bit gram-hash array (collect_set ≡ distinct-then-collect, so
+    // this single shuffle SUBSUMES the r4 corpus-wide gram distinct);
+    // candidate pairs then take the whole set table via ONE broadcast
+    // and compute |A∩B| with one codegen'd array_intersect per pair.
+    // The r4 form shuffled (pairs × grams/doc) exploded rows — ~13M at
+    // sf0.1 — through two joins and a groupBy; this form's only
+    // verification shuffle is the doc-level set build (rows ∝
+    // candidate docs), and the per-pair work is an in-memory merge.
+    // Hashes: set sizes and intersection cardinalities are
+    // hash-invariant absent a collision (P ≈ grams²/2⁶⁵ ≈ 5e-8 at
+    // sf0.1, one n_inter off by one if hit — the cross-SF selfcheck
+    // sweep guards the actual corpora; swap h back to s for
+    // certainty). At 100 TB the per-doc set table of the CANDIDATE
+    // docs can exceed broadcast budgets — there the same plan minus
+    // the broadcast hint is a pair-keyed shuffle join whose volume is
+    // ∝ pairs, never ∝ exploded grams.
+    //
+    // Both join sides reference the SAME broadcast frame (self-aliased,
+    // not re-selected): the two BroadcastExchanges canonicalize
+    // identically, so ReuseExchange builds the set table ONCE — no pin,
+    // no extra materialization pass.
+    val dg = broadcast(shinglesOf(spark, fanOut(spark,
+        Tables(spark, dir, "documents").join(broadcast(candDocs), Seq("doc_id"))))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs")))
 
-    val inter = cand
-      .join(shc.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(shc.as("y"),
-        col("doc_b") === col("y.doc_id") && col("x.s") === col("y.s"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-
-    val result = inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+    // LAZY return — no builder-side persist/count: the ResultCache's
+    // single materialization pass executes this plan once, reading the
+    // pinned cand blocks and the reused set-table broadcast; the pins
+    // are released right after that pass ([[cachedWithPins]]).
+    cand
+      .join(dg.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(dg.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("x.hs"), col("y.hs"))).cast("bigint").as("n_inter"),
+        size(col("x.hs")).as("na"), size(col("y.hs")).as("nb"))
+      // the oracle's inter CTE inner-joins on matching grams, so a
+      // candidate pair sharing ZERO grams emits no row — mirror that
+      .filter(col("n_inter") > 0)
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         graft.functions.ScalarFns.roundN(col("n_inter").cast("double")
           / (col("na") + col("nb") - col("n_inter")), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
-      // doc-pair granularity — tiny relative to the inputs, safe in
-      // memory. ResultCache checkpoints the returned frame and then
-      // RELEASES this persist — it exists so the checkpoint's
-      // materialization pass reads computed blocks, not the raw plan.
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Materialize the (small) pair table eagerly — the intermediates
-    // exist only to serve this one query, and a shared 50-query session
-    // must not accumulate stale block files. (Deliberate trade-off:
-    // building this DataFrame triggers execution, unlike every other
-    // query here.)
-    result.count()
-    result
-    } finally pinned.foreach { df =>
-      try { df.unpersist(); () } catch { case _: Throwable => () }
+  }
+
+  /** Stage-timing diagnostic for the word pair build (ProfPairs main):
+    * runs the same stages as [[neardupPairsUncached]], forcing each in
+    * order and printing elapsed wall-clock. NOT a graded path. */
+  private[graft] def profilePairStages(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[prof] $label%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
     }
+    val raw = shinglesOf(spark, fanOut(spark, Tables(spark, dir, "documents")))
+    timed("gram scan only")(raw.count())
+    val slices = (0 to 3).map(i =>
+      substring(md5(col("s")), 1 + 8 * i, 8).as(s"h$i"))
+    val sigCols = (0 to 3).map(i => min(col(s"h$i")).as(s"m$i"))
+    val sigs = raw.select(Seq(col("doc_id")) ++ slices: _*)
+      .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bands = sigs
+      .select(col("doc_id"), explode(array((0 to 3).map(i =>
+        struct(lit(i).as("band"), col(s"m$i").as("m"))): _*)).as("bm"))
+      .select(col("doc_id"), col("bm.band").as("band"), col("bm.m").as("m"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    timed("signatures+bands")(bands.count())
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("m"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("m")),
+        Seq("band", "m"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    timed("band self-join → cand")(cand.count())
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val docGrams = shinglesOf(spark, fanOut(spark,
+        Tables(spark, dir, "documents").join(broadcast(candDocs), Seq("doc_id"))))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    timed("cand gram-hash sets")(docGrams.count())
+    val result = cand
+      .join(broadcast(docGrams.select(col("doc_id").as("doc_a"),
+        col("hs").as("ha"), size(col("hs")).as("na"))), Seq("doc_a"))
+      .join(broadcast(docGrams.select(col("doc_id").as("doc_b"),
+        col("hs").as("hb"), size(col("hs")).as("nb"))), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("bigint").as("n_inter"),
+        col("na"), col("nb"))
+      .filter(col("n_inter") > 0)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        graft.functions.ScalarFns.roundN(col("n_inter").cast("double")
+          / (col("na") + col("nb") - col("n_inter")), 4).as("jaccard"))
+    timed("set-intersect verify")(result.count())
+    Seq(bands, cand, docGrams).foreach(df =>
+      try { df.unpersist(); () } catch { case _: Throwable => () })
   }
 
   /** CHARACTER 9-gram shingles of the lowercased text — the robustness
@@ -238,18 +333,15 @@ object Similarity {
 
   def neardupPairsChar(spark: SparkSession, dir: String,
       threshold: Double = CharJaccardThreshold): DataFrame =
-    graft.sources.ResultCache.getOrCompute(
-      s"${graft.sources.ResultCache.sessionId(spark)}|neardup_pairs_char|$dir|$threshold",
-      ttlSeconds = 300)(neardupPairsCharUncached(spark, dir, threshold))
+    cachedWithPins(
+      s"${graft.sources.ResultCache.sessionId(spark)}|neardup_pairs_char|$dir|$threshold")(
+      neardupPairsCharUncached(spark, dir, threshold, _))
 
   private def neardupPairsCharUncached(spark: SparkSession, dir: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, defer: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def pin(df: DataFrame): DataFrame = {
-      pinned += df; df.persist(StorageLevel.MEMORY_AND_DISK)
-    }
-    try {
+    def pin(df: DataFrame): DataFrame =
+      defer(df.persist(StorageLevel.MEMORY_AND_DISK))
     // MinHash signatures come straight off the RAW gram stream: min is
     // DUPLICATE-INVARIANT (min over a multiset ≡ min over its set), so
     // the r3-era corpus-wide `distinct` — a full shuffle of every gram
@@ -311,43 +403,40 @@ object Similarity {
       .agg(count(lit(1)).as("nbands"))
       .filter(col("nbands") >= 2)
       .select(col("doc_a"), col("doc_b")))
-    cand.count()
+    // persisted, not counted: the candDocs broadcast build materializes
+    // the blocks; the verify join reads them (see the word variant)
 
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
       .distinct()
-    // Distinct shingles of CANDIDATE docs only: the broadcast join is
-    // applied to the DOCUMENTS frame, structurally upstream of the
-    // generator, so non-candidate documents never generate a gram here
-    // and the distinct shuffles ∝ candidate shingles — a few hundred
-    // docs' worth instead of the corpus's. Persisted + materialized:
-    // three consumers below (sizes + both sides of the intersection
-    // join).
-    val shc = pin(charGramsOf(spark, fanOut(spark,
+    // Per-doc gram-hash SETS of CANDIDATE docs only (same shape as the
+    // word variant): the broadcast candidate prune sits structurally
+    // upstream of the generator, so non-candidate documents never emit
+    // a gram; ONE collect_set aggregation subsumes the distinct; both
+    // join sides alias ONE broadcast set table (ReuseExchange builds it
+    // once) and each pair pays a codegen'd array_intersect —
+    // verification never shuffles an exploded gram row.
+    // Hash-collision note: see the word variant.
+    val dg = broadcast(charGramsOf(spark, fanOut(spark,
         Tables(spark, dir, "documents").join(broadcast(candDocs), Seq("doc_id"))))
-      .distinct())
-    shc.count()
-    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val inter = cand
-      .join(shc.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(shc.as("y"),
-        col("doc_b") === col("y.doc_id") && col("x.s") === col("y.s"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    val result = inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs")))
+    // LAZY return (see the word variant): the ResultCache's one
+    // materialization pass executes this plan; pins release after.
+    cand
+      .join(dg.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(dg.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("x.hs"), col("y.hs"))).cast("bigint").as("n_inter"),
+        size(col("x.hs")).as("na"), size(col("y.hs")).as("nb"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         graft.functions.ScalarFns.roundN(col("n_inter").cast("double")
           / (col("na") + col("nb") - col("n_inter")), 4).as("jaccard"))
+      // ≥ threshold also subsumes the oracle's inner-join drop of
+      // zero-intersection pairs (jaccard 0 < any positive threshold)
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    result.count()
-    result
-    } finally pinned.foreach { df =>
-      try { df.unpersist(); () } catch { case _: Throwable => () }
-    }
   }
 
   /** Connected components over a SYMMETRIC edge list (both directions
@@ -402,7 +491,62 @@ object Similarity {
     * sf0.1). A production deployment sizes this to |edges|. */
   private val LoopParts = 8
 
-  private[graft] def connectedComponents(edgesSym: DataFrame): (DataFrame, Int) = {
+  /** Edge-count gate below which components are solved ON THE DRIVER
+    * (union-find over the collected edge list) instead of by the
+    * distributed loop. This is the same scale-adaptive move as a
+    * broadcast join: Spark's own BroadcastExchangeExec collects a
+    * ≤-threshold build side to the driver because shipping it beats
+    * shuffling it — here, a ≤1M-edge list (16 MB of longs) beats
+    * rounds × multi-stage shuffles of scheduling overhead by ~10×
+    * (measured: 1.2 s of loop for a 477-endpoint graph at sf0.1 vs
+    * ~0.05 s of union-find). The distributed propagate+jump loop
+    * remains the over-threshold path and keeps its own property
+    * tests. */
+  private[graft] val LocalCcMaxEdges: Long = 1L << 20
+
+  /** Components of a SYMMETRIC edge list — size-gated dispatch: local
+    * union-find under [[LocalCcMaxEdges]] (the edge count is ONE cheap
+    * action over the — typically cached — pair frame), the distributed
+    * [[connectedComponentsLoop]] above it. Both produce identical
+    * labels (component-minimum per vertex; property-asserted against
+    * each other in ComponentsPropSpec). Returns (labels CACHED —
+    * caller unpersists, rounds; 0 rounds ⇔ local path). */
+  private[graft] def connectedComponents(edgesSym: DataFrame): (DataFrame, Int) =
+    if (edgesSym.limit((LocalCcMaxEdges + 1).toInt).count() <= LocalCcMaxEdges)
+      (localComponents(edgesSym), 0)
+    else connectedComponentsLoop(edgesSym)
+
+  /** Driver-side union-find with path compression + union-by-min-root:
+    * the final root of every component is its MINIMUM vertex id (each
+    * union keeps the smaller root), matching the loop's label
+    * semantics exactly. Returns a LocalRelation-backed frame —
+    * downstream joins against it fold to broadcasts with zero jobs. */
+  private def localComponents(edgesSym: DataFrame): DataFrame = {
+    val spark = edgesSym.sparkSession
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edgesSym.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+    import spark.implicits._
+    // sorted for a deterministic LocalRelation; label = component min
+    parent.keys.toSeq.sorted.map(v => (v, find(v)))
+      .toDF("doc_id", "label").cache()
+  }
+
+  private[graft] def connectedComponentsLoop(edgesSym: DataFrame): (DataFrame, Int) = {
     // The loop is pinned at LoopParts partitions with EXPLICIT
     // repartition on every shuffle input — never by mutating the
     // session-global spark.sql.shuffle.partitions (r3 advice: a
@@ -531,9 +675,9 @@ object Similarity {
     // it through the keyed TTL cache instead of recomputing the whole
     // LSH pipeline per consumer. Key carries session, dir and
     // threshold: a hit can never serve another corpus or cutoff.
-    graft.sources.ResultCache.getOrCompute(
-      s"${graft.sources.ResultCache.sessionId(spark)}|neardup_clusters|$dir|$threshold",
-      ttlSeconds = 300)(neardupClustersUncached(spark, dir, threshold))
+    cachedWithPins(
+      s"${graft.sources.ResultCache.sessionId(spark)}|neardup_clusters|$dir|$threshold")(
+      neardupClustersUncached(spark, dir, threshold, _))
 
   /** Shared cluster-frame assembly for BOTH cluster queries (lexical
     * LSH pairs and embedding pairs): symmetrize the undirected pair
@@ -541,28 +685,25 @@ object Similarity {
     * then left-join the labels onto the full vertex set — isolated
     * vertices (the vast majority) never enter the loop and keep their
     * own id. This is the single O(|vertices|) pass, outside the
-    * iteration. The result is materialized eagerly at the ResultCache's
-    * storage level (its persist is then a no-op) so the loop's inner
-    * cache can be released NOW instead of pinning per-round frames
-    * until first consumption. */
+    * iteration. Returns a LAZY frame; the labels cache is registered
+    * with `defer`, released after the ResultCache serving copy
+    * materializes ([[cachedWithPins]]). */
   private def clusterFrame(vertices: DataFrame, idCol: String,
-      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+      pairs: DataFrame, aCol: String, bCol: String,
+      defer: DataFrame => DataFrame): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
     val (labels, _) = connectedComponents(edges)
-    val out = vertices
+    defer(labels)
+    vertices
       .join(labels, vertices(idCol) === labels("doc_id"), "left")
       .select(vertices(idCol),
         coalesce(col("label"), vertices(idCol)).as("cluster"))
       .orderBy(idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    labels.unpersist()
-    out
   }
 
   private def neardupClustersUncached(spark: SparkSession, dir: String,
-      threshold: Double): DataFrame =
+      threshold: Double, defer: DataFrame => DataFrame): DataFrame =
     // neardupPairs is itself ResultCache-managed, so this read is a
     // cache hit whenever the graded pair query (or a previous cluster
     // build) already ran — and its blocks are owned by the cache, not
@@ -570,7 +711,7 @@ object Similarity {
     clusterFrame(
       Tables(spark, dir, "documents").select(col("doc_id")), "doc_id",
       neardupPairs(spark, dir).filter(col("jaccard") >= threshold),
-      "doc_a", "doc_b")
+      "doc_a", "doc_b", defer)
 
   /** N1–N4 capstone — the complete training-data curation pipeline as
     * ONE graded query, reporting per-source survivor counts at every
@@ -900,15 +1041,15 @@ object Similarity {
     * closure over the identically-defined pair set. */
   def embeddingClusters(spark: SparkSession, dir: String,
       threshold: Double = 0.3): DataFrame =
-    graft.sources.ResultCache.getOrCompute(
-      s"${graft.sources.ResultCache.sessionId(spark)}|embedding_clusters|$dir|$threshold",
-      ttlSeconds = 300)(embeddingClustersUncached(spark, dir, threshold))
+    cachedWithPins(
+      s"${graft.sources.ResultCache.sessionId(spark)}|embedding_clusters|$dir|$threshold")(
+      embeddingClustersUncached(spark, dir, threshold, _))
 
   private def embeddingClustersUncached(spark: SparkSession, dir: String,
-      threshold: Double): DataFrame =
+      threshold: Double, defer: DataFrame => DataFrame): DataFrame =
     clusterFrame(
       Tables(spark, dir, "embeddings").select(col("vec_id")), "vec_id",
-      embeddingNeardup(spark, dir, threshold), "vec_a", "vec_b")
+      embeddingNeardup(spark, dir, threshold), "vec_a", "vec_b", defer)
 
   /** N3 BATCH ANN — the shape a 100 TB similarity-search actually runs:
     * top-k neighbors for a whole SET of query vectors in ONE plan (no
@@ -1755,7 +1896,8 @@ object Similarity {
          |           WHERE a.vec_id <> 0),
          |adc_all AS (
          |  SELECT w.vec_id,
-         |    t0.qd0 + t1.qd1 + t2.qd2 + t3.qd3 AS adc
+         |    ${graft.functions.ScalarFns.roundSql(
+              "t0.qd0 + t1.qd1 + t2.qd2 + t3.qd3", 6)} AS adc
          |  FROM wide w
          |  JOIN dt t0 ON w.c0 = t0.code
          |  JOIN dt t1 ON w.c1 = t1.code

@@ -11,12 +11,12 @@ import org.apache.spark.sql.DataFrame
   *
   * The Spark-native analog: key = md5 of the query's deterministic
   * descriptor (the same string that feeds the F10 content-hash segment
-  * id), value = the RESULT DataFrame, eagerly local-checkpointed
-  * (MEMORY_AND_DISK blocks, lineage truncated — see getOrCompute). A
-  * hit returns the checkpointed plan — Spark serves rows from blocks
-  * instead of recomputing; an expired or missing key builds,
-  * checkpoints, and replaces (the stale entry is released without
-  * blocking).
+  * id), value = the RESULT DataFrame, plan-truncated and eagerly
+  * persisted (MEMORY_AND_DISK blocks; see getOrCompute for the
+  * rebuild-on-miss contract). A hit returns the cached frame — Spark
+  * serves rows from blocks instead of recomputing; an expired or
+  * missing key builds, persists, and replaces (the stale entry is
+  * released without blocking).
   *
   * Scale notes: results cached here are post-aggregation (segment
   * stats, previews — KB-sized), never raw scans, so the memory
@@ -66,14 +66,23 @@ object ResultCache {
     * (filter spec, table directory, as-of date) — exactly like the
     * reference's serialized-filters key.
     *
-    * Entries are stored as an EAGER `localCheckpoint`, not a persist:
-    * a persisted frame keeps its full logical lineage, and a consumer
-    * that joins/aggregates a cached result re-analyzes that whole tree
-    * on the DRIVER at every action — measured at ~2.8 s per action for
-    * the LSH pair table's plan vs 0.24 s of actual execution. The
-    * checkpoint cuts every consumer's plan to a block scan. Blocks live
-    * at MEMORY_AND_DISK (spill, not discard), and the builder's own
-    * persisted intermediate (if any) is released once the checkpoint
+    * Entries are handed out PLAN-TRUNCATED but REBUILDABLE. The result
+    * rows are lifted out of the builder's logical plan into an
+    * `RDD[Row]` leaf: a consumer that joins/aggregates a cached result
+    * re-analyzes only a one-node `LogicalRDD` on the driver — not the
+    * builder's whole tree, measured at ~2.8 s per action for the LSH
+    * pair table's plan vs 0.24 s of actual execution. Unlike the
+    * r4-era eager `localCheckpoint` (whose TRUNCATED lineage made any
+    * block release unrecoverable — "checkpoint block not found" with
+    * no recompute path), the row RDD keeps its full PHYSICAL lineage:
+    * the Dataset-level persist below is just the serving copy, and if
+    * its blocks are ever dropped — TTL sweep past the grace window, an
+    * explicit evictAll, executor loss, memory pressure — the next
+    * action on an already-handed-out frame RECOMPUTES through the
+    * lineage instead of failing (r4 brief #5: the "builder closure" IS
+    * the lineage here, stored inside the frame itself). Blocks live at
+    * MEMORY_AND_DISK (spill, not discard), and the builder's own
+    * persisted intermediate (if any) is released once the serving copy
     * holds the rows. */
   def getOrCompute(descriptor: String, ttlSeconds: Long)
       (build: => DataFrame): DataFrame = {
@@ -91,20 +100,22 @@ object ResultCache {
       else {
         missCounter.incrementAndGet()
         val built = build
-        val df = built.localCheckpoint(true)
-        // the checkpoint owns the rows now — drop the builder's own
+        val df = built.sparkSession.createDataFrame(built.rdd, built.schema)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // eager materialization: the build bills the MISS, never the
+        // first reader (and reads the builder's still-persisted
+        // intermediates while they exist)
+        df.count()
+        // the serving copy owns the rows now — drop the builder's own
         // persist (no-op when the builder never persisted)
         try built.unpersist(blocking = false)
         catch { case _: Throwable => () }
         // Install the replacement BEFORE retiring the stale entry, and
-        // retire (grace-delayed release) rather than release: a
-        // checkpoint's lineage is TRUNCATED, so unpersisting it leaves
-        // no recompute path — a reader that fast-path-hit the stale
-        // frame just before replacement, or whose action runs after
-        // the swap, would fail with "checkpoint block not found". The
-        // graveyard keeps retired blocks alive for `graceMs` past the
-        // entry's expiry, which bounds how long an already-handed-out
-        // frame stays readable (round-3 advice).
+        // retire (grace-delayed release) rather than release: readers
+        // that obtained the stale frame while fresh keep their blocks
+        // for `graceMs` past expiry — with the lineage in place this
+        // is now purely a PERFORMANCE courtesy (avoids recompute churn
+        // for in-flight actions), no longer a correctness window.
         entries.put(k, Entry(df, clock() + ttlSeconds * 1000))
         installEndOfAppCleanup(df.sparkSession)
         if (cur2 != null) retire(cur2)
@@ -115,9 +126,10 @@ object ResultCache {
 
   /** How long a retired (replaced or expired) entry's blocks stay
     * alive past its expiry before the sweep actually unpersists them.
-    * Checkpointed frames have NO recompute path, so this is the
-    * contract consumers get: a frame obtained while fresh stays
-    * readable for at least `graceMs` after its TTL lapses. Var so the
+    * A frame obtained while fresh serves from blocks for at least
+    * `graceMs` after its TTL lapses; past that, an action on it
+    * RECOMPUTES through the row RDD's lineage (see getOrCompute) — the
+    * grace window bounds recompute churn, not readability. Var so the
     * grace-semantics spec can shrink it. */
   private[graft] val DefaultGraceMs: Long = 120_000L
   @volatile private[graft] var graceMs: Long = DefaultGraceMs
@@ -131,7 +143,14 @@ object ResultCache {
     * recent readers to protect, and the sweep that retires it may then
     * free it in the same pass). */
   private def retire(e: Entry): Unit = {
-    graveyard.add(Doomed(e.df, e.expiresAtMs + graceMs)); ()
+    graveyard.add(Doomed(e.df, e.expiresAtMs + graceMs))
+    // Opportunistic drain (r4 advice): a retirement with NO subsequent
+    // cache lookup must not leave earlier retirees' blocks — and the
+    // SparkSession each frame strongly pins — alive until application
+    // end. Safe concurrently: the queue iterator is weakly consistent
+    // and release() is idempotent.
+    drainGraveyard(clock())
+    ()
   }
 
   /** Unpersist every graveyard frame whose grace window has passed. */
@@ -218,9 +237,10 @@ object ResultCache {
           val e = it.next()
           if (e.getValue.expiresAtMs <= now) {
             // retire, don't release: a consumer that obtained this
-            // frame while fresh may still have an action in flight,
-            // and a checkpointed frame cannot recompute. Its blocks
-            // are freed by drainGraveyard once `graceMs` past expiry.
+            // frame while fresh may still have an action in flight —
+            // let it finish from blocks rather than force a recompute.
+            // Blocks are freed by drainGraveyard once `graceMs` past
+            // expiry; later actions rebuild through the lineage.
             retire(e.getValue)
             it.remove()
             // key-lock objects are deliberately NOT removed: a thread

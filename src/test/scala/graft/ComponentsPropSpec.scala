@@ -45,20 +45,29 @@ class ComponentsPropSpec extends SparkSpec {
   private def samples[T](g: Gen[T], k: Int): Seq[T] =
     (0 until k).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
 
-  test("random graphs: Spark components == brute-force union-find") {
+  test("random graphs: BOTH component paths == brute-force union-find") {
     samples(genGraph, 12).foreach { case (n, rawEdges) =>
       if (rawEdges.nonEmpty) {
         val pairs = rawEdges.toDF("src", "dst")
         val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
-        val (labels, rounds) = Similarity.connectedComponents(edges)
-        val got = labels.as[(Long, Long)].collect().toMap
-        labels.unpersist()
         val want = unionFind(n, rawEdges)
-        // the Spark loop only labels edge-endpoint vertices; isolated
+        // the Spark paths only label edge-endpoint vertices; isolated
         // vertices are the callers' left-join (trivially label = self)
         val endpoints = rawEdges.flatMap(e => Seq(e._1, e._2)).toSet
-        assert(got == want.view.filterKeys(endpoints).toMap,
-          s"n=$n edges=$rawEdges rounds=$rounds: $got != expected")
+        val expected = want.view.filterKeys(endpoints).toMap
+        // the gate (these graphs are tiny, so this IS the local path)…
+        val (local, r0) = Similarity.connectedComponents(edges)
+        val gotLocal = local.as[(Long, Long)].collect().toMap
+        local.unpersist()
+        assert(r0 == 0, s"tiny graph should take the local path")
+        assert(gotLocal == expected,
+          s"n=$n edges=$rawEdges (local): $gotLocal != expected")
+        // …and the distributed loop on the same graph
+        val (labels, rounds) = Similarity.connectedComponentsLoop(edges)
+        val got = labels.as[(Long, Long)].collect().toMap
+        labels.unpersist()
+        assert(got == expected,
+          s"n=$n edges=$rawEdges rounds=$rounds (loop): $got != expected")
       }
     }
   }

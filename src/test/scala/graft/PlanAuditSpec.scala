@@ -170,12 +170,14 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   /** Regression guard for the r3 plan-bloat fix: ResultCache entries
-    * are eager localCheckpoints, so a CONSUMER of a cached frame must
-    * see a LogicalRDD block scan — a handful of plan nodes — not the
-    * build's full LSH lineage (measured 2.78 s of driver re-analysis
-    * per action vs 0.24 s execution before the fix). If someone swaps
-    * the checkpoint back to a persist, the consumer's analyzed plan
-    * re-inherits the whole build tree and this count explodes. */
+    * are plan-truncated (the result rows lifted into an RDD[Row] leaf;
+    * r5 swapped the lineage-less localCheckpoint for this rebuildable
+    * form), so a CONSUMER of a cached frame must see a LogicalRDD
+    * scan — a handful of plan nodes — not the build's full LSH lineage
+    * (measured 2.78 s of driver re-analysis per action vs 0.24 s
+    * execution before the fix). If someone hands the builder's own
+    * frame back out, the consumer's analyzed plan re-inherits the
+    * whole build tree and this count explodes. */
   test("a ResultCache consumer's plan is a bounded block scan, not the build lineage") {
     graft.sources.ResultCache.clear()
     val pairs = graft.operators.Similarity.neardupPairs(spark, sf0001)
@@ -184,7 +186,7 @@ class PlanAuditSpec extends SparkSpec {
     // the cached frame itself: exactly a LogicalRDD leaf
     assert(pairs.queryExecution.logical
         .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
-      "cached entry is not a checkpoint scan — plan-bloat fix regressed")
+      "cached entry is not an RDD leaf scan — plan-bloat fix regressed")
     // a downstream consumer (the degree diagnostic's shape): filter +
     // projection + union + agg over the scan — generously bounded at 25
     // nodes; the pre-fix lineage (shingle explode + distinct + bands +

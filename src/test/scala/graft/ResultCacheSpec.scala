@@ -20,16 +20,21 @@ class ResultCacheSpec extends SparkSpec {
     assert(ResultCache.key("abc") == "900150983cd24fb0d6963f7d28e17f72")
   }
 
-  /** Entries are eager localCheckpoints (lineage-truncated), so their
-    * blocks hang off the checkpoint RDD, not the CacheManager — "is it
-    * pinned" must probe the RDD's storage level. */
-  private def pinned(df: org.apache.spark.sql.DataFrame): Boolean =
-    df.queryExecution.logical match {
+  /** "Is it pinned" probes BOTH storage homes: the Dataset-level
+    * persist (CacheManager — where current entries' serving copies
+    * live) and the LogicalRDD's underlying RDD (where the r4-era
+    * checkpoint blocks lived — kept so the probe stays honest for any
+    * frame persisted either way). */
+  private def pinned(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val atDataset =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val atRdd = df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
-      case _ =>
-        df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+      case _ => false
     }
+    atDataset || atRdd
+  }
 
   test("S6: second lookup within TTL is a hit — build runs once") {
     var now = 1_000_000L
@@ -119,9 +124,9 @@ class ResultCacheSpec extends SparkSpec {
         s"$n still pinned after TTL expiry + sweep — cache leak") }
   }
 
-  /** Checkpointed entries have no recompute path, so a frame handed
-    * out while fresh must stay READABLE for the grace window after its
-    * TTL lapses — release is deferred, not skipped (round-3 advice). */
+  /** A frame handed out while fresh keeps serving from BLOCKS for the
+    * grace window after its TTL lapses — release is deferred, not
+    * skipped (round-3 advice); past grace, actions recompute (below). */
   test("S6: a replaced entry's blocks survive the swap for the grace window") {
     var now = 1_000_000L
     ResultCache.clock = () => now
@@ -130,14 +135,57 @@ class ResultCacheSpec extends SparkSpec {
     now += 2 * 1000
     ResultCache.getOrCompute("filters-grace", 300)(Seq(2).toDF("x"))
     assert(pinned(stale),
-      "stale frame released at swap — an in-flight reader would hit " +
-      "'checkpoint block not found' (lineage is truncated)")
+      "stale frame released at swap — an in-flight reader should have " +
+      "finished from blocks, not paid a recompute")
     assert(stale.collect().map(_.getInt(0)).sameElements(Array(1)),
       "stale frame no longer readable during its grace window")
     // past expiry + grace: the sweep (triggered by any lookup) frees it
     now += ResultCache.graceMs + 1000
     ResultCache.getOrCompute("filters-grace2", 300)(Seq(3).toDF("x"))
     assert(!pinned(stale), "retired frame never released after grace")
+  }
+
+  /** r4 brief #5 — REBUILD-ON-MISS: a consumer that holds a cached
+    * frame longer than expiry + grace must get a RECOMPUTE on its next
+    * action, not "block not found". The entry's row RDD keeps its full
+    * physical lineage (the builder "closure" stored inside the frame),
+    * so acting on a fully-released frame re-runs the build. */
+  test("S6: acting on a frame past expiry + grace recomputes instead of failing") {
+    var now = 1_000_000L
+    ResultCache.clock = () => now
+    var builds = 0
+    val held = ResultCache.getOrCompute("filters-rebuild", 1) {
+      builds += 1; Seq(7, 8, 9).toDF("x")
+    }
+    assert(held.collect().map(_.getInt(0)).sorted.sameElements(Array(7, 8, 9)))
+    // expire PAST the grace window, then force the sweep + drain via an
+    // unrelated lookup: the held frame's blocks are now fully released
+    now += (1 + 301) * 1000 + ResultCache.graceMs
+    ResultCache.getOrCompute("filters-rebuild-other", 300)(Seq(1).toDF("x"))
+    assert(!pinned(held), "blocks should be fully released past grace")
+    // the SAME previously-obtained frame still answers — by recompute
+    assert(held.collect().map(_.getInt(0)).sorted.sameElements(Array(7, 8, 9)),
+      "previously-obtained frame failed after release — no rebuild path")
+  }
+
+  /** retire() itself drains (r4 advice): a retirement must free
+    * past-grace retirees even while the 30 s sweep throttle blocks the
+    * lookup-path drain. */
+  test("S6: retire() drains without waiting for a sweep") {
+    var now = 1_000_000L
+    ResultCache.clock = () => now
+    ResultCache.graceMs = 1000
+    // this lookup also runs the throttled sweep (arming its 30 s timer)
+    val first = ResultCache.getOrCompute("filters-drain", 1)(Seq(1).toDF("x"))
+    assert(pinned(first))
+    // 3 s later: the entry is expired AND past its 1 s grace, but the
+    // sweep is still throttled (3 s < 30 s) — only the drain inside
+    // retire() can free it on this same-key rebuild
+    now += 3 * 1000
+    ResultCache.getOrCompute("filters-drain", 300)(Seq(2).toDF("x"))
+    assert(!pinned(first),
+      "retire() did not drain a past-grace retiree while the sweep " +
+      "was throttled")
   }
 
   test("S6: evictAll releases every entry immediately") {

@@ -209,7 +209,9 @@ class TextSimilaritySpec extends SparkSpec {
     val chain = (0L until (n - 1).toLong).map(i => (i, i + 1))
     val pairs = chain.toDF("src", "dst")
     val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
-    val (labels, rounds) = Similarity.connectedComponents(edges)
+    // the LOOP explicitly: the size gate would route a 2k-edge chain
+    // to the driver-side union-find and never exercise pointer jumping
+    val (labels, rounds) = Similarity.connectedComponentsLoop(edges)
     val got = labels.as[(Long, Long)].collect().toMap
     labels.unpersist()
     assert(got.size == n)
@@ -218,14 +220,29 @@ class TextSimilaritySpec extends SparkSpec {
       s"chain of $n vertices took $rounds rounds — pointer jumping broken?")
   }
 
+  test("N2: size-gated local components ≡ the distributed loop") {
+    val raw = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L),
+      (10L, 11L), (3L, 11L))
+    val pairs = raw.toDF("src", "dst")
+    val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+    val (local, r0) = Similarity.connectedComponents(edges)
+    assert(r0 == 0, "a 14-edge graph should take the local union-find path")
+    val m0 = local.as[(Long, Long)].collect().toMap
+    local.unpersist()
+    val (looped, _) = Similarity.connectedComponentsLoop(edges)
+    val m1 = looped.as[(Long, Long)].collect().toMap
+    looped.unpersist()
+    assert(m0 == m1, "local union-find and the loop disagree on labels")
+  }
+
   test("N2: connected components are invariant to input partitioning") {
     val raw = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (10L, 11L))
     val pairs = raw.toDF("src", "dst")
     val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
-    val (l1, _) = Similarity.connectedComponents(edges.repartition(1))
+    val (l1, _) = Similarity.connectedComponentsLoop(edges.repartition(1))
     val m1 = l1.as[(Long, Long)].collect().toMap
     l1.unpersist()
-    val (l7, _) = Similarity.connectedComponents(edges.repartition(7))
+    val (l7, _) = Similarity.connectedComponentsLoop(edges.repartition(7))
     val m7 = l7.as[(Long, Long)].collect().toMap
     l7.unpersist()
     assert(m1 == m7, "labels depend on physical partitioning")
@@ -247,7 +264,7 @@ class TextSimilaritySpec extends SparkSpec {
     try {
       for (parts <- Seq("4", "8", "32")) {
         spark.conf.set("spark.sql.shuffle.partitions", parts)
-        val (labels, _) = Similarity.connectedComponents(edges)
+        val (labels, _) = Similarity.connectedComponentsLoop(edges)
         val got = labels.as[(Long, Long)].collect().toMap
         labels.unpersist()
         assert(got == expect, s"wrong labels at session conf $parts")

@@ -1208,10 +1208,11 @@ object Similarity {
   // lookups + 3 adds — no float math against the corpus at all. At
   // 100 TB the codes table is what fits in memory when the raw
   // vectors cannot, and the scan is a map-only probe of broadcast
-  // tables. Codebooks here are the deterministic seed subvectors
-  // (vec_id < PqK), like the IVF seeds, so every step is
-  // oracle-checkable; a production build would Lloyd-refine each
-  // subspace codebook with kmeansCentroidsR's machinery.
+  // tables. SEED codebooks are the deterministic first-PqK subvectors
+  // (like the IVF seeds); the LEARNED family below Lloyd-refines each
+  // subspace codebook (one M-step, fixed-point-deterministic) and is
+  // graded alongside — pq_recall reports both, so the quantization
+  // loss the refinement recovers is itself oracle-checked.
   // -----------------------------------------------------------------
   private[graft] val PqM = 4   // subspaces
   private[graft] val PqK = 16  // codebook entries per subspace
@@ -1349,6 +1350,135 @@ object Similarity {
       .limit(k)
   }
 
+  // ---------------- LEARNED PQ CODEBOOK (r4 brief #3) ----------------
+  // One Lloyd M-step per subspace over the seed assignment: learned
+  // entry (m, code) = MEAN of the m-th subvectors of every vector the
+  // seed encode assigned to `code`. This turns seed-PQ into real PQ —
+  // the codebook adapts to the data distribution — while staying
+  // exactly oracle-checkable.
+  //
+  // DETERMINISM: a float mean is fold-order-dependent, so sums here
+  // are FIXED-POINT — each element contributes round(x · 2²⁰) as a
+  // LONG, and integer addition commutes, so ANY partition/merge order
+  // (and either engine) lands on the identical sum. ×2²⁰ is a power
+  // of two (exact in floating point); the ~5e-7 quantization of the
+  // mean is far below any codebook-quality signal. Unlike the kmeans
+  // M-step's sorted-member-list fold (bounded there by ~√N members
+  // per cluster), this shape keeps TRUE partial aggregation — per-
+  // (m, code, dim) long sums — so it survives unbounded cluster sizes
+  // (N/PqK members at 100 TB).
+
+  /** Fixed-point scale for the learned-codebook sums (2²⁰). */
+  private[graft] val PqScale: Long = 1L << 20
+
+  /** Seed assignment in long form: (vec_id, m, code). */
+  private def pqAssignLong(spark: SparkSession, dir: String): DataFrame =
+    pqCodes(spark, dir).select(col("vec_id"),
+      explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"), col(s"c$m").as("code"))): _*)).as("mc"))
+      .select(col("vec_id"), col("mc.m").as("m"), col("mc.code").as("code"))
+
+  /** Learned per-subspace codebook: (m, code, n_members, cv[PqSub]
+    * as exact doubles). ResultCache-shared — the graded codebook dump,
+    * the learned encode, and the learned ADC table all read it. */
+  private[graft] def pqCodebookLearned(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|pq_lcb|$dir",
+      ttlSeconds = 300) {
+      val e = Tables(spark, dir, "embeddings")
+      val flat = pqAssignLong(spark, dir).join(e, Seq("vec_id"))
+        .select(col("m"), col("code"), col("embedding"),
+          explode(expr(s"sequence(1, $PqSub)")).as("j"))
+        .select(col("m"), col("code"), col("j"),
+          expr(s"CAST(round(CAST(element_at(embedding, m * $PqSub + j) AS DOUBLE)" +
+            s" * CAST($PqScale AS DOUBLE)) AS BIGINT)").as("fix"))
+        .groupBy(col("m"), col("code"), col("j"))
+        .agg(sum(col("fix")).as("sfix"), count(lit(1)).as("n"))
+      flat.groupBy(col("m"), col("code"))
+        .agg(max(col("n")).as("n_members"),
+          expr(s"transform(sort_array(collect_list(struct(j, sfix, n))), " +
+            s"s -> CAST(s.sfix AS DOUBLE) / s.n / CAST($PqScale AS DOUBLE))").as("cv"))
+    }
+
+  /** GRADED learned-codebook dump: one row per (m, code, dim) with the
+    * member count and the 6-dp entry value — flat scalars, so the hash
+    * compare grades every learned float. */
+  def pqCodebookLearnedFlat(spark: SparkSession, dir: String): DataFrame =
+    pqCodebookLearned(spark, dir)
+      .select(col("m"), col("code"), col("n_members"),
+        posexplode(col("cv")).as(Seq("j0", "v")))
+      .select(col("m"), col("code"), (col("j0") + 1).cast("bigint").as("j"),
+        col("n_members"),
+        graft.functions.ScalarFns.roundN(col("v"), 6).as("cvj"))
+      .orderBy("m", "code", "j")
+
+  /** Subspace squared L2 of `x`'s m-th slice (m = row column) against
+    * a PqSub-dim codebook array `c` — left-to-right fold like
+    * [[sqDistExpr]], so argmin ties break identically cross-engine. */
+  private def subDistExpr(x: String, c: String): String =
+    s"aggregate(sequence(1, $PqSub), CAST(0.0 AS DOUBLE), (acc, j) -> acc + " +
+      s"(CAST(element_at($x, m * $PqSub + j) AS DOUBLE) - element_at($c, j)) * " +
+      s"(CAST(element_at($x, m * $PqSub + j) AS DOUBLE) - element_at($c, j)))"
+
+  /** Encode under the LEARNED codebook — same argmin shape as
+    * [[pqCodes]], codebook rows are (m, code, cv-subspace). */
+  def pqCodesLearned(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|pq_codes_learned|$dir",
+      ttlSeconds = 300) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id", "m").orderBy(col("d"), col("code"))
+      val enc = fanOut(spark, Tables(spark, dir, "embeddings"), key = "vec_id")
+        .crossJoin(broadcast(pqCodebookLearned(spark, dir)))
+        .select(col("vec_id"), col("m"), col("code"),
+          expr(subDistExpr("embedding", "cv")).as("d"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val codeCols = (0 until PqM).map(m =>
+        max(when(col("m") === m, col("code"))).as(s"c$m"))
+      enc.groupBy(col("vec_id"))
+        .agg(codeCols.head, codeCols.tail: _*)
+        .orderBy("vec_id")
+    }
+
+  /** ADC top-k under the learned codebook; `cands` (if given) is the
+    * IVF coarse-routing prune — None scores the whole code table. */
+  private def adcLearnedTopk(spark: SparkSession, dir: String, k: Int,
+      cands: Option[DataFrame]): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val dt = pqCodebookLearned(spark, dir).crossJoin(broadcast(q))
+      .select(col("m"), col("code"), expr(subDistExpr("qv", "cv")).as("qd"))
+    val base0 = pqCodesLearned(spark, dir).filter(col("vec_id") =!= 0)
+    val base = cands.map(c => base0.join(broadcast(c), Seq("vec_id")))
+      .getOrElse(base0)
+    val scored = (0 until PqM).foldLeft(base) { (acc, m) =>
+      acc.join(
+        broadcast(dt.filter(col("m") === m)
+          .select(col("code").as(s"c$m"), col("qd").as(s"qd$m"))),
+        Seq(s"c$m"))
+    }
+    scored.select(col("vec_id"),
+        graft.functions.ScalarFns.roundN(
+          col("qd0") + col("qd1") + col("qd2") + col("qd3"), 6)
+          .as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** GRADED learned-ADC top-k (exhaustive over the code table). */
+  def pqTopkLearned(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    adcLearnedTopk(spark, dir, k, None)
+
+  /** Learned IVFADC: coarse IVF routing + learned-codebook ADC. */
+  def ivfPqTopkLearned(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val assign = ivfAssign(spark, dir)
+    val qBucket = assign.filter(col("vec_id") === 0).select(col("cid"))
+    val cands = assign.join(broadcast(qBucket), Seq("cid"))
+      .filter(col("vec_id") =!= 0).select(col("vec_id"))
+    adcLearnedTopk(spark, dir, k, Some(cands))
+  }
+
   /** N3 ANN QUALITY diagnostic — recall@k of [[ivfPqTopk]] against the
     * EXACT squared-L2 top-k (same metric ADC approximates, same pinned
     * fold, so the baseline is apples-to-apples): |approx ∩ exact| / k.
@@ -1382,6 +1512,14 @@ object Similarity {
       .unionByName(recallOf("ivfadc", ivfPqTopk(spark, dir, k)))
       .unionByName(recallOf("ivfadc_probe2",
         ivfPqTopk(spark, dir, k, nprobe = 2)))
+      // the LEARNED-codebook twins (r5): adc_exhaustive vs
+      // adc_exhaustive_learned isolates how much quantization loss the
+      // per-subspace Lloyd step recovers; ivfadc_learned composes the
+      // learned codebook with the same coarse routing
+      .unionByName(recallOf("adc_exhaustive_learned",
+        pqTopkLearned(spark, dir, k)))
+      .unionByName(recallOf("ivfadc_learned",
+        ivfPqTopkLearned(spark, dir, k)))
       .orderBy("method")
   }
 
@@ -1489,6 +1627,9 @@ object Similarity {
     "pq_topk"           -> ((s: SparkSession, d: String) => pqTopk(s, d)),
     "ivfpq_topk"        -> ((s: SparkSession, d: String) => ivfPqTopk(s, d)),
     "pq_recall"         -> ((s: SparkSession, d: String) => pqRecall(s, d)),
+    "pq_codebook_learned" -> (pqCodebookLearnedFlat _),
+    "pq_codes_learned"  -> (pqCodesLearned _),
+    "pq_topk_learned"   -> ((s: SparkSession, d: String) => pqTopkLearned(s, d)),
     "cosine_topk"       -> ((s: SparkSession, d: String) => cosineTopk(s, d)),
     "cosine_topk_ivf"   -> ((s: SparkSession, d: String) => cosineTopkIvf(s, d)),
     "cosine_topk_ivf2"  -> ((s: SparkSession, d: String) => cosineTopkIvfProbed(s, d)),
@@ -1597,6 +1738,74 @@ object Similarity {
        |  WHERE rn = 1),
        |wide AS (SELECT vec_id, $wideCols FROM enc GROUP BY 1)""".stripMargin
   }
+
+  /** DuckDB subspace squared-L2: `x`'s m-th slice (m = row column of
+    * the joined codebook) vs PqSub-dim array `c` — the [[subDistExpr]]
+    * twin, identical fold. */
+  private def duckSubDist(x: String, c: String): String =
+    s"list_reduce(list_transform(generate_series(1, $PqSub), j -> " +
+      s"(CAST($x[m * $PqSub + j] AS DOUBLE) - $c[j]) * " +
+      s"(CAST($x[m * $PqSub + j] AS DOUBLE) - $c[j])), (a, b) -> a + b)"
+
+  /** Learned-codebook CTEs (require `enc` from [[pqCtes]]): fixed-point
+    * per-(m, code, dim) sums → exact-double means — the
+    * [[pqCodebookLearned]] twin. Ends with `lflat` and `lcb`. */
+  private def pqLearnedCbCtes: String =
+    s"""lflat AS (
+       |  SELECT en.m, en.code, t.j,
+       |    sum(CAST(round(CAST(e.embedding[en.m * $PqSub + t.j] AS DOUBLE)
+       |      * CAST($PqScale AS DOUBLE)) AS BIGINT)) AS sfix,
+       |    count(*) AS n
+       |  FROM enc en
+       |  JOIN embeddings e ON en.vec_id = e.vec_id
+       |  CROSS JOIN generate_series(1, $PqSub) AS t(j)
+       |  GROUP BY 1, 2, 3),
+       |lcb AS (
+       |  SELECT m, code,
+       |    list(CAST(sfix AS DOUBLE) / n / CAST($PqScale AS DOUBLE)
+       |         ORDER BY j) AS cv
+       |  FROM lflat GROUP BY 1, 2)""".stripMargin
+
+  /** Learned encode CTEs (require `lcb`): argmin over subspace
+    * distances → wide code table `lwide(vec_id, c0..c3)` — the
+    * [[pqCodesLearned]] twin. */
+  private def pqLearnedEncCtes: String = {
+    val wideCols = (0 until PqM).map(m =>
+      s"max(CASE WHEN m = $m THEN code END) AS c$m").mkString(", ")
+    s"""lpairs AS (
+       |  SELECT e.vec_id, c.m, c.code,
+       |    ${duckSubDist("e.embedding", "c.cv")} AS d
+       |  FROM embeddings e CROSS JOIN lcb c),
+       |lenc AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT vec_id, m, code,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+       |    FROM lpairs)
+       |  WHERE rn = 1),
+       |lwide AS (SELECT vec_id, $wideCols FROM lenc GROUP BY 1)""".stripMargin
+  }
+
+  /** Learned ADC distance table (requires `lcb` and `q(qv)`):
+    * `ldt(m, code, qd)`. */
+  private def pqLearnedDtCte: String =
+    s"""ldt AS (
+       |  SELECT c.m, c.code, ${duckSubDist("q.qv", "c.cv")} AS qd
+       |  FROM lcb c, q)""".stripMargin
+
+  /** The learned-ADC scored list (requires `lwide` + `ldt`):
+    * `ladc_all(vec_id, adc)` with the same 6-dp rounding and
+    * fixed-order sum as the seed path. */
+  private def pqLearnedAdcCte: String =
+    s"""ladc_all AS (
+       |  SELECT w.vec_id,
+       |    ${graft.functions.ScalarFns.roundSql(
+            "t0.qd + t1.qd + t2.qd + t3.qd", 6)} AS adc
+       |  FROM lwide w
+       |  JOIN ldt t0 ON t0.m = 0 AND w.c0 = t0.code
+       |  JOIN ldt t1 ON t1.m = 1 AND w.c1 = t1.code
+       |  JOIN ldt t2 ON t2.m = 2 AND w.c2 = t2.code
+       |  JOIN ldt t3 ON t3.m = 3 AND w.c3 = t3.code
+       |  WHERE w.vec_id <> 0)""".stripMargin
 
   /** DuckDB twin of [[splitOf]] over an arbitrary key expression. */
   private def duckSplitOf(key: String): String =
@@ -1827,6 +2036,30 @@ object Similarity {
     "pq_codes" ->
       s"""WITH $pqCtes
          |SELECT vec_id, c0, c1, c2, c3 FROM wide ORDER BY vec_id""".stripMargin,
+    // learned codebook dump: every (m, code, dim) mean value at 6 dp +
+    // the member count — the fixed-point sums make both engines land
+    // on the identical double before rounding
+    "pq_codebook_learned" ->
+      s"""WITH $pqCtes,
+         |$pqLearnedCbCtes
+         |SELECT m, code, j, n AS n_members,
+         |  ${graft.functions.ScalarFns.roundSql(
+              s"CAST(sfix AS DOUBLE) / n / CAST($PqScale AS DOUBLE)", 6)} AS cvj
+         |FROM lflat ORDER BY m, code, j""".stripMargin,
+    "pq_codes_learned" ->
+      s"""WITH $pqCtes,
+         |$pqLearnedCbCtes,
+         |$pqLearnedEncCtes
+         |SELECT vec_id, c0, c1, c2, c3 FROM lwide ORDER BY vec_id""".stripMargin,
+    "pq_topk_learned" ->
+      s"""WITH $pqCtes,
+         |$pqLearnedCbCtes,
+         |$pqLearnedEncCtes,
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |$pqLearnedDtCte,
+         |$pqLearnedAdcCte
+         |SELECT vec_id, adc AS adc_dist FROM ladc_all
+         |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
     // ADC: four table lookups + one FIXED-ORDER sum (never an agg over
     // the 4 terms — partition fold order could flip argmin ties)
     "pq_topk" ->
@@ -1912,6 +2145,15 @@ object Similarity {
          |approx_ivf2 AS (
          |  SELECT a.vec_id FROM adc_all a JOIN cands2 c ON a.vec_id = c.vec_id
          |  ORDER BY a.adc, a.vec_id LIMIT 10),
+         |$pqLearnedCbCtes,
+         |$pqLearnedEncCtes,
+         |$pqLearnedDtCte,
+         |$pqLearnedAdcCte,
+         |lapprox_ex AS (
+         |  SELECT vec_id FROM ladc_all ORDER BY adc, vec_id LIMIT 10),
+         |lapprox_ivf AS (
+         |  SELECT a.vec_id FROM ladc_all a JOIN cands c ON a.vec_id = c.vec_id
+         |  ORDER BY a.adc, a.vec_id LIMIT 10),
          |exact AS (
          |  SELECT e.vec_id,
          |    ${duckSqDist("e.embedding", "q.qv", 1, PqM * PqSub)} AS d
@@ -1925,7 +2167,13 @@ object Similarity {
          |  FROM exact x JOIN approx_ivf a ON x.vec_id = a.vec_id
          |  UNION ALL
          |  SELECT 'ivfadc_probe2', count(*)
-         |  FROM exact x JOIN approx_ivf2 a ON x.vec_id = a.vec_id)
+         |  FROM exact x JOIN approx_ivf2 a ON x.vec_id = a.vec_id
+         |  UNION ALL
+         |  SELECT 'adc_exhaustive_learned', count(*)
+         |  FROM exact x JOIN lapprox_ex a ON x.vec_id = a.vec_id
+         |  UNION ALL
+         |  SELECT 'ivfadc_learned', count(*)
+         |  FROM exact x JOIN lapprox_ivf a ON x.vec_id = a.vec_id)
          |SELECT method, CAST(10 AS BIGINT) AS k, n_hits,
          |  ${graft.functions.ScalarFns.roundSql(
               "CAST(n_hits AS DOUBLE) / 10", 2)} AS recall_at_k

@@ -5,7 +5,6 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{CollectionGenerator, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -31,7 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Gram VALUES are byte-identical to SQL `substring(lt, i, 9)` (both
   * slice by character) — asserted against the HOF form in
   * CharGramSpec. */
-final class CharGramArray(str: UTF8String, n: Int) extends ArrayData {
+final class CharGramArray(str: UTF8String, n: Int) extends StringArrayView {
   // null input ⇒ empty collection: Generator.nullable is FALSE, so the
   // codegen path hands the child's raw (possibly null) value straight
   // to this constructor — the null must become "zero grams" here, the
@@ -67,43 +66,6 @@ final class CharGramArray(str: UTF8String, n: Int) extends ArrayData {
     val s = charOff(i)
     val e = charOff(i + n)
     UTF8String.fromBytes(bytes, s, e - s)
-  }
-  override def isNullAt(i: Int): Boolean = false
-  override def array: Array[Any] =
-    Array.tabulate[Any](cnt)(getUTF8String)
-  override def copy(): ArrayData = new GenericArrayData(array)
-  override def setNullAt(i: Int): Unit =
-    throw new UnsupportedOperationException("CharGramArray is read-only")
-  override def update(i: Int, v: Any): Unit =
-    throw new UnsupportedOperationException("CharGramArray is read-only")
-  // only STRING elements exist in this array
-  private def unsupported(what: String): Nothing =
-    throw new UnsupportedOperationException(s"CharGramArray has string elements, not $what")
-  override def getBoolean(i: Int): Boolean = unsupported("boolean")
-  override def getByte(i: Int): Byte = unsupported("byte")
-  override def getShort(i: Int): Short = unsupported("short")
-  override def getInt(i: Int): Int = unsupported("int")
-  override def getLong(i: Int): Long = unsupported("long")
-  override def getFloat(i: Int): Float = unsupported("float")
-  override def getDouble(i: Int): Double = unsupported("double")
-  override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
-    unsupported("decimal")
-  override def getBinary(i: Int): Array[Byte] = unsupported("binary")
-  override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
-    unsupported("interval")
-  override def getStruct(i: Int, numFields: Int): InternalRow = unsupported("struct")
-  override def getArray(i: Int): ArrayData = unsupported("array")
-  override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData =
-    unsupported("map")
-  override def getVariant(i: Int): org.apache.spark.unsafe.types.VariantVal =
-    unsupported("variant")
-  override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal =
-    unsupported("geography")
-  override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
-    unsupported("geometry")
-  override def get(i: Int, dt: DataType): AnyRef = dt match {
-    case StringType => getUTF8String(i)
-    case _ => unsupported(dt.simpleString)
   }
 }
 

@@ -18,7 +18,9 @@ object PlanDump {
     "priority_sample", "rep_signals", "neardup_triangles",
     "fuzzy_name_match", "session_transitions",
     "kmeans_rounds", "kmeans_converged_assign", "revenue_by_nation_catalog",
-    "pq_topk", "ivfpq_topk", "split_audit")
+    "pq_topk", "ivfpq_topk", "split_audit",
+    "pq_codebook_learned", "pq_topk_learned", "kmeans_converged_rounds",
+    "orders_pruned_priority", "hourly_event_stats_streamed")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

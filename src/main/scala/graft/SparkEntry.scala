@@ -29,6 +29,8 @@ object SparkEntry {
       graft.sources.ResultCache.getOrCompute(
         s"${graft.sources.ResultCache.sessionId(s)}|segment_stats|$dir|${Segmentation.canonical.descriptor}",
         ttlSeconds = 300)(Segmentation.statsQuery(s, dir))),
+    // S1 partition pruning on the graded path (see Tables.scala)
+    "orders_pruned_priority" -> (Tables.ordersPrunedPriority _),
   ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
     EventOps.queries ++ CampaignOps.queries ++ TextOps.queries ++
     Similarity.queries ++ Curation.queries ++ TextSignals.queries ++
@@ -45,6 +47,7 @@ object SparkEntry {
     "segment_active_stats" -> Segmentation.activeStatsOracle,
     "segment_stats_empty"  -> Segmentation.emptyStatsOracle,
     "segment_stats_cached" -> Segmentation.statsOracle,
+    "orders_pruned_priority" -> Tables.ordersPrunedOracle,
   ) ++ Joins.oracles ++ Aggregates.oracles ++ Windows.oracles ++
     EventOps.oracles ++ CampaignOps.oracles ++ TextOps.oracles ++
     Similarity.oracles ++ Curation.oracles ++ TextSignals.oracles ++

@@ -31,6 +31,72 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
 
+  // ---------------------------------------------------------------
+  // S1's partition-pruning promise ON THE GRADED PATH (r4 brief #8).
+  // The driver corpus ships each table as a single parquet file, so a
+  // pruning query needs a partitioned materialization: `orders` is
+  // rewritten ONCE per (JVM, corpus dir) partitioned by
+  // o_orderpriority — the same once-per-JVM idiom as the streaming
+  // session-replay input — and the graded query scans it with a
+  // partition-column predicate, which Catalyst turns into a
+  // PartitionFilter (directories never listed) rather than a
+  // row-level DataFilter (PlanAuditSpec asserts both properties plus
+  // fewer files read than exist).
+  // ---------------------------------------------------------------
+  private val partitionedOrders =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val tmpDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private val hookInstalled =
+    new java.util.concurrent.atomic.AtomicBoolean()
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(); ()
+  }
+
+  /** The partitioned `orders` copy for `sfDir` (built on first use). */
+  def ordersPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = partitionedOrders.computeIfAbsent(sfDir, { _ =>
+      if (hookInstalled.compareAndSet(false, true))
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          var f = tmpDirs.poll()
+          while (f != null) { rmTree(f); f = tmpDirs.poll() }
+        }))
+      val f = java.nio.file.Files
+        .createTempDirectory("graft_orders_part_").toFile
+      tmpDirs.add(f)
+      apply(spark, sfDir, "orders")
+        .write.mode("overwrite").partitionBy("o_orderpriority")
+        .parquet(f.getAbsolutePath)
+      f.getAbsolutePath
+    })
+    spark.read.parquet(path)
+  }
+
+  /** GRADED partition-pruning query: aggregate ONE priority partition.
+    * The o_orderpriority predicate prunes at the directory level — at
+    * 100 TB this is the difference between listing/reading one
+    * partition and scanning the table. Oracle runs on the original
+    * single-file `orders` (same rows by construction). */
+  def ordersPrunedPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ordersPartitioned(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val ordersPrunedOracle: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Fan a scan out to every core iff the source yields fewer splits
     * than the default parallelism. CPU-bound per-row pipelines
     * (shingle/gram hashing, cosine-kernel sweeps, per-doc token

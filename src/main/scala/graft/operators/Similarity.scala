@@ -1358,7 +1358,7 @@ object Similarity {
   // exactly oracle-checkable.
   //
   // DETERMINISM: a float mean is fold-order-dependent, so sums here
-  // are FIXED-POINT — each element contributes round(x · 2²⁰) as a
+  // are FIXED-POINT — each element contributes floor(x · 2²⁰ + ½) as a
   // LONG, and integer addition commutes, so ANY partition/merge order
   // (and either engine) lands on the identical sum. ×2²⁰ is a power
   // of two (exact in floating point); the ~5e-7 quantization of the
@@ -1389,9 +1389,14 @@ object Similarity {
       val flat = pqAssignLong(spark, dir).join(e, Seq("vec_id"))
         .select(col("m"), col("code"), col("embedding"),
           explode(expr(s"sequence(1, $PqSub)")).as("j"))
+        // floor(x·scale + 0.5), never round(): Spark's round() goes
+        // through the double's SHORTEST DECIMAL representation while
+        // DuckDB rounds the binary value — the same divergence
+        // ScalarFns.roundN exists to avoid; floor is pure IEEE math,
+        // bit-identical on both engines (ContractSpec enforces this)
         .select(col("m"), col("code"), col("j"),
-          expr(s"CAST(round(CAST(element_at(embedding, m * $PqSub + j) AS DOUBLE)" +
-            s" * CAST($PqScale AS DOUBLE)) AS BIGINT)").as("fix"))
+          expr(s"CAST(floor(CAST(element_at(embedding, m * $PqSub + j) AS DOUBLE)" +
+            s" * CAST($PqScale AS DOUBLE) + 0.5D) AS BIGINT)").as("fix"))
         .groupBy(col("m"), col("code"), col("j"))
         .agg(sum(col("fix")).as("sfix"), count(lit(1)).as("n"))
       flat.groupBy(col("m"), col("code"))
@@ -1573,6 +1578,44 @@ object Similarity {
       rounds: Int = KmeansRounds): DataFrame =
     kmeansAssignR(spark, dir, rounds).orderBy("vec_id")
 
+  /** Convergence threshold + round cap for the graded control loop —
+    * shared by [[kmeansConverge]], [[kmeansConvergedRounds]] and the
+    * DuckDB oracle, so the stopping rule cannot drift between engines. */
+  private[graft] val KmeansEps: Double = 1e-4
+  private[graft] val KmeansMaxRounds: Int = 4
+
+  /** GRADED convergence run (r4 brief #4): the same control loop as
+    * [[kmeansConverge]], instrumented — one row (rounds_run,
+    * min_drift). The per-round decision thresholds the min of the
+    * 6-dp-ROUNDED per-cid drifts (the ADVICE lesson: decide on the
+    * value both engines provably share, never a raw double near a
+    * boundary); the oracle unrolls [[KmeansMaxRounds]] E+M pairs and
+    * applies the identical rule, so the loop's stopping decision is
+    * itself hash-checked. Rounds past the stopping point are never
+    * computed on the Spark side (the oracle, being one SQL statement,
+    * evaluates its full chain — only the picked row is compared). */
+  def kmeansConvergedRounds(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    var r = 1
+    var minDrift = 0.0
+    var converged = false
+    while (!converged && r <= KmeansMaxRounds) {
+      val prev =
+        if (r == 1) e.select(col("vec_id").as("cid"), col("embedding").as("pv"))
+        else kmeansCentroidsR(spark, dir, r - 1)
+          .select(col("cid"), col("cv").as("pv"))
+      minDrift = kmeansCentroidsR(spark, dir, r).join(prev, Seq("cid"))
+        .agg(min(graft.functions.ScalarFns.roundN(
+          expr("cosine_sim(pv, cv)"), 6)))
+        .first().getDouble(0)
+      if (minDrift >= 1.0 - KmeansEps) converged = true else r += 1
+    }
+    val rounds = math.min(r, KmeansMaxRounds)
+    import spark.implicits._
+    Seq((rounds.toLong, minDrift)).toDF("rounds_run", "min_drift")
+  }
+
   /** Iterate-to-convergence driver (the production control loop the
     * graded fixed-round queries freeze): run Lloyd rounds until the
     * MINIMUM per-centroid drift reaches 1−eps (cosine 1 = unmoved) or
@@ -1581,7 +1624,7 @@ object Similarity {
     * per-round driver action is ONE scalar (the min drift), never
     * data. Returns (frozen centroids, rounds run). */
   def kmeansConverge(spark: SparkSession, dir: String,
-      eps: Double = 1e-4, maxRounds: Int = 8): (DataFrame, Int) = {
+      eps: Double = KmeansEps, maxRounds: Int = KmeansMaxRounds): (DataFrame, Int) = {
     graft.plans.VectorExpressions.register(spark)
     val e = Tables(spark, dir, "embeddings")
     var r = 1
@@ -1637,6 +1680,7 @@ object Similarity {
     "cosine_topk_kmeans" -> ((s: SparkSession, d: String) => cosineTopkKmeans(s, d)),
     "kmeans_shift"      -> (kmeansShift _),
     "kmeans_rounds"     -> ((s: SparkSession, d: String) => kmeansRoundDrift(s, d)),
+    "kmeans_converged_rounds" -> (kmeansConvergedRounds _),
     "kmeans_converged_assign" ->
       ((s: SparkSession, d: String) => kmeansConvergedAssign(s, d)),
     "embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNeardup(s, d)),
@@ -1698,6 +1742,25 @@ object Similarity {
   private def kmeansCteR(rounds: Int): String =
     s"$ivfCte,\n" + (1 to rounds).map(kmeansRoundCte).mkString(",\n")
 
+  /** `drift_all(round, cid, drift)` for rounds 1..`rounds` (requires
+    * the [[kmeansCteR]] chain): per-cid 6-dp cosine drift, round r vs
+    * its predecessor (seed embedding for r = 1) — shared by the
+    * trajectory oracle and the convergence-loop oracle. */
+  private def duckDriftAllCte(rounds: Int): String =
+    s"""drift_all AS (
+       |${(1 to rounds).map { r =>
+            val prevRel =
+              if (r == 1) "embeddings p" else s"cent${r - 1} p"
+            val prevKey = if (r == 1) "p.vec_id" else "p.cid"
+            val prevVec = if (r == 1) "p.embedding" else "p.cv"
+            s"""  SELECT CAST($r AS BIGINT) AS round, c.cid,
+               |    ${graft.functions.ScalarFns.roundSql(
+                    s"""${duckDot(prevVec, "c.cv")}
+                       |      / (sqrt(${duckDot(prevVec, prevVec)})
+                       |         * sqrt(${duckDot("c.cv", "c.cv")}))""".stripMargin, 6)} AS drift
+               |  FROM cent$r c JOIN $prevRel ON $prevKey = c.cid""".stripMargin
+          }.mkString("\n  UNION ALL\n")})""".stripMargin
+
   /** Single-round instance (ends with `cent1`/`assign1`) — used by the
     * one-round oracles unchanged. */
   private def kmeansCte: String = kmeansCteR(1)
@@ -1753,8 +1816,8 @@ object Similarity {
   private def pqLearnedCbCtes: String =
     s"""lflat AS (
        |  SELECT en.m, en.code, t.j,
-       |    sum(CAST(round(CAST(e.embedding[en.m * $PqSub + t.j] AS DOUBLE)
-       |      * CAST($PqScale AS DOUBLE)) AS BIGINT)) AS sfix,
+       |    sum(CAST(floor(CAST(e.embedding[en.m * $PqSub + t.j] AS DOUBLE)
+       |      * CAST($PqScale AS DOUBLE) + 0.5) AS BIGINT)) AS sfix,
        |    count(*) AS n
        |  FROM enc en
        |  JOIN embeddings e ON en.vec_id = e.vec_id
@@ -2301,21 +2364,27 @@ object Similarity {
     // embedding for r = 1 — identical formula to kmeans_shift)
     "kmeans_rounds" ->
       s"""${kmeansCteR(KmeansRounds)},
-         |drift_all AS (
-         |${(1 to KmeansRounds).map { r =>
-              val prevRel =
-                if (r == 1) "embeddings p" else s"cent${r - 1} p"
-              val prevKey = if (r == 1) "p.vec_id" else "p.cid"
-              val prevVec = if (r == 1) "p.embedding" else "p.cv"
-              s"""  SELECT CAST($r AS BIGINT) AS round, c.cid,
-                 |    ${graft.functions.ScalarFns.roundSql(
-                      s"""${duckDot(prevVec, "c.cv")}
-                         |      / (sqrt(${duckDot(prevVec, prevVec)})
-                         |         * sqrt(${duckDot("c.cv", "c.cv")}))""".stripMargin, 6)} AS drift
-                 |  FROM cent$r c JOIN $prevRel ON $prevKey = c.cid""".stripMargin
-            }.mkString("\n  UNION ALL\n")})
+         |${duckDriftAllCte(KmeansRounds)}
          |SELECT round, cid, drift FROM drift_all
          |ORDER BY round, cid""".stripMargin,
+    // the CONVERGENCE CONTROL LOOP graded (r4 brief #4): unroll
+    // KmeansMaxRounds E+M pairs, per-round min 6-dp drift, rounds_run =
+    // first round at/above 1−eps (or the cap) — the oracle applies the
+    // identical threshold to the identical rounded drifts, so the
+    // loop's stopping decision itself is hash-checked
+    "kmeans_converged_rounds" ->
+      s"""${kmeansCteR(KmeansMaxRounds)},
+         |${duckDriftAllCte(KmeansMaxRounds)},
+         |mins AS (
+         |  SELECT round, min(drift) AS d FROM drift_all GROUP BY 1),
+         |conv AS (
+         |  SELECT min(round) AS rc FROM mins WHERE d >= 1.0 - $KmeansEps),
+         |pick AS (
+         |  SELECT COALESCE(rc, CAST($KmeansMaxRounds AS BIGINT)) AS rounds_run
+         |  FROM conv)
+         |SELECT p.rounds_run, m.d AS min_drift
+         |FROM pick p JOIN mins m ON m.round = p.rounds_run
+         |ORDER BY rounds_run""".stripMargin,
     "kmeans_converged_assign" ->
       s"""${kmeansCteR(KmeansRounds)}
          |SELECT vec_id, cid FROM assign$KmeansRounds

@@ -26,13 +26,14 @@ import org.apache.spark.sql.streaming.Trigger
   *    bounded-replay trigger (a production deployment would run the
   *    identical plan unbounded with the memory sink swapped for
   *    kafka/delta);
-  *  - Complete output mode: the sink holds the full aggregate, so the
-  *    final table is deterministic regardless of how the source chops
-  *    files into micro-batches (decimal sums — no float fold order);
-  *  - the memory sink collects only the AGGREGATE (windows × types
-  *    rows), never raw events — `dedup_streamed`, whose result is
-  *    row-per-event, runs through a parquet FILE sink instead, so its
-  *    rows never live on the driver.
+  *  - bounded replays are deterministic regardless of how the source
+  *    chops files into micro-batches (decimal sums — no float fold
+  *    order);
+  *  - memory sinks serve only SMALL-aggregate and update/complete-mode
+  *    replays (file sinks are append-only); every row-heavy graded
+  *    replay (`dedup_streamed`, `hourly_event_stats_streamed`,
+  *    `session_stats_streamed`) drains through a parquet FILE sink +
+  *    checkpoint, so its rows never live on the driver (r4 brief #7).
   *
   * Like the LSH pair build, CONSTRUCTING this frame executes work (the
   * streaming query must finish before the sink table exists) — the
@@ -132,11 +133,51 @@ object StreamReplay {
     f.getAbsolutePath
   }
 
-  def hourlyEventStatsStreamed(spark: SparkSession, dir: String): DataFrame =
-    replayEvents(spark, dir)(StreamOps.tumblingCounts(_))
+  /** Shared parquet-sink drain for APPEND-mode replays (r4 brief #7):
+    * stream into a fresh file-sink directory with a checkpoint, then
+    * read the COMMITTED files back (resolved through the sink's
+    * `_spark_metadata` transaction log, exactly as a downstream batch
+    * consumer would) — the graded rows never live on the driver. File
+    * sinks are append-only, so complete/update-mode replays (small
+    * aggregates + the update-regime showcase) stay on the memory
+    * sink by necessity; every row-heavy graded replay drains here. */
+  private def drainToParquet(df: DataFrame, prefix: String): DataFrame = {
+    val ss = df.sparkSession
+    val out = newReplayDir(s"graft_${prefix}_out_")
+    val query = df.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", newReplayDir(s"graft_${prefix}_ckpt_"))
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try query.awaitTermination() finally query.stop()
+    ss.read.parquet(out)
+  }
+
+  /** ST7 through the PRODUCTION sink shape (r4 brief #7 — this result
+    * is 3k+ rows): APPEND-mode windowed aggregate into a parquet file
+    * sink. Append emits a window exactly once, when the watermark
+    * passes its end — so the replay streams the sentinel-augmented
+    * input ([[sessionReplayInput]]): the far-future sentinel advances
+    * the final watermark past every real window's end and flushes them
+    * all, while its own window (ending after the final watermark) is
+    * never emitted. The flushed set is exactly the batch aggregate, so
+    * the batch oracle grades it verbatim. */
+  def hourlyEventStatsStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val ss = replaySession(spark)
+    val input = sessionReplayInput(ss, dir)
+    val stream = ss.readStream
+      .schema(ss.read.parquet(input).schema)
+      .parquet(input)
+    drainToParquet(StreamOps.tumblingCounts(stream), "hourly")
+      // defensive only: the sentinel's own window cannot flush (its end
+      // is past the final watermark), so no sentinel row exists to drop;
+      // null-safe so real NULL event_type groups survive
+      .filter(!(col("event_type") <=> lit("graft_sentinel")))
       .select(col("window_start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
       .orderBy("hour_start", "event_type")
+  }
 
   /** ST3 on the driver's path: the SLIDING-window rate limit as a real
     * streaming execution. Unlike the batch `sliding_rate_limit` twin (a
@@ -153,8 +194,9 @@ object StreamReplay {
       .orderBy("window_start", "user_id")
 
   /** ST7 in UPDATE mode — the third of Spark's three emission regimes
-    * on the driver's graded path (complete: `hourly_event_stats
-    * _streamed`; append: `session_stats_streamed`): the sink receives
+    * on the driver's graded path (complete: `enriched_events
+    * _streamed`; append: `hourly_event_stats_streamed` and
+    * `session_stats_streamed`): the sink receives
     * only the aggregate rows CHANGED by each micro-batch — the regime a
     * dashboard or upsert sink runs. A bounded single-file replay
     * touches every window exactly once (one data batch changes all
@@ -192,9 +234,8 @@ object StreamReplay {
     * FILE sink with a checkpoint location, then the COMMITTED files
     * (listed via the sink's `_spark_metadata` transaction log, exactly
     * as a downstream batch consumer would) read back as the graded
-    * frame. Unlike the memory-sink replays above — whose results are
-    * small aggregates — this result is row-per-event and never lives
-    * on the driver.
+    * frame. This result is row-per-event and never lives on the
+    * driver.
     *
     * Duplicate injection WITHOUT a corpus rewrite: TWO file-source
     * branches over the same events file, unioned — every event arrives
@@ -213,18 +254,7 @@ object StreamReplay {
     val deduped = StreamOps.dedupWithinWatermark(doubled)
       .select(col("event_id"), col("user_id"), col("ts"),
         col("event_type"), col("value"))
-    val out = newReplayDir("graft_dedup_out_")
-    val query = deduped.writeStream.format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", newReplayDir("graft_dedup_ckpt_"))
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try query.awaitTermination() finally query.stop()
-    // batch read of a streaming-sink directory resolves the committed
-    // file set through _spark_metadata — uncommitted/partial files are
-    // invisible, the exactly-once handoff a downstream job relies on
-    ss.read.parquet(out).orderBy("event_id")
+    drainToParquet(deduped, "dedup").orderBy("event_id")
   }
 
   /** ST7 session windows in APPEND mode — the production emission
@@ -262,6 +292,11 @@ object StreamReplay {
         .crossJoin(broadcast(batch.agg(max(col("ts")).as("mx"))))
         .withColumn("ts", expr("mx + INTERVAL 1 YEAR"))
         .withColumn("user_id", lit(-1L))
+        // marker type: lets window-keyed replays (hourly append) drop
+        // any sentinel-derived aggregate row without touching real
+        // NULL-typed events; session replays key on user_id and filter
+        // the -1 sentinel user instead
+        .withColumn("event_type", lit("graft_sentinel"))
         .select(batch.columns.toIndexedSeq.map(col): _*)
       val path = newReplayDir("graft_session_replay_")
       batch.unionByName(sentinel).coalesce(1)
@@ -282,7 +317,9 @@ object StreamReplay {
     // the flush silently loses the trailing sessions (observed: the
     // corpus-max session missing). Filter the SINK output instead;
     // the sentinel's own never-closed session is not emitted anyway.
-    drainToTable(StreamOps.sessionCounts(stream), "append")
+    // Parquet-sink drain (r4 brief #7): ~10k session rows at sf0.1
+    // never live on the driver.
+    drainToParquet(StreamOps.sessionCounts(stream), "session")
       .filter(col("user_id") >= 0)
       .select(col("session_start"), col("session_end"),
         col("user_id"), col("n_events"))

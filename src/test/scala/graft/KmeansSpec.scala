@@ -49,4 +49,15 @@ class KmeansSpec extends SparkSpec {
     assert(rStrict >= 2, "a strict eps must force multiple rounds")
     assert(rStrict <= 3 && cent.count() > 0)
   }
+
+  test("graded convergence twin ≡ the production loop at the shared eps/cap") {
+    val (_, rLoop) = Similarity.kmeansConverge(spark, sf0001)
+    val row = Similarity.kmeansConvergedRounds(spark, sf0001)
+      .as[(Long, Double)].collect().head
+    assert(row._1 == rLoop.toLong,
+      s"graded rounds_run ${row._1} != loop's $rLoop")
+    assert(row._2 >= 1.0 - Similarity.KmeansEps || rLoop == Similarity.KmeansMaxRounds,
+      "a converged run must report min_drift at/above the threshold")
+    assert(row._2 > 0.0 && row._2 <= 1.0)
+  }
 }

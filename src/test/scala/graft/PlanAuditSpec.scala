@@ -124,6 +124,35 @@ class PlanAuditSpec extends SparkSpec {
       s"lang filter leaked into data filters:\n$plan")
   }
 
+  test("orders_pruned_priority: graded query partition-prunes (fewer files read than exist)") {
+    val df = SparkEntry.queries("orders_pruned_priority")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderpriority"),
+      s"priority predicate did not become a PartitionFilter:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*o_orderpriority#\\d+ = 1-URGENT".r
+      .findFirstIn(plan).isDefined, plan)
+    // fewer files READ than exist: the scan's numFiles metric (after
+    // execution) must be under the partitioned copy's total file count.
+    // AQE hides subtrees behind AdaptiveSparkPlanExec/QueryStageExec
+    // "leaves" — descend through both to reach the file scan.
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case other => other.children.flatMap(scans)
+    }
+    val filesRead = scans(df.queryExecution.executedPlan)
+      .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    val filesTotal = graft.Tables.ordersPartitioned(spark, sf0001)
+      .inputFiles.length
+    assert(filesRead > 0 && filesRead < filesTotal,
+      s"read $filesRead of $filesTotal files — no pruning happened")
+  }
+
   test("hll_users plans as ObjectHashAggregate with a partial merge") {
     // TypedImperativeAggregate → ObjectHashAggregate (not sort-based),
     // two-phase: partial sketches merge before the exchange

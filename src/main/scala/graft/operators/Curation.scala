@@ -96,13 +96,14 @@ object Curation {
       ttlSeconds = 300)(contaminatedDocIdsUncached(spark, dir))
 
   private[graft] def contaminatedDocIdsUncached(spark: SparkSession, dir: String): DataFrame = {
-    // fanned out: the 8-gram explode is CPU-bound and the bench-scale
-    // file is one split (Tables.fanOut scaladoc)
+    // fanned out: the 8-gram emission is CPU-bound and the bench-scale
+    // file is one split (Tables.fanOut scaladoc). Emission is the
+    // streaming word_grams generator (r5; value-parity with the HOF
+    // form property-tested in WordGramSpec) — the generator emits zero
+    // rows under 8 tokens, exactly the HOF form's size(t) >= 8 guard.
+    graft.plans.WordGrams.register(spark)
     val grams = graft.Tables.fanOut(spark, Tables(spark, dir, "documents"))
-      .withColumn("t", Shingles.sparkToks)
-      .filter(size(col("t")) >= 8)
-      .select(col("doc_id"),
-        explode(expr(Shingles.sparkExprN(8))).as("g"))
+      .select(col("doc_id"), expr("word_grams(text, 8)").as("g"))
     val benchGrams = grams.filter(col("doc_id") % BenchMod === 0)
       .select(col("g")).distinct()
     grams.filter(col("doc_id") % BenchMod =!= 0)

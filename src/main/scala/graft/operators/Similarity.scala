@@ -1517,6 +1517,10 @@ object Similarity {
       .unionByName(recallOf("ivfadc", ivfPqTopk(spark, dir, k)))
       .unionByName(recallOf("ivfadc_probe2",
         ivfPqTopk(spark, dir, k, nprobe = 2)))
+      // nprobe ∈ {1,2,4}: the recall-vs-routing-cost curve an ANN
+      // deployment tunes its operating point on (r4 brief optional #9)
+      .unionByName(recallOf("ivfadc_probe4",
+        ivfPqTopk(spark, dir, k, nprobe = 4)))
       // the LEARNED-codebook twins (r5): adc_exhaustive vs
       // adc_exhaustive_learned isolates how much quantization loss the
       // per-subspace Lloyd step recovers; ivfadc_learned composes the
@@ -2190,6 +2194,11 @@ object Similarity {
          |  FROM sims WHERE vec_id = 0) WHERE rn <= 2),
          |cands2 AS (SELECT a.vec_id FROM assign a JOIN qb2 ON a.cid = qb2.cid
          |           WHERE a.vec_id <> 0),
+         |qb4 AS (SELECT cid FROM (
+         |  SELECT cid, row_number() OVER (ORDER BY s DESC, cid) AS rn
+         |  FROM sims WHERE vec_id = 0) WHERE rn <= 4),
+         |cands4 AS (SELECT a.vec_id FROM assign a JOIN qb4 ON a.cid = qb4.cid
+         |           WHERE a.vec_id <> 0),
          |adc_all AS (
          |  SELECT w.vec_id,
          |    ${graft.functions.ScalarFns.roundSql(
@@ -2207,6 +2216,9 @@ object Similarity {
          |  ORDER BY a.adc, a.vec_id LIMIT 10),
          |approx_ivf2 AS (
          |  SELECT a.vec_id FROM adc_all a JOIN cands2 c ON a.vec_id = c.vec_id
+         |  ORDER BY a.adc, a.vec_id LIMIT 10),
+         |approx_ivf4 AS (
+         |  SELECT a.vec_id FROM adc_all a JOIN cands4 c ON a.vec_id = c.vec_id
          |  ORDER BY a.adc, a.vec_id LIMIT 10),
          |$pqLearnedCbCtes,
          |$pqLearnedEncCtes,
@@ -2231,6 +2243,9 @@ object Similarity {
          |  UNION ALL
          |  SELECT 'ivfadc_probe2', count(*)
          |  FROM exact x JOIN approx_ivf2 a ON x.vec_id = a.vec_id
+         |  UNION ALL
+         |  SELECT 'ivfadc_probe4', count(*)
+         |  FROM exact x JOIN approx_ivf4 a ON x.vec_id = a.vec_id
          |  UNION ALL
          |  SELECT 'adc_exhaustive_learned', count(*)
          |  FROM exact x JOIN lapprox_ex a ON x.vec_id = a.vec_id

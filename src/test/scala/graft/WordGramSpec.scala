@@ -98,6 +98,18 @@ class WordGramSpec extends SparkSpec {
     }
   }
 
+  test("n-sweep: generator ≡ HOF form at every gram order in use (1, 2, 3, 8)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").limit(100)
+    for (n <- Seq(1, 2, 3, 8)) {
+      val a = genShingles(docs, n).groupBy("doc_id", "s").count()
+        .as[(Long, String, Long)].collect().toSet
+      val b = hofShingles(docs, n).groupBy("doc_id", "s").count()
+        .as[(Long, String, Long)].collect().toSet
+      assert(a == b, s"n=$n: generator multiset differs from HOF form")
+    }
+  }
+
   test("the generator stage whole-stage-codegens (no CodegenFallback)") {
     graft.plans.WordGrams.register(spark)
     val df = Seq((1L, "one two three four five")).toDF("doc_id", "text")

@@ -128,13 +128,18 @@ object Similarity {
     // pinned for the session lifetime.
     def pin(df: DataFrame): DataFrame =
       defer(df.persist(StorageLevel.MEMORY_AND_DISK))
+    // ONE fanned documents frame pinned for BOTH gram passes
+    // (signatures below, candidate set-build further down): the text
+    // column decodes from parquet and crosses the fan-out exchange
+    // once, not per pass.
+    val docs = pin(fanOut(spark, Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("text")))
     // One shuffle, not four: unpivot the 4 band minhashes to
     // (doc, band, m) rows and self-join on (band, m). Identical
     // candidate set to four per-band joins, but a single exchange.
     // The signature stage is CPU-bound (one md5 per gram occurrence) —
     // [[fanOut]] spreads the single bench-scale split across cores.
-    val bands = pin(signaturesFrom(shinglesOf(spark,
-        fanOut(spark, Tables(spark, dir, "documents"))))
+    val bands = pin(signaturesFrom(shinglesOf(spark, docs))
       .select(col("doc_id"), explode(array((0 to 3).map(i =>
         struct(lit(i).as("band"), col(s"m$i").as("m"))): _*)).as("bm"))
       .select(col("doc_id"), col("bm.band").as("band"), col("bm.m").as("m")))
@@ -183,8 +188,8 @@ object Similarity {
     // not re-selected): the two BroadcastExchanges canonicalize
     // identically, so ReuseExchange builds the set table ONCE — no pin,
     // no extra materialization pass.
-    val dg = broadcast(shinglesOf(spark, fanOut(spark,
-        Tables(spark, dir, "documents").join(broadcast(candDocs), Seq("doc_id"))))
+    val dg = broadcast(shinglesOf(spark,
+        docs.join(broadcast(candDocs), Seq("doc_id")))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("h")).as("hs")))
@@ -379,8 +384,10 @@ object Similarity {
     // every core (profiled: 3.7 s of single-threaded hashing
     // otherwise; the r3 corpus-wide distinct was accidentally
     // parallelizing it).
-    val sigs = charGramsOf(spark,
-        fanOut(spark, Tables(spark, dir, "documents")))
+    // one fanned documents frame for both gram passes (see word variant)
+    val docs = pin(fanOut(spark, Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("text")))
+    val sigs = charGramsOf(spark, docs)
       .select(Seq(col("doc_id")) ++ slices: _*)
       .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     // one unpivoted self-join exchange, like the word variant; the band
@@ -417,8 +424,8 @@ object Similarity {
     // once) and each pair pays a codegen'd array_intersect —
     // verification never shuffles an exploded gram row.
     // Hash-collision note: see the word variant.
-    val dg = broadcast(charGramsOf(spark, fanOut(spark,
-        Tables(spark, dir, "documents").join(broadcast(candDocs), Seq("doc_id"))))
+    val dg = broadcast(charGramsOf(spark,
+        docs.join(broadcast(candDocs), Seq("doc_id")))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("h")).as("hs")))

@@ -31,6 +31,8 @@ object SparkEntry {
         ttlSeconds = 300)(Segmentation.statsQuery(s, dir))),
     // S1 partition pruning on the graded path (see Tables.scala)
     "orders_pruned_priority" -> (Tables.ordersPrunedPriority _),
+    // bucketed co-located join on the graded path (see Tables.scala)
+    "revenue_bucketed" -> (Tables.revenueBucketed _),
   ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
     EventOps.queries ++ CampaignOps.queries ++ TextOps.queries ++
     Similarity.queries ++ Curation.queries ++ TextSignals.queries ++
@@ -48,6 +50,7 @@ object SparkEntry {
     "segment_stats_empty"  -> Segmentation.emptyStatsOracle,
     "segment_stats_cached" -> Segmentation.statsOracle,
     "orders_pruned_priority" -> Tables.ordersPrunedOracle,
+    "revenue_bucketed" -> Tables.revenueBucketedOracle,
   ) ++ Joins.oracles ++ Aggregates.oracles ++ Windows.oracles ++
     EventOps.oracles ++ CampaignOps.oracles ++ TextOps.oracles ++
     Similarity.oracles ++ Curation.oracles ++ TextSignals.oracles ++

@@ -97,6 +97,74 @@ object Tables {
       |FROM orders WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // BUCKETING on the graded path: the storage-layout half of the
+  // 100 TB join story. orders + customer are written ONCE per
+  // (JVM, corpus dir) bucketed + sorted on the join key (8 buckets,
+  // one file per bucket via pre-repartition); the graded query joins
+  // the bucketed tables with broadcasting disabled ON A SESSION CLONE
+  // (the caller's conf is never touched) and plans a SortMergeJoin
+  // with ZERO exchange below it — the write-once shuffle every
+  // warehouse pays so that every subsequent join on the key shuffles
+  // nothing (PlanAuditSpec asserts the plan; the oracle grades the
+  // values against the plain join).
+  // ---------------------------------------------------------------
+  private val bucketedPairs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def bucketedPair(spark: SparkSession, sfDir: String): (String, String) =
+    bucketedPairs.computeIfAbsent(sfDir, { _ =>
+      import org.apache.spark.sql.functions.col
+      if (hookInstalled.compareAndSet(false, true))
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          var f = tmpDirs.poll()
+          while (f != null) { rmTree(f); f = tmpDirs.poll() }
+        }))
+      val f = java.nio.file.Files
+        .createTempDirectory("graft_bucketed_").toFile
+      tmpDirs.add(f)
+      // table names carry a dir digest: one catalog serves many corpora
+      val tag = graft.sources.ResultCache.key(sfDir).take(8)
+      val oT = s"graft_b_orders_$tag"
+      val cT = s"graft_b_customer_$tag"
+      apply(spark, sfDir, "orders")
+        .repartition(8, col("o_custkey"))
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"${f.getAbsolutePath}/orders").saveAsTable(oT)
+      apply(spark, sfDir, "customer")
+        .repartition(8, col("c_custkey"))
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"${f.getAbsolutePath}/customer").saveAsTable(cT)
+      (oT, cT)
+    })
+
+  /** GRADED bucketed co-located join: revenue per market segment over
+    * orders ⋈ customer where the join reads bucket layout instead of
+    * shuffling — the only exchange in the plan is the tiny post-join
+    * aggregate's. */
+  def revenueBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (oT, cT) = bucketedPair(spark, sfDir)
+    // conf isolation: disable broadcast on a CLONE (shared catalog,
+    // separate SQLConf) so the join genuinely co-locates — a broadcast
+    // would trivially have no exchange and prove nothing
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.table(oT).join(ss.table(cT), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  val revenueBucketedOracle: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Fan a scan out to every core iff the source yields fewer splits
     * than the default parallelism. CPU-bound per-row pipelines
     * (shingle/gram hashing, cosine-kernel sweeps, per-doc token

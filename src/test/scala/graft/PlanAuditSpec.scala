@@ -124,6 +124,24 @@ class PlanAuditSpec extends SparkSpec {
       s"lang filter leaked into data filters:\n$plan")
   }
 
+  test("revenue_bucketed: graded co-located join — no exchange below the SortMergeJoin") {
+    val df = SparkEntry.queries("revenue_bucketed")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastExchange"),
+      s"join broadcast — proves nothing about bucketing:\n$plan")
+    assert("Bucketed: true".r.findAllIn(plan).size >= 2,
+      s"scans did not report bucket layout:\n$plan")
+    // the final plan's join subtree (first SortMergeJoin to the end of
+    // the final-plan section) must contain NO exchange: the bucket
+    // layout IS the partitioning
+    val joinSub = plan.substring(plan.indexOf("SortMergeJoin"))
+      .split("== Initial Plan ==").head
+    assert(!joinSub.contains("Exchange"),
+      s"bucketed join still shuffles below the SMJ:\n$joinSub")
+  }
+
   test("orders_pruned_priority: graded query partition-prunes (fewer files read than exist)") {
     val df = SparkEntry.queries("orders_pruned_priority")(spark, sf0001)
     df.collect()

@@ -17,12 +17,15 @@ object ProfPairs {
     graft.operators.Similarity.profilePairStages(spark, "/root/testdata/sf0.001")
     println("[prof] ---- timed pass (sf0.1) ----")
     graft.operators.Similarity.profilePairStages(spark, "/root/testdata/sf0.1")
-    // the REAL cached path, cold, three times in one JVM (variance probe)
+    // the REAL cached paths, cold, three times in one JVM (variance probe)
     for (i <- 1 to 3) {
       graft.sources.ResultCache.clear()
       val t0 = System.nanoTime()
       graft.operators.Similarity.neardupPairs(spark, "/root/testdata/sf0.1").count()
       println(f"[prof] neardupPairs cold #$i   ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      val t1 = System.nanoTime()
+      graft.operators.Similarity.neardupPairsChar(spark, "/root/testdata/sf0.1").count()
+      println(f"[prof] neardupPairsChar cold #$i ${(System.nanoTime() - t1) / 1e9}%6.2f s")
     }
     spark.stop()
   }

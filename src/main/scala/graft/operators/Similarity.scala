@@ -184,15 +184,20 @@ object Similarity {
     // the broadcast hint is a pair-keyed shuffle join whose volume is
     // ∝ pairs, never ∝ exploded grams.
     //
-    // Both join sides reference the SAME broadcast frame (self-aliased,
-    // not re-selected): the two BroadcastExchanges canonicalize
-    // identically, so ReuseExchange builds the set table ONCE — no pin,
-    // no extra materialization pass.
-    val dg = broadcast(shinglesOf(spark,
+    // The set table is PINNED and materialized before the broadcasts:
+    // both join sides alias one broadcast frame and usually share a
+    // single exchange (ReuseExchange), but broadcast builds run on
+    // concurrent driver threads and a missed reuse would re-run the
+    // gram regeneration — measured as bimodal build times. With the
+    // blocks pinned, even a duplicated broadcast build is a cheap
+    // cached-block scan.
+    val dgSets = pin(shinglesOf(spark,
         docs.join(broadcast(candDocs), Seq("doc_id")))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("h")).as("hs")))
+    dgSets.count()
+    val dg = broadcast(dgSets)
 
     // LAZY return — no builder-side persist/count: the ResultCache's
     // single materialization pass executes this plan once, reading the
@@ -419,16 +424,19 @@ object Similarity {
     // Per-doc gram-hash SETS of CANDIDATE docs only (same shape as the
     // word variant): the broadcast candidate prune sits structurally
     // upstream of the generator, so non-candidate documents never emit
-    // a gram; ONE collect_set aggregation subsumes the distinct; both
-    // join sides alias ONE broadcast set table (ReuseExchange builds it
-    // once) and each pair pays a codegen'd array_intersect —
-    // verification never shuffles an exploded gram row.
+    // a gram; ONE collect_set aggregation subsumes the distinct; each
+    // pair pays a codegen'd array_intersect — verification never
+    // shuffles an exploded gram row. Pinned + materialized before the
+    // broadcasts (see the word variant: a missed ReuseExchange must
+    // read blocks, not re-run the gram regen).
     // Hash-collision note: see the word variant.
-    val dg = broadcast(charGramsOf(spark,
+    val dgSets = pin(charGramsOf(spark,
         docs.join(broadcast(candDocs), Seq("doc_id")))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("h")).as("hs")))
+    dgSets.count()
+    val dg = broadcast(dgSets)
     // LAZY return (see the word variant): the ResultCache's one
     // materialization pass executes this plan; pins release after.
     cand

@@ -20,7 +20,8 @@ object PlanDump {
     "kmeans_rounds", "kmeans_converged_assign", "revenue_by_nation_catalog",
     "pq_topk", "ivfpq_topk", "split_audit",
     "pq_codebook_learned", "pq_topk_learned", "kmeans_converged_rounds",
-    "orders_pruned_priority", "hourly_event_stats_streamed")
+    "orders_pruned_priority", "hourly_event_stats_streamed",
+    "revenue_bucketed")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

@@ -29,7 +29,16 @@ class ConcurrencySpec extends SparkSpec {
       () => operators.Similarity.pqCodes(spark, sf0001).count(),
       () => operators.Similarity.ivfPqTopk(spark, sf0001).count(),
       () => operators.Similarity.splitStats(spark, sf0001).count(),
-      () => operators.Similarity.kmeansConvergedAssign(spark, sf0001).count())
+      () => operators.Similarity.kmeansConvergedAssign(spark, sf0001).count(),
+      // r5 additions: the learned-PQ chain (codebook ← codes ← seed
+      // codes — three stacked cache keys), the graded convergence
+      // loop, and the once-per-JVM table writers (computeIfAbsent
+      // must serialize the bucketed/partitioned materializations)
+      () => operators.Similarity.pqCodesLearned(spark, sf0001).count(),
+      () => operators.Similarity.pqTopkLearned(spark, sf0001).count(),
+      () => operators.Similarity.kmeansConvergedRounds(spark, sf0001).count(),
+      () => Tables.revenueBucketed(spark, sf0001).count(),
+      () => Tables.ordersPrunedPriority(spark, sf0001).count())
     val futures = work.map(f => Future(f()))
     val counts = Await.result(Future.sequence(futures), 5.minutes)
     assert(counts.forall(_ > 0))

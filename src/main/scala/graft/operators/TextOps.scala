@@ -221,12 +221,14 @@ object TextOps {
       .partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
     // fanned out: the shingle md5s + per-doc sliding window are
     // CPU-bound and the bench-scale file is one split; the window's
-    // own (doc_id) shuffle is co-partitioned with the fan-out key
+    // own (doc_id) shuffle is co-partitioned with the fan-out key.
+    // Emission is the POSITIONED streaming generator (r5): same
+    // 0-based ordinal as the posexplode-of-HOF form it replaced
+    // (parity in WordGramSpec), no per-row token/gram arrays.
+    graft.plans.WordGrams.register(spark)
     Tables.fanOut(spark, Tables(spark, dir, "documents"))
-      .withColumn("t", toks)
-      .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
-        posexplode(expr(graft.functions.Shingles.sparkExpr)).as(Seq("pos", "s")))
+        expr("word_grams_pos(text, 3)").as(Seq("pos", "s")))
       .withColumn("sel", min(md5(col("s"))).over(win))
       .groupBy(col("doc_id"))
       .agg(

@@ -100,7 +100,8 @@ final class WordGramArray(str: UTF8String, n: Int) extends StringArrayView {
   * codegen'd `GenerateExec` loop reads gram i directly out of the
   * document bytes; nothing token- or gram-shaped is materialized for
   * rows downstream operators never pull. */
-case class WordGrams(child: Expression, n: Int)
+case class WordGrams(child: Expression, n: Int,
+    withPosition: Boolean = false)
     extends UnaryExpression with CollectionGenerator {
 
   require(n >= 1, s"word_grams: n must be >= 1, got $n")
@@ -111,13 +112,22 @@ case class WordGrams(child: Expression, n: Int)
       s"word_grams expects a string argument, got ${other.simpleString}")
   }
 
-  override def position: Boolean = false
+  /** `word_grams_pos` emits (pos, gram) like posexplode — GenerateExec
+    * adds the 0-based ordinal itself in the codegen loop; the
+    * interpreted eval below mirrors it. */
+  override def position: Boolean = withPosition
   override def inline: Boolean = false
   override def elementSchema: StructType =
-    StructType(StructField("gram", StringType, nullable = false) :: Nil)
+    if (withPosition)
+      StructType(
+        StructField("pos", org.apache.spark.sql.types.IntegerType,
+          nullable = false) ::
+        StructField("gram", StringType, nullable = false) :: Nil)
+    else StructType(StructField("gram", StringType, nullable = false) :: Nil)
   override def collectionType: DataType =
     ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "word_grams"
+  override def prettyName: String =
+    if (withPosition) "word_grams_pos" else "word_grams"
 
   /** Interpreted path (GenerateExec.doExecute outside codegen). */
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
@@ -125,8 +135,9 @@ case class WordGrams(child: Expression, n: Int)
     if (v == null) Nil
     else {
       val arr = new WordGramArray(v.asInstanceOf[UTF8String], n)
-      (0 until arr.numElements()).iterator
-        .map(i => InternalRow(arr.getUTF8String(i)))
+      (0 until arr.numElements()).iterator.map(i =>
+        if (withPosition) InternalRow(i, arr.getUTF8String(i))
+        else InternalRow(arr.getUTF8String(i)))
     }
   }
 
@@ -142,13 +153,22 @@ case class WordGrams(child: Expression, n: Int)
 }
 
 object WordGrams {
-  /** Register `word_grams(str, n)` (n: foldable int literal) — same
+  /** Register `word_grams(str, n)` and its positioned twin
+    * `word_grams_pos(str, n)` (n: foldable int literal) — same
     * idempotent registry path as [[CharGrams]]. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     Registry.registerOnce(spark, "word_grams", { exprs =>
       require(exprs.length == 2 && exprs(1).foldable,
         "word_grams(str, n): n must be a literal")
       WordGrams(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue())
     })
+    Registry.registerOnce(spark, "word_grams_pos", { exprs =>
+      require(exprs.length == 2 && exprs(1).foldable,
+        "word_grams_pos(str, n): n must be a literal")
+      WordGrams(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        withPosition = true)
+    })
+  }
 }

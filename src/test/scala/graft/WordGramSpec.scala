@@ -110,6 +110,22 @@ class WordGramSpec extends SparkSpec {
     }
   }
 
+  test("positioned form ≡ posexplode of the HOF form (ordinal included)") {
+    graft.plans.WordGrams.register(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").limit(100)
+    val gen = docs.select($"doc_id",
+        expr("word_grams_pos(text, 3)").as(Seq("pos", "s")))
+      .as[(Long, Int, String)].collect().toSet
+    val hof = docs.withColumn("t", graft.functions.Shingles.sparkToks)
+      .filter(size($"t") >= 3)
+      .select($"doc_id",
+        posexplode(expr(graft.functions.Shingles.sparkExpr)).as(Seq("pos", "s")))
+      .as[(Long, Int, String)].collect().toSet
+    assert(gen.nonEmpty && gen == hof,
+      "positioned generator differs from posexplode of the HOF form")
+  }
+
   test("the generator stage whole-stage-codegens (no CodegenFallback)") {
     graft.plans.WordGrams.register(spark)
     val df = Seq((1L, "one two three four five")).toDF("doc_id", "text")

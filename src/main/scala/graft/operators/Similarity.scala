@@ -1386,45 +1386,66 @@ object Similarity {
   /** Fixed-point scale for the learned-codebook sums (2²⁰). */
   private[graft] val PqScale: Long = 1L << 20
 
-  /** Seed assignment in long form: (vec_id, m, code). */
-  private def pqAssignLong(spark: SparkSession, dir: String): DataFrame =
-    pqCodes(spark, dir).select(col("vec_id"),
+  /** A wide code table unpivoted to long form: (vec_id, m, code). */
+  private def pqAssignLongOf(codes: DataFrame): DataFrame =
+    codes.select(col("vec_id"),
       explode(array((0 until PqM).map(m =>
         struct(lit(m).as("m"), col(s"c$m").as("code"))): _*)).as("mc"))
       .select(col("vec_id"), col("mc.m").as("m"), col("mc.code").as("code"))
 
-  /** Learned per-subspace codebook: (m, code, n_members, cv[PqSub]
-    * as exact doubles). ResultCache-shared — the graded codebook dump,
-    * the learned encode, and the learned ADC table all read it. */
-  private[graft] def pqCodebookLearned(spark: SparkSession, dir: String): DataFrame =
+  /** One fixed-point M-step: per-(m, code) subspace MEANS of the
+    * vectors `assign`(vec_id, m, code) maps to each entry. */
+  private def pqMStep(spark: SparkSession, dir: String,
+      assign: DataFrame): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val flat = assign.join(e, Seq("vec_id"))
+      .select(col("m"), col("code"), col("embedding"),
+        explode(expr(s"sequence(1, $PqSub)")).as("j"))
+      // floor(x·scale + 0.5), never round(): Spark's round() goes
+      // through the double's SHORTEST DECIMAL representation while
+      // DuckDB rounds the binary value — the same divergence
+      // ScalarFns.roundN exists to avoid; floor is pure IEEE math,
+      // bit-identical on both engines (ContractSpec enforces this)
+      .select(col("m"), col("code"), col("j"),
+        expr(s"CAST(floor(CAST(element_at(embedding, m * $PqSub + j) AS DOUBLE)" +
+          s" * CAST($PqScale AS DOUBLE) + 0.5D) AS BIGINT)").as("fix"))
+      .groupBy(col("m"), col("code"), col("j"))
+      .agg(sum(col("fix")).as("sfix"), count(lit(1)).as("n"))
+    flat.groupBy(col("m"), col("code"))
+      .agg(max(col("n")).as("n_members"),
+        expr(s"transform(sort_array(collect_list(struct(j, sfix, n))), " +
+          s"s -> CAST(s.sfix AS DOUBLE) / s.n / CAST($PqScale AS DOUBLE))").as("cv"))
+  }
+
+  /** Learned per-subspace codebook after Lloyd round `r`: (m, code,
+    * n_members, cv[PqSub] as exact doubles). Round 1's M-step runs
+    * over the SEED assignment; round r > 1 over the round-(r−1)
+    * encode — per-subspace k-means, unrolled and cached per round
+    * exactly like [[kmeansCentroidsR]]. Round 2+ entries that lose
+    * every member simply have no row (seed entries always keep
+    * themselves; learned entries have no such guarantee), and the
+    * encode argmin below just skips absent codes — the oracle's join
+    * semantics mirror this. */
+  private[graft] def pqCodebookLearnedR(spark: SparkSession, dir: String,
+      r: Int): DataFrame =
     graft.sources.ResultCache.getOrCompute(
-      s"${graft.sources.ResultCache.sessionId(spark)}|pq_lcb|$dir",
+      s"${graft.sources.ResultCache.sessionId(spark)}|pq_lcb|$dir|$r",
       ttlSeconds = 300) {
-      val e = Tables(spark, dir, "embeddings")
-      val flat = pqAssignLong(spark, dir).join(e, Seq("vec_id"))
-        .select(col("m"), col("code"), col("embedding"),
-          explode(expr(s"sequence(1, $PqSub)")).as("j"))
-        // floor(x·scale + 0.5), never round(): Spark's round() goes
-        // through the double's SHORTEST DECIMAL representation while
-        // DuckDB rounds the binary value — the same divergence
-        // ScalarFns.roundN exists to avoid; floor is pure IEEE math,
-        // bit-identical on both engines (ContractSpec enforces this)
-        .select(col("m"), col("code"), col("j"),
-          expr(s"CAST(floor(CAST(element_at(embedding, m * $PqSub + j) AS DOUBLE)" +
-            s" * CAST($PqScale AS DOUBLE) + 0.5D) AS BIGINT)").as("fix"))
-        .groupBy(col("m"), col("code"), col("j"))
-        .agg(sum(col("fix")).as("sfix"), count(lit(1)).as("n"))
-      flat.groupBy(col("m"), col("code"))
-        .agg(max(col("n")).as("n_members"),
-          expr(s"transform(sort_array(collect_list(struct(j, sfix, n))), " +
-            s"s -> CAST(s.sfix AS DOUBLE) / s.n / CAST($PqScale AS DOUBLE))").as("cv"))
+      val assign =
+        if (r <= 1) pqAssignLongOf(pqCodes(spark, dir))
+        else pqAssignLongOf(pqCodesLearnedR(spark, dir, r - 1))
+      pqMStep(spark, dir, assign)
     }
 
-  /** GRADED learned-codebook dump: one row per (m, code, dim) with the
-    * member count and the 6-dp entry value — flat scalars, so the hash
-    * compare grades every learned float. */
-  def pqCodebookLearnedFlat(spark: SparkSession, dir: String): DataFrame =
-    pqCodebookLearned(spark, dir)
+  private[graft] def pqCodebookLearned(spark: SparkSession, dir: String): DataFrame =
+    pqCodebookLearnedR(spark, dir, 1)
+
+  /** GRADED learned-codebook dump (round `r`): one row per
+    * (m, code, dim) with the member count and the 6-dp entry value —
+    * flat scalars, so the hash compare grades every learned float. */
+  def pqCodebookLearnedFlat(spark: SparkSession, dir: String,
+      r: Int = 1): DataFrame =
+    pqCodebookLearnedR(spark, dir, r)
       .select(col("m"), col("code"), col("n_members"),
         posexplode(col("cv")).as(Seq("j0", "v")))
       .select(col("m"), col("code"), (col("j0") + 1).cast("bigint").as("j"),
@@ -1440,16 +1461,17 @@ object Similarity {
       s"(CAST(element_at($x, m * $PqSub + j) AS DOUBLE) - element_at($c, j)) * " +
       s"(CAST(element_at($x, m * $PqSub + j) AS DOUBLE) - element_at($c, j)))"
 
-  /** Encode under the LEARNED codebook — same argmin shape as
-    * [[pqCodes]], codebook rows are (m, code, cv-subspace). */
-  def pqCodesLearned(spark: SparkSession, dir: String): DataFrame =
+  /** Encode under the round-`r` LEARNED codebook — same argmin shape
+    * as [[pqCodes]], codebook rows are (m, code, cv-subspace). */
+  private[graft] def pqCodesLearnedR(spark: SparkSession, dir: String,
+      r: Int): DataFrame =
     graft.sources.ResultCache.getOrCompute(
-      s"${graft.sources.ResultCache.sessionId(spark)}|pq_codes_learned|$dir",
+      s"${graft.sources.ResultCache.sessionId(spark)}|pq_codes_learned|$dir|$r",
       ttlSeconds = 300) {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id", "m").orderBy(col("d"), col("code"))
       val enc = fanOut(spark, Tables(spark, dir, "embeddings"), key = "vec_id")
-        .crossJoin(broadcast(pqCodebookLearned(spark, dir)))
+        .crossJoin(broadcast(pqCodebookLearnedR(spark, dir, r)))
         .select(col("vec_id"), col("m"), col("code"),
           expr(subDistExpr("embedding", "cv")).as("d"))
         .withColumn("rn", row_number().over(w))
@@ -1461,15 +1483,19 @@ object Similarity {
         .orderBy("vec_id")
     }
 
-  /** ADC top-k under the learned codebook; `cands` (if given) is the
-    * IVF coarse-routing prune — None scores the whole code table. */
+  def pqCodesLearned(spark: SparkSession, dir: String): DataFrame =
+    pqCodesLearnedR(spark, dir, 1)
+
+  /** ADC top-k under the round-`r` learned codebook; `cands` (if
+    * given) is the IVF coarse-routing prune — None scores the whole
+    * code table. */
   private def adcLearnedTopk(spark: SparkSession, dir: String, k: Int,
-      cands: Option[DataFrame]): DataFrame = {
+      cands: Option[DataFrame], r: Int = 1): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    val dt = pqCodebookLearned(spark, dir).crossJoin(broadcast(q))
+    val dt = pqCodebookLearnedR(spark, dir, r).crossJoin(broadcast(q))
       .select(col("m"), col("code"), expr(subDistExpr("qv", "cv")).as("qd"))
-    val base0 = pqCodesLearned(spark, dir).filter(col("vec_id") =!= 0)
+    val base0 = pqCodesLearnedR(spark, dir, r).filter(col("vec_id") =!= 0)
     val base = cands.map(c => base0.join(broadcast(c), Seq("vec_id")))
       .getOrElse(base0)
     val scored = (0 until PqM).foldLeft(base) { (acc, m) =>
@@ -1489,6 +1515,12 @@ object Similarity {
   /** GRADED learned-ADC top-k (exhaustive over the code table). */
   def pqTopkLearned(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     adcLearnedTopk(spark, dir, k, None)
+
+  /** Exhaustive ADC top-k under the ROUND-2 codebook (per-subspace
+    * k-means iterated once more) — feeds the recall diagnostic. */
+  private[graft] def pqTopkLearned2(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame =
+    adcLearnedTopk(spark, dir, k, None, r = 2)
 
   /** Learned IVFADC: coarse IVF routing + learned-codebook ADC. */
   def ivfPqTopkLearned(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
@@ -1544,6 +1576,10 @@ object Similarity {
         pqTopkLearned(spark, dir, k)))
       .unionByName(recallOf("ivfadc_learned",
         ivfPqTopkLearned(spark, dir, k)))
+      // round-2 codebook: does one more per-subspace Lloyd iteration
+      // keep paying? (plateau ⇔ the subspace clustering converged)
+      .unionByName(recallOf("adc_exhaustive_learned2",
+        pqTopkLearned2(spark, dir, k)))
       .orderBy("method")
   }
 
@@ -1689,7 +1725,10 @@ object Similarity {
     "pq_topk"           -> ((s: SparkSession, d: String) => pqTopk(s, d)),
     "ivfpq_topk"        -> ((s: SparkSession, d: String) => ivfPqTopk(s, d)),
     "pq_recall"         -> ((s: SparkSession, d: String) => pqRecall(s, d)),
-    "pq_codebook_learned" -> (pqCodebookLearnedFlat _),
+    "pq_codebook_learned" -> ((s: SparkSession, d: String) =>
+      pqCodebookLearnedFlat(s, d)),
+    "pq_codebook_learned2" -> ((s: SparkSession, d: String) =>
+      pqCodebookLearnedFlat(s, d, r = 2)),
     "pq_codes_learned"  -> (pqCodesLearned _),
     "pq_topk_learned"   -> ((s: SparkSession, d: String) => pqTopkLearned(s, d)),
     "cosine_topk"       -> ((s: SparkSession, d: String) => cosineTopk(s, d)),
@@ -1829,65 +1868,74 @@ object Similarity {
       s"(CAST($x[m * $PqSub + j] AS DOUBLE) - $c[j]) * " +
       s"(CAST($x[m * $PqSub + j] AS DOUBLE) - $c[j])), (a, b) -> a + b)"
 
-  /** Learned-codebook CTEs (require `enc` from [[pqCtes]]): fixed-point
-    * per-(m, code, dim) sums → exact-double means — the
-    * [[pqCodebookLearned]] twin. Ends with `lflat` and `lcb`. */
-  private def pqLearnedCbCtes: String =
-    s"""lflat AS (
+  /** Learned-codebook CTEs, round-parameterized: fixed-point
+    * per-(m, code, dim) sums over the assignment `src` (round 1:
+    * `enc` from [[pqCtes]]; round 2: `lenc` — the round-1 encode) →
+    * exact-double means — the [[pqCodebookLearnedR]] twin. Ends with
+    * `lflat$suf` and `lcb$suf`. */
+  private def pqLearnedCbCtes(src: String = "enc", suf: String = ""): String =
+    s"""lflat$suf AS (
        |  SELECT en.m, en.code, t.j,
        |    sum(CAST(floor(CAST(e.embedding[en.m * $PqSub + t.j] AS DOUBLE)
        |      * CAST($PqScale AS DOUBLE) + 0.5) AS BIGINT)) AS sfix,
        |    count(*) AS n
-       |  FROM enc en
+       |  FROM $src en
        |  JOIN embeddings e ON en.vec_id = e.vec_id
        |  CROSS JOIN generate_series(1, $PqSub) AS t(j)
        |  GROUP BY 1, 2, 3),
-       |lcb AS (
+       |lcb$suf AS (
        |  SELECT m, code,
        |    list(CAST(sfix AS DOUBLE) / n / CAST($PqScale AS DOUBLE)
        |         ORDER BY j) AS cv
-       |  FROM lflat GROUP BY 1, 2)""".stripMargin
+       |  FROM lflat$suf GROUP BY 1, 2)""".stripMargin
 
-  /** Learned encode CTEs (require `lcb`): argmin over subspace
-    * distances → wide code table `lwide(vec_id, c0..c3)` — the
-    * [[pqCodesLearned]] twin. */
-  private def pqLearnedEncCtes: String = {
+  /** Learned encode CTEs (require `lcb$suf`): argmin over subspace
+    * distances → wide code table `lwide$suf(vec_id, c0..c3)` — the
+    * [[pqCodesLearnedR]] twin. */
+  private def pqLearnedEncCtes(suf: String = ""): String = {
     val wideCols = (0 until PqM).map(m =>
       s"max(CASE WHEN m = $m THEN code END) AS c$m").mkString(", ")
-    s"""lpairs AS (
+    s"""lpairs$suf AS (
        |  SELECT e.vec_id, c.m, c.code,
        |    ${duckSubDist("e.embedding", "c.cv")} AS d
-       |  FROM embeddings e CROSS JOIN lcb c),
-       |lenc AS (
+       |  FROM embeddings e CROSS JOIN lcb$suf c),
+       |lenc$suf AS (
        |  SELECT vec_id, m, code FROM (
        |    SELECT vec_id, m, code,
        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
-       |    FROM lpairs)
+       |    FROM lpairs$suf)
        |  WHERE rn = 1),
-       |lwide AS (SELECT vec_id, $wideCols FROM lenc GROUP BY 1)""".stripMargin
+       |lwide$suf AS (SELECT vec_id, $wideCols FROM lenc$suf GROUP BY 1)""".stripMargin
   }
 
-  /** Learned ADC distance table (requires `lcb` and `q(qv)`):
-    * `ldt(m, code, qd)`. */
-  private def pqLearnedDtCte: String =
-    s"""ldt AS (
+  /** Learned ADC distance table (requires `lcb$suf` and `q(qv)`):
+    * `ldt$suf(m, code, qd)`. */
+  private def pqLearnedDtCte(suf: String = ""): String =
+    s"""ldt$suf AS (
        |  SELECT c.m, c.code, ${duckSubDist("q.qv", "c.cv")} AS qd
-       |  FROM lcb c, q)""".stripMargin
+       |  FROM lcb$suf c, q)""".stripMargin
 
-  /** The learned-ADC scored list (requires `lwide` + `ldt`):
-    * `ladc_all(vec_id, adc)` with the same 6-dp rounding and
+  /** The learned-ADC scored list (requires `lwide$suf` + `ldt$suf`):
+    * `ladc_all$suf(vec_id, adc)` with the same 6-dp rounding and
     * fixed-order sum as the seed path. */
-  private def pqLearnedAdcCte: String =
-    s"""ladc_all AS (
+  private def pqLearnedAdcCte(suf: String = ""): String =
+    s"""ladc_all$suf AS (
        |  SELECT w.vec_id,
        |    ${graft.functions.ScalarFns.roundSql(
             "t0.qd + t1.qd + t2.qd + t3.qd", 6)} AS adc
-       |  FROM lwide w
-       |  JOIN ldt t0 ON t0.m = 0 AND w.c0 = t0.code
-       |  JOIN ldt t1 ON t1.m = 1 AND w.c1 = t1.code
-       |  JOIN ldt t2 ON t2.m = 2 AND w.c2 = t2.code
-       |  JOIN ldt t3 ON t3.m = 3 AND w.c3 = t3.code
+       |  FROM lwide$suf w
+       |  JOIN ldt$suf t0 ON t0.m = 0 AND w.c0 = t0.code
+       |  JOIN ldt$suf t1 ON t1.m = 1 AND w.c1 = t1.code
+       |  JOIN ldt$suf t2 ON t2.m = 2 AND w.c2 = t2.code
+       |  JOIN ldt$suf t3 ON t3.m = 3 AND w.c3 = t3.code
        |  WHERE w.vec_id <> 0)""".stripMargin
+
+  /** The full round-2 learned chain appended after round 1's
+    * (lcb2 from lenc; l2* encode; used by the round-2 graded dump and
+    * the recall row). */
+  private def pqLearned2Ctes: String =
+    s"""${pqLearnedCbCtes(src = "lenc", suf = "2")},
+       |${pqLearnedEncCtes(suf = "2")}""".stripMargin
 
   /** DuckDB twin of [[splitOf]] over an arbitrary key expression. */
   private def duckSplitOf(key: String): String =
@@ -2123,23 +2171,35 @@ object Similarity {
     // on the identical double before rounding
     "pq_codebook_learned" ->
       s"""WITH $pqCtes,
-         |$pqLearnedCbCtes
+         |${pqLearnedCbCtes()}
          |SELECT m, code, j, n AS n_members,
          |  ${graft.functions.ScalarFns.roundSql(
               s"CAST(sfix AS DOUBLE) / n / CAST($PqScale AS DOUBLE)", 6)} AS cvj
          |FROM lflat ORDER BY m, code, j""".stripMargin,
     "pq_codes_learned" ->
       s"""WITH $pqCtes,
-         |$pqLearnedCbCtes,
-         |$pqLearnedEncCtes
+         |${pqLearnedCbCtes()},
+         |${pqLearnedEncCtes()}
          |SELECT vec_id, c0, c1, c2, c3 FROM lwide ORDER BY vec_id""".stripMargin,
+    // round-2 codebook: the M-step re-run over the ROUND-1 encode —
+    // per-subspace k-means iterated (absent rows = entries that lost
+    // every member; both engines share the join semantics)
+    "pq_codebook_learned2" ->
+      s"""WITH $pqCtes,
+         |${pqLearnedCbCtes()},
+         |${pqLearnedEncCtes()},
+         |${pqLearnedCbCtes(src = "lenc", suf = "2")}
+         |SELECT m, code, j, n AS n_members,
+         |  ${graft.functions.ScalarFns.roundSql(
+              s"CAST(sfix AS DOUBLE) / n / CAST($PqScale AS DOUBLE)", 6)} AS cvj
+         |FROM lflat2 ORDER BY m, code, j""".stripMargin,
     "pq_topk_learned" ->
       s"""WITH $pqCtes,
-         |$pqLearnedCbCtes,
-         |$pqLearnedEncCtes,
+         |${pqLearnedCbCtes()},
+         |${pqLearnedEncCtes()},
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |$pqLearnedDtCte,
-         |$pqLearnedAdcCte
+         |${pqLearnedDtCte()},
+         |${pqLearnedAdcCte()}
          |SELECT vec_id, adc AS adc_dist FROM ladc_all
          |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
     // ADC: four table lookups + one FIXED-ORDER sum (never an agg over
@@ -2235,15 +2295,20 @@ object Similarity {
          |approx_ivf4 AS (
          |  SELECT a.vec_id FROM adc_all a JOIN cands4 c ON a.vec_id = c.vec_id
          |  ORDER BY a.adc, a.vec_id LIMIT 10),
-         |$pqLearnedCbCtes,
-         |$pqLearnedEncCtes,
-         |$pqLearnedDtCte,
-         |$pqLearnedAdcCte,
+         |${pqLearnedCbCtes()},
+         |${pqLearnedEncCtes()},
+         |${pqLearnedDtCte()},
+         |${pqLearnedAdcCte()},
+         |$pqLearned2Ctes,
+         |${pqLearnedDtCte("2")},
+         |${pqLearnedAdcCte("2")},
          |lapprox_ex AS (
          |  SELECT vec_id FROM ladc_all ORDER BY adc, vec_id LIMIT 10),
          |lapprox_ivf AS (
          |  SELECT a.vec_id FROM ladc_all a JOIN cands c ON a.vec_id = c.vec_id
          |  ORDER BY a.adc, a.vec_id LIMIT 10),
+         |lapprox_ex2 AS (
+         |  SELECT vec_id FROM ladc_all2 ORDER BY adc, vec_id LIMIT 10),
          |exact AS (
          |  SELECT e.vec_id,
          |    ${duckSqDist("e.embedding", "q.qv", 1, PqM * PqSub)} AS d
@@ -2266,7 +2331,10 @@ object Similarity {
          |  FROM exact x JOIN lapprox_ex a ON x.vec_id = a.vec_id
          |  UNION ALL
          |  SELECT 'ivfadc_learned', count(*)
-         |  FROM exact x JOIN lapprox_ivf a ON x.vec_id = a.vec_id)
+         |  FROM exact x JOIN lapprox_ivf a ON x.vec_id = a.vec_id
+         |  UNION ALL
+         |  SELECT 'adc_exhaustive_learned2', count(*)
+         |  FROM exact x JOIN lapprox_ex2 a ON x.vec_id = a.vec_id)
          |SELECT method, CAST(10 AS BIGINT) AS k, n_hits,
          |  ${graft.functions.ScalarFns.roundSql(
               "CAST(n_hits AS DOUBLE) / 10", 2)} AS recall_at_k

@@ -172,8 +172,9 @@ class TextSimilaritySpec extends SparkSpec {
     // bucket restriction IMPROVED recall by filtering false positives)
     val rec = Similarity.pqRecall(spark, sf0001).collect()
     assert(rec.map(_.getString(0)).toSeq ==
-      Seq("adc_exhaustive", "adc_exhaustive_learned", "ivfadc",
-        "ivfadc_learned", "ivfadc_probe2", "ivfadc_probe4"))
+      Seq("adc_exhaustive", "adc_exhaustive_learned",
+        "adc_exhaustive_learned2", "ivfadc", "ivfadc_learned",
+        "ivfadc_probe2", "ivfadc_probe4"))
     rec.foreach { r =>
       assert(r.getLong(1) == 10L)
       assert(r.getLong(2) >= 0L && r.getLong(2) <= 10L)

@@ -245,6 +245,39 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .orderBy("simhash16")
 
+  /** N2 simhash RADIUS search (r5): document pairs at Hamming distance
+    * ≤ 1 on the 16-bit fingerprint — exact-bucket equality (the
+    * `simhash_buckets` view) misses near-dups that flip a single bit.
+    * The scale shape is the standard simhash probe-table trick
+    * (Manku/Jain/Sarma, WWW'07): each doc emits its fingerprint plus
+    * all 16 one-bit flips, and candidates come from EQUI-joining
+    * probes against exact fingerprints — 17·N probe rows, never the
+    * N²/2 all-pairs Hamming scan (at radius r the probe count is
+    * C(bits, ≤r): the memory/recall knob a deployment tunes). Each
+    * qualifying pair matches exactly once (its distance-d differing
+    * bit has exactly one matching flip; d = 0 matches on the identity
+    * probe), so no distinct is needed. */
+  def simhashNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val fp = simhash(spark, dir)
+    def flip(i: Int) = concat(
+      substring(col("simhash16"), 1, i - 1),
+      when(substring(col("simhash16"), i, 1) === "1", lit("0"))
+        .otherwise(lit("1")),
+      substring(col("simhash16"), i + 1, 16 - i))
+    val probes = fp.select(col("doc_id").as("doc_a"),
+      col("simhash16").as("fa"),
+      explode(array(Seq(col("simhash16")) ++ (1 to 16).map(flip): _*))
+        .as("probe"))
+    probes.join(
+        fp.select(col("doc_id").as("doc_b"), col("simhash16").as("fb")),
+        col("probe") === col("fb") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(size(filter(sequence(1, 16), i -> " +
+          "substring(fa, i, 1) != substring(fb, i, 1))) AS BIGINT)")
+          .as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** N4 quality FUNNEL (Gopher-style sequential filter rules): each doc
     * passes through ordered rules — token-count bounds, mean-word-length
     * bounds, symbol-ratio cap, minimum stopword evidence — and the
@@ -294,6 +327,7 @@ object TextOps {
     "language_id"       -> (languageId _),
     "token_count_bpe"   -> (tokenCount _),
     "simhash_buckets"   -> (simhashBuckets _),
+    "simhash_neighbors" -> (simhashNeighbors _),
     "winnow_fingerprints" -> (winnowFingerprints _))
 
 
@@ -430,6 +464,33 @@ object TextOps {
            |fp AS (SELECT doc_id, $simhashConcat AS simhash16 FROM sums)
            |SELECT simhash16, count(*) AS n_docs, min(doc_id) AS min_doc
            |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin,
+      // same fingerprint rebuild + the probe-table expansion (identity
+      // + 16 one-bit flips) equi-joined against exact fingerprints —
+      // each ≤1-Hamming pair matches exactly once
+      "simhash_neighbors" ->
+        s"""WITH terms AS (
+           |  SELECT doc_id, md5(unnest(list_filter(string_split(text, ' '), x -> x <> ''))) AS h
+           |  FROM documents),
+           |sums AS (
+           |  SELECT doc_id,
+           |    $simhashBitSums
+           |  FROM terms GROUP BY 1),
+           |fp AS (SELECT doc_id, $simhashConcat AS simhash16 FROM sums),
+           |probes AS (
+           |  SELECT f.doc_id AS doc_a, f.simhash16 AS fa,
+           |    CASE WHEN t.k = 0 THEN f.simhash16
+           |         ELSE substr(f.simhash16, 1, t.k - 1)
+           |              || (CASE WHEN substr(f.simhash16, t.k, 1) = '1'
+           |                       THEN '0' ELSE '1' END)
+           |              || substr(f.simhash16, t.k + 1, 16 - t.k) END AS probe
+           |  FROM fp f CROSS JOIN generate_series(0, 16) AS t(k))
+           |SELECT p.doc_a, b.doc_id AS doc_b,
+           |  CAST(len(list_filter(generate_series(1, 16), i ->
+           |    substr(p.fa, i, 1) <> substr(b.simhash16, i, 1))) AS BIGINT)
+           |    AS hamming
+           |FROM probes p JOIN fp b
+           |  ON p.probe = b.simhash16 AND p.doc_a < b.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin,
       "winnow_fingerprints" ->
         s"""WITH toks AS (
           |  ${graft.functions.Shingles.duckToks}),

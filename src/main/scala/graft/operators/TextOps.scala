@@ -189,8 +189,16 @@ object TextOps {
 
   /** 16-bit SimHash per document (document fingerprinting, N2/N4):
     * bit i is the sign of Σ_tokens (high-bit of hex char i of md5(token)
-    * ? +1 : −1). Same md5 on DuckDB → oracle-identical. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    * ? +1 : −1). Same md5 on DuckDB → oracle-identical.
+    * ResultCache-shared (r5): the bucket view and the radius search
+    * both consume the fingerprint table — one per-token-md5 corpus
+    * pass serves both. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|simhash|$dir",
+      ttlSeconds = 300)(simhashUncached(spark, dir))
+
+  private def simhashUncached(spark: SparkSession, dir: String): DataFrame = {
     val high = Seq("8", "9", "a", "b", "c", "d", "e", "f")
       .map(s => s"'$s'").mkString(", ")
     // hash each token ONCE, then slice 16 hex chars — not 16 md5 calls

@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the LAST stdout line as JSON. Two sbt
+// behaviors defeat that for forked runs: (a) child stdout is re-logged
+// through sbt's logger with an "[info] " prefix; (b) sbt appends its own
+// "[success] Total time: …" epilogue after the program exits. Route the
+// forked JVM's stdout straight through and drop the epilogue so the
+// program's own final line is the final line of the build's stdout.
+Global / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by a task — the
+// lintUnused warning is a false positive.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

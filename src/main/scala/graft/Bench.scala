@@ -74,13 +74,18 @@ object Bench {
       .mkString("{", ",", "}")
     val failures = results.values.count(_ < 0)
     val total = results.values.filter(_ >= 0).sum
+    // Full per-query record (~5 KB). Tagged "total_full", NOT "total":
+    // with two records both tagged "total" a consumer keyed on the
+    // metric name gets an ambiguous match, and a bounded TAIL capture
+    // clips this line's HEAD so the match would bind to a truncated
+    // record (BENCH_r03/r04 parsed: null; r5 advice).
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
-    // Short headline record (≤120 bytes). The full per-query line above
-    // is ~5 KB; a bounded TAIL capture clips its HEAD, losing the
-    // "metric":"total" field (BENCH_r03 and BENCH_r04 both parsed:
-    // null). Printing this compact line LAST guarantees any tail window
-    // big enough for one line contains a parseable total.
+      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+    // Short headline record (≤120 bytes) carrying the canonical
+    // "metric":"total". Printed LAST — build.sbt routes forked stdout
+    // straight through (no "[info] " prefix) and suppresses sbt's
+    // "[success]" epilogue, so this is the final line of the build's
+    // stdout and any tail window big enough for one line parses it.
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failures":$failures,"sf":"$sfDir"}"""
     // Also persist both records to the repo so the numbers survive even

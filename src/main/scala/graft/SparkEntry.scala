@@ -33,6 +33,8 @@ object SparkEntry {
     "orders_pruned_priority" -> (Tables.ordersPrunedPriority _),
     // bucketed co-located join on the graded path (see Tables.scala)
     "revenue_bucketed" -> (Tables.revenueBucketed _),
+    // bucket pruning: point lookup opening 1 of 8 buckets (plan-asserted)
+    "order_lookup_bucketed" -> (Tables.orderLookupBucketed _),
   ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
     EventOps.queries ++ CampaignOps.queries ++ TextOps.queries ++
     Similarity.queries ++ Curation.queries ++ TextSignals.queries ++
@@ -51,6 +53,7 @@ object SparkEntry {
     "segment_stats_cached" -> Segmentation.statsOracle,
     "orders_pruned_priority" -> Tables.ordersPrunedOracle,
     "revenue_bucketed" -> Tables.revenueBucketedOracle,
+    "order_lookup_bucketed" -> Tables.orderLookupBucketedOracle,
   ) ++ Joins.oracles ++ Aggregates.oracles ++ Windows.oracles ++
     EventOps.oracles ++ CampaignOps.oracles ++ TextOps.oracles ++
     Similarity.oracles ++ Curation.oracles ++ TextSignals.oracles ++

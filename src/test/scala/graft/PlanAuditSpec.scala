@@ -142,6 +142,18 @@ class PlanAuditSpec extends SparkSpec {
       s"bucketed join still shuffles below the SMJ:\n$joinSub")
   }
 
+  test("order_lookup_bucketed: point lookup opens ONE of 8 buckets") {
+    // read-side bucketing: the equality literal hashes to its bucket and
+    // the scan never opens the other 7 — the plan says so explicitly
+    val df = SparkEntry.queries("order_lookup_bucketed")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+      s"bucket pruning did not engage:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"point lookup should not shuffle:\n$plan")
+  }
+
   test("orders_pruned_priority: graded query partition-prunes (fewer files read than exist)") {
     val df = SparkEntry.queries("orders_pruned_priority")(spark, sf0001)
     df.collect()

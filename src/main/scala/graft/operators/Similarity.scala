@@ -36,7 +36,7 @@ object Similarity {
     * `explode(transform(...))` form over [[graft.functions.Shingles]],
     * property-asserted in WordGramSpec, and the generator subsumes the
     * `size(t) >= 3` guard (fewer than 3 tokens ⇒ zero rows). */
-  private def shinglesOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def shinglesOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     graft.plans.WordGrams.register(spark)
     docs.select(col("doc_id"), expr("word_grams(text, 3)").as("s"))
   }
@@ -524,8 +524,11 @@ object Similarity {
     * action over the — typically cached — pair frame), the distributed
     * [[connectedComponentsLoop]] above it. Both produce identical
     * labels (component-minimum per vertex; property-asserted against
-    * each other in ComponentsPropSpec). Returns (labels CACHED —
-    * caller unpersists, rounds; 0 rounds ⇔ local path). */
+    * each other in ComponentsPropSpec). Returns (labels, rounds);
+    * 0 rounds ⇔ local path. Local-path labels come back CACHED (the
+    * caller unpersists via defer); loop-path labels come back as a
+    * scratch-parquet scan (rebuildable from disk — unpersist is a
+    * harmless no-op). */
   private[graft] def connectedComponents(edgesSym: DataFrame): (DataFrame, Int) =
     if (edgesSym.limit((LocalCcMaxEdges + 1).toInt).count() <= LocalCcMaxEdges)
       (localComponents(edgesSym), 0)
@@ -658,8 +661,22 @@ object Similarity {
       // firing means a bug, not a big graph.
       require(converged,
         s"connectedComponents: did not converge in $rounds rounds")
+      // Reliable-storage checkpoint (r5 advice): the converged frame's
+      // lineage bottoms out in per-round localCheckpoint blocks that
+      // were RELEASED as the loop advanced, so handing it out would
+      // silently violate ResultCache's rebuild-on-miss contract (a
+      // post-grace action would raise "checkpoint block not found"
+      // instead of recomputing). Write the labels once and serve the
+      // file scan: fully rebuildable from disk, no driver collect —
+      // the GraphFrames/Pregel "checkpoint to reliable storage" move,
+      // and at 100 TB what you'd do regardless (converged labels are a
+      // deliverable table, not a transient).
+      val out = graft.Tables.scratchDir("graft_cc_labels_")
+      labels.write.mode("overwrite").parquet(out.getAbsolutePath)
+      val served = labels.sparkSession.read.parquet(out.getAbsolutePath)
+      labels.unpersist()
       ok = true
-      (labels, rounds)
+      (served, rounds)
     } finally {
       // edges are loop-internal — released on EVERY exit path; the
       // returned labels cache is the caller's to release, except on
@@ -1104,26 +1121,25 @@ object Similarity {
     * the E-step; the M-step recomputes each centroid from its members.
     *
     * Determinism across engines (the whole trick): a k-means mean is a
-    * float sum, and float sums are fold-order-dependent — so the update
-    * (a) collects each cluster's members as a list SORTED by vec_id and
-    * (b) folds each dimension LEFT-TO-RIGHT in double, the exact order
-    * DuckDB's `list_reduce` uses. Cosine is scale-invariant, so the
-    * centroid keeps the per-dimension SUM (no ÷count — division would
-    * reintroduce a rounding step for no semantic gain); the final cast
-    * to float (round-to-nearest, identical in both engines) lets the
+    * float sum, and float sums are fold-order-dependent — so the sums
+    * here are FIXED-POINT, the same shape as the learned-PQ codebook
+    * (r5 verdict #3): each member contributes floor(x·2²⁰ + ½) as a
+    * LONG per dimension, and integer addition commutes, so ANY
+    * partition/merge order (and either engine) lands on the identical
+    * per-(cid, dim) sum — a TRUE partial aggregation that survives a
+    * pathologically skewed cluster at 100 TB (the r4-era
+    * sort_array(collect_list) fold concentrated a whole cluster's
+    * members in one aggregation buffer). Cosine is scale-invariant, so
+    * the centroid keeps the per-dimension SUM (no ÷count); dividing the
+    * long sum by 2²⁰ (a power of two — exact in double) and casting to
+    * float (round-to-nearest, identical in both engines) lets the
     * codegen'd `cosine_sim` kernel consume it unchanged.
     *
-    * Scale: the M-step is one partial-agg shuffle keyed by cid (the
-    * sort_array list is per-CLUSTER ~√N rows, bounded); the re-assign
-    * E-step broadcasts the ⌈√N⌉ learned centroids exactly like the seed
-    * assignment. A production build would iterate to convergence on a
-    * sample and broadcast frozen centroids — each further round is this
-    * same plan shape. */
-  private val centroidSumExpr =
-    """transform(sequence(1, size(element_at(ms, 1).embedding)), j ->
-      |  CAST(aggregate(ms, CAST(0 AS DOUBLE),
-      |    (acc, m) -> acc + CAST(element_at(m.embedding, j) AS DOUBLE)) AS FLOAT))"""
-      .stripMargin
+    * Scale: the M-step shuffles map-side-combined (cid, dim) long sums
+    * — K·D rows, never member lists; the per-cid collect of the FINAL
+    * centroid array is bounded by D = [[VecDims]], not cluster size.
+    * The re-assign E-step broadcasts the ⌈√N⌉ learned centroids exactly
+    * like the seed assignment. */
 
   /** Graded round count for the MULTI-round queries (`kmeans_rounds`,
     * `kmeans_converged_assign`) — interpolated into both the Spark
@@ -1153,11 +1169,20 @@ object Similarity {
     val e = Tables(spark, dir, "embeddings")
     val prevAssign =
       if (r <= 1) ivfAssign(spark, dir) else kmeansAssignR(spark, dir, r - 1)
-    prevAssign.join(e, Seq("vec_id"))
-      .groupBy(col("cid"))
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
-        .as("ms"))
-      .select(col("cid"), expr(centroidSumExpr).as("cv"))
+    val flat = prevAssign.join(e, Seq("vec_id"))
+      .select(col("cid"), col("embedding"),
+        explode(expr(s"sequence(1, $VecDims)")).as("j"))
+      // floor(x·scale + 0.5), never round() — see pqMStep's note on
+      // Spark round()'s shortest-decimal behavior vs DuckDB's
+      .select(col("cid"), col("j"),
+        expr(s"CAST(floor(CAST(element_at(embedding, j) AS DOUBLE)" +
+          s" * CAST($PqScale AS DOUBLE) + 0.5D) AS BIGINT)").as("fix"))
+      .groupBy(col("cid"), col("j"))
+      .agg(sum(col("fix")).as("sfix"))
+    flat.groupBy(col("cid"))
+      .agg(expr(s"transform(sort_array(collect_list(struct(j, sfix))), " +
+        s"s -> CAST(CAST(s.sfix AS DOUBLE) / CAST($PqScale AS DOUBLE) AS FLOAT))")
+        .as("cv"))
   }
 
   /** Re-assignment under the learned centroids (E-step round 2) — same
@@ -1232,6 +1257,8 @@ object Similarity {
   private[graft] val PqM = 4   // subspaces
   private[graft] val PqK = 16  // codebook entries per subspace
   private[graft] val PqSub = 16 // dims per subspace (64-dim corpus)
+  /** Embedding dimensionality (corpus-constant; PqM × PqSub). */
+  private[graft] val VecDims = PqM * PqSub
 
   /** Exact-double squared L2 over dims [lo, hi] of two float arrays,
     * folded LEFT-TO-RIGHT from 0.0 — the same pinned fold order as
@@ -1295,7 +1322,15 @@ object Similarity {
     * distance table; database vectors are scored by FOUR broadcast
     * table lookups + a fixed-order sum — the corpus's floats are never
     * touched. Rank ascending (squared distance), ties to vec_id. */
-  def pqTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def pqTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    // the graded query and the pq_recall diagnostic share this 10-row
+    // result through the S6 cache (r5 verdict #2): recall's seven
+    // methods each consume a cached block scan, never a rebuilt chain
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|pq_topk|$dir|$k",
+      ttlSeconds = 300)(pqTopkUncached(spark, dir, k))
+
+  private def pqTopkUncached(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     val dt = pqCodebook(spark, dir).crossJoin(broadcast(q))
@@ -1329,7 +1364,13 @@ object Similarity {
     * blocks are the ResultCache-shared frames the standalone queries
     * grade ([[ivfAssign]], [[pqCodes]]). */
   def ivfPqTopk(spark: SparkSession, dir: String, k: Int = 10,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|ivfpq_topk|$dir|$k|$nprobe",
+      ttlSeconds = 300)(ivfPqTopkUncached(spark, dir, k, nprobe))
+
+  private def ivfPqTopkUncached(spark: SparkSession, dir: String, k: Int,
+      nprobe: Int): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     val assign = ivfAssign(spark, dir)
@@ -1514,22 +1555,29 @@ object Similarity {
 
   /** GRADED learned-ADC top-k (exhaustive over the code table). */
   def pqTopkLearned(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
-    adcLearnedTopk(spark, dir, k, None)
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|pq_topk_learned|$dir|$k|1",
+      ttlSeconds = 300)(adcLearnedTopk(spark, dir, k, None))
 
   /** Exhaustive ADC top-k under the ROUND-2 codebook (per-subspace
     * k-means iterated once more) — feeds the recall diagnostic. */
   private[graft] def pqTopkLearned2(spark: SparkSession, dir: String,
       k: Int = 10): DataFrame =
-    adcLearnedTopk(spark, dir, k, None, r = 2)
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|pq_topk_learned|$dir|$k|2",
+      ttlSeconds = 300)(adcLearnedTopk(spark, dir, k, None, r = 2))
 
   /** Learned IVFADC: coarse IVF routing + learned-codebook ADC. */
-  def ivfPqTopkLearned(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val assign = ivfAssign(spark, dir)
-    val qBucket = assign.filter(col("vec_id") === 0).select(col("cid"))
-    val cands = assign.join(broadcast(qBucket), Seq("cid"))
-      .filter(col("vec_id") =!= 0).select(col("vec_id"))
-    adcLearnedTopk(spark, dir, k, Some(cands))
-  }
+  def ivfPqTopkLearned(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|ivfpq_topk_learned|$dir|$k",
+      ttlSeconds = 300) {
+      val assign = ivfAssign(spark, dir)
+      val qBucket = assign.filter(col("vec_id") === 0).select(col("cid"))
+      val cands = assign.join(broadcast(qBucket), Seq("cid"))
+        .filter(col("vec_id") =!= 0).select(col("vec_id"))
+      adcLearnedTopk(spark, dir, k, Some(cands))
+    }
 
   /** N3 ANN QUALITY diagnostic — recall@k of [[ivfPqTopk]] against the
     * EXACT squared-L2 top-k (same metric ADC approximates, same pinned
@@ -1545,14 +1593,23 @@ object Similarity {
   def pqRecall(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    val exact = fanOut(spark, e, key = "vec_id")
-      .filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        expr(sqDistExpr("embedding", "qv", 1, PqM * PqSub)).as("d"))
-      .orderBy(col("d"), col("vec_id"))
-      .limit(k)
-      .select(col("vec_id"))
+    // the exact-L2 baseline is referenced by all SEVEN method branches
+    // of one union plan — without the S6 cache each branch re-plans and
+    // re-executes the full corpus kernel (r5 verdict #2: pq_recall was
+    // the board's heaviest query); cached, every branch joins a 10-row
+    // block scan
+    val exact = graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|pq_exact_l2_topk|$dir|$k",
+      ttlSeconds = 300) {
+      fanOut(spark, e, key = "vec_id")
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          expr(sqDistExpr("embedding", "qv", 1, PqM * PqSub)).as("d"))
+        .orderBy(col("d"), col("vec_id"))
+        .limit(k)
+        .select(col("vec_id"))
+    }
     def recallOf(method: String, approx: DataFrame): DataFrame =
       exact.join(approx.select(col("vec_id")), Seq("vec_id"))
         .agg(count(lit(1)).as("n_hits"))
@@ -1765,8 +1822,9 @@ object Similarity {
   }
 
   /** One Lloyd round as a DuckDB CTE pair — mirrors
-    * [[kmeansCentroidsR]] / [[kmeansAssignR]]: ordered member lists,
-    * left-fold double sums per dimension, cast to float, re-assign by
+    * [[kmeansCentroidsR]] / [[kmeansAssignR]]: order-independent
+    * fixed-point per-(cid, dim) long sums (floor(x·2²⁰ + ½)), divided
+    * by the exact power-of-two scale and cast to float, re-assign by
     * argmax cosine. Round r reads `assign(r-1)` (round 0 = the seed
     * `assign` from [[ivfCte]]) and defines `cent$r` + `assign$r`. */
   private def kmeansRoundCte(r: Int): String = {
@@ -1774,16 +1832,17 @@ object Similarity {
       s"(sqrt(${duckDot("e.embedding", "e.embedding")}) * sqrt(${duckDot("c.cv", "c.cv")})))"
     val prev = if (r == 1) "assign" else s"assign${r - 1}"
     s"""mem$r AS (
-       |  SELECT a.cid, list(e.embedding ORDER BY e.vec_id) AS ms
+       |  SELECT a.cid, t.j,
+       |    sum(CAST(floor(CAST(e.embedding[t.j] AS DOUBLE)
+       |      * CAST($PqScale AS DOUBLE) + 0.5) AS BIGINT)) AS sfix
        |  FROM $prev a JOIN embeddings e ON a.vec_id = e.vec_id
-       |  GROUP BY 1),
+       |  CROSS JOIN generate_series(1, $VecDims) AS t(j)
+       |  GROUP BY 1, 2),
        |cent$r AS (
-       |  SELECT cid, list_transform(generate_series(1, len(ms[1])), j ->
-       |    CAST(list_reduce(
-       |      list_concat([CAST(0 AS DOUBLE)],
-       |        list_transform(ms, v -> CAST(v[j] AS DOUBLE))),
-       |      (x, y) -> x + y) AS FLOAT)) AS cv
-       |  FROM mem$r),
+       |  SELECT cid,
+       |    list(CAST(CAST(sfix AS DOUBLE) / CAST($PqScale AS DOUBLE) AS FLOAT)
+       |         ORDER BY j) AS cv
+       |  FROM mem$r GROUP BY 1),
        |sims$r AS (
        |  SELECT e.vec_id, c.cid, $cos AS s
        |  FROM embeddings e CROSS JOIN cent$r c),

@@ -265,24 +265,29 @@ object TextOps {
     * qualifying pair matches exactly once (its distance-d differing
     * bit has exactly one matching flip; d = 0 matches on the identity
     * probe), so no distinct is needed. */
-  def simhashNeighbors(spark: SparkSession, dir: String): DataFrame = {
+  def simhashNeighbors(spark: SparkSession, dir: String,
+      radius: Int = 1): DataFrame = {
+    require(radius >= 0 && radius <= 16, s"radius $radius out of [0,16]")
+    // every fingerprint within Hamming ≤ radius of fa = fa XOR mask,
+    // one mask per ≤radius-bit subset — C(16,≤r) masks (17 at r=1, 137
+    // at r=2), generated once on the driver. A pair at distance d ≤ r
+    // matches EXACTLY once (the unique mask equal to fa⊕fb), so no
+    // distinct is needed; the integer form replaces r nested string
+    // surgeries and makes the distance a codegen'd bit_count.
+    val masks: Seq[Long] = (0 to radius).flatMap(d =>
+      (0 until 16).combinations(d)
+        .map(_.foldLeft(0L)((acc, b) => acc | (1L << b))).toSeq)
     val fp = simhash(spark, dir)
-    def flip(i: Int) = concat(
-      substring(col("simhash16"), 1, i - 1),
-      when(substring(col("simhash16"), i, 1) === "1", lit("0"))
-        .otherwise(lit("1")),
-      substring(col("simhash16"), i + 1, 16 - i))
-    val probes = fp.select(col("doc_id").as("doc_a"),
-      col("simhash16").as("fa"),
-      explode(array(Seq(col("simhash16")) ++ (1 to 16).map(flip): _*))
+      .select(col("doc_id"),
+        expr("CAST(conv(simhash16, 2, 10) AS BIGINT)").as("fpi"))
+    val probes = fp.select(col("doc_id").as("doc_a"), col("fpi").as("fai"),
+      explode(array(masks.map(m => col("fpi").bitwiseXOR(lit(m))): _*))
         .as("probe"))
     probes.join(
-        fp.select(col("doc_id").as("doc_b"), col("simhash16").as("fb")),
-        col("probe") === col("fb") && col("doc_a") < col("doc_b"))
+        fp.select(col("doc_id").as("doc_b"), col("fpi").as("fbi")),
+        col("probe") === col("fbi") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        expr("CAST(size(filter(sequence(1, 16), i -> " +
-          "substring(fa, i, 1) != substring(fb, i, 1))) AS BIGINT)")
-          .as("hamming"))
+        expr("CAST(bit_count(fai ^ fbi) AS BIGINT)").as("hamming"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -335,7 +340,12 @@ object TextOps {
     "language_id"       -> (languageId _),
     "token_count_bpe"   -> (tokenCount _),
     "simhash_buckets"   -> (simhashBuckets _),
-    "simhash_neighbors" -> (simhashNeighbors _),
+    "simhash_neighbors" -> ((s: SparkSession, d: String) =>
+      simhashNeighbors(s, d)),
+    // the radius knob exercised (r5 verdict #4): 137 probes/doc, pairs
+    // at Hamming ≤ 2 — SimhashSpec asserts r2 ⊇ r1
+    "simhash_neighbors_r2" -> ((s: SparkSession, d: String) =>
+      simhashNeighbors(s, d, radius = 2)),
     "winnow_fingerprints" -> (winnowFingerprints _))
 
 
@@ -499,6 +509,28 @@ object TextOps {
            |FROM probes p JOIN fp b
            |  ON p.probe = b.simhash16 AND p.doc_a < b.doc_id
            |ORDER BY doc_a, doc_b""".stripMargin,
+      // radius-2 twin: the oracle side drops the probe table entirely
+      // and checks the ground truth directly — pairwise Hamming over
+      // the same fingerprint CTE (N²/2 is fine at oracle scale; the
+      // probe expansion is the SPARK side's scale story, asserted by
+      // the r1-oracle parity and the SimhashSpec containment test)
+      "simhash_neighbors_r2" ->
+        s"""WITH terms AS (
+           |  SELECT doc_id, md5(unnest(list_filter(string_split(text, ' '), x -> x <> ''))) AS h
+           |  FROM documents),
+           |sums AS (
+           |  SELECT doc_id,
+           |    $simhashBitSums
+           |  FROM terms GROUP BY 1),
+           |fp AS (SELECT doc_id, $simhashConcat AS simhash16 FROM sums),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(len(list_filter(generate_series(1, 16), i ->
+           |      substr(a.simhash16, i, 1) <> substr(b.simhash16, i, 1)))
+           |      AS BIGINT) AS hamming
+           |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, hamming FROM pairs
+           |WHERE hamming <= 2 ORDER BY doc_a, doc_b""".stripMargin,
       "winnow_fingerprints" ->
         s"""WITH toks AS (
           |  ${graft.functions.Shingles.duckToks}),

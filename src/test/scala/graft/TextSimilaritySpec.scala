@@ -55,6 +55,35 @@ class TextSimilaritySpec extends SparkSpec {
       Tables(spark, sf0001, "documents").count())
   }
 
+  test("simhash radius search: r2 pairs contain r1 pairs, distances honest") {
+    def pairs(r: Int) = TextOps.simhashNeighbors(spark, sf0001, radius = r)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val r1 = pairs(1); val r2 = pairs(2)
+    assert(r1.forall(_._3 <= 1) && r2.forall(_._3 <= 2))
+    // widening the radius keeps every tighter pair (same distances)
+    assert(r1.toSet.subsetOf(r2.toSet),
+      s"r1 pairs missing from r2: ${(r1.toSet -- r2.toSet).take(3)}")
+    // the widening is real on this corpus: some distance-2 pair exists
+    assert(r2.exists(_._3 == 2), "r2 added no distance-2 pairs")
+  }
+
+  test("N2: per-doc gram-HASH sets are collision-free on this corpus") {
+    // the verify stage computes n_inter/jaccard over xxhash64 gram-hash
+    // SETS; a 64-bit collision (P ≈ 5e-8) would silently shift n_inter
+    // vs the string-hashing-free oracle (r5 advice). Guard: the hash-set
+    // cardinality must equal the exact distinct-gram count per doc.
+    import org.apache.spark.sql.functions._
+    val grams = Similarity.shinglesOf(spark,
+      Tables(spark, sf0001, "documents").select($"doc_id", $"text"))
+    val bad = grams
+      .groupBy($"doc_id")
+      .agg(countDistinct($"s").as("n_exact"),
+        size(collect_set(xxhash64($"s"))).cast("long").as("n_hashed"))
+      .filter($"n_exact" =!= $"n_hashed")
+    assert(bad.count() == 0,
+      s"xxhash64 gram collision on docs: ${bad.take(3).mkString(", ")}")
+  }
+
   test("N2: neardup pairs have valid jaccard and ordered ids") {
     val df = Similarity.neardupPairs(spark, sf0001)
     assert(df.filter($"doc_a" >= $"doc_b").count() == 0)

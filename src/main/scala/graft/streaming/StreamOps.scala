@@ -19,17 +19,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
-  /** ST7: tumbling event-time window counts per type. */
+  /** ST7: tumbling event-time window counts per type. `extraKeys` are
+    * additional grouping columns carried through to the output — e.g.
+    * the sentinel-replay flag, so a sink-side consumer can drop
+    * sentinel-derived rows without a magic value in a data column. */
   def tumblingCounts(events: DataFrame,
-      win: String = "1 hour", watermark: String = "10 minutes"): DataFrame =
+      win: String = "1 hour", watermark: String = "10 minutes",
+      extraKeys: Seq[String] = Nil): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), win), col("event_type"))
+      .groupBy(window(col("ts"), win) +: col("event_type") +:
+        extraKeys.map(col): _*)
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
-      .select(col("window.start").as("window_start"),
-        col("window.end").as("window_end"),
-        col("event_type"), col("n_events"), col("total_value"))
+      .select(col("window.start").as("window_start") +:
+        col("window.end").as("window_end") +:
+        col("event_type") +: extraKeys.map(col) :+
+        col("n_events") :+ col("total_value"): _*)
 
   /** ST3: sliding-window rate limit — the reference's Redis sliding
     * window (`SCALING.md:109-118`) as a streaming windowed count; rows

@@ -29,11 +29,15 @@ import org.apache.spark.sql.streaming.Trigger
   *  - bounded replays are deterministic regardless of how the source
   *    chops files into micro-batches (decimal sums — no float fold
   *    order);
-  *  - memory sinks serve only SMALL-aggregate and update/complete-mode
-  *    replays (file sinks are append-only); every row-heavy graded
-  *    replay (`dedup_streamed`, `hourly_event_stats_streamed`,
-  *    `session_stats_streamed`) drains through a parquet FILE sink +
-  *    checkpoint, so its rows never live on the driver (r4 brief #7).
+  *  - memory sinks serve ONLY small (≤100-row) aggregate replays
+  *    (`enriched_events_streamed`, `hll_users_streamed`,
+  *    `rate_limit_streamed`); every row-heavy graded replay drains to
+  *    files — append mode through the parquet sink + checkpoint
+  *    (`dedup_streamed`, `hourly_event_stats_streamed`,
+  *    `session_stats_streamed`, `view_purchase_join_streamed`), update
+  *    mode through the `foreachBatch` parquet upsert log
+  *    (`hourly_event_stats_updatemode`) — so their rows never live on
+  *    the driver (r4 brief #7 + r5 verdict #7).
   *
   * Like the LSH pair build, CONSTRUCTING this frame executes work (the
   * streaming query must finish before the sink table exists) — the
@@ -57,23 +61,18 @@ object StreamReplay {
   private def replaySession(spark: SparkSession): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
-    // same TIMESTAMP(NANOS) shim as Tables.apply — the streaming source
-    // hits the identical parquet files (runtime conf, so the clone does
-    // not inherit it from the caller; set it explicitly)
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ss
   }
 
-  /** File streaming source over the driver's events table. The table
-    * is a single FILE (`<sf>/events.parquet`) and a file streaming
-    * source requires a directory — stream the parent with a glob
-    * pinned to exactly this table's file. */
+  /** File streaming source over the driver's events table — streamed
+    * from the µs-CONVERTED once-per-(JVM, corpus) copy Tables
+    * materializes (r6): the TIMESTAMP(NANOS) shim lives at ingest, so
+    * the streaming path needs neither the legacy read conf nor a
+    * per-row conversion, and batch twins scan byte-identical files. */
   private def eventsStream(ss: SparkSession, dir: String): DataFrame = {
-    val schema = ss.read.parquet(s"$dir/events.parquet").schema
-    ss.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val path = graft.Tables.eventsMicros(ss, dir)
+    val schema = ss.read.parquet(path).schema
+    ss.readStream.schema(schema).parquet(path)
   }
 
   /** Shared replay plumbing: stream the events table through
@@ -154,6 +153,40 @@ object StreamReplay {
     ss.read.parquet(out)
   }
 
+  /** Shared UPDATE-mode drain through `foreachBatch` (r5 verdict #7):
+    * file sinks are append-only, so update-mode output — only the rows
+    * each micro-batch CHANGED — upserts via the log-compaction pattern:
+    * every batch appends its changed rows stamped with the batch id
+    * (one atomic parquet append per batch), and the reader compacts
+    * last-writer-wins per key (row_number over `_batch_id` desc). This
+    * is exactly how an update-mode stream feeds a warehouse without a
+    * MERGE-capable sink — a CDC log + compaction view — and the graded
+    * rows never live on the driver. A key appears at most once per
+    * batch (it IS the aggregation key), so the compaction is total. */
+  private def drainUpdateToParquet(df: DataFrame, keys: Seq[String],
+      prefix: String): DataFrame = {
+    val ss = df.sparkSession
+    val out = newReplayDir(s"graft_${prefix}_out_")
+    val query = df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", newReplayDir(s"graft_${prefix}_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        batch.withColumn("_batch_id", lit(batchId))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .start()
+    try query.awaitTermination() finally query.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("_batch_id").desc)
+    ss.read.parquet(out)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_batch_id")
+  }
+
   /** ST7 through the PRODUCTION sink shape (r4 brief #7 — this result
     * is 3k+ rows): APPEND-mode windowed aggregate into a parquet file
     * sink. Append emits a window exactly once, when the watermark
@@ -169,11 +202,20 @@ object StreamReplay {
     val stream = ss.readStream
       .schema(ss.read.parquet(input).schema)
       .parquet(input)
-    drainToParquet(StreamOps.tumblingCounts(stream), "hourly")
+      // The sentinel marker stays OUT of real data columns (r5 advice):
+      // an extra grouping flag derived from the user_id = −1 convention
+      // — null-safe, so real NULL-user events can never be flagged. It
+      // must be a GROUPING key, not a pre-watermark filter (a filter
+      // would push below the watermark operator and the sentinel would
+      // never advance it — see sessionStatsStreamed's note); real
+      // groups are unchanged (all carry false).
+      .withColumn("is_sentinel", col("user_id") <=> lit(-1L))
+    drainToParquet(
+        StreamOps.tumblingCounts(stream, extraKeys = Seq("is_sentinel")),
+        "hourly")
       // defensive only: the sentinel's own window cannot flush (its end
-      // is past the final watermark), so no sentinel row exists to drop;
-      // null-safe so real NULL event_type groups survive
-      .filter(!(col("event_type") <=> lit("graft_sentinel")))
+      // is past the final watermark), so no sentinel row exists to drop
+      .filter(!col("is_sentinel"))
       .select(col("window_start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
       .orderBy("hour_start", "event_type")
@@ -204,12 +246,19 @@ object StreamReplay {
     * nothing in update mode), so the sink holds exactly the batch
     * aggregate and the batch oracle grades it verbatim — while the
     * execution path exercised is the update-mode incremental-emission
-    * code, not complete-mode's re-emit-everything. */
-  def hourlyEventStatsUpdateMode(spark: SparkSession, dir: String): DataFrame =
-    replayEvents(spark, dir, outputMode = "update")(StreamOps.tumblingCounts(_))
+    * code, not complete-mode's re-emit-everything. Drained through the
+    * `foreachBatch` parquet upsert ([[drainUpdateToParquet]], r5
+    * verdict #7): this result is 3k+ rows at sf0.01 — too big for the
+    * driver-held memory sink the small-aggregate replays keep. */
+  def hourlyEventStatsUpdateMode(spark: SparkSession, dir: String): DataFrame = {
+    val ss = replaySession(spark)
+    drainUpdateToParquet(
+        StreamOps.tumblingCounts(eventsStream(ss, dir)),
+        keys = Seq("window_start", "event_type"), prefix = "hourly_upd")
       .select(col("window_start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
       .orderBy("hour_start", "event_type")
+  }
 
   /** ST5+A6 on the driver's graded path: the custom HLL sketch carried
     * as `mapGroupsWithState` STATE through a real streaming execution —
@@ -286,17 +335,18 @@ object StreamReplay {
   private[graft] val sessionInputs = new ConcurrentHashMap[String, String]()
   private def sessionReplayInput(ss: SparkSession, dir: String): String =
     sessionInputs.computeIfAbsent(dir, { _ =>
-      val batch = ss.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val batch = ss.read.parquet(graft.Tables.eventsMicros(ss, dir))
+      // The sentinel is marked ONLY by user_id = −1 (the session
+      // replays' existing convention). It deliberately carries a real
+      // row's event_type: r5 advice — a magic value in a real data
+      // column ('graft_sentinel') would silently drop a legitimate
+      // corpus row carrying that value; window-keyed replays that need
+      // to drop sentinel-derived aggregates group on an explicit
+      // is-sentinel flag derived from user_id instead.
       val sentinel = batch.orderBy("event_id").limit(1)
         .crossJoin(broadcast(batch.agg(max(col("ts")).as("mx"))))
         .withColumn("ts", expr("mx + INTERVAL 1 YEAR"))
         .withColumn("user_id", lit(-1L))
-        // marker type: lets window-keyed replays (hourly append) drop
-        // any sentinel-derived aggregate row without touching real
-        // NULL-typed events; session replays key on user_id and filter
-        // the -1 sentinel user instead
-        .withColumn("event_type", lit("graft_sentinel"))
         .select(batch.columns.toIndexedSeq.map(col): _*)
       val path = newReplayDir("graft_session_replay_")
       batch.unionByName(sentinel).coalesce(1)
@@ -332,11 +382,14 @@ object StreamReplay {
     * Inner matches emit in the micro-batch where both sides are
     * buffered, so the bounded replay's sink holds exactly the batch
     * join — graded by a plain DuckDB join oracle with the identical
-    * interval predicate. */
-  def viewPurchaseJoinStreamed(spark: SparkSession, dir: String): DataFrame =
-    replayEvents(spark, dir, outputMode = "append")(
-      StreamOps.viewToPurchase(_))
+    * interval predicate. Append mode ⇒ drained through the parquet
+    * FILE sink (r6): the match count scales with the corpus, so its
+    * rows should never live on the driver. */
+  def viewPurchaseJoinStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val ss = replaySession(spark)
+    drainToParquet(StreamOps.viewToPurchase(eventsStream(ss, dir)), "viewjoin")
       .orderBy("user_id", "view_id", "purchase_id")
+  }
 
   /** ST9 on the driver's graded path: the stream-static enrichment
     * join + aggregate as a real streaming execution (complete mode —

@@ -174,18 +174,24 @@ class ResultCacheSpec extends SparkSpec {
   test("S6: retire() drains without waiting for a sweep") {
     var now = 1_000_000L
     ResultCache.clock = () => now
+    // restore in a local finally (r5 advice) — the fixture's clear()
+    // also resets graceMs, but the discipline belongs with the mutation
+    // so a future fixture change cannot silently leak shrunken grace
+    // into suites sharing the JVM
     ResultCache.graceMs = 1000
-    // this lookup also runs the throttled sweep (arming its 30 s timer)
-    val first = ResultCache.getOrCompute("filters-drain", 1)(Seq(1).toDF("x"))
-    assert(pinned(first))
-    // 3 s later: the entry is expired AND past its 1 s grace, but the
-    // sweep is still throttled (3 s < 30 s) — only the drain inside
-    // retire() can free it on this same-key rebuild
-    now += 3 * 1000
-    ResultCache.getOrCompute("filters-drain", 300)(Seq(2).toDF("x"))
-    assert(!pinned(first),
-      "retire() did not drain a past-grace retiree while the sweep " +
-      "was throttled")
+    try {
+      // this lookup also runs the throttled sweep (arming its 30 s timer)
+      val first = ResultCache.getOrCompute("filters-drain", 1)(Seq(1).toDF("x"))
+      assert(pinned(first))
+      // 3 s later: the entry is expired AND past its 1 s grace, but the
+      // sweep is still throttled (3 s < 30 s) — only the drain inside
+      // retire() can free it on this same-key rebuild
+      now += 3 * 1000
+      ResultCache.getOrCompute("filters-drain", 300)(Seq(2).toDF("x"))
+      assert(!pinned(first),
+        "retire() did not drain a past-grace retiree while the sweep " +
+        "was throttled")
+    } finally ResultCache.graceMs = ResultCache.DefaultGraceMs
   }
 
   test("S6: evictAll releases every entry immediately") {

@@ -49,6 +49,53 @@ class VectorExprSpec extends SparkSpec {
     assert(r("equal").isDefined)
   }
 
+  test("sq_dist_slice is BIT-identical to the HOF aggregate it replaced") {
+    VectorExpressions.register(spark)
+    val e = Tables(spark, sf0001, "embeddings")
+    // same-offset slices (the seed-PQ shape): every (vector, codebook
+    // entry, subspace) — the exact expression pqPairs used pre-kernel
+    val pairs = e.select($"vec_id".as("ida"), $"embedding".as("a"))
+      .crossJoin(e.select($"vec_id".as("idb"), $"embedding".as("b")))
+      .filter($"ida" < $"idb").limit(500)
+    (0 until 4).foreach { m =>
+      val lo = m * 16 + 1; val hi = (m + 1) * 16
+      val hof = s"aggregate(sequence($lo, $hi), CAST(0.0 AS DOUBLE), " +
+        "(acc, j) -> acc + (CAST(element_at(a, j) AS DOUBLE) - CAST(element_at(b, j) AS DOUBLE)) * " +
+        "(CAST(element_at(a, j) AS DOUBLE) - CAST(element_at(b, j) AS DOUBLE)))"
+      val diff = pairs
+        .withColumn("native", expr(s"sq_dist_slice(a, ${lo - 1}, b, ${lo - 1}, 16)"))
+        .withColumn("hof", expr(hof))
+        .filter($"native" =!= $"hof") // bitwise double equality
+        .count()
+      assert(diff == 0, s"subspace $m diverged from the HOF fold")
+    }
+    // float-vs-DOUBLE compact codebook (the learned-encode shape)
+    val learned = e.limit(50)
+      .select($"embedding".as("a"),
+        expr("transform(slice(embedding, 17, 16), v -> CAST(v AS DOUBLE) + 0.125D)").as("c"))
+    val hof2 = "aggregate(sequence(1, 16), CAST(0.0 AS DOUBLE), " +
+      "(acc, j) -> acc + (CAST(element_at(a, 16 + j) AS DOUBLE) - element_at(c, j)) * " +
+      "(CAST(element_at(a, 16 + j) AS DOUBLE) - element_at(c, j)))"
+    val diff2 = learned
+      .withColumn("native", expr("sq_dist_slice(a, 16, c, 0, size(c))"))
+      .withColumn("hof", expr(hof2))
+      .filter($"native" =!= $"hof").count()
+    assert(diff2 == 0, "float-vs-double slice diverged from the HOF fold")
+  }
+
+  test("sq_dist_slice NULL semantics match element_at past-the-end") {
+    VectorExpressions.register(spark)
+    val df = Seq(
+      ("in_range", Array(1.0f, 2.0f, 3.0f), 0, 3),
+      ("overflow", Array(1.0f, 2.0f, 3.0f), 2, 3),
+      ("negative", Array(1.0f, 2.0f, 3.0f), -1, 2))
+      .toDF("c", "a", "off", "n")
+    val r = df.selectExpr("c", "sq_dist_slice(a, off, a, 0, n) AS d").collect()
+      .map(x => x.getString(0) -> Option(x.get(1))).toMap
+    assert(r("in_range").contains(0.0))
+    assert(r("overflow").isEmpty && r("negative").isEmpty)
+  }
+
   test("cosine_sim rejects wrong input types at analysis") {
     VectorExpressions.register(spark)
     intercept[Exception] {

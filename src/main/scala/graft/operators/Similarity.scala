@@ -722,10 +722,12 @@ object Similarity {
     * materializes ([[cachedWithPins]]). */
   private def clusterFrame(vertices: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
-      defer: DataFrame => DataFrame): DataFrame = {
+      defer: DataFrame => DataFrame,
+      components: DataFrame => (DataFrame, Int) = connectedComponents)
+      : DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-    val (labels, _) = connectedComponents(edges)
+    val (labels, _) = components(edges)
     defer(labels)
     vertices
       .join(labels, vertices(idCol) === labels("doc_id"), "left")
@@ -744,6 +746,27 @@ object Similarity {
       Tables(spark, dir, "documents").select(col("doc_id")), "doc_id",
       neardupPairs(spark, dir).filter(col("jaccard") >= threshold),
       "doc_a", "doc_b", defer)
+
+  /** The DISTRIBUTED component path GRADED (r6): identical semantics
+    * to [[neardupClusters]], but dispatched through
+    * [[connectedComponentsLoop]] unconditionally — at bench scale the
+    * ≤[[LocalCcMaxEdges]] gate always routes the graded cluster
+    * queries to the driver-side union-find, so without this twin the
+    * 100 TB path (co-partitioned propagate + pointer-jump rounds,
+    * converged labels checkpointed to reliable storage) was exercised
+    * only by ScalaTest parity properties, never hash-graded. Same
+    * recursive-CTE closure oracle as `neardup_clusters`: the two paths
+    * are label-identical by construction, and this row proves it
+    * against the oracle instead of asserting it. */
+  def neardupClustersLoop(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame =
+    cachedWithPins(
+      s"${graft.sources.ResultCache.sessionId(spark)}|neardup_clusters_loop|$dir|$threshold")(
+      defer => clusterFrame(
+        Tables(spark, dir, "documents").select(col("doc_id")), "doc_id",
+        neardupPairs(spark, dir).filter(col("jaccard") >= threshold),
+        "doc_a", "doc_b", defer,
+        components = e => connectedComponentsLoop(e)))
 
   /** N1–N4 capstone — the complete training-data curation pipeline as
     * ONE graded query, reporting per-source survivor counts at every
@@ -1815,6 +1838,8 @@ object Similarity {
     "neardup_pairs"     -> (neardupPairs _),
     "neardup_pairs_char" -> ((s: SparkSession, d: String) => neardupPairsChar(s, d)),
     "neardup_clusters"  -> ((s: SparkSession, d: String) => neardupClusters(s, d)),
+    "neardup_clusters_loop" -> ((s: SparkSession, d: String) =>
+      neardupClustersLoop(s, d)),
     "neardup_degree"    -> ((s: SparkSession, d: String) => neardupDegree(s, d)),
     "neardup_triangles" -> ((s: SparkSession, d: String) => neardupTriangles(s, d)),
     "pipeline_yield"    -> (pipelineYield _),
@@ -2204,6 +2229,13 @@ object Similarity {
     // connected components over the thresholded pair graph: recursive
     // transitive closure, component label = min reachable doc
     "neardup_clusters" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$lshScoredCtes,
+         |$clusterClosureCtes
+         |SELECT doc_id, cluster FROM clu ORDER BY 1""".stripMargin,
+    // same closure oracle — the loop-forced twin must land on the
+    // identical labels the gate's local path produces
+    "neardup_clusters_loop" ->
       s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |$lshScoredCtes,
          |$clusterClosureCtes

@@ -71,4 +71,23 @@ class ComponentsPropSpec extends SparkSpec {
       }
     }
   }
+
+  test("loop-path labels come back on REBUILDABLE lineage (r5 advice)") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("src", "dst")
+    val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+    val (labels, rounds) = Similarity.connectedComponentsLoop(edges)
+    assert(rounds > 0)
+    // the converged frame must bottom out in a file scan — the in-loop
+    // localCheckpoint blocks are RELEASED as the loop advances, so an
+    // RDD-backed result would raise "checkpoint block not found" on
+    // any action after a block drop instead of recomputing
+    val leaves = labels.queryExecution.analyzed.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]),
+      s"loop labels not file-backed: ${labels.queryExecution.analyzed}")
+    // and repeated actions (the rebuild contract's observable) agree
+    val once = labels.as[(Long, Long)].collect().toMap
+    assert(once == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
+    assert(labels.as[(Long, Long)].collect().toMap == once)
+  }
 }

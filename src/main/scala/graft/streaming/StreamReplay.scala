@@ -163,7 +163,7 @@ object StreamReplay {
     * MERGE-capable sink — a CDC log + compaction view — and the graded
     * rows never live on the driver. A key appears at most once per
     * batch (it IS the aggregation key), so the compaction is total. */
-  private def drainUpdateToParquet(df: DataFrame, keys: Seq[String],
+  private[graft] def drainUpdateToParquet(df: DataFrame, keys: Seq[String],
       prefix: String): DataFrame = {
     val ss = df.sparkSession
     val out = newReplayDir(s"graft_${prefix}_out_")

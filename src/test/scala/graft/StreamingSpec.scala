@@ -323,6 +323,73 @@ class StreamingSpec extends SparkSpec {
       assert(s == b, s"update-mode row $s != batch row $b") }
   }
 
+  test("ST7 update-mode upsert log: MULTI-batch replay compacts last-writer-wins") {
+    // the graded update-mode query replays a bounded source in one
+    // micro-batch, so its single-batch parity cannot distinguish
+    // "append-only log" from a real upsert. Split the events timeline
+    // into TWO files processed as two batches (maxFilesPerTrigger=1,
+    // time-ordered so the watermark never late-drops the second file):
+    // windows straddling the split are EMITTED TWICE in update mode,
+    // and the foreachBatch log's last-writer-wins compaction must keep
+    // only the later, complete row.
+    val ev = spark.read.parquet(Tables.eventsMicros(spark, sf0001))
+    // split point chosen BY CONSTRUCTION to straddle a window: the
+    // earliest hour with ≥2 distinct timestamps, cut right after its
+    // first event — half0 keeps that event, half1 the hour's rest
+    // (a blind timeline midpoint lands in a gap on sparse corpora)
+    val midRow = ev
+      .select(date_trunc("hour", col("ts")).as("h"), col("ts"))
+      .groupBy("h")
+      .agg(countDistinct(col("ts")).as("nts"), min(col("ts")).as("t0"))
+      .filter(col("nts") >= 2).orderBy("h").limit(1)
+      .select(col("t0")).collect()
+    assert(midRow.nonEmpty, "no hour has two distinct event times")
+    val midExpr = lit(midRow(0).getTimestamp(0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_upd_multi_")
+    def writeHalf(df: org.apache.spark.sql.DataFrame, name: String,
+        modMs: Long): Unit = {
+      val tmp = dir.resolve(s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Option(tmp.toFile.listFiles).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      assert(dest.toFile.setLastModified(modMs))
+    }
+    // the file source processes oldest-modified first
+    writeHalf(ev.filter(col("ts") <= midExpr), "half0", 1_000_000L)
+    writeHalf(ev.filter(col("ts") > midExpr), "half1", 60_000_000L)
+    // precondition: some hour window really does span both halves —
+    // otherwise this test degenerates to two disjoint single-batch runs
+    val straddle = ev
+      .select(date_trunc("hour", col("ts")).as("h"),
+        (col("ts") <= midExpr).as("first_half"))
+      .groupBy("h").agg(countDistinct(col("first_half")).as("sides"))
+      .filter(col("sides") === 2).count()
+    assert(straddle > 0, "no window straddles the split — test is vacuous")
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val compacted = graft.streaming.StreamReplay.drainUpdateToParquet(
+        graft.streaming.StreamOps.tumblingCounts(stream),
+        keys = Seq("window_start", "event_type"), prefix = "upd_multi")
+      .select(col("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("window_start", "event_type")
+      .collect()
+    val batch = graft.streaming.StreamOps.tumblingCounts(ev)
+      .select(col("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("window_start", "event_type")
+      .collect()
+    assert(compacted.length == batch.length,
+      s"compacted ${compacted.length} rows vs batch ${batch.length} — " +
+        "stale pre-update rows survived compaction or emissions were lost")
+    compacted.zip(batch).foreach { case (s, b) =>
+      assert(s == b, s"compacted $s != batch $b") }
+  }
+
   test("ST7 append mode: session replay emits every real session exactly once") {
     // the graded session_stats_streamed entry: append-mode emission
     // (one row per session, on watermark close, state dropped) must

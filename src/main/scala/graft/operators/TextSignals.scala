@@ -59,31 +59,40 @@ object TextSignals {
     val base = Tables.fanOut(spark, Tables(spark, dir, "documents"))
       .withColumn("t", toks)
       .filter(size(col("t")) >= 3)
-    // (doc, gram) counts for both gram orders in ONE explode pass:
-    // tag n=2/n=3 grams and union — a single shuffle serves both
-    // signals.
+    // (doc, gram) rows for both gram orders in ONE scan + ONE explode:
+    // both gram arrays come off the same token array and concatenate as
+    // (n, g) structs before the generator, so the documents scan and
+    // the tokenizer run once — not once per gram order as a plain
+    // UNION of two explodes would (two scans of a 100 TB corpus). One
+    // partial-agg shuffle still serves both signals.
+    val gramStructs =
+      s"concat(transform(${Shingles.sparkExprN(3)}, " +
+        "g -> named_struct('n', 3, 'g', g)), " +
+        s"transform(${Shingles.sparkExprN(2)}, " +
+        "g -> named_struct('n', 2, 'g', g)))"
     val grams = base.select(col("doc_id"),
-        explode(expr(Shingles.sparkExprN(3))).as("g"))
-      .withColumn("n", lit(3))
-      .union(base.select(col("doc_id"),
-          explode(expr(Shingles.sparkExprN(2))).as("g"))
-        .withColumn("n", lit(2)))
+        explode(expr(gramStructs)).as("x"))
+      .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
     val perGram = grams.groupBy(col("doc_id"), col("n"), col("g"))
       .agg(count(lit(1)).as("c"))
-    val perDoc = perGram.groupBy(col("doc_id"), col("n"))
-      .agg(sum(col("c")).as("total"),
-        count(lit(1)).as("distinct_g"),
-        max(col("c")).as("top_c"))
-    val d3 = perDoc.filter(col("n") === 3)
-      .select(col("doc_id"),
-        ScalarFns.roundN(lit(1.0)
-          - col("distinct_g").cast("double") / col("total"), 6)
-          .as("dup3_frac"))
-    val d2 = perDoc.filter(col("n") === 2)
-      .select(col("doc_id"),
-        ScalarFns.roundN(
-          col("top_c").cast("double") / col("total"), 6).as("topbi_frac"))
-    d3.join(d2, Seq("doc_id"))
+    // ONE doc-level aggregation pivots both gram orders out of the same
+    // (doc, n, g) counts via conditional aggregates. The obvious
+    // alternative — filter n=3 and n=2 into two frames and self-join —
+    // makes Catalyst duplicate the entire scan→tokenize→explode subtree
+    // into both join branches, running the generator twice; this shape
+    // keeps the corpus pass genuinely single.
+    val perDoc = perGram.groupBy(col("doc_id"))
+      .agg(sum(when(col("n") === 3, col("c"))).as("total3"),
+        count(when(col("n") === 3, lit(1))).as("distinct3"),
+        sum(when(col("n") === 2, col("c"))).as("total2"),
+        max(when(col("n") === 2, col("c"))).as("top2"))
+    val fracs = perDoc.select(col("doc_id"),
+      ScalarFns.roundN(lit(1.0)
+        - col("distinct3").cast("double") / col("total3"), 6)
+        .as("dup3_frac"),
+      ScalarFns.roundN(
+        col("top2").cast("double") / col("total2"), 6).as("topbi_frac"))
+    fracs
       .join(Tables(spark, dir, "documents").select(col("doc_id"), col("source")),
         Seq("doc_id"))
       .groupBy(col("source"))

@@ -22,7 +22,8 @@ object PlanDump {
     "pq_codebook_learned", "pq_topk_learned", "kmeans_converged_rounds",
     "orders_pruned_priority", "hourly_event_stats_streamed",
     "revenue_bucketed", "order_lookup_bucketed", "simhash_neighbors_r2",
-    "hourly_event_stats_updatemode", "pq_recall", "neardup_clusters_loop")
+    "hourly_event_stats_updatemode", "pq_recall", "neardup_clusters_loop",
+    "incremental_dedup")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

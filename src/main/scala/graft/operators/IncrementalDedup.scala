@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** INCREMENTAL deduplication — the ingest-time shape of the dedup
+  * family (SURVEY.md §2.11 N1/N2): classify an INCOMING batch of
+  * documents against the EXISTING corpus as exact duplicates
+  * (normalized-text match, [[TextOps.normalized]]), near duplicates
+  * (MinHash-LSH candidate against the base side + word-3-gram Jaccard
+  * ≥ [[NearThreshold]], the [[Similarity]] scheme), or genuinely new.
+  * Reference semantics: the dedup gates of `tools.py:38-81`
+  * generalized to the batch-vs-corpus regime.
+  *
+  * Why this is its OWN operator and not a restriction of
+  * [[Similarity.neardupPairs]]: a 100 TB corpus is not re-deduped on
+  * every ingest. The production job is ASYMMETRIC — the incoming batch
+  * (a day's crawl, ≪ corpus) probes the corpus' maintained signature
+  * index; base×base pairs are never formed. The testdata has no stored
+  * index, so the base signatures are computed inline here, but the
+  * JOIN GRAPH is the production one:
+  *  - band join: base bands ⋈ BROADCAST(incoming bands) — candidate
+  *    volume ∝ incoming × collisions, never corpus²;
+  *  - verification: gram-hash sets built ONLY for candidate docs
+  *    (semi-join reduction upstream of the generator), broadcast once,
+  *    one codegen'd `array_intersect` per pair;
+  *  - exact tier: the corpus side is a map-only scan probed by the
+  *    broadcast set of incoming normalized-text hashes — corpus rows
+  *    never shuffle;
+  *  - the verdict join touches only incoming rows.
+  * Swap the inline signature/set builds for reads of a maintained
+  * index table and this plan IS the daily-ingest job. Within-batch
+  * duplicates are deliberately out of scope — that is the existing
+  * symmetric [[Similarity.neardupPairs]] path's job.
+  *
+  * Determinism: the incoming split is a fixed md5-prefix predicate on
+  * doc_id (the [[Curation]] hash-sampling idiom), bands are the
+  * [[Similarity]] md5-slice scheme, and every output is a string /
+  * integer-count artifact — nothing float-ordered. The xxhash64
+  * gram-set caveat of [[Similarity.neardupPairs]] applies identically
+  * (collision odds ≈ 5e-8; TextSimilaritySpec's collision guard + the
+  * cross-SF selfcheck cover the shipped corpora).
+  */
+object IncrementalDedup {
+
+  /** First md5 hex chars of doc_id selecting the incoming batch (2 of
+    * 16 ⇒ ~1/8 of the corpus — small enough that "batch ≪ corpus"
+    * stays honest, wide enough that every verdict tier fires on the
+    * sf0.1 sweep corpus) — interpolated into BOTH engines so the
+    * split cannot drift. */
+  private[graft] val IncomingHexChars = Seq("0", "1")
+
+  /** Near-dup threshold on the 4-dp-rounded word-3-gram Jaccard — the
+    * same 0.5 the [[Similarity]] cluster family uses. */
+  private[graft] val NearThreshold = 0.5
+
+  private[graft] def isIncoming: Column =
+    substring(md5(col("doc_id").cast("string")), 1, 1)
+      .isin(IncomingHexChars: _*)
+
+  /** Verdict frame (doc_id, source, verdict ∈ exact|near|new) over the
+    * incoming batch — the shared product both graded queries consume,
+    * routed through the TTL [[graft.sources.ResultCache]]. A doc that
+    * is both an exact and a near duplicate reports 'exact' (the
+    * cheaper tier wins; the near tier is defined net of exact). */
+  private[graft] def verdicts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      pins += df.persist(StorageLevel.MEMORY_AND_DISK); df
+    }
+    try graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|incremental_dedup|$dir",
+      ttlSeconds = 300) {
+      classify(spark,
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source")), pin)
+    } finally pins.foreach { df =>
+      try { df.unpersist(); () } catch { case _: Throwable => () }
+    }
+  }
+
+  /** The classifier over an arbitrary (doc_id, text, source) frame —
+    * spec-reachable so the verdict tiers can be exercised on a
+    * fabricated corpus with KNOWN exact/near/new members, independent
+    * of which tiers the shipped corpora happen to populate. */
+  private[graft] def classify(spark: SparkSession, docs: DataFrame,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
+      val inc = docs.filter(isIncoming)
+
+      // ---- exact tier: the base side stays MAP-ONLY (scan → hash →
+      // broadcast-probe → distinct over ≤|incoming| survivors) ----
+      val incNorm = inc.select(col("doc_id"),
+        md5(TextOps.normalized(col("text"))).as("nh"))
+      val hitNh = docs.filter(!isIncoming)
+        .select(md5(TextOps.normalized(col("text"))).as("nh"))
+        .join(broadcast(incNorm.select(col("nh")).distinct()), Seq("nh"))
+        .distinct()
+      val exactIds = incNorm.join(broadcast(hitNh), Seq("nh"))
+        .select(col("doc_id")).distinct()
+
+      // ---- near tier: ONE corpus signature pass (bands pinned, split
+      // by the same doc_id predicate), asymmetric band join ----
+      val fanned = Tables.fanOut(spark,
+        docs.select(col("doc_id"), col("text")))
+      val bands = pin(
+        Similarity.signaturesFrom(Similarity.shinglesOf(spark, fanned))
+          .select(col("doc_id"), explode(array((0 to 3).map(i =>
+            struct(lit(i).as("band"), col(s"m$i").as("m"))): _*)).as("bm"))
+          .select(col("doc_id"), col("bm.band").as("band"),
+            col("bm.m").as("m")))
+      val cand = pin(bands.filter(!isIncoming)
+        .select(col("doc_id").as("base_id"), col("band"), col("m"))
+        .join(broadcast(bands.filter(isIncoming)
+          .select(col("doc_id").as("inc_id"), col("band"), col("m"))),
+          Seq("band", "m"))
+        .select(col("inc_id"), col("base_id")).distinct())
+      val candDocs = cand.select(col("inc_id").as("doc_id"))
+        .union(cand.select(col("base_id").as("doc_id"))).distinct()
+      // candidate-restricted gram-hash sets, one table for both sides
+      // (see Similarity.neardupPairsUncached — same materialize-then-
+      // broadcast discipline so a missed ReuseExchange stays cheap)
+      val dgSets = pin(Similarity.shinglesOf(spark,
+          fanned.join(broadcast(candDocs), Seq("doc_id")))
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+        .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs")))
+      dgSets.count()
+      val dg = broadcast(dgSets)
+      val nearIds = cand
+        .join(dg.as("x"), col("inc_id") === col("x.doc_id"))
+        .join(dg.as("y"), col("base_id") === col("y.doc_id"))
+        .select(col("inc_id"),
+          size(array_intersect(col("x.hs"), col("y.hs")))
+            .cast("bigint").as("ni"),
+          size(col("x.hs")).as("na"), size(col("y.hs")).as("nb"))
+        .filter(graft.functions.ScalarFns.roundN(col("ni").cast("double")
+          / (col("na") + col("nb") - col("ni")), 4) >= NearThreshold)
+        .select(col("inc_id").as("doc_id")).distinct()
+
+      inc.select(col("doc_id"), col("source"))
+        .join(broadcast(exactIds.withColumn("is_exact", lit(true))),
+          Seq("doc_id"), "left")
+        .join(broadcast(nearIds.withColumn("is_near", lit(true))),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          when(col("is_exact"), "exact")
+            .when(col("is_near"), "near")
+            .otherwise("new").as("verdict"))
+  }
+
+  /** N1/N2 incremental dedup, membership level: each incoming doc's
+    * verdict — the filter an ingest job applies before appending to
+    * the corpus. */
+  def incrementalDedupDocs(spark: SparkSession, dir: String): DataFrame =
+    verdicts(spark, dir).orderBy("doc_id")
+
+  /** N1/N2 incremental dedup accounting per source — the ingest-yield
+    * number a pipeline dashboards daily. */
+  def incrementalDedupStats(spark: SparkSession, dir: String): DataFrame =
+    verdicts(spark, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(when(col("verdict") === "exact", 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("verdict") === "near", 1L).otherwise(0L)).as("n_near"),
+        sum(when(col("verdict") === "new", 1L).otherwise(0L)).as("n_new"))
+      .orderBy("source")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "incremental_dedup"      -> (incrementalDedupStats _),
+    "incremental_dedup_docs" -> (incrementalDedupDocs _))
+
+  /** DuckDB twin of [[isIncoming]]. */
+  private def incPred(ref: String): String =
+    s"substr(md5(CAST($ref AS VARCHAR)), 1, 1) IN (" +
+      IncomingHexChars.map(c => s"'$c'").mkString(", ") + ")"
+
+  /** Shared verdict CTE chain — both oracles end at
+    * `v(doc_id, source, verdict)`. Mirrors [[Similarity]]'s
+    * lshScoredCtes scheme (md5-slice minhash, distinct-gram Jaccard)
+    * restricted to incoming×base pairs. */
+  private val verdictCtes: String =
+    s"""WITH toks AS (
+       |  ${graft.functions.Shingles.duckToks}),
+       |sh AS (
+       |  SELECT doc_id, unnest(${graft.functions.Shingles.duckExpr}) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |sig AS (
+       |  SELECT doc_id,
+       |    min(substr(md5(s),  1, 8)) AS m0,
+       |    min(substr(md5(s),  9, 8)) AS m1,
+       |    min(substr(md5(s), 17, 8)) AS m2,
+       |    min(substr(md5(s), 25, 8)) AS m3
+       |  FROM sh GROUP BY 1),
+       |cand AS (
+       |  SELECT DISTINCT inc_id, base_id FROM (
+       |    SELECT a.doc_id AS inc_id, b.doc_id AS base_id
+       |      FROM sig a JOIN sig b ON a.m0 = b.m0
+       |    UNION ALL
+       |    SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b ON a.m1 = b.m1
+       |    UNION ALL
+       |    SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b ON a.m2 = b.m2
+       |    UNION ALL
+       |    SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b ON a.m3 = b.m3)
+       |  WHERE ${incPred("inc_id")} AND NOT ${incPred("base_id")}),
+       |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1),
+       |inter AS (
+       |  SELECT c.inc_id, c.base_id, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN shd x ON c.inc_id = x.doc_id
+       |  JOIN shd y ON c.base_id = y.doc_id AND x.s = y.s
+       |  GROUP BY 1, 2),
+       |nearids AS (
+       |  SELECT DISTINCT i.inc_id AS doc_id
+       |  FROM inter i
+       |  JOIN sizes sa ON i.inc_id = sa.doc_id
+       |  JOIN sizes sb ON i.base_id = sb.doc_id
+       |  WHERE ${graft.functions.ScalarFns.roundSql(
+            "CAST(i.n_inter AS DOUBLE) / (sa.nsh + sb.nsh - i.n_inter)", 4)}
+       |    >= $NearThreshold),
+       |nrm AS (SELECT doc_id, ${TextOps.normSql("text")} AS nt FROM documents),
+       |ex AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM nrm a JOIN nrm b ON a.nt = b.nt
+       |  WHERE ${incPred("a.doc_id")} AND NOT ${incPred("b.doc_id")}),
+       |v AS (
+       |  SELECT d.doc_id, d.source,
+       |    CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+       |         WHEN nearids.doc_id IS NOT NULL THEN 'near'
+       |         ELSE 'new' END AS verdict
+       |  FROM documents d
+       |  LEFT JOIN ex ON d.doc_id = ex.doc_id
+       |  LEFT JOIN nearids ON d.doc_id = nearids.doc_id
+       |  WHERE ${incPred("d.doc_id")})""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "incremental_dedup_docs" ->
+      s"""$verdictCtes
+         |SELECT doc_id, source, verdict FROM v ORDER BY doc_id""".stripMargin,
+    "incremental_dedup" ->
+      s"""$verdictCtes
+         |SELECT source, count(*) AS n_incoming,
+         |  CAST(sum(CASE WHEN verdict = 'exact' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exact,
+         |  CAST(sum(CASE WHEN verdict = 'near' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_near,
+         |  CAST(sum(CASE WHEN verdict = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_new
+         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin)
+}

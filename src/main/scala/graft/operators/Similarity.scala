@@ -58,7 +58,7 @@ object Similarity {
     * independent uniform bits and lexicographic min over fixed-width
     * lowercase hex ≡ numeric min — DuckDB rebuilds identical values
     * with substr(md5(s)). */
-  private def signaturesFrom(sh: DataFrame): DataFrame = {
+  private[graft] def signaturesFrom(sh: DataFrame): DataFrame = {
     val slices = (0 to 3).map(i =>
       substring(md5(col("s")), 1 + 8 * i, 8).as(s"h$i"))
     val sigCols = (0 to 3).map(i => min(col(s"h$i")).as(s"m$i"))

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IncrementalDedup, Similarity, TextOps}
+import graft.Tables
+
+/** Invariants of the incremental (batch-vs-corpus) dedup classifier on
+  * sf0.001 — each check recomputes the tier by an INDEPENDENT method
+  * (exploded-gram joins, direct normalized-text joins) rather than
+  * re-running the operator's own array_intersect/broadcast shapes. */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables(spark, sf0001, "documents")
+
+  test("verdicts partition the incoming batch exactly") {
+    val v = IncrementalDedup.verdicts(spark, sf0001)
+    val incoming = docs.filter(IncrementalDedup.isIncoming)
+    assert(v.count() == incoming.count())
+    assert(v.select("doc_id").distinct().count() == v.count())
+    val labels = v.select("verdict").distinct().as[String].collect().toSet
+    assert(labels.subsetOf(Set("exact", "near", "new")), labels.toString)
+    // stats query's category counts re-add to the membership counts
+    val s = IncrementalDedup.incrementalDedupStats(spark, sf0001)
+    val bad = s.filter($"n_exact" + $"n_near" + $"n_new" =!= $"n_incoming")
+    assert(bad.count() == 0)
+  }
+
+  test("'exact' tier ≡ incoming docs with a base normalized-text match") {
+    // independent formulation: direct join on the normalized STRING
+    // (the operator joins md5 hashes of it)
+    val nrm = docs.select($"doc_id",
+      TextOps.normalized($"text").as("nt"),
+      IncrementalDedup.isIncoming.as("inc"))
+    val expected = nrm.filter($"inc").as("a")
+      .join(nrm.filter(!$"inc").as("b"), $"a.nt" === $"b.nt", "left_semi")
+      .select($"doc_id").as[Long].collect().toSet
+    val got = IncrementalDedup.verdicts(spark, sf0001)
+      .filter($"verdict" === "exact").select($"doc_id")
+      .as[Long].collect().toSet
+    assert(got == expected,
+      s"exact mismatch: +${(got -- expected).take(3)} -${(expected -- got).take(3)}")
+  }
+
+  test("'near' tier matches an exploded-gram recount of LSH candidates") {
+    // independent verification path: distinct (doc, gram) equi-join for
+    // n_inter (the oracle's method) instead of hash-set intersection
+    val d = docs.select($"doc_id", $"text",
+      IncrementalDedup.isIncoming.as("inc"))
+    val sh = Similarity.shinglesOf(spark, d).distinct()
+    val sig = Similarity.signaturesFrom(Similarity.shinglesOf(spark, d))
+    val bands = sig.select($"doc_id", explode(array((0 to 3).map(i =>
+        struct(lit(i).as("band"), col(s"m$i").as("m"))): _*)).as("bm"))
+      .select($"doc_id", $"bm.band".as("band"), $"bm.m".as("m"))
+    val incIds = d.filter($"inc").select($"doc_id").as[Long].collect().toSet
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.m" === $"b.m")
+      .select($"a.doc_id".as("inc_id"), $"b.doc_id".as("base_id")).distinct()
+      .filter($"inc_id".isin(incIds.toSeq: _*) &&
+        !$"base_id".isin(incIds.toSeq: _*))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+    val expected = cand
+      .join(sh.select($"doc_id".as("inc_id"), $"s"), Seq("inc_id"))
+      .join(sh.select($"doc_id".as("base_id"), $"s"), Seq("base_id", "s"))
+      .groupBy($"inc_id", $"base_id").agg(count(lit(1)).as("ni"))
+      .join(sizes.select($"doc_id".as("inc_id"), $"nsh".as("na")), Seq("inc_id"))
+      .join(sizes.select($"doc_id".as("base_id"), $"nsh".as("nb")), Seq("base_id"))
+      // same 4-dp rounding rule as the operator — the independence is
+      // in the n_inter method, not the threshold arithmetic
+      .filter(graft.functions.ScalarFns.roundN(
+        $"ni".cast("double") / ($"na" + $"nb" - $"ni"), 4) >=
+        IncrementalDedup.NearThreshold)
+      .select($"inc_id").distinct().as[Long].collect().toSet
+    // near reports NET of exact (exact wins the CASE) — compare on the
+    // union side: every expected near doc is flagged near OR exact
+    val v = IncrementalDedup.verdicts(spark, sf0001)
+    val gotNear = v.filter($"verdict" === "near")
+      .select($"doc_id").as[Long].collect().toSet
+    val gotExact = v.filter($"verdict" === "exact")
+      .select($"doc_id").as[Long].collect().toSet
+    assert((gotNear -- expected).isEmpty,
+      s"near docs without a qualifying base partner: ${(gotNear -- expected).take(3)}")
+    assert((expected -- gotNear -- gotExact).isEmpty,
+      s"qualifying docs not flagged: ${(expected -- gotNear -- gotExact).take(3)}")
+  }
+
+  test("fabricated corpus: every tier fires and classifies as designed") {
+    // ids chosen by their md5 first hex char: 6/19/24/33 land in the
+    // incoming split ({0,1} prefix), 1/2/3/4/5 in the base corpus —
+    // so each tier's membership is KNOWN by construction, independent
+    // of what the shipped corpora happen to contain.
+    val sent = "the quick brown fox jumps over the lazy dog " * 5
+    val rows = Seq(
+      // base corpus
+      (1L, sent + "alpha beta gamma", "s"),
+      (2L, "completely different words about spark shuffles and joins " * 6, "s"),
+      (3L, "unique base text nobody matches here at all " * 4, "s"),
+      (4L, "Shared!! Exact,, TEXT with   punctuation variants " * 3, "s"),
+      (5L, "another isolated base document with its own story " * 4, "s"),
+      // incoming batch
+      (6L, sent + "alpha beta gamma", "s"),                // exact (vs 1)
+      (19L, sent + "alpha beta DELTA epsilon", "s"),       // near (vs 1)
+      (24L, "totally novel incoming content unlike anything stored " * 4, "s"),  // new
+      (33L, "shared exact text WITH punctuation!!! variants " * 3, "s")) // exact (vs 4, normalization)
+      .toDF("doc_id", "text", "source")
+    val v = IncrementalDedup.classify(spark, rows)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(v == Map(6L -> "exact", 19L -> "near", 24L -> "new",
+      33L -> "exact"), v.toString)
+  }
+
+  test("the split is honest: incoming is a strict, nonempty subset") {
+    val n = docs.count()
+    val inc = docs.filter(IncrementalDedup.isIncoming).count()
+    assert(inc > 0 && inc < n, s"degenerate split: $inc of $n")
+  }
+}

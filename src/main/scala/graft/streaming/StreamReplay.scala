@@ -403,6 +403,57 @@ object StreamReplay {
       StreamOps.enrichedCounts(events, dim)
     }.orderBy("c_mktsegment", "event_type")
 
+  /** Ingest-time dedup as a REAL streaming execution (r6): the
+    * incoming split replayed file-by-file (`maxFilesPerTrigger=1` over
+    * a 3-file copy → 3 micro-batches), each micro-batch classified
+    * against the MAINTAINED dedup index
+    * ([[graft.operators.IncrementalDedup.indexPath]]) inside
+    * `foreachBatch`, verdicts appended to a parquet log stamped with
+    * the batch id — the production ingest topology: stream → probe
+    * index → admit/reject, with the corpus-side signature work done
+    * ONCE at index-build time, not per batch. Per-doc verdicts depend
+    * only on the doc and the index (within-batch duplicates are out of
+    * scope by the operator's contract), so the union over batches is
+    * invariant to how the source chops files into micro-batches and
+    * equals the batch classifier's output — graded by the verbatim
+    * `incremental_dedup_docs` oracle. */
+  private[graft] val incomingInputs = new ConcurrentHashMap[String, String]()
+  private[graft] def incomingReplayInput(ss: SparkSession, dir: String): String =
+    incomingInputs.computeIfAbsent(dir, { _ =>
+      val path = newReplayDir("graft_incdedup_in_")
+      graft.Tables(ss, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+        .filter(graft.operators.IncrementalDedup.isIncoming)
+        .repartition(3, col("doc_id"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  def incrementalDedupStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val ss = replaySession(spark)
+    val input = incomingReplayInput(ss, dir)
+    val idxPath = graft.operators.IncrementalDedup.indexPath(ss, dir)
+    val out = newReplayDir("graft_incdedup_out_")
+    val stream = ss.readStream.schema(ss.read.parquet(input).schema)
+      .option("maxFilesPerTrigger", "1").parquet(input)
+    val query = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", newReplayDir("graft_incdedup_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val bs = batch.sparkSession
+        graft.operators.IncrementalDedup.classifyIndexed(bs, batch,
+            bs.read.parquet(idxPath))
+          .withColumn("_batch_id", lit(batchId))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .start()
+    try query.awaitTermination() finally query.stop()
+    ss.read.parquet(out).drop("_batch_id").orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "enriched_events_streamed" -> (enrichedEventsStreamed _),
     "view_purchase_join_streamed" -> (viewPurchaseJoinStreamed _),
@@ -412,7 +463,8 @@ object StreamReplay {
     "session_stats_streamed" -> (sessionStatsStreamed _),
     "hourly_event_stats_updatemode" -> (hourlyEventStatsUpdateMode _),
     "dedup_streamed" -> (dedupStreamed _),
-    "hll_users_streamed" -> (hllUsersStreamed _))
+    "hll_users_streamed" -> (hllUsersStreamed _),
+    "incremental_dedup_streamed" -> (incrementalDedupStreamed _))
 
   val oracles: Map[String, String] = Map(
     // bounded complete-mode replay of a stream-static join + aggregate
@@ -493,5 +545,10 @@ object StreamReplay {
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  user_id, count(*) AS n_events
         |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin)
+        |ORDER BY user_id, session_start""".stripMargin,
+    // per-doc verdicts are a pure function of (doc, index), so the
+    // union over micro-batches ≡ the batch classifier — the verbatim
+    // membership-level oracle grades the streamed path
+    "incremental_dedup_streamed" ->
+      graft.operators.IncrementalDedup.oracles("incremental_dedup_docs"))
 }

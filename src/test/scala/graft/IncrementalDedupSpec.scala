@@ -109,6 +109,67 @@ class IncrementalDedupSpec extends SparkSpec {
       33L -> "exact"), v.toString)
   }
 
+  test("index-backed classify ≡ inline classify (fabricated + shipped corpus)") {
+    val sent = "the quick brown fox jumps over the lazy dog " * 5
+    val rows = Seq(
+      (1L, sent + "alpha beta gamma", "s"),
+      (2L, "completely different words about spark shuffles and joins " * 6, "s"),
+      (4L, "Shared!! Exact,, TEXT with   punctuation variants " * 3, "s"),
+      (6L, sent + "alpha beta gamma", "s"),
+      (19L, sent + "alpha beta DELTA epsilon", "s"),
+      (24L, "totally novel incoming content unlike anything stored " * 4, "s"),
+      (33L, "shared exact text WITH punctuation!!! variants " * 3, "s"))
+      .toDF("doc_id", "text", "source")
+    val idx = IncrementalDedup.buildIndex(spark,
+      rows.filter(!IncrementalDedup.isIncoming)
+        .select($"doc_id", $"text"))
+    val inline = IncrementalDedup.classify(spark, rows)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val indexed = IncrementalDedup.classifyIndexed(spark, rows, idx)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(indexed == inline, s"indexed=$indexed inline=$inline")
+    // and on the real corpus, through the materialized scratch index
+    val vInline = IncrementalDedup.verdicts(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val vIdx = IncrementalDedup.verdictsIndexed(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(vIdx == vInline,
+      s"diff: +${(vIdx -- vInline).take(3)} -${(vInline -- vIdx).take(3)}")
+  }
+
+  test("index-backed plan reads the maintained index, not base text") {
+    val path = IncrementalDedup.indexPath(spark, sf0001)
+    // the index row carries everything each tier needs
+    val idx = spark.read.parquet(path)
+    assert(idx.columns.toSet ==
+      Set("doc_id", "nh", "m0", "m1", "m2", "m3", "hs"))
+    // a FRESH (uncached) indexed classification plans scans of the
+    // scratch index directory
+    val fresh = IncrementalDedup.classifyIndexed(spark,
+      Tables(spark, sf0001, "documents")
+        .select($"doc_id", $"text", $"source"), idx)
+    val plan = fresh.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_dedup_idx_"), "no index scan in plan")
+  }
+
+  test("streamed ingest classify ≡ batch classify, across ≥2 micro-batches") {
+    // the replay input is written as 3 files and streamed with
+    // maxFilesPerTrigger=1, so the classifier must survive the
+    // incoming batch arriving in several independent micro-batches
+    val input = graft.streaming.StreamReplay
+      .incomingReplayInput(spark, sf0001)
+    val nFiles = new java.io.File(input).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 2, s"replay input has $nFiles files — single-batch")
+    val streamed = graft.streaming.StreamReplay
+      .incrementalDedupStreamed(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val batch = IncrementalDedup.verdicts(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(streamed == batch,
+      s"diff: +${(streamed -- batch).take(3)} -${(batch -- streamed).take(3)}")
+  }
+
   test("the split is honest: incoming is a strict, nonempty subset") {
     val n = docs.count()
     val inc = docs.filter(IncrementalDedup.isIncoming).count()

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ScalarFns
+
+/** N3 bit-sketch ANN — sign random projection (random-hyperplane LSH
+  * for cosine, Charikar STOC'02), the third approximate-search family
+  * next to IVF (bucket pruning) and PQ (code compression): each
+  * embedding folds to a [[Bits]]-bit code (bit j = sign of the dot
+  * product with hyperplane j), queries rank by CODE Hamming distance
+  * and only the Hamming-radius survivors touch float math again in an
+  * exact re-rank. Part of the beyond-reference LLM-pipeline family
+  * (SURVEY.md §2.11 N3) — the memory-floor variant: 2 bytes per vector
+  * here vs 4 code bytes for PQ and full floats for IVF.
+  *
+  * At 100 TB: codes are 256× smaller than the 64-float vectors, so the
+  * WHOLE corpus' sketch fits where even PQ codes strain; the Hamming
+  * scan is a map-only sweep of an int column against one broadcast
+  * query code (bit_count(code ^ qcode) — codegen'd integer ops, no
+  * float loads), and the re-rank touches only the radius survivors.
+  * Banding the code (simhash probe-table idiom, [[TextOps]]) turns the
+  * scan into an equi-join when even one pass is too much.
+  *
+  * Determinism: hyperplane weights are ±1 by the top bit of
+  * md5("j_d") — a digest both engines compute identically, so the
+  * planes are SHARED with the oracle without shipping a single float;
+  * projections fold dimensions in fixed order (the [[Similarity]]
+  * dot-product discipline), so every code is bit-identical cross-engine.
+  */
+object RpSketch {
+  private[graft] val Bits = 16
+  /** Embedding dimensionality of the driver corpus (TESTDATA.md). */
+  private[graft] val Dim = 64
+  /** Hamming radius of the candidate gate in [[rpTopk]]. */
+  private[graft] val Radius = 4
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** ±1 weight of (hyperplane j, 1-BASED dim d): +1 iff the top bit of
+    * md5("j_d") is 0 (first hex char ≤ '7'). */
+  private[graft] def weight(j: Int, d: Int): Double =
+    if (md5hex(s"${j}_${d}").charAt(0) <= '7') 1.0 else -1.0
+
+  /** Left-fold double projection of `embedding` onto hyperplane j —
+    * the weights are plan literals (computed once at plan build), the
+    * fold order is the oracle's list_reduce order. */
+  private def projExpr(j: Int): Column = {
+    val arr = (1 to Dim).map(d => s"${weight(j, d)}D").mkString(",")
+    expr(s"aggregate(zip_with(embedding, array($arr), " +
+      "(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), " +
+      "(acc, v) -> acc + v)")
+  }
+
+  /** The 16-bit sketch: Σⱼ (projⱼ ≥ 0) · 2ʲ. */
+  private[graft] def codeExpr: Column =
+    (0 until Bits).map(j =>
+      when(projExpr(j) >= 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _).cast("int")
+
+  /** (vec_id, code) for the whole corpus — built once per (session,
+    * dir) through the S6 cache; every RP consumer (codes dump, search,
+    * recall) reads this one frame. */
+  private[graft] def codesFrame(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|rp_codes|$dir",
+      ttlSeconds = 300) {
+      Tables.fanOut(spark,
+          Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding")),
+          key = "vec_id")
+        .select(col("vec_id"), codeExpr.as("code"))
+    }
+
+  /** The graded code table. */
+  def rpCodes(spark: SparkSession, dir: String): DataFrame =
+    codesFrame(spark, dir).orderBy("vec_id")
+
+  /** Two-stage RP search for query vec_id 0: map-only Hamming gate at
+    * radius [[Radius]] over the int codes (no float math), exact
+    * cosine re-rank of the survivors, top-10. */
+  def rpTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    val codes = codesFrame(spark, dir)
+    val qc = codes.filter(col("vec_id") === 0).select(col("code").as("qcode"))
+    val e = Tables(spark, dir, "embeddings")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    codes.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qc))
+      .withColumn("hamming", expr("bit_count(code ^ qcode)").cast("int"))
+      .filter(col("hamming") <= Radius)
+      .join(e, Seq("vec_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("hamming"),
+        ScalarFns.roundN(expr("cosine_sim(embedding, qv)"), 6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Recall@10 of the RP two-stage search against the exact top-10 —
+    * the deployment-quality diagnostic, same contract as `pq_recall`. */
+  def rpRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Similarity.cosineTopk(spark, dir).select(col("vec_id"))
+    val approx = rpTopk(spark, dir).select(col("vec_id"))
+    exact.join(approx, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(s"rp_hamming_r$Radius").as("method"),
+        col("n_overlap"),
+        ScalarFns.roundN(col("n_overlap").cast("double") / 10.0, 4)
+          .as("recall_at_10"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rp_codes"  -> (rpCodes(_, _)),
+    "rp_topk"   -> ((s: SparkSession, d: String) => rpTopk(s, d)),
+    "rp_recall" -> (rpRecall(_, _)))
+
+  /** Shared sketch CTE chain: hyperplanes from the same md5 top bit,
+    * projections via the same-order list_reduce fold, codes as the
+    * same Σ2ʲ. Ends at `codes(vec_id, code)`. */
+  private def rpCtes: String =
+    s"""WITH w AS (
+       |  SELECT j, list_transform(generate_series(1, $Dim), d ->
+       |    CASE WHEN substr(md5(CAST(j AS VARCHAR) || '_' ||
+       |                        CAST(d AS VARCHAR)), 1, 1)
+       |         BETWEEN '0' AND '7' THEN CAST(1.0 AS DOUBLE)
+       |         ELSE CAST(-1.0 AS DOUBLE) END) AS wv
+       |  FROM (SELECT unnest(generate_series(0, ${Bits - 1})) AS j) jj),
+       |proj AS (
+       |  SELECT e.vec_id, w.j,
+       |    list_reduce(list_transform(generate_series(1, $Dim),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * w.wv[i]),
+       |      (x, y) -> x + y) AS p
+       |  FROM embeddings e CROSS JOIN w),
+       |codes AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN p >= 0 THEN 1 << j ELSE 0 END) AS INT) AS code
+       |  FROM proj GROUP BY 1)""".stripMargin
+
+  /** Hamming + re-rank CTEs on top of [[rpCtes]] — ends at
+    * `ranked(vec_id, hamming, cosine_sim)` (the top-10). Hamming is a
+    * per-bit shift-compare fold (engine-portable; the Spark side uses
+    * the equivalent bit_count(xor)). */
+  private def rpTopkCtes: String = {
+    val cos = ScalarFns.roundSql(
+      s"""${Similarity.duckDot("e.embedding", "q.qv")}
+         |      / (sqrt(${Similarity.duckDot("e.embedding", "e.embedding")})
+         |         * sqrt(${Similarity.duckDot("q.qv", "q.qv")}))""".stripMargin, 6)
+    s"""$rpCtes,
+       |qc AS (SELECT code AS qcode FROM codes WHERE vec_id = 0),
+       |ham AS (
+       |  SELECT c.vec_id,
+       |    CAST(list_reduce(list_transform(generate_series(0, ${Bits - 1}),
+       |      j -> CASE WHEN ((c.code >> j) & 1) <> ((q.qcode >> j) & 1)
+       |           THEN 1 ELSE 0 END), (x, y) -> x + y) AS INT) AS hamming
+       |  FROM codes c, qc q WHERE c.vec_id <> 0),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |ranked AS (
+       |  SELECT h.vec_id, h.hamming, $cos AS cosine_sim
+       |  FROM ham h JOIN embeddings e ON h.vec_id = e.vec_id, q
+       |  WHERE h.hamming <= $Radius
+       |  ORDER BY cosine_sim DESC, h.vec_id LIMIT 10)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "rp_codes" ->
+      s"""$rpCtes
+         |SELECT vec_id, code FROM codes ORDER BY vec_id""".stripMargin,
+    "rp_topk" ->
+      s"""$rpTopkCtes
+         |SELECT vec_id, hamming, cosine_sim FROM ranked
+         |ORDER BY cosine_sim DESC, vec_id""".stripMargin,
+    "rp_recall" -> {
+      val cos = ScalarFns.roundSql(
+        s"""${Similarity.duckDot("e.embedding", "q.qv")}
+           |      / (sqrt(${Similarity.duckDot("e.embedding", "e.embedding")})
+           |         * sqrt(${Similarity.duckDot("q.qv", "q.qv")}))""".stripMargin, 6)
+      s"""$rpTopkCtes,
+         |exact AS (
+         |  SELECT e.vec_id, $cos AS cs
+         |  FROM embeddings e, q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY cs DESC, e.vec_id LIMIT 10)
+         |SELECT 'rp_hamming_r$Radius' AS method,
+         |  CAST(count(*) AS BIGINT) AS n_overlap,
+         |  ${ScalarFns.roundSql("count(*) / 10.0", 4)} AS recall_at_10
+         |FROM exact JOIN ranked USING (vec_id)""".stripMargin
+    })
+}

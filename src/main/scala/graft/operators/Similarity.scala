@@ -1958,7 +1958,7 @@ object Similarity {
       |    unnest(${graft.functions.Shingles.duckExpr}) AS s
       |  FROM toks WHERE len(t) >= 3)""".stripMargin
 
-  private def duckDot(a: String, b: String): String =
+  private[graft] def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{RpSketch, Similarity}
+
+/** Sign-random-projection sketch invariants on sf0.001 — the code
+  * recount is an INDEPENDENT driver-side fold (plain Scala doubles in
+  * the same dimension order), not a re-run of the plan's expression. */
+class RpSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("codes match a driver-side recount of the sign projections") {
+    val got = RpSketch.rpCodes(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val embs = Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    assert(embs.nonEmpty && got.size == embs.length)
+    embs.foreach { case (id, v) =>
+      assert(v.length == RpSketch.Dim)
+      var code = 0
+      (0 until RpSketch.Bits).foreach { j =>
+        var acc = 0.0
+        var d = 0
+        while (d < RpSketch.Dim) {
+          acc += v(d).toDouble * RpSketch.weight(j, d + 1)
+          d += 1
+        }
+        if (acc >= 0) code |= (1 << j)
+      }
+      assert(got(id) == code, s"vec $id: got ${got(id)} expected $code")
+    }
+  }
+
+  test("two-stage search: radius gate honest, re-rank consistent with exact") {
+    val top = RpSketch.rpTopk(spark, sf0001).collect()
+    assert(top.nonEmpty && top.length <= 10)
+    assert(top.forall(_.getInt(1) <= RpSketch.Radius))
+    // every reported cosine equals the exact kernel's value for that vec
+    val exact = Similarity.cosineTopk(spark, sf0001, k = Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    top.foreach { r =>
+      assert(exact(r.getLong(0)) == r.getDouble(2),
+        s"vec ${r.getLong(0)}: re-rank cosine drifted")
+    }
+    // candidates are exactly the radius ball around the query code
+    val codes = RpSketch.rpCodes(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qc = codes(0L)
+    val ball = codes.filter { case (id, c) =>
+      id != 0L && Integer.bitCount(c ^ qc) <= RpSketch.Radius
+    }.keySet
+    assert(top.map(_.getLong(0)).toSet.subsetOf(ball))
+  }
+
+  test("recall diagnostic is the overlap of the two top-10 sets") {
+    val r = RpSketch.rpRecall(spark, sf0001).collect().head
+    val exact = Similarity.cosineTopk(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val approx = RpSketch.rpTopk(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(r.getLong(1) == (exact & approx).size.toLong)
+    assert(r.getDouble(2) == (exact & approx).size.toDouble / 10.0)
+  }
+}

@@ -99,6 +99,70 @@ object RpSketch {
       .limit(k)
   }
 
+  /** Wide (64-plane) sketch banding: [[WideBands]] bands of
+    * [[BandBits]] bits. Band WIDTH is the selectivity/recall knob: a
+    * band collides with probability ~2^−BandBits, and by pigeonhole
+    * any vector within wide Hamming ≤ WideBands−1 shares ≥1 band — 8×8
+    * keeps the gate populated at bench corpus sizes while the same
+    * machinery runs 4×16 (collision ~N/65536) when 100 TB needs the
+    * sharper knife. */
+  private[graft] val WideBands = 8
+  private[graft] val BandBits = 8
+
+  /** Band k of the wide sketch: its own [[BandBits]]-bit code over
+    * planes k·BandBits .. (k+1)·BandBits−1. The wide code is never
+    * materialized as one 64-bit integer: per-band int columns sidestep
+    * every sign-bit/shift-semantics hazard in both engines. */
+  private def bandCodeExpr(k: Int): Column =
+    (0 until BandBits).map(i =>
+      when(projExpr(BandBits * k + i) >= 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _).cast("int")
+
+  /** (vec_id, b0..b3) — the wide sketch, one cached build per
+    * (session, dir). */
+  private[graft] def wideCodesFrame(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|rp_codes_wide|$dir",
+      ttlSeconds = 300) {
+      Tables.fanOut(spark,
+          Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding")),
+          key = "vec_id")
+        .select(Seq(col("vec_id")) ++
+          (0 until WideBands).map(k => bandCodeExpr(k).as(s"b$k")): _*)
+    }
+
+  /** BANDED candidate generation over the wide sketch — the
+    * LSH-banding scale path: a candidate shares at least one
+    * [[BandBits]]-bit band with the query, so by pigeonhole every
+    * vector within wide Hamming ≤ [[WideBands]]−1 is retained
+    * (RpSketchSpec asserts the superset), while expected collisions
+    * fall ∝ N/2^BandBits per band — selectivity a full-code Hamming
+    * scan cannot reach without reading every row. With ONE query
+    * the gate is a broadcast OR-filter (map-only, no float loads); a
+    * query BATCH turns it into explode(4 band rows) + equi-join on
+    * (band, value) — the cosineTopkBatch shape. Survivors re-rank by
+    * exact cosine; n_bands (matching-band count) is the diagnostic. */
+  def rpTopkBanded(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    val codes = wideCodesFrame(spark, dir)
+    val qb = codes.filter(col("vec_id") === 0)
+      .select((0 until WideBands).map(i => col(s"b$i").as(s"q$i")): _*)
+    val e = Tables(spark, dir, "embeddings")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val matches = (0 until WideBands).map(i => col(s"b$i") === col(s"q$i"))
+    codes.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qb))
+      .withColumn("n_bands",
+        matches.map(m => when(m, 1).otherwise(0)).reduce(_ + _).cast("int"))
+      .filter(col("n_bands") >= 1)
+      .join(e, Seq("vec_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("n_bands"),
+        ScalarFns.roundN(expr("cosine_sim(embedding, qv)"), 6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Recall@10 of the RP two-stage search against the exact top-10 —
     * the deployment-quality diagnostic, same contract as `pq_recall`. */
   def rpRecall(spark: SparkSession, dir: String): DataFrame = {
@@ -113,9 +177,10 @@ object RpSketch {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "rp_codes"  -> (rpCodes(_, _)),
-    "rp_topk"   -> ((s: SparkSession, d: String) => rpTopk(s, d)),
-    "rp_recall" -> (rpRecall(_, _)))
+    "rp_codes"       -> (rpCodes(_, _)),
+    "rp_topk"        -> ((s: SparkSession, d: String) => rpTopk(s, d)),
+    "rp_topk_banded" -> ((s: SparkSession, d: String) => rpTopkBanded(s, d)),
+    "rp_recall"      -> (rpRecall(_, _)))
 
   /** Shared sketch CTE chain: hyperplanes from the same md5 top bit,
     * projections via the same-order list_reduce fold, codes as the
@@ -164,7 +229,56 @@ object RpSketch {
        |  ORDER BY cosine_sim DESC, h.vec_id LIMIT 10)""".stripMargin
   }
 
+  /** Wide-sketch CTE chain: 64 planes, per-band 16-bit codes — ends at
+    * `codesw(vec_id, b0..b3)`. Band values are built bit-by-bit within
+    * each band (1 << (j − 16k)), so no 64-bit integer (and no
+    * shift-sign semantics) exists in either engine. */
+  private def rpWideCtes: String = {
+    val bandCols = (0 until WideBands).map { k =>
+      s"""    CAST(sum(CASE WHEN p >= 0 AND j BETWEEN ${BandBits * k} AND ${BandBits * k + BandBits - 1}
+         |      THEN 1 << (j - ${BandBits * k}) ELSE 0 END) AS INT) AS b$k""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w64 AS (
+       |  SELECT j, list_transform(generate_series(1, $Dim), d ->
+       |    CASE WHEN substr(md5(CAST(j AS VARCHAR) || '_' ||
+       |                        CAST(d AS VARCHAR)), 1, 1)
+       |         BETWEEN '0' AND '7' THEN CAST(1.0 AS DOUBLE)
+       |         ELSE CAST(-1.0 AS DOUBLE) END) AS wv
+       |  FROM (SELECT unnest(generate_series(0, ${BandBits * WideBands - 1})) AS j) jj),
+       |proj64 AS (
+       |  SELECT e.vec_id, w64.j,
+       |    list_reduce(list_transform(generate_series(1, $Dim),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * w64.wv[i]),
+       |      (x, y) -> x + y) AS p
+       |  FROM embeddings e CROSS JOIN w64),
+       |codesw AS (
+       |  SELECT vec_id,
+       |$bandCols
+       |  FROM proj64 GROUP BY 1)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "rp_topk_banded" -> {
+      val cos = ScalarFns.roundSql(
+        s"""${Similarity.duckDot("e.embedding", "q.qv")}
+           |      / (sqrt(${Similarity.duckDot("e.embedding", "e.embedding")})
+           |         * sqrt(${Similarity.duckDot("q.qv", "q.qv")}))""".stripMargin, 6)
+      val nb = (0 until WideBands)
+        .map(k => s"CASE WHEN c.b$k = qb.b$k THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""$rpWideCtes,
+         |qb AS (SELECT ${(0 until WideBands).map(k => s"b$k").mkString(", ")}
+         |       FROM codesw WHERE vec_id = 0),
+         |gate AS (
+         |  SELECT c.vec_id, CAST($nb AS INT) AS n_bands
+         |  FROM codesw c, qb
+         |  WHERE c.vec_id <> 0),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT g.vec_id, g.n_bands, $cos AS cosine_sim
+         |FROM gate g JOIN embeddings e ON g.vec_id = e.vec_id, q
+         |WHERE g.n_bands >= 1
+         |ORDER BY cosine_sim DESC, g.vec_id LIMIT 10""".stripMargin
+    },
     "rp_codes" ->
       s"""$rpCtes
          |SELECT vec_id, code FROM codes ORDER BY vec_id""".stripMargin,

@@ -53,6 +53,43 @@ class RpSketchSpec extends SparkSpec {
     assert(top.map(_.getLong(0)).toSet.subsetOf(ball))
   }
 
+  test("wide sketch: bands recount from the planes; gate ⊇ Hamming≤B−1 ball") {
+    val wide = RpSketch.wideCodesFrame(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (0 until RpSketch.WideBands).map(i => r.getInt(i + 1))).toMap
+    // independent driver-side fold of every band code from the weights
+    val embs = Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    embs.foreach { case (id, v) =>
+      (0 until RpSketch.WideBands).foreach { k =>
+        var code = 0
+        (0 until RpSketch.BandBits).foreach { i =>
+          val j = RpSketch.BandBits * k + i
+          var acc = 0.0
+          var d = 0
+          while (d < RpSketch.Dim) {
+            acc += v(d).toDouble * RpSketch.weight(j, d + 1)
+            d += 1
+          }
+          if (acc >= 0) code |= (1 << i)
+        }
+        assert(wide(id)(k) == code, s"vec $id band $k drifted")
+      }
+    }
+    val qb = wide(0L)
+    val gated = RpSketch.rpTopkBanded(spark, sf0001, k = Int.MaxValue)
+      .collect().map(_.getLong(0)).toSet
+    // pigeonhole: ≤ WideBands−1 differing bits leave ≥1 band intact
+    wide.foreach { case (id, bs) =>
+      if (id != 0L) {
+        val ham = bs.zip(qb).map { case (a, b) => Integer.bitCount(a ^ b) }.sum
+        if (ham <= RpSketch.WideBands - 1)
+          assert(gated.contains(id), s"vec $id at wide Hamming $ham dropped")
+      }
+    }
+  }
+
   test("recall diagnostic is the overlap of the two top-10 sets") {
     val r = RpSketch.rpRecall(spark, sf0001).collect().head
     val exact = Similarity.cosineTopk(spark, sf0001)

@@ -163,17 +163,23 @@ object RpSketch {
       .limit(k)
   }
 
-  /** Recall@10 of the RP two-stage search against the exact top-10 —
-    * the deployment-quality diagnostic, same contract as `pq_recall`. */
+  /** Recall@10 of each RP gate against the exact top-10 — the
+    * deployment-quality diagnostic, same contract as `pq_recall`: one
+    * row per method (Hamming-radius scan, banded equi-gate), so the
+    * recall cost of each pruning strategy is graded side by side. */
   def rpRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = Similarity.cosineTopk(spark, dir).select(col("vec_id"))
-    val approx = rpTopk(spark, dir).select(col("vec_id"))
-    exact.join(approx, Seq("vec_id"))
-      .agg(count(lit(1)).as("n_overlap"))
-      .select(lit(s"rp_hamming_r$Radius").as("method"),
-        col("n_overlap"),
-        ScalarFns.roundN(col("n_overlap").cast("double") / 10.0, 4)
-          .as("recall_at_10"))
+    def methodRow(method: String, approx: DataFrame): DataFrame =
+      exact.join(approx.select(col("vec_id")), Seq("vec_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(method).as("method"),
+          col("n_overlap"),
+          ScalarFns.roundN(col("n_overlap").cast("double") / 10.0, 4)
+            .as("recall_at_10"))
+    methodRow(s"rp_hamming_r$Radius", rpTopk(spark, dir))
+      .unionByName(
+        methodRow(s"rp_banded_${WideBands}x$BandBits", rpTopkBanded(spark, dir)))
+      .orderBy("method")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -291,15 +297,39 @@ object RpSketch {
         s"""${Similarity.duckDot("e.embedding", "q.qv")}
            |      / (sqrt(${Similarity.duckDot("e.embedding", "e.embedding")})
            |         * sqrt(${Similarity.duckDot("q.qv", "q.qv")}))""".stripMargin, 6)
+      // Both gate chains in one statement: the narrow-sketch CTEs keep
+      // their names (w/proj/codes/ranked), the wide chain its own
+      // (w64/proj64/codesw) — `q` is shared. The banded top-10 mirrors
+      // the rp_topk_banded oracle exactly.
+      val nb = (0 until WideBands)
+        .map(k => s"CASE WHEN c.b$k = qb.b$k THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val wideBody = rpWideCtes.stripPrefix("WITH ")
       s"""$rpTopkCtes,
+         |$wideBody,
+         |qb AS (SELECT ${(0 until WideBands).map(k => s"b$k").mkString(", ")}
+         |       FROM codesw WHERE vec_id = 0),
+         |rankedb AS (
+         |  SELECT c.vec_id, $cos AS cosine_sim
+         |  FROM codesw c, qb, embeddings e, q
+         |  WHERE c.vec_id <> 0 AND c.vec_id = e.vec_id
+         |    AND ($nb) >= 1
+         |  ORDER BY cosine_sim DESC, c.vec_id LIMIT 10),
          |exact AS (
          |  SELECT e.vec_id, $cos AS cs
          |  FROM embeddings e, q
          |  WHERE e.vec_id <> 0
          |  ORDER BY cs DESC, e.vec_id LIMIT 10)
-         |SELECT 'rp_hamming_r$Radius' AS method,
-         |  CAST(count(*) AS BIGINT) AS n_overlap,
-         |  ${ScalarFns.roundSql("count(*) / 10.0", 4)} AS recall_at_10
-         |FROM exact JOIN ranked USING (vec_id)""".stripMargin
+         |SELECT * FROM (
+         |  SELECT 'rp_hamming_r$Radius' AS method,
+         |    CAST(count(*) AS BIGINT) AS n_overlap,
+         |    ${ScalarFns.roundSql("count(*) / 10.0", 4)} AS recall_at_10
+         |  FROM exact JOIN ranked USING (vec_id)
+         |  UNION ALL
+         |  SELECT 'rp_banded_${WideBands}x$BandBits' AS method,
+         |    CAST(count(*) AS BIGINT) AS n_overlap,
+         |    ${ScalarFns.roundSql("count(*) / 10.0", 4)} AS recall_at_10
+         |  FROM exact JOIN rankedb USING (vec_id))
+         |ORDER BY method""".stripMargin
     })
 }

@@ -90,13 +90,19 @@ class RpSketchSpec extends SparkSpec {
     }
   }
 
-  test("recall diagnostic is the overlap of the two top-10 sets") {
-    val r = RpSketch.rpRecall(spark, sf0001).collect().head
+  test("recall diagnostic: one row per gate, each the overlap of its top-10") {
+    val rows = RpSketch.rpRecall(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val exact = Similarity.cosineTopk(spark, sf0001)
       .collect().map(_.getLong(0)).toSet
-    val approx = RpSketch.rpTopk(spark, sf0001)
-      .collect().map(_.getLong(0)).toSet
-    assert(r.getLong(1) == (exact & approx).size.toLong)
-    assert(r.getDouble(2) == (exact & approx).size.toDouble / 10.0)
+    def check(method: String, approxIds: Set[Long]): Unit = {
+      val (n, rec) = rows(method)
+      assert(n == (exact & approxIds).size.toLong, method)
+      assert(rec == (exact & approxIds).size.toDouble / 10.0, method)
+    }
+    check(s"rp_hamming_r${RpSketch.Radius}",
+      RpSketch.rpTopk(spark, sf0001).collect().map(_.getLong(0)).toSet)
+    check(s"rp_banded_${RpSketch.WideBands}x${RpSketch.BandBits}",
+      RpSketch.rpTopkBanded(spark, sf0001).collect().map(_.getLong(0)).toSet)
   }
 }

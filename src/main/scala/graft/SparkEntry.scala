@@ -38,7 +38,7 @@ object SparkEntry {
   ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
     EventOps.queries ++ CampaignOps.queries ++ TextOps.queries ++
     Similarity.queries ++ Curation.queries ++ TextSignals.queries ++
-    IncrementalDedup.queries ++ RpSketch.queries ++
+    IncrementalDedup.queries ++ RpSketch.queries ++ Scd.queries ++
     Stats.queries ++ Membership.queries ++
     graft.functions.TypedAggs.queries ++
     Multimodal.queries ++ Skew.queries ++ graft.streaming.StreamReplay.queries
@@ -58,7 +58,7 @@ object SparkEntry {
   ) ++ Joins.oracles ++ Aggregates.oracles ++ Windows.oracles ++
     EventOps.oracles ++ CampaignOps.oracles ++ TextOps.oracles ++
     Similarity.oracles ++ Curation.oracles ++ TextSignals.oracles ++
-    IncrementalDedup.oracles ++ RpSketch.oracles ++
+    IncrementalDedup.oracles ++ RpSketch.oracles ++ Scd.oracles ++
     Stats.oracles ++ Membership.oracles ++
     graft.functions.TypedAggs.oracles ++
     Multimodal.oracles ++ Skew.oracles ++ graft.streaming.StreamReplay.oracles

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Date
+import org.apache.spark.sql.functions._
+import graft.operators.Scd
+
+/** SCD2 merge invariants on sf0.001 — the version algebra is asserted
+  * structurally (interval partition, single-current, no-op rows), not
+  * by re-running the merge's own joins. */
+class ScdSpec extends SparkSpec {
+
+  private lazy val dim = Scd.scd2Dim(spark, sf0001).collect()
+  private val eff = Date.valueOf("1998-06-01")
+  private val openEnd = Date.valueOf("9999-12-31")
+  private val base = Date.valueOf("1992-01-01")
+
+  private def key(r: org.apache.spark.sql.Row) = r.getLong(0)
+  private def vFrom(r: org.apache.spark.sql.Row) = r.getDate(5)
+  private def vTo(r: org.apache.spark.sql.Row) = r.getDate(6)
+  private def cur(r: org.apache.spark.sql.Row) = r.getBoolean(7)
+
+  test("every key has exactly one current version; at most two versions") {
+    val byKey = dim.groupBy(key)
+    assert(byKey.nonEmpty)
+    byKey.foreach { case (k, vs) =>
+      assert(vs.count(cur) == 1, s"key $k current-count")
+      assert(vs.length <= 2, s"key $k version-count")
+    }
+  }
+
+  test("two-version keys partition time: closed ends where the new opens") {
+    val twoV = dim.groupBy(key).filter(_._2.length == 2)
+    assert(twoV.nonEmpty)
+    twoV.foreach { case (k, vs) =>
+      val closed = vs.find(!cur(_)).get
+      val open = vs.find(cur).get
+      assert(vFrom(closed) == base && vTo(closed) == eff, s"key $k closed")
+      assert(vFrom(open) == eff && vTo(open) == openEnd, s"key $k open")
+    }
+  }
+
+  test("no-op batch rows (odd, non-mod-3 keys in the batch class) stay single-version") {
+    val noop = dim.map(key).distinct
+      .filter(k => k < 10000000L && k % 10 < 4 && k % 3 != 0 && k % 2 != 0)
+    assert(noop.nonEmpty)
+    noop.foreach { k =>
+      val vs = dim.filter(r => key(r) == k)
+      assert(vs.length == 1 && vFrom(vs.head) == base, s"key $k rewritten")
+    }
+  }
+
+  test("inserted keys exist only as post-effective versions") {
+    val inserted = dim.filter(r => key(r) >= 10000000L)
+    assert(inserted.nonEmpty)
+    inserted.foreach { r =>
+      assert(cur(r) && vFrom(r) == eff, s"key ${key(r)}")
+    }
+  }
+
+  test("merge is idempotent under re-derivation and as-of reads bracket it") {
+    val again = Scd.scd2Dim(spark, sf0001).collect()
+    assert(again.map(_.toString).sorted.sameElements(dim.map(_.toString).sorted))
+    val asof = Scd.scd2AsofCounts(spark, sf0001).collect()
+    val nBase = Tables(spark, sf0001, "customer").count()
+    // pre-merge read = exactly the base dimension; post-merge read =
+    // base + inserts (one current row per key either way)
+    val nIns = dim.count(r => key(r) >= 10000000L)
+    assert(asof.find(_.getDate(0) == Date.valueOf("1995-06-01")).get.getLong(1) == nBase)
+    assert(asof.find(_.getDate(0) == Date.valueOf("1999-01-01")).get.getLong(1) == nBase + nIns)
+  }
+}

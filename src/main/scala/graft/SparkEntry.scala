@@ -39,7 +39,7 @@ object SparkEntry {
     EventOps.queries ++ CampaignOps.queries ++ TextOps.queries ++
     Similarity.queries ++ Curation.queries ++ TextSignals.queries ++
     IncrementalDedup.queries ++ RpSketch.queries ++ Scd.queries ++
-    Compaction.queries ++
+    Compaction.queries ++ ZOrder.queries ++ BloomIndex.queries ++
     Stats.queries ++ Membership.queries ++
     graft.functions.TypedAggs.queries ++
     Multimodal.queries ++ Skew.queries ++ graft.streaming.StreamReplay.queries
@@ -60,7 +60,7 @@ object SparkEntry {
     EventOps.oracles ++ CampaignOps.oracles ++ TextOps.oracles ++
     Similarity.oracles ++ Curation.oracles ++ TextSignals.oracles ++
     IncrementalDedup.oracles ++ RpSketch.oracles ++ Scd.oracles ++
-    Compaction.oracles ++
+    Compaction.oracles ++ ZOrder.oracles ++ BloomIndex.oracles ++
     Stats.oracles ++ Membership.oracles ++
     graft.functions.TypedAggs.oracles ++
     Multimodal.oracles ++ Skew.oracles ++ graft.streaming.StreamReplay.oracles

@@ -75,10 +75,40 @@ object Tables {
       tmpDirs.add(f)
       val ss = spark.newSession()
       ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      ss.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-        .write.mode("overwrite").parquet(f.getAbsolutePath)
+      // The schema converter checks `!isAdjustedToUTC && inferTimestampNTZ
+      // → TIMESTAMP_NTZ` BEFORE `unit == NANOS && nanosAsLong → LONG`
+      // (ParquetToSparkSchemaConverter.convertTimestampType), so the
+      // legacy long read only fires with NTZ inference off for this scan.
+      ss.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // Belt-and-braces scoping: parts of schema inference resolve conf
+      // through SQLConf.get — the thread's ACTIVE session, not the
+      // session the DataFrameReader came from — so make the clone
+      // active for the read and restore after. No caller-visible state.
+      val prev = SparkSession.getActiveSession
+      SparkSession.setActiveSession(ss)
+      try {
+        val raw = ss.read
+          .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .option("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+          .parquet(s"$sfDir/events.parquet")
+        // The driver has shipped `ts` as TIMESTAMP(NANOS) (→ LONG under
+        // the legacy conf; floor-divide to µs) and as TIMESTAMP(MICROS,
+        // isAdjustedToUTC=false) (→ TimestampType with NTZ inference
+        // off; already µs). Normalize either generation to the same
+        // µs TIMESTAMP copy the graded queries were built against.
+        val norm = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", org.apache.spark.sql.functions
+              .expr("timestamp_micros(ts div 1000)"))
+          case _ => raw
+        }
+        norm.write.mode("overwrite").parquet(f.getAbsolutePath)
+      } finally {
+        prev match {
+          case Some(p) => SparkSession.setActiveSession(p)
+          case None    => SparkSession.clearActiveSession()
+        }
+      }
       f.getAbsolutePath
     })
 

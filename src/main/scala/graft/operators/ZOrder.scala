@@ -1,0 +1,187 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Z-ORDER (Morton-curve) multi-column layout + MANIFEST file skipping
+  * — the multi-dimensional half of the layout story started by
+  * [[Compaction]] (single-key range sort) and the bucketed tables in
+  * [[graft.Tables]]. A range sort on one key gives zone-map pruning on
+  * that key only; interleaving the bits of TWO normalized keys into one
+  * Morton code and range-sorting on it gives every file a small
+  * rectangle in (custkey × orderdate) space, so min/max footer stats
+  * prune scans on EITHER dimension — the Delta/Iceberg `OPTIMIZE
+  * ZORDER BY` layout expressed in plain Spark.
+  *
+  * The manifest is the second half: per-file min/max of the pruning
+  * columns persisted as a tiny parquet table (the Iceberg manifest /
+  * Delta add-file stats pattern). A box query plans by filtering the
+  * manifest (driver-side, ≤ [[ZFiles]] rows — this is planner METADATA,
+  * the same scale as a catalog listing, not data) and hands the
+  * surviving file list to `spark.read.parquet(files:_*)`, so the scan
+  * never opens a file whose rectangle misses the box.
+  *
+  * At 100 TB: the layout write is one range-shuffle on the Morton code
+  * (same cost shape as compaction); normalization bounds come from
+  * table stats (here computed once and memoized; a lakehouse keeps
+  * them in the catalog). Skipping is O(files) metadata work at plan
+  * time against a manifest that is ~10⁻⁶ the data size.
+  *
+  * Grading: content parity under pruning. The graded box aggregate
+  * runs filter→agg over ONLY the manifest-selected files and is judged
+  * against DuckDB running the same predicate over the ORIGINAL
+  * `orders` — a file wrongly skipped (or a row lost in the layout
+  * rewrite) fails the hash. Layout geometry (file count, rectangle
+  * disjointness on the curve, fewer candidate files than a single-key
+  * sort for a date predicate) is asserted in `ZOrderSpec`.
+  */
+object ZOrder {
+  /** Output files for the z-layout copy — 4 Morton bits ≈ a 4×4 grid
+    * over the two dimensions, enough for skipping to be observable at
+    * every shipped SF. */
+  private[graft] val ZFiles = 16
+
+  /** Interleave the low 16 bits of `a` (even positions) and `b` (odd
+    * positions) into a 32-bit Morton code. Pure integer shift/and/or —
+    * stays inside whole-stage codegen. */
+  private[graft] def interleaveBits(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(a.bitwiseAND(lit(1L << i)), i)
+        .bitwiseOR(shiftleft(b.bitwiseAND(lit(1L << i)), i + 1))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Driver-side reference for the spec's equivalence property. */
+  private[graft] def interleaveRef(a: Int, b: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((a.toLong >> i) & 1L) << (2 * i)
+      z |= ((b.toLong >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  /** Scale `v` into [0, 65535] given column bounds (clamped; constant
+    * column maps to 0). */
+  private def norm16(v: Column, lo: Double, hi: Double): Column =
+    if (hi == lo) lit(0L)
+    else least(lit(65535L), greatest(lit(0L),
+      floor((v.cast("double") - lit(lo)) * 65535.0 / (hi - lo)).cast("long")))
+
+  /** Normalization bounds: (custkey lo/hi, orderdate lo/hi in epoch
+    * days). One 4-scalar action per (JVM, corpus) — the stats a
+    * lakehouse catalog would already hold. */
+  private[graft] case class Bounds(ckLo: Double, ckHi: Double,
+      dtLo: Double, dtHi: Double)
+
+  private val boundsCache = new ConcurrentHashMap[String, Bounds]()
+
+  private[graft] def bounds(spark: SparkSession, sfDir: String): Bounds =
+    boundsCache.computeIfAbsent(sfDir, { _ =>
+      val r = Tables(spark, sfDir, "orders").agg(
+        min(col("o_custkey")).cast("double"),
+        max(col("o_custkey")).cast("double"),
+        min(unix_date(to_date(col("o_orderdate")))).cast("double"),
+        max(unix_date(to_date(col("o_orderdate")))).cast("double")).head()
+      Bounds(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    })
+
+  /** (layout dir, manifest dir), built once per (JVM, corpus). */
+  private val zDirs = new ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def zorderedOrders(spark: SparkSession,
+      sfDir: String): (String, String) =
+    zDirs.computeIfAbsent(sfDir, { _ =>
+      val b = bounds(spark, sfDir)
+      val data = Tables.scratchDir("graft_zorder_orders_").getAbsolutePath
+      val z = interleaveBits(
+        norm16(col("o_custkey"), b.ckLo, b.ckHi),
+        norm16(unix_date(to_date(col("o_orderdate"))), b.dtLo, b.dtHi))
+      Tables(spark, sfDir, "orders")
+        .withColumn("z", z)
+        .repartitionByRange(ZFiles, col("z"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(data)
+      val mf = Tables.scratchDir("graft_zorder_manifest_").getAbsolutePath
+      buildManifest(spark, data).write.mode("overwrite").parquet(mf)
+      (data, mf)
+    })
+
+  /** Per-file zone maps of the pruning columns — the manifest rows. */
+  private[graft] def buildManifest(spark: SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("o_custkey")).as("min_ck"), max(col("o_custkey")).as("max_ck"),
+        min(to_date(col("o_orderdate"))).as("min_dt"),
+        max(to_date(col("o_orderdate"))).as("max_dt"))
+
+  /** The graded box: custkey in the bottom quarter of its range (the
+    * SAME arithmetic the oracle's scalar subquery performs) × one year
+    * of order dates. */
+  private[graft] val DateLo = "1996-07-01"
+  private[graft] val DateHi = "1997-07-01"
+
+  private[graft] def custkeyHi(spark: SparkSession, sfDir: String): Double = {
+    val b = bounds(spark, sfDir)
+    b.ckLo + 0.25 * (b.ckHi - b.ckLo)
+  }
+
+  /** Manifest-selected files for the graded box — the planner step. */
+  private[graft] def prunedFiles(spark: SparkSession,
+      sfDir: String): Array[String] = {
+    val (_, mf) = zorderedOrders(spark, sfDir)
+    val b = bounds(spark, sfDir)
+    spark.read.parquet(mf)
+      .filter(col("min_ck") <= custkeyHi(spark, sfDir) &&
+        col("max_ck") >= b.ckLo &&
+        col("min_dt") < lit(DateHi).cast("date") &&
+        col("max_dt") >= lit(DateLo).cast("date"))
+      .select("file").collect().map(_.getString(0))
+  }
+
+  /** GRADED: the box aggregate over ONLY the manifest-selected files,
+    * judged against DuckDB over the original table — skipping must be
+    * lossless. */
+  def ordersZorderBox(spark: SparkSession, sfDir: String): DataFrame = {
+    val keep = prunedFiles(spark, sfDir)
+    val (data, _) = zorderedOrders(spark, sfDir)
+    val scan =
+      if (keep.isEmpty) spark.read.parquet(data).filter(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    val b = bounds(spark, sfDir)
+    scan
+      .filter(col("o_custkey") >= b.ckLo &&
+        col("o_custkey") <= custkeyHi(spark, sfDir) &&
+        to_date(col("o_orderdate")) >= lit(DateLo).cast("date") &&
+        to_date(col("o_orderdate")) < lit(DateHi).cast("date"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_zorder_box" -> (ordersZorderBox(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "orders_zorder_box" ->
+      s"""WITH s AS (SELECT min(o_custkey) AS lo,
+         |  min(o_custkey) + 0.25*(max(o_custkey) - min(o_custkey)) AS hi
+         |  FROM orders)
+         |SELECT o_orderstatus, count(*) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS total_price,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM orders, s
+         |WHERE o_custkey >= s.lo AND o_custkey <= s.hi
+         |  AND CAST(o_orderdate AS DATE) >= DATE '$DateLo'
+         |  AND CAST(o_orderdate AS DATE) <  DATE '$DateHi'
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -160,15 +160,12 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming replay of the real events table ≡ batch aggregation") {
-    val dir = java.nio.file.Files.createTempDirectory("events_stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
-      dir.resolve("part-000.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(dir.toString).schema
+    // stream the ingest-normalized copy (µs TIMESTAMP) — the same
+    // source StreamReplay uses; no session conf mutation, no shim here
+    val dir = Tables.eventsMicros(spark, sf0001)
+    val rawSchema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .option("maxFilesPerTrigger", "1").parquet(dir)
     val agg = stream.groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"))
       .select($"window.start".as("ws"), $"event_type", $"n")

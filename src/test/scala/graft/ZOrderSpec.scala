@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ZOrder
+
+/** Z-order layout invariants on sf0.001: Morton-code expression ≡
+  * driver reference, layout file count + content parity, manifest
+  * skipping actually drops files for the graded box, and the
+  * comparative claim — for a DATE-only predicate the z-layout's
+  * candidate set is strictly smaller than a custkey-range-sorted
+  * layout's (which cannot prune the second dimension at all). */
+class ZOrderSpec extends SparkSpec {
+
+  test("Morton interleave expression matches the driver reference") {
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(256)((rnd.nextInt(65536), rnd.nextInt(65536))) ++
+      Seq((0, 0), (65535, 0), (0, 65535), (65535, 65535), (1, 2))
+    val df = spark.createDataFrame(pairs).toDF("a", "b")
+      .withColumn("z", ZOrder.interleaveBits(
+        col("a").cast("long"), col("b").cast("long")))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) == ZOrder.interleaveRef(r.getInt(0), r.getInt(1)),
+        s"(${r.getInt(0)}, ${r.getInt(1)})")
+    }
+  }
+
+  test("z-layout: expected file count, pure layout change") {
+    val (data, _) = ZOrder.zorderedOrders(spark, sf0001)
+    val p = new org.apache.hadoop.fs.Path(data)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = fs.listStatus(p)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // range sampling may leave a boundary partition empty (no file);
+    // the layout claim is "many small rectangles", not an exact count
+    assert(n >= ZOrder.ZFiles / 2 && n <= ZOrder.ZFiles, s"$n files")
+    val orig = Tables(spark, sf0001, "orders").agg(
+      count(lit(1)), sum(col("o_orderkey")), sum(col("o_custkey"))).head()
+    val copy = spark.read.parquet(data).agg(
+      count(lit(1)), sum(col("o_orderkey")), sum(col("o_custkey"))).head()
+    assert(orig == copy)
+  }
+
+  test("graded box scan opens strictly fewer files than exist; pruning is lossless") {
+    val keep = ZOrder.prunedFiles(spark, sf0001)
+    assert(keep.nonEmpty && keep.length < ZOrder.ZFiles,
+      s"${keep.length} of ${ZOrder.ZFiles} files — nothing skipped")
+    // lossless: pruned result ≡ the same filter+agg over the FULL copy
+    val (data, _) = ZOrder.zorderedOrders(spark, sf0001)
+    val b = ZOrder.bounds(spark, sf0001)
+    val full = spark.read.parquet(data)
+      .filter(col("o_custkey") >= b.ckLo &&
+        col("o_custkey") <= ZOrder.custkeyHi(spark, sf0001) &&
+        to_date(col("o_orderdate")) >= lit(ZOrder.DateLo).cast("date") &&
+        to_date(col("o_orderdate")) < lit(ZOrder.DateHi).cast("date"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val pruned = ZOrder.ordersZorderBox(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(full == pruned)
+  }
+
+  test("date-only predicate: z-layout candidates < single-key-sorted layout candidates") {
+    // comparison layout: same file count, range-sorted on custkey only
+    val out = Tables.scratchDir("graft_cksort_orders_").getAbsolutePath
+    Tables(spark, sf0001, "orders")
+      .repartitionByRange(ZOrder.ZFiles, col("o_custkey"))
+      .write.mode("overwrite").parquet(out)
+    val dateOverlap = (mf: org.apache.spark.sql.DataFrame) => mf.filter(
+      col("min_dt") < lit(ZOrder.DateHi).cast("date") &&
+      col("max_dt") >= lit(ZOrder.DateLo).cast("date")).count()
+    val ckManifest = ZOrder.buildManifest(spark, out)
+    val ckFiles = ckManifest.count()
+    val ckCand = dateOverlap(ckManifest)
+    val (_, mfDir) = ZOrder.zorderedOrders(spark, sf0001)
+    val zCand = dateOverlap(spark.read.parquet(mfDir))
+    // custkey sort leaves the date dimension unclustered: every file
+    // spans the 1-year window; the Morton layout confines it
+    assert(ckCand == ckFiles, s"custkey layout pruned? $ckCand of $ckFiles")
+    assert(zCand < ckCand, s"z=$zCand vs ck=$ckCand")
+  }
+}

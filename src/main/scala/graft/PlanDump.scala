@@ -23,7 +23,9 @@ object PlanDump {
     "orders_pruned_priority", "hourly_event_stats_streamed",
     "revenue_bucketed", "order_lookup_bucketed", "simhash_neighbors_r2",
     "hourly_event_stats_updatemode", "pq_recall", "neardup_clusters_loop",
-    "incremental_dedup")
+    "incremental_dedup", "incremental_dedup_indexed", "rp_topk",
+    "rp_topk_banded", "scd2_dim", "orders_compacted_agg",
+    "orders_zorder_box", "order_lookup_bloom", "range_join_binned")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

@@ -265,7 +265,44 @@ object Curation {
       .orderBy(col("priority").desc, col("doc_id"))
       .limit(k)
 
+  /** Exact-k-per-stratum sample salt width — splits a hot stratum over
+    * this many deterministic cells in phase 1 (the knob that grows with
+    * stratum size at 100 TB). */
+  private[graft] val StratifiedSalt = 32
+  private[graft] val StratifiedK = 8
+
+  /** EXACT-k-per-stratum sample (k docs per language), deterministic
+    * (md5 order — reproducible on any cluster, like every sampler in
+    * this family) and SKEW-PROOF via salted two-phase top-k: a single
+    * `row_number() OVER (PARTITION BY lang)` sends each whole stratum
+    * to ONE task, so a dominant language serializes the job at 100 TB.
+    * Phase 1 partitions by (lang, xxhash64(doc_id) % [[StratifiedSalt]])
+    * — a DETERMINISTIC salt, so results never depend on physical
+    * partitioning — and keeps each cell's local top-k; each global
+    * winner is necessarily its own cell's local winner (pigeonhole), so
+    * phase 2 ranks only ≤ salt·k survivors per stratum. The oracle is
+    * the plain unsalted window — grading proves the two-phase form
+    * exact, not approximate. */
+  def stratifiedSampleK(spark: SparkSession, dir: String,
+      k: Int = StratifiedK, salt: Int = StratifiedSalt): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("skey", md5(col("doc_id").cast("string")))
+      .withColumn("cell", pmod(xxhash64(col("doc_id")), lit(salt.toLong)))
+    val local = Window.partitionBy(col("lang"), col("cell"))
+      .orderBy(col("skey"), col("doc_id"))
+    val global = Window.partitionBy(col("lang"))
+      .orderBy(col("skey"), col("doc_id"))
+    keyed
+      .withColumn("rk1", row_number().over(local)).filter(col("rk1") <= k)
+      .withColumn("rk", row_number().over(global)).filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stratified_sample_k" -> ((s: SparkSession, d: String) => stratifiedSampleK(s, d)),
     "priority_sample"  -> ((s: SparkSession, d: String) => prioritySample(s, d)),
     "hash_sample"      -> (hashSample _),
     "hash_sample_docs" -> (hashSampleDocs _),
@@ -285,6 +322,13 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    "stratified_sample_k" ->
+      s"""SELECT lang, rk, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= $StratifiedK ORDER BY lang, rk""".stripMargin,
     "priority_sample" ->
       s"""WITH v AS (
          |  SELECT doc_id, source, n_chars,

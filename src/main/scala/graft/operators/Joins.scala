@@ -285,7 +285,49 @@ object Joins {
       .orderBy("probe", "c_custkey")
   }
 
+  /** Ordered 3-step event FUNNEL (view → click → purchase, each hop
+    * within 24 h, per user) — MATCH_RECOGNIZE-style sequence detection
+    * composed from TWO forward as-of joins of the custom
+    * [[graft.plans.AsOf]] exec: hop 1 attaches each view's earliest
+    * same-user click within tolerance, hop 2 attaches that click's
+    * earliest purchase. Each hop is one sorted merge pass per
+    * partition (O(n+m), constant memory), so an arbitrarily long
+    * funnel is a CHAIN of linear passes — never a per-user
+    * collect_list or an exploding interval self-join. Daily totals
+    * keep the graded output small; the DuckDB oracle re-derives both
+    * hops with correlated min() subqueries. */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val tol = Some(java.time.Duration.ofHours(24))
+    def evType(t: String, u: String, ts: String): DataFrame =
+      Tables(spark, dir, "events").filter(col("event_type") === t)
+        .select(col("user_id").as(u), col("ts").as(ts))
+    val v = Tables(spark, dir, "events")
+      .filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id").as("vu"), col("ts").as("vts"))
+    val c = evType("click", "cu", "cts")
+    val p = evType("purchase", "pu", "pts")
+    val s1 = graft.plans.AsOf.join(v, c,
+      v("vu"), c("cu"), v("vts"), c("cts"), forward = true, tolerance = tol)
+    val s2 = graft.plans.AsOf.join(
+      s1.filter(col("cts").isNotNull)
+        .select(col("event_id"), col("vts"), col("vu").as("cu2"), col("cts")),
+      p, col("cu2"), p("pu"), col("cts"), p("pts"),
+      forward = true, tolerance = tol)
+    val daily1 = s1.groupBy(to_date(col("vts")).as("day"))
+      .agg(count(lit(1)).as("n_views"), count(col("cts")).as("n_clicked"))
+    val daily2 = s2.filter(col("pts").isNotNull)
+      .groupBy(to_date(col("vts")).as("day"))
+      .agg(count(lit(1)).as("n_converted"),
+        countDistinct(col("cu2")).as("n_users_converted"))
+    daily1.join(daily2, Seq("day"), "left")
+      .select(col("day"), col("n_views"), col("n_clicked"),
+        coalesce(col("n_converted"), lit(0L)).as("n_converted"),
+        coalesce(col("n_users_converted"), lit(0L)).as("n_users_converted"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_funnel"      -> (eventFunnel _),
     "fuzzy_name_match"  -> ((s: SparkSession, d: String) => fuzzyNameMatch(s, d)),
     "revenue_by_nation_catalog" -> (revenueByNationCatalog _),
     "revenue_by_region" -> (revenueByRegion _),
@@ -319,6 +361,24 @@ object Joins {
         |JOIN part p ON l.l_partkey = p.p_partkey
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "event_funnel" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |s1 AS (SELECT v.event_id, v.user_id, v.ts AS vts,
+        |  (SELECT min(c.ts) FROM c WHERE c.user_id = v.user_id
+        |     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 24 HOURS) AS cts
+        |  FROM v),
+        |s2 AS (SELECT s1.*,
+        |  (SELECT min(p.ts) FROM p WHERE p.user_id = s1.user_id
+        |     AND p.ts >= s1.cts AND p.ts <= s1.cts + INTERVAL 24 HOURS) AS pts
+        |  FROM s1)
+        |SELECT CAST(vts AS DATE) AS day, count(*) AS n_views,
+        |  count(cts) AS n_clicked, count(pts) AS n_converted,
+        |  count(DISTINCT CASE WHEN pts IS NOT NULL THEN user_id END)
+        |    AS n_users_converted
+        |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "asof_order_before_event" ->
       """SELECT e.event_id, e.user_id, e.ts,
         |  CAST(o.o_orderdate AS DATE) AS last_order_date,

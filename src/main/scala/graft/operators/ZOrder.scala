@@ -167,10 +167,48 @@ object ZOrder {
       .orderBy("o_orderstatus")
   }
 
+  /** Manifest-selected files for the DATE-ONLY predicate — the second
+    * dimension alone, where a custkey-sorted layout prunes nothing. */
+  private[graft] def prunedFilesDate(spark: SparkSession,
+      sfDir: String): Array[String] = {
+    val (_, mf) = zorderedOrders(spark, sfDir)
+    spark.read.parquet(mf)
+      .filter(col("min_dt") < lit(DateHi).cast("date") &&
+        col("max_dt") >= lit(DateLo).cast("date"))
+      .select("file").collect().map(_.getString(0))
+  }
+
+  /** GRADED: date-only aggregate over manifest-selected files — proves
+    * the Morton layout prunes on the SECOND dimension losslessly (the
+    * property a single-key range sort cannot offer). */
+  def ordersZorderDateRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val keep = prunedFilesDate(spark, sfDir)
+    val (data, _) = zorderedOrders(spark, sfDir)
+    val scan =
+      if (keep.isEmpty) spark.read.parquet(data).filter(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    scan
+      .filter(to_date(col("o_orderdate")) >= lit(DateLo).cast("date") &&
+        to_date(col("o_orderdate")) < lit(DateHi).cast("date"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "orders_zorder_box" -> (ordersZorderBox(_, _)))
+    "orders_zorder_box" -> (ordersZorderBox(_, _)),
+    "orders_zorder_daterange" -> (ordersZorderDateRange(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "orders_zorder_daterange" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM orders
+         |WHERE CAST(o_orderdate AS DATE) >= DATE '$DateLo'
+         |  AND CAST(o_orderdate AS DATE) <  DATE '$DateHi'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "orders_zorder_box" ->
       s"""WITH s AS (SELECT min(o_custkey) AS lo,
          |  min(o_custkey) + 0.25*(max(o_custkey) - min(o_custkey)) AS hi

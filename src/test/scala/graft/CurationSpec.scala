@@ -145,4 +145,31 @@ class CurationSpec extends SparkSpec {
         r.getAs[Long]("alloc_tokens") > r.getAs[Long]("base_alloc")),
         "round-2 redistribution granted nothing despite leftover")
   }
+
+  test("stratified exact-k: salted two-phase == plain window, invariant to parallelism") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf0001, "documents")
+    val k = 8
+    val plain = docs
+      .withColumn("skey", md5(col("doc_id").cast("string")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("skey"), col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select("lang", "rk", "doc_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    // salted two-phase at two different salt widths — same exact result
+    Seq(4, 32).foreach { salt =>
+      val got = Curation.stratifiedSampleK(spark, sf0001, k, salt)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == plain, s"salt=$salt diverged")
+    }
+    // exactly min(k, |stratum|) rows per language
+    val sizes = docs.groupBy("lang").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val perLang = plain.groupBy(_._1).view.mapValues(_.size).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(perLang.getOrElse(lang, 0) == math.min(k.toLong, n).toInt, lang)
+    }
+  }
 }

@@ -84,4 +84,26 @@ class ZOrderSpec extends SparkSpec {
     assert(ckCand == ckFiles, s"custkey layout pruned? $ckCand of $ckFiles")
     assert(zCand < ckCand, s"z=$zCand vs ck=$ckCand")
   }
+
+  test("date-only graded twin prunes via the manifest and is lossless") {
+    val keep = ZOrder.prunedFilesDate(spark, sf0001)
+    val (data, mfDir) = ZOrder.zorderedOrders(spark, sf0001)
+    val total = spark.read.parquet(mfDir).count()
+    assert(keep.nonEmpty && keep.length < total,
+      s"${keep.length} of $total files — nothing skipped on the date dim")
+    val full = spark.read.parquet(data)
+      .filter(to_date(col("o_orderdate")) >= lit(ZOrder.DateLo).cast("date") &&
+        to_date(col("o_orderdate")) < lit(ZOrder.DateHi).cast("date"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val pruned = ZOrder.ordersZorderDateRange(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(full == pruned)
+  }
 }

@@ -308,10 +308,10 @@ object Joins {
     val p = evType("purchase", "pu", "pts")
     val s1 = graft.plans.AsOf.join(v, c,
       v("vu"), c("cu"), v("vts"), c("cts"), forward = true, tolerance = tol)
-    val s2 = graft.plans.AsOf.join(
-      s1.filter(col("cts").isNotNull)
-        .select(col("event_id"), col("vts"), col("vu").as("cu2"), col("cts")),
-      p, col("cu2"), p("pu"), col("cts"), p("pts"),
+    val s1c = s1.filter(col("cts").isNotNull)
+      .select(col("event_id"), col("vts"), col("vu").as("cu2"), col("cts"))
+    val s2 = graft.plans.AsOf.join(s1c, p,
+      s1c("cu2"), p("pu"), s1c("cts"), p("pts"),
       forward = true, tolerance = tol)
     val daily1 = s1.groupBy(to_date(col("vts")).as("day"))
       .agg(count(lit(1)).as("n_views"), count(col("cts")).as("n_clicked"))

@@ -25,7 +25,8 @@ object PlanDump {
     "hourly_event_stats_updatemode", "pq_recall", "neardup_clusters_loop",
     "incremental_dedup", "incremental_dedup_indexed", "rp_topk",
     "rp_topk_banded", "scd2_dim", "orders_compacted_agg",
-    "orders_zorder_box", "order_lookup_bloom", "range_join_binned")
+    "orders_zorder_box", "order_lookup_bloom", "range_join_binned",
+    "event_funnel", "stratified_sample_k")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

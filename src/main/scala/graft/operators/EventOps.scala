@@ -186,7 +186,38 @@ object EventOps {
       .orderBy("prev_type", "curr_type")
   }
 
+  /** Time-series GAP-FILL (resample): hourly counts per event type with
+    * MISSING hours materialized as zero rows — the dimensional
+    * completion every dashboard/forecast input needs (a plain groupBy
+    * silently drops empty hours, so downstream movel averages and
+    * rate-of-change windows skew). The hour spine is generated INSIDE
+    * the plan (`sequence()` over the 1-row min/max aggregate — no
+    * driver action), crossed with the bounded type dimension and
+    * left-joined to the aggregated counts: the completion join touches
+    * |hours|×|types| rows — calendar-scale, not data-scale — and the
+    * only corpus-wide work is the one aggregation shuffle. At 100 TB
+    * the spine stays tiny (a decade of hours ≈ 90k rows) and the
+    * completion join broadcasts it. */
+  def hourlyGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val hours = bounds.select(explode(
+      sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hr"))
+    val types = ev.select(col("event_type")).distinct()
+    val counts = ev.groupBy(
+        date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    hours.crossJoin(broadcast(types))
+      .join(counts, Seq("hr", "event_type"), "left")
+      .select(col("hr"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("hr", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hourly_gap_fill" -> (hourlyGapFill _),
     "session_transitions" -> (sessionTransitions _),
     "hourly_gapfill_ma"  -> (hourlyGapfillMa _),
     "value_outliers"     -> (valueOutliers _),
@@ -251,6 +282,18 @@ object EventOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "hourly_gap_fill" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |                  date_trunc('hour', max(ts)) AS hi FROM events),
+        |h AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+        |      FROM b),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT date_trunc('hour', ts) AS hr, event_type,
+        |        count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT h.hr, t.event_type, coalesce(c.n, 0) AS n
+        |FROM h CROSS JOIN t
+        |LEFT JOIN c ON c.hr = h.hr AND c.event_type = t.event_type
+        |ORDER BY 1, 2""".stripMargin,
     "session_transitions" ->
       s"""WITH t AS (
          |  SELECT lag(event_type) OVER (

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Cross-copy INTEGRITY diff — the reconciliation audit every layout
+  * rewrite needs: after compaction / z-ordering / replication, prove
+  * the copy is row-identical to the source WITHOUT shipping either
+  * side. Standard warehouse shape (Merkle-style bucket checksums, the
+  * pattern behind DynamoDB anti-entropy and Iceberg's
+  * rewrite-validation): hash every row to a 32-bit value with a
+  * canonical text encoding, sum hashes per key bucket on EACH side
+  * (one partial-agg shuffle of bucket-granularity rows per side), join
+  * the tiny per-bucket summaries, and compare. A lost, duplicated or
+  * corrupted row flips its bucket's (count, checksum) pair; the diff
+  * output localizes the damage to a bucket — at 100 TB you re-scan one
+  * bucket, not the table.
+  *
+  * Determinism contract: the row encoding uses only exactly-rendered
+  * types (BIGINT, VARCHAR, DECIMAL(18,2), DATE — no raw doubles, whose
+  * text form is engine-specific), and the checksum is the repo's
+  * first-8-hex-nibbles-of-md5 uniform (the HLL/curation oracle idiom),
+  * summed as BIGINT — order-independent, so any partitioning yields
+  * the same bucket sums on both engines.
+  *
+  * Grading: the Spark side audits the COMPACTED copy ([[Compaction]])
+  * against the ORIGINAL table; the DuckDB oracle derives both sides
+  * from the original (the only ground truth it has). They can only
+  * hash-match if compaction preserved the exact row multiset — the
+  * audit and the rewrite are graded in one query.
+  */
+object Integrity {
+  private[graft] val Buckets = 16
+
+  /** Canonical row text: pipe-joined, exactly-rendered columns. */
+  private def rowText: Column = concat_ws("|",
+    col("o_orderkey").cast("string"),
+    col("o_custkey").cast("string"),
+    col("o_orderstatus"),
+    col("o_totalprice").cast("decimal(18,2)").cast("string"),
+    to_date(col("o_orderdate")).cast("string"),
+    col("o_orderpriority"))
+
+  /** First 32 bits of md5(rowText) as BIGINT (cross-engine exact). */
+  private def rowHash: Column =
+    conv(substring(md5(rowText), 1, 8), 16, 10).cast("long")
+
+  /** Per-bucket (count, checksum) summary of one side. */
+  private[graft] def bucketSummary(df: DataFrame): DataFrame =
+    df.groupBy(pmod(col("o_orderkey"), lit(Buckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(rowHash).as("checksum"))
+
+  /** GRADED: audit the compacted copy against the original table. */
+  def ordersIntegrityDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = bucketSummary(Tables(spark, sfDir, "orders"))
+      .withColumnsRenamed(Map("n" -> "n_src", "checksum" -> "sum_src"))
+    val copy = spark.read.parquet(
+      Compaction.compactedOrdersDir(spark, sfDir))
+    val b = bucketSummary(copy)
+      .withColumnsRenamed(Map("n" -> "n_copy", "checksum" -> "sum_copy"))
+    a.join(b, Seq("bucket"), "full")
+      .select(col("bucket"), col("n_src"), col("n_copy"),
+        col("sum_src"), col("sum_copy"),
+        (col("n_src") <=> col("n_copy") &&
+          col("sum_src") <=> col("sum_copy")).as("is_match"))
+      .orderBy("bucket")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_integrity_diff" -> (ordersIntegrityDiff(_, _)))
+
+  /** DuckDB twin: both sides derive from `orders` — Spark's copy side
+    * can only match if compaction preserved the exact row multiset. */
+  private val HashSql = {
+    def nib(j: Int) =
+      s"(instr('0123456789abcdef', substr(h, $j, 1)) - 1)"
+    val terms = (1 to 8).map(j =>
+      s"${nib(j)} * ${1L << (4 * (8 - j))}").mkString(" + ")
+    s"""(SELECT $terms FROM (SELECT md5(o_orderkey || '|' || o_custkey ||
+       | '|' || o_orderstatus || '|' ||
+       | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+       | CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' ||
+       | o_orderpriority) AS h))""".stripMargin.replace("\n", "")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "orders_integrity_diff" ->
+      s"""WITH s AS (
+         |  SELECT o_orderkey % $Buckets AS bucket, count(*) AS n,
+         |    CAST(sum($HashSql) AS BIGINT) AS checksum
+         |  FROM orders GROUP BY 1)
+         |SELECT a.bucket, a.n AS n_src, b.n AS n_copy,
+         |  a.checksum AS sum_src, b.checksum AS sum_copy,
+         |  (a.n = b.n AND a.checksum = b.checksum) AS is_match
+         |FROM s a JOIN s b USING (bucket)
+         |ORDER BY bucket""".stripMargin)
+}

@@ -26,7 +26,8 @@ object PlanDump {
     "incremental_dedup", "incremental_dedup_indexed", "rp_topk",
     "rp_topk_banded", "scd2_dim", "orders_compacted_agg",
     "orders_zorder_box", "order_lookup_bloom", "range_join_binned",
-    "event_funnel", "stratified_sample_k")
+    "event_funnel", "stratified_sample_k", "orders_integrity_diff",
+    "hourly_gap_fill")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

@@ -40,7 +40,7 @@ object SparkEntry {
     Similarity.queries ++ Curation.queries ++ TextSignals.queries ++
     IncrementalDedup.queries ++ RpSketch.queries ++ Scd.queries ++
     Compaction.queries ++ ZOrder.queries ++ BloomIndex.queries ++
-    RangeJoin.queries ++ Integrity.queries ++
+    RangeJoin.queries ++ Integrity.queries ++ Formats.queries ++
     Stats.queries ++ Membership.queries ++
     graft.functions.TypedAggs.queries ++
     Multimodal.queries ++ Skew.queries ++ graft.streaming.StreamReplay.queries
@@ -62,7 +62,7 @@ object SparkEntry {
     Similarity.oracles ++ Curation.oracles ++ TextSignals.oracles ++
     IncrementalDedup.oracles ++ RpSketch.oracles ++ Scd.oracles ++
     Compaction.oracles ++ ZOrder.oracles ++ BloomIndex.oracles ++
-    RangeJoin.oracles ++ Integrity.oracles ++
+    RangeJoin.oracles ++ Integrity.oracles ++ Formats.oracles ++
     Stats.oracles ++ Membership.oracles ++
     graft.functions.TypedAggs.oracles ++
     Multimodal.oracles ++ Skew.oracles ++ graft.streaming.StreamReplay.oracles

@@ -1,0 +1,99 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Interchange-format sources on the GRADED path — the engine must
+  * read more than its native parquet: ORC (the other columnar
+  * warehouse standard) and CSV (the lowest common denominator every
+  * ingest eventually meets). Each graded query routes `orders` through
+  * a format round-trip written once per (JVM, corpus) and aggregates
+  * the COPY, judged against DuckDB on the ORIGINAL parquet — any
+  * type-fidelity loss in the writer or reader (timestamp formatting,
+  * double text round-trip, nullability) diverges the hash.
+  *
+  * Production discipline the queries demonstrate:
+  *  - CSV is read with an EXPLICIT schema — `inferSchema` costs a full
+  *    extra pass at 100 TB and can mistype columns batch-to-batch;
+  *    the timestamp format is pinned on both writer and reader so the
+  *    round trip never depends on JVM/locale defaults.
+  *  - ORC reads vectorize like parquet (the scan shows the same
+  *    ColumnarToRow shape) and keep predicate pushdown, so switching
+  *    warehouse formats does not change the plan discipline.
+  */
+object Formats {
+  private val csvDirs = new ConcurrentHashMap[String, String]()
+  private val orcDirs = new ConcurrentHashMap[String, String]()
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  private[graft] val OrdersCsvSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  private[graft] def csvOrdersDir(spark: SparkSession, sfDir: String): String =
+    csvDirs.computeIfAbsent(sfDir, { _ =>
+      val f = Tables.scratchDir("graft_csv_orders_")
+      // the parquet source column is TIMESTAMP_NTZ (unadjusted µs) and
+      // the CSV writer formats NTZ with timestampNTZFormat, not
+      // timestampFormat — normalize to LTZ (identity under the fixed
+      // UTC session) so ONE pinned format governs write and read
+      Tables(spark, sfDir, "orders")
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+        .write.mode("overwrite")
+        .option("header", "true").option("timestampFormat", TsFmt)
+        .csv(f.getAbsolutePath)
+      f.getAbsolutePath
+    })
+
+  private[graft] def orcOrdersDir(spark: SparkSession, sfDir: String): String =
+    orcDirs.computeIfAbsent(sfDir, { _ =>
+      val f = Tables.scratchDir("graft_orc_orders_")
+      Tables(spark, sfDir, "orders")
+        .write.mode("overwrite").orc(f.getAbsolutePath)
+      f.getAbsolutePath
+    })
+
+  private def agg(df: DataFrame): DataFrame =
+    df.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        max(to_date(col("o_orderdate"))).as("last_date"))
+      .orderBy("o_orderpriority")
+
+  /** GRADED: aggregate over the CSV round-trip (explicit schema). */
+  def ordersCsvAgg(spark: SparkSession, sfDir: String): DataFrame =
+    agg(spark.read.schema(OrdersCsvSchema)
+      .option("header", "true").option("timestampFormat", TsFmt)
+      .csv(csvOrdersDir(spark, sfDir)))
+
+  /** GRADED: aggregate over the ORC round-trip. */
+  def ordersOrcAgg(spark: SparkSession, sfDir: String): DataFrame =
+    agg(spark.read.orc(orcOrdersDir(spark, sfDir)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_csv_agg" -> (ordersCsvAgg(_, _)),
+    "orders_orc_agg" -> (ordersOrcAgg(_, _)))
+
+  private val AggSql =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      |  max(CAST(o_orderdate AS DATE)) AS last_date
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "orders_csv_agg" -> AggSql,
+    "orders_orc_agg" -> AggSql)
+}

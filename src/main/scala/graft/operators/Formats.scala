@@ -27,6 +27,7 @@ import graft.Tables
 object Formats {
   private val csvDirs = new ConcurrentHashMap[String, String]()
   private val orcDirs = new ConcurrentHashMap[String, String]()
+  private val jsonDirs = new ConcurrentHashMap[String, String]()
 
   private val TsFmt = "yyyy-MM-dd HH:mm:ss"
 
@@ -71,6 +72,26 @@ object Formats {
         max(to_date(col("o_orderdate"))).as("last_date"))
       .orderBy("o_orderpriority")
 
+  private[graft] def jsonOrdersDir(spark: SparkSession, sfDir: String): String =
+    jsonDirs.computeIfAbsent(sfDir, { _ =>
+      val f = Tables.scratchDir("graft_json_orders_")
+      Tables(spark, sfDir, "orders")
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+        .write.mode("overwrite")
+        .option("timestampFormat", TsFmt)
+        .json(f.getAbsolutePath)
+      f.getAbsolutePath
+    })
+
+  /** GRADED: aggregate over the JSONL round-trip (explicit schema —
+    * same no-infer discipline as CSV; JSONL is the de-facto LLM
+    * training-data interchange format, so the engine reading it with
+    * exact type fidelity is first-class, not a curiosity). */
+  def ordersJsonAgg(spark: SparkSession, sfDir: String): DataFrame =
+    agg(spark.read.schema(OrdersCsvSchema)
+      .option("timestampFormat", TsFmt)
+      .json(jsonOrdersDir(spark, sfDir)))
+
   /** GRADED: aggregate over the CSV round-trip (explicit schema). */
   def ordersCsvAgg(spark: SparkSession, sfDir: String): DataFrame =
     agg(spark.read.schema(OrdersCsvSchema)
@@ -83,7 +104,8 @@ object Formats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_csv_agg" -> (ordersCsvAgg(_, _)),
-    "orders_orc_agg" -> (ordersOrcAgg(_, _)))
+    "orders_orc_agg" -> (ordersOrcAgg(_, _)),
+    "orders_json_agg" -> (ordersJsonAgg(_, _)))
 
   private val AggSql =
     """SELECT o_orderpriority, count(*) AS n_orders,
@@ -95,5 +117,6 @@ object Formats {
 
   val oracles: Map[String, String] = Map(
     "orders_csv_agg" -> AggSql,
-    "orders_orc_agg" -> AggSql)
+    "orders_orc_agg" -> AggSql,
+    "orders_json_agg" -> AggSql)
 }

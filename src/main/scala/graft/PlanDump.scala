@@ -27,7 +27,7 @@ object PlanDump {
     "rp_topk_banded", "scd2_dim", "orders_compacted_agg",
     "orders_zorder_box", "order_lookup_bloom", "range_join_binned",
     "event_funnel", "stratified_sample_k", "orders_integrity_diff",
-    "hourly_gap_fill")
+    "hourly_counts_gapfilled")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

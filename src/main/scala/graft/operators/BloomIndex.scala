@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.security.MessageDigest
 import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -60,17 +59,12 @@ object BloomIndex {
       out
     })
 
-  /** Bit positions for `key` — the same addressing as
-    * [[graft.plans.BloomSketch.update]]: first 16 bits of md5("i:key"). */
-  private[graft] def probePositions(key: String): Seq[Int] = {
-    val md5 = MessageDigest.getInstance("MD5")
-    (0 until graft.plans.BloomSketch.K).map { i =>
-      md5.reset()
-      md5.update(s"$i:$key".getBytes("UTF-8"))
-      val d = md5.digest()
-      ((d(0) & 0xff) << 8) | (d(1) & 0xff)
-    }
-  }
+  /** Bit positions for `key` — delegates to the sketch's OWN addressing
+    * ([[graft.plans.BloomSketch.positions]]) so prober and builder can
+    * never diverge (a divergence would be a false negative = wrongly
+    * skipped file). */
+  private[graft] def probePositions(key: String): Seq[Int] =
+    graft.plans.BloomSketch.positions(key)
 
   /** Manifest-selected files: every probe bit set. Driver-side over
     * files-many rows — the planner step. */

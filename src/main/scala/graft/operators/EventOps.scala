@@ -189,7 +189,7 @@ object EventOps {
   /** Time-series GAP-FILL (resample): hourly counts per event type with
     * MISSING hours materialized as zero rows — the dimensional
     * completion every dashboard/forecast input needs (a plain groupBy
-    * silently drops empty hours, so downstream movel averages and
+    * silently drops empty hours, so downstream moving averages and
     * rate-of-change windows skew). The hour spine is generated INSIDE
     * the plan (`sequence()` over the 1-row min/max aggregate — no
     * driver action), crossed with the bounded type dimension and
@@ -217,7 +217,7 @@ object EventOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "hourly_gap_fill" -> (hourlyGapFill _),
+    "hourly_counts_gapfilled" -> (hourlyGapFill _),
     "session_transitions" -> (sessionTransitions _),
     "hourly_gapfill_ma"  -> (hourlyGapfillMa _),
     "value_outliers"     -> (valueOutliers _),
@@ -282,7 +282,9 @@ object EventOps {
   }
 
   val oracles: Map[String, String] = Map(
-    "hourly_gap_fill" ->
+    // renamed from hourly_gap_fill (r6 advice: too close to the
+    // pre-existing hourly_gapfill_ma)
+    "hourly_counts_gapfilled" ->
       """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
         |                  date_trunc('hour', max(ts)) AS hi FROM events),
         |h AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr

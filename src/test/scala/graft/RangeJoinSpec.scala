@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import graft.operators.RangeJoin
 
@@ -30,8 +30,12 @@ class RangeJoinSpec extends SparkSpec {
     val expanded = plan.collect {
       case a: AdaptiveSparkPlanExec => a.executedPlan
     }
+    // either non-equi fallback counts: Catalyst plans an equality-free
+    // predicate as BNLJ when one side broadcasts, CartesianProduct when
+    // neither does — the binned plan must contain NEITHER
     (plan +: expanded).exists(_.collect {
       case _: BroadcastNestedLoopJoinExec => true
+      case _: CartesianProductExec => true
     }.nonEmpty)
   }
 

@@ -124,7 +124,7 @@ object IncrementalDedup {
   // `incremental_dedup_maintained` query ([[maintainedStats]]).
   // ----------------------------------------------------------------
 
-  private val indexMemo =
+  private val fullIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** One corpus pass → the index frame (doc_id, nh, m0..m3, hs).
@@ -148,35 +148,38 @@ object IncrementalDedup {
       .join(agg, Seq("doc_id"), "left")
   }
 
-  /** Scratch-parquet path of the maintained BASE index for `dir`
-    * (built on first use, shared by every consumer in the JVM). */
-  private[graft] def indexPath(spark: SparkSession, dir: String): String =
-    indexMemo.computeIfAbsent(dir, { _ =>
+  /** ONE signature pass over the whole corpus → the index, written
+    * PARTITIONED by the incoming flag (r6 verdict #1: "reuse the
+    * index-build's fanned scan"): the base and incoming halves are
+    * partition DIRECTORIES of a single build, so the corpus is
+    * scanned, shingled and aggregated exactly once per (JVM, dir) no
+    * matter how many variants consume either half. */
+  private[graft] def fullIndexPath(spark: SparkSession, dir: String): String =
+    fullIndexMemo.computeIfAbsent(dir, { _ =>
       val f = Tables.scratchDir("graft_dedup_idx_")
       buildIndex(spark,
-        Tables(spark, dir, "documents")
-          .select(col("doc_id"), col("text")).filter(!isIncoming))
-        .write.mode("overwrite").parquet(f.getAbsolutePath)
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+        .withColumn("is_inc", isIncoming)
+        .write.mode("overwrite").partitionBy("is_inc")
+        .parquet(f.getAbsolutePath)
       f.getAbsolutePath
     })
 
-  private val incIndexMemo = new ConcurrentHashMap[String, String]()
+  /** The maintained BASE-corpus index: the `is_inc=false` partition of
+    * the shared full-index build (reading the partition directory
+    * directly yields exactly the (doc_id, nh, m0..m3, hs) row shape —
+    * the partition column lives in the path, not the files). */
+  private[graft] def indexPath(spark: SparkSession, dir: String): String =
+    s"${fullIndexPath(spark, dir)}/is_inc=false"
 
-  /** Scratch-parquet path of the shared INCOMING-side index for `dir`
-    * (r6 verdict #1): the one place the incoming batch's signature
-    * pipeline (normalize-hash, MinHash bands, gram-hash sets) runs.
-    * Every variant — inline, index-backed, maintained, streamed —
-    * probes this instead of re-deriving incoming signatures from
-    * text. */
+  /** The shared INCOMING-side index (r6 verdict #1): the one place the
+    * incoming batch's signature pipeline (normalize-hash, MinHash
+    * bands, gram-hash sets) runs — at ingest-ETL time, upstream of
+    * every probe. Every variant — inline, index-backed, maintained,
+    * each streamed micro-batch — probes this instead of re-deriving
+    * incoming signatures from text. */
   private[graft] def incIndexPath(spark: SparkSession, dir: String): String =
-    incIndexMemo.computeIfAbsent(dir, { _ =>
-      val f = Tables.scratchDir("graft_dedup_incidx_")
-      buildIndex(spark,
-        Tables(spark, dir, "documents")
-          .select(col("doc_id"), col("text")).filter(isIncoming))
-        .write.mode("overwrite").parquet(f.getAbsolutePath)
-      f.getAbsolutePath
-    })
+    s"${fullIndexPath(spark, dir)}/is_inc=true"
 
   /** Band rows (id, band, m) off an index frame's signature columns —
     * docs with no grams (null signature) emit nothing, exactly like
@@ -202,18 +205,22 @@ object IncrementalDedup {
   private[graft] def classifyFromIndexes(spark: SparkSession, incMeta: DataFrame,
       incIdx: DataFrame, baseIdx: DataFrame,
       pin: DataFrame => DataFrame = identity): DataFrame = {
-    // ---- exact tier ----
+    // ---- exact tier: ONE base pass (map-only nh probe of the
+    // broadcast incoming hash set), survivors ≤ |incoming| rebroadcast
+    // straight into the id resolution ----
     val hitNh = baseIdx.select(col("nh"))
       .join(broadcast(incIdx.select(col("nh")).distinct()), Seq("nh"))
       .distinct()
     val exactIds = incIdx.select(col("doc_id"), col("nh"))
       .join(broadcast(hitNh), Seq("nh"))
-      .select(col("doc_id")).distinct()
+      .select(col("doc_id"))
 
-    // ---- near tier ----
-    val cand = pin(bandsOf(baseIdx, "base_id")
+    // ---- near tier ---- (no pins: every frame below is consumed by
+    // exactly ONE downstream join, streamed past a broadcast — there
+    // is nothing to re-read, so persisting would only add passes)
+    val cand = bandsOf(baseIdx, "base_id")
       .join(broadcast(bandsOf(incIdx, "inc_id")), Seq("band", "m"))
-      .select(col("inc_id"), col("base_id")).distinct())
+      .select(col("inc_id"), col("base_id")).distinct()
     val probe = cand.join(
       incIdx.select(col("doc_id").as("inc_id"), col("hs")), Seq("inc_id"))
     val nearIds = baseIdx.select(col("doc_id").as("base_id"), col("hs").as("bhs"))
@@ -300,30 +307,32 @@ object IncrementalDedup {
       val exactIds = incNorm.join(broadcast(hitNh), Seq("nh"))
         .select(col("doc_id")).distinct()
 
-      // ---- near tier: ONE base-corpus signature pass (bands pinned),
-      // asymmetric band join against the broadcast incoming bands ----
+      // ---- near tier: ONE base-corpus signature pass, asymmetric band
+      // join against the broadcast incoming bands. The band frame is
+      // consumed once; `cand` is consumed TWICE (the base-set semi-join
+      // and the probe) so it alone is pinned — the r6-era pin+count of
+      // the set frame itself is gone (it streams past ONE broadcast
+      // now, never re-read, so eager materialization only added a full
+      // generator pass) ----
       val fannedBase = Tables.fanOut(spark,
         docs.filter(!isIncoming).select(col("doc_id"), col("text")))
-      val baseBands = pin(
+      val baseBands =
         Similarity.signaturesFrom(Similarity.shinglesOf(spark, fannedBase))
           .select(col("doc_id").as("base_id"), explode(array((0 to 3).map(i =>
             struct(lit(i).as("band"), col(s"m$i").as("m"))): _*)).as("bm"))
           .select(col("base_id"), col("bm.band").as("band"),
-            col("bm.m").as("m")))
+            col("bm.m").as("m"))
       val cand = pin(baseBands
         .join(broadcast(bandsOf(incIdx, "inc_id")), Seq("band", "m"))
         .select(col("inc_id"), col("base_id")).distinct())
       // BASE-side candidate gram-hash sets from text (semi-join before
       // the generator — same discipline as Similarity.neardupPairs);
       // the incoming side's sets come off the shared index
-      val baseSets = pin(Similarity.shinglesOf(spark,
+      val baseSets = Similarity.shinglesOf(spark,
           fannedBase.join(broadcast(cand.select(col("base_id").as("doc_id"))
             .distinct()), Seq("doc_id")))
         .select(col("doc_id"), xxhash64(col("s")).as("h"))
-        .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs")))
-      // materialize-then-join discipline: the aggregated set frame is
-      // pinned and counted once so a missed ReuseExchange stays cheap
-      baseSets.count()
+        .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
       val probe = cand.join(
         incIdx.select(col("doc_id").as("inc_id"), col("hs")), Seq("inc_id"))
       val nearIds = baseSets.select(col("doc_id").as("base_id"),
@@ -382,12 +391,13 @@ object IncrementalDedup {
     (v1, v2)
   }
 
-  // grown-index copy (base index ∪ day-1 admits), once per (JVM, dir)
-  private val grownIndexMemo = new ConcurrentHashMap[String, String]()
+  // day-1 admits' index rows (the grown index's DELTA file set),
+  // once per (JVM, dir)
+  private val grownDeltaMemo = new ConcurrentHashMap[String, String]()
 
-  /** Spec hook: the grown index's scratch path, if built in this JVM. */
-  private[graft] def grownIndexPathFor(dir: String): Option[String] =
-    Option(grownIndexMemo.get(dir))
+  /** Spec hook: the grown index's delta path, if built in this JVM. */
+  private[graft] def grownDeltaPathFor(dir: String): Option[String] =
+    Option(grownDeltaMemo.get(dir))
 
   private def perSourceStats(v: DataFrame, batch: Int): DataFrame =
     v.groupBy(col("source"))
@@ -399,11 +409,13 @@ object IncrementalDedup {
         col("n_exact"), col("n_near"), col("n_new"))
 
   /** GRADED `incremental_dedup_maintained`: both days' per-source
-    * accounting, with the day-1 append materialized as a REAL parquet
-    * append into a maintained-index copy (the base index is copied
-    * once per JVM, then admitted rows are appended — the index file
-    * set a daily ingest leaves behind). Day-2's classification reads
-    * ONLY that grown index on its corpus side. */
+    * accounting, with the day-1 append materialized as a REAL file-set
+    * addition: the admitted docs' index rows are written as a DELTA
+    * parquet directory and the grown index is read as base ∪ delta —
+    * the index append a 100 TB deployment actually performs (new files
+    * joining the table's file set; the existing index is NEVER
+    * rewritten). Day-2's classification reads ONLY that grown file set
+    * on its corpus side. */
   def incrementalDedupMaintained(spark: SparkSession, dir: String): DataFrame =
     graft.sources.ResultCache.getOrCompute(
       s"${graft.sources.ResultCache.sessionId(spark)}|incremental_dedup_maint|$dir",
@@ -411,17 +423,26 @@ object IncrementalDedup {
       val docs = Tables(spark, dir, "documents")
         .select(col("doc_id"), col("source"))
       val incIdx = spark.read.parquet(incIndexPath(spark, dir))
-      val baseIdx = spark.read.parquet(indexPath(spark, dir))
-      val (v1, v2) = maintainedVerdicts(spark, docs, incIdx, baseIdx,
-        admittedIdx => {
-          val grown = grownIndexMemo.computeIfAbsent(dir, { _ =>
-            val f = Tables.scratchDir("graft_dedup_idx_grown_")
-            baseIdx.write.mode("overwrite").parquet(f.getAbsolutePath)
-            admittedIdx.write.mode("append").parquet(f.getAbsolutePath)
-            f.getAbsolutePath
-          })
-          spark.read.parquet(grown)
-        })
+      // Day 1 vs base is the SAME classification as the single-stage
+      // verdicts restricted to day-1 docs (identical corpus side —
+      // the maintained spec pins the equivalence on a corpus where
+      // every tier fires), so day 1 reuses the family's shared cached
+      // verdict frame instead of re-running the tier joins; this
+      // query's own work is the admit-append and the day-2
+      // classification against the GROWN file set.
+      val v1 = verdicts(spark, dir).filter(batchPred(Batch1Hex))
+      val b2Idx = incIdx.filter(batchPred(Batch2Hex))
+      val delta = grownDeltaMemo.computeIfAbsent(dir, { _ =>
+        val f = Tables.scratchDir("graft_dedup_idx_delta_")
+        incIdx.filter(batchPred(Batch1Hex))
+          .join(v1.filter(col("verdict") === "new").select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .write.mode("overwrite").parquet(f.getAbsolutePath)
+        f.getAbsolutePath
+      })
+      val v2 = classifyFromIndexes(spark,
+        docs.filter(batchPred(Batch2Hex)),
+        b2Idx, spark.read.parquet(indexPath(spark, dir), delta))
       perSourceStats(v1, 1).unionByName(perSourceStats(v2, 2))
         .orderBy("batch", "source")
     }

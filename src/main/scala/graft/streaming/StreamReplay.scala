@@ -440,6 +440,10 @@ object StreamReplay {
     val out = newReplayDir("graft_incdedup_out_")
     val stream = ss.readStream.schema(ss.read.parquet(input).schema)
       .option("maxFilesPerTrigger", "1").parquet(input)
+      // the probe needs doc identity + metadata only — signature work
+      // happened at ingest-ETL time into the shared incoming index, so
+      // the text column is PRUNED at the streaming scan
+      .select(col("doc_id"), col("source"))
     val query = stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", newReplayDir("graft_incdedup_ckpt_"))

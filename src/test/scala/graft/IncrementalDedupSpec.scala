@@ -230,15 +230,14 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(bad.count() == 0)
     // day-1-vs-base is the same classification as the single-stage
     // verdicts restricted to day-1 docs (identical base side), so the
-    // admitted count — and therefore the grown index's size — is
-    // pinned by an independent path
+    // admitted count — and therefore the grown index's delta — is
+    // pinned by an independent path; the base file set is untouched
+    // (the append is a delta directory, never a rewrite)
     val day1New = IncrementalDedup.verdicts(spark, sf0001)
       .filter(IncrementalDedup.batchPred(IncrementalDedup.Batch1Hex) &&
         $"verdict" === "new").count()
-    val baseN = spark.read.parquet(
-      IncrementalDedup.indexPath(spark, sf0001)).count()
-    val grownN = spark.read.parquet(
-      IncrementalDedup.grownIndexPathFor(sf0001).get).count()
-    assert(grownN == baseN + day1New, s"$grownN != $baseN + $day1New")
+    val deltaN = spark.read.parquet(
+      IncrementalDedup.grownDeltaPathFor(sf0001).get).count()
+    assert(deltaN == day1New, s"delta $deltaN != day-1 admits $day1New")
   }
 }

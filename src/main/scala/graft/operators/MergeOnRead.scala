@@ -1,0 +1,244 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Tables
+
+/** MERGE-ON-READ — the lakehouse read path that resolves a base table
+  * ∪ a CDC delta log AT READ TIME, without ever rewriting base (the
+  * variant [[Scd]]'s scaladoc names, closing the loop between the
+  * [[graft.streaming.StreamReplay]] foreachBatch upsert log, SCD-style
+  * versioning, and [[Compaction]]; r6 verdict #3).
+  *
+  * The pieces:
+  *  - BASE: the original `orders` parquet — read in place, never
+  *    copied, never rewritten. That is the point of merge-on-read: an
+  *    upsert to a 100 TB table must cost O(changes), not O(table).
+  *  - DELTA LOG: produced by a REAL streaming execution — a 3-file
+  *    update feed replayed `maxFilesPerTrigger=1`, each micro-batch
+  *    appended to the log parquet by `foreachBatch` stamped with its
+  *    batch id (the StreamReplay upsert-log pattern, one atomic append
+  *    per batch). Rows carry `_seq` (the CDC sequence number assigned
+  *    at the SOURCE) and `_deleted` (tombstones) — a real log resolves
+  *    on the source's LSN, not the sink's batch id, so replays and
+  *    out-of-order file pickup cannot reorder versions (the S5
+  *    idempotent-write discipline applied to CDC).
+  *  - READ-TIME RESOLVE: latest-version-wins. NOT a window over
+  *    base ∪ log — that would shuffle the ENTIRE base by key to rank
+  *    versions, O(table) at read. Instead: rank versions within the
+  *    LOG alone (window over O(changes) rows), anti-join base against
+  *    the broadcast log-key set (map-only pass over base), and union
+  *    the untouched base rows with the surviving latest versions,
+  *    dropping tombstoned keys. `MergeOnReadSpec` proves this plan
+  *    row-identical to the canonical row_number-over-union form.
+  *  - COMPACTION FOLD: [[ordersMorCompacted]] rewrites the RESOLVED
+  *    snapshot as range-sorted files (the [[Compaction]] layout) and
+  *    is graded by the SAME oracle as the merge-on-read view — the
+  *    fold is provably a pure layout change.
+  *
+  * Determinism: update membership is the md5-prefix-of-key idiom
+  * (interpolated into both engines), updated values are exact double
+  * adds of the ORIGINAL row's price (no accumulation across seqs), so
+  * latest-wins is decided by `_seq` alone and the DuckDB oracle can
+  * state the final table as one CASE over the original `orders`.
+  *
+  * Slices overlap by construction (hex 0-7 ⊃ 0-3 ⊃ 0-1) so
+  * latest-version-wins is EXERCISED, not vacuous: keys in hex 0-1
+  * carry three log versions; hex e-f keys are tombstoned.
+  */
+object MergeOnRead {
+
+  /** (seq, slice hex chars, status label, price bump) — upsert feeds. */
+  private[graft] val UpdSlices = Seq(
+    (0, Seq("0", "1", "2", "3", "4", "5", "6", "7"), "U0", 10.0),
+    (1, Seq("0", "1", "2", "3"), "U1", 20.0),
+    (2, Seq("0", "1"), "U2", 30.0))
+
+  /** Keys tombstoned by the last batch (seq 2). */
+  private[graft] val DeleteHex = Seq("e", "f")
+
+  private def keyHex: Column =
+    substring(md5(col("o_orderkey").cast("string")), 1, 1)
+
+  /** One update-feed batch: the slice's rows with status/price
+    * rewritten (from the ORIGINAL row — no cross-seq accumulation),
+    * plus, on the final batch, the tombstones. */
+  private[graft] def updBatch(spark: SparkSession, dir: String,
+      seq: Int): DataFrame = {
+    val (s, hexes, label, bump) = UpdSlices(seq)
+    val orders = Tables(spark, dir, "orders")
+    val upd = orders.filter(keyHex.isin(hexes: _*))
+      .withColumn("o_orderstatus", lit(label))
+      .withColumn("o_totalprice", col("o_totalprice") + lit(bump))
+      .withColumn("_seq", lit(s.toLong))
+      .withColumn("_deleted", lit(false))
+    if (seq != UpdSlices.length - 1) upd
+    else upd.unionByName(orders.filter(keyHex.isin(DeleteHex: _*))
+      .withColumn("_seq", lit(s.toLong))
+      .withColumn("_deleted", lit(true)))
+  }
+
+  // update-feed dir (one file per batch) and the streamed delta log,
+  // once per (JVM, corpus)
+  private val feedDirs = new ConcurrentHashMap[String, String]()
+  private val logDirs = new ConcurrentHashMap[String, String]()
+
+  /** The 3-file update feed: each batch written as ONE parquet file so
+    * `maxFilesPerTrigger=1` replays it as one micro-batch. */
+  private[graft] def feedDir(spark: SparkSession, dir: String): String =
+    feedDirs.computeIfAbsent(dir, { _ =>
+      val in = Tables.scratchDir("graft_mor_feed_")
+      UpdSlices.foreach { case (s, _, _, _) =>
+        val tmp = Tables.scratchDir("graft_mor_feed_tmp_")
+        updBatch(spark, dir, s).repartition(1)
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(in, f"upd$s%03d.parquet").toPath)
+      }
+      in.getAbsolutePath
+    })
+
+  /** The delta LOG: the feed replayed through a real streaming
+    * execution, one atomic parquet append per micro-batch stamped with
+    * the sink batch id ([[graft.streaming.StreamReplay]]'s
+    * foreachBatch upsert-log shape). Resolution uses the in-data
+    * `_seq`; `_batch_id` records sink provenance. */
+  private[graft] def deltaLogDir(spark: SparkSession, dir: String): String =
+    logDirs.computeIfAbsent(dir, { _ =>
+      val feed = feedDir(spark, dir)
+      // cloned session: streaming conf hygiene (8 shuffle partitions
+      // for the bounded replay), caller's session untouched
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val out = Tables.scratchDir("graft_mor_log_").getAbsolutePath
+      val ckpt = Tables.scratchDir("graft_mor_ckpt_").getAbsolutePath
+      val stream = ss.readStream.schema(ss.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      val query = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          batch.withColumn("_batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      try query.awaitTermination() finally query.stop()
+      out
+    })
+
+  /** The merge-on-read CURRENT SNAPSHOT: base resolved against the
+    * log at read time. Log-only window (O(changes)), broadcast
+    * anti-join over base (map-only), union — base is never shuffled,
+    * never rewritten. */
+  private[graft] def snapshot(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "orders")
+    val log = spark.read.parquet(deltaLogDir(spark, dir))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderkey")).orderBy(col("_seq").desc)
+    val latest = log.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    val untouched = base.join(
+      broadcast(latest.select(col("o_orderkey")).distinct()),
+      Seq("o_orderkey"), "left_anti")
+    untouched.unionByName(
+      latest.filter(!col("_deleted"))
+        .select(base.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** The canonical resolve — row_number over base ∪ log — used ONLY by
+    * the spec to prove [[snapshot]]'s scalable plan equivalent; a
+    * window over the union shuffles the whole base and is exactly what
+    * merge-on-read at 100 TB must avoid. */
+  private[graft] def snapshotViaUnionWindow(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = Tables(spark, dir, "orders")
+      .withColumn("_seq", lit(-1L)).withColumn("_deleted", lit(false))
+    val log = spark.read.parquet(deltaLogDir(spark, dir)).drop("_batch_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderkey")).orderBy(col("_seq").desc)
+    base.unionByName(log)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && !col("_deleted"))
+      .drop("_rn", "_seq", "_deleted")
+  }
+
+  private def agg(df: DataFrame): DataFrame =
+    df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus")
+
+  /** GRADED: aggregate over the merge-on-read view — the hash matches
+    * only if resolve-at-read applied every upsert, dropped every
+    * tombstone, and touched nothing else. */
+  def ordersMergeOnRead(spark: SparkSession, dir: String): DataFrame =
+    agg(snapshot(spark, dir))
+
+  // compacted (log-folded) snapshot, once per (JVM, corpus)
+  private val compactedDirs = new ConcurrentHashMap[String, String]()
+
+  private[graft] def compactedDir(spark: SparkSession, dir: String): String =
+    compactedDirs.computeIfAbsent(dir, { _ =>
+      val f = Tables.scratchDir("graft_mor_compacted_").getAbsolutePath
+      // fold the log in: rewrite the RESOLVED snapshot range-sorted on
+      // the key ([[Compaction]]'s zone-map layout; fixed 4 files here —
+      // the size-targeted count arithmetic lives in Compaction.compact)
+      snapshot(spark, dir)
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(f)
+      f
+    })
+
+  /** GRADED: the SAME aggregate over the compaction-folded copy, same
+    * oracle — pre/post hash equality proves the fold is a pure layout
+    * change (and retires the log for the compacted range). */
+  def ordersMorCompacted(spark: SparkSession, dir: String): DataFrame =
+    agg(spark.read.parquet(compactedDir(spark, dir)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_merge_on_read" -> (ordersMergeOnRead(_, _)),
+    "orders_mor_compacted" -> (ordersMorCompacted(_, _)))
+
+  /** DuckDB twin: the final table stated as one CASE over the original
+    * `orders` — hex 0-1 keys carry three versions (latest `_seq` = 2
+    * wins), 2-3 two, 4-7 one, e-f tombstoned, rest untouched. */
+  private val MorSql = {
+    val hx = "substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)"
+    def inList(hexes: Seq[String]) = hexes.map(c => s"'$c'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT o_orderkey,
+       |    CASE WHEN $hx IN (${inList(UpdSlices(2)._2)}) THEN 'U2'
+       |         WHEN $hx IN (${inList(UpdSlices(1)._2)}) THEN 'U1'
+       |         WHEN $hx IN (${inList(UpdSlices(0)._2)}) THEN 'U0'
+       |         ELSE o_orderstatus END AS o_orderstatus,
+       |    CASE WHEN $hx IN (${inList(UpdSlices(2)._2)})
+       |           THEN o_totalprice + ${UpdSlices(2)._4}
+       |         WHEN $hx IN (${inList(UpdSlices(1)._2)})
+       |           THEN o_totalprice + ${UpdSlices(1)._4}
+       |         WHEN $hx IN (${inList(UpdSlices(0)._2)})
+       |           THEN o_totalprice + ${UpdSlices(0)._4}
+       |         ELSE o_totalprice END AS o_totalprice
+       |  FROM orders
+       |  WHERE $hx NOT IN (${inList(DeleteHex)}))
+       |SELECT o_orderstatus, count(*) AS n_orders,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS total_price,
+       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "orders_merge_on_read" -> MorSql,
+    // same oracle on purpose: the fold must be a pure layout change
+    "orders_mor_compacted" -> MorSql)
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.MergeOnRead
+
+/** Merge-on-read on sf0.001: the scalable resolve (log-only window +
+  * broadcast anti-join) is row-identical to the canonical
+  * row_number-over-union form; the log is a REAL multi-batch streaming
+  * artifact; tombstones drop; compaction folds losslessly. */
+class MergeOnReadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hex(k: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(k.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 1)
+
+  test("scalable resolve ≡ canonical row_number-over-union resolve") {
+    val fast = MergeOnRead.snapshot(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val canonical = MergeOnRead.snapshotViaUnionWindow(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(fast == canonical,
+      s"diff: +${(fast -- canonical).take(2)} -${(canonical -- fast).take(2)}")
+  }
+
+  test("the log is a real multi-batch stream artifact; base is untouched") {
+    val log = spark.read.parquet(MergeOnRead.deltaLogDir(spark, sf0001))
+    // one sink batch per feed file, each appended with its batch id
+    assert(log.select("_batch_id").distinct().count() == 3)
+    // every (key, seq) version appears exactly once (idempotent append)
+    assert(log.groupBy("o_orderkey", "_seq").count()
+      .filter($"count" > 1).count() == 0)
+    // base is the ORIGINAL testdata file — merge-on-read reads it in
+    // place; nothing was written next to it
+    val baseDir = new java.io.File(s"$sf0001")
+    assert(baseDir.listFiles.map(_.getName).count(_.contains("orders")) == 1)
+  }
+
+  test("latest-version-wins and tombstones, checked per hex class") {
+    val snap = MergeOnRead.snapshot(spark, sf0001)
+      .withColumn("hx", substring(md5($"o_orderkey".cast("string")), 1, 1))
+    // hex 0-1: three versions logged, seq 2 must win
+    val h01 = snap.filter($"hx".isin("0", "1"))
+      .select("o_orderstatus").distinct().as[String].collect().toSet
+    assert(h01 == Set("U2"), h01.toString)
+    // hex 2-3 → U1, hex 4-7 → U0
+    assert(snap.filter($"hx".isin("2", "3")).select("o_orderstatus")
+      .distinct().as[String].collect().toSet == Set("U1"))
+    assert(snap.filter($"hx".isin("4", "5", "6", "7"))
+      .select("o_orderstatus").distinct().as[String].collect().toSet ==
+      Set("U0"))
+    // tombstoned keys are GONE
+    assert(snap.filter($"hx".isin(MergeOnRead.DeleteHex: _*)).count() == 0)
+    // untouched keys keep their original row verbatim
+    val orig = Tables(spark, sf0001, "orders")
+      .withColumn("hx", substring(md5($"o_orderkey".cast("string")), 1, 1))
+      .filter(!$"hx".isin(('0' to '7').map(_.toString) ++
+        MergeOnRead.DeleteHex: _*))
+    val kept = snap.filter(!$"hx".isin(('0' to '7').map(_.toString) ++
+      MergeOnRead.DeleteHex: _*))
+    assert(kept.drop("hx").collect().map(_.toSeq).toSet ==
+      orig.drop("hx").collect().map(_.toSeq).toSet)
+    // row accounting: |snapshot| = |orders| - |tombstoned keys|
+    val nDel = Tables(spark, sf0001, "orders").filter(
+      substring(md5($"o_orderkey".cast("string")), 1, 1)
+        .isin(MergeOnRead.DeleteHex: _*)).count()
+    assert(snap.count() == Tables(spark, sf0001, "orders").count() - nDel)
+  }
+
+  test("compaction folds the log losslessly: pre/post reads agree") {
+    val pre = MergeOnRead.ordersMergeOnRead(spark, sf0001)
+      .collect().map(_.toSeq)
+    val post = MergeOnRead.ordersMorCompacted(spark, sf0001)
+      .collect().map(_.toSeq)
+    assert(pre.sameElements(post))
+    // the folded copy is range-sorted on the key: per-file ranges are
+    // disjoint (the zone-map layout)
+    val byFile = spark.read.parquet(MergeOnRead.compactedDir(spark, sf0001))
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    byFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, byFile.mkString(","))
+      case _ => ()
+    }
+  }
+
+  test("hex classes used by the slices are honest (sanity of the idiom)") {
+    // the driver corpus must populate every behavior class: 3-version
+    // keys, 2-version, 1-version, tombstoned, untouched
+    val counts = Tables(spark, sf0001, "orders")
+      .withColumn("hx", substring(md5($"o_orderkey".cast("string")), 1, 1))
+      .groupBy("hx").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (cls <- Seq(Seq("0", "1"), Seq("2", "3"), Seq("4", "5", "6", "7"),
+      MergeOnRead.DeleteHex, Seq("8", "9", "a")))
+      assert(cls.exists(h => counts.getOrElse(h, 0L) > 0), cls.toString)
+    // spec-side md5 agrees with the engine idiom (guards the helper)
+    assert(Seq(1L, 2L, 3L).forall(k => hex(k).matches("[0-9a-f]")))
+  }
+}

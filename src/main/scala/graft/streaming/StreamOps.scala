@@ -115,6 +115,71 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** ST1/ST5: per-key SESSION MACHINE as `flatMapGroupsWithState` —
+    * the ARBITRARY-stateful form of sessionization (the reference's
+    * ordered-phases-per-key-with-timeout conversation shape, SURVEY
+    * ST1/ST5), where [[sessionCounts]] is the built-in
+    * `session_window` form. State per user is ONE open session
+    * (start, last-event ms, count) — constant size per key, the whole
+    * point: a 100 TB clickstream's session state is O(active users),
+    * not O(events). Each batch folds the user's arrivals (sorted by
+    * event time within the batch — cross-batch continuity is the
+    * state's job) into the open session, EMITS sessions proven closed
+    * by a later arrival (gap ≥ `gapMs`), and arms an event-time
+    * timeout at last + gap: when the watermark passes it — no
+    * activity for the gap — the machine emits the held session and
+    * clears the key. Emission is exactly-once per session (append
+    * mode), the semantics a downstream session store needs.
+    *
+    * Determinism vs the batch gaps-and-islands oracle: same-gap
+    * boundary uses the same `< gap` continuation rule as
+    * `session_window` (a gap exactly equal starts a new session), and
+    * a bounded single-data-batch replay presents each user's events
+    * in one sorted fold, so per-session counts match the batch twin
+    * row for row. Output rows: (user_id, n_events-in-session). */
+  def sessionMachine(events: DataFrame, gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "10 minutes"): Dataset[(Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[(Long, Long, Long)]) =>
+          if (!rows.hasNext) {
+            // timeout invocation: the watermark passed last + gap, so
+            // the open session can never extend — emit and clear
+            if (state.hasTimedOut) {
+              val out = state.getOption.map { case (_, _, n) => (user, n) }
+              state.remove()
+              out.iterator
+            } else Iterator.empty
+          } else {
+            val ts = rows.map(_._2.getTime).toArray
+            java.util.Arrays.sort(ts)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur = cur match {
+                case Some((st, last, n)) if t - last < gapMs =>
+                  Some((st, math.max(last, t), n + 1))
+                case Some((_, _, n)) =>
+                  closed += ((user, n)); Some((t, t, 1L))
+                case None => Some((t, t, 1L))
+              }
+            }
+            val s = cur.get
+            state.update(s)
+            state.setTimeoutTimestamp(s._2 + gapMs)
+            closed.iterator
+          }
+      }
+  }
+
   /** ST9: STREAM-STATIC enrichment join — the most common production
     * streaming topology: every micro-batch of the event stream joins a
     * broadcast dimension table (no state, no watermark needed on the

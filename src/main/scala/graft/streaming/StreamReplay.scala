@@ -376,6 +376,37 @@ object StreamReplay {
       .orderBy("user_id", "session_start")
   }
 
+  /** ST1/ST5 on the driver's graded path (r6 verdict #6): the
+    * ARBITRARY-stateful session machine —
+    * [[StreamOps.sessionMachine]]'s `flatMapGroupsWithState` with an
+    * event-time inactivity timeout — replayed over the same
+    * sentinel-augmented input the session_window replay uses: the
+    * single data batch folds each user's events through the machine
+    * (sessions closed by an observed gap emit immediately), and the
+    * sentinel-advanced final watermark fires every armed timeout in
+    * the trailing no-data batch, flushing each user's held last
+    * session. The sentinel's own session never times out (nothing is
+    * behind it) and user −1 is filtered at the sink. Per-session rows
+    * drain to the parquet sink; the graded frame is the per-user
+    * rollup — graded by the batch `session_stats` gaps-and-islands
+    * oracle VERBATIM, the proof the hand-rolled state machine
+    * reproduces `session_window` exactly. */
+  def sessionStatsFmgws(spark: SparkSession, dir: String): DataFrame = {
+    val ss = replaySession(spark)
+    val input = sessionReplayInput(ss, dir)
+    val stream = ss.readStream
+      .schema(ss.read.parquet(input).schema)
+      .parquet(input)
+    drainToParquet(
+        StreamOps.sessionMachine(stream).toDF("user_id", "n"), "fmgws")
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n")).as("n_events"),
+        max(col("n")).as("max_session_events"))
+      .orderBy("user_id")
+  }
+
   /** ST8 on the driver's graded path: the stream-stream interval join
     * replayed through a real streaming execution (two watermarked
     * branches of the file source, symmetric hash join, append sink).
@@ -472,6 +503,7 @@ object StreamReplay {
     "rate_limit_streamed" -> ((s: SparkSession, d: String) =>
       rateLimitStreamed(s, d)),
     "session_stats_streamed" -> (sessionStatsStreamed _),
+    "session_stats_fmgws" -> (sessionStatsFmgws _),
     "hourly_event_stats_updatemode" -> (hourlyEventStatsUpdateMode _),
     "dedup_streamed" -> (dedupStreamed _),
     "hll_users_streamed" -> (hllUsersStreamed _),
@@ -557,6 +589,11 @@ object StreamReplay {
         |  user_id, count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // the hand-rolled flatMapGroupsWithState session machine must
+    // reproduce gaps-and-islands sessionization exactly — the batch
+    // session_stats oracle grades it verbatim
+    "session_stats_fmgws" ->
+      graft.operators.EventOps.oracles("session_stats"),
     // per-doc verdicts are a pure function of (doc, index), so the
     // union over micro-batches ≡ the batch classifier — the verbatim
     // membership-level oracle grades the streamed path

@@ -422,4 +422,23 @@ class StreamingSpec extends SparkSpec {
       "second session replay rewrote its input — the materialization " +
       "must be cached per corpus dir")
   }
+
+  test("ST1/ST5: flatMapGroupsWithState session machine ≡ batch sessionization") {
+    // the graded session_stats_fmgws entry: the hand-rolled state
+    // machine (gap-closed sessions emitted on observation, the held
+    // last session flushed by the sentinel-fired event-time timeout)
+    // must reproduce the batch session_window rollup row for row
+    val fmgws = graft.streaming.StreamReplay
+      .sessionStatsFmgws(spark, sf0001).collect()
+    val batch = graft.operators.EventOps.sessionStats(spark, sf0001).collect()
+    assert(fmgws.length == batch.length,
+      s"${fmgws.length} users != ${batch.length}")
+    fmgws.zip(batch).foreach { case (s, b) =>
+      assert(s == b, s"fmgws $s != batch $b") }
+    // the machine must have exercised BOTH emission paths: some user
+    // has >1 session (a gap-closed emit) and every user's final
+    // session arrived via the timeout flush (n_sessions ≥ 1)
+    val multi = fmgws.count(_.getLong(1) > 1)
+    assert(multi > 0, "degenerate corpus: no user has a gap-closed session")
+  }
 }

@@ -46,4 +46,17 @@ class BloomIndexSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(full == indexed && full.nonEmpty)
   }
+
+  test("the lookup's scan node reads exactly the bloom-claimed files") {
+    // r6 verdict #4: the prune lives in the scan (ManifestFileIndex),
+    // so the executed plan's numFiles metric — not a helper's return —
+    // carries the skip
+    val cand = BloomIndex.candidateFiles(spark, sf0001)
+    val df = BloomIndex.orderLookupBloom(spark, sf0001)
+    df.collect()
+    val scanned = fileScans(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    assert(scanned == cand.length, s"scan read $scanned files, " +
+      s"manifest claimed ${cand.length}")
+  }
 }

@@ -27,7 +27,9 @@ object PlanDump {
     "rp_topk_banded", "scd2_dim", "orders_compacted_agg",
     "orders_zorder_box", "order_lookup_bloom", "range_join_binned",
     "event_funnel", "stratified_sample_k", "orders_integrity_diff",
-    "hourly_counts_gapfilled")
+    "hourly_counts_gapfilled", "incremental_dedup_maintained",
+    "orders_merge_on_read", "orders_mor_compacted", "session_stats_fmgws",
+    "zorder_prune_ratio")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

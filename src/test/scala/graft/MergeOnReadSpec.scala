@@ -86,6 +86,28 @@ class MergeOnReadSpec extends SparkSpec {
     }
   }
 
+  test("time travel: as-of reads walk the version history") {
+    // seq 2 = current; seq 1 hides the last batch's upserts AND
+    // tombstones; seq -1 (before any log) = the base table verbatim
+    val current = MergeOnRead.snapshot(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val atSeq2 = MergeOnRead.snapshotAt(spark, sf0001, 2L)
+      .collect().map(_.toSeq).toSet
+    assert(atSeq2 == current)
+    val atSeq1 = MergeOnRead.snapshotAt(spark, sf0001, 1L)
+      .withColumn("hx", substring(md5($"o_orderkey".cast("string")), 1, 1))
+    // hex 0-1's seq-2 version is invisible: they read U1, not U2
+    assert(atSeq1.filter($"hx".isin("0", "1")).select("o_orderstatus")
+      .distinct().as[String].collect().toSet == Set("U1"))
+    // tombstones (seq 2) have not happened yet
+    assert(atSeq1.filter($"hx".isin(MergeOnRead.DeleteHex: _*)).count() > 0)
+    val atStart = MergeOnRead.snapshotAt(spark, sf0001, -1L)
+      .collect().map(_.toSeq).toSet
+    val base = Tables(spark, sf0001, "orders")
+      .collect().map(_.toSeq).toSet
+    assert(atStart == base)
+  }
+
   test("hex classes used by the slices are honest (sanity of the idiom)") {
     // the driver corpus must populate every behavior class: 3-version
     // keys, 2-version, 1-version, tombstoned, untouched

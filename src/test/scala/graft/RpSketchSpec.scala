@@ -104,5 +104,18 @@ class RpSketchSpec extends SparkSpec {
       RpSketch.rpTopk(spark, sf0001).collect().map(_.getLong(0)).toSet)
     check(s"rp_banded_${RpSketch.WideBands}x${RpSketch.BandBits}",
       RpSketch.rpTopkBanded(spark, sf0001).collect().map(_.getLong(0)).toSet)
+    check(s"rp_banded_${RpSketch.WideBands / 2}x${RpSketch.BandBits * 2}",
+      RpSketch.rpTopkBanded16(spark, sf0001).collect().map(_.getLong(0)).toSet)
+  }
+
+  test("4x16 gate candidates are PROVABLY a subset of the 8x8 gate's") {
+    // a 16-bit pair-match implies both 8-bit halves match individually,
+    // so widening bands can only shrink the candidate set — the
+    // containment behind the graded band-width cliff
+    val c8 = RpSketch.rpTopkBanded(spark, sf0001, k = Int.MaxValue)
+      .collect().map(_.getLong(0)).toSet
+    val c16 = RpSketch.rpTopkBanded16(spark, sf0001, k = Int.MaxValue)
+      .collect().map(_.getLong(0)).toSet
+    assert(c16.subsetOf(c8), s"violators: ${(c16 -- c8).take(3)}")
   }
 }

@@ -110,10 +110,63 @@ object Formats {
   def ordersOrcAgg(spark: SparkSession, sfDir: String): DataFrame =
     agg(spark.read.orc(orcOrdersDir(spark, sfDir)))
 
+  // ----------------------------------------------------------------
+  // SCHEMA EVOLUTION on read: a table whose later ingest generations
+  // carry a column the earlier ones lack — the normal life of any
+  // long-lived 100 TB table. The copy-on-write answer (rewrite every
+  // old file to add the column) is a non-plan at scale; the schema-on-
+  // read answer is parquet mergeSchema: each file keeps its own
+  // schema, the read unions them, missing columns surface as NULL.
+  // ----------------------------------------------------------------
+
+  private val evoDirs = new ConcurrentHashMap[String, String]()
+
+  /** Two-generation orders copy: generation 1 (keys with md5 hex 0-7)
+    * written with the original 6 columns; generation 2 (hex 8-f)
+    * APPENDED with an added `o_channel` column (deterministic key % 3
+    * mapping) — a real mixed-schema parquet directory, no rewrite of
+    * generation 1. */
+  private[graft] def evolvedOrdersDir(spark: SparkSession,
+      sfDir: String): String =
+    evoDirs.computeIfAbsent(sfDir, { _ =>
+      val f = Tables.scratchDir("graft_evo_orders_")
+      val o = Tables(spark, sfDir, "orders")
+      val hx = substring(md5(col("o_orderkey").cast("string")), 1, 1)
+      o.filter(hx < "8")
+        .write.mode("overwrite").parquet(f.getAbsolutePath)
+      o.filter(hx >= "8")
+        .withColumn("o_channel",
+          when(col("o_orderkey") % 3 === 0, "web")
+            .when(col("o_orderkey") % 3 === 1, "store")
+            .otherwise("phone"))
+        .write.mode("append").parquet(f.getAbsolutePath)
+      f.getAbsolutePath
+    })
+
+  /** GRADED: aggregate over the mergeSchema read — generation-1 rows
+    * surface `o_channel` as NULL (reported as 'legacy'), generation-2
+    * rows carry their written values; the hash pins that the merged
+    * read lost neither generation's rows NOR the new column's values.
+    * `mergeSchema` costs a footer read per file at plan time —
+    * metadata-scale; production pins the evolved schema in the catalog
+    * instead of re-merging per query, which is exactly what passing an
+    * explicit schema here would do. */
+  def ordersEvolvedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(evolvedOrdersDir(spark, sfDir))
+      .groupBy(coalesce(col("o_channel"), lit("legacy")).as("channel"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("channel")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_csv_agg" -> (ordersCsvAgg(_, _)),
     "orders_orc_agg" -> (ordersOrcAgg(_, _)),
-    "orders_json_agg" -> (ordersJsonAgg(_, _)))
+    "orders_json_agg" -> (ordersJsonAgg(_, _)),
+    "orders_evolved_agg" -> (ordersEvolvedAgg(_, _)))
 
   private val AggSql =
     """SELECT o_orderpriority, count(*) AS n_orders,
@@ -123,8 +176,24 @@ object Formats {
       |  max(CAST(o_orderdate AS DATE)) AS last_date
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** DuckDB twin of the evolved read: channel derived from the same
+    * generation split + key % 3 mapping over the original table. */
+  private val EvolvedSql = {
+    val hx = "substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)"
+    s"""SELECT CASE WHEN $hx >= '8'
+       |         THEN CASE o_orderkey % 3 WHEN 0 THEN 'web'
+       |              WHEN 1 THEN 'store' ELSE 'phone' END
+       |         ELSE 'legacy' END AS channel,
+       |  count(*) AS n_orders,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS total_price,
+       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "orders_csv_agg" -> AggSql,
     "orders_orc_agg" -> AggSql,
-    "orders_json_agg" -> AggSql)
+    "orders_json_agg" -> AggSql,
+    "orders_evolved_agg" -> EvolvedSql)
 }

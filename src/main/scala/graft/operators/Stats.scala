@@ -117,10 +117,65 @@ object Stats {
           sum(col("contrib").cast("decimal(18,6)")).cast("double"), 4)
           .as("chi2"))
 
+  // ----------------------------------------------------------------
+  // Distribution DRIFT monitor — the data-quality gate a training
+  // pipeline runs between ingest batches ("did this batch's value
+  // distribution move?"). Two deterministic md5-halves of `events`
+  // stand in for batch-vs-reference; the statistic is TOTAL VARIATION
+  // distance over a fixed 10-bin histogram. Why TV and not PSI/KL:
+  // log() is implementation-defined in the last ulp across engines
+  // (useless under a hash gate), while TV reduces to INTEGER
+  // arithmetic — ½·Σ|pᵢ−qᵢ| = Σ|nᵢᴬ·Nᴮ − nᵢᴮ·Nᴬ| / (2·Nᴬ·Nᴮ), whose
+  // numerator is an order-independent sum of exact wide-decimal
+  // products (no 64-bit wrap at any corpus size). One fanned scan →
+  // bin partial-agg (10 rows) → 1-row reduce.
+  // ----------------------------------------------------------------
+
+  private def driftHalf: Column =
+    substring(md5(col("event_id").cast("string")), 1, 1) < "8"
+
+  /** 10 fixed-width bins over the GLOBAL value range (bounds from a
+    * broadcast 1-row aggregate, in-plan) with per-half counts. */
+  private[graft] def driftBins(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.fanOut(spark, Tables(spark, dir, "events"),
+      key = "event_id")
+    val b = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    e.crossJoin(broadcast(b))
+      .withColumn("bin", least(lit(9L), greatest(lit(0L),
+        floor((col("value") - col("lo")) * 10.0 / (col("hi") - col("lo")))
+          .cast("long"))))
+      .groupBy(col("bin"))
+      .agg(sum(when(driftHalf, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!driftHalf, 1L).otherwise(0L)).as("n_b"))
+  }
+
+  /** GRADED: the per-bin two-sample histogram (the drift dashboard's
+    * detail view). */
+  def valueDrift(spark: SparkSession, dir: String): DataFrame =
+    driftBins(spark, dir).orderBy("bin")
+
+  /** GRADED: the 1-row drift summary — TV distance via the integer
+    * cross-product form (one double division at the very end). */
+  def valueDriftTv(spark: SparkSession, dir: String): DataFrame = {
+    val bins = driftBins(spark, dir)
+    val totals = bins.agg(sum(col("n_a")).as("na"), sum(col("n_b")).as("nb"))
+    bins.crossJoin(broadcast(totals))
+      .agg(first(col("na")).as("n_a_total"),
+        first(col("nb")).as("n_b_total"),
+        sum(abs(col("n_a").cast("decimal(38,0)") * col("nb")
+          - col("n_b").cast("decimal(38,0)") * col("na"))).as("cross"))
+      .select(col("n_a_total"), col("n_b_total"),
+        ScalarFns.roundN(col("cross").cast("double")
+          / (lit(2.0) * col("n_a_total") * col("n_b_total")), 4)
+          .as("tv_distance"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corr_stats" -> (corrStats _),
     "chi2_cells" -> (chi2Cells _),
-    "chi2_stat"  -> (chi2Stat _))
+    "chi2_stat"  -> (chi2Stat _),
+    "value_drift" -> (valueDrift _),
+    "value_drift_tv" -> (valueDriftTv _))
 
   /** Shared CTE chain for both chi2 oracles — cells(source, lang,
     * n_obs, n_exp, contrib) with the identical pinned formula. */
@@ -146,7 +201,36 @@ object Stats {
        |  JOIN cs USING (lang)
        |  CROSS JOIN nn)""".stripMargin
 
+  /** Shared drift-bin CTE — same bounds, same floor/clamp bin rule,
+    * same md5-half split. */
+  private val driftBinsCte: String =
+    s"""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+       |binned AS (
+       |  SELECT LEAST(9, GREATEST(0,
+       |      CAST(FLOOR((value - b.lo) * 10.0 / (b.hi - b.lo)) AS BIGINT)))
+       |    AS bin,
+       |    substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8' AS half
+       |  FROM events, b),
+       |bins AS (
+       |  SELECT bin,
+       |    CAST(sum(CASE WHEN half THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN half THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+       |  FROM binned GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "value_drift" ->
+      s"""$driftBinsCte
+         |SELECT bin, n_a, n_b FROM bins ORDER BY bin""".stripMargin,
+    "value_drift_tv" ->
+      s"""$driftBinsCte,
+         |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS na,
+         |             CAST(sum(n_b) AS BIGINT) AS nb FROM bins)
+         |SELECT t.na AS n_a_total, t.nb AS n_b_total,
+         |  ${ScalarFns.roundSql(
+              "CAST(sum(abs(CAST(n_a AS HUGEINT) * t.nb" +
+              " - CAST(n_b AS HUGEINT) * t.na)) AS DOUBLE)" +
+              " / (2.0 * t.na * t.nb)", 4)} AS tv_distance
+         |FROM bins, t GROUP BY t.na, t.nb""".stripMargin,
     "chi2_cells" ->
       s"""$chi2CellsCte
          |SELECT source, lang, n_obs, n_exp, contrib

@@ -23,7 +23,8 @@ class ContractSpec extends AnyFunSuite {
   test("every multi-row oracle has a TOP-LEVEL ORDER BY") {
     // single-row global aggregates don't need one
     val singleRow = Set("segment_stats", "segment_active_stats",
-      "segment_stats_empty", "segment_stats_cached", "zorder_prune_ratio")
+      "segment_stats_empty", "segment_stats_cached", "zorder_prune_ratio",
+      "value_drift_tv")
     // strip parenthesized content so OVER(ORDER BY ...) / subquery
     // ORDER BYs can't satisfy the check
     def topLevel(sql: String): String = {

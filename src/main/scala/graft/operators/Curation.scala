@@ -301,7 +301,68 @@ object Curation {
       .orderBy(col("lang"), col("rk"))
   }
 
+  // ----------------------------------------------------------------
+  // Training-MIX apportionment (Hamilton / largest-remainder): a data
+  // mixture spec says "B documents, proportional to source
+  // availability" — floor allocations alone UNDER-fill the budget and
+  // naive rounding over-fills; the classic largest-remainder rule hits
+  // B exactly. Every step is integer arithmetic on counts (floor
+  // quota = B·n_s div N, remainder = B·n_s mod N, the top B − Σfloor
+  // remainders — ties broken by source name — get +1), so both
+  // engines derive the IDENTICAL allocation. The global rank window
+  // runs over |sources| rows — catalog scale, not data scale; the
+  // sample itself is md5-order top-allotted per source (the
+  // [[hashSample]] determinism idiom), graded by sum(doc_id) so
+  // MEMBERSHIP, not just size, is pinned. allotted ≤ n_avail holds
+  // structurally whenever B < N (floor < n_avail strictly).
+  // ----------------------------------------------------------------
+
+  private[graft] val MixBudget = 300L
+
+  private[graft] def apportionFrame(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Tables(spark, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_avail"))
+    val totals = bySource.agg(sum(col("n_avail")).as("n_total"))
+    val wRank = Window.orderBy(col("rem").desc, col("source"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bySource.crossJoin(broadcast(totals))
+      .withColumn("q_floor", expr(s"(n_avail * $MixBudget) div n_total"))
+      .withColumn("rem", (col("n_avail") * MixBudget) % col("n_total"))
+      .withColumn("short", lit(MixBudget) - sum(col("q_floor")).over(wAll))
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("allotted",
+        col("q_floor") + when(col("rnk") <= col("short"), 1L).otherwise(0L))
+  }
+
+  /** GRADED: the allocation table — Σallotted = B exactly. */
+  def sourceMixApportion(spark: SparkSession, dir: String): DataFrame =
+    apportionFrame(spark, dir)
+      .select(col("source"), col("n_avail"), col("allotted"))
+      .orderBy("source")
+
+  /** GRADED: the drawn sample — md5-order top-`allotted` per source,
+    * membership pinned by sum(doc_id). */
+  def sourceMixSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("skey"), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("skey", md5(col("doc_id").cast("string")))
+      .join(broadcast(apportionFrame(spark, dir)
+        .select(col("source"), col("allotted"))), Seq("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("allotted"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("sum_doc_id"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_mix_apportion" -> (sourceMixApportion _),
+    "source_mix_sample" -> (sourceMixSample _),
     "stratified_sample_k" -> ((s: SparkSession, d: String) => stratifiedSampleK(s, d)),
     "priority_sample"  -> ((s: SparkSession, d: String) => prioritySample(s, d)),
     "hash_sample"      -> (hashSample _),
@@ -321,7 +382,43 @@ object Curation {
     s"(SELECT $terms FROM (SELECT md5(CAST($key AS VARCHAR)) AS h))"
   }
 
+  /** Shared apportionment CTE — ends at `alloc(source, n_avail,
+    * allotted)`, the identical Hamilton arithmetic. */
+  private val apportionCte: String =
+    s"""WITH s AS (SELECT source, count(*) AS n_avail
+       |           FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_avail) AS BIGINT) AS n_total FROM s),
+       |q AS (SELECT source, n_avail,
+       |    (n_avail * $MixBudget) // t.n_total AS q_floor,
+       |    (n_avail * $MixBudget) % t.n_total AS rem
+       |  FROM s, t),
+       |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rnk,
+       |    $MixBudget - sum(q_floor) OVER () AS short FROM q),
+       |alloc AS (
+       |  SELECT source, n_avail,
+       |    CAST(q_floor + CASE WHEN rnk <= short THEN 1 ELSE 0 END AS BIGINT)
+       |      AS allotted
+       |  FROM r)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "source_mix_apportion" ->
+      s"""$apportionCte
+         |SELECT source, n_avail, allotted FROM alloc
+         |ORDER BY source""".stripMargin,
+    "source_mix_sample" ->
+      s"""$apportionCte,
+         |ranked AS (
+         |  SELECT d.source, d.doc_id,
+         |    row_number() OVER (PARTITION BY d.source
+         |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+         |  FROM documents d),
+         |picked AS (
+         |  SELECT ranked.source, ranked.doc_id
+         |  FROM ranked JOIN alloc ON ranked.source = alloc.source
+         |  WHERE ranked.rk <= alloc.allotted)
+         |SELECT source, count(*) AS n_sampled,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+         |FROM picked GROUP BY 1 ORDER BY 1""".stripMargin,
     "stratified_sample_k" ->
       s"""SELECT lang, rk, doc_id FROM (
          |  SELECT lang, doc_id,

@@ -170,12 +170,53 @@ object Stats {
           .as("tv_distance"))
   }
 
+  // ----------------------------------------------------------------
+  // ANALYZE-style column statistics — the per-column (null count,
+  // distinct count, min, max) table `ANALYZE TABLE ... COMPUTE
+  // STATISTICS FOR COLUMNS` produces, i.e. the numbers a cost-based
+  // optimizer joins/filters are planned from. ONE pass: a single
+  // aggregate computes every column's stats (the multi-countDistinct
+  // expands the input ×columns before the partial agg — at 100 TB
+  // swap exact distinct for approx_count_distinct / the HLL sketch,
+  // the `approx_users` discipline), then `stack` unpivots to one row
+  // per column. Min/max aggregate the VALUE and render the 1-row
+  // result in exactly-rendered types (BIGINT/VARCHAR/DECIMAL(18,2)/
+  // DATE — the Integrity canonical-text discipline), never
+  // lexicographic min over rendered strings.
+  // ----------------------------------------------------------------
+
+  def ordersColumnStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    def renderMin(c: String, f: Column => Column): Seq[Column] = Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      f(min(col(c))).cast("string").as(s"${c}__min"),
+      f(max(col(c))).cast("string").as(s"${c}__max"))
+    val plain: Column => Column = identity
+    val aggs =
+      renderMin("o_orderkey", plain) ++
+      renderMin("o_custkey", plain) ++
+      renderMin("o_orderstatus", plain) ++
+      renderMin("o_totalprice", _.cast("decimal(18,2)")) ++
+      renderMin("o_orderdate", to_date(_)) ++
+      renderMin("o_orderpriority", plain)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    o.agg(aggs.head, aggs.tail: _*)
+      .select(expr("stack(6, " + cols.map(c =>
+        s"'$c', `${c}__nulls`, `${c}__nd`, `${c}__min`, `${c}__max`")
+        .mkString(", ") +
+        ") as (col_name, n_nulls, n_distinct, min_value, max_value)"))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corr_stats" -> (corrStats _),
     "chi2_cells" -> (chi2Cells _),
     "chi2_stat"  -> (chi2Stat _),
     "value_drift" -> (valueDrift _),
-    "value_drift_tv" -> (valueDriftTv _))
+    "value_drift_tv" -> (valueDriftTv _),
+    "orders_column_stats" -> (ordersColumnStats _))
 
   /** Shared CTE chain for both chi2 oracles — cells(source, lang,
     * n_obs, n_exp, contrib) with the identical pinned formula. */
@@ -217,7 +258,32 @@ object Stats {
        |    CAST(sum(CASE WHEN half THEN 0 ELSE 1 END) AS BIGINT) AS n_b
        |  FROM binned GROUP BY 1)""".stripMargin
 
+  /** One UNION-ALL arm per column, same rendering rules. */
+  private val columnStatsOracle: String = {
+    def arm(c: String, minExpr: String, maxExpr: String): String =
+      s"""SELECT '$c' AS col_name,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  $minExpr AS min_value, $maxExpr AS max_value
+         |FROM orders""".stripMargin
+    def plain(c: String) =
+      arm(c, s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
+    val arms = Seq(
+      plain("o_orderkey"), plain("o_custkey"), plain("o_orderstatus"),
+      arm("o_totalprice",
+        "CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)",
+        "CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)"),
+      arm("o_orderdate",
+        "CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR)",
+        "CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR)"),
+      plain("o_orderpriority"))
+    s"""SELECT * FROM (
+       |${arms.mkString("\nUNION ALL\n")})
+       |ORDER BY col_name""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "orders_column_stats" -> columnStatsOracle,
     "value_drift" ->
       s"""$driftBinsCte
          |SELECT bin, n_a, n_b FROM bins ORDER BY bin""".stripMargin,

@@ -31,6 +31,44 @@ class QualitySpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("Hamilton apportionment: budget hit exactly, never over-draws a source") {
+    val alloc = graft.operators.Curation.sourceMixApportion(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(alloc.map(_._3).sum == graft.operators.Curation.MixBudget,
+      s"allotted ${alloc.map(_._3).sum} != budget")
+    alloc.foreach { case (s, avail, got) =>
+      assert(got <= avail, s"$s over-drawn: $got > $avail") }
+    // largest-remainder dominates floor: every source gets at least its
+    // floor quota (+1 at most)
+    val n = alloc.map(_._2).sum
+    alloc.foreach { case (s, avail, got) =>
+      val fl = avail * graft.operators.Curation.MixBudget / n
+      assert(got == fl || got == fl + 1, s"$s: $got vs floor $fl") }
+    // the drawn sample delivers exactly the allocation
+    val sampled = graft.operators.Curation.sourceMixSample(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    alloc.filter(_._3 > 0).foreach { case (s, _, got) =>
+      assert(sampled(s) == got, s"$s sampled ${sampled.get(s)} != $got") }
+  }
+
+  test("column stats: one-pass profile ≡ per-column direct recompute") {
+    val got = graft.operators.Stats.ordersColumnStats(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    val o = Tables(spark, sf0001, "orders")
+    for (c <- Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")) {
+      val (nulls, nd, mn, mx) = got(c)
+      assert(nulls == o.filter(col(c).isNull).count())
+      assert(nd == o.select(c).distinct().count())
+      assert(mn == o.agg(min(col(c)).cast("string")).head().getString(0))
+      assert(mx == o.agg(max(col(c)).cast("string")).head().getString(0))
+    }
+    // the rendered double column went through the exact decimal cast
+    assert(got("o_totalprice")._3.matches("""-?\d+\.\d{2}"""),
+      got("o_totalprice")._3)
+  }
+
   test("drift bins: per-half counts partition the events table") {
     val bins = Stats.driftBins(spark, sf0001).collect()
     val total = bins.map(r => r.getLong(1) + r.getLong(2)).sum

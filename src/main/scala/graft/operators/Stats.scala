@@ -210,13 +210,44 @@ object Stats {
       .orderBy("col_name")
   }
 
+  /** The CBO arithmetic the column statistics above exist to feed,
+    * graded against ground truth: the textbook equi-join cardinality
+    * estimate |L ⋈ R| ≈ |L|·|R| / max(ndv_L, ndv_R) (uniform-frequency
+    * + containment assumptions — Selinger '79, the formula inside
+    * every cost-based optimizer including Spark's CBO join estimation)
+    * next to the ACTUAL join count, with the error factor as a 4-dp
+    * ratio. Integer inputs, one integer division, one final double
+    * ratio — deterministic; the estimate is exact here because
+    * o_custkey's frequencies are near-uniform and every order has a
+    * customer (containment holds), which is itself worth pinning:
+    * drift in this row means the corpus no longer satisfies the CBO's
+    * assumptions. */
+  def joinCardEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val stats = o.agg(count(lit(1)).as("n_left"),
+        countDistinct(col("o_custkey")).as("ndv_left"))
+      .crossJoin(c.agg(count(lit(1)).as("n_right"),
+        countDistinct(col("c_custkey")).as("ndv_right")))
+      .withColumn("est_rows",
+        expr("(n_left * n_right) div greatest(ndv_left, ndv_right)"))
+    val actual = o.join(c, col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("actual_rows"))
+    stats.crossJoin(actual)
+      .select(col("n_left"), col("n_right"), col("ndv_left"),
+        col("ndv_right"), col("est_rows"), col("actual_rows"),
+        ScalarFns.roundN(col("est_rows").cast("double")
+          / col("actual_rows"), 4).as("est_over_actual"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corr_stats" -> (corrStats _),
     "chi2_cells" -> (chi2Cells _),
     "chi2_stat"  -> (chi2Stat _),
     "value_drift" -> (valueDrift _),
     "value_drift_tv" -> (valueDriftTv _),
-    "orders_column_stats" -> (ordersColumnStats _))
+    "orders_column_stats" -> (ordersColumnStats _),
+    "join_card_estimate" -> (joinCardEstimate _))
 
   /** Shared CTE chain for both chi2 oracles — cells(source, lang,
     * n_obs, n_exp, contrib) with the identical pinned formula. */
@@ -283,6 +314,24 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "join_card_estimate" ->
+      s"""WITH l AS (SELECT count(*) AS n_left,
+         |    count(DISTINCT o_custkey) AS ndv_left FROM orders),
+         |r AS (SELECT count(*) AS n_right,
+         |    count(DISTINCT c_custkey) AS ndv_right FROM customer),
+         |a AS (SELECT count(*) AS actual_rows
+         |      FROM orders JOIN customer ON o_custkey = c_custkey)
+         |SELECT CAST(n_left AS BIGINT) AS n_left,
+         |  CAST(n_right AS BIGINT) AS n_right,
+         |  CAST(ndv_left AS BIGINT) AS ndv_left,
+         |  CAST(ndv_right AS BIGINT) AS ndv_right,
+         |  CAST((n_left * n_right) // greatest(ndv_left, ndv_right) AS BIGINT)
+         |    AS est_rows,
+         |  CAST(actual_rows AS BIGINT) AS actual_rows,
+         |  ${ScalarFns.roundSql(
+              "CAST((n_left * n_right) // greatest(ndv_left, ndv_right)" +
+              " AS DOUBLE) / actual_rows", 4)} AS est_over_actual
+         |FROM l, r, a""".stripMargin,
     "orders_column_stats" -> columnStatsOracle,
     "value_drift" ->
       s"""$driftBinsCte

@@ -71,12 +71,60 @@ object Windows {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  /** W3+ DISTRIBUTION windows — ntile / percent_rank / cume_dist, the
+    * ranking family the showcase above doesn't cover: per-status price
+    * quartiles (ntile(4) under the (price, key) total order — the
+    * tiebreak makes tile boundaries deterministic on both engines),
+    * summarized per (status, quartile) with the quartile's price range
+    * and the percent_rank/cume_dist extremes at its edges. One window
+    * shuffle partitioned by status, then a tile-granularity partial
+    * agg — the frame never leaves the status partitioning. */
+  def orderPriceQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      // cast: Spark ntile is INT, DuckDB's BIGINT — pin the wider type
+      .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy(col("o_orderstatus"), col("quartile"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("lo_price"),
+        max(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("hi_price"),
+        graft.functions.ScalarFns.roundN(max(col("pr")), 6).as("max_pct_rank"),
+        graft.functions.ScalarFns.roundN(max(col("cd")), 6).as("max_cume_dist"))
+      .orderBy("o_orderstatus", "quartile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rank_lag_orders"    -> (rankLagOrders _),
     "window_showcase"    -> (windowShowcase _),
+    "order_price_quartiles" -> (orderPriceQuartiles _),
     "sliding_rate_limit" -> ((s: SparkSession, d: String) => slidingRateLimit(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "order_price_quartiles" ->
+      s"""WITH t AS (
+         |  SELECT o_orderstatus, o_totalprice, o_orderkey,
+         |    ntile(4) OVER w AS quartile,
+         |    percent_rank() OVER w AS pr,
+         |    cume_dist() OVER w AS cd
+         |  FROM orders
+         |  WINDOW w AS (PARTITION BY o_orderstatus
+         |    ORDER BY o_totalprice, o_orderkey))
+         |SELECT o_orderstatus, quartile, count(*) AS n_orders,
+         |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS lo_price,
+         |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS hi_price,
+         |  ${graft.functions.ScalarFns.roundSql("max(pr)", 6)}
+         |    AS max_pct_rank,
+         |  ${graft.functions.ScalarFns.roundSql("max(cd)", 6)}
+         |    AS max_cume_dist
+         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "window_showcase" ->
       """WITH f AS (SELECT * FROM customer WHERE c_custkey <= 1000)
         |SELECT c_mktsegment, c_custkey, c_acctbal,

@@ -247,7 +247,29 @@ object Stats {
     "value_drift" -> (valueDrift _),
     "value_drift_tv" -> (valueDriftTv _),
     "orders_column_stats" -> (ordersColumnStats _),
+    "orders_ndv_approx" -> (ordersNdvApprox _),
     "join_card_estimate" -> (joinCardEstimate _))
+
+  /** The 100 TB swap [[ordersColumnStats]] documents, GRADED: exact
+    * `countDistinct` (one expand + distinct shuffle per column)
+    * replaced by the repo's spec-exact [[graft.plans.HllSketch]] —
+    * constant 256-register state per column, mergeable, one partial-agg
+    * pass for any number of columns. Because every step of the sketch
+    * is pinned (md5 buckets, rho, fold order, correction branch), the
+    * ESTIMATE hash-matches a DuckDB rebuild — the swap's accuracy is
+    * itself regression-guarded, side by side with the exact count, for
+    * a high-cardinality key and a low-cardinality enum (the two
+    * regimes: raw vs linear-counting branch). */
+  def ordersNdvApprox(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.SketchFunctions.register(spark)
+    val o = Tables(spark, dir, "orders")
+    def row(c: String): DataFrame =
+      o.agg(countDistinct(col(c)).as("n_distinct_exact"),
+          expr(s"hll_sketch(CAST($c AS STRING))").as("h"))
+        .select(lit(c).as("col_name"), col("n_distinct_exact"),
+          ScalarFns.roundN(col("h.estimate"), 2).as("ndv_hll"))
+    row("o_custkey").unionByName(row("o_orderstatus")).orderBy("col_name")
+  }
 
   /** Shared CTE chain for both chi2 oracles — cells(source, lang,
     * n_obs, n_exp, contrib) with the identical pinned formula. */
@@ -313,7 +335,57 @@ object Stats {
        |ORDER BY col_name""".stripMargin
   }
 
+  /** Generic DuckDB rebuild of the HLL spec for one column — the
+    * [[graft.operators.EventOps]] hllOracle nibble chain, ungrouped
+    * (single register set over the whole table). */
+  private def hllNdvArm(c: String): String = {
+    val nibDefs = (1 to 18).map(i =>
+      s"instr('0123456789abcdef', substr(h, $i, 1)) - 1 AS n$i")
+      .mkString(",\n        ")
+    val lzCases = (3 to 18).map(i =>
+      s"WHEN n$i > 0 THEN ${4 * (i - 3)} + (CASE WHEN n$i >= 8 THEN 0" +
+        s" WHEN n$i >= 4 THEN 1 WHEN n$i >= 2 THEN 2 ELSE 3 END)")
+      .mkString("\n          ")
+    s"""SELECT '$c' AS col_name,
+       |  CAST((SELECT count(DISTINCT $c) FROM orders) AS BIGINT)
+       |    AS n_distinct_exact,
+       |  (WITH hx AS (SELECT md5(CAST($c AS VARCHAR)) AS h FROM orders
+       |               WHERE $c IS NOT NULL),
+       |   nib AS (SELECT
+       |        $nibDefs
+       |     FROM hx),
+       |   br AS (SELECT n1 * 16 + n2 AS bucket,
+       |       1 + (CASE
+       |          $lzCases
+       |          ELSE 64 END) AS rho
+       |     FROM nib),
+       |   reg AS (SELECT bucket, max(rho) AS mx FROM br GROUP BY 1),
+       |   regs AS (SELECT gs.j, coalesce(r.mx, 0) AS mreg
+       |     FROM (SELECT unnest(generate_series(0, 255)) AS j) gs
+       |     LEFT JOIN reg r ON r.bucket = gs.j),
+       |   agg AS (SELECT
+       |       list_reduce(list_transform(list(mreg ORDER BY j),
+       |         x -> power(2.0, -CAST(x AS DOUBLE))), (a, b) -> a + b)
+       |         AS sum_pow,
+       |       sum(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS n_zero
+       |     FROM regs),
+       |   est AS (SELECT n_zero, sum_pow,
+       |       (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / sum_pow
+       |         AS e_raw
+       |     FROM agg)
+       |   SELECT ${ScalarFns.roundSql(
+            "CASE WHEN e_raw <= 2.5 * 256.0 AND n_zero > 0" +
+            " THEN 256.0 * ln(256.0 / n_zero) ELSE e_raw END", 2)}
+       |   FROM est) AS ndv_hll""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "orders_ndv_approx" ->
+      s"""SELECT * FROM (
+         |${hllNdvArm("o_custkey")}
+         |UNION ALL
+         |${hllNdvArm("o_orderstatus")})
+         |ORDER BY col_name""".stripMargin,
     "join_card_estimate" ->
       s"""WITH l AS (SELECT count(*) AS n_left,
          |    count(DISTINCT o_custkey) AS ndv_left FROM orders),

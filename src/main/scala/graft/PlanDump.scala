@@ -29,7 +29,8 @@ object PlanDump {
     "event_funnel", "stratified_sample_k", "orders_integrity_diff",
     "hourly_counts_gapfilled", "incremental_dedup_maintained",
     "orders_merge_on_read", "orders_mor_compacted", "session_stats_fmgws",
-    "zorder_prune_ratio")
+    "zorder_prune_ratio", "orders_evolved_agg", "value_drift_tv",
+    "source_mix_apportion", "orders_column_stats", "join_card_estimate")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

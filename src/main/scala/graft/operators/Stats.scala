@@ -240,7 +240,52 @@ object Stats {
           / col("actual_rows"), 4).as("est_over_actual"))
   }
 
+  /** DATA-CONTRACT audit — the dbt-test / Deequ-check suite every
+    * warehouse table ships with, as ONE graded query: NOT NULL and
+    * uniqueness on the key, referential integrity in both directions
+    * (every order's customer exists; every lineitem's order exists),
+    * and domain/range constraints — each a (constraint, n_violations)
+    * row, so the whole contract is pinned by one hash (including the
+    * zeros: a constraint silently starting to fail flips the row).
+    * Scale shape: the null/domain checks ride ONE scan each; the
+    * uniqueness check is a key-granularity partial agg; the FK checks
+    * are anti joins that broadcast the smaller key set — no check is
+    * worse than the join a CBO would plan anyway. */
+  def ordersContractAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val l = Tables(spark, dir, "lineitem")
+    def row(name: String, n: org.apache.spark.sql.DataFrame) =
+      n.select(lit(name).as("constraint_name"),
+        col("n").cast("bigint").as("n_violations"))
+    val notNull = row("key_not_null",
+      o.agg(sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n")))
+    val unique = row("key_unique",
+      o.groupBy(col("o_orderkey")).count().filter(col("count") > 1)
+        .agg(count(lit(1)).as("n")))
+    val fkCustomer = row("fk_orders_customer",
+      o.select(col("o_custkey"))
+        .join(broadcast(c.select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")))
+    val fkLineitem = row("fk_lineitem_orders",
+      l.select(col("l_orderkey"))
+        .join(o.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n")))
+    val price = row("price_positive",
+      o.agg(sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("n")))
+    val dates = row("date_in_range",
+      o.agg(sum(when(to_date(col("o_orderdate")) < lit("1992-01-01").cast("date")
+        || to_date(col("o_orderdate")) > lit("1998-12-31").cast("date"),
+        1L).otherwise(0L)).as("n")))
+    notNull.unionByName(unique).unionByName(fkCustomer)
+      .unionByName(fkLineitem).unionByName(price).unionByName(dates)
+      .orderBy("constraint_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_contract_audit" -> (ordersContractAudit _),
     "corr_stats" -> (corrStats _),
     "chi2_cells" -> (chi2Cells _),
     "chi2_stat"  -> (chi2Stat _),
@@ -380,6 +425,38 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "orders_contract_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'key_not_null' AS constraint_name,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'key_unique',
+        |    CAST(count(*) AS BIGINT) FROM (
+        |      SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+        |  UNION ALL
+        |  SELECT 'fk_orders_customer',
+        |    CAST(count(*) AS BIGINT) FROM (
+        |      SELECT o_custkey FROM orders
+        |      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orders',
+        |    CAST(count(*) AS BIGINT) FROM (
+        |      SELECT l_orderkey FROM lineitem
+        |      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |  UNION ALL
+        |  SELECT 'price_positive',
+        |    CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'date_in_range',
+        |    CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1992-01-01'
+        |         OR CAST(o_orderdate AS DATE) > DATE '1998-12-31'
+        |         THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders)
+        |ORDER BY constraint_name""".stripMargin,
     "orders_ndv_approx" ->
       s"""SELECT * FROM (
          |${hllNdvArm("o_custkey")}

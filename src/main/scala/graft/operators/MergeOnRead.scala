@@ -227,10 +227,13 @@ object MergeOnRead {
     "orders_mor_compacted" -> (ordersMorCompacted(_, _)),
     "orders_mor_asof" -> (ordersMorAsof(_, _)))
 
-  /** DuckDB twin: the final table stated as one CASE over the original
-    * `orders` — hex 0-1 keys carry three versions (latest `_seq` = 2
-    * wins), 2-3 two, 4-7 one, e-f tombstoned, rest untouched. */
-  private val MorSql = {
+  /** The final (fully-resolved) table stated as one `WITH f AS` CTE —
+    * a CASE over the original `orders`: hex 0-1 keys carry three
+    * versions (latest `_seq` = 2 wins), 2-3 two, 4-7 one, e-f
+    * tombstoned, rest untouched. Shared by [[MorSql]] and the
+    * [[Ivm]] oracle (the maintained view must equal the aggregate over
+    * exactly this table). */
+  private[graft] val MorFinalCte: String = {
     val hx = "substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)"
     def inList(hexes: Seq[String]) = hexes.map(c => s"'$c'").mkString(", ")
     s"""WITH f AS (
@@ -247,13 +250,17 @@ object MergeOnRead {
        |           THEN o_totalprice + ${UpdSlices(0)._4}
        |         ELSE o_totalprice END AS o_totalprice
        |  FROM orders
-       |  WHERE $hx NOT IN (${inList(DeleteHex)}))
+       |  WHERE $hx NOT IN (${inList(DeleteHex)}))""".stripMargin
+  }
+
+  /** DuckDB twin of the merge-on-read aggregate over [[MorFinalCte]]. */
+  private val MorSql =
+    s"""$MorFinalCte
        |SELECT o_orderstatus, count(*) AS n_orders,
        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
        |    AS total_price,
        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
-  }
 
   /** DuckDB twin of the as-of-seq-1 read: no tombstones yet, seq-1
     * wins over seq-0 where both exist. */

@@ -121,4 +121,36 @@ class MergeOnReadSpec extends SparkSpec {
     // spec-side md5 agrees with the engine idiom (guards the helper)
     assert(Seq(1L, 2L, 3L).forall(k => hex(k).matches("[0-9a-f]")))
   }
+
+  test("IVM: maintained aggregate ≡ from-scratch aggregate over the " +
+    "resolved snapshot") {
+    val maintained = graft.operators.Ivm.ordersAggIvm(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val scratch = MergeOnRead.snapshot(spark, sf0001)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .collect().map(_.toSeq).toSet
+    assert(maintained == scratch,
+      s"diff: +${(maintained -- scratch).take(2)} " +
+        s"-${(scratch -- maintained).take(2)}")
+  }
+
+  test("IVM: the delta actually moved the view (not a vacuous merge)") {
+    val maintained = graft.operators.Ivm.ordersAggIvm(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val mvOnly = Tables(spark, sf0001, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .collect().map(_.toSeq).toSet
+    // upserts rewrote statuses for half the keys and tombstoned e-f:
+    // the maintained view must differ from the stale MV, and must
+    // contain the log-introduced statuses
+    assert(maintained != mvOnly)
+    val statuses = maintained.map(_.head.asInstanceOf[String])
+    assert(Set("U0", "U1", "U2").subsetOf(statuses), statuses.toString)
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Packing
+
+/** Sequence packing on sf0.001: the two-phase distributed prefix sum
+  * is row-identical to the naive single-window cumsum; pack accounting
+  * conserves tokens and covers the stream. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two-phase prefix sum ≡ single-window cumsum, row for row") {
+    val twoPhase = Packing.positioned(spark, sf0001)
+      .select("doc_id", "cum_start", "cum_end")
+      .collect().map(_.toSeq).toSet
+    val naive = Packing.positionedNaive(spark, sf0001)
+      .select("doc_id", "cum_start", "cum_end")
+      .collect().map(_.toSeq).toSet
+    assert(twoPhase == naive,
+      s"diff: +${(twoPhase -- naive).take(3)} -${(naive -- twoPhase).take(3)}")
+  }
+
+  test("positions tile the token stream: starts meet ends, no gaps") {
+    val p = Packing.positioned(spark, sf0001)
+      .select($"cum_start".as[Long], $"cum_end".as[Long], $"tok".as[Long])
+      .collect().sortBy(_._1)
+    // first doc starts at 0; every doc starts where the previous ended
+    assert(p.head._1 == 0L)
+    p.sliding(2).foreach { case Array(a, b) =>
+      assert(b._1 == a._2, s"gap: ${a._2} -> ${b._1}")
+    case _ => () }
+    // widths are the token counts; total equals the corpus sum
+    assert(p.forall(r => r._2 - r._1 == r._3))
+    assert(p.last._2 == p.map(_._3).sum)
+  }
+
+  test("pack accounting: straddles and cuts are consistent with the " +
+    "pack count") {
+    val rows = Packing.docPackChunks(spark, sf0001).collect()
+    val totalTokens = rows.map(_.getAs[Long]("total_tokens")).sum
+    val nPacks = rows.head.getAs[Long]("n_packs_total")
+    assert(nPacks == (totalTokens + Packing.PackTokens - 1)
+      / Packing.PackTokens)
+    // every interior pack boundary is cut by exactly one doc (docs
+    // tile the stream), unless it lands exactly between two docs —
+    // so Σ cuts ≤ boundaries, and straddles ≤ cuts (a doc can cross
+    // several boundaries only when longer than a pack)
+    val cuts = rows.map(_.getAs[Long]("n_boundary_cuts")).sum
+    val straddles = rows.map(_.getAs[Long]("n_straddle")).sum
+    assert(cuts <= nPacks - 1)
+    assert(straddles <= cuts)
+    assert(straddles > 0, "corpus too small to exercise straddling")
+  }
+}

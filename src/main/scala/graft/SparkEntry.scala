@@ -41,7 +41,8 @@ object SparkEntry {
     IncrementalDedup.queries ++ RpSketch.queries ++ Scd.queries ++
     Compaction.queries ++ ZOrder.queries ++ BloomIndex.queries ++
     RangeJoin.queries ++ Integrity.queries ++ Formats.queries ++
-    MergeOnRead.queries ++ Ivm.queries ++
+    MergeOnRead.queries ++ Ivm.queries ++ Packing.queries ++
+    Pii.queries ++
     Stats.queries ++ Membership.queries ++
     graft.functions.TypedAggs.queries ++
     Multimodal.queries ++ Skew.queries ++ graft.streaming.StreamReplay.queries
@@ -64,7 +65,8 @@ object SparkEntry {
     IncrementalDedup.oracles ++ RpSketch.oracles ++ Scd.oracles ++
     Compaction.oracles ++ ZOrder.oracles ++ BloomIndex.oracles ++
     RangeJoin.oracles ++ Integrity.oracles ++ Formats.oracles ++
-    MergeOnRead.oracles ++ Ivm.oracles ++
+    MergeOnRead.oracles ++ Ivm.oracles ++ Packing.oracles ++
+    Pii.oracles ++
     Stats.oracles ++ Membership.oracles ++
     graft.functions.TypedAggs.oracles ++
     Multimodal.oracles ++ Skew.oracles ++ graft.streaming.StreamReplay.oracles

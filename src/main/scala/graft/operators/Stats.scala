@@ -284,7 +284,51 @@ object Stats {
       .orderBy("constraint_name")
   }
 
+  // ----------------------------------------------------------------
+  // Trend detection: per-type OLS fit of event value against time —
+  // the drift DIRECTION the value_drift monitor can't give ("is this
+  // metric moving, how fast, and how well does a line explain it").
+  // Same discipline as corrStats: sufficient statistics (Σx, Σy, Σxy,
+  // Σx², Σy²) as exact integer/decimal sums — x is WHOLE DAYS since a
+  // fixed epoch (exact integer arithmetic off unix_micros; both
+  // operands nonnegative, so Spark `div` ≡ DuckDB `//`), y an exact
+  // decimal(18,6) — then the closed-form slope/intercept/R² ONCE per
+  // group in pinned-order double. One partial-agg shuffle at type
+  // granularity; the formulas cost O(types).
+  // ----------------------------------------------------------------
+
+  /** 2024-01-01T00:00:00Z in microseconds — the fixed day-zero. */
+  private val TrendEpochUs = 1704067200000000L
+
+  def valueTrendOls(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.fanOut(spark, Tables(spark, dir, "events"),
+      key = "event_id")
+      .withColumn("x",
+        expr(s"(unix_micros(ts) - ${TrendEpochUs}L) div 86400000000"))
+    val y = col("value").cast("decimal(18,6)")
+    val m = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("x")).as("sx"),
+        sum(y).as("sy"),
+        sum(col("x").cast("decimal(18,0)") * y).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum((col("value") * col("value")).cast("decimal(28,10)")).as("syy"))
+    val n = col("n_events").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val covN = n * sxy - sx * sy
+    val varXN = n * sxx - sx * sx
+    val varYN = n * syy - sy * sy
+    m.select(col("event_type"), col("n_events"),
+        ScalarFns.roundN(covN / varXN, 6).as("slope_per_day"),
+        ScalarFns.roundN((sy - covN / varXN * sx) / n, 4).as("intercept"),
+        ScalarFns.roundN(covN * covN / varXN / varYN, 6).as("r2"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "value_trend_ols" -> (valueTrendOls _),
     "orders_contract_audit" -> (ordersContractAudit _),
     "corr_stats" -> (corrStats _),
     "chi2_cells" -> (chi2Cells _),
@@ -425,6 +469,36 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "value_trend_ols" -> {
+      val covN = "(n * sxy - sx * sy)"
+      val varXN = "(n * sxx - sx * sx)"
+      val varYN = "(n * syy - sy * sy)"
+      s"""WITH m AS (
+         |  SELECT event_type, count(*) AS n_events,
+         |    sum((epoch_us(ts) - $TrendEpochUs) // 86400000000) AS sx,
+         |    sum(CAST(value AS DECIMAL(18,6))) AS sy,
+         |    sum(CAST((epoch_us(ts) - $TrendEpochUs) // 86400000000
+         |          AS DECIMAL(18,0))
+         |        * CAST(value AS DECIMAL(18,6))) AS sxy,
+         |    sum(((epoch_us(ts) - $TrendEpochUs) // 86400000000)
+         |        * ((epoch_us(ts) - $TrendEpochUs) // 86400000000)) AS sxx,
+         |    sum(CAST(value * value AS DECIMAL(28,10))) AS syy
+         |  FROM events GROUP BY 1),
+         |d AS (
+         |  SELECT event_type, n_events,
+         |    CAST(n_events AS DOUBLE) AS n,
+         |    CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         |    CAST(sxy AS DOUBLE) AS sxy,
+         |    CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy
+         |  FROM m)
+         |SELECT event_type, n_events,
+         |  ${ScalarFns.roundSql(s"$covN / $varXN", 6)} AS slope_per_day,
+         |  ${ScalarFns.roundSql(s"(sy - $covN / $varXN * sx) / n", 4)}
+         |    AS intercept,
+         |  ${ScalarFns.roundSql(s"$covN * $covN / $varXN / $varYN", 6)}
+         |    AS r2
+         |FROM d ORDER BY event_type""".stripMargin
+    },
     "orders_contract_audit" ->
       """SELECT * FROM (
         |  SELECT 'key_not_null' AS constraint_name,

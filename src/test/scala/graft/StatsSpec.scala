@@ -59,4 +59,40 @@ class StatsSpec extends SparkSpec {
       assert(a == b)
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
+
+  test("value_trend_ols: agrees with a driver-side least-squares " +
+    "recompute; partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val rows = Stats.valueTrendOls(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // driver-side recompute from raw (x, y) pairs per type
+    val raw = Tables(spark, sf0001, "events")
+      .select(col("event_type"),
+        expr("(unix_micros(ts) - 1704067200000000) div 86400000000")
+          .cast("double").as("x"),
+        col("value").as("y"))
+      .collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val pts = raw(r.getString(0)).map(p => (p.getDouble(1), p.getDouble(2)))
+      val n = pts.length.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(r.getAs[Double]("slope_per_day") - slope) < 1e-4,
+        s"${r.getString(0)}: ${r.getAs[Double]("slope_per_day")} vs $slope")
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"r2 $r2")
+      assert(r.getAs[Long]("n_events") == pts.length.toLong)
+    }
+    // exact-decimal moments ⇒ bit-stable under a different partitioning
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      val again = Stats.valueTrendOls(spark, sf0001)
+        .collect().map(_.toString).toSeq
+      assert(rows.map(_.toString).toSeq == again)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
 }

@@ -923,6 +923,70 @@ object Similarity {
           .otherwise(lit(0.0)).as("transitivity"))
   }
 
+  /** Rank scale for the integer fixed-point PageRank (1e12: every
+    * division keeps ≥6 significant decimal digits of rank mass). */
+  private[graft] val PagerankScale = 1000000000000L
+
+  /** N2+ GRAPH DIAGNOSTIC #3: PageRank centrality over the near-dup
+    * graph — ranks the documents most entangled in duplication
+    * structure (a high-rank doc is boilerplate glue connecting many
+    * templates: degree counts NEIGHBORS, PageRank also weighs how
+    * connected those neighbors are — the canonical "which docs anchor
+    * the near-dup mess" signal when triaging a corpus for removal).
+    *
+    * INTEGER FIXED-POINT, not doubles: rank mass is a scaled long
+    * (×[[PagerankScale]]), every per-step division is integer floor
+    * division (Spark `div` ≡ DuckDB `//` — all operands nonnegative),
+    * so the 3-iteration recurrence
+    *
+    *   r⁰(v)   = S div N
+    *   rᵏ⁺¹(v) = (15·(S div N) + 85·Σ_{u∼v} (rᵏ(u) div deg(u))) div 100
+    *
+    * is EXACTLY reproducible cross-engine — no float fold-order drift,
+    * the same discipline as the k-means fixed-point M-step. Undirected
+    * edges (each pair contributes both directions); restricted to
+    * graph nodes (deg ≥ 1 — every node therefore receives mass, and
+    * total mass is conserved up to per-node floor loss; the dangling
+    * -node redistribution term of textbook PageRank is structurally
+    * zero here). Damping 0.85 as 15/85/100 integer weights.
+    *
+    * Scale shape: each iteration is one partial-agg shuffle of the
+    * CONTRIBUTION stream at node granularity (edges ⋈ ranks ⋈ deg are
+    * all hash-partitioned on `src` — AQE reuses the exchange layout
+    * across iterations), nothing corpus-sized after the shared
+    * [[neardupPairs]] build. Fixed 3 unrolled rounds keep the plan
+    * static; a convergence-driven variant would use the
+    * kmeans_converged discipline (ONE scalar action per round). */
+  def neardupPagerank(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, iters: Int = 3): DataFrame = {
+    val S = PagerankScale
+    val pairs = neardupPairs(spark, dir).filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val ranks0 = deg.crossJoin(broadcast(nn))
+      .selectExpr("src AS doc_id", s"$S div n_nodes AS r")
+    val ranked = (1 to iters).foldLeft(ranks0) { (ranks, _) =>
+      val contribs = edges
+        .join(ranks.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .selectExpr("dst AS doc_id", "r div degree AS contrib")
+        .groupBy(col("doc_id")).agg(sum(col("contrib")).as("c"))
+      deg.selectExpr("src AS doc_id")
+        .join(contribs, Seq("doc_id"), "left")
+        .crossJoin(broadcast(nn))
+        .selectExpr("doc_id",
+          s"(15 * ($S div n_nodes) + 85 * coalesce(c, 0)) div 100 AS r")
+    }
+    ranked
+      .join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("degree"), col("r").as("rank_scaled"))
+      .orderBy("doc_id")
+  }
+
   /** Left-fold double dot product of two float arrays — order-pinned to
     * match DuckDB's list_reduce (see object doc). */
   private def dotExpr(a: String, b: String): String =
@@ -1842,6 +1906,7 @@ object Similarity {
       neardupClustersLoop(s, d)),
     "neardup_degree"    -> ((s: SparkSession, d: String) => neardupDegree(s, d)),
     "neardup_triangles" -> ((s: SparkSession, d: String) => neardupTriangles(s, d)),
+    "neardup_pagerank"  -> ((s: SparkSession, d: String) => neardupPagerank(s, d)),
     "pipeline_yield"    -> (pipelineYield _),
     "split_stats"       -> (splitStats _),
     "split_audit"       -> (splitLeakageAudit _),
@@ -2204,6 +2269,40 @@ object Similarity {
          |  FROM documents d LEFT JOIN deg g ON d.doc_id = g.doc_id)
          |SELECT degree, count(*) AS n_docs FROM alld
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "neardup_pagerank" -> {
+      val S = PagerankScale
+      // unrolled 3-iteration integer recurrence, one (c_k, r_k) CTE
+      // pair per round — the same fixed-point arithmetic as the Spark
+      // side, floor division throughout
+      val iterCtes = (1 to 3).map { k =>
+        val prev = if (k == 1) "r0" else s"r${k - 1}"
+        s"""c$k AS (
+           |  SELECT e.dst AS doc_id, sum(r.r // d.degree) AS c
+           |  FROM edges e
+           |  JOIN $prev r ON e.src = r.doc_id
+           |  JOIN deg d ON e.src = d.src
+           |  GROUP BY 1),
+           |r$k AS (
+           |  SELECT p.doc_id,
+           |    CAST((15 * ($S // nn.n) + 85 * coalesce(c$k.c, 0)) // 100
+           |      AS BIGINT) AS r
+           |  FROM $prev p LEFT JOIN c$k USING (doc_id), nn)""".stripMargin
+      }.mkString(",\n")
+      s"""$shingleCte,
+         |$lshScoredCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT src AS doc_id, CAST($S // nn.n AS BIGINT) AS r
+         |       FROM deg, nn),
+         |$iterCtes
+         |SELECT r3.doc_id, CAST(d.degree AS BIGINT) AS degree,
+         |  r3.r AS rank_scaled
+         |FROM r3 JOIN deg d ON r3.doc_id = d.src ORDER BY doc_id""".stripMargin
+    },
     "neardup_triangles" ->
       s"""$shingleCte,
          |$lshScoredCtes,

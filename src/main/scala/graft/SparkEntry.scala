@@ -35,6 +35,8 @@ object SparkEntry {
     "revenue_bucketed" -> (Tables.revenueBucketed _),
     // bucket pruning: point lookup opening 1 of 8 buckets (plan-asserted)
     "order_lookup_bucketed" -> (Tables.orderLookupBucketed _),
+    // dynamic partition pruning: dim-filtered star join (plan-asserted)
+    "orders_dpp_join" -> (Tables.ordersDppJoin _),
   ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
     EventOps.queries ++ CampaignOps.queries ++ TextOps.queries ++
     Similarity.queries ++ Curation.queries ++ TextSignals.queries ++
@@ -59,6 +61,7 @@ object SparkEntry {
     "orders_pruned_priority" -> Tables.ordersPrunedOracle,
     "revenue_bucketed" -> Tables.revenueBucketedOracle,
     "order_lookup_bucketed" -> Tables.orderLookupBucketedOracle,
+    "orders_dpp_join" -> Tables.ordersDppOracle,
   ) ++ Joins.oracles ++ Aggregates.oracles ++ Windows.oracles ++
     EventOps.oracles ++ CampaignOps.oracles ++ TextOps.oracles ++
     Similarity.oracles ++ Curation.oracles ++ TextSignals.oracles ++

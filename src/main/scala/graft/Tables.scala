@@ -168,6 +168,73 @@ object Tables {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // DYNAMIC partition pruning (DPP) on the graded path. Static
+  // pruning (ordersPrunedPriority) needs the partition predicate in
+  // the query text; the production star-join shape filters a DIM
+  // table instead — the fact-side partitions to read are only known
+  // at RUNTIME, from the dim filter's surviving join keys. Spark's
+  // DPP rewrites the fact scan's partition filter into a subquery on
+  // the broadcast dim exchange, so the scan lists/reads only the
+  // partitions the dim filter selects — at 100 TB, the difference
+  // between scanning 2 of 5 partitions and all of them, with the
+  // predicate living where the business logic wants it (on the dim).
+  // DataSkippingSpec asserts the physical scan carries a
+  // `dynamicpruning` partition filter.
+  // ---------------------------------------------------------------
+
+  private val priorityDims =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Tiny priority-dimension table (one row per priority, a `tier`
+    * rollup attribute), persisted as parquet once per (JVM, corpus) —
+    * a real dim-table SCAN, so the DPP planner sees a filterable
+    * build side (an in-memory LocalRelation would not exercise the
+    * production shape). */
+  def priorityDim(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = priorityDims.computeIfAbsent(sfDir, { _ =>
+      val f = scratchDir("graft_priority_dim_")
+      apply(spark, sfDir, "orders")
+        .select(col("o_orderpriority")).distinct()
+        .withColumn("tier",
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "rush")
+            .otherwise("standard"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(f.getAbsolutePath)
+      f.getAbsolutePath
+    })
+    spark.read.parquet(path)
+  }
+
+  /** GRADED DPP star join: the partition predicate lives on the DIM
+    * (`tier = 'rush'`); the fact scan's partition pruning happens at
+    * runtime via the reused broadcast exchange. */
+  def ordersDppJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fact = ordersPartitioned(spark, sfDir)
+    val dim = priorityDim(spark, sfDir).filter(col("tier") === "rush")
+    fact.join(broadcast(dim), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val ordersDppOracle: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT o_orderpriority,
+      |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 'rush' ELSE 'standard' END AS tier
+      |  FROM orders)
+      |SELECT o.o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders o JOIN dim d ON o.o_orderpriority = d.o_orderpriority
+      |WHERE d.tier = 'rush'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   // BUCKETING on the graded path: the storage-layout half of the
   // 100 TB join story. orders + customer are written ONCE per
   // (JVM, corpus dir) bucketed + sorted on the join key (8 buckets,

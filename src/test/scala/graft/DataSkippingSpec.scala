@@ -62,4 +62,28 @@ class DataSkippingSpec extends SparkSpec {
       rm(tmp)
     }
   }
+
+  test("DPP: the dim-filtered star join prunes fact partitions at " +
+    "runtime") {
+    val df = Tables.ordersDppJoin(spark, sf0001)
+    // the fact scan's partition filter is a DYNAMIC pruning subquery —
+    // injected by Spark's DPP rule from the dim filter, not present in
+    // the query text
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning expression in plan:\n$plan")
+    // and the result is the rush tiers only (2 of 5 partitions)
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSet == Set("1-URGENT", "2-HIGH"))
+    // control: statically inlining the tier predicate's key set reads
+    // the same rows — DPP must be a pure access-path optimization
+    val static = Tables.ordersPartitioned(spark, sf0001)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet == static)
+  }
 }

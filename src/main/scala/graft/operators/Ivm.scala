@@ -90,16 +90,153 @@ object Ivm {
       .orderBy("o_orderstatus")
   }
 
+  // ----------------------------------------------------------------
+  // STREAMING MV maintenance — the same delta arithmetic run inside a
+  // real `foreachBatch` loop (the Materialize / Flink-retract shape):
+  // each micro-batch of the CDC feed retracts the currently-visible
+  // version of every touched key and adds the batch's latest, merging
+  // into the STORED view. State is two versioned parquet tables:
+  //
+  //   mv/v{b}      — the materialized aggregate after batch b
+  //                  (group granularity — 6 rows here);
+  //   current/v{b} — the latest logged version per TOUCHED key
+  //                  (O(changes so far), the retraction source for
+  //                  re-touched keys; first-touch keys retract their
+  //                  BASE row via a broadcast semi join, map-only).
+  //
+  // Versioned dirs (not in-place overwrite) make each batch's write
+  // idempotent — a replayed batch rewrites its own version, the
+  // pattern checkpointed sinks need. Every per-batch op is
+  // O(changes); base is scanned (never shuffled) once per batch for
+  // the first-touch lookup — at 100 TB the BloomIndex/bucket layout
+  // turns that scan into a point probe.
+  // ----------------------------------------------------------------
+
+  private val streamedMvDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Runs the maintenance stream once per (JVM, corpus); returns the
+    * dir holding mv/v0..v2 + current/v0..v2. */
+  private[graft] def streamedMvRoot(spark: SparkSession, dir: String): String =
+    streamedMvDirs.computeIfAbsent(dir, { _ =>
+      val root = graft.Tables.scratchDir("graft_ivm_stream_").getAbsolutePath
+      val ckpt = graft.Tables.scratchDir("graft_ivm_ckpt_").getAbsolutePath
+      val feed = MergeOnRead.feedDir(spark, dir)
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val base = Tables(ss, dir, "orders")
+      // v-1: the MV before any batch = the stored base aggregate
+      base.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("s"))
+        .write.mode("overwrite").parquet(s"$root/mv/v0_init")
+      val stream = ss.readStream.schema(ss.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      val query = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            val s = batch.sparkSession
+            val prevMv = if (batchId == 0) s.read.parquet(s"$root/mv/v0_init")
+              else s.read.parquet(s"$root/mv/v${batchId - 1}")
+            val prevCur: Option[DataFrame] =
+              if (batchId == 0) None
+              else Some(s.read.parquet(s"$root/current/v${batchId - 1}"))
+            // latest version per key WITHIN the batch (feed batches are
+            // single-seq, but rank defensively on the in-data _seq)
+            val w = Window.partitionBy(col("o_orderkey"))
+              .orderBy(col("_seq").desc)
+            val latest = batch.toDF()
+              .withColumn("_rn", row_number().over(w))
+              .filter(col("_rn") === 1).drop("_rn")
+            val keys = latest.select(col("o_orderkey"))
+            // retraction source: current version if the key was touched
+            // before, else the base row (broadcast semi join, map-only)
+            val fromCur = prevCur.map(_.join(broadcast(keys),
+                Seq("o_orderkey"), "left_semi"))
+            val firstTouch = fromCur match {
+              case Some(c) => keys.join(c.select(col("o_orderkey")),
+                Seq("o_orderkey"), "left_anti")
+              case None => keys
+            }
+            val fromBase = base.join(broadcast(firstTouch),
+                Seq("o_orderkey"), "left_semi")
+              .withColumn("_deleted", lit(false))
+            val oldRows = fromCur match {
+              case Some(c) => c.select(col("o_orderkey"),
+                  col("o_orderstatus"), col("o_totalprice"), col("_deleted"))
+                .unionByName(fromBase.select(col("o_orderkey"),
+                  col("o_orderstatus"), col("o_totalprice"), col("_deleted")))
+              case None => fromBase.select(col("o_orderkey"),
+                col("o_orderstatus"), col("o_totalprice"), col("_deleted"))
+            }
+            // a tombstoned current version contributes nothing to the MV,
+            // so there is nothing to retract for it
+            val delta = oldRows.filter(!col("_deleted"))
+              .select(col("o_orderstatus"), lit(-1L).as("dn"),
+                (-dec(col("o_totalprice"))).as("ds"))
+              .unionByName(latest.filter(!col("_deleted"))
+                .select(col("o_orderstatus"), lit(1L).as("dn"),
+                  dec(col("o_totalprice")).as("ds")))
+              .groupBy(col("o_orderstatus"))
+              .agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+            prevMv.join(delta, Seq("o_orderstatus"), "full_outer")
+              .select(col("o_orderstatus"),
+                (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+                  .as("n"),
+                (coalesce(col("s"), lit(0).cast("decimal(28,2)"))
+                  + coalesce(col("ds"), lit(0).cast("decimal(28,2)")))
+                  .cast("decimal(28,2)").as("s"))
+              .filter(col("n") > 0)
+              .write.mode("overwrite").parquet(s"$root/mv/v$batchId")
+            // roll CURRENT forward: this batch's versions win their keys
+            val curNext = prevCur match {
+              case Some(c) => c.join(broadcast(keys), Seq("o_orderkey"),
+                  "left_anti").unionByName(latest.select(c.columns.map(col)
+                    .toIndexedSeq: _*))
+              case None => latest.drop("_batch_id")
+            }
+            curNext.write.mode("overwrite")
+              .parquet(s"$root/current/v$batchId")
+            ()
+        }
+        .start()
+      try query.awaitTermination() finally query.stop()
+      root
+    })
+
+  /** GRADED: the streamed maintained view after the last batch — same
+    * oracle as the batch [[ordersAggIvm]]: three rounds of per-batch
+    * delta maintenance must land on exactly the from-scratch answer. */
+  def ordersAggIvmStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val root = streamedMvRoot(spark, dir)
+    val last = new java.io.File(s"$root/mv").listFiles
+      .map(_.getName).filter(_.matches("v\\d+"))
+      .map(_.drop(1).toInt).max
+    spark.read.parquet(s"$root/mv/v$last")
+      .select(col("o_orderstatus"), col("n").as("n_orders"),
+        col("s").cast("double").as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "orders_agg_ivm" -> (ordersAggIvm(_, _)))
+    "orders_agg_ivm" -> (ordersAggIvm(_, _)),
+    "orders_agg_ivm_streamed" -> (ordersAggIvmStreamed(_, _)))
 
   /** Oracle: the from-scratch aggregate over [[MergeOnRead]]'s final
     * resolved table — the maintained view must land on exactly this. */
+  private val IvmSql =
+    s"""${MergeOnRead.MorFinalCte}
+       |SELECT o_orderstatus, count(*) AS n_orders,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS total_price
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "orders_agg_ivm" ->
-      s"""${MergeOnRead.MorFinalCte}
-         |SELECT o_orderstatus, count(*) AS n_orders,
-         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-         |    AS total_price
-         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
+    "orders_agg_ivm" -> IvmSql,
+    // same oracle on purpose: per-batch maintenance must land exactly
+    // where the one-shot delta application lands
+    "orders_agg_ivm_streamed" -> IvmSql)
 }

@@ -153,4 +153,30 @@ class MergeOnReadSpec extends SparkSpec {
     val statuses = maintained.map(_.head.asInstanceOf[String])
     assert(Set("U0", "U1", "U2").subsetOf(statuses), statuses.toString)
   }
+
+  test("streaming IVM: every intermediate MV version equals the " +
+    "from-scratch aggregate at that log sequence") {
+    val root = graft.operators.Ivm.streamedMvRoot(spark, sf0001)
+    def scratchAt(seq: Long) = MergeOnRead.snapshotAt(spark, sf0001, seq)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(18,2)"))
+          .cast("decimal(28,2)").as("s"))
+      .collect().map(_.toSeq).toSet
+    for (b <- 0 to 2) {
+      val mv = spark.read.parquet(s"$root/mv/v$b")
+        .select($"o_orderstatus", $"n", $"s".cast("decimal(28,2)"))
+        .collect().map(_.toSeq).toSet
+      assert(mv == scratchAt(b.toLong),
+        s"batch $b MV diverged: +${(mv -- scratchAt(b.toLong)).take(2)}")
+    }
+    // and the current-version state holds exactly the touched keys
+    val cur = spark.read.parquet(s"$root/current/v2")
+    val logKeys = spark.read.parquet(
+      MergeOnRead.deltaLogDir(spark, sf0001))
+      .select($"o_orderkey").distinct().count()
+    assert(cur.select($"o_orderkey").distinct().count() == logKeys)
+    assert(cur.groupBy($"o_orderkey").count().filter($"count" > 1)
+      .count() == 0, "current state must hold ONE version per key")
+  }
 }

@@ -77,8 +77,97 @@ object Integrity {
       .orderBy("bucket")
   }
 
+  // ----------------------------------------------------------------
+  // ANTI-ENTROPY REPAIR — the remediation half of the integrity tier:
+  // detect (bucket diff) → localize (mismatched buckets only) →
+  // repair (rewrite ONLY the damaged partitions from source, via
+  // dynamic partition overwrite) → re-audit. The DynamoDB/Cassandra
+  // anti-entropy loop expressed on a parquet lake: data movement is
+  // O(damaged bucket), never O(table). One-time state per (JVM,
+  // corpus): a bucket-partitioned replica written WITH deterministic
+  // damage (a md5-classed quarter of bucket 5 dropped — the md5-slice
+  // idiom, so the oracle knows exactly what was lost), the PRE-repair
+  // diff persisted, then the repair applied in place. The graded
+  // query re-audits LIVE: its `is_match_after` column can only be
+  // all-true (and hash-match the oracle) if the repair actually
+  // restored the content.
+  // ----------------------------------------------------------------
+
+  private val repairStates =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("bucket", pmod(col("o_orderkey"), lit(Buckets.toLong)))
+
+  /** Damage rule: bucket 5 loses its md5-hex-0-3 quarter. */
+  private def damaged: Column =
+    col("bucket") === 5L &&
+      substring(md5(col("o_orderkey").cast("string")), 1, 1)
+        .isin("0", "1", "2", "3")
+
+  /** Builds (replicaDir, preDiffDir) once per (JVM, corpus): damaged
+    * replica → pre-diff vs source → localized dynamic-partition-
+    * overwrite repair. */
+  private[graft] def repairState(spark: SparkSession,
+      sfDir: String): (String, String) =
+    repairStates.computeIfAbsent(sfDir, { _ =>
+      val replica = graft.Tables.scratchDir("graft_repair_copy_")
+        .getAbsolutePath
+      val preDiff = graft.Tables.scratchDir("graft_repair_prediff_")
+        .getAbsolutePath
+      val src = withBucket(Tables(spark, sfDir, "orders"))
+      // the replica ships damaged: one bucket's quarter never arrives
+      src.filter(!damaged)
+        .write.mode("overwrite").partitionBy("bucket").parquet(replica)
+      // DETECT + LOCALIZE: bucket-granularity diff, persisted so the
+      // graded query can report the pre-repair state after the repair
+      val pre = bucketSummary(src.drop("bucket"))
+        .withColumnsRenamed(Map("n" -> "n_src", "checksum" -> "sum_src"))
+        .join(bucketSummary(spark.read.parquet(replica).drop("bucket"))
+          .withColumnsRenamed(Map("n" -> "n_copy", "checksum" -> "sum_copy")),
+          Seq("bucket"), "full")
+      pre.write.mode("overwrite").parquet(preDiff)
+      val damagedBuckets = spark.read.parquet(preDiff)
+        .filter(!(col("n_src") <=> col("n_copy"))
+          || !(col("sum_src") <=> col("sum_copy")))
+        .select(col("bucket")).collect().map(_.getLong(0))
+      // REPAIR: rewrite ONLY the damaged partitions from source —
+      // dynamic overwrite touches just the partitions present in the
+      // written data (session clone keeps the conf out of the caller)
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      withBucket(Tables(ss, sfDir, "orders"))
+        .filter(col("bucket").isin(damagedBuckets.toIndexedSeq: _*))
+        .write.mode("overwrite").partitionBy("bucket").parquet(replica)
+      (replica, preDiff)
+    })
+
+  /** GRADED: per-bucket repair audit — what was lost (real pre-repair
+    * measurements), and a LIVE post-repair re-audit. */
+  def ordersRepairAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val (replica, preDiff) = repairState(spark, sfDir)
+    val pre = spark.read.parquet(preDiff)
+      .select(col("bucket"), col("n_src"),
+        (!(col("n_src") <=> col("n_copy"))
+          || !(col("sum_src") <=> col("sum_copy"))).as("was_damaged"),
+        (col("n_src") - col("n_copy")).as("n_dropped"))
+    val post = bucketSummary(Tables(spark, sfDir, "orders"))
+      .withColumnsRenamed(Map("n" -> "n_src2", "checksum" -> "sum_src2"))
+      .join(bucketSummary(spark.read.parquet(replica).drop("bucket"))
+        .withColumnsRenamed(Map("n" -> "n_rep", "checksum" -> "sum_rep")),
+        Seq("bucket"), "full")
+      .select(col("bucket"),
+        (col("n_src2") <=> col("n_rep")
+          && col("sum_src2") <=> col("sum_rep")).as("is_match_after"))
+    pre.join(post, Seq("bucket"))
+      .select(col("bucket"), col("n_src"), col("was_damaged"),
+        col("n_dropped"), col("is_match_after"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "orders_integrity_diff" -> (ordersIntegrityDiff(_, _)))
+    "orders_integrity_diff" -> (ordersIntegrityDiff(_, _)),
+    "orders_repair_audit" -> (ordersRepairAudit(_, _)))
 
   /** DuckDB twin: both sides derive from `orders` — Spark's copy side
     * can only match if compaction preserved the exact row multiset. */
@@ -104,5 +193,22 @@ object Integrity {
          |  a.checksum AS sum_src, b.checksum AS sum_copy,
          |  (a.n = b.n AND a.checksum = b.checksum) AS is_match
          |FROM s a JOIN s b USING (bucket)
-         |ORDER BY bucket""".stripMargin)
+         |ORDER BY bucket""".stripMargin,
+    // the oracle STATES the damage rule and asserts full repair; the
+    // Spark side MEASURES both — pre-diff detection must localize to
+    // exactly the damaged bucket and the live re-audit must come back
+    // clean for the hashes to meet
+    "orders_repair_audit" ->
+      s"""WITH s AS (
+         |  SELECT o_orderkey % $Buckets AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_src,
+         |    CAST(sum(CASE WHEN o_orderkey % $Buckets = 5
+         |      AND substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+         |        IN ('0', '1', '2', '3')
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |  FROM orders GROUP BY 1)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, n_src,
+         |  n_dropped > 0 AS was_damaged, n_dropped,
+         |  TRUE AS is_match_after
+         |FROM s ORDER BY bucket""".stripMargin)
 }

@@ -30,7 +30,10 @@ object PlanDump {
     "hourly_counts_gapfilled", "incremental_dedup_maintained",
     "orders_merge_on_read", "orders_mor_compacted", "session_stats_fmgws",
     "zorder_prune_ratio", "orders_evolved_agg", "value_drift_tv",
-    "source_mix_apportion", "orders_column_stats", "join_card_estimate")
+    "source_mix_apportion", "orders_column_stats", "join_card_estimate",
+    "orders_agg_ivm", "doc_pack_chunks", "pii_redaction",
+    "value_trend_ols", "neardup_pagerank", "orders_dpp_join",
+    "basket_pairs")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

@@ -39,6 +39,32 @@ object Joins {
         count(lit(1)).as("n_orders"))
       .orderBy("n_name")
 
+  /** J1 STRATEGY CONTROL: the same fact⋈fact revenue join forced to a
+    * SHUFFLED HASH join via the `shuffle_hash` hint — the third join
+    * strategy on the graded path next to broadcast (J2) and the
+    * bucketed sort-merge (`revenue_bucketed`). Why the knob exists at
+    * 100 TB: when both sides are too big to broadcast but one side's
+    * PER-PARTITION slice fits executor memory, SHJ skips the two full
+    * sorts a sort-merge join pays (the dominant cost when neither
+    * side is pre-sorted); the trade is an OOM-prone build side, which
+    * is why it is a HINT and not the default (`preferSortMergeJoin`).
+    * Hints survive AQE re-planning; `PlanAuditSpec` asserts the
+    * physical plan contains ShuffledHashJoin and no SortMergeJoin.
+    * Same oracle as `revenue_by_nation` — strategy choice must be
+    * result-invariant. */
+  def revenueShuffleHash(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").hint("shuffle_hash")
+    val o = Tables(spark, dir, "orders")
+    val n = Tables(spark, dir, "nation")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        moneySum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+  }
+
   /** S1+ on the GRADED path: the identical revenue query resolved
     * through the SESSION CATALOG (`spark.table`) instead of parquet
     * paths — the north-star "Spark SQL over registered tables" surface
@@ -337,6 +363,7 @@ object Joins {
     "asof_order_within_30d" -> (asofOrderWithin30d _),
     "asof_daily_order_gap" -> (asofDailyOrderGap _),
     "revenue_by_nation"  -> (revenueByNation _),
+    "revenue_shuffle_hash" -> (revenueShuffleHash _),
     "urgent_by_segment"  -> (urgentBySegment _),
     "dormant_by_segment" -> (dormantBySegment _),
     "latest_order_per_customer" -> (latestOrderPerCustomer _),
@@ -421,6 +448,16 @@ object Joins {
         |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.day_ts
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "revenue_by_nation" ->
+      """SELECT n.n_name AS n_name,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // join STRATEGY is a Spark-side concern — same oracle on purpose:
+    // the shuffled-hash plan must be result-invariant
+    "revenue_shuffle_hash" ->
       """SELECT n.n_name AS n_name,
         |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  count(*) AS n_orders

@@ -275,4 +275,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(r.getString(2) == "$1,234,568")
     assert(r.getDouble(3) == 3.0)
   }
+
+  test("revenue_shuffle_hash: the hint forces a ShuffledHashJoin for " +
+    "the fact join; results match the default plan") {
+    val hinted = graft.operators.Joins.revenueShuffleHash(spark, sf0001)
+    hinted.collect()
+    val plan = hinted.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val default = graft.operators.Joins.revenueByNation(spark, sf0001)
+    assert(hinted.collect().map(_.toSeq).toSeq ==
+      default.collect().map(_.toSeq).toSeq)
+  }
 }

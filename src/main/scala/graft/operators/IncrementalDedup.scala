@@ -432,19 +432,68 @@ object IncrementalDedup {
       // classification against the GROWN file set.
       val v1 = verdicts(spark, dir).filter(batchPred(Batch1Hex))
       val b2Idx = incIdx.filter(batchPred(Batch2Hex))
-      val delta = grownDeltaMemo.computeIfAbsent(dir, { _ =>
-        val f = Tables.scratchDir("graft_dedup_idx_delta_")
-        incIdx.filter(batchPred(Batch1Hex))
-          .join(v1.filter(col("verdict") === "new").select("doc_id"),
-            Seq("doc_id"), "left_semi")
-          .write.mode("overwrite").parquet(f.getAbsolutePath)
-        f.getAbsolutePath
-      })
+      val delta = grownDeltaPath(spark, dir)
       val v2 = classifyFromIndexes(spark,
         docs.filter(batchPred(Batch2Hex)),
         b2Idx, spark.read.parquet(indexPath(spark, dir), delta))
       perSourceStats(v1, 1).unionByName(perSourceStats(v2, 2))
         .orderBy("batch", "source")
+    }
+
+  /** Day-1 admits' index rows as the grown index's delta file set,
+    * built once per (JVM, dir) — shared by the maintained query and
+    * the index-compaction variant. */
+  private[graft] def grownDeltaPath(spark: SparkSession, dir: String): String =
+    grownDeltaMemo.computeIfAbsent(dir, { _ =>
+      val f = Tables.scratchDir("graft_dedup_idx_delta_")
+      val incIdx = spark.read.parquet(incIndexPath(spark, dir))
+      val v1 = verdicts(spark, dir).filter(batchPred(Batch1Hex))
+      incIdx.filter(batchPred(Batch1Hex))
+        .join(v1.filter(col("verdict") === "new").select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .write.mode("overwrite").parquet(f.getAbsolutePath)
+      f.getAbsolutePath
+    })
+
+  // compacted grown index, once per (JVM, dir)
+  private val compactedIdxMemo = new ConcurrentHashMap[String, String]()
+
+  /** INDEX COMPACTION — the maintenance pass the delta-append strategy
+    * eventually needs: every appended batch adds small delta files, and
+    * after enough days the index's file set fragments (the classic
+    * small-file problem, now on the INDEX table). The fold reads
+    * base ∪ delta and rewrites it as few doc_id-range-sorted files
+    * (the [[Compaction]] zone-map layout applied to index rows) — after
+    * which the deltas retire. O(index) rewrite, amortized across many
+    * appends; never touches document text. */
+  private[graft] def compactedIndexPath(spark: SparkSession,
+      dir: String): String =
+    compactedIdxMemo.computeIfAbsent(dir, { _ =>
+      val f = Tables.scratchDir("graft_dedup_idx_compacted_")
+      spark.read.parquet(indexPath(spark, dir), grownDeltaPath(spark, dir))
+        .repartitionByRange(2, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(f.getAbsolutePath)
+      f.getAbsolutePath
+    })
+
+  /** GRADED `incremental_dedup_compacted`: day-2 classification
+    * against the COMPACTED grown index — same verdicts as against the
+    * fragmented base ∪ delta file set (the fold must be a pure layout
+    * change, the [[MergeOnRead.ordersMorCompacted]] discipline applied
+    * to the dedup index). */
+  def incrementalDedupCompacted(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|incremental_dedup_compact|$dir",
+      ttlSeconds = 300) {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val incIdx = spark.read.parquet(incIndexPath(spark, dir))
+      val v2 = classifyFromIndexes(spark,
+        docs.filter(batchPred(Batch2Hex)),
+        incIdx.filter(batchPred(Batch2Hex)),
+        spark.read.parquet(compactedIndexPath(spark, dir)))
+      perSourceStats(v2, 2).orderBy("source")
     }
 
   /** N1/N2 incremental dedup, membership level: each incoming doc's
@@ -479,7 +528,8 @@ object IncrementalDedup {
     "incremental_dedup"            -> (incrementalDedupStats _),
     "incremental_dedup_docs"       -> (incrementalDedupDocs _),
     "incremental_dedup_indexed"    -> (incrementalDedupIndexed _),
-    "incremental_dedup_maintained" -> (incrementalDedupMaintained _))
+    "incremental_dedup_maintained" -> (incrementalDedupMaintained _),
+    "incremental_dedup_compacted"  -> (incrementalDedupCompacted _))
 
   /** DuckDB hex-prefix predicate on a doc id reference. */
   private def hexPred(ref: String, hexes: Seq[String]): String =
@@ -579,28 +629,43 @@ object IncrementalDedup {
     * admit rule (verdict 'new'), day 2 (hex '1') vs base ∪ admitted —
     * the same grown-corpus semantics the Spark side executes via the
     * parquet-append index. */
-  private[graft] val maintainedOracle: String = {
-    def statsSel(batch: Int, v: String): String =
-      s"""SELECT $batch AS batch, source, count(*) AS n_incoming,
-         |  CAST(sum(CASE WHEN verdict = 'exact' THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_exact,
-         |  CAST(sum(CASE WHEN verdict = 'near' THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_near,
-         |  CAST(sum(CASE WHEN verdict = 'new' THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_new
-         |FROM $v GROUP BY 2""".stripMargin
+  private def statsSel(batch: Int, v: String): String =
+    s"""SELECT $batch AS batch, source, count(*) AS n_incoming,
+       |  CAST(sum(CASE WHEN verdict = 'exact' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exact,
+       |  CAST(sum(CASE WHEN verdict = 'near' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_near,
+       |  CAST(sum(CASE WHEN verdict = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_new
+       |FROM $v GROUP BY 2""".stripMargin
+
+  /** The two-stage CTE chain ending at v1 (day 1 vs base) and v2
+    * (day 2 vs base ∪ admitted) — shared by the maintained oracle and
+    * the compacted-index oracle. */
+  private def twoStageCtes: String =
     sharedCtes + ",\n" +
       stageCtes("1", r => hexPred(r, Seq(Batch1Hex)),
         r => s"NOT ${incPred(r)}") + ",\n" +
       s"adm AS (SELECT doc_id FROM v1 WHERE verdict = 'new'),\n" +
       stageCtes("2", r => hexPred(r, Seq(Batch2Hex)),
-        r => s"(NOT ${incPred(r)} OR $r IN (SELECT doc_id FROM adm))") + "\n" +
+        r => s"(NOT ${incPred(r)} OR $r IN (SELECT doc_id FROM adm))")
+
+  private[graft] val maintainedOracle: String =
+    twoStageCtes + "\n" +
       s"""SELECT * FROM (
          |${statsSel(1, "v1")}
          |UNION ALL
          |${statsSel(2, "v2")})
          |ORDER BY batch, source""".stripMargin
-  }
+
+  /** Day-2-only oracle for the compacted-index variant — identical
+    * grown-corpus semantics; the Spark side reads the folded single
+    * file set, so a hash match proves the fold pure layout. */
+  private[graft] val compactedOracle: String =
+    twoStageCtes + "\n" +
+      s"""SELECT * FROM (
+         |${statsSel(2, "v2")})
+         |ORDER BY source""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "incremental_dedup_docs" ->
@@ -610,5 +675,6 @@ object IncrementalDedup {
     // same oracle on purpose: the graded claim is that the index-backed
     // plan is result-identical to the inline classifier
     "incremental_dedup_indexed" -> statsOracle,
-    "incremental_dedup_maintained" -> maintainedOracle)
+    "incremental_dedup_maintained" -> maintainedOracle,
+    "incremental_dedup_compacted"  -> compactedOracle)
 }

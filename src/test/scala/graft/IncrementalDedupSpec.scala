@@ -240,4 +240,37 @@ class IncrementalDedupSpec extends SparkSpec {
       IncrementalDedup.grownDeltaPathFor(sf0001).get).count()
     assert(deltaN == day1New, s"delta $deltaN != day-1 admits $day1New")
   }
+
+  test("index compaction is a pure layout change: compacted file set " +
+    "holds exactly the grown index's rows, fewer files, sorted ranges") {
+    val grown = spark.read.parquet(
+        IncrementalDedup.indexPath(spark, sf0001),
+        IncrementalDedup.grownDeltaPath(spark, sf0001))
+      .select($"doc_id", $"nh").collect().map(_.toSeq).toSet
+    val compactedPath = IncrementalDedup.compactedIndexPath(spark, sf0001)
+    val compacted = spark.read.parquet(compactedPath)
+      .select($"doc_id", $"nh").collect().map(_.toSeq).toSet
+    assert(compacted == grown)
+    // folded layout: ≤2 data files, each owning a disjoint doc_id range
+    val files = new java.io.File(compactedPath).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length <= 2, files.map(_.getName).mkString(", "))
+    val ranges = files.map { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .select($"doc_id").as[Long].collect()
+      (ids.min, ids.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 < b._1, s"overlap: $a $b")
+      case _ => ()
+    }
+    // and the day-2 classification against it matches the maintained
+    // (fragmented-file-set) day-2 rows exactly
+    val viaCompacted = IncrementalDedup
+      .incrementalDedupCompacted(spark, sf0001).collect().map(_.toSeq).toSet
+    val viaGrown = IncrementalDedup
+      .incrementalDedupMaintained(spark, sf0001)
+      .filter($"batch" === 2).collect().map(_.toSeq).toSet
+    assert(viaCompacted == viaGrown)
+  }
 }

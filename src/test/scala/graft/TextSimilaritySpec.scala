@@ -430,4 +430,25 @@ class TextSimilaritySpec extends SparkSpec {
     val sims = topk.map(_.getAs[Double]("cosine_sim"))
     assert(sims.sameElements(sims.sorted.reverse))
   }
+
+  test("phrase_search ≡ driver-side sliding-window recount") {
+    val rows = TextOps.phraseSearch(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.nonEmpty, "phrase absent at sf0.001 — pick another")
+    val expected = Tables(spark, sf0001, "documents")
+      .select($"source", $"text").collect()
+      .map { r =>
+        val occ = r.getString(1).split(" ").sliding(2).count(w =>
+          w.length == 2 && w(0) == TextOps.PhraseTerms(0)
+            && w(1) == TextOps.PhraseTerms(1))
+        (r.getString(0), occ)
+      }
+      .filter(_._2 > 0)
+      .groupBy(_._1)
+      .map { case (src, hits) =>
+        (src, hits.length.toLong, hits.map(_._2.toLong).sum)
+      }.toSet
+    assert(rows == expected,
+      s"diff: +${(rows -- expected).take(3)} -${(expected -- rows).take(3)}")
+  }
 }

@@ -33,7 +33,8 @@ object PlanDump {
     "source_mix_apportion", "orders_column_stats", "join_card_estimate",
     "orders_agg_ivm", "doc_pack_chunks", "pii_redaction",
     "value_trend_ols", "neardup_pagerank", "orders_dpp_join",
-    "basket_pairs")
+    "basket_pairs", "orders_repair_audit", "revenue_shuffle_hash",
+    "incremental_dedup_compacted", "phrase_search")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

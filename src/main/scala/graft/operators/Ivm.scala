@@ -124,7 +124,11 @@ object Ivm {
       val feed = MergeOnRead.feedDir(spark, dir)
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
+      // base is consulted once per batch (first-touch retraction
+      // lookups) plus the init aggregate — persist it across the loop
       val base = Tables(ss, dir, "orders")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       // v-1: the MV before any batch = the stored base aggregate
       base.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("s"))
@@ -204,6 +208,7 @@ object Ivm {
         }
         .start()
       try query.awaitTermination() finally query.stop()
+      } finally { base.unpersist(); () }
       root
     })
 

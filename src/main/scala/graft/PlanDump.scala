@@ -34,7 +34,8 @@ object PlanDump {
     "orders_agg_ivm", "doc_pack_chunks", "pii_redaction",
     "value_trend_ols", "neardup_pagerank", "orders_dpp_join",
     "basket_pairs", "orders_repair_audit", "revenue_shuffle_hash",
-    "incremental_dedup_compacted", "phrase_search")
+    "incremental_dedup_compacted", "phrase_search",
+    "daily_users_rolling_hll")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

@@ -93,6 +93,52 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** A6+ SKETCH RE-AGGREGATION — the pre-aggregated-rollup pattern that
+    * makes HLL the 100 TB distinct answer: per-DAY sketches are
+    * computed ONCE ([[graft.plans.HllState]] — 256-byte register blobs,
+    * the rollup table a warehouse persists), and the 3-day rolling
+    * distinct-user series is answered by MERGING stored sketches
+    * ([[graft.plans.HllMerge]], elementwise-max union — associative,
+    * commutative, idempotent, so any regrouping is exact w.r.t. the
+    * sketch) over a calendar RANGE window of the day-granularity frame.
+    * The raw corpus is touched exactly once; every window estimate
+    * costs 3 blob merges. The EXACT twin sits beside it — computed by
+    * tripling each event into the windows it serves (map-side explode,
+    * then one distinct aggregate), the shape whose cost is why the
+    * sketch path exists — so accuracy is graded per window, and the
+    * estimate column is pinned by the spec-exact chain (same discipline
+    * as `hll_users`/`orders_ndv_approx`). */
+  def dailyUsersRollingHll(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.SketchFunctions.register(spark)
+    val e = Tables(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = e.groupBy(col("day"))
+      .agg(expr("hll_state(CAST(user_id AS STRING))").as("sk"))
+      .withColumn("day_num",
+        datediff(col("day"), lit("2024-01-01").cast("date")))
+    // calendar range, not row offsets: a day absent from the frame
+    // must not stretch the window (day-granularity rows — the window
+    // runs over |days| rows, corpus-size-independent)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day_num")).rangeBetween(-2, 0)
+    val rolled = daily
+      .withColumn("h", expr("hll_merge(sk)").over(w))
+    val days = daily.select(col("day"))
+    // exact twin: event on day d serves windows d, d+1, d+2 (explode
+    // ×3 map-side, keep real days, one distinct aggregate)
+    val exact = e
+      .select(explode(array(col("day"), date_add(col("day"), 1),
+        date_add(col("day"), 2))).as("day"), col("user_id"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("exact_rolling_users"))
+    rolled.join(exact, Seq("day"))
+      .select(col("day"), col("exact_rolling_users"),
+        graft.functions.ScalarFns.roundN(col("h.estimate"), 2)
+          .as("hll_rolling_users"))
+      .orderBy("day")
+  }
+
   /** Data-quality outlier detection: per-type z-scores with mean and
     * variance derived from EXACT decimal sums (Σx, Σx²), so the stats —
     * and therefore the flagged set — are independent of partition
@@ -226,6 +272,7 @@ object EventOps {
     "json_props"         -> (jsonProps _),
     "session_stats"      -> (sessionStats _),
     "hll_users"          -> (hllUsers _),
+    "daily_users_rolling_hll" -> (dailyUsersRollingHll _),
     "approx_users"       -> (approxUsers _))
 
   /** DuckDB twin of the HLL spec in [[graft.plans.HllSketch]]: nibble
@@ -235,14 +282,18 @@ object EventOps {
   /** Exposed to [[graft.streaming.StreamReplay]]: the streamed HLL query
     * reuses this whole oracle as a subquery so the sketch spec exists
     * in exactly one SQL rendering. */
+  /** Shared DuckDB rebuild pieces of the HLL spec (nibble decode +
+    * leading-zero cases) — used by [[hllOracle]] and the rolling
+    * re-aggregation oracle. */
+  private val nibDefs = (1 to 18).map(i =>
+    s"instr('0123456789abcdef', substr(h, $i, 1)) - 1 AS n$i")
+    .mkString(",\n      ")
+  private val lzCases = (3 to 18).map(i =>
+    s"WHEN n$i > 0 THEN ${4 * (i - 3)} + (CASE WHEN n$i >= 8 THEN 0" +
+      s" WHEN n$i >= 4 THEN 1 WHEN n$i >= 2 THEN 2 ELSE 3 END)")
+    .mkString("\n        ")
+
   private[graft] val hllOracle: String = {
-    val nibDefs = (1 to 18).map(i =>
-      s"instr('0123456789abcdef', substr(h, $i, 1)) - 1 AS n$i")
-      .mkString(",\n      ")
-    val lzCases = (3 to 18).map(i =>
-      s"WHEN n$i > 0 THEN ${4 * (i - 3)} + (CASE WHEN n$i >= 8 THEN 0" +
-        s" WHEN n$i >= 4 THEN 1 WHEN n$i >= 2 THEN 2 ELSE 3 END)")
-      .mkString("\n        ")
     s"""WITH hx AS (
        |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
        |  WHERE user_id IS NOT NULL),
@@ -281,7 +332,60 @@ object EventOps {
        |FROM est ORDER BY event_type""".stripMargin
   }
 
+  /** Rolling re-aggregation oracle: register max over each window's
+    * RAW rows — elementwise-max of per-day register maxima equals max
+    * over the union (associativity), so rebuilding from raw rows per
+    * window states exactly what merging stored sketches must equal. */
+  private[graft] val rollingHllOracle: String =
+    s"""WITH e AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+       |  FROM events WHERE user_id IS NOT NULL),
+       |days AS (SELECT DISTINCT day FROM e),
+       |win AS (
+       |  SELECT d.day, e.user_id FROM days d
+       |  JOIN e ON e.day >= d.day - 2 AND e.day <= d.day),
+       |ex AS (
+       |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT)
+       |    AS exact_rolling_users
+       |  FROM win GROUP BY 1),
+       |hx AS (SELECT day, md5(CAST(user_id AS VARCHAR)) AS h FROM win),
+       |nib AS (
+       |  SELECT day,
+       |      $nibDefs
+       |  FROM hx),
+       |br AS (
+       |  SELECT day, n1 * 16 + n2 AS bucket,
+       |    1 + (CASE
+       |        $lzCases
+       |        ELSE 64 END) AS rho
+       |  FROM nib),
+       |reg AS (SELECT day, bucket, max(rho) AS mx FROM br GROUP BY 1, 2),
+       |regs AS (
+       |  SELECT d.day, gs.j, coalesce(r.mx, 0) AS mreg
+       |  FROM days d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS j) gs
+       |  LEFT JOIN reg r ON r.day = d.day AND r.bucket = gs.j),
+       |agg AS (
+       |  SELECT day,
+       |    list_reduce(list_transform(list(mreg ORDER BY j),
+       |      x -> power(2.0, -CAST(x AS DOUBLE))), (a, b) -> a + b)
+       |      AS sum_pow,
+       |    sum(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS n_zero
+       |  FROM regs GROUP BY 1),
+       |est AS (
+       |  SELECT day, n_zero, sum_pow,
+       |    (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / sum_pow
+       |      AS e_raw
+       |  FROM agg)
+       |SELECT est.day, ex.exact_rolling_users,
+       |  ${graft.functions.ScalarFns.roundSql(
+          "CASE WHEN e_raw <= 2.5 * 256.0 AND n_zero > 0" +
+          " THEN 256.0 * ln(256.0 / n_zero) ELSE e_raw END", 2)}
+       |    AS hll_rolling_users
+       |FROM est JOIN ex ON est.day = ex.day ORDER BY est.day""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "daily_users_rolling_hll" -> rollingHllOracle,
     // renamed from hourly_gap_fill (r6 advice: too close to the
     // pre-existing hourly_gapfill_ma)
     "hourly_counts_gapfilled" ->

@@ -150,12 +150,135 @@ case class HllSketch(
     copy(child = newChild)
 }
 
+/** The STORED-sketch emitter — same fold as [[HllSketch]], but `eval`
+  * returns the raw 256-byte register buffer (BinaryType) instead of
+  * the estimate: the daily/partition sketch a pre-aggregated rollup
+  * table persists. Pair with [[HllMerge]] to re-aggregate stored
+  * sketches over any superset grouping (the mergeability that makes
+  * HLL the 100 TB distinct-count answer: compute per day ONCE, answer
+  * any date-range question from 256-byte rows). */
+case class HllState(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hll_state expects a STRING key (cast explicitly), got ${other.simpleString}")
+    }
+
+  override def createAggregationBuffer(): Array[Byte] = Hll.emptyRegisters
+
+  @transient private lazy val md5 = MessageDigest.getInstance("MD5")
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) Hll.add(buf, md5, v.asInstanceOf[UTF8String].getBytes)
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    Hll.mergeInto(b1, b2)
+
+  // clone: Spark owns returned/handed arrays (see HllSketch note)
+  override def eval(buf: Array[Byte]): Any = buf.clone()
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_state"
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllState =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllState =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): HllState =
+    copy(child = newChild)
+}
+
+/** Sketch RE-AGGREGATION: consumes [[HllState]] blobs (elementwise-max
+  * union — HLL's register merge is associative, commutative and
+  * idempotent, so any regrouping of stored sketches is exact w.r.t.
+  * the sketch) and emits the same estimate struct as [[HllSketch]].
+  * `hll_merge(hll_state(x)) ≡ hll_sketch(x)` by construction
+  * (HllSketchSpec pins it). */
+case class HllMerge(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hll_merge expects a BINARY hll_state sketch, got ${other.simpleString}")
+    }
+
+  override def createAggregationBuffer(): Array[Byte] = Hll.emptyRegisters
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val blob = v.asInstanceOf[Array[Byte]]
+      require(blob.length == Hll.m,
+        s"hll_merge: sketch must be ${Hll.m} bytes, got ${blob.length}")
+      Hll.mergeInto(buf, blob)
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    Hll.mergeInto(b1, b2)
+
+  override def eval(buf: Array[Byte]): Any = {
+    val (est, zeros, sumPow) = Hll.estimate(buf)
+    new GenericInternalRow(Array[Any](est, zeros, sumPow))
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("estimate", DoubleType, nullable = false),
+    StructField("n_zero", LongType, nullable = false),
+    StructField("sum_pow", DoubleType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_merge"
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllMerge =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllMerge =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): HllMerge =
+    copy(child = newChild)
+}
+
 object SketchFunctions {
-  /** Register `hll_sketch` (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Register `hll_sketch` + the stored-sketch pair (idempotent). */
+  def register(spark: SparkSession): Unit = {
     Registry.registerOnce(spark, "hll_sketch", { exprs =>
       require(exprs.length == 1,
         s"hll_sketch takes exactly 1 argument, got ${exprs.length}")
       HllSketch(exprs.head)
     })
+    Registry.registerOnce(spark, "hll_state", { exprs =>
+      require(exprs.length == 1,
+        s"hll_state takes exactly 1 argument, got ${exprs.length}")
+      HllState(exprs.head)
+    })
+    Registry.registerOnce(spark, "hll_merge", { exprs =>
+      require(exprs.length == 1,
+        s"hll_merge takes exactly 1 argument, got ${exprs.length}")
+      HllMerge(exprs.head)
+    })
+  }
 }

@@ -108,4 +108,40 @@ class HllSketchSpec extends SparkSpec {
     assert(df(0).getDouble(1) > 1.5 && df(0).getDouble(1) < 2.5) // ~2 distinct
     assert(df(1).getDouble(1) == 0.0) // all-null group → linear count of m/m
   }
+
+  test("sketch re-aggregation: hll_merge(hll_state(x)) ≡ hll_sketch(x) " +
+    "under ANY regrouping") {
+    graft.plans.SketchFunctions.register(spark)
+    val e = Tables(spark, sf0001, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("user_id").cast("string").as("k"))
+    // direct: one sketch over each type
+    val direct = e.groupBy("event_type")
+      .agg(expr("hll_sketch(k)").as("h"))
+      .select(col("event_type"), col("h.estimate"), col("h.n_zero"),
+        col("h.sum_pow"))
+      .collect().map(_.toSeq).toSet
+    // re-aggregated: per-(type, day) stored sketches, merged per type
+    val merged = e.groupBy("event_type", "day")
+      .agg(expr("hll_state(k)").as("sk"))
+      .groupBy("event_type")
+      .agg(expr("hll_merge(sk)").as("h"))
+      .select(col("event_type"), col("h.estimate"), col("h.n_zero"),
+        col("h.sum_pow"))
+      .collect().map(_.toSeq).toSet
+    assert(merged == direct,
+      s"re-aggregation diverged: +${(merged -- direct).take(2)}")
+    // and merging is idempotent: merging a sketch with itself changes
+    // nothing (register max)
+    val idem = e.groupBy("event_type")
+      .agg(expr("hll_state(k)").as("sk"))
+      .select(col("event_type"), explode(array(col("sk"), col("sk")))
+        .as("sk"))
+      .groupBy("event_type")
+      .agg(expr("hll_merge(sk)").as("h"))
+      .select(col("event_type"), col("h.estimate"), col("h.n_zero"),
+        col("h.sum_pow"))
+      .collect().map(_.toSeq).toSet
+    assert(idem == direct)
+  }
 }

@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** K-NN GRAPH + MULTI-SOURCE BFS — distributed graph traversal over a
+  * similarity graph, the navigation primitive behind graph-ANN indexes
+  * (NSW-style "greedy walk over a neighborhood graph") and the
+  * "expand from curated seeds" corpus-growth move a training-data
+  * pipeline runs (start from a trusted seed set, pull in everything
+  * within k similarity hops, stop at a hop budget).
+  *
+  * The reference's retrieval surface is point-lookup + segmentation
+  * (`tools.py:49-86`); this generalizes its similarity tier the same
+  * way [[Similarity]]'s components/PageRank queries do — but where
+  * components ask "which docs are transitively connected" and PageRank
+  * asks "which are central", BFS asks the navigational question:
+  * HOW FAR is every vector from the seed set, under a hop cap.
+  *
+  * Two stages, both graded end-to-end by one oracle:
+  *
+  * '''1. kNN-graph build (the edge generator).''' Exact all-pairs kNN
+  * is N² — never built. Instead the graph rides the repo's IVF
+  * machinery: every vector is assigned to its top-2 coarse buckets
+  * (multi-probe assignment, the `cosine_topk_ivf2` move applied to the
+  * DATA side), candidates are pairs sharing ≥1 bucket, and each node
+  * keeps its top-2 candidates by exact cosine (ties to the smaller
+  * neighbor id). Per-bucket population is ~√N (nlist = ⌈√N⌉ scales
+  * with the corpus inside the plan), so candidate volume is O(N·√N) —
+  * and the 2-probe overlap is what stitches neighboring buckets into
+  * one navigable graph instead of √N disconnected cliques. Edges are
+  * symmetrized (an NSW-style undirected neighborhood graph).
+  *
+  * '''2. Frontier BFS (the traversal).''' Textbook BSP/Pregel frontier
+  * expansion: per round, one co-partitioned equi-join
+  * (frontier ⋈ edges), one distinct, one anti-join against the visited
+  * set — every round is shuffle-bounded by the frontier, never the
+  * graph. The loop follows [[Similarity.connectedComponentsLoop]]'s
+  * measured discipline: edges eagerly `localCheckpoint`ed and pinned
+  * at [[Similarity.LoopParts]] partitions on the join key (so the
+  * per-round join never re-shuffles the edge side), per-round visited
+  * frames lazily checkpointed and materialized by the round's SINGLE
+  * driver action (the new frontier count, which doubles as the
+  * early-exit test), previous round's blocks released as the loop
+  * advances, and the final labeling written to scratch parquet and
+  * served as a file scan — fully rebuildable lineage, no driver
+  * collect anywhere.
+  *
+  * Scale: rounds are capped (`maxHops`), each round's state is
+  * O(vertices reached), and the expensive side (edges) is built once,
+  * checkpointed once, and co-partitioned for every round. At 100 TB
+  * the edge build is the dominant cost and it is the already-graded
+  * IVF shape; the traversal itself is the cheap part — exactly why
+  * hop-bounded seed expansion is the production corpus-growth tool.
+  *
+  * Oracle: the full chain — centroids, multi-probe assignment,
+  * bucket-joined candidates, exact-cosine top-2, symmetrized edges —
+  * is re-derived in DuckDB CTEs (same double arithmetic, same
+  * tie-breaks), and the traversal is a `WITH RECURSIVE` walk with a
+  * hop column; `min(hop)` per vertex ≡ BFS distance. Grading the
+  * Spark loop against a recursive-CTE fixpoint pins the iterative
+  * DataFrame program to declarative graph semantics.
+  */
+object GraphOps {
+
+  /** Seed rule: graph vertices with vec_id ≡ 0 (mod SeedMod) — ~1% of
+    * nodes, deterministic, engine-neutral integer arithmetic. */
+  private val SeedMod = 97
+
+  /** Hop budget. At sf0.01 the graph's true eccentricity from the
+    * seed set is 8 — a cap of 6 leaves a non-trivial unreached tail,
+    * so the grade also pins the cap semantics (not just reachability). */
+  private val MaxHops = 6
+
+  /** Symmetrized top-2-per-node kNN edge set (src, dst), built from
+    * IVF multi-probe buckets — O(N·√N) candidates, never N². */
+  private[graft] def knnEdges(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    // top-2 coarse buckets per vector: the multi-probe assignment
+    val wa = Window.partitionBy("vec_id").orderBy(col("s").desc, col("cid"))
+    val assign2 = Similarity.ivfSims(spark, dir)
+      .withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id"), col("cid"))
+    // candidates: distinct ordered pairs sharing any probe bucket.
+    // Self-join on cid: per-bucket population ~2·√N (two probes), so
+    // this is the O(N·√N) candidate generator, not a cross join.
+    val cand = assign2.as("a")
+      .join(assign2.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+    val e = Tables(spark, dir, "embeddings")
+    // exact cosine on candidates only; shuffle joins keyed on vec_id —
+    // the corpus side is never broadcast (it IS the big table)
+    val scored = cand
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
+      .select(col("va"), col("vb"), expr("cosine_sim(ea, eb)").as("cs"))
+    val wk = Window.partitionBy("va").orderBy(col("cs").desc, col("vb"))
+    val knn = scored.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= 2)
+      .select(col("va"), col("vb"))
+    knn.select(col("va").as("src"), col("vb").as("dst"))
+      .unionByName(knn.select(col("vb").as("src"), col("va").as("dst")))
+      .distinct()
+  }
+
+  /** GRADED: min-hop distance from the seed set for every vertex
+    * reached within [[MaxHops]] — (vec_id, hop), hop ∈ [0, MaxHops]. */
+  def knnBfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val P = Similarity.LoopParts
+    // edge side of every round's join: checkpoint ONCE, partitioned on
+    // the join key so rounds re-shuffle only the (small) frontier
+    val edges = knnEdges(spark, dir)
+      .repartition(P, col("src")).localCheckpoint(true)
+    var visited: DataFrame = null
+    var ok = false
+    try {
+      visited = edges.select(col("src").as("vec_id")).distinct()
+        .filter(col("vec_id") % SeedMod === 0)
+        .select(col("vec_id"), lit(0L).as("hop"))
+        .repartition(P, col("vec_id"))
+        .localCheckpoint(true)
+      var frontier = visited.select("vec_id")
+      var frontierN = frontier.count()
+      var h = 1L
+      while (h <= MaxHops && frontierN > 0) {
+        // frontier arrives partitioned (vec_id, P) off the previous
+        // round's checkpoint; edges are checkpoint-partitioned
+        // (src, P): the join is exchange-free on both sides. distinct
+        // + anti-join run on the explicit (vec_id, P) partitioning.
+        val next = frontier
+          .join(edges, frontier("vec_id") === edges("src"))
+          .select(col("dst").as("vec_id"))
+          .repartition(P, col("vec_id")).distinct()
+          .join(visited, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), lit(h).as("hop"))
+        val nv = visited.unionByName(next)
+          .repartition(P, col("vec_id"))
+          .localCheckpoint(false) // lazy: the count below materializes it
+        val prev = visited
+        visited = nv
+        // THE round's single action: materializes the checkpoint and
+        // yields the early-exit signal in one job
+        frontierN = nv.filter(col("hop") === h).count()
+        Similarity.releaseCheckpoint(prev)
+        frontier = nv.filter(col("hop") === h).select("vec_id")
+        h += 1
+      }
+      // serve from scratch parquet: the loop's checkpoint blocks are
+      // released, so the returned frame must not lean on them
+      // (rebuild-on-miss discipline, cf. connectedComponentsLoop)
+      val out = Tables.scratchDir("graft_bfs_hops_")
+      visited.write.mode("overwrite").parquet(out.getAbsolutePath)
+      val served = spark.read.parquet(out.getAbsolutePath)
+        .orderBy(col("vec_id"))
+      ok = true
+      served
+    } finally {
+      Similarity.releaseCheckpoint(edges)
+      if (visited != null)
+        try Similarity.releaseCheckpoint(visited)
+        catch { case _: Throwable => () }
+      if (!ok && visited != null)
+        try visited.unpersist() catch { case _: Throwable => () }
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_bfs_hops" -> (knnBfsHops(_, _)))
+
+  /** DuckDB twin: same IVF multi-probe kNN edge derivation (identical
+    * double arithmetic and tie-breaks), then a recursive hop walk —
+    * min(hop) per vertex is the BFS distance. DISTINCT-over-UNION-ALL
+    * in the edge CTE (not bare UNION): under WITH RECURSIVE DuckDB
+    * gives top-level UNIONs in non-recursive CTEs recursive-union
+    * semantics and duplicates would survive. */
+  val oracles: Map[String, String] = {
+    import Similarity.duckDot
+    def cos(a: String, b: String) =
+      s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+    Map(
+      "knn_bfs_hops" ->
+        s"""WITH RECURSIVE cent AS (
+           |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           |  WHERE vec_id < ceil(sqrt((SELECT count(*) FROM embeddings)))),
+           |sims AS (
+           |  SELECT e.vec_id, c.cid, ${cos("e.embedding", "c.cv")} AS s
+           |  FROM embeddings e CROSS JOIN cent c),
+           |assign AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id
+           |                         ORDER BY s DESC, cid) AS rn
+           |    FROM sims) WHERE rn <= 2),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+           |  FROM assign a JOIN assign b
+           |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+           |scored AS (
+           |  SELECT c.va, c.vb, ${cos("ea.embedding", "eb.embedding")} AS cs
+           |  FROM cand c
+           |  JOIN embeddings ea ON ea.vec_id = c.va
+           |  JOIN embeddings eb ON eb.vec_id = c.vb),
+           |knn AS (
+           |  SELECT va, vb FROM (
+           |    SELECT va, vb,
+           |      row_number() OVER (PARTITION BY va
+           |                         ORDER BY cs DESC, vb) AS rn
+           |    FROM scored) WHERE rn <= 2),
+           |edges AS (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT va AS src, vb AS dst FROM knn
+           |    UNION ALL
+           |    SELECT vb, va FROM knn)),
+           |seeds AS (
+           |  SELECT DISTINCT src AS vec_id FROM edges
+           |  WHERE src % $SeedMod = 0),
+           |walk AS (
+           |  SELECT vec_id, 0 AS hop FROM seeds
+           |  UNION
+           |  SELECT e.dst AS vec_id, w.hop + 1 AS hop
+           |  FROM walk w JOIN edges e ON e.src = w.vec_id
+           |  WHERE w.hop < $MaxHops)
+           |SELECT vec_id, CAST(min(hop) AS BIGINT) AS hop
+           |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+}

@@ -490,7 +490,7 @@ object Similarity {
     * discard, so the truncated lineage is not re-executed in practice;
     * a multi-executor deployment tolerating executor loss would use
     * reliable checkpoints to a shared dir instead). */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[operators] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false); ()
@@ -504,7 +504,7 @@ object Similarity {
     * is rounds × 32-task stages of pure scheduling overhead — MEASURED
     * as the majority of neardup_clusters' bench time (11.8 s of 17 s at
     * sf0.1). A production deployment sizes this to |edges|. */
-  private val LoopParts = 8
+  private[operators] val LoopParts = 8
 
   /** Edge-count gate below which components are solved ON THE DRIVER
     * (union-find over the collected edge list) instead of by the
@@ -1032,7 +1032,7 @@ object Similarity {
     * row_number partition on vec_id. */
   /** vec × centroid cosine scores — shared by assignment (argmax) and
     * multi-probe query routing (top-nprobe). */
-  private def ivfSims(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def ivfSims(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.VectorExpressions.register(spark)
     val e = Tables(spark, dir, "embeddings")
     val nlist = e.agg(ceil(sqrt(count(lit(1)))).as("nlist"))

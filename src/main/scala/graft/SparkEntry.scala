@@ -44,7 +44,7 @@ object SparkEntry {
     Compaction.queries ++ ZOrder.queries ++ BloomIndex.queries ++
     RangeJoin.queries ++ Integrity.queries ++ Formats.queries ++
     MergeOnRead.queries ++ Ivm.queries ++ Packing.queries ++
-    Pii.queries ++ Baskets.queries ++ GraphOps.queries ++
+    Pii.queries ++ Baskets.queries ++ GraphOps.queries ++ Cohorts.queries ++
     Stats.queries ++ Membership.queries ++
     graft.functions.TypedAggs.queries ++
     Multimodal.queries ++ Skew.queries ++ graft.streaming.StreamReplay.queries
@@ -69,7 +69,7 @@ object SparkEntry {
     Compaction.oracles ++ ZOrder.oracles ++ BloomIndex.oracles ++
     RangeJoin.oracles ++ Integrity.oracles ++ Formats.oracles ++
     MergeOnRead.oracles ++ Ivm.oracles ++ Packing.oracles ++
-    Pii.oracles ++ Baskets.oracles ++ GraphOps.oracles ++
+    Pii.oracles ++ Baskets.oracles ++ GraphOps.oracles ++ Cohorts.oracles ++
     Stats.oracles ++ Membership.oracles ++
     graft.functions.TypedAggs.oracles ++
     Multimodal.oracles ++ Skew.oracles ++ graft.streaming.StreamReplay.oracles

@@ -262,8 +262,56 @@ object EventOps {
       .orderBy("hr", "event_type")
   }
 
+  /** SEASONAL VOLUME-ANOMALY MONITOR — the time-pattern twin of
+    * [[valueOutliers]]: where that flags individual event VALUES
+    * against their type's distribution, this flags (day, hour) traffic
+    * CELLS against their hour-of-week baseline — the "why is Tuesday
+    * 3 pm suddenly 2× normal" alert a pipeline health dashboard runs.
+    * Baseline = all same-weekday-same-hour cells the table spans
+    * (weekday via Spark `weekday` ≡ DuckDB `isodow - 1`, both
+    * proleptic-Gregorian).
+    *
+    * The z-test is EXACT INTEGER arithmetic — no float mean/stddev:
+    * cell `cnt` is anomalous at z > 1.5 iff
+    * 4·(cnt·n − s)² > 9·(n·ss − s²) over the baseline's (n, Σ, Σ²) —
+    * the cross-multiplied form of (cnt − s/n)² > (3/2)²·var. Sums ride
+    * decimal(38,0) (HUGEINT in the oracle), exact while every cell
+    * count < 10⁹ and the span < 10⁴ samples per hour-of-week slot —
+    * products then stay < 10²⁶ ≪ 10³⁸. (1.5σ because the synthetic
+    * feed is Poisson-flat; a production threshold would be 3σ — the
+    * arithmetic is the same rational compare.)
+    *
+    * Scale: first aggregate is (day, hour) granularity — map-side
+    * combinable off the scan; the baseline is ≤ 168 rows, broadcast
+    * back. Nothing here is proportional to raw event volume except the
+    * one partial agg. */
+  def hourlyVolumeAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val cells = Tables(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"),
+        hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val base = cells
+      .groupBy(weekday(col("day")).as("wd"), col("hr"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cnt")).as("s"),
+        sum(d38(col("cnt")) * d38(col("cnt"))).as("ss"))
+    val dd = d38(col("cnt")) * d38(col("n")) - d38(col("s"))
+    cells.withColumn("wd", weekday(col("day")))
+      .join(broadcast(base), Seq("wd", "hr"))
+      .filter(col("n") >= 3)
+      .filter(lit(4) * dd * dd >
+        lit(9) * (d38(col("n")) * col("ss") - d38(col("s")) * d38(col("s"))))
+      .select(col("day"), col("hr"), col("cnt"),
+        col("n").as("n_samples"),
+        graft.functions.ScalarFns.roundN(
+          col("s").cast("double") / col("n"), 2).as("expected"))
+      .orderBy(col("day"), col("hr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hourly_counts_gapfilled" -> (hourlyGapFill _),
+    "hourly_volume_anomaly" -> (hourlyVolumeAnomaly _),
     "session_transitions" -> (sessionTransitions _),
     "hourly_gapfill_ma"  -> (hourlyGapfillMa _),
     "value_outliers"     -> (valueOutliers _),
@@ -386,6 +434,27 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "daily_users_rolling_hll" -> rollingHllOracle,
+    // exact rational z-test: weekday ≡ isodow-1, HUGEINT ≡ decimal(38,0)
+    "hourly_volume_anomaly" -> {
+      val dd = "(CAST(c.cnt AS HUGEINT) * b.n - b.s)"
+      s"""WITH cells AS (
+         |  SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS BIGINT) AS hr,
+         |    count(*) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |base AS (
+         |  SELECT isodow(day) - 1 AS wd, hr, count(*) AS n,
+         |    sum(cnt) AS s, sum(CAST(cnt AS HUGEINT) * cnt) AS ss
+         |  FROM cells GROUP BY 1, 2)
+         |SELECT c.day, c.hr, c.cnt, b.n AS n_samples,
+         |  ${graft.functions.ScalarFns.roundSql(
+            "CAST(b.s AS DOUBLE) / b.n", 2)} AS expected
+         |FROM cells c
+         |JOIN base b ON isodow(c.day) - 1 = b.wd AND c.hr = b.hr
+         |WHERE b.n >= 3
+         |  AND 4 * $dd * $dd
+         |      > 9 * (CAST(b.n AS HUGEINT) * b.ss - CAST(b.s AS HUGEINT) * b.s)
+         |ORDER BY 1, 2""".stripMargin
+    },
     // renamed from hourly_gap_fill (r6 advice: too close to the
     // pre-existing hourly_gapfill_ma)
     "hourly_counts_gapfilled" ->

@@ -100,12 +100,75 @@ object Pii {
       .orderBy("source")
   }
 
+  /** K-ANONYMITY AUDIT — the re-identification check that complements
+    * the scanner above: PII redaction strips DIRECT identifiers, but a
+    * row is still re-identifiable when its QUASI-identifier combination
+    * (the attributes an adversary can link from outside data) is rare.
+    * A release is k-anonymous when every quasi-identifier equivalence
+    * class holds ≥ k rows (Sweeney, "k-anonymity: a model for
+    * protecting privacy", IJUFKS 2002). The reference's CRM previews
+    * expose exactly such a tuple — city/state + genre + spend surface
+    * per fan (`tools.py:78`); here the audited quasi-identifier is the
+    * analogous (nation, market segment, account-balance band).
+    *
+    * The audit reports, per nation: equivalence classes, classes below
+    * k = 5, rows in those classes (the suppression set a
+    * k-anonymizer would generalize or drop), and the at-risk
+    * percentage. Scale shape: one partial-agg shuffle at
+    * quasi-identifier granularity, then a nation-level rollup of class
+    * counts — both map-side combinable; no row ever leaves with its
+    * identifier, only class SIZES travel. The balance band is
+    * `floor(c_acctbal / 1000)` — IEEE double floor-division semantics
+    * identical in both engines, negative balances floor toward -∞ in
+    * both. */
+  private val KAnonK = 5
+
+  def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cls = Tables(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("sz"))
+    cls.groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("sz") < KAnonK, 1L).otherwise(0L))
+          .as("n_small_classes"),
+        sum(when(col("sz") < KAnonK, col("sz")).otherwise(0L))
+          .as("rows_at_risk"),
+        sum(col("sz")).as("n_rows"),
+        min(col("sz")).as("min_class_size"))
+      .withColumn("pct_at_risk",
+        graft.functions.ScalarFns.roundN(
+          col("rows_at_risk") * lit(100.0) / col("n_rows"), 2))
+      .orderBy(col("c_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pii_redaction" -> (piiRedaction(_, _)))
+    "pii_redaction" -> (piiRedaction(_, _)),
+    "k_anonymity_audit" -> (kAnonymityAudit(_, _)))
 
   /** DuckDB twin: same augmentation arithmetic, same patterns (RE2
     * side), 'g'-flagged replaces, same wide checksum. */
   val oracles: Map[String, String] = Map(
+    "k_anonymity_audit" ->
+      s"""WITH cls AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         |    count(*) AS sz
+         |  FROM customer GROUP BY 1, 2, 3)
+         |SELECT c_nationkey,
+         |  count(*) AS n_classes,
+         |  CAST(sum(CASE WHEN sz < $KAnonK THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_small_classes,
+         |  CAST(sum(CASE WHEN sz < $KAnonK THEN sz ELSE 0 END) AS BIGINT)
+         |    AS rows_at_risk,
+         |  CAST(sum(sz) AS BIGINT) AS n_rows,
+         |  min(sz) AS min_class_size,
+         |  ${graft.functions.ScalarFns.roundSql(
+            s"sum(CASE WHEN sz < $KAnonK THEN sz ELSE 0 END) * 100.0" +
+              " / sum(sz)", 2)} AS pct_at_risk
+         |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
     "pii_redaction" -> {
       def nib(j: Int) =
         s"(instr('0123456789abcdef', substr(rh, $j, 1)) - 1)"

@@ -287,4 +287,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(hinted.collect().map(_.toSeq).toSeq ==
       default.collect().map(_.toSeq).toSeq)
   }
+
+  test("lineitem_bloom_join: InjectRuntimeFilter pushes might_contain " +
+    "into the probe-side scan of a shuffle join") {
+    val q = graft.operators.Joins.lineitemBloomJoin(spark, sf0001)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    // the filter guards the PROBE side: it hashes l_orderkey (the
+    // lineitem key), not o_orderkey (it rides a FilterExec directly
+    // over the lineitem scan — a subquery-bearing predicate is not
+    // source-pushable, so it is not in the scan's dataFilters)
+    assert(plan.contains("might_contain"), plan)
+    val mc = plan.linesIterator.filter(_.contains("might_contain")).toSeq
+    assert(mc.exists(_.contains("xxhash64(l_orderkey")), mc.mkString("; "))
+    assert(!mc.exists(_.contains("xxhash64(o_orderkey")), mc.mkString("; "))
+  }
 }

@@ -35,7 +35,10 @@ object PlanDump {
     "value_trend_ols", "neardup_pagerank", "orders_dpp_join",
     "basket_pairs", "orders_repair_audit", "revenue_shuffle_hash",
     "incremental_dedup_compacted", "phrase_search",
-    "daily_users_rolling_hll")
+    "daily_users_rolling_hll", "knn_bfs_hops", "cohort_retention",
+    "k_anonymity_audit", "hourly_volume_anomaly", "part_skyline",
+    "lineitem_bloom_join", "spend_deciles", "spend_gini",
+    "orders_cdc_extract")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

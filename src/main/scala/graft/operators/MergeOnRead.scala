@@ -222,10 +222,61 @@ object MergeOnRead {
   def ordersMorAsof(spark: SparkSession, dir: String): DataFrame =
     agg(snapshotAt(spark, dir, 1L))
 
+  /** CDC EXTRACT (snapshot diff) — the INVERSE of the read path above:
+    * merge-on-read turns log → table; this turns a TABLE PAIR → change
+    * feed, the move you need when two snapshots exist but no log does
+    * (cross-system reconciliation, Delta-CDF-style change feeds off
+    * systems that never emitted one). One co-partitioned full outer
+    * join on the key classifies every row: after-side missing → D,
+    * before-side missing → I, attribute drift → U, else no-op. At
+    * 100 TB this is one key-shuffle of each snapshot and map work —
+    * when a log IS available, read it instead (that is the whole
+    * point of [[snapshot]]); the diff is for when it isn't.
+    *
+    * Generic classifier over (k, s, v) snapshots so the spec can
+    * exercise the INSERT arm on the [[Scd]] as-of pair (the MOR feed
+    * updates and deletes but never inserts — its graded I row is
+    * structurally zero, pinned at zero like the contract audit's
+    * clean constraints). */
+  private[graft] def snapshotDiff(before: DataFrame,
+      after: DataFrame): DataFrame = {
+    val b = before.select(col("k"), col("s").as("bs"), col("v").as("bv"))
+    val a = after.select(col("k"), col("s").as("as_"), col("v").as("av"))
+    b.join(a, Seq("k"), "full_outer")
+      .withColumn("op",
+        when(col("as_").isNull, lit("D"))
+          .when(col("bs").isNull, lit("I"))
+          .when(col("bs") =!= col("as_") || col("bv") =!= col("av"),
+            lit("U"))
+          .otherwise(lit("N")))
+      .filter(col("op") =!= "N")
+  }
+
+  /** GRADED: the change feed between original `orders` and the
+    * fully-resolved MOR snapshot, rolled up per (op, after-status):
+    * row counts, a key-membership checksum (the [[Integrity]]
+    * discipline — the hash pins WHICH rows changed, not just how
+    * many), and the exact decimal price delta the feed carries. */
+  def ordersCdcExtract(spark: SparkSession, dir: String): DataFrame = {
+    def kv(df: DataFrame) = df.select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("s"), col("o_totalprice").as("v"))
+    val d = snapshotDiff(kv(Tables(spark, dir, "orders")),
+      kv(snapshot(spark, dir)))
+    d.groupBy(col("op"), coalesce(col("as_"), lit("-")).as("status_after"))
+      .agg(count(lit(1)).as("n_rows"),
+        pmod(sum(col("k").cast("decimal(38,0)")),
+          lit(Integrity.ChecksumMod)).cast("long").as("key_checksum"),
+        sum(coalesce(col("av"), lit(0.0)).cast("decimal(18,2)") -
+          coalesce(col("bv"), lit(0.0)).cast("decimal(18,2)"))
+          .cast("double").as("price_delta"))
+      .orderBy("op", "status_after")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_merge_on_read" -> (ordersMergeOnRead(_, _)),
     "orders_mor_compacted" -> (ordersMorCompacted(_, _)),
-    "orders_mor_asof" -> (ordersMorAsof(_, _)))
+    "orders_mor_asof" -> (ordersMorAsof(_, _)),
+    "orders_cdc_extract" -> (ordersCdcExtract(_, _)))
 
   /** The final (fully-resolved) table stated as one `WITH f AS` CTE —
     * a CASE over the original `orders`: hex 0-1 keys carry three
@@ -285,9 +336,35 @@ object MergeOnRead {
        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** DuckDB twin of the snapshot diff: the after side IS
+    * [[MorFinalCte]], the classifier the same CASE. */
+  private val CdcExtractSql =
+    s"""$MorFinalCte,
+       |j AS (
+       |  SELECT coalesce(o.o_orderkey, f.o_orderkey) AS k,
+       |    o.o_orderstatus AS bs, o.o_totalprice AS bv,
+       |    f.o_orderstatus AS as_, f.o_totalprice AS av
+       |  FROM orders o FULL OUTER JOIN f ON o.o_orderkey = f.o_orderkey),
+       |c AS (
+       |  SELECT k, as_, av, bv,
+       |    CASE WHEN as_ IS NULL THEN 'D'
+       |         WHEN bs IS NULL THEN 'I'
+       |         WHEN bs <> as_ OR bv <> av THEN 'U'
+       |         ELSE 'N' END AS op
+       |  FROM j)
+       |SELECT op, coalesce(as_, '-') AS status_after,
+       |  count(*) AS n_rows,
+       |  CAST(sum(CAST(k AS HUGEINT)) % ${Integrity.ChecksumMod}
+       |    AS BIGINT) AS key_checksum,
+       |  CAST(sum(CAST(coalesce(av, 0) AS DECIMAL(18,2)) -
+       |           CAST(coalesce(bv, 0) AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS price_delta
+       |FROM c WHERE op <> 'N' GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "orders_merge_on_read" -> MorSql,
     // same oracle on purpose: the fold must be a pure layout change
     "orders_mor_compacted" -> MorSql,
-    "orders_mor_asof" -> MorAsofSql)
+    "orders_mor_asof" -> MorAsofSql,
+    "orders_cdc_extract" -> CdcExtractSql)
 }

@@ -179,4 +179,40 @@ class MergeOnReadSpec extends SparkSpec {
     assert(cur.groupBy($"o_orderkey").count().filter($"count" > 1)
       .count() == 0, "current state must hold ONE version per key")
   }
+
+  test("cdc extract: the orders diff recovers exactly the applied " +
+      "change classes; I arm fires on the SCD2 as-of pair") {
+    import org.apache.spark.sql.functions._
+    // MOR pair: every D key is hex e-f, every U key hex 0-7, no I
+    val d = MergeOnRead.snapshotDiff(
+      Tables(spark, sf0001, "orders").select($"o_orderkey".as("k"),
+        $"o_orderstatus".as("s"), $"o_totalprice".as("v")),
+      MergeOnRead.snapshot(spark, sf0001).select($"o_orderkey".as("k"),
+        $"o_orderstatus".as("s"), $"o_totalprice".as("v")))
+      .withColumn("hx", substring(md5($"k".cast("string")), 1, 1))
+      .collect().map(r => (r.getAs[String]("op"), r.getAs[String]("hx")))
+    assert(d.nonEmpty)
+    assert(d.forall { case (op, hx) =>
+      (op == "D" && "ef".contains(hx)) ||
+        (op == "U" && "01234567".contains(hx)) })
+    assert(d.count(_._1 == "D") > 0)
+    assert(!d.exists(_._1 == "I"), "MOR feed never inserts")
+    // SCD2 as-of pair: inserts (key % 25 pool, shifted +10M) MUST
+    // surface as I; segment/balance drift as U; nothing as D
+    def sliceAt(date: String) = graft.operators.Scd
+      .scd2Dim(spark, sf0001)
+      .filter($"valid_from" <= to_date(lit(date)) &&
+        to_date(lit(date)) < $"valid_to")
+      .select($"c_custkey".as("k"), $"c_mktsegment".as("s"),
+        $"c_acctbal".as("v"))
+    val sd = MergeOnRead.snapshotDiff(
+        sliceAt("1995-06-01"), sliceAt("1999-01-01"))
+      .select($"op", $"k").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val ops = sd.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ops.contains("I") && ops("I").nonEmpty, "no inserts detected")
+    assert(ops("I").forall(k => k >= 10000000L && (k - 10000000L) % 25 == 0))
+    assert(ops.contains("U") && ops("U").forall(k => k % 10 < 4))
+    assert(!ops.contains("D"), "SCD2 never deletes")
+  }
 }

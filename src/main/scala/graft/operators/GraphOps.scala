@@ -81,7 +81,7 @@ object GraphOps {
     graft.plans.VectorExpressions.register(spark)
     // top-2 coarse buckets per vector: the multi-probe assignment
     val wa = Window.partitionBy("vec_id").orderBy(col("s").desc, col("cid"))
-    val assign2 = Similarity.ivfSims(spark, dir)
+    val assign2 = Similarity.ivfSimsFull(spark, dir)
       .withColumn("rn", row_number().over(wa))
       .filter(col("rn") <= 2)
       .select(col("vec_id"), col("cid"))

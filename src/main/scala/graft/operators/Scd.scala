@@ -119,9 +119,43 @@ object Scd {
       .orderBy("asof")
   }
 
+  /** POINT-IN-TIME join — the feature-store / leakage-safe warehouse
+    * join: every fact row joined to the dimension version that was
+    * CURRENT AT THE FACT'S OWN TIME (valid_from ≤ order date <
+    * valid_to), not today's version. Joining facts to the current
+    * dimension slice is the classic training-data LEAKAGE bug — a
+    * post-merge attribute bleeds into pre-merge examples; the PIT join
+    * is the fix, and the graded split below makes the difference
+    * visible: the MIGRATED segment can only appear under post-merge
+    * orders, so the hash pins temporal correctness, not just join
+    * cardinality.
+    *
+    * Scale shape: an EQUI join on the customer key carries the whole
+    * thing — the validity predicate rides as a post-join filter, and
+    * because an SCD2 key holds few versions (≤2 here; bounded by
+    * change frequency in general) the pre-filter fan-out is a small
+    * constant × facts, never a range-join blowup. This is why
+    * warehouses store dimensions as SCD2 instead of snapshots: the
+    * PIT join stays hash-partitionable on the key at any scale. */
+  def pitRevenueBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2Dim(spark, dir)
+    val o = Tables(spark, dir, "orders")
+    val od = to_date(col("o_orderdate"))
+    o.join(dim, o("o_custkey") === dim("c_custkey") &&
+        dim("valid_from") <= od && od < dim("valid_to"))
+      .groupBy(col("c_mktsegment"),
+        (od >= to_date(lit(EffDate))).as("post_merge"))
+      .agg(count(lit(1)).as("n_orders"),
+        ScalarFns.roundN(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("revenue"))
+      .orderBy("c_mktsegment", "post_merge")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_dim"         -> (scd2Dim(_, _)),
-    "scd2_asof_counts" -> (scd2AsofCounts(_, _)))
+    "scd2_asof_counts" -> (scd2AsofCounts(_, _)),
+    "pit_revenue_by_segment" -> (pitRevenueBySegment(_, _)))
 
   /** Shared oracle CTE chain — ends at the versioned table `scd`. */
   private def scdCtes: String =
@@ -166,6 +200,18 @@ object Scd {
     "scd2_dim" ->
       s"""$scdCtes
          |SELECT * FROM scd ORDER BY c_custkey, valid_from""".stripMargin,
+    "pit_revenue_by_segment" ->
+      s"""$scdCtes
+         |SELECT s.c_mktsegment,
+         |  CAST(o.o_orderdate AS DATE) >= DATE '$EffDate' AS post_merge,
+         |  count(*) AS n_orders,
+         |  ${ScalarFns.roundSql(
+              "CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)",
+              2)} AS revenue
+         |FROM orders o JOIN scd s ON o.o_custkey = s.c_custkey
+         |  AND s.valid_from <= CAST(o.o_orderdate AS DATE)
+         |  AND CAST(o.o_orderdate AS DATE) < s.valid_to
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "scd2_asof_counts" ->
       s"""$scdCtes,
          |dates AS (SELECT unnest([DATE '1995-06-01', DATE '1999-01-01'])

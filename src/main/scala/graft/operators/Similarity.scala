@@ -1055,10 +1055,21 @@ object Similarity {
       s"${graft.sources.ResultCache.sessionId(spark)}|ivf_assign|$dir",
       ttlSeconds = 300)(ivfAssignUncached(spark, dir))
 
+  /** The FULL N×√N score sweep through the S6 cache — shared by the
+    * rn=1 assignment and [[GraphOps]]'s rn≤2 multi-probe assignment so
+    * the kernel runs once per (session, corpus). Query-side consumers
+    * that filter `vec_id === 0` keep the raw [[ivfSims]]: their filter
+    * pushes below the cross join (1×√N work), cheaper than a full
+    * sweep would ever be. */
+  private[operators] def ivfSimsFull(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|ivf_sims|$dir",
+      ttlSeconds = 300)(ivfSims(spark, dir))
+
   private def ivfAssignUncached(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("s").desc, col("cid"))
-    ivfSims(spark, dir)
+    ivfSimsFull(spark, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"))

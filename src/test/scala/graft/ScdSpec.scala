@@ -68,4 +68,27 @@ class ScdSpec extends SparkSpec {
     assert(asof.find(_.getDate(0) == Date.valueOf("1995-06-01")).get.getLong(1) == nBase)
     assert(asof.find(_.getDate(0) == Date.valueOf("1999-01-01")).get.getLong(1) == nBase + nIns)
   }
+
+  test("PIT join: every order hits exactly one version; the leaky " +
+      "current-slice join provably differs") {
+    import org.apache.spark.sql.functions._
+    val pit = Scd.pitRevenueBySegment(spark, sf0001).collect()
+    val nOrders = Tables(spark, sf0001, "orders").count()
+    assert(pit.map(_.getLong(2)).sum == nOrders,
+      "validity intervals must partition time per key")
+    // temporal correctness: MIGRATED existed only from the merge date
+    pit.filter(_.getString(0) == "MIGRATED")
+      .foreach(r => assert(r.getBoolean(1), s"pre-merge MIGRATED leak: $r"))
+    assert(pit.exists(r => r.getString(0) == "MIGRATED" && r.getBoolean(1)),
+      "post-merge MIGRATED rows must exist or the PIT grade is vacuous")
+    // the LEAKY form: join facts to the CURRENT slice instead — it
+    // backdates migrated segments onto pre-merge orders
+    val cur = Scd.scd2Dim(spark, sf0001).filter(col("is_current"))
+    val o = Tables(spark, sf0001, "orders")
+    val leaky = o.join(cur, o("o_custkey") === cur("c_custkey"))
+      .filter(col("c_mktsegment") === "MIGRATED" &&
+        to_date(col("o_orderdate")) < to_date(lit("1998-06-01")))
+      .count()
+    assert(leaky > 0, "leak scenario vacuous at this SF")
+  }
 }

@@ -158,8 +158,71 @@ object TextSignals {
       .limit(k)
   }
 
+  /** Coverage gate for the LM quality report (basis points). */
+  private val LowCovBp = 5000L
+
+  /** N-GRAM LM QUALITY SCORING — the CCNet/KenLM move the LLaMA-class
+    * data pipelines run: train a cheap n-gram language model on a
+    * trusted slice, score every candidate document by how well the
+    * model predicts it, gate the outliers. Here the trigram LM is
+    * trained on the md5-half 0-7 of the corpus (the decontamination
+    * split idiom) and scores the 8-f half.
+    *
+    * NO LOGARITHMS — a perplexity would be Σ ln p with libm-dependent
+    * last-ulp drift (the BM25/PSI lesson above); instead two exact
+    * integer signals per document: conditional-probability mass in
+    * PPM — Σ floor(10⁶·c₃/c₂) over its trigrams, floor-div both
+    * engines — and trigram COVERAGE in basis points (the fraction the
+    * LM has seen at all; unseen trigrams score 0 ppm). Monotone in the
+    * same direction as perplexity for the gate's purpose, and
+    * bit-exact under the hash grade. Exact while 10⁶·c₃ < 2⁶³, i.e.
+    * any single trigram below ~9·10¹² training occurrences.
+    *
+    * Scale shape: trigram explode → ONE (gram) partial-agg shuffle for
+    * the LM table (counts map-side combined); prefix counts reaggregate
+    * the LM TABLE (type granularity), never the corpus; scoring is an
+    * equi-join of eval grams against the LM keyed on the gram — at
+    * 100 TB both sides hash-partition on the gram, no broadcast
+    * assumption; then doc- and source-granularity aggregates. */
+  def ngramLmQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .withColumn("half",
+        when(substring(md5(col("doc_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), "train")
+          .otherwise("eval"))
+    val tri = d.select(col("doc_id"), col("source"), col("half"),
+      explode(expr(Shingles.sparkExprN(3))).as("g"))
+    val c3 = tri.filter(col("half") === "train")
+      .groupBy(col("g")).agg(count(lit(1)).as("c3"))
+      // trigram prefix = the string minus its last token (tokens are
+      // single-space joined; arithmetic identical in the oracle)
+      .withColumn("pfx", expr(
+        "substring(g, 1, length(g) - length(element_at(split(g, ' '), 3)) - 1)"))
+    val c2 = c3.groupBy(col("pfx")).agg(sum(col("c3")).as("c2"))
+    val lm = c3.join(c2, Seq("pfx"))
+      .select(col("g"), expr("1000000 * c3 div c2").as("ppm"))
+    val perDoc = tri.filter(col("half") === "eval")
+      .join(lm, Seq("g"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("ppm").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum(coalesce(col("ppm"), lit(0L))).as("sum_ppm"))
+      .select(col("source"),
+        expr("sum_ppm div n_tri").as("mean_ppm"),
+        expr("10000 * n_hit div n_tri").as("cov_bp"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(mean_ppm) div count(1)").as("avg_ppm"),
+        expr("sum(cov_bp) div count(1)").as("avg_cov_bp"),
+        sum(when(col("cov_bp") < LowCovBp, 1L).otherwise(0L)).as("n_low"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rep_signals" -> (repSignals _),
+    "ngram_lm_quality" -> (ngramLmQuality _),
     "bm25_search" -> ((s: SparkSession, d: String) => bm25Search(s, d)))
 
   val oracles: Map[String, String] = {
@@ -172,6 +235,44 @@ object TextSignals {
         s"(tf$i * ${K1 + 1.0} / (tf$i + $K1 * ((1.0 - $B) + $B * dl / avgdl)))"
     }.mkString(" + ")
     Map(
+      "ngram_lm_quality" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, source,
+           |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+           |  FROM documents),
+           |d AS (
+           |  SELECT doc_id, source, t,
+           |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+           |      IN ('0','1','2','3','4','5','6','7') THEN 'train'
+           |      ELSE 'eval' END AS half
+           |  FROM toks WHERE len(t) >= 3),
+           |tri AS (
+           |  SELECT doc_id, source, half, unnest($g3) AS g FROM d),
+           |c3 AS (SELECT g, count(*) AS c3 FROM tri
+           |       WHERE half = 'train' GROUP BY 1),
+           |c3p AS (
+           |  SELECT g, c3,
+           |    substr(g, 1, len(g) - len(string_split(g, ' ')[3]) - 1) AS pfx
+           |  FROM c3),
+           |c2 AS (SELECT pfx, sum(c3) AS c2 FROM c3p GROUP BY 1),
+           |lm AS (SELECT c3p.g, CAST(1000000 * c3p.c3 // c2.c2 AS BIGINT)
+           |         AS ppm
+           |       FROM c3p JOIN c2 USING (pfx)),
+           |ev AS (SELECT tri.doc_id, tri.source, lm.ppm
+           |       FROM tri LEFT JOIN lm USING (g) WHERE tri.half = 'eval'),
+           |pd AS (
+           |  SELECT doc_id, source, count(*) AS n_tri,
+           |    sum(CASE WHEN ppm IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+           |    sum(coalesce(ppm, 0)) AS sum_ppm
+           |  FROM ev GROUP BY 1, 2),
+           |ds AS (SELECT source, CAST(sum_ppm // n_tri AS BIGINT) AS mean_ppm,
+           |        CAST(10000 * n_hit // n_tri AS BIGINT) AS cov_bp FROM pd)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(mean_ppm) // count(*) AS BIGINT) AS avg_ppm,
+           |  CAST(sum(cov_bp) // count(*) AS BIGINT) AS avg_cov_bp,
+           |  CAST(sum(CASE WHEN cov_bp < $LowCovBp THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_low
+           |FROM ds GROUP BY 1 ORDER BY 1""".stripMargin,
       "rep_signals" ->
         s"""WITH toks AS (
            |  ${Shingles.duckToks}),

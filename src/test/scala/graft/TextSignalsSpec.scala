@@ -56,4 +56,46 @@ class TextSignalsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(hits.intersect(without).isEmpty)
   }
+
+  test("ngram_lm_quality ≡ a full driver-side trigram-LM recompute") {
+    val got = TextSignals.ngramLmQuality(spark, sf0001).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val docs = Tables(spark, sf0001, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(text: String): Seq[String] = {
+      val t = text.split(" ").filter(_.nonEmpty)
+      if (t.length < 3) Seq.empty
+      else t.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    def hex(id: Long): Char = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+      "%02x".format(h(0)).charAt(0)
+    }
+    val withG = docs.map { case (id, src, tx) => (id, src, grams(tx)) }
+      .filter(_._3.nonEmpty)
+    val (train, eval) = withG.partition(d => hex(d._1) < '8')
+    assert(train.nonEmpty && eval.nonEmpty)
+    val c3 = train.flatMap(_._3).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val c2 = c3.toSeq.groupBy(_._1.split(" ").init.mkString(" "))
+      .view.mapValues(_.map(_._2).sum).toMap
+    val perDoc = eval.map { case (_, src, gs) =>
+      val ppms = gs.map(g => c3.get(g)
+        .map(c => 1000000L * c / c2(g.split(" ").init.mkString(" ")))
+        .getOrElse(-1L))
+      val n = gs.size.toLong
+      (src, ppms.filter(_ >= 0).sum / n,
+        10000L * ppms.count(_ >= 0) / n)
+    }
+    val expect = perDoc.groupBy(_._1).map { case (src, ds) =>
+      src -> (ds.size.toLong,
+        ds.map(_._2).sum / ds.size,
+        ds.map(_._3).sum / ds.size,
+        ds.count(_._3 < 5000).toLong)
+    }
+    assert(got == expect)
+  }
 }

@@ -1909,7 +1909,55 @@ object Similarity {
       .orderBy("doc_id")
   }
 
+  /** CONTRASTIVE TRAINING PAIRS — the labeled pair set an embedding /
+    * similarity model trains on, assembled leakage-safely from the
+    * dedup machinery: POSITIVES are the verified near-dup pairs
+    * (jaccard ≥ 0.5 on the rounded graded score — exactly the cluster
+    * edge set), NEGATIVES are deterministic pseudo-random partners
+    * (Knuth multiplicative hash mod N over the contiguous doc-id
+    * space, 2 per anchor) with the critical filter: a candidate
+    * negative whose endpoints share a near-dup CLUSTER is dropped —
+    * cluster-level exclusion, not pair-level, so a negative can never
+    * be a transitive near-duplicate of its anchor (the same
+    * transitivity argument as the leakage-safe split family). A
+    * pipeline that samples negatives uniformly WITHOUT this filter
+    * poisons the loss with false negatives; this query is that filter,
+    * graded.
+    *
+    * Scale shape: negatives are O(k·N) rows of pure arithmetic; the
+    * exclusion is two doc-granularity equi-joins against the cached
+    * cluster labels; positives reuse the cached pair frame. No
+    * randomness anywhere — the oracle rebuilds the identical pair
+    * set. */
+  def contrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pos = neardupPairs(spark, dir).filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("label"))
+    val clu = neardupClusters(spark, dir)
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"))
+    val nn = docs.agg(count(lit(1)).as("n"))
+    val js = Seq(0L, 1L).toDF("j")
+    val cand = docs.crossJoin(broadcast(js)).crossJoin(broadcast(nn))
+      .select(col("doc_id").as("a0"),
+        pmod(col("doc_id") * lit(2654435761L) + lit(40503L) * col("j")
+          + lit(12345L), col("n")).as("b0"))
+      .filter(col("a0") =!= col("b0"))
+      .select(least(col("a0"), col("b0")).as("doc_a"),
+        greatest(col("a0"), col("b0")).as("doc_b"))
+      .distinct()
+    val neg = cand
+      .join(clu.select(col("doc_id").as("doc_a"), col("cluster").as("cl_a")),
+        Seq("doc_a"))
+      .join(clu.select(col("doc_id").as("doc_b"), col("cluster").as("cl_b")),
+        Seq("doc_b"))
+      .filter(col("cl_a") =!= col("cl_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("label"))
+    pos.unionByName(neg)
+      .orderBy(col("label").desc, col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "contrastive_pairs" -> (contrastivePairs _),
     "neardup_pairs"     -> (neardupPairs _),
     "neardup_pairs_char" -> ((s: SparkSession, d: String) => neardupPairsChar(s, d)),
     "neardup_clusters"  -> ((s: SparkSession, d: String) => neardupClusters(s, d)),
@@ -2343,6 +2391,33 @@ object Similarity {
          |$lshScoredCtes,
          |$clusterClosureCtes
          |SELECT doc_id, cluster FROM clu ORDER BY 1""".stripMargin,
+    // same closure + Knuth-hash negative arithmetic as the Spark side;
+    // cluster-level exclusion makes false negatives impossible
+    "contrastive_pairs" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$lshScoredCtes,
+         |$clusterClosureCtes,
+         |pos AS (
+         |  SELECT doc_a, doc_b, CAST(1 AS BIGINT) AS label
+         |  FROM scored WHERE jaccard >= 0.5),
+         |nn2 AS (SELECT count(*) AS n FROM documents),
+         |ncand AS (
+         |  SELECT DISTINCT least(raw.doc_id, raw.b0) AS doc_a,
+         |    greatest(raw.doc_id, raw.b0) AS doc_b
+         |  FROM (
+         |    SELECT d.doc_id,
+         |      (d.doc_id * 2654435761 + 40503 * js.j + 12345) % nn2.n AS b0
+         |    FROM documents d, nn2, (SELECT unnest([0, 1]) AS j) js) raw
+         |  WHERE raw.doc_id <> raw.b0),
+         |neg AS (
+         |  SELECT c.doc_a, c.doc_b, CAST(0 AS BIGINT) AS label
+         |  FROM ncand c
+         |  JOIN clu a ON c.doc_a = a.doc_id
+         |  JOIN clu b ON c.doc_b = b.doc_id
+         |  WHERE a.cluster <> b.cluster)
+         |SELECT label, doc_a, doc_b FROM (
+         |  SELECT * FROM pos UNION ALL SELECT * FROM neg)
+         |ORDER BY label DESC, doc_a, doc_b""".stripMargin,
     // same closure oracle — the loop-forced twin must land on the
     // identical labels the gate's local path produces
     "neardup_clusters_loop" ->

@@ -451,4 +451,35 @@ class TextSimilaritySpec extends SparkSpec {
     assert(rows == expected,
       s"diff: +${(rows -- expected).take(3)} -${(expected -- rows).take(3)}")
   }
+
+  test("contrastive pairs: positives are exactly the cluster edge set; " +
+      "no negative shares a cluster with its anchor; sets disjoint") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.contrastivePairs(spark, sf0001).collect()
+      .map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+    val pos = rows.filter(_._1 == 1L).map(_._2).toSet
+    val neg = rows.filter(_._1 == 0L).map(_._2).toSet
+    val expectPos = Similarity.neardupPairs(spark, sf0001)
+      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pos == expectPos)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    assert(pos.intersect(neg).isEmpty)
+    val clu = Similarity.neardupClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    neg.foreach { case (a, b) =>
+      assert(clu(a) != clu(b), s"negative ($a,$b) shares cluster ${clu(a)}")
+      assert(a != b)
+    }
+    // the exclusion actually fired: raw Knuth candidates minus the
+    // kept negatives must include at least the same-cluster drops
+    val n = clu.size
+    val raw = clu.keySet.flatMap(d => Seq(0L, 1L).map(j =>
+        (d, (d * 2654435761L + 40503L * j + 12345L) % n))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))))
+    assert(neg.subsetOf(raw))
+    assert((raw -- neg).forall { case (a, b) => clu(a) == clu(b) },
+      "a candidate was dropped without sharing a cluster")
+  }
 }

@@ -38,7 +38,8 @@ object PlanDump {
     "daily_users_rolling_hll", "knn_bfs_hops", "cohort_retention",
     "k_anonymity_audit", "hourly_volume_anomaly", "part_skyline",
     "lineitem_bloom_join", "spend_deciles", "spend_gini",
-    "orders_cdc_extract")
+    "orders_cdc_extract", "pit_revenue_by_segment", "ngram_lm_quality",
+    "contrastive_pairs")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

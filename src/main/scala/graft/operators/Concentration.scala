@@ -83,6 +83,8 @@ object Concentration {
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("spend")).as("dspend"),
+        // grand is the same broadcast scalar on every row of a group —
+        // first() is deterministic here (any_value in the oracle)
         first(col("grand")).as("grand"))
     val wc = Window.orderBy(col("decile"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -285,6 +285,12 @@ object EventOps {
     * combinable off the scan; the baseline is ≤ 168 rows, broadcast
     * back. Nothing here is proportional to raw event volume except the
     * one partial agg. */
+  /** z > 3/2 as the cross-multiplied rational ZDen2·dd² > ZNum2·(…) —
+    * the squared numerator/denominator, interpolated into BOTH engines
+    * so the threshold cannot drift. */
+  private val ZNum2 = 9L
+  private val ZDen2 = 4L
+
   def hourlyVolumeAnomaly(spark: SparkSession, dir: String): DataFrame = {
     def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val cells = Tables(spark, dir, "events")
@@ -300,8 +306,8 @@ object EventOps {
     cells.withColumn("wd", weekday(col("day")))
       .join(broadcast(base), Seq("wd", "hr"))
       .filter(col("n") >= 3)
-      .filter(lit(4) * dd * dd >
-        lit(9) * (d38(col("n")) * col("ss") - d38(col("s")) * d38(col("s"))))
+      .filter(lit(ZDen2) * dd * dd >
+        lit(ZNum2) * (d38(col("n")) * col("ss") - d38(col("s")) * d38(col("s"))))
       .select(col("day"), col("hr"), col("cnt"),
         col("n").as("n_samples"),
         graft.functions.ScalarFns.roundN(
@@ -451,8 +457,8 @@ object EventOps {
          |FROM cells c
          |JOIN base b ON isodow(c.day) - 1 = b.wd AND c.hr = b.hr
          |WHERE b.n >= 3
-         |  AND 4 * $dd * $dd
-         |      > 9 * (CAST(b.n AS HUGEINT) * b.ss - CAST(b.s AS HUGEINT) * b.s)
+         |  AND $ZDen2 * $dd * $dd
+         |      > $ZNum2 * (CAST(b.n AS HUGEINT) * b.ss - CAST(b.s AS HUGEINT) * b.s)
          |ORDER BY 1, 2""".stripMargin
     },
     // renamed from hourly_gap_fill (r6 advice: too close to the

@@ -1929,6 +1929,12 @@ object Similarity {
     * cluster labels; positives reuse the cached pair frame. No
     * randomness anywhere — the oracle rebuilds the identical pair
     * set. */
+  /** Negative-partner arithmetic constants — interpolated into BOTH
+    * the Column tree and the oracle SQL so they cannot drift. */
+  private val NegMul = 2654435761L   // Knuth multiplicative constant
+  private val NegStep = 40503L
+  private val NegOff = 12345L
+
   def contrastivePairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pos = neardupPairs(spark, dir).filter(col("jaccard") >= 0.5)
@@ -1939,8 +1945,8 @@ object Similarity {
     val js = Seq(0L, 1L).toDF("j")
     val cand = docs.crossJoin(broadcast(js)).crossJoin(broadcast(nn))
       .select(col("doc_id").as("a0"),
-        pmod(col("doc_id") * lit(2654435761L) + lit(40503L) * col("j")
-          + lit(12345L), col("n")).as("b0"))
+        pmod(col("doc_id") * lit(NegMul) + lit(NegStep) * col("j")
+          + lit(NegOff), col("n")).as("b0"))
       .filter(col("a0") =!= col("b0"))
       .select(least(col("a0"), col("b0")).as("doc_a"),
         greatest(col("a0"), col("b0")).as("doc_b"))
@@ -2406,7 +2412,7 @@ object Similarity {
          |    greatest(raw.doc_id, raw.b0) AS doc_b
          |  FROM (
          |    SELECT d.doc_id,
-         |      (d.doc_id * 2654435761 + 40503 * js.j + 12345) % nn2.n AS b0
+         |      (d.doc_id * $NegMul + $NegStep * js.j + $NegOff) % nn2.n AS b0
          |    FROM documents d, nn2, (SELECT unnest([0, 1]) AS j) js) raw
          |  WHERE raw.doc_id <> raw.b0),
          |neg AS (

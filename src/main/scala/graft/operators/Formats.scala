@@ -162,10 +162,42 @@ object Formats {
         max(col("o_orderkey")).as("max_key"))
       .orderBy("channel")
 
+  /** FEDERATED heterogeneous-format table — the mid-migration reality
+    * of any long-lived lake: one LOGICAL table whose rows live in
+    * three physical formats at once (parquet hex 0-4, CSV 5-9,
+    * ORC a-f — disjoint md5 slices of the key). The read normalizes
+    * each leg to one schema (explicit column order, timestamps
+    * normalized to LTZ — the text legs' pinned-format discipline) and
+    * unions by name; the aggregate is judged against plain SQL over
+    * the ORIGINAL table, so the hash match proves the federation
+    * DISJOINT AND COMPLETE: a row duplicated across legs or dropped
+    * between them flips the count. At 100 TB each leg prunes and scans
+    * independently (the union is a plan-level concat, not a shuffle);
+    * this is how a format migration serves queries mid-flight. */
+  def ordersFederatedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val hx = substring(md5(col("o_orderkey").cast("string")), 1, 1)
+    val cols = OrdersCsvSchema.fieldNames.map(col).toIndexedSeq
+    val pq = Tables(spark, sfDir, "orders")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .select(cols: _*)
+      .filter(hx.isin("0", "1", "2", "3", "4"))
+    val cs = spark.read.schema(OrdersCsvSchema)
+      .option("header", "true").option("timestampFormat", TsFmt)
+      .csv(csvOrdersDir(spark, sfDir))
+      .select(cols: _*)
+      .filter(hx.isin("5", "6", "7", "8", "9"))
+    val oc = spark.read.orc(orcOrdersDir(spark, sfDir))
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .select(cols: _*)
+      .filter(hx.isin("a", "b", "c", "d", "e", "f"))
+    agg(pq.unionByName(cs).unionByName(oc))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_csv_agg" -> (ordersCsvAgg(_, _)),
     "orders_orc_agg" -> (ordersOrcAgg(_, _)),
     "orders_json_agg" -> (ordersJsonAgg(_, _)),
+    "orders_federated_agg" -> (ordersFederatedAgg(_, _)),
     "orders_evolved_agg" -> (ordersEvolvedAgg(_, _)))
 
   private val AggSql =
@@ -195,5 +227,8 @@ object Formats {
     "orders_csv_agg" -> AggSql,
     "orders_orc_agg" -> AggSql,
     "orders_json_agg" -> AggSql,
+    // same oracle on purpose: the three-format federation must be
+    // disjoint and complete w.r.t. the original table to hash-match
+    "orders_federated_agg" -> AggSql,
     "orders_evolved_agg" -> EvolvedSql)
 }

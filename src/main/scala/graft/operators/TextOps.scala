@@ -360,7 +360,68 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Term-bucket count for the STORED inverted index (8 partition
+    * directories; thousands at 100 TB). */
+  private[graft] val TermBuckets = 8
+
+  /** Driver-side twin of the index's partition-column expression —
+    * first md5 nibble of the term, mod [[TermBuckets]]. A spec pins
+    * the two in lockstep (the BloomSketch.position discipline). */
+  private[graft] def termBucket(t: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Integer.parseInt(
+      "%02x".format(md.digest(t.getBytes("UTF-8"))(0)).substring(0, 1),
+      16) % TermBuckets
+  }
+
+  // once-per-(JVM, corpus) stored positional postings, PARTITIONED by
+  // term bucket — the layout that turns phrase search's "only the
+  // queried terms' postings" from a runtime filter into PARTITION
+  // PRUNING at the scan
+  private val postingsDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def postingsDir(spark: SparkSession, dir: String): String =
+    postingsDirs.computeIfAbsent(dir, { _ =>
+      val f = graft.Tables.scratchDir("graft_postings_").getAbsolutePath
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .withColumn("tb",
+          pmod(conv(substring(md5(col("term")), 1, 1), 16, 10).cast("int"),
+            lit(TermBuckets)))
+        .write.mode("overwrite").partitionBy("tb").parquet(f)
+      f
+    })
+
+  /** N4 phrase search against the STORED index — the same adjacency
+    * resolution as [[phraseSearch]], but reading a PREBUILT positional
+    * posting table partitioned by term bucket: the query's two term
+    * buckets are computed on the driver and land as PartitionFilters,
+    * so the scan opens ≤2 of [[TermBuckets]] directories — the
+    * physical realization of "query cost ∝ term frequency, never
+    * corpus size" the inline form's scaladoc promises. Same oracle as
+    * `phrase_search` on purpose: the index is a layout change, and the
+    * hash match proves it lossless. `TextSimilaritySpec` asserts the
+    * executed scan carries a `tb`-partition filter and reads fewer
+    * partition directories than exist. */
+  def phraseSearchIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = PhraseTerms.map(termBucket).distinct
+    val idx = spark.read.parquet(postingsDir(spark, dir))
+      .filter(col("tb").isin(buckets: _*) &&
+        col("term").isin(PhraseTerms: _*))
+    val a = idx.filter(col("term") === PhraseTerms(0))
+      .select(col("doc_id"), col("source"), col("pos"))
+    val b = idx.filter(col("term") === PhraseTerms(1))
+      .select(col("doc_id").as("d2"), col("pos").as("p2"))
+    a.join(b, col("doc_id") === col("d2") && col("p2") === col("pos") + 1)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "phrase_search_indexed" -> (phraseSearchIndexed _),
     "phrase_search"     -> (phraseSearch _),
     "quality_funnel"    -> (qualityFunnel _),
     "exact_dedup_stats" -> (exactDedupStats _),
@@ -394,26 +455,30 @@ object TextOps {
       .mkString(",\n    ")
     val simhashConcat = (1 to 16).map(i =>
       s"CASE WHEN s$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    // positional postings via unnest + generate_subscripts (1-based;
+    // the +1 adjacency offset cancels against Spark's 0-based pos).
+    // ONE definition serves both phrase queries: the stored index is a
+    // layout change and must be lossless to hash-match.
+    val phraseOracle =
+      s"""WITH p AS (
+         |  SELECT doc_id, source,
+         |    unnest(string_split(text, ' ')) AS term,
+         |    generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM documents),
+         |q AS (SELECT * FROM p
+         |      WHERE term IN ('${PhraseTerms(0)}', '${PhraseTerms(1)}')),
+         |hits AS (
+         |  SELECT a.doc_id, a.source
+         |  FROM q a JOIN q b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |    AND a.term = '${PhraseTerms(0)}'
+         |    AND b.term = '${PhraseTerms(1)}')
+         |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occurrences
+         |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin
     Map(
-      // positional postings via unnest + generate_subscripts (1-based;
-      // the +1 adjacency offset cancels against Spark's 0-based pos)
-      "phrase_search" ->
-        s"""WITH p AS (
-           |  SELECT doc_id, source,
-           |    unnest(string_split(text, ' ')) AS term,
-           |    generate_subscripts(string_split(text, ' '), 1) AS pos
-           |  FROM documents),
-           |q AS (SELECT * FROM p
-           |      WHERE term IN ('${PhraseTerms(0)}', '${PhraseTerms(1)}')),
-           |hits AS (
-           |  SELECT a.doc_id, a.source
-           |  FROM q a JOIN q b
-           |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-           |    AND a.term = '${PhraseTerms(0)}'
-           |    AND b.term = '${PhraseTerms(1)}')
-           |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           |  CAST(count(*) AS BIGINT) AS n_occurrences
-           |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin,
+      "phrase_search_indexed" -> phraseOracle,
+      "phrase_search" -> phraseOracle,
       // same sequential-rule semantics, same token/char definitions as
       // the Spark side; DuckDB regexp_replace needs the 'g' flag to
       // strip ALL symbol chars, like Spark does by default

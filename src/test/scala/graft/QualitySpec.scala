@@ -89,4 +89,23 @@ class QualitySpec extends SparkSpec {
     // two halves of one corpus: drift should be small but nonzero
     assert(tv >= 0.0 && tv < 0.5, tv.toString)
   }
+
+  test("federated formats: the three legs partition the key space " +
+      "exactly — no overlap, no loss, every leg non-empty") {
+    val fed = Formats.ordersFederatedAgg(spark, sf0001).collect()
+    val direct = Tables(spark, sf0001, "orders")
+      .groupBy($"o_orderpriority").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(fed.map(r => (r.getString(0), r.getLong(1))).toMap == direct)
+    // per-leg membership: every key in exactly one hex slice
+    val keys = Tables(spark, sf0001, "orders")
+      .select(substring(md5($"o_orderkey".cast("string")), 1, 1).as("hx"))
+      .groupBy($"hx").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val pq = keys.filter(k => "01234".contains(k._1)).values.sum
+    val cs = keys.filter(k => "56789".contains(k._1)).values.sum
+    val oc = keys.filter(k => "abcdef".contains(k._1)).values.sum
+    assert(pq > 0 && cs > 0 && oc > 0, s"empty leg: $pq/$cs/$oc")
+    assert(pq + cs + oc == direct.values.sum)
+  }
 }

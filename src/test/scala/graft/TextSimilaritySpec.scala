@@ -452,6 +452,39 @@ class TextSimilaritySpec extends SparkSpec {
       s"diff: +${(rows -- expected).take(3)} -${(expected -- rows).take(3)}")
   }
 
+  test("phrase_search_indexed: the stored index scan partition-prunes " +
+      "to the query terms' buckets; bucket fn in lockstep; ≡ inline") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+    val q = TextOps.phraseSearchIndexed(spark, sf0001)
+    val rows = q.collect()
+    val scans = fileScans(q.queryExecution.executedPlan)
+      .filter(_.schema.fieldNames.contains("pos"))
+    assert(scans.nonEmpty, "no postings scans found")
+    val nBuckets = TextOps.PhraseTerms.map(TextOps.termBucket).distinct.size
+    scans.foreach { s =>
+      assert(s.partitionFilters.toString.contains("tb"),
+        s"no tb partition filter: ${s.partitionFilters}")
+      val pruned = s.relation.location
+        .listFiles(s.partitionFilters, s.dataFilters).length
+      val total = s.relation.location.listFiles(Nil, Nil).length
+      assert(pruned <= nBuckets && pruned < total,
+        s"scan read $pruned of $total partition dirs")
+    }
+    // driver-side termBucket ≡ the index's column expression, for
+    // every distinct term in the corpus (the shared-addressing rule)
+    val stored = spark.read.parquet(TextOps.postingsDir(spark, sf0001))
+      .select(col("term"), col("tb")).distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(stored.nonEmpty)
+    stored.foreach { case (t, tb) =>
+      assert(TextOps.termBucket(t) == tb, s"bucket drift for term '$t'")
+    }
+    // layout change only: indexed ≡ inline
+    val inline = TextOps.phraseSearch(spark, sf0001).collect()
+    assert(rows.map(_.toSeq).toSeq == inline.map(_.toSeq).toSeq)
+  }
+
   test("contrastive pairs: positives are exactly the cluster edge set; " +
       "no negative shares a cluster with its anchor; sets disjoint") {
     import org.apache.spark.sql.functions._

@@ -39,7 +39,8 @@ object PlanDump {
     "k_anonymity_audit", "hourly_volume_anomaly", "part_skyline",
     "lineitem_bloom_join", "spend_deciles", "spend_gini",
     "orders_cdc_extract", "pit_revenue_by_segment", "ngram_lm_quality",
-    "contrastive_pairs", "phrase_search_indexed", "orders_federated_agg")
+    "contrastive_pairs", "phrase_search_indexed", "orders_federated_agg",
+    "heavy_hitters_exact")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

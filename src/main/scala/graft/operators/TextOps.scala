@@ -360,6 +360,64 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Heavy-hitter threshold parameter: report terms with
+    * count · HhK > N (share > 1/HhK). 30 splits the corpus vocabulary
+    * roughly in half at every SF — the HAVING filter provably bites. */
+  private[graft] val HhK = 30
+
+  /** N4++ EXACT heavy hitters with BOUNDED-MEMORY candidate pruning —
+    * the Misra-Gries two-phase: phase 1 runs an MG summary with
+    * [[HhK]] counters INSIDE each partition (`mapPartitions` — this is
+    * the genuinely imperative per-partition logic the rarely-used
+    * escape hatch exists for) and emits only its surviving keys;
+    * phase 2 exactly recounts the ≤ partitions·k candidate terms via a
+    * broadcast semi join and applies the threshold count·k > N.
+    *
+    * Why the result is EXACT regardless of partitioning: a term with
+    * global count > N/k must have local count > nₚ/k in at least one
+    * partition (pigeonhole over the partition sums), and Misra-Gries
+    * with k counters never evicts a key whose remaining local count
+    * exceeds nₚ/k — so the candidate union is a SUPERSET of the true
+    * heavy hitters, and the exact recount + threshold removes every
+    * false candidate. The candidate set only bounds the recount cost.
+    *
+    * Scale: the full-vocabulary group-by (the naive plan, and the
+    * DuckDB oracle — deliberately independent) shuffles every distinct
+    * term; this plan shuffles ≤ partitions·k candidate terms after a
+    * map-only pass with k counters of state — the classic
+    * local-sketch-then-verify shape (same family as the stratified
+    * top-k sampler, applied to frequency). */
+  def heavyHittersExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Tables(spark, dir, "documents")
+      .select(explode(toks).as("term")).as[String]
+    val k = HhK
+    val cands = terms.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters(t) = c + 1
+          case None if counters.size < k => counters(t) = 1L
+          case None =>
+            counters.keys.toList.foreach { key =>
+              val v = counters(key) - 1
+              if (v == 0L) counters.remove(key) else counters(key) = v
+            }
+        }
+      }
+      counters.keysIterator
+    }.toDF("term").distinct()
+    val total = terms.toDF("term").agg(count(lit(1)).as("tot"))
+    terms.toDF("term")
+      .join(broadcast(cands), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * lit(k) > col("tot"))
+      .select(col("term"), col("n"),
+        expr("1000000 * n div tot").as("share_ppm"))
+      .orderBy(col("n").desc, col("term"))
+  }
+
   /** Term-bucket count for the STORED inverted index (8 partition
     * directories; thousands at 100 TB). */
   private[graft] val TermBuckets = 8
@@ -421,6 +479,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "heavy_hitters_exact" -> (heavyHittersExact _),
     "phrase_search_indexed" -> (phraseSearchIndexed _),
     "phrase_search"     -> (phraseSearch _),
     "quality_funnel"    -> (qualityFunnel _),
@@ -477,6 +536,20 @@ object TextOps {
          |  CAST(count(*) AS BIGINT) AS n_occurrences
          |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin
     Map(
+      // deliberately the NAIVE full-vocabulary plan: grading the
+      // two-phase MG form against it proves the candidate pruning
+      // lossless
+      "heavy_hitters_exact" ->
+        s"""WITH t AS (
+           |  SELECT unnest(list_filter(string_split(text, ' '),
+           |    x -> x <> '')) AS term
+           |  FROM documents),
+           |nn AS (SELECT count(*) AS tot FROM t),
+           |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1)
+           |SELECT c.term, c.cnt AS n,
+           |  CAST(1000000 * c.cnt // nn.tot AS BIGINT) AS share_ppm
+           |FROM c, nn WHERE c.cnt * $HhK > nn.tot
+           |ORDER BY n DESC, term""".stripMargin,
       "phrase_search_indexed" -> phraseOracle,
       "phrase_search" -> phraseOracle,
       // same sequential-rule semantics, same token/char definitions as

@@ -452,6 +452,48 @@ class TextSimilaritySpec extends SparkSpec {
       s"diff: +${(rows -- expected).take(3)} -${(expected -- rows).take(3)}")
   }
 
+  test("heavy hitters: two-phase MG ≡ naive threshold; the candidate " +
+      "superset guarantee holds under every chunking") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+    val got = TextOps.heavyHittersExact(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val terms = Tables(spark, sf0001, "documents")
+      .select(explode(graft.functions.Shingles.sparkToks).as("t"))
+      .collect().map(_.getString(0))
+    val n = terms.length.toLong
+    val full = terms.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = full.filter { case (_, c) => c * 30 > n }
+    assert(got == expect)
+    assert(got.nonEmpty && got.size < full.size,
+      s"threshold must bite: ${got.size} of ${full.size}")
+    // the MG guarantee, tested directly on the algorithm: for any way
+    // of chunking the stream, the per-chunk summaries' union keys
+    // cover every true heavy hitter
+    def mg(chunk: Seq[String], k: Int): Set[String] = {
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      chunk.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters(t) = c + 1
+          case None if counters.size < k => counters(t) = 1L
+          case None =>
+            counters.keys.toList.foreach { key =>
+              val v = counters(key) - 1
+              if (v == 0L) counters.remove(key) else counters(key) = v
+            }
+        }
+      }
+      counters.keySet.toSet
+    }
+    for (p <- Seq(1, 2, 7, 32)) {
+      val chunkSize = math.max(1, terms.length / p)
+      val cands = terms.grouped(chunkSize).map(c => mg(c.toSeq, 30))
+        .reduce(_ ++ _)
+      assert(expect.keySet.subsetOf(cands),
+        s"P=$p lost heavies: ${expect.keySet -- cands}")
+    }
+  }
+
   test("phrase_search_indexed: the stored index scan partition-prunes " +
       "to the query terms' buckets; bucket fn in lockstep; ≡ inline") {
     import org.apache.spark.sql.functions._

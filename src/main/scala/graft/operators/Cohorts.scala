@@ -63,10 +63,94 @@ object Cohorts {
       .orderBy(col("cohort_month"), col("month_offset"))
   }
 
+  /** Churn-observation window: a customer whose last order precedes
+    * the corpus end by more than this is an observed churn EVENT;
+    * later last-orders are CENSORED (still alive at observation end). */
+  private val ChurnDays = 180
+
+  /** SURVIVAL ANALYSIS (Kaplan-Meier risk table) — time-to-event with
+    * CENSORING, the estimator retention curves need when the
+    * observation window truncates lifetimes (naively treating
+    * still-active customers as churned biases lifetime DOWN; dropping
+    * them biases it UP; censoring is the fix — Kaplan & Meier, JASA
+    * 1958). Subject = customer, clock = days between first and last
+    * order, event = churn (last order > ChurnDays before corpus end),
+    * else censored.
+    *
+    * GRADED OUTPUT IS THE RISK TABLE, not the survival curve: per
+    * lifetime t — subjects at risk n(t) (lifetime ≥ t), events d(t),
+    * censorings c(t), and the discrete hazard d(t)/n(t) in exact ppm
+    * (floor-div both engines). The KM curve S(t) = Π(1 − d/n) is a
+    * trivial fold over these rows; the DISTRIBUTED work — and
+    * everything graded — is the risk-set accounting, which is pure
+    * integer arithmetic (a cumulative-product column would be
+    * engine-divergent floats or a log, both banned by the determinism
+    * contract).
+    *
+    * Scale shape: one customer-keyed aggregation builds (lifetime,
+    * event) per subject; the risk table is LIFETIME-granularity
+    * (≤ span-in-days rows — catalog-sized), so its cumulative window
+    * is the same legitimate small-frame window as the prefix-sum
+    * offsets; n(t) = total − (subjects finished before t) comes from
+    * an exclusive running sum, no per-subject window anywhere. */
+  def survivalRiskTable(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val bounds = o.agg(max(to_date(col("o_orderdate"))).as("maxd"))
+    val per = o.groupBy(col("o_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("first_d"),
+        max(to_date(col("o_orderdate"))).as("last_d"))
+      .crossJoin(broadcast(bounds))
+      .select(
+        datediff(col("last_d"), col("first_d")).cast("long").as("lifetime"),
+        when(col("last_d") < date_sub(col("maxd"), ChurnDays), 1L)
+          .otherwise(0L).as("event"))
+    val byT = per.groupBy(col("lifetime"))
+      .agg(sum(col("event")).as("d"),
+        sum(lit(1L) - col("event")).as("c"))
+    val n = per.agg(count(lit(1)).as("total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("lifetime"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    byT.crossJoin(broadcast(n))
+      .withColumn("gone", coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
+      .select(col("lifetime"), (col("total") - col("gone")).as("n_at_risk"),
+        col("d").as("n_events"), col("c").as("n_censored"))
+      .withColumn("hazard_ppm", expr("1000000 * n_events div n_at_risk"))
+      .orderBy(col("lifetime"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cohort_retention" -> (cohortRetention(_, _)))
+    "cohort_retention" -> (cohortRetention(_, _)),
+    "survival_risk_table" -> (survivalRiskTable(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // date − date is integer days in DuckDB (≡ Spark datediff); the
+    // churn cutoff is maxd − ChurnDays via date−int arithmetic
+    "survival_risk_table" ->
+      s"""WITH b AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd
+         |           FROM orders),
+         |per AS (
+         |  SELECT CAST(max(CAST(o_orderdate AS DATE))
+         |       - min(CAST(o_orderdate AS DATE)) AS BIGINT) AS lifetime,
+         |    CASE WHEN max(CAST(o_orderdate AS DATE))
+         |         < (SELECT maxd FROM b) - $ChurnDays
+         |      THEN 1 ELSE 0 END AS event
+         |  FROM orders GROUP BY o_custkey),
+         |byt AS (
+         |  SELECT lifetime, CAST(sum(event) AS BIGINT) AS d,
+         |    CAST(sum(1 - event) AS BIGINT) AS c
+         |  FROM per GROUP BY 1),
+         |tot AS (SELECT count(*) AS total FROM per),
+         |r AS (
+         |  SELECT lifetime, d, c,
+         |    coalesce(sum(d + c) OVER (ORDER BY lifetime
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS gone
+         |  FROM byt)
+         |SELECT r.lifetime, CAST(tot.total - r.gone AS BIGINT) AS n_at_risk,
+         |  r.d AS n_events, r.c AS n_censored,
+         |  CAST(1000000 * r.d // (tot.total - r.gone) AS BIGINT)
+         |    AS hazard_ppm
+         |FROM r, tot ORDER BY r.lifetime""".stripMargin,
     "cohort_retention" ->
       s"""WITH m AS (
          |  SELECT DISTINCT o_custkey,

@@ -55,6 +55,27 @@ class CohortsSpec extends SparkSpec {
     assert(audit.map(_.getLong(4)).sum == cust.length)
   }
 
+  test("survival risk table: telescoping risk sets, censoring real, " +
+      "hazard exact") {
+    val t = graft.operators.Cohorts.survivalRiskTable(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val buyers = Tables(spark, sf0001, "orders")
+      .select("o_custkey").distinct().count()
+    assert(t.head._2 == buyers, "first risk set must be everyone")
+    t.sliding(2).foreach {
+      case Array((_, n1, d1, c1, _), (_, n2, _, _, _)) =>
+        assert(n2 == n1 - d1 - c1, "risk sets must telescope")
+      case _ =>
+    }
+    assert(t.map(x => x._3 + x._4).sum == buyers,
+      "every subject leaves exactly once")
+    assert(t.map(_._3).sum > 0, "no churn events observed")
+    assert(t.map(_._4).sum > 0, "no censoring — the estimator is vacuous")
+    t.foreach { case (_, n, d, _, h) =>
+      assert(h == 1000000L * d / n, "hazard ppm mismatch") }
+  }
+
   test("volume anomaly: flagged ≡ exact rational z² > (3/2)² " +
       "recomputed with BigInt") {
     val flagged = EventOps.hourlyVolumeAnomaly(spark, sf0001).collect()

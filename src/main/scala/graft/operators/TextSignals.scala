@@ -185,7 +185,9 @@ object TextSignals {
     * 100 TB both sides hash-partition on the gram, no broadcast
     * assumption; then doc- and source-granularity aggregates. */
   def ngramLmQuality(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents")
+    // bench-scale documents is ONE parquet split — without the fan-out
+    // the trigram explode runs single-threaded (the Similarity lesson)
+    val d = graft.Tables.fanOut(spark, Tables(spark, dir, "documents"))
       .select(col("doc_id"), col("source"), toks.as("t"))
       .filter(size(col("t")) >= 3)
       .withColumn("half",

@@ -96,6 +96,8 @@ object Cohorts {
   def survivalRiskTable(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir, "orders")
     val bounds = o.agg(max(to_date(col("o_orderdate"))).as("maxd"))
+    // per feeds both the lifetime rollup and the total count — persist
+    // the subject-granularity frame so the orders scan runs once
     val per = o.groupBy(col("o_custkey"))
       .agg(min(to_date(col("o_orderdate"))).as("first_d"),
         max(to_date(col("o_orderdate"))).as("last_d"))
@@ -104,6 +106,7 @@ object Cohorts {
         datediff(col("last_d"), col("first_d")).cast("long").as("lifetime"),
         when(col("last_d") < date_sub(col("maxd"), ChurnDays), 1L)
           .otherwise(0L).as("event"))
+      .persist()
     val byT = per.groupBy(col("lifetime"))
       .agg(sum(col("event")).as("d"),
         sum(lit(1L) - col("event")).as("c"))

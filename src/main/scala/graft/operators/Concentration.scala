@@ -50,6 +50,9 @@ object Concentration {
       .groupBy(col("o_custkey"))
       .agg(sum(dec(col("o_totalprice"))).as("spend"))
     val bounds = spend.agg(min(col("spend")).as("lo"), max(col("spend")).as("hi"))
+    // b feeds both the in-bucket ranking and the bucket-count offsets —
+    // persist the customer-granularity frame so the orders scan and
+    // spend aggregation run once (r7c review finding)
     val b = spend.crossJoin(broadcast(bounds))
       .withColumn("bucket",
         least(lit(Buckets - 1), greatest(lit(0),
@@ -57,6 +60,7 @@ object Concentration {
             ((col("hi") - col("lo")).cast("double") / Buckets + lit(1e-6)))
             .cast("int"))))
       .drop("lo", "hi")
+      .persist()
     val wIn = Window.partitionBy(col("bucket"))
       .orderBy(col("spend"), col("o_custkey"))
     val local = b.withColumn("lrank", row_number().over(wIn))

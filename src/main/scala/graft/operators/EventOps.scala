@@ -293,10 +293,16 @@ object EventOps {
 
   def hourlyVolumeAnomaly(spark: SparkSession, dir: String): DataFrame = {
     def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    // cells feeds BOTH the baseline aggregate and the probe side of
+    // the join; without a persist Spark re-executes the events scan +
+    // aggregation for each reference — the only volume-proportional
+    // work in the query, paid twice (r7c review finding). The frame is
+    // (day, hour)-granularity: calendar-sized, cache-safe.
     val cells = Tables(spark, dir, "events")
       .groupBy(to_date(col("ts")).as("day"),
         hour(col("ts")).cast("long").as("hr"))
       .agg(count(lit(1)).as("cnt"))
+      .persist()
     val base = cells
       .groupBy(weekday(col("day")).as("wd"), col("hr"))
       .agg(count(lit(1)).as("n"),

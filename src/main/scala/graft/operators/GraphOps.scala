@@ -81,7 +81,11 @@ object GraphOps {
     graft.plans.VectorExpressions.register(spark)
     // top-2 coarse buckets per vector: the multi-probe assignment
     val wa = Window.partitionBy("vec_id").orderBy(col("s").desc, col("cid"))
-    val assign2 = Similarity.ivfSimsFull(spark, dir)
+    // the raw sweep, NOT ResultCache'd: the cache's contract is
+    // KB-sized post-aggregation frames, and pinning the O(N·√N) score
+    // table for a single consumer regresses memory for the whole IVF
+    // family (r7c review finding)
+    val assign2 = Similarity.ivfSims(spark, dir)
       .withColumn("rn", row_number().over(wa))
       .filter(col("rn") <= 2)
       .select(col("vec_id"), col("cid"))

@@ -390,17 +390,24 @@ object Joins {
       .orderBy("l_returnflag")
   }
 
+  // WEAK-keyed (the ResultCache.sessionIds discipline): a strong
+  // ConcurrentHashMap would pin every stopped parent session and its
+  // clone for the JVM's life (r7c review finding)
   private val rfClones =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
   private def rfClone(spark: SparkSession): SparkSession =
-    rfClones.computeIfAbsent(spark, { s =>
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
-        "applicationSideScanSizeThreshold", "0")
+    rfClones.synchronized {
+      var ss = rfClones.get(spark)
+      if (ss == null) {
+        ss = spark.newSession()
+        ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        ss.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+          "applicationSideScanSizeThreshold", "0")
+        rfClones.put(spark, ss)
+      }
       ss
-    })
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lineitem_bloom_join" -> (lineitemBloomJoin _),

@@ -240,13 +240,22 @@ object MergeOnRead {
     * clean constraints). */
   private[graft] def snapshotDiff(before: DataFrame,
       after: DataFrame): DataFrame = {
+    // Row ABSENCE is detected by an explicit non-nullable presence
+    // marker (a null attribute on a PRESENT row must not read as a
+    // missing row), and the U test is NULL-SAFE (<=>): with plain =!=
+    // a value transitioning NULL ↔ non-NULL would evaluate to SQL NULL
+    // and silently fall through to the no-op arm — a dropped change.
+    // The oracle uses the join-key null (k is a key, never null in a
+    // present row) and IS DISTINCT FROM for the same two holes.
     val b = before.select(col("k"), col("s").as("bs"), col("v").as("bv"))
+      .withColumn("in_b", lit(true))
     val a = after.select(col("k"), col("s").as("as_"), col("v").as("av"))
+      .withColumn("in_a", lit(true))
     b.join(a, Seq("k"), "full_outer")
       .withColumn("op",
-        when(col("as_").isNull, lit("D"))
-          .when(col("bs").isNull, lit("I"))
-          .when(col("bs") =!= col("as_") || col("bv") =!= col("av"),
+        when(col("in_a").isNull, lit("D"))
+          .when(col("in_b").isNull, lit("I"))
+          .when(!(col("bs") <=> col("as_")) || !(col("bv") <=> col("av")),
             lit("U"))
           .otherwise(lit("N")))
       .filter(col("op") =!= "N")
@@ -342,14 +351,16 @@ object MergeOnRead {
     s"""$MorFinalCte,
        |j AS (
        |  SELECT coalesce(o.o_orderkey, f.o_orderkey) AS k,
+       |    o.o_orderkey AS ok, f.o_orderkey AS fk,
        |    o.o_orderstatus AS bs, o.o_totalprice AS bv,
        |    f.o_orderstatus AS as_, f.o_totalprice AS av
        |  FROM orders o FULL OUTER JOIN f ON o.o_orderkey = f.o_orderkey),
        |c AS (
        |  SELECT k, as_, av, bv,
-       |    CASE WHEN as_ IS NULL THEN 'D'
-       |         WHEN bs IS NULL THEN 'I'
-       |         WHEN bs <> as_ OR bv <> av THEN 'U'
+       |    CASE WHEN fk IS NULL THEN 'D'
+       |         WHEN ok IS NULL THEN 'I'
+       |         WHEN bs IS DISTINCT FROM as_
+       |           OR bv IS DISTINCT FROM av THEN 'U'
        |         ELSE 'N' END AS op
        |  FROM j)
        |SELECT op, coalesce(as_, '-') AS status_after,

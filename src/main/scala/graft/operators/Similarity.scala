@@ -1055,21 +1055,10 @@ object Similarity {
       s"${graft.sources.ResultCache.sessionId(spark)}|ivf_assign|$dir",
       ttlSeconds = 300)(ivfAssignUncached(spark, dir))
 
-  /** The FULL N×√N score sweep through the S6 cache — shared by the
-    * rn=1 assignment and [[GraphOps]]'s rn≤2 multi-probe assignment so
-    * the kernel runs once per (session, corpus). Query-side consumers
-    * that filter `vec_id === 0` keep the raw [[ivfSims]]: their filter
-    * pushes below the cross join (1×√N work), cheaper than a full
-    * sweep would ever be. */
-  private[operators] def ivfSimsFull(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.ResultCache.getOrCompute(
-      s"${graft.sources.ResultCache.sessionId(spark)}|ivf_sims|$dir",
-      ttlSeconds = 300)(ivfSims(spark, dir))
-
   private def ivfAssignUncached(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("s").desc, col("cid"))
-    ivfSimsFull(spark, dir)
+    ivfSims(spark, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"))
@@ -1943,10 +1932,15 @@ object Similarity {
     val docs = Tables(spark, dir, "documents").select(col("doc_id"))
     val nn = docs.agg(count(lit(1)).as("n"))
     val js = Seq(0L, 1L).toDF("j")
+    // the doc_id·NegMul product rides decimal(38,0) (HUGEINT in the
+    // oracle): in int64 it would wrap silently in Spark above
+    // doc_id ≈ 3.5e9 while DuckDB raises — a cross-engine divergence
+    // waiting for a big corpus
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val cand = docs.crossJoin(broadcast(js)).crossJoin(broadcast(nn))
       .select(col("doc_id").as("a0"),
-        pmod(col("doc_id") * lit(NegMul) + lit(NegStep) * col("j")
-          + lit(NegOff), col("n")).as("b0"))
+        pmod(d38(col("doc_id")) * lit(NegMul) + lit(NegStep) * col("j")
+          + lit(NegOff), d38(col("n"))).cast("long").as("b0"))
       .filter(col("a0") =!= col("b0"))
       .select(least(col("a0"), col("b0")).as("doc_a"),
         greatest(col("a0"), col("b0")).as("doc_b"))
@@ -2412,7 +2406,8 @@ object Similarity {
          |    greatest(raw.doc_id, raw.b0) AS doc_b
          |  FROM (
          |    SELECT d.doc_id,
-         |      (d.doc_id * $NegMul + $NegStep * js.j + $NegOff) % nn2.n AS b0
+         |      CAST((CAST(d.doc_id AS HUGEINT) * $NegMul
+         |        + $NegStep * js.j + $NegOff) % nn2.n AS BIGINT) AS b0
          |    FROM documents d, nn2, (SELECT unnest([0, 1]) AS j) js) raw
          |  WHERE raw.doc_id <> raw.b0),
          |neg AS (

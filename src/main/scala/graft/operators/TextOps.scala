@@ -387,34 +387,51 @@ object TextOps {
     * map-only pass with k counters of state — the classic
     * local-sketch-then-verify shape (same family as the stratified
     * top-k sampler, applied to frequency). */
+  /** The Misra-Gries fold over one stream chunk: k counters, returns
+    * the surviving keys. ONE definition shared by the operator's
+    * `mapPartitions` and the spec's direct guarantee test — a spec
+    * testing a private re-implementation would keep passing after the
+    * production loop broke (r7c review finding). */
+  private[graft] def misraGries(it: Iterator[String], k: Int): Set[String] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      counters.get(t) match {
+        case Some(c) => counters(t) = c + 1
+        case None if counters.size < k => counters(t) = 1L
+        case None =>
+          counters.keys.toList.foreach { key =>
+            val v = counters(key) - 1
+            if (v == 0L) counters.remove(key) else counters(key) = v
+          }
+      }
+    }
+    counters.keySet.toSet
+  }
+
   def heavyHittersExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val terms = Tables(spark, dir, "documents")
       .select(explode(toks).as("term")).as[String]
     val k = HhK
-    val cands = terms.mapPartitions { it =>
-      val counters = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach { t =>
-        counters.get(t) match {
-          case Some(c) => counters(t) = c + 1
-          case None if counters.size < k => counters(t) = 1L
-          case None =>
-            counters.keys.toList.foreach { key =>
-              val v = counters(key) - 1
-              if (v == 0L) counters.remove(key) else counters(key) = v
-            }
-        }
-      }
-      counters.keysIterator
-    }.toDF("term").distinct()
-    val total = terms.toDF("term").agg(count(lit(1)).as("tot"))
+    // ONE map-only pass emits each partition's MG survivors AND its
+    // element count; the result is catalog-scale (≤ partitions·(k+1)
+    // rows), collected like any broadcast build side — so N comes for
+    // free and the corpus is scanned exactly twice (MG pass + exact
+    // recount), not three times (r7c review finding)
+    val phase1 = terms.mapPartitions { it =>
+      var np = 0L
+      val survivors = misraGries(it.map { t => np += 1; t }, k)
+      survivors.iterator.map(t => (t, 0L)) ++ Iterator((null: String, np))
+    }.collect()
+    val total = phase1.collect { case (null, np) => np }.sum
+    val cands = phase1.collect { case (t, _) if t != null => t }
+      .distinct.toSeq.toDF("term")
     terms.toDF("term")
       .join(broadcast(cands), Seq("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(total))
-      .filter(col("n") * lit(k) > col("tot"))
+      .filter(col("n") * lit(k) > lit(total))
       .select(col("term"), col("n"),
-        expr("1000000 * n div tot").as("share_ppm"))
+        expr(s"1000000 * n div ${total}L").as("share_ppm"))
       .orderBy(col("n").desc, col("term"))
   }
 

@@ -467,27 +467,14 @@ class TextSimilaritySpec extends SparkSpec {
     assert(got == expect)
     assert(got.nonEmpty && got.size < full.size,
       s"threshold must bite: ${got.size} of ${full.size}")
-    // the MG guarantee, tested directly on the algorithm: for any way
-    // of chunking the stream, the per-chunk summaries' union keys
-    // cover every true heavy hitter
-    def mg(chunk: Seq[String], k: Int): Set[String] = {
-      val counters = scala.collection.mutable.HashMap.empty[String, Long]
-      chunk.foreach { t =>
-        counters.get(t) match {
-          case Some(c) => counters(t) = c + 1
-          case None if counters.size < k => counters(t) = 1L
-          case None =>
-            counters.keys.toList.foreach { key =>
-              val v = counters(key) - 1
-              if (v == 0L) counters.remove(key) else counters(key) = v
-            }
-        }
-      }
-      counters.keySet.toSet
-    }
+    // the MG guarantee, tested directly on the SHIPPED fold (shared
+    // with the operator's mapPartitions — not a spec-local copy): for
+    // any way of chunking the stream, the per-chunk summaries' union
+    // keys cover every true heavy hitter
     for (p <- Seq(1, 2, 7, 32)) {
       val chunkSize = math.max(1, terms.length / p)
-      val cands = terms.grouped(chunkSize).map(c => mg(c.toSeq, 30))
+      val cands = terms.grouped(chunkSize)
+        .map(c => TextOps.misraGries(c.iterator, 30))
         .reduce(_ ++ _)
       assert(expect.keySet.subsetOf(cands),
         s"P=$p lost heavies: ${expect.keySet -- cands}")

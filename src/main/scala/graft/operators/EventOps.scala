@@ -291,18 +291,29 @@ object EventOps {
   private val ZNum2 = 9L
   private val ZDen2 = 4L
 
-  def hourlyVolumeAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-    // cells feeds BOTH the baseline aggregate and the probe side of
-    // the join; without a persist Spark re-executes the events scan +
-    // aggregation for each reference — the only volume-proportional
-    // work in the query, paid twice (r7c review finding). The frame is
-    // (day, hour)-granularity: calendar-sized, cache-safe.
-    val cells = Tables(spark, dir, "events")
+  /** The (day, hour) traffic-cell rollup — the monitor's ONLY
+    * volume-proportional pass, shared with the streamed twin (which
+    * maintains exactly this frame incrementally per micro-batch). */
+  private[graft] def cellsOf(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
       .groupBy(to_date(col("ts")).as("day"),
         hour(col("ts")).cast("long").as("hr"))
       .agg(count(lit(1)).as("cnt"))
-      .persist()
+
+  def hourlyVolumeAnomaly(spark: SparkSession, dir: String): DataFrame =
+    volumeAnomalyFrom(cellsOf(spark, dir))
+
+  /** The analysis half over ANY (day, hr, cnt) cell frame — batch
+    * builds it from the raw scan, the streamed twin from its
+    * maintained state table; ONE definition so they cannot drift. */
+  private[graft] def volumeAnomalyFrom(cellsIn: DataFrame): DataFrame = {
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    // cells feeds BOTH the baseline aggregate and the probe side of
+    // the join; without a persist Spark re-executes the upstream scan
+    // + aggregation for each reference — the only volume-proportional
+    // work in the query, paid twice (r7c review finding). The frame is
+    // (day, hour)-granularity: calendar-sized, cache-safe.
+    val cells = cellsIn.persist()
     val base = cells
       .groupBy(weekday(col("day")).as("wd"), col("hr"))
       .agg(count(lit(1)).as("n"),

@@ -496,7 +496,68 @@ object StreamReplay {
     ss.read.parquet(out).drop("_batch_id").orderBy("doc_id")
   }
 
+  // 3-file md5-mixed events copy for the anomaly monitor's replay —
+  // each micro-batch carries a hash-slice of EVERY (day, hour) cell,
+  // so the maintained state genuinely accumulates across batches
+  private val anomalyInputs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def anomalyReplayInput(ss: SparkSession, dir: String): String =
+    anomalyInputs.computeIfAbsent(dir, { _ =>
+      val path = newReplayDir("graft_anom_in_")
+      graft.Tables(ss, dir, "events").select(col("event_id"), col("ts"))
+        .repartition(3, col("event_id"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** ST8++ streamed VOLUME-ANOMALY monitor — the batch
+    * `hourly_volume_anomaly` maintained incrementally: each micro-batch
+    * folds its (day, hour) counts into a VERSIONED cells state table
+    * (counts are pure adds — the commutative-monoid case of the
+    * streamed-MV retract/add discipline, and versioned writes keep
+    * every batch idempotent under replay); the final anomaly verdicts
+    * are computed from the LAST state version by the exact same
+    * analysis code as the batch query ([[graft.operators.EventOps
+    * .volumeAnomalyFrom]] — one definition, cannot drift) and graded
+    * by the batch oracle VERBATIM, so the maintenance loop is proven
+    * batch-chop-invariant. At 100 TB this is the production shape: the
+    * raw feed is touched once per batch at cell granularity, the
+    * monitor reads state, never the firehose. */
+  def hourlyAnomalyStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val ss = replaySession(spark)
+    val input = anomalyReplayInput(ss, dir)
+    val stateRoot = newReplayDir("graft_anom_state_")
+    val stream = ss.readStream.schema(ss.read.parquet(input).schema)
+      .option("maxFilesPerTrigger", "1").parquet(input)
+      .select(col("ts"))
+    val query = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", newReplayDir("graft_anom_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val bs = batch.sparkSession
+        val bc = batch.groupBy(to_date(col("ts")).as("day"),
+            hour(col("ts")).cast("long").as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        val merged =
+          if (batchId == 0) bc
+          else bs.read.parquet(s"$stateRoot/v${batchId - 1}")
+            .unionByName(bc)
+            .groupBy(col("day"), col("hr")).agg(sum(col("cnt")).as("cnt"))
+        merged.write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .start()
+    try query.awaitTermination() finally query.stop()
+    val last = new java.io.File(stateRoot).list()
+      .filter(_.startsWith("v")).map(_.stripPrefix("v").toLong).max
+    graft.operators.EventOps.volumeAnomalyFrom(
+      ss.read.parquet(s"$stateRoot/v$last"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hourly_anomaly_streamed" -> (hourlyAnomalyStreamed _),
     "enriched_events_streamed" -> (enrichedEventsStreamed _),
     "view_purchase_join_streamed" -> (viewPurchaseJoinStreamed _),
     "hourly_event_stats_streamed" -> (hourlyEventStatsStreamed _),
@@ -510,6 +571,10 @@ object StreamReplay {
     "incremental_dedup_streamed" -> (incrementalDedupStreamed _))
 
   val oracles: Map[String, String] = Map(
+    // the batch monitor's oracle VERBATIM: three rounds of incremental
+    // cell maintenance must land exactly on the batch answer
+    "hourly_anomaly_streamed" ->
+      graft.operators.EventOps.oracles("hourly_volume_anomaly"),
     // bounded complete-mode replay of a stream-static join + aggregate
     // ≡ the batch join + aggregate
     "enriched_events_streamed" ->

@@ -441,4 +441,39 @@ class StreamingSpec extends SparkSpec {
     val multi = fmgws.count(_.getLong(1) > 1)
     assert(multi > 0, "degenerate corpus: no user has a gap-closed session")
   }
+
+  test("streamed anomaly monitor ≡ batch; maintained cell state grows " +
+      "monotonically to exactly the batch cells") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.StreamReplay
+      .hourlyAnomalyStreamed(spark, sf0001).collect().map(_.toSeq)
+    val batch = graft.operators.EventOps
+      .hourlyVolumeAnomaly(spark, sf0001).collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty, "vacuous monitor at sf0.001")
+    // the state versions: totals strictly increase, the last equals
+    // the batch cell frame exactly (three real maintenance rounds)
+    val stateRoot = new java.io.File(
+      graft.streaming.StreamReplay.anomalyReplayInput(spark, sf0001))
+      .getParentFile
+    val vDirs = stateRoot.listFiles
+      .filter(_.getName.startsWith("graft_anom_state_"))
+      .maxBy(_.lastModified).listFiles.map(_.getName)
+      .filter(_.startsWith("v")).sortBy(_.stripPrefix("v").toLong)
+    assert(vDirs.length == 3, s"expected 3 maintenance rounds: ${vDirs.toSeq}")
+    val stateBase = stateRoot.listFiles
+      .filter(_.getName.startsWith("graft_anom_state_"))
+      .maxBy(_.lastModified).getAbsolutePath
+    val totals = vDirs.map(v => spark.read.parquet(s"$stateBase/$v")
+      .agg(sum(col("cnt"))).first().getLong(0))
+    totals.sliding(2).foreach {
+      case Array(a, b) => assert(a < b, s"state totals must grow: ${totals.toSeq}")
+      case _ => ()
+    }
+    val lastCells = spark.read.parquet(s"$stateBase/${vDirs.last}")
+      .collect().map(_.toSeq).toSet
+    val batchCells = graft.operators.EventOps.cellsOf(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(lastCells == batchCells)
+  }
 }

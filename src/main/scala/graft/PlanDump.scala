@@ -40,7 +40,8 @@ object PlanDump {
     "lineitem_bloom_join", "spend_deciles", "spend_gini",
     "orders_cdc_extract", "pit_revenue_by_segment", "ngram_lm_quality",
     "contrastive_pairs", "phrase_search_indexed", "orders_federated_agg",
-    "heavy_hitters_exact", "survival_risk_table", "hourly_anomaly_streamed")
+    "heavy_hitters_exact", "survival_risk_table", "hourly_anomaly_streamed",
+    "events_position_delete")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

@@ -45,7 +45,7 @@ object SparkEntry {
     RangeJoin.queries ++ Integrity.queries ++ Formats.queries ++
     MergeOnRead.queries ++ Ivm.queries ++ Packing.queries ++
     Pii.queries ++ Baskets.queries ++ GraphOps.queries ++ Cohorts.queries ++
-    Skyline.queries ++ Concentration.queries ++
+    Skyline.queries ++ Concentration.queries ++ Erasure.queries ++
     Stats.queries ++ Membership.queries ++
     graft.functions.TypedAggs.queries ++
     Multimodal.queries ++ Skew.queries ++ graft.streaming.StreamReplay.queries
@@ -71,7 +71,7 @@ object SparkEntry {
     RangeJoin.oracles ++ Integrity.oracles ++ Formats.oracles ++
     MergeOnRead.oracles ++ Ivm.oracles ++ Packing.oracles ++
     Pii.oracles ++ Baskets.oracles ++ GraphOps.oracles ++ Cohorts.oracles ++
-    Skyline.oracles ++ Concentration.oracles ++
+    Skyline.oracles ++ Concentration.oracles ++ Erasure.oracles ++
     Stats.oracles ++ Membership.oracles ++
     graft.functions.TypedAggs.oracles ++
     Multimodal.oracles ++ Skew.oracles ++ graft.streaming.StreamReplay.oracles

@@ -101,6 +101,20 @@ object Bench {
       java.nio.file.Files.write(p,
         (line + "\n" + summary + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    // Durable history (r7 verdict #6): BENCH_SELF.json is overwritten
+    // per run (the judge's own run clobbered the builder's r7 record),
+    // so every run ALSO appends one self-contained JSONL record —
+    // timestamp, config, full per-query map — to BENCH_HISTORY.jsonl.
+    // Append-only: two consecutive runs are both recoverable.
+    try {
+      val hist =
+        s"""{"ts_ms":${System.currentTimeMillis()},"cpus":$cpus,""" +
+          line.stripPrefix("{") + "\n"
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+        hist.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => () }
     // Stop BEFORE printing: shutdown emits its own log lines, and the
     // JSON record must be the last thing on stdout so a tail-capturing
     // harness always sees it (round 3's record was lost to log spam).

@@ -96,8 +96,11 @@ object Cohorts {
   def survivalRiskTable(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir, "orders")
     val bounds = o.agg(max(to_date(col("o_orderdate"))).as("maxd"))
-    // per feeds both the lifetime rollup and the total count — persist
-    // the subject-granularity frame so the orders scan runs once
+    // per has ONE consumer (the lifetime rollup): the subject total is
+    // Σ(d+c) over byT, read off an unbounded window over the SAME
+    // catalog-sized frame the exclusive running sum already scans — so
+    // the orders scan runs once with nothing persisted (r7 ADVICE: the
+    // r7c per.persist() was never released).
     val per = o.groupBy(col("o_custkey"))
       .agg(min(to_date(col("o_orderdate"))).as("first_d"),
         max(to_date(col("o_orderdate"))).as("last_d"))
@@ -106,14 +109,16 @@ object Cohorts {
         datediff(col("last_d"), col("first_d")).cast("long").as("lifetime"),
         when(col("last_d") < date_sub(col("maxd"), ChurnDays), 1L)
           .otherwise(0L).as("event"))
-      .persist()
     val byT = per.groupBy(col("lifetime"))
       .agg(sum(col("event")).as("d"),
         sum(lit(1L) - col("event")).as("c"))
-    val n = per.agg(count(lit(1)).as("total"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("lifetime"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    byT.crossJoin(broadcast(n))
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("lifetime"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    byT
+      .withColumn("total", sum(col("d") + col("c")).over(wAll))
       .withColumn("gone", coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
       .select(col("lifetime"), (col("total") - col("gone")).as("n_at_risk"),
         col("d").as("n_events"), col("c").as("n_censored"))

@@ -44,34 +44,54 @@ object Concentration {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  // The ranked frame serves from scratch parquet, built ONCE per
+  // (JVM, corpus): `spend_deciles` and `spend_gini` each consume it —
+  // with the r7c lazy+persist form every battery run pinned two cached
+  // copies per scale factor for the session lifetime (r7 ADVICE). The
+  // eager write is the final action consuming the persisted bucket
+  // frame, so its blocks are released right after — the GraphOps
+  // serve-from-scratch discipline: rebuildable file-scan lineage,
+  // zero pinned blocks.
+  private val rankedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Per-customer spend with exact global rank (two-phase). */
   private[graft] def rankedSpend(spark: SparkSession, dir: String): DataFrame = {
-    val spend = Tables(spark, dir, "orders")
-      .groupBy(col("o_custkey"))
-      .agg(sum(dec(col("o_totalprice"))).as("spend"))
-    val bounds = spend.agg(min(col("spend")).as("lo"), max(col("spend")).as("hi"))
-    // b feeds both the in-bucket ranking and the bucket-count offsets —
-    // persist the customer-granularity frame so the orders scan and
-    // spend aggregation run once (r7c review finding)
-    val b = spend.crossJoin(broadcast(bounds))
-      .withColumn("bucket",
-        least(lit(Buckets - 1), greatest(lit(0),
-          floor((col("spend") - col("lo")).cast("double") /
-            ((col("hi") - col("lo")).cast("double") / Buckets + lit(1e-6)))
-            .cast("int"))))
-      .drop("lo", "hi")
-      .persist()
-    val wIn = Window.partitionBy(col("bucket"))
-      .orderBy(col("spend"), col("o_custkey"))
-    val local = b.withColumn("lrank", row_number().over(wIn))
-    val wOff = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = b.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
-      .withColumn("offset", coalesce(sum(col("bn")).over(wOff), lit(0L)))
-      .select(col("bucket").as("obucket"), col("offset"))
-    local.join(broadcast(offs), col("bucket") === col("obucket"))
-      .select(col("o_custkey"), col("spend"),
-        (col("offset") + col("lrank")).as("rnk"))
+    val path = rankedDirs.computeIfAbsent(dir, { _ =>
+      val out = graft.Tables.scratchDir("graft_ranked_spend_").getAbsolutePath
+      val spend = Tables(spark, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).as("spend"))
+      val bounds = spend.agg(min(col("spend")).as("lo"),
+        max(col("spend")).as("hi"))
+      // b feeds both the in-bucket ranking and the bucket-count
+      // offsets — persisted so the orders scan and spend aggregation
+      // run once, released by the finally once the write lands
+      val b = spend.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          least(lit(Buckets - 1), greatest(lit(0),
+            floor((col("spend") - col("lo")).cast("double") /
+              ((col("hi") - col("lo")).cast("double") / Buckets + lit(1e-6)))
+              .cast("int"))))
+        .drop("lo", "hi")
+        .persist()
+      try {
+        val wIn = Window.partitionBy(col("bucket"))
+          .orderBy(col("spend"), col("o_custkey"))
+        val local = b.withColumn("lrank", row_number().over(wIn))
+        val wOff = Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = b.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+          .withColumn("offset", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+          .select(col("bucket").as("obucket"), col("offset"))
+        local.join(broadcast(offs), col("bucket") === col("obucket"))
+          .select(col("o_custkey"), col("spend"),
+            (col("offset") + col("lrank")).as("rnk"))
+          .write.mode("overwrite").parquet(out)
+      } finally { b.unpersist(blocking = false); () }
+      out
+    })
+    spark.read.parquet(path)
   }
 
   /** GRADED: Lorenz deciles — customers ranked by spend ascending,

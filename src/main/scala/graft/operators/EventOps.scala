@@ -308,20 +308,20 @@ object EventOps {
     * maintained state table; ONE definition so they cannot drift. */
   private[graft] def volumeAnomalyFrom(cellsIn: DataFrame): DataFrame = {
     def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-    // cells feeds BOTH the baseline aggregate and the probe side of
-    // the join; without a persist Spark re-executes the upstream scan
-    // + aggregation for each reference — the only volume-proportional
-    // work in the query, paid twice (r7c review finding). The frame is
-    // (day, hour)-granularity: calendar-sized, cache-safe.
-    val cells = cellsIn.persist()
-    val base = cells
-      .groupBy(weekday(col("day")).as("wd"), col("hr"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("cnt")).as("s"),
-        sum(d38(col("cnt")) * d38(col("cnt"))).as("ss"))
+    // The per-(weekday, hour) baseline moments attach to each cell via
+    // a PARTITIONED WINDOW over the calendar-sized cell frame — one
+    // consumer of the upstream scan/aggregation, so nothing needs a
+    // persist (r7 ADVICE: the r7c aggregate-then-self-join form
+    // persisted the cell frame and never released it). Identical
+    // values: a window aggregate over the (wd, hr) partition IS the
+    // grouped aggregate, delivered without the join.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("wd"), col("hr"))
     val dd = d38(col("cnt")) * d38(col("n")) - d38(col("s"))
-    cells.withColumn("wd", weekday(col("day")))
-      .join(broadcast(base), Seq("wd", "hr"))
+    cellsIn.withColumn("wd", weekday(col("day")))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("cnt")).over(w))
+      .withColumn("ss", sum(d38(col("cnt")) * d38(col("cnt"))).over(w))
       .filter(col("n") >= 3)
       .filter(lit(ZDen2) * dd * dd >
         lit(ZNum2) * (d38(col("n")) * col("ss") - d38(col("s")) * d38(col("s"))))

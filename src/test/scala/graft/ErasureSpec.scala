@@ -47,4 +47,38 @@ class ErasureSpec extends SparkSpec {
     md.digest(v.toString.getBytes("UTF-8"))
       .map(b => "%02x".format(b)).mkString
   }
+
+  test("physical fold: erased rows' bytes are ABSENT from the " +
+      "rewritten files (raw scan, no view logic), delete files are " +
+      "retired, and content matches the logical view row-for-row") {
+    val (folded, deletes) = Erasure.compactedState(spark, sf0001)
+    // retirement: the folded snapshot references no delete file
+    assert(deletes.isEmpty)
+    // bytes gone, not filtered: a RAW scan of the rewritten files —
+    // no anti-join, no predicate pushed by the reader — finds zero
+    // rows of the erased class, while the pre-fold copy holds many
+    val raw = spark.read.parquet(folded)
+    assert(raw.filter(pred).count() == 0,
+      "erased class still physically present after the fold")
+    val (data, _) = Erasure.state(spark, sf0001)
+    assert(spark.read.parquet(data).filter(pred).count() > 0,
+      "vacuous fold: the pre-fold copy holds no erased rows")
+    // pure layout change: folded content ≡ the logical erased view
+    val cols = raw.columns.sorted.toIndexedSeq.map(col)
+    val a = raw.select(cols: _*).collect().map(_.toSeq)
+      .sortBy(_.mkString("|")).toSeq
+    val b = Erasure.erasedView(spark, sf0001).select(cols: _*)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(a == b, "fold lost or duplicated rows")
+    // and the folded files are range-clustered on the sort key:
+    // per-file event_id intervals are disjoint (the Compaction layout)
+    val ranges = raw
+      .groupBy(col("_metadata.file_path").as("f"))
+      .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi1), (lo2, _)) => hi1 < lo2
+      case _ => true
+    }, s"overlapping per-file key ranges: ${ranges.mkString(",")}")
+  }
 }

@@ -468,20 +468,13 @@ object TextOps {
       f
     })
 
-  /** N4 phrase search against the STORED index — the same adjacency
-    * resolution as [[phraseSearch]], but reading a PREBUILT positional
-    * posting table partitioned by term bucket: the query's two term
-    * buckets are computed on the driver and land as PartitionFilters,
-    * so the scan opens ≤2 of [[TermBuckets]] directories — the
-    * physical realization of "query cost ∝ term frequency, never
-    * corpus size" the inline form's scaladoc promises. Same oracle as
-    * `phrase_search` on purpose: the index is a layout change, and the
-    * hash match proves it lossless. `TextSimilaritySpec` asserts the
-    * executed scan carries a `tb`-partition filter and reads fewer
-    * partition directories than exist. */
-  def phraseSearchIndexed(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared adjacency resolution over ANY stored postings path — the
+    * query half of the indexed/maintained/compacted family, so the
+    * three layouts cannot drift. Buckets computed on the driver land
+    * as PartitionFilters: ≤2 of [[TermBuckets]] directories open. */
+  private def phraseFromPostings(spark: SparkSession, path: String): DataFrame = {
     val buckets = PhraseTerms.map(termBucket).distinct
-    val idx = spark.read.parquet(postingsDir(spark, dir))
+    val idx = spark.read.parquet(path)
       .filter(col("tb").isin(buckets: _*) &&
         col("term").isin(PhraseTerms: _*))
     val a = idx.filter(col("term") === PhraseTerms(0))
@@ -495,9 +488,124 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** N4 phrase search against the STORED index — the same adjacency
+    * resolution as [[phraseSearch]], but reading a PREBUILT positional
+    * posting table partitioned by term bucket: the query's two term
+    * buckets are computed on the driver and land as PartitionFilters,
+    * so the scan opens ≤2 of [[TermBuckets]] directories — the
+    * physical realization of "query cost ∝ term frequency, never
+    * corpus size" the inline form's scaladoc promises. Same oracle as
+    * `phrase_search` on purpose: the index is a layout change, and the
+    * hash match proves it lossless. `TextSimilaritySpec` asserts the
+    * executed scan carries a `tb`-partition filter and reads fewer
+    * partition directories than exist. */
+  def phraseSearchIndexed(spark: SparkSession, dir: String): DataFrame =
+    phraseFromPostings(spark, postingsDir(spark, dir))
+
+  // ----------------------------------------------------------------
+  // Posting-index MAINTENANCE lifecycle (r7 verdict #3) — the same
+  // append/compaction moves the dedup index got in r7
+  // ([[IncrementalDedup]] `_maintained`/`_compacted`), applied to the
+  // stored inverted index: a real corpus's postings grow daily, and a
+  // rebuild-the-index-per-ingest shop doesn't have an index, it has a
+  // nightly batch job.
+  //
+  //  - DAY 1: postings of the base slice (md5(doc_id) first nibble
+  //    ≥ '2', ~7/8 of the corpus) written under the SAME term-bucket
+  //    partitioning as the one-shot index.
+  //  - DAY 2 (append): the new docs' postings land as an ADDED FILE
+  //    SET inside the existing tb=… directories — day-1 files are
+  //    never rewritten (spec asserts their name+length set unchanged),
+  //    and day-2 postings are wholly contained in the delta files, so
+  //    day-2 docs are findable without touching a day-1 file.
+  //  - COMPACTION: base ∪ delta folded per bucket into one
+  //    term-sorted file each — pure layout, same oracle.
+  //
+  // All three read paths answer the SAME phrase query through
+  // [[phraseFromPostings]] and are graded by the verbatim
+  // `phrase_search` oracle over the full corpus: growth and folding
+  // must both be invisible to the query's semantics. At 100 TB the
+  // append is the daily ingest-ETL postings job (cost ∝ new docs) and
+  // the fold runs per bucket-partition when its delta-file count
+  // crosses a threshold — the [[Compaction]] arithmetic.
+  // ----------------------------------------------------------------
+
+  /** Day-2 (newly ingested) docs: md5 first nibble '0'/'1' (~1/8). */
+  private[graft] def isDay2 =
+    substring(md5(col("doc_id").cast("string")), 1, 1) < "2"
+
+  /** Maintained index state: (root, day-1 files, delta files). */
+  private[graft] final case class PostingsState(root: String,
+      day1Files: Map[String, Long], deltaFiles: Map[String, Long])
+
+  private def listParquet(root: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(root))
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .map(f => f.getAbsolutePath -> f.length).toMap
+  }
+
+  private def postingsOf(spark: SparkSession, dir: String,
+      dayFilter: org.apache.spark.sql.Column): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(dayFilter)
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .withColumn("tb",
+        pmod(conv(substring(md5(col("term")), 1, 1), 16, 10).cast("int"),
+          lit(TermBuckets)))
+
+  private val maintainedStates =
+    new java.util.concurrent.ConcurrentHashMap[String, PostingsState]()
+  private[graft] def maintainedPostings(spark: SparkSession,
+      dir: String): PostingsState =
+    maintainedStates.computeIfAbsent(dir, { _ =>
+      val root = graft.Tables.scratchDir("graft_postings_m_").getAbsolutePath
+      // day 1: the base corpus slice, one-shot build
+      postingsOf(spark, dir, !isDay2)
+        .write.mode("overwrite").partitionBy("tb").parquet(root)
+      val day1 = listParquet(root)
+      // day 2: the new docs' postings APPENDED as a delta file set
+      // under the same partitioning — no day-1 file is opened, let
+      // alone rewritten
+      postingsOf(spark, dir, isDay2)
+        .write.mode("append").partitionBy("tb").parquet(root)
+      val all = listParquet(root)
+      PostingsState(root, day1, all -- day1.keys)
+    })
+
+  // compacted fold of the maintained index, once per (JVM, corpus)
+  private val compactedPostingsDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def compactedPostingsDir(spark: SparkSession,
+      dir: String): String =
+    compactedPostingsDirs.computeIfAbsent(dir, { _ =>
+      val out = graft.Tables.scratchDir("graft_postings_c_").getAbsolutePath
+      spark.read.parquet(maintainedPostings(spark, dir).root)
+        .repartition(TermBuckets, col("tb"))
+        .sortWithinPartitions("tb", "term", "doc_id", "pos")
+        .write.mode("overwrite").partitionBy("tb").parquet(out)
+      out
+    })
+
+  /** GRADED: the phrase query over the GROWN index (base + delta) —
+    * verbatim `phrase_search` oracle: the append must be exactly
+    * corpus growth, nothing lost, nothing doubled. */
+  def phraseSearchMaintained(spark: SparkSession, dir: String): DataFrame =
+    phraseFromPostings(spark, maintainedPostings(spark, dir).root)
+
+  /** GRADED: the phrase query over the COMPACTED fold — same oracle:
+    * the fold is pure layout. */
+  def phraseSearchCompacted(spark: SparkSession, dir: String): DataFrame =
+    phraseFromPostings(spark, compactedPostingsDir(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "heavy_hitters_exact" -> (heavyHittersExact _),
     "phrase_search_indexed" -> (phraseSearchIndexed _),
+    "phrase_search_maintained" -> (phraseSearchMaintained _),
+    "phrase_search_compacted" -> (phraseSearchCompacted _),
     "phrase_search"     -> (phraseSearch _),
     "quality_funnel"    -> (qualityFunnel _),
     "exact_dedup_stats" -> (exactDedupStats _),
@@ -568,6 +676,11 @@ object TextOps {
            |FROM c, nn WHERE c.cnt * $HhK > nn.tot
            |ORDER BY n DESC, term""".stripMargin,
       "phrase_search_indexed" -> phraseOracle,
+      // the maintained (base + delta) and compacted layouts must both
+      // answer the phrase query identically to the one-shot index —
+      // growth and folding are layout changes, graded by the same SQL
+      "phrase_search_maintained" -> phraseOracle,
+      "phrase_search_compacted" -> phraseOracle,
       "phrase_search" -> phraseOracle,
       // same sequential-rule semantics, same token/char definitions as
       // the Spark side; DuckDB regexp_replace needs the 'g' flag to

@@ -59,6 +59,60 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  // driver-side cosine in the SAME left-to-right double fold as the
+  // CosineSim expression — exact-equality safe
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("beam search: the final beam is EXACTLY a driver-side replay of " +
+      "the walk (seeds, expansion, pruning, tie-breaks); top-k and the " +
+      "recall row are consistent with it") {
+    val emb = Tables(spark, sf0001, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q = emb(0L)
+    val cosq = emb.map { case (v, e) => v -> cosine(e, q) }
+    // independent replay of the whole walk off the collected edge map
+    val ncent = math.ceil(math.sqrt(emb.size.toDouble)).toLong
+    val seedRank = (0L until ncent)
+      .sortBy(c => (-cosq(c), c)).take(GraphOps.BeamProbes)
+    var beam = seedRank.toSet
+    for (_ <- 1 to GraphOps.BeamRounds) {
+      val cand = beam ++ beam.flatMap(v => edges.getOrElse(v, Set.empty))
+      beam = cand.toSeq.sortBy(v => (-cosq(v), v))
+        .take(GraphOps.BeamWidth).toSet
+    }
+    val got = spark.read.parquet(GraphOps.beamDir(spark, sf0001))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == beam,
+      s"beam diff: +${got.keySet -- beam} -${beam -- got.keySet}")
+    assert(got.size <= GraphOps.BeamWidth)
+    got.foreach { case (v, cs) => assert(cs == cosq(v), s"score drift $v") }
+    // top-k = top-10 of the beam minus the query vertex
+    val expectTop = beam.toSeq.filter(_ != 0L)
+      .sortBy(v => (-cosq(v), v)).take(10)
+    val gotTop = GraphOps.graphAnnTopk(spark, sf0001).collect()
+      .map(_.getLong(0)).toSeq
+    assert(gotTop == expectTop)
+    // recall row consistent with an exact driver-side top-10
+    val exact = emb.keySet.filter(_ != 0L).toSeq
+      .sortBy(v => (-math.floor(cosq(v) * 1e6 + 0.5) / 1e6, v)).take(10)
+    val overlap = exact.toSet.intersect(gotTop.toSet).size
+    val row = GraphOps.graphAnnRecall(spark, sf0001).collect().head
+    assert(row.getString(0) == s"graph_beam_b${GraphOps.BeamWidth}" +
+      s"_r${GraphOps.BeamRounds}")
+    assert(row.getLong(1) == overlap.toLong)
+    assert(row.getDouble(2) ==
+      math.floor(overlap / 10.0 * 1e4 + 0.5) / 1e4)
+    // the walk found something real: non-trivial overlap with exact
+    assert(overlap > 0, "recall 0 — the walk never left its seeds")
+  }
+
   test("deterministic across shuffle-partition settings") {
     val a = hops
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -514,6 +514,55 @@ class TextSimilaritySpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == inline.map(_.toSeq).toSeq)
   }
 
+  test("maintained postings: day-1 files untouched by the append; the " +
+      "delta files alone carry exactly the day-2 postings; compaction " +
+      "is a row-multiset no-op; bucket pruning holds on the grown index") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+    val st = TextOps.maintainedPostings(spark, sf0001)
+    // the append added files without rewriting day-1 (name+length set)
+    assert(st.day1Files.nonEmpty && st.deltaFiles.nonEmpty)
+    assert(st.day1Files.keySet.intersect(st.deltaFiles.keySet).isEmpty)
+    val now = st.day1Files.keys.map(p =>
+      p -> new java.io.File(p).length).toMap
+    assert(now == st.day1Files, "a day-1 posting file was rewritten")
+    // day-2 docs are findable WITHOUT touching day-1 files: the delta
+    // file set alone holds exactly the day-2 docs' postings
+    val day2Ids = Tables(spark, sf0001, "documents")
+      .filter(TextOps.isDay2).select($"doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(day2Ids.nonEmpty)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"), r.getAs[String]("term"))
+    val deltaRows = spark.read.parquet(st.deltaFiles.keys.toSeq: _*)
+      .collect().map(key).toSet
+    assert(deltaRows.map(_._1) == day2Ids,
+      "delta files must hold day-2 docs' postings, all of them, only them")
+    // grown index = one-shot index, as a row multiset
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"pos", $"term").collect().map(key)
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val grown = multiset(spark.read.parquet(st.root))
+    val oneShot = multiset(
+      spark.read.parquet(TextOps.postingsDir(spark, sf0001)))
+    assert(grown == oneShot, "append lost or doubled postings")
+    // compaction: same multiset again, fewer-or-equal files per bucket
+    val cdir = TextOps.compactedPostingsDir(spark, sf0001)
+    assert(multiset(spark.read.parquet(cdir)) == oneShot)
+    // bucket pruning still holds on the GROWN index
+    val q = TextOps.phraseSearchMaintained(spark, sf0001)
+    q.collect()
+    val scans = fileScans(q.queryExecution.executedPlan)
+      .filter(_.schema.fieldNames.contains("pos"))
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val pruned = s.relation.location
+        .listFiles(s.partitionFilters, s.dataFilters).length
+      val total = s.relation.location.listFiles(Nil, Nil).length
+      assert(pruned < total, s"no pruning on the grown index")
+    }
+  }
+
   test("contrastive pairs: positives are exactly the cluster edge set; " +
       "no negative shares a cluster with its anchor; sets disjoint") {
     import org.apache.spark.sql.functions._

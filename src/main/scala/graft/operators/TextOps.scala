@@ -408,6 +408,23 @@ object TextOps {
     counters.keySet.toSet
   }
 
+  /** Phase 2, shared by the batch operator and the streamed monitor
+    * (ONE definition, cannot drift): exact recount of the candidate
+    * terms via broadcast semi join + the count·k > N threshold. */
+  private[graft] def recountHeavyHitters(spark: SparkSession, dir: String,
+      candTerms: Seq[String], total: Long): DataFrame = {
+    import spark.implicits._
+    val cands = candTerms.toDF("term")
+    Tables(spark, dir, "documents")
+      .select(explode(toks).as("term"))
+      .join(broadcast(cands), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .filter(col("n") * lit(HhK) > lit(total))
+      .select(col("term"), col("n"),
+        expr(s"1000000 * n div ${total}L").as("share_ppm"))
+      .orderBy(col("n").desc, col("term"))
+  }
+
   def heavyHittersExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val terms = Tables(spark, dir, "documents")
@@ -425,14 +442,8 @@ object TextOps {
     }.collect()
     val total = phase1.collect { case (null, np) => np }.sum
     val cands = phase1.collect { case (t, _) if t != null => t }
-      .distinct.toSeq.toDF("term")
-    terms.toDF("term")
-      .join(broadcast(cands), Seq("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("n"))
-      .filter(col("n") * lit(k) > lit(total))
-      .select(col("term"), col("n"),
-        expr(s"1000000 * n div ${total}L").as("share_ppm"))
-      .orderBy(col("n").desc, col("term"))
+      .distinct.toSeq
+    recountHeavyHitters(spark, dir, cands, total)
   }
 
   /** Term-bucket count for the STORED inverted index (8 partition

@@ -556,7 +556,95 @@ object StreamReplay {
       ss.read.parquet(s"$stateRoot/v$last"))
   }
 
+  // 3-file doc_id-hash-mixed documents copy for the heavy-hitter
+  // monitor's replay — each micro-batch carries a slice of every
+  // term's occurrences, so the candidate state genuinely accumulates
+  private val hhInputs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def hhReplayInput(ss: SparkSession, dir: String): String =
+    hhInputs.computeIfAbsent(dir, { _ =>
+      val path = newReplayDir("graft_hh_in_")
+      graft.Tables(ss, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(3, col("doc_id"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** N4++++ streamed EXACT heavy hitters (r7 verdict #7) — the
+    * frequency monitor a 100 TB ingest runs continuously: each
+    * micro-batch folds its Misra-Gries candidate survivors (the SAME
+    * shipped fold as the batch operator) and its term count into a
+    * VERSIONED candidate-state table (pure set-union + counter adds —
+    * the commutative-monoid case of the streamed-MV discipline,
+    * replay-idempotent via versioned writes); the final verdicts are
+    * an exact recount of the accumulated candidates through the
+    * shared phase-2 ([[graft.operators.TextOps.recountHeavyHitters]])
+    * and graded by the `heavy_hitters_exact` oracle VERBATIM.
+    *
+    * Why exactness survives ANY batch chopping: the corpus is some
+    * partition into chunks (batch × partition); a term with global
+    * count > N/k must exceed n_chunk/k in at least one chunk
+    * (pigeonhole over the chunk sums), and MG with k counters never
+    * evicts such a key — so the accumulated candidate union is a
+    * SUPERSET of the true heavy hitters regardless of how the stream
+    * was chopped, and the exact recount removes every false one. The
+    * state is ≤ chunks·k + 1 rows — the monitor's footprint never
+    * scales with the vocabulary. */
+  def heavyHittersStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val ss = replaySession(spark)
+    val input = hhReplayInput(ss, dir)
+    val stateRoot = newReplayDir("graft_hh_state_")
+    val k = graft.operators.TextOps.HhK
+    val stream = ss.readStream.schema(ss.read.parquet(input).schema)
+      .option("maxFilesPerTrigger", "1").parquet(input)
+      .select(col("text"))
+    val query = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", newReplayDir("graft_hh_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val bs = batch.sparkSession
+        import bs.implicits._
+        val terms = batch.toDF()
+          .select(explode(graft.functions.Shingles.sparkToks).as("term"))
+          .as[String]
+        // the batch's MG pass: survivors as (term, 0), the element
+        // count as the (null, np) marker row — one map-only pass
+        val bc = terms.mapPartitions { it =>
+          var np = 0L
+          val survivors = graft.operators.TextOps
+            .misraGries(it.map { t => np += 1; t }, k)
+          survivors.iterator.map(t => (t, 0L)) ++
+            Iterator((null: String, np))
+        }.toDF("term", "cnt")
+          .groupBy(col("term")).agg(sum(col("cnt")).as("cnt"))
+        // fold into versioned state: candidate set union (term rows
+        // dedup to cnt 0), counter add (the null row)
+        val merged =
+          if (batchId == 0) bc
+          else bs.read.parquet(s"$stateRoot/v${batchId - 1}")
+            .unionByName(bc)
+            .groupBy(col("term")).agg(sum(col("cnt")).as("cnt"))
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"$stateRoot/v$batchId")
+        ()
+      }
+      .start()
+    try query.awaitTermination() finally query.stop()
+    val last = new java.io.File(stateRoot).list()
+      .filter(_.startsWith("v")).map(_.stripPrefix("v").toLong).max
+    // final state: ≤ chunks·k + 1 rows — a broadcast-build-side-sized
+    // collect, same sanction as the batch operator's phase-1 collect
+    val state = ss.read.parquet(s"$stateRoot/v$last").collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("cnt")))
+    val total = state.collect { case (null, c) => c }.sum
+    val cands = state.collect { case (t, _) if t != null => t }.toSeq
+    graft.operators.TextOps.recountHeavyHitters(ss, dir, cands, total)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "heavy_hitters_streamed" -> (heavyHittersStreamed _),
     "hourly_anomaly_streamed" -> (hourlyAnomalyStreamed _),
     "enriched_events_streamed" -> (enrichedEventsStreamed _),
     "view_purchase_join_streamed" -> (viewPurchaseJoinStreamed _),
@@ -571,6 +659,11 @@ object StreamReplay {
     "incremental_dedup_streamed" -> (incrementalDedupStreamed _))
 
   val oracles: Map[String, String] = Map(
+    // the batch heavy-hitter oracle VERBATIM (the deliberately naive
+    // full-vocabulary plan): per-batch MG candidate maintenance + one
+    // exact recount must land exactly on the batch answer
+    "heavy_hitters_streamed" ->
+      graft.operators.TextOps.oracles("heavy_hitters_exact"),
     // the batch monitor's oracle VERBATIM: three rounds of incremental
     // cell maintenance must land exactly on the batch answer
     "hourly_anomaly_streamed" ->

@@ -476,4 +476,47 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(lastCells == batchCells)
   }
+
+  test("streamed heavy hitters ≡ batch; candidate state is a true-heavy " +
+      "superset at every version; the term counter telescopes") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.StreamReplay
+      .heavyHittersStreamed(spark, sf0001).collect().map(_.toSeq)
+    val batch = graft.operators.TextOps
+      .heavyHittersExact(spark, sf0001).collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty, "vacuous monitor at sf0.001")
+    // versioned candidate state: 3 real rounds; the null-marker
+    // counter strictly grows to the exact corpus term count; every
+    // version's candidate set unions monotonically
+    val tmp = new java.io.File(
+      graft.streaming.StreamReplay.hhReplayInput(spark, sf0001))
+      .getParentFile
+    val stateBase = tmp.listFiles
+      .filter(_.getName.startsWith("graft_hh_state_"))
+      .maxBy(_.lastModified).getAbsolutePath
+    val vs = new java.io.File(stateBase).list()
+      .filter(_.startsWith("v")).sortBy(_.stripPrefix("v").toLong)
+    assert(vs.length == 3, s"expected 3 maintenance rounds: ${vs.toSeq}")
+    val states = vs.map(v => spark.read.parquet(s"$stateBase/$v").collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("cnt"))))
+    val totals = states.map(_.collect { case (null, c) => c }.sum)
+    totals.sliding(2).foreach {
+      case Array(a, b) => assert(a < b, s"counter must grow: ${totals.toSeq}")
+      case _ => ()
+    }
+    val nTerms = Tables(spark, sf0001, "documents")
+      .select(explode(graft.functions.Shingles.sparkToks).as("t"))
+      .count()
+    assert(totals.last == nTerms, "counter must land on the corpus total")
+    val candSets = states.map(_.collect { case (t, _) if t != null => t }.toSet)
+    candSets.sliding(2).foreach {
+      case Array(a, b) => assert(a.subsetOf(b), "candidate set shrank")
+      case _ => ()
+    }
+    // the true heavies are inside the FINAL candidate set (the
+    // pigeonhole superset guarantee, on real streamed chunks)
+    val heavies = batch.map(_.head.asInstanceOf[String]).toSet
+    assert(heavies.subsetOf(candSets.last))
+  }
 }

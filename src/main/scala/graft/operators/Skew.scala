@@ -33,8 +33,63 @@ object Skew {
       .orderBy("c_nationkey")
   }
 
+  /** The THIRD skew story (r7 verdict #8), beside the manual salt and
+    * the stratified sampler: AQE's RUNTIME skew-join split. A
+    * synthetic hot key (half of all orders collapse onto custkey 0 —
+    * the one-promoter-with-10⁸-fans shape) joins customer under a
+    * session CLONE tuned so AQE's skew detector fires at bench scale
+    * (the default 256 MB partition threshold is a production number;
+    * the RATIO test — skewed partition ≥ factor × median — is what's
+    * under grade). Broadcast is disabled so the join stays a
+    * sort-merge join; AQE splits the hot partition at runtime and the
+    * executed plan carries the `skew=true` SMJ annotation
+    * (`PlanAuditSpec` asserts it). The oracle is the plain unsplit
+    * join with the identical hot-key derivation — the split must be
+    * pure redistribution, exactly the salted join's contract, but
+    * decided by the ENGINE at runtime instead of by the author. */
+  def aqeSkewRevenue(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.adaptive.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    ss.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2k")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    skewedJoinFrame(ss, dir)
+  }
+
+  /** The skewed join + aggregate, on whatever session it is handed —
+    * shared by the graded query (tuned clone) and the spec. */
+  private[graft] def skewedJoinFrame(
+      ss: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // fan the scan out BEFORE the skewed shuffle: AQE's skew split
+    // regroups MAP OUTPUT BLOCKS of a reduce partition, so a hot
+    // partition fed by a single map task (the bench corpora are
+    // one-file tables → one split) is unsplittable no matter how
+    // skewed — width on the map side is what gives the split its
+    // granularity (at 100 TB the thousands of input splits provide it
+    // for free)
+    val o = graft.Tables.fanOut(ss,
+        graft.Tables(ss, dir, "orders"), key = "o_orderkey")
+      .withColumn("sk",
+        when(pmod(col("o_orderkey"), lit(2)) === 0, 0L)
+          .otherwise(pmod(col("o_custkey"), lit(500))))
+    val c = graft.Tables(ss, dir, "customer")
+    o.join(c, col("sk") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("salted_revenue" -> (saltedRevenue _))
+    Map("salted_revenue" -> (saltedRevenue _),
+      "revenue_aqe_skew" -> (aqeSkewRevenue _))
 
   val oracles: Map[String, String] = Map(
     "salted_revenue" ->
@@ -42,6 +97,18 @@ object Skew {
         |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  count(*) AS n_orders
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the plain join with the identical hot-key derivation — AQE's
+    // runtime split must be invisible to the result
+    "revenue_aqe_skew" ->
+      """SELECT c.c_mktsegment,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM (SELECT *,
+        |        CASE WHEN o_orderkey % 2 = 0 THEN 0
+        |             ELSE o_custkey % 500 END AS sk
+        |      FROM orders) o
+        |JOIN customer c ON o.sk = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** Equi-join `left(leftKey) = right(rightKey)` with an n-way salt.

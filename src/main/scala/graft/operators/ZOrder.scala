@@ -240,9 +240,87 @@ object ZOrder {
         expr("100 * files_read div files_total"))
   }
 
+  // ----------------------------------------------------------------
+  // COMPOSED manifest prunes (r7 verdict #9) — the Delta/Iceberg
+  // multi-stat shape: one layout carrying TWO independent skipping
+  // structures (the Morton zone map for range boxes + a per-file
+  // Bloom sketch of o_custkey for point probes), one FileIndex whose
+  // keep set is the INTERSECTION of both manifests' keep sets. Each
+  // manifest alone is lossless (zone maps never exclude a file whose
+  // interval covers the range; Bloom never false-negatives), so the
+  // intersection is lossless too — and at least as tight as either
+  // prune alone (`ZOrderSpec` asserts numFiles ≤ each single prune).
+  // At 100 TB this is one manifest table with two stat columns — the
+  // probe stays planner-metadata-scale.
+  // ----------------------------------------------------------------
+
+  private[graft] val ComboKey = 1L
+  private[graft] val ComboDateLo = "1994-01-01"
+  private[graft] val ComboDateHi = "1998-01-01"
+
+  // Bloom manifest over the SAME z-ordered layout, once per (JVM,
+  // corpus) — the second stat column of the multi-stat manifest
+  private val zBloomDirs = new ConcurrentHashMap[String, String]()
+  private[graft] def zBloomManifestDir(spark: SparkSession,
+      sfDir: String): String =
+    zBloomDirs.computeIfAbsent(sfDir, { _ =>
+      graft.plans.BloomSketch.register(spark)
+      val (data, _) = zorderedOrders(spark, sfDir)
+      val out = Tables.scratchDir("graft_zbloom_manifest_").getAbsolutePath
+      spark.read.parquet(data)
+        .groupBy(input_file_name().as("file"))
+        .agg(expr("bloom_sketch(CAST(o_custkey AS STRING))").as("bits"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** Zone-map keep set for the combo's date range. */
+  private[graft] def comboZoneKeep(spark: SparkSession,
+      sfDir: String): Set[String] = {
+    val (_, mf) = zorderedOrders(spark, sfDir)
+    spark.read.parquet(mf)
+      .filter(col("min_dt") < lit(ComboDateHi).cast("date") &&
+        col("max_dt") >= lit(ComboDateLo).cast("date"))
+      .select("file").collect().map(r =>
+        new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
+  }
+
+  /** Bloom keep set for the combo's point key (the sketch's OWN bit
+    * addressing — [[graft.plans.BloomSketch.positions]]). */
+  private[graft] def comboBloomKeep(spark: SparkSession,
+      sfDir: String): Set[String] = {
+    val claimed = graft.plans.BloomSketch.positions(ComboKey.toString)
+      .map { pos =>
+        (element_at(col("bits"), pos / 64 + 1)
+          .bitwiseAND(shiftleft(lit(1L), pos % 64))) =!= 0L
+      }.reduce(_ && _)
+    spark.read.parquet(zBloomManifestDir(spark, sfDir))
+      .filter(claimed).select("file").collect().map(r =>
+        new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
+  }
+
+  /** GRADED: point-in-range lookup through the INTERSECTED keep set —
+    * judged against plain predicate SQL over the original table: the
+    * composed skip must be lossless exactly like each component. */
+  def orderLookupZBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val keep = comboZoneKeep(spark, sfDir)
+      .intersect(comboBloomKeep(spark, sfDir))
+    val (data, _) = zorderedOrders(spark, sfDir)
+    val scan = graft.sources.ManifestFileIndex.scan(
+      spark, data, keep.toIndexedSeq)
+    scan
+      .filter(col("o_custkey") === lit(ComboKey) &&
+        to_date(col("o_orderdate")) >= lit(ComboDateLo).cast("date") &&
+        to_date(col("o_orderdate")) < lit(ComboDateHi).cast("date"))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_zorder_box" -> (ordersZorderBox(_, _)),
     "orders_zorder_daterange" -> (ordersZorderDateRange(_, _)),
+    "order_lookup_zbloom" -> (orderLookupZBloom(_, _)),
     "zorder_prune_ratio" -> (zorderPruneRatio(_, _)))
 
   /** DuckDB rebuild of the Morton-grid zone map: same bounds, same
@@ -283,6 +361,16 @@ object ZOrder {
 
   val oracles: Map[String, String] = Map(
     "zorder_prune_ratio" -> PruneRatioSql,
+    // plain predicate SQL over the ORIGINAL table — the intersected
+    // two-manifest skip must be exactly as lossless as each component
+    "order_lookup_zbloom" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |  o_orderpriority
+         |FROM orders
+         |WHERE o_custkey = $ComboKey
+         |  AND CAST(o_orderdate AS DATE) >= DATE '$ComboDateLo'
+         |  AND CAST(o_orderdate AS DATE) <  DATE '$ComboDateHi'
+         |ORDER BY o_orderkey""".stripMargin,
     "orders_zorder_daterange" ->
       s"""SELECT o_orderstatus, count(*) AS n_orders,
          |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key

@@ -30,6 +30,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
 
+  test("revenue_aqe_skew: AQE converts the hot-key SMJ to a skew join " +
+      "at runtime (skew=true), and the split changes no value") {
+    val q = graft.operators.Skew.aqeSkewRevenue(spark, sf0001)
+    val rows = q.collect().map(_.toSeq)
+    // the adaptive plan finalizes on execution — assert AFTER collect
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE never flagged the hot partition:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"join was not an SMJ:\n$plan")
+    // pure redistribution: same values as the untuned plain join
+    val expect = graft.operators.Skew.skewedJoinFrame(spark, sf0001)
+      .collect().map(_.toSeq)
+    assert(rows.toSeq == expect.toSeq)
+    // the synthetic key IS hot: custkey 0 carries ~half the rows
+    val hot = Tables(spark, sf0001, "orders")
+      .filter(pmod(col("o_orderkey"), lit(2)) === 0).count()
+    val all = Tables(spark, sf0001, "orders").count()
+    assert(hot * 3 > all, "hot key lost its skew — tune the derivation")
+  }
+
   test("topk_orders compiles to TakeOrderedAndProject (no global sort)") {
     val plan = SparkEntry.queries("topk_orders")(spark, sf0001)
       .queryExecution.executedPlan.toString

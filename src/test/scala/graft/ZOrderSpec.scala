@@ -30,6 +30,39 @@ class ZOrderSpec extends SparkSpec {
       == keepDate.length)
   }
 
+  test("composed zone+bloom prune: the intersected keep set is at most " +
+      "each single prune, the scan reports it, and nothing is lost") {
+    import org.apache.spark.sql.functions._
+    val zone = ZOrder.comboZoneKeep(spark, sf0001)
+    val bloom = ZOrder.comboBloomKeep(spark, sf0001)
+    val combo = zone.intersect(bloom)
+    val total = ZOrder.ZFiles
+    assert(zone.nonEmpty && bloom.nonEmpty && combo.nonEmpty)
+    assert(combo.size <= zone.size && combo.size <= bloom.size)
+    // each single prune — and a fortiori the composition — skips
+    assert(bloom.size < total,
+      s"bloom claimed every file ($total) — no skipping to compose")
+    val q = ZOrder.orderLookupZBloom(spark, sf0001)
+    assert(scannedFiles(q) == combo.size)
+    // losslessness against the plain predicate on the ORIGINAL table
+    val expect = Tables(spark, sf0001, "orders")
+      .filter(col("o_custkey") === ZOrder.ComboKey &&
+        to_date(col("o_orderdate")) >= lit(ZOrder.ComboDateLo).cast("date") &&
+        to_date(col("o_orderdate")) < lit(ZOrder.ComboDateHi).cast("date"))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(expect.nonEmpty, "vacuous combo predicate at sf0.001")
+    assert(q.collect().map(_.toSeq).toSeq == expect)
+    // the bloom keep is a SUPERSET of files truly holding the key
+    // (never-false-negative), zone keep of files intersecting the range
+    val truth = spark.read.parquet(ZOrder.zorderedOrders(spark, sf0001)._1)
+      .filter(col("o_custkey") === ZOrder.ComboKey)
+      .select(input_file_name().as("f")).distinct().collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
+    assert(truth.subsetOf(bloom), s"false negative: ${truth -- bloom}")
+  }
+
   test("Morton interleave expression matches the driver reference") {
     val rnd = new scala.util.Random(42)
     val pairs = Seq.fill(256)((rnd.nextInt(65536), rnd.nextInt(65536))) ++

@@ -105,7 +105,7 @@ class GraphOpsSpec extends SparkSpec {
     val overlap = exact.toSet.intersect(gotTop.toSet).size
     val row = GraphOps.graphAnnRecall(spark, sf0001).collect().head
     assert(row.getString(0) == s"graph_beam_b${GraphOps.BeamWidth}" +
-      s"_r${GraphOps.BeamRounds}")
+      s"_r${GraphOps.BeamRounds}_d2")
     assert(row.getLong(1) == overlap.toLong)
     assert(row.getDouble(2) ==
       math.floor(overlap / 10.0 * 1e4 + 0.5) / 1e4)

@@ -41,7 +41,12 @@ object PlanDump {
     "orders_cdc_extract", "pit_revenue_by_segment", "ngram_lm_quality",
     "contrastive_pairs", "phrase_search_indexed", "orders_federated_agg",
     "heavy_hitters_exact", "survival_risk_table", "hourly_anomaly_streamed",
-    "events_position_delete")
+    "events_position_delete", "events_erasure_compacted",
+    "graph_ann_topk", "graph_ann_recall", "graph_ann_topk_d4",
+    "phrase_search_maintained", "phrase_search_compacted",
+    "orders_column_stats_sketched", "heavy_hitters_streamed",
+    "revenue_aqe_skew", "order_lookup_zbloom", "orders_vacuumed_agg",
+    "attribution_linear")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

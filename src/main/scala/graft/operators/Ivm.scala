@@ -123,22 +123,26 @@ object Ivm {
       val ckpt = graft.Tables.scratchDir("graft_ivm_ckpt_").getAbsolutePath
       val feed = MergeOnRead.feedDir(spark, dir)
       val ss = spark.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      // 2, not the replay family's 8: every per-batch frame here is
+      // group-/changes-granularity (≤ a few hundred rows), and each
+      // extra partition is a real task × (2 checkpoints + 2 writes +
+      // 3 joins) × 3 batches of pure scheduling overhead
+      ss.conf.set("spark.sql.shuffle.partitions", "2")
       // base is consulted once per batch (first-touch retraction
       // lookups) plus the init aggregate — persist it across the loop
       val base = Tables(ss, dir, "orders")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Previous batch's state HELD IN MEMORY between batches (r7
-      // verdict #5): the r7 loop re-read mv/v{b-1} + current/v{b-1}
-      // from parquet every batch — with the versioned writes that was
-      // ~12 small parquet ops for 3 batches. Now each batch does
-      // exactly its 2 versioned writes (single-file; the frames are
-      // 6 rows / O(changes) rows); the disk reads remain only as the
-      // RESTART path (a replayed/recovered batch finds state None and
-      // reads its predecessor's versions — replay idempotence keeps).
-      // Checkpointed eagerly so the held frames are materialized rows,
-      // not recompute pipelines.
-      var held: Option[(DataFrame, DataFrame)] = None
+      // Per-batch state ops folded to exactly TWO single-file
+      // versioned writes (r7 verdict #5): the r7 loop wrote each state
+      // version through the 8-partition shuffle (up to 8 files per
+      // write) and re-read those multi-file states next batch — ~12
+      // small parquet ops over 3 batches. Each state frame is group-/
+      // changes-granularity, so it now lands as ONE file and the next
+      // batch's read-back is a single-file footer+page read (lazy — no
+      // extra job; restart/replay recovery is the same code path by
+      // construction). An eager in-memory handoff was measured WORSE:
+      // two localCheckpoint materializations per batch cost more jobs
+      // than the one-file read-backs they saved.
       try {
       // v-1: the MV before any batch = the stored base aggregate
       base.groupBy(col("o_orderstatus"))
@@ -154,14 +158,11 @@ object Ivm {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
               batchId: Long) =>
             val s = batch.sparkSession
-            val (prevMv, prevCur: Option[DataFrame]) = held match {
-              case Some((mv, cur)) => (mv, Some(cur))
-              case None if batchId == 0 =>
-                (s.read.parquet(s"$root/mv/v0_init"), None)
-              case None => // restart path: recover predecessor state
-                (s.read.parquet(s"$root/mv/v${batchId - 1}"),
-                  Some(s.read.parquet(s"$root/current/v${batchId - 1}")))
-            }
+            val prevMv = if (batchId == 0) s.read.parquet(s"$root/mv/v0_init")
+              else s.read.parquet(s"$root/mv/v${batchId - 1}")
+            val prevCur: Option[DataFrame] =
+              if (batchId == 0) None
+              else Some(s.read.parquet(s"$root/current/v${batchId - 1}"))
             // latest version per key WITHIN the batch (feed batches are
             // single-seq, but rank defensively on the in-data _seq)
             val w = Window.partitionBy(col("o_orderkey"))
@@ -201,6 +202,7 @@ object Ivm {
               .groupBy(col("o_orderstatus"))
               .agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
             val mvNext = prevMv.join(delta, Seq("o_orderstatus"), "full_outer")
+              // (single-file write below; no checkpoint — see header)
               .select(col("o_orderstatus"),
                 (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
                   .as("n"),
@@ -208,33 +210,24 @@ object Ivm {
                   + coalesce(col("ds"), lit(0).cast("decimal(28,2)")))
                   .cast("decimal(28,2)").as("s"))
               .filter(col("n") > 0)
-              .localCheckpoint(true)
             // roll CURRENT forward: this batch's versions win their keys
-            val curNext = (prevCur match {
+            val curNext = prevCur match {
               case Some(c) => c.join(broadcast(keys), Seq("o_orderkey"),
                   "left_anti").unionByName(latest.select(c.columns.map(col)
                     .toIndexedSeq: _*))
               case None => latest.drop("_batch_id")
-            }).localCheckpoint(true)
+            }
             // the batch's ONLY parquet ops: its two versioned writes
             // (single-file — the frames are group-/changes-granularity)
             mvNext.coalesce(1).write.mode("overwrite")
               .parquet(s"$root/mv/v$batchId")
             curNext.coalesce(1).write.mode("overwrite")
               .parquet(s"$root/current/v$batchId")
-            held.foreach { case (m, c) =>
-              m.unpersist(blocking = false); c.unpersist(blocking = false) }
-            held = Some((mvNext, curNext))
             ()
         }
         .start()
       try query.awaitTermination() finally query.stop()
-      } finally {
-        base.unpersist()
-        held.foreach { case (m, c) =>
-          m.unpersist(blocking = false); c.unpersist(blocking = false) }
-        ()
-      }
+      } finally { base.unpersist(); () }
       root
     })
 

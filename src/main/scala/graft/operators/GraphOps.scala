@@ -132,13 +132,104 @@ object GraphOps {
       out
     })
 
-  /** GRADED: min-hop distance from the seed set for every vertex
-    * reached within [[MaxHops]] — (vec_id, hop), hop ∈ [0, MaxHops]. */
-  def knnBfsHops(spark: SparkSession, dir: String): DataFrame = {
+  // ----------------------------------------------------------------
+  // Graph INSERT maintenance (r8) — the lifecycle move the dedup
+  // index and the postings index already grade, applied to the graph
+  // family: a corpus grows daily, and rebuilding the whole kNN graph
+  // per ingest is the job graph-ANN indexes exist to avoid. The NSW
+  // insert: each NEW vector probes the BASE graph's coarse centroids
+  // (top-2, the multi-probe assignment), scores the base vectors
+  // sharing a probe bucket, keeps its top-2 base neighbors, and the
+  // symmetrized new edges land as an APPENDED FILE SET — base edge
+  // files are never rewritten (spec pins the name+length set). Base
+  // distances MAY legitimately shorten through new nodes — the
+  // maintained BFS is over the union graph, which is exactly what the
+  // composed oracle computes.
+  //
+  // Centroids are the ⌈√|base|⌉ smallest base vec_ids (rank-based —
+  // base ids aren't contiguous after the split); the count is one
+  // driver scalar, planner metadata like ZOrder.bounds. Insert cost:
+  // O(new · √N) probe + candidate scoring — never touches base×base.
+  // ----------------------------------------------------------------
+
+  /** Newly-ingested vectors: md5 first nibble '0'/'1' (~1/8). */
+  private[graft] def isNewVec =
+    substring(md5(col("vec_id").cast("string")), 1, 1) < "2"
+
+  private[graft] final case class GraphState(root: String,
+      baseFiles: Map[String, Long], deltaFiles: Map[String, Long])
+
+  private def listParquet(root: String): Map[String, Long] =
+    Option(new java.io.File(root).listFiles).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.length).toMap
+
+  private val maintainedStates =
+    new java.util.concurrent.ConcurrentHashMap[String, GraphState]()
+  private[graft] def maintainedEdges(spark: SparkSession,
+      dir: String): GraphState =
+    maintainedStates.computeIfAbsent(dir, { _ =>
+      graft.plans.VectorExpressions.register(spark)
+      val root = Tables.scratchDir("graft_knn_maint_").getAbsolutePath
+      val e = Tables(spark, dir, "embeddings")
+      val base = e.filter(!isNewVec)
+      val fresh = e.filter(isNewVec)
+      // centroid pick: one driver scalar (planner metadata), then a
+      // TakeOrdered head — no global sort materialization
+      val nl = math.ceil(math.sqrt(base.count().toDouble)).toInt
+      val cents = base.orderBy(col("vec_id")).limit(nl)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      def assignOf(side: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("s").desc, col("cid"))
+        graft.Tables.fanOut(spark, side, key = "vec_id")
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"),
+            expr("cosine_sim(embedding, cv)").as("s"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("vec_id"), col("cid"))
+      }
+      def topkSym(cand: DataFrame): DataFrame = {
+        val scored = cand
+          .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")),
+            "va")
+          .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")),
+            "vb")
+          .select(col("va"), col("vb"), expr("cosine_sim(ea, eb)").as("cs"))
+        val wk = Window.partitionBy("va").orderBy(col("cs").desc, col("vb"))
+        val knn = scored.withColumn("rn", row_number().over(wk))
+          .filter(col("rn") <= 2).select(col("va"), col("vb"))
+        knn.select(col("va").as("src"), col("vb").as("dst"))
+          .unionByName(knn.select(col("vb").as("src"), col("va").as("dst")))
+          .distinct()
+      }
+      val baseAssign = assignOf(base)
+      // base graph: candidates among base only
+      val baseCand = baseAssign.as("a")
+        .join(baseAssign.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+        .distinct()
+      topkSym(baseCand).write.mode("overwrite").parquet(root)
+      val baseFiles = listParquet(root)
+      // insert: new probes base — candidates are new×base ONLY
+      val newCand = assignOf(fresh).as("n")
+        .join(baseAssign.as("a"), col("n.cid") === col("a.cid"))
+        .select(col("n.vec_id").as("va"), col("a.vec_id").as("vb"))
+        .distinct()
+      topkSym(newCand).write.mode("append").parquet(root)
+      val all = listParquet(root)
+      GraphState(root, baseFiles, all -- baseFiles.keys)
+    })
+
+  /** The BFS loop over ANY edge table — shared by the one-shot and
+    * the maintained graphs (one definition, cannot drift). */
+  private def bfsFrom(spark: SparkSession, edgesIn: DataFrame): DataFrame = {
     val P = Similarity.LoopParts
     // edge side of every round's join: checkpoint ONCE, partitioned on
     // the join key so rounds re-shuffle only the (small) frontier
-    val edges = spark.read.parquet(knnEdgesDir(spark, dir))
+    val edges = edgesIn
       .repartition(P, col("src")).localCheckpoint(true)
     var visited: DataFrame = null
     var ok = false
@@ -192,6 +283,19 @@ object GraphOps {
         try visited.unpersist() catch { case _: Throwable => () }
     }
   }
+
+  /** GRADED: min-hop distance from the seed set for every vertex
+    * reached within [[MaxHops]] — (vec_id, hop), hop ∈ [0, MaxHops]. */
+  def knnBfsHops(spark: SparkSession, dir: String): DataFrame =
+    bfsFrom(spark, spark.read.parquet(knnEdgesDir(spark, dir)))
+
+  /** GRADED: the same BFS over the MAINTAINED (base ∪ inserted) graph
+    * — the composed oracle re-derives base edges, the NSW insert
+    * edges, unions, and walks; distances may legitimately shorten
+    * through new nodes, which is exactly union-graph semantics. */
+  def knnBfsHopsMaintained(spark: SparkSession, dir: String): DataFrame =
+    bfsFrom(spark,
+      spark.read.parquet(maintainedEdges(spark, dir).root))
 
   // ----------------------------------------------------------------
   // GRAPH-ANN SEARCH (r7 verdict #2): the graph built above, finally
@@ -302,6 +406,7 @@ object GraphOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bfs_hops" -> (knnBfsHops(_, _)),
+    "knn_bfs_hops_maintained" -> (knnBfsHopsMaintained(_, _)),
     "graph_ann_topk" -> ((s: SparkSession, d: String) => graphAnnTopk(s, d)),
     "graph_ann_recall" -> ((s: SparkSession, d: String) =>
       graphAnnRecall(s, d)),
@@ -411,10 +516,100 @@ object GraphOps {
          |  WHERE w.hop < $MaxHops)
          |SELECT vec_id, CAST(min(hop) AS BIGINT) AS hop
          |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "knn_bfs_hops_maintained" -> maintainedBfsOracle,
     "graph_ann_topk" -> topkOracle(2),
     "graph_ann_topk_d4" -> topkOracle(4),
     "graph_ann_recall" -> recallOracle(2),
     "graph_ann_recall_d4" -> recallOracle(4))
+
+  /** The maintained graph re-derived end to end: base chain with
+    * rank-based centroids over the base slice, the NSW insert chain
+    * (new probes base centroids, candidates new×base only), union,
+    * recursive walk — identical arithmetic and tie-breaks. */
+  private def maintainedBfsOracle: String = {
+    import Similarity.duckDot
+    def cos(a: String, b: String) =
+      s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+    s"""WITH RECURSIVE base AS (
+       |  SELECT * FROM embeddings
+       |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) >= '2'),
+       |newv AS (
+       |  SELECT * FROM embeddings
+       |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '2'),
+       |cent AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM (
+       |    SELECT vec_id, embedding,
+       |      row_number() OVER (ORDER BY vec_id) AS rk,
+       |      ceil(sqrt((SELECT count(*) FROM base))) AS nl
+       |    FROM base) WHERE rk <= nl),
+       |sims AS (
+       |  SELECT b.vec_id, c.cid, ${cos("b.embedding", "c.cv")} AS s
+       |  FROM base b CROSS JOIN cent c),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY s DESC, cid) AS rn
+       |    FROM sims) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM assign a JOIN assign b
+       |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+       |scored AS (
+       |  SELECT c.va, c.vb, ${cos("ea.embedding", "eb.embedding")} AS cs
+       |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.va
+       |  JOIN embeddings eb ON eb.vec_id = c.vb),
+       |knn AS (
+       |  SELECT va, vb FROM (
+       |    SELECT va, vb,
+       |      row_number() OVER (PARTITION BY va
+       |                         ORDER BY cs DESC, vb) AS rn
+       |    FROM scored) WHERE rn <= 2),
+       |bedges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT va AS src, vb AS dst FROM knn
+       |    UNION ALL SELECT vb, va FROM knn)),
+       |nsims AS (
+       |  SELECT n.vec_id, c.cid, ${cos("n.embedding", "c.cv")} AS s
+       |  FROM newv n CROSS JOIN cent c),
+       |nassign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY s DESC, cid) AS rn
+       |    FROM nsims) WHERE rn <= 2),
+       |ncand AS (
+       |  SELECT DISTINCT na.vec_id AS va, a.vec_id AS vb
+       |  FROM nassign na JOIN assign a ON na.cid = a.cid),
+       |nscored AS (
+       |  SELECT c.va, c.vb, ${cos("ea.embedding", "eb.embedding")} AS cs
+       |  FROM ncand c JOIN embeddings ea ON ea.vec_id = c.va
+       |  JOIN embeddings eb ON eb.vec_id = c.vb),
+       |nknn AS (
+       |  SELECT va, vb FROM (
+       |    SELECT va, vb,
+       |      row_number() OVER (PARTITION BY va
+       |                         ORDER BY cs DESC, vb) AS rn
+       |    FROM nscored) WHERE rn <= 2),
+       |dedges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT va AS src, vb AS dst FROM nknn
+       |    UNION ALL SELECT vb, va FROM nknn)),
+       |edges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT * FROM bedges UNION ALL SELECT * FROM dedges)),
+       |seeds AS (
+       |  SELECT DISTINCT src AS vec_id FROM edges
+       |  WHERE src % $SeedMod = 0),
+       |walk AS (
+       |  SELECT vec_id, 0 AS hop FROM seeds
+       |  UNION
+       |  SELECT e.dst AS vec_id, w.hop + 1 AS hop
+       |  FROM walk w JOIN edges e ON e.src = w.vec_id
+       |  WHERE w.hop < $MaxHops)
+       |SELECT vec_id, CAST(min(hop) AS BIGINT) AS hop
+       |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   private def topkOracle(deg: Int): String =
     s"""WITH ${edgeCtesDeg(deg)},

@@ -59,6 +59,49 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("maintained graph: base edge files untouched by the insert; " +
+      "every delta edge touches a new vector; every new vector is " +
+      "wired in; maintained BFS ≡ a driver replay over the union") {
+    val st = GraphOps.maintainedEdges(spark, sf0001)
+    assert(st.baseFiles.nonEmpty && st.deltaFiles.nonEmpty)
+    val now = st.baseFiles.keys.map(n =>
+      n -> new java.io.File(st.root, n).length).toMap
+    assert(now == st.baseFiles, "a base edge file was rewritten")
+    val isNew = (v: Long) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = "%02x".format(md.digest(v.toString.getBytes("UTF-8"))(0))
+      h.charAt(0) < '2'
+    }
+    val delta = spark.read.parquet(
+        st.deltaFiles.keys.map(n => s"${st.root}/$n").toSeq: _*)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(delta.forall { case (s, d) => isNew(s) || isNew(d) },
+      "a delta edge touches no new vector")
+    val newIds = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id")).collect().map(_.getLong(0)).filter(isNew).toSet
+    val wired = delta.flatMap { case (s, d) => Seq(s, d) }.filter(isNew).toSet
+    assert(wired == newIds, s"unwired new vectors: ${newIds -- wired}")
+    // independent BFS replay over the union edge map
+    val union = spark.read.parquet(st.root).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    var dist = union.keySet.filter(_ % 97 == 0).map(_ -> 0L).toMap
+    var frontier = dist.keySet
+    var h = 1L
+    while (h <= 6 && frontier.nonEmpty) {
+      val next = frontier.flatMap(v => union.getOrElse(v, Set.empty))
+        .diff(dist.keySet)
+      dist ++= next.map(_ -> h)
+      frontier = next
+      h += 1
+    }
+    val got = GraphOps.knnBfsHopsMaintained(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == dist,
+      s"diff: +${(got.toSet -- dist.toSet).take(3)} " +
+        s"-${(dist.toSet -- got.toSet).take(3)}")
+  }
+
   // driver-side cosine in the SAME left-to-right double fold as the
   // CosineSim expression — exact-equality safe
   private def cosine(a: Array[Float], b: Array[Float]): Double = {

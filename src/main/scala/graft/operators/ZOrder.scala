@@ -241,6 +241,98 @@ object ZOrder {
   }
 
   // ----------------------------------------------------------------
+  // Zone-map MAINTENANCE lifecycle (r8) — the append move the dedup,
+  // postings, and graph indexes grade, applied to the Z-order layout
+  // + its manifest: day-2 rows (md5(o_orderkey) ~1/8) land as ADDED
+  // z-sorted files inside the same layout, and their zone-map rows as
+  // ADDED manifest rows — day-1 data files and manifest files are
+  // never rewritten. The graded box query prunes through the GROWN
+  // manifest (base ∪ delta rows) and is judged by the same plain-SQL
+  // box oracle over the full table: growth must be invisible to the
+  // query's semantics, and pruning must still bite (spec). This is
+  // the daily-ingest reality of a lakehouse stats index: appended
+  // files carry their own stats; OPTIMIZE re-clusters later (the
+  // [[Compaction]] pass), but skipping never waits for it.
+  // ----------------------------------------------------------------
+
+  private[graft] def isNewOrder =
+    substring(md5(col("o_orderkey").cast("string")), 1, 1) < "2"
+
+  private[graft] final case class ZMaintState(dataDir: String,
+      manifestDir: String, baseData: Map[String, Long],
+      baseManifest: Map[String, Long], deltaData: Map[String, Long])
+
+  private def listPq(dir: String): Map[String, Long] =
+    Option(new java.io.File(dir).listFiles).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.length).toMap
+
+  private val zMaintained = new ConcurrentHashMap[String, ZMaintState]()
+
+  private[graft] def maintainedZorder(spark: SparkSession,
+      sfDir: String): ZMaintState =
+    zMaintained.computeIfAbsent(sfDir, { _ =>
+      val b = bounds(spark, sfDir) // full-corpus bounds: stable norms
+      val data = Tables.scratchDir("graft_zorder_m_").getAbsolutePath
+      val mf = Tables.scratchDir("graft_zorder_m_mf_").getAbsolutePath
+      val z = interleaveBits(
+        norm16(col("o_custkey"), b.ckLo, b.ckHi),
+        norm16(unix_date(to_date(col("o_orderdate"))), b.dtLo, b.dtHi))
+      val o = Tables(spark, sfDir, "orders").withColumn("z", z)
+      // day 1: the base slice, z-sorted
+      o.filter(!isNewOrder)
+        .repartitionByRange(ZFiles, col("z")).sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(data)
+      val baseData = listPq(data)
+      // its manifest (zone maps of the base files only)
+      buildManifest(spark, data).write.mode("overwrite").parquet(mf)
+      val baseMf = listPq(mf)
+      // day 2: appended z-sorted files + appended manifest rows — no
+      // day-1 file (data or manifest) is rewritten
+      o.filter(isNewOrder)
+        .repartitionByRange(4, col("z")).sortWithinPartitions("z")
+        .write.mode("append").parquet(data)
+      val deltaData = listPq(data) -- baseData.keys
+      spark.read.parquet(deltaData.keys.map(n => s"$data/$n").toSeq: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col("o_custkey")).as("min_ck"),
+          max(col("o_custkey")).as("max_ck"),
+          min(to_date(col("o_orderdate"))).as("min_dt"),
+          max(to_date(col("o_orderdate"))).as("max_dt"))
+        .write.mode("append").parquet(mf)
+      ZMaintState(data, mf, baseData, baseMf, deltaData)
+    })
+
+  /** GRADED: the box aggregate through the GROWN manifest — same box,
+    * same oracle as `orders_zorder_box` (plain SQL over the original
+    * table): the append is pure corpus growth. */
+  def ordersZorderMaintainedBox(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val st = maintainedZorder(spark, sfDir)
+    val b = bounds(spark, sfDir)
+    val keep = spark.read.parquet(st.manifestDir)
+      .filter(col("min_ck") <= custkeyHi(spark, sfDir) &&
+        col("max_ck") >= b.ckLo &&
+        col("min_dt") < lit(DateHi).cast("date") &&
+        col("max_dt") >= lit(DateLo).cast("date"))
+      .select("file").collect().map(_.getString(0))
+    val scan = graft.sources.ManifestFileIndex.scan(
+      spark, st.dataDir, keep.toIndexedSeq)
+    scan
+      .filter(col("o_custkey") >= b.ckLo &&
+        col("o_custkey") <= custkeyHi(spark, sfDir) &&
+        to_date(col("o_orderdate")) >= lit(DateLo).cast("date") &&
+        to_date(col("o_orderdate")) < lit(DateHi).cast("date"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
+  // ----------------------------------------------------------------
   // COMPOSED manifest prunes (r7 verdict #9) — the Delta/Iceberg
   // multi-stat shape: one layout carrying TWO independent skipping
   // structures (the Morton zone map for range boxes + a per-file
@@ -321,6 +413,7 @@ object ZOrder {
     "orders_zorder_box" -> (ordersZorderBox(_, _)),
     "orders_zorder_daterange" -> (ordersZorderDateRange(_, _)),
     "order_lookup_zbloom" -> (orderLookupZBloom(_, _)),
+    "orders_zorder_maintained_box" -> (ordersZorderMaintainedBox(_, _)),
     "zorder_prune_ratio" -> (zorderPruneRatio(_, _)))
 
   /** DuckDB rebuild of the Morton-grid zone map: same bounds, same
@@ -378,17 +471,22 @@ object ZOrder {
          |WHERE CAST(o_orderdate AS DATE) >= DATE '$DateLo'
          |  AND CAST(o_orderdate AS DATE) <  DATE '$DateHi'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "orders_zorder_box" ->
-      s"""WITH s AS (SELECT min(o_custkey) AS lo,
-         |  min(o_custkey) + 0.25*(max(o_custkey) - min(o_custkey)) AS hi
-         |  FROM orders)
-         |SELECT o_orderstatus, count(*) AS n_orders,
-         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-         |    AS total_price,
-         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
-         |FROM orders, s
-         |WHERE o_custkey >= s.lo AND o_custkey <= s.hi
-         |  AND CAST(o_orderdate AS DATE) >= DATE '$DateLo'
-         |  AND CAST(o_orderdate AS DATE) <  DATE '$DateHi'
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+    "orders_zorder_box" -> BoxOracle,
+    // same box, same oracle: the day-2 data + manifest append must be
+    // exactly corpus growth (the maintained layout IS the full table)
+    "orders_zorder_maintained_box" -> BoxOracle)
+
+  private lazy val BoxOracle: String =
+    s"""WITH s AS (SELECT min(o_custkey) AS lo,
+       |  min(o_custkey) + 0.25*(max(o_custkey) - min(o_custkey)) AS hi
+       |  FROM orders)
+       |SELECT o_orderstatus, count(*) AS n_orders,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS total_price,
+       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+       |FROM orders, s
+       |WHERE o_custkey >= s.lo AND o_custkey <= s.hi
+       |  AND CAST(o_orderdate AS DATE) >= DATE '$DateLo'
+       |  AND CAST(o_orderdate AS DATE) <  DATE '$DateHi'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

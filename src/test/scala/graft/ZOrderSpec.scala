@@ -30,6 +30,54 @@ class ZOrderSpec extends SparkSpec {
       == keepDate.length)
   }
 
+  test("maintained z-layout: day-1 data + manifest files untouched by " +
+      "the append; delta manifest covers exactly the delta files; the " +
+      "grown-manifest prune still bites and loses nothing") {
+    import org.apache.spark.sql.functions._
+    val st = ZOrder.maintainedZorder(spark, sf0001)
+    assert(st.baseData.nonEmpty && st.deltaData.nonEmpty)
+    // untouched base file sets (data AND manifest), by name + length
+    val dataNow = st.baseData.keys.map(n =>
+      n -> new java.io.File(st.dataDir, n).length).toMap
+    assert(dataNow == st.baseData, "a day-1 data file was rewritten")
+    val mfNow = st.baseManifest.keys.map(n =>
+      n -> new java.io.File(st.manifestDir, n).length).toMap
+    assert(mfNow == st.baseManifest, "a day-1 manifest file was rewritten")
+    // manifest rows = one per data file, delta rows address delta files
+    val mfRows = spark.read.parquet(st.manifestDir).select(col("file"))
+      .collect().map(r =>
+        new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
+    assert(mfRows == st.baseData.keySet ++ st.deltaData.keySet)
+    // the grown layout is the whole table (nothing lost or doubled)
+    assert(spark.read.parquet(st.dataDir).count() ==
+      Tables(spark, sf0001, "orders").count())
+    // pruning still bites on the grown manifest, and the graded box
+    // equals the plain-predicate answer
+    val q = ZOrder.ordersZorderMaintainedBox(spark, sf0001)
+    val rows = q.collect().map(_.toSeq).toSeq
+    val scanned = scannedFiles(q)
+    assert(scanned < st.baseData.size + st.deltaData.size,
+      s"no pruning: $scanned files scanned")
+    val b = Tables(spark, sf0001, "orders")
+    val bounds = b.agg(min(col("o_custkey")).cast("double"),
+      max(col("o_custkey")).cast("double")).head()
+    val hi = bounds.getDouble(0) +
+      0.25 * (bounds.getDouble(1) - bounds.getDouble(0))
+    val expect = b
+      .filter(col("o_custkey") >= bounds.getDouble(0) &&
+        col("o_custkey") <= hi &&
+        to_date(col("o_orderdate")) >= lit(ZOrder.DateLo).cast("date") &&
+        to_date(col("o_orderdate")) < lit(ZOrder.DateHi).cast("date"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus").collect().map(_.toSeq).toSeq
+    assert(rows == expect)
+  }
+
   test("composed zone+bloom prune: the intersected keep set is at most " +
       "each single prune, the scan reports it, and nothing is lost") {
     import org.apache.spark.sql.functions._

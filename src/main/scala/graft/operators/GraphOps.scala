@@ -660,6 +660,7 @@ object GraphOps {
        |  CAST(count(*) AS BIGINT) AS n_overlap,
        |  ${graft.functions.ScalarFns.roundSql("count(*) / 10.0", 4)}
        |    AS recall_at_10
-       |FROM res JOIN exact USING (vec_id)""".stripMargin
+       |FROM res JOIN exact USING (vec_id)
+       |ORDER BY method""".stripMargin
   }
 }

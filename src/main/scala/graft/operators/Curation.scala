@@ -37,7 +37,7 @@ object Curation {
   private val SampleHexThreshold = "33333333"
 
   /** Spark column twin of [[keepSql]]. */
-  private def keepCol: org.apache.spark.sql.Column =
+  private[graft] def keepCol: org.apache.spark.sql.Column =
     substring(md5(col("doc_id").cast("string")), 1, 8) <
       lit(SampleHexThreshold)
 

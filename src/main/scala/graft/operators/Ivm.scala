@@ -49,6 +49,47 @@ object Ivm {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** The group-granularity DELTA (retract/add reduced per status) —
+    * the internal step of [[ordersAggIvm]], also graded directly as
+    * the MV's CHANGE FEED ([[ordersAggIvmDelta]]). */
+  private def groupDelta(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "orders")
+    // latest version per touched key — window over the LOG alone
+    val log = spark.read.parquet(MergeOnRead.deltaLogDir(spark, dir))
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("_seq").desc)
+    val latest = log.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    // OLD visible rows of touched keys: map-only broadcast semi join
+    val touched = latest.select(col("o_orderkey"))
+    val oldRows = base.join(broadcast(touched), Seq("o_orderkey"),
+      "left_semi")
+    // retract old, add new (tombstones add nothing), reduce to groups
+    oldRows
+      .select(col("o_orderstatus"), lit(-1L).as("dn"),
+        (-dec(col("o_totalprice"))).as("ds"))
+      .unionByName(latest.filter(!col("_deleted"))
+        .select(col("o_orderstatus"), lit(1L).as("dn"),
+          dec(col("o_totalprice")).as("ds")))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+  }
+
+  /** GRADED: the maintained view's CHANGE FEED — the retract/add
+    * delta at group granularity, emitted as data (the Materialize
+    * `SUBSCRIBE` / Flink retract-stream surface: what a downstream
+    * consumer of the MV receives instead of re-reading the view).
+    * Oracle: because merge ≡ MV ⊎ delta EXACTLY (exact decimals), the
+    * delta must equal from-scratch-final MINUS base per group — the
+    * oracle computes that difference knowing nothing of the retract
+    * machinery. All-zero rows are suppressed on both sides (a group
+    * the log never touched emits nothing). */
+  def ordersAggIvmDelta(spark: SparkSession, dir: String): DataFrame =
+    groupDelta(spark, dir)
+      .filter(col("dn") =!= 0 || col("ds") =!= dec(lit(0)))
+      .select(col("o_orderstatus"), col("dn"),
+        col("ds").cast("double").as("ds"))
+      .orderBy("o_orderstatus")
+
   /** The maintained aggregate after applying the whole log. */
   def ordersAggIvm(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables(spark, dir, "orders")
@@ -57,26 +98,7 @@ object Ivm {
     val mv = base.groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("s"))
 
-    // latest version per touched key — window over the LOG alone
-    val log = spark.read.parquet(MergeOnRead.deltaLogDir(spark, dir))
-    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("_seq").desc)
-    val latest = log.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-
-    // OLD visible rows of touched keys: map-only broadcast semi join
-    val touched = latest.select(col("o_orderkey"))
-    val oldRows = base.join(broadcast(touched), Seq("o_orderkey"),
-      "left_semi")
-
-    // retract old, add new (tombstones add nothing), reduce to groups
-    val delta = oldRows
-      .select(col("o_orderstatus"), lit(-1L).as("dn"),
-        (-dec(col("o_totalprice"))).as("ds"))
-      .unionByName(latest.filter(!col("_deleted"))
-        .select(col("o_orderstatus"), lit(1L).as("dn"),
-          dec(col("o_totalprice")).as("ds")))
-      .groupBy(col("o_orderstatus"))
-      .agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+    val delta = groupDelta(spark, dir)
 
     // merge: |groups| ∪ |touched groups| rows, zero-count groups drop
     mv.join(delta, Seq("o_orderstatus"), "full_outer")
@@ -247,6 +269,7 @@ object Ivm {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_agg_ivm" -> (ordersAggIvm(_, _)),
+    "orders_agg_ivm_delta" -> (ordersAggIvmDelta(_, _)),
     "orders_agg_ivm_streamed" -> (ordersAggIvmStreamed(_, _)))
 
   /** Oracle: the from-scratch aggregate over [[MergeOnRead]]'s final
@@ -260,6 +283,29 @@ object Ivm {
 
   val oracles: Map[String, String] = Map(
     "orders_agg_ivm" -> IvmSql,
+    // the change feed must equal final − base per group, computed
+    // with the same exact decimals and NO knowledge of the retract
+    // machinery; all-zero rows suppressed on both sides
+    "orders_agg_ivm_delta" ->
+      s"""${MergeOnRead.MorFinalCte},
+         |fin AS (
+         |  SELECT o_orderstatus, count(*) AS n,
+         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+         |  FROM f GROUP BY 1),
+         |b AS (
+         |  SELECT o_orderstatus, count(*) AS n,
+         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+         |  FROM orders GROUP BY 1),
+         |d AS (
+         |  SELECT coalesce(fin.o_orderstatus, b.o_orderstatus)
+         |      AS o_orderstatus,
+         |    coalesce(fin.n, 0) - coalesce(b.n, 0) AS dn,
+         |    coalesce(fin.s, 0) - coalesce(b.s, 0) AS ds
+         |  FROM fin FULL OUTER JOIN b USING (o_orderstatus))
+         |SELECT o_orderstatus, CAST(dn AS BIGINT) AS dn,
+         |  CAST(ds AS DOUBLE) AS ds
+         |FROM d WHERE dn <> 0 OR ds <> 0
+         |ORDER BY o_orderstatus""".stripMargin,
     // same oracle on purpose: per-batch maintenance must land exactly
     // where the one-shot delta application lands
     "orders_agg_ivm_streamed" -> IvmSql)

@@ -643,7 +643,39 @@ object StreamReplay {
     graft.operators.TextOps.recountHeavyHitters(ss, dir, cands, total)
   }
 
+  // 3-file documents-metadata copy for the admission sampler's replay
+  private val sampleInputs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sampleReplayInput(ss: SparkSession, dir: String): String =
+    sampleInputs.computeIfAbsent(dir, { _ =>
+      val path = newReplayDir("graft_hsample_in_")
+      graft.Tables(ss, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .repartition(3, col("doc_id"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** C1 on the ingest path: the deterministic hash-threshold ADMISSION
+    * filter ([[graft.operators.Curation.keepCol]] — the md5 sampler
+    * every training-shard writer runs) applied INSIDE a real streaming
+    * execution: each micro-batch filters map-only (the predicate rides
+    * the streaming scan — stateless, so admission is trivially
+    * batch-chop-invariant and replay-idempotent) and admitted rows
+    * drain to the parquet file sink. Graded by the batch
+    * `hash_sample_docs` oracle VERBATIM: the streamed admission set IS
+    * the batch sample, membership-level. */
+  def hashSampleStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val ss = replaySession(spark)
+    val input = sampleReplayInput(ss, dir)
+    val stream = ss.readStream.schema(ss.read.parquet(input).schema)
+      .option("maxFilesPerTrigger", "1").parquet(input)
+      .filter(graft.operators.Curation.keepCol)
+    drainToParquet(stream, "hsample").orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hash_sample_streamed" -> (hashSampleStreamed _),
     "heavy_hitters_streamed" -> (heavyHittersStreamed _),
     "hourly_anomaly_streamed" -> (hourlyAnomalyStreamed _),
     "enriched_events_streamed" -> (enrichedEventsStreamed _),
@@ -659,6 +691,10 @@ object StreamReplay {
     "incremental_dedup_streamed" -> (incrementalDedupStreamed _))
 
   val oracles: Map[String, String] = Map(
+    // stateless map-only admission ⇒ the streamed sample is the batch
+    // sample membership-for-membership; batch oracle verbatim
+    "hash_sample_streamed" ->
+      graft.operators.Curation.oracles("hash_sample_docs"),
     // the batch heavy-hitter oracle VERBATIM (the deliberately naive
     // full-vocabulary plan): per-batch MG candidate maintenance + one
     // exact recount must land exactly on the batch answer

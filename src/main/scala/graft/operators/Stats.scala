@@ -327,7 +327,57 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** ONE-PASS CORRELATION MATRIX — the multivariate profile step of
+    * every feature-engineering pipeline (and the input to a CBO's
+    * column-group statistics): Pearson r for EVERY pair of lineitem's
+    * four numeric measures from a single aggregate of 15 exact-decimal
+    * sufficient statistics (n, 4 sums, 4 sums of squares, 6 cross
+    * sums) — the corpus is touched exactly once however many pairs
+    * are profiled, vs one `corr()` pass per pair naively. Same
+    * determinism discipline as [[corrStats]]: order-independent exact
+    * decimal partial sums, closed-form doubles once per pair at the
+    * end. */
+  def lineitemCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    // micro-unit integers (×10⁴ — exact for these ≤4-dp columns) in
+    // decimal(38,0): products ≤ ~1.2e18 and their corpus sums stay
+    // exact; DuckDB mirrors with HUGEINT (the repo's cross-multiply
+    // discipline — plain decimal×decimal overflows DuckDB's int64
+    // product path at this width)
+    def u(c: String) =
+      (col(c).cast("decimal(18,4)") * 10000).cast("decimal(38,0)")
+    val li = graft.Tables.fanOut(spark, Tables(spark, dir, "lineitem"),
+      key = "l_orderkey")
+    val sums = cols.map(c => sum(u(c)).as(s"s_$c")) ++
+      cols.map(c => sum(u(c) * u(c)).as(s"ss_$c")) ++
+      cols.combinations(2).map { case Seq(a, b) =>
+        sum(u(a) * u(b)).as(s"sp_${a}_$b") }.toSeq
+    val m = li.agg(count(lit(1)).as("n_rows"), sums: _*)
+    val n = col("n_rows").cast("double")
+    // all six r's in ONE select over the single agg row, then stack —
+    // a union of per-pair selects would re-run the aggregate per
+    // branch (6 corpus scans)
+    val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val rCols = pairs.map { case (a, b) =>
+      val covN = n * col(s"sp_${a}_$b").cast("double") -
+        col(s"s_$a").cast("double") * col(s"s_$b").cast("double")
+      val vaN = n * col(s"ss_$a").cast("double") -
+        col(s"s_$a").cast("double") * col(s"s_$a").cast("double")
+      val vbN = n * col(s"ss_$b").cast("double") -
+        col(s"s_$b").cast("double") * col(s"s_$b").cast("double")
+      ScalarFns.roundN(covN / sqrt(vaN) / sqrt(vbN), 6).as(s"r_${a}_$b")
+    }
+    m.select(col("n_rows") +: rCols: _*)
+      .select(expr("stack(" + pairs.size + ", " + pairs.map {
+          case (a, b) => s"'$a', '$b', `r_${a}_$b`"
+        }.mkString(", ") + ") as (col_a, col_b, pearson_r)"),
+        col("n_rows"))
+      .select(col("col_a"), col("col_b"), col("n_rows"), col("pearson_r"))
+      .orderBy("col_a", "col_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lineitem_corr_matrix" -> (lineitemCorrMatrix _),
     "value_trend_ols" -> (valueTrendOls _),
     "orders_contract_audit" -> (ordersContractAudit _),
     "corr_stats" -> (corrStats _),
@@ -664,6 +714,43 @@ object Stats {
          |  ${ScalarFns.roundSql(
             "CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)", 4)} AS chi2
          |FROM scored ORDER BY n_cells""".stripMargin,
+    "lineitem_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      // micro-unit HUGEINTs (×10⁴) — same exact integers as the
+      // Spark side's decimal(38,0); scale factors cancel in r, and
+      // both engines cast the SAME integer sums to double before the
+      // identical closed form
+      def u(c: String) =
+        s"CAST(CAST($c AS DECIMAL(18,4)) * 10000 AS HUGEINT)"
+      val sumDefs =
+        cols.map(c => s"sum(${u(c)}) AS s_$c") ++
+        cols.map(c => s"sum(${u(c)} * ${u(c)}) AS ss_$c") ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          s"sum(${u(a)} * ${u(b)}) AS sp_${a}_$b" }
+      val dblDefs = ("CAST(n_rows AS DOUBLE) AS n" +:
+        (cols.map(c => s"CAST(s_$c AS DOUBLE) AS s_$c") ++
+          cols.map(c => s"CAST(ss_$c AS DOUBLE) AS ss_$c") ++
+          cols.combinations(2).map { case Seq(a, b) =>
+            s"CAST(sp_${a}_$b AS DOUBLE) AS sp_${a}_$b" }))
+      val arms = cols.combinations(2).map { case Seq(a, b) =>
+        val covN = s"(n * sp_${a}_$b - s_$a * s_$b)"
+        val vaN = s"(n * ss_$a - s_$a * s_$a)"
+        val vbN = s"(n * ss_$b - s_$b * s_$b)"
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n_rows,
+           |    ${ScalarFns.roundSql(s"$covN / sqrt($vaN) / sqrt($vbN)", 6)}
+           |      AS pearson_r FROM d""".stripMargin
+      }
+      s"""WITH m AS (
+         |  SELECT count(*) AS n_rows,
+         |    ${sumDefs.mkString(",\n    ")}
+         |  FROM lineitem),
+         |d AS (
+         |  SELECT n_rows, ${dblDefs.mkString(", ")}
+         |  FROM m)
+         |SELECT * FROM (
+         |${arms.mkString("\nUNION ALL\n")})
+         |ORDER BY col_a, col_b""".stripMargin
+    },
     "corr_stats" -> {
       val covN = "(n * sxy - sx * sy)"
       val varXN = "(n * sxx - sx * sx)"

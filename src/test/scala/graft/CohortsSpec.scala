@@ -100,4 +100,20 @@ class CohortsSpec extends SparkSpec {
     assert(flagged == expect)
     assert(flagged.nonEmpty, "vacuous anomaly query at sf0.001")
   }
+
+  test("global-window frames stay catalog-sized (r7 ADVICE lint: the " +
+      "single-partition windows are safe only while their inputs are " +
+      "lifetime-/bucket-granularity — pin the bound so growth is loud)") {
+    // survival: the cumulative + total windows run over the
+    // lifetime-granularity rollup — bounded by the corpus's day span,
+    // never by subject count
+    val lifetimes = graft.operators.Cohorts
+      .survivalRiskTable(spark, sf0001).count()
+    assert(lifetimes <= 5000,
+      s"survival window frame grew to $lifetimes rows — repartition it")
+    // concentration: the bucket-offset window sees one row per bucket
+    val deciles = graft.operators.Concentration
+      .spendDeciles(spark, sf0001).count()
+    assert(deciles <= 10)
+  }
 }

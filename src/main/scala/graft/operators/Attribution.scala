@@ -61,8 +61,52 @@ object Attribution {
       .orderBy("view_hour")
   }
 
+  /** GRADED: POSITION-BASED (U-shaped) attribution — the industry's
+    * other standard multi-touch rule: the FIRST and LAST touch in the
+    * window each earn 40 %, the middles split the remaining 20 %
+    * (n = 1 → 100 %, n = 2 → 50/50). Positions are ranked
+    * deterministically (view time, then view id); shares are integer
+    * ppm (400 000 / 500 000 / `200000 div (n−2)` — floor on both
+    * engines), applied to the same micro-unit values as the linear
+    * form, so the U-shape stays hash-exact. Same join graph — only
+    * the credit rule changes. */
+  def attributionPosition(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("vid"), col("ts").as("vts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"),
+        (col("value").cast("decimal(18,4)") * 10000).cast("long").as("vu"))
+    val j = v.join(p, Seq("user_id"))
+      .filter(col("vts") <= col("pts") &&
+        col("vts") >= col("pts") - expr("INTERVAL 1 HOUR"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("vts"), col("vid"))
+    val ranked = j
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))))
+    val shPpm = when(col("n") === 1, lit(1000000L))
+      .when(col("n") === 2, lit(500000L))
+      .when(col("rk") === 1 || col("rk") === col("n"), lit(400000L))
+      .otherwise(expr("200000L div (n - 2)"))
+    ranked
+      .withColumn("credit", expr("vu * 1L") * shPpm)
+      .groupBy(hour(col("vts")).cast("long").as("view_hour"))
+      .agg(count(lit(1)).as("n_views"),
+        countDistinct(col("pid")).as("n_purchases"),
+        sum(col("credit")).as("credited_micro"))
+      .select(col("view_hour"), col("n_views"), col("n_purchases"),
+        col("credited_micro"),
+        graft.functions.ScalarFns.roundN(
+          col("credited_micro").cast("double") / 1e10, 4)
+          .as("credited_value"))
+      .orderBy("view_hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "attribution_linear" -> (attributionLinear(_, _)))
+    "attribution_linear" -> (attributionLinear(_, _)),
+    "attribution_position" -> (attributionPosition(_, _)))
 
   val oracles: Map[String, String] = Map(
     "attribution_linear" ->
@@ -82,6 +126,38 @@ object Attribution {
          |c AS (
          |  SELECT j.vts, j.pid, (j.vu * 1000000) // nn.n AS credit
          |  FROM j JOIN nn USING (pid))
+         |SELECT CAST(hour(vts) AS BIGINT) AS view_hour,
+         |  count(*) AS n_views,
+         |  CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+         |  CAST(sum(credit) AS BIGINT) AS credited_micro,
+         |  ${graft.functions.ScalarFns.roundSql(
+            "sum(credit) / 10000000000.0", 4)} AS credited_value
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "attribution_position" ->
+      s"""WITH v AS (
+         |  SELECT user_id, event_id AS vid, ts AS vts
+         |  FROM events WHERE event_type = 'view'),
+         |p AS (
+         |  SELECT user_id, event_id AS pid, ts AS pts,
+         |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vu
+         |  FROM events WHERE event_type = 'purchase'),
+         |j AS (
+         |  SELECT v.vts, v.vid, p.pid, p.vu
+         |  FROM v JOIN p ON v.user_id = p.user_id
+         |    AND v.vts <= p.pts
+         |    AND v.vts >= p.pts - INTERVAL 1 HOUR),
+         |r AS (
+         |  SELECT vts, pid, vu,
+         |    row_number() OVER (PARTITION BY pid ORDER BY vts, vid) AS rk,
+         |    count(*) OVER (PARTITION BY pid) AS n
+         |  FROM j),
+         |c AS (
+         |  SELECT vts, pid,
+         |    vu * (CASE WHEN n = 1 THEN 1000000
+         |          WHEN n = 2 THEN 500000
+         |          WHEN rk = 1 OR rk = n THEN 400000
+         |          ELSE 200000 // (n - 2) END) AS credit
+         |  FROM r)
          |SELECT CAST(hour(vts) AS BIGINT) AS view_hour,
          |  count(*) AS n_views,
          |  CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,

@@ -85,9 +85,9 @@ object Wap {
     o.unionByName(dup).unionByName(poison)
   }
 
-  /** (published dir, audit-log rows) once per (JVM, corpus). */
+  /** (published dir, audit-log dir) once per (JVM, corpus). */
   private[graft] final case class WapState(publishedDir: String,
-      stagingGone: Boolean)
+      auditLogDir: String, stagingGone: Boolean)
   private val states = new ConcurrentHashMap[String, WapState]()
 
   private[graft] def state(spark: SparkSession, dir: String): WapState =
@@ -100,20 +100,30 @@ object Wap {
       o.write.mode("overwrite").parquet(s"$root/staging_clean")
       dirtyCandidate(spark, dir).write.mode("overwrite")
         .parquet(s"$root/staging_dirty")
-      // audit each STAGED COPY (the bytes that would go live, not the
-      // producer's frame), publish on zero violations, roll back else
-      def total(path: String): Long =
-        audit(spark.read.parquet(path))
-          .agg(sum(col("n_violations"))).head().getLong(0)
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory)
           Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
         f.delete(); ()
       }
+      // audit each STAGED COPY — the bytes that would go live, not
+      // the producer's frame — and PERSIST the verdicts before any
+      // publish/rollback: the audit log is itself a record (the
+      // graded query reads it back; a rolled-back candidate's staged
+      // bytes are gone, its audit rows remain — the production shape)
       var published: Option[String] = None
       for (cand <- Seq("clean", "dirty")) {
         val staging = new java.io.File(s"$root/staging_$cand")
-        if (total(staging.getAbsolutePath) == 0L) {
+        val a = audit(spark.read.parquet(staging.getAbsolutePath))
+        val withVerdict = a.crossJoin(broadcast(
+            a.agg((sum(col("n_violations")) === 0).as("published"))))
+          .select(lit(cand).as("candidate"), col("constraint_name"),
+            col("n_violations"), col("published"))
+        withVerdict.coalesce(1).write.mode("append")
+          .parquet(s"$root/audit_log")
+        val ok = spark.read.parquet(s"$root/audit_log")
+          .filter(col("candidate") === cand && !col("published"))
+          .isEmpty
+        if (ok) {
           // atomic publish: directory rename, the metadata-swap analog
           require(staging.renameTo(new java.io.File(s"$root/published")),
             s"publish rename failed for $cand")
@@ -122,25 +132,16 @@ object Wap {
       }
       WapState(published.getOrElse(
           sys.error("WAP: no candidate passed the audit")),
+        s"$root/audit_log",
         stagingGone = !new java.io.File(s"$root/staging_dirty").exists)
     })
 
-  /** GRADED: the audit log — (candidate, constraint, count, published)
-    * for both candidates, zeros included. */
-  def ordersWapAuditLog(spark: SparkSession, dir: String): DataFrame = {
-    state(spark, dir) // effects first: stage → audit → publish/rollback
-    val clean = audit(Tables(spark, dir, "orders"))
-      .select(lit("clean").as("candidate"), col("constraint_name"),
-        col("n_violations"))
-    val dirty = audit(dirtyCandidate(spark, dir))
-      .select(lit("dirty").as("candidate"), col("constraint_name"),
-        col("n_violations"))
-    val log = clean.unionByName(dirty)
-    val verdict = log.groupBy(col("candidate"))
-      .agg((sum(col("n_violations")) === 0).as("published"))
-    log.join(verdict, Seq("candidate"))
+  /** GRADED: the PERSISTED audit log — (candidate, constraint, count,
+    * published) for both candidates, zeros included, read back from
+    * the record written at audit time over the staged bytes. */
+  def ordersWapAuditLog(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(state(spark, dir).auditLogDir)
       .orderBy("candidate", "constraint_name")
-  }
 
   /** GRADED: the published table IS the clean candidate — content
     * parity against plain SQL over `orders`. */

@@ -29,6 +29,9 @@ object SparkEntry {
       graft.sources.ResultCache.getOrCompute(
         s"${graft.sources.ResultCache.sessionId(s)}|segment_stats|$dir|${Segmentation.canonical.descriptor}",
         ttlSeconds = 300)(Segmentation.statsQuery(s, dir))),
+    // observability-as-data: executed-plan numOutputRows per node
+    // graded vs semantic SQL counts (the reference's fan_count logs)
+    "segment_metrics_observed" -> (Segmentation.segmentMetricsObserved _),
     // S1 partition pruning on the graded path (see Tables.scala)
     "orders_pruned_priority" -> (Tables.ordersPrunedPriority _),
     // bucketed co-located join on the graded path (see Tables.scala)
@@ -59,6 +62,7 @@ object SparkEntry {
     "segment_active_stats" -> Segmentation.activeStatsOracle,
     "segment_stats_empty"  -> Segmentation.emptyStatsOracle,
     "segment_stats_cached" -> Segmentation.statsOracle,
+    "segment_metrics_observed" -> Segmentation.segmentMetricsOracle,
     "orders_pruned_priority" -> Tables.ordersPrunedOracle,
     "revenue_bucketed" -> Tables.revenueBucketedOracle,
     "order_lookup_bucketed" -> Tables.orderLookupBucketedOracle,

@@ -251,4 +251,50 @@ object Segmentation {
       impossibleFilter)
 
   val emptyStatsOracle: String = statsOracleFor(impossibleFilter)
+
+  // ----------------------------------------------------------------
+  // OBSERVABILITY AS DATA (r8) — the reference logs per-node row
+  // counts (`fan_count`, SCALING.md:139-146) as its operational
+  // surface; the Spark-native analog is the SQL metrics every
+  // physical operator already maintains. This query executes a
+  // segment filter and emits the executed plan's OWN numOutputRows
+  // per node — graded against semantic SQL counts, so the metric
+  // plumbing itself is pinned: a scan that stops reporting rows, or
+  // a filter whose metric drifts from its semantics, fails the hash.
+  // Parquet predicate pushdown is disabled on a session CLONE for
+  // this one query: with pushdown, the scan's output count is
+  // row-group-layout-dependent (pages survive wholesale), which no
+  // SQL oracle can model — without it, scan = table count and
+  // filter = predicate count, both oracle-expressible.
+  // ----------------------------------------------------------------
+
+  def segmentMetricsObserved(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.parquet.filterPushdown", "false")
+    val df = Tables(ss, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING" &&
+        col("c_acctbal") >= 1000.0)
+    df.collect() // execute: metrics populate on the executed plan
+    val plan = df.queryExecution.executedPlan
+    val scanRows = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numOutputRows").value
+    }.sum
+    val filterRows = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.metrics("numOutputRows").value
+    }.sum
+    import ss.implicits._
+    Seq(("filter", filterRows), ("scan", scanRows))
+      .toDF("node", "n_rows").orderBy("node")
+  }
+
+  val segmentMetricsOracle: String =
+    """SELECT 'filter' AS node,
+      |  (SELECT count(*) FROM customer
+      |   WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 1000.0)
+      |    AS n_rows
+      |UNION ALL
+      |SELECT 'scan', (SELECT count(*) FROM customer)
+      |ORDER BY node""".stripMargin
 }

@@ -46,7 +46,10 @@ object PlanDump {
     "phrase_search_maintained", "phrase_search_compacted",
     "orders_column_stats_sketched", "heavy_hitters_streamed",
     "revenue_aqe_skew", "order_lookup_zbloom", "orders_vacuumed_agg",
-    "attribution_linear")
+    "attribution_linear", "attribution_position", "orders_agg_ivm_delta",
+    "lineitem_corr_matrix", "knn_bfs_hops_maintained",
+    "orders_zorder_maintained_box", "orders_wap_audit_log",
+    "segment_metrics_observed", "hash_sample_streamed")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

@@ -405,6 +405,76 @@ object GraphOps {
       .select(col("vec_id"),
         graft.functions.ScalarFns.roundN(col("cs"), 6).as("cosine_sim"))
 
+  /** Batch query set: every [[BatchQueryMod]]-th vector (~4 %). */
+  private[graft] val BatchQueryMod = 25
+
+  // the batched walk's final beams, once per (JVM, corpus) — ALL
+  // queries advance through each round together: per round ONE join
+  // against the edge table and ONE window keyed (qid), so serving a
+  // query batch costs the same number of Spark jobs as serving one
+  // query — the ANN-serving amortization graph indexes exist for
+  private val beamBatchDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def beamBatchDir(spark: SparkSession, dir: String): String =
+    beamBatchDirs.computeIfAbsent(dir, { _ =>
+      graft.plans.VectorExpressions.register(spark)
+      val out = Tables.scratchDir("graft_beam_batch_").getAbsolutePath
+      val e = Tables(spark, dir, "embeddings")
+      val edges = spark.read.parquet(knnEdgesDir(spark, dir))
+      val qs = e.filter(col("vec_id") % BatchQueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      def scoreOf(cands: DataFrame): DataFrame =
+        cands.join(e, Seq("vec_id"))
+          .join(broadcast(qs), Seq("qid"))
+          .select(col("qid"), col("vec_id"),
+            expr("cosine_sim(embedding, qv)").as("cs"))
+      val nlist = e.agg(ceil(sqrt(count(lit(1)))).as("nlist"))
+      val cents = e.crossJoin(broadcast(nlist))
+        .filter(col("vec_id") < col("nlist")).select(col("vec_id"))
+      val wq = Window.partitionBy("qid")
+        .orderBy(col("cs").desc, col("vec_id"))
+      var beam = scoreOf(qs.select(col("qid"))
+          .crossJoin(broadcast(cents)))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= BeamProbes)
+        .select(col("qid"), col("vec_id"), col("cs"))
+        .localCheckpoint(true)
+      try {
+        for (_ <- 1 to BeamRounds) {
+          val cand = beam.select(col("qid"), col("vec_id")).unionByName(
+              beam.select(col("qid"), col("vec_id"))
+                .join(edges, col("vec_id") === col("src"))
+                .select(col("qid"), col("dst").as("vec_id")))
+            .distinct()
+          val nb = scoreOf(cand)
+            .withColumn("rn", row_number().over(wq))
+            .filter(col("rn") <= BeamWidth)
+            .select(col("qid"), col("vec_id"), col("cs"))
+            .localCheckpoint(true)
+          Similarity.releaseCheckpoint(beam)
+          beam = nb
+        }
+        beam.write.mode("overwrite").parquet(out)
+      } finally Similarity.releaseCheckpoint(beam)
+      out
+    })
+
+  /** GRADED: BATCHED graph-ANN serving — top-10 per query for the
+    * whole query set off ONE shared walk (every beam advances through
+    * the same per-round join + window; jobs don't scale with query
+    * count). Judged against the identical per-qid walk unrolled in
+    * DuckDB. The query vector itself is excluded per qid. */
+  def graphAnnTopkBatch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("cs").desc, col("vec_id"))
+    spark.read.parquet(beamBatchDir(spark, dir))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"),
+        graft.functions.ScalarFns.roundN(col("cs"), 6).as("cosine_sim"))
+      .orderBy(col("qid"), col("cosine_sim").desc, col("vec_id"))
+  }
+
   /** GRADED: the graph-ANN row of the recall board — recall@10 of the
     * beam-search top-10 against the exact top-10, same contract as
     * `rp_recall` / `pq_recall`. */
@@ -436,6 +506,7 @@ object GraphOps {
     // exists to pin
     "graph_ann_topk_d4" -> ((s: SparkSession, d: String) =>
       graphAnnTopk(s, d, deg = 4)),
+    "graph_ann_topk_batch" -> (graphAnnTopkBatch(_, _)),
     "graph_ann_recall_d4" -> ((s: SparkSession, d: String) =>
       graphAnnRecall(s, d, deg = 4)))
 
@@ -537,6 +608,7 @@ object GraphOps {
          |SELECT vec_id, CAST(min(hop) AS BIGINT) AS hop
          |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
     "knn_bfs_hops_maintained" -> maintainedBfsOracle,
+    "graph_ann_topk_batch" -> batchTopkOracle,
     "graph_ann_topk" -> topkOracle(2),
     "graph_ann_topk_d4" -> topkOracle(4),
     "graph_ann_recall" -> recallOracle(2),
@@ -629,6 +701,53 @@ object GraphOps {
        |  WHERE w.hop < $MaxHops)
        |SELECT vec_id, CAST(min(hop) AS BIGINT) AS hop
        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** The batched walk unrolled per qid: candidate CTE (beam ∪
+    * out-neighbors, DISTINCT over UNION ALL) + per-qid top-B window
+    * per round; entry = top-2 centroids per qid. */
+  private def batchTopkOracle: String = {
+    import Similarity.duckDot
+    def cos(a: String, b: String) =
+      s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+    val rounds = (1 to BeamRounds).map { r =>
+      val prev = if (r == 1) "b0" else s"b${r - 1}"
+      s"""bc$r AS (
+         |  SELECT DISTINCT qid, vec_id FROM (
+         |    SELECT qid, vec_id FROM $prev
+         |    UNION ALL
+         |    SELECT p.qid, e.dst AS vec_id
+         |    FROM edges e JOIN $prev p ON e.src = p.vec_id)),
+         |b$r AS (SELECT qid, vec_id, cs FROM (
+         |  SELECT a.qid, a.vec_id, a.cs,
+         |    row_number() OVER (PARTITION BY a.qid
+         |                       ORDER BY a.cs DESC, a.vec_id) AS rn
+         |  FROM allcos a JOIN bc$r USING (qid, vec_id)
+         |  ) WHERE rn <= $BeamWidth)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |       WHERE vec_id % $BatchQueryMod = 0),
+       |allcos AS (
+       |  SELECT q.qid, e.vec_id, ${cos("e.embedding", "q.qv")} AS cs
+       |  FROM embeddings e CROSS JOIN qs q),
+       |entry AS (SELECT qid, cid AS vec_id FROM (
+       |  SELECT a.qid, c.cid, a.cs,
+       |    row_number() OVER (PARTITION BY a.qid
+       |                       ORDER BY a.cs DESC, c.cid) AS rn
+       |  FROM cent c JOIN allcos a ON a.vec_id = c.cid)
+       |  WHERE rn <= $BeamProbes),
+       |b0 AS (SELECT a.qid, a.vec_id, a.cs
+       |       FROM allcos a JOIN entry USING (qid, vec_id)),
+       |$rounds
+       |SELECT qid, vec_id,
+       |  ${graft.functions.ScalarFns.roundSql("cs", 6)} AS cosine_sim
+       |FROM (
+       |  SELECT qid, vec_id, cs,
+       |    row_number() OVER (PARTITION BY qid
+       |                       ORDER BY cs DESC, vec_id) AS rn
+       |  FROM b$BeamRounds WHERE vec_id <> qid) WHERE rn <= 10
+       |ORDER BY qid, cosine_sim DESC, vec_id""".stripMargin
   }
 
   private def topkOracle(deg: Int): String =

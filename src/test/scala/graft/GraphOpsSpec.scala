@@ -102,6 +102,24 @@ class GraphOpsSpec extends SparkSpec {
         s"-${(dist.toSet -- got.toSet).take(3)}")
   }
 
+  test("batched walk ≡ the single-query walk for the shared query: " +
+      "qid 0's final beam matches beamDir exactly") {
+    val batch = spark.read.parquet(GraphOps.beamBatchDir(spark, sf0001))
+      .filter(col("qid") === 0L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    val single = spark.read.parquet(GraphOps.beamDir(spark, sf0001))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(batch == single,
+      s"diff: +${(batch -- single).take(3)} -${(single -- batch).take(3)}")
+    // and the batch covers every query id
+    val qids = spark.read.parquet(GraphOps.beamBatchDir(spark, sf0001))
+      .select(col("qid")).distinct().collect().map(_.getLong(0)).toSet
+    val expect = Tables(spark, sf0001, "embeddings")
+      .filter(col("vec_id") % GraphOps.BatchQueryMod === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(qids == expect)
+  }
+
   // driver-side cosine in the SAME left-to-right double fold as the
   // CosineSim expression — exact-equality safe
   private def cosine(a: Array[Float], b: Array[Float]): Double = {

@@ -44,7 +44,7 @@ object SparkEntry {
     EventOps.queries ++ CampaignOps.queries ++ TextOps.queries ++
     Similarity.queries ++ Curation.queries ++ TextSignals.queries ++
     IncrementalDedup.queries ++ RpSketch.queries ++ Scd.queries ++
-    Compaction.queries ++ ZOrder.queries ++ BloomIndex.queries ++ Vacuum.queries ++ Attribution.queries ++ Wap.queries ++
+    Compaction.queries ++ ZOrder.queries ++ BloomIndex.queries ++ Vacuum.queries ++ Attribution.queries ++ Wap.queries ++ IvfMaintained.queries ++
     RangeJoin.queries ++ Integrity.queries ++ Formats.queries ++
     MergeOnRead.queries ++ Ivm.queries ++ Packing.queries ++
     Pii.queries ++ Baskets.queries ++ GraphOps.queries ++ Cohorts.queries ++
@@ -71,7 +71,7 @@ object SparkEntry {
     EventOps.oracles ++ CampaignOps.oracles ++ TextOps.oracles ++
     Similarity.oracles ++ Curation.oracles ++ TextSignals.oracles ++
     IncrementalDedup.oracles ++ RpSketch.oracles ++ Scd.oracles ++
-    Compaction.oracles ++ ZOrder.oracles ++ BloomIndex.oracles ++ Vacuum.oracles ++ Attribution.oracles ++ Wap.oracles ++
+    Compaction.oracles ++ ZOrder.oracles ++ BloomIndex.oracles ++ Vacuum.oracles ++ Attribution.oracles ++ Wap.oracles ++ IvfMaintained.oracles ++
     RangeJoin.oracles ++ Integrity.oracles ++ Formats.oracles ++
     MergeOnRead.oracles ++ Ivm.oracles ++ Packing.oracles ++
     Pii.oracles ++ Baskets.oracles ++ GraphOps.oracles ++ Cohorts.oracles ++

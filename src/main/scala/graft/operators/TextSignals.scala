@@ -222,10 +222,108 @@ object TextSignals {
       .orderBy(col("source"))
   }
 
+  // ----------------------------------------------------------------
+  // BPE TOKENIZER TRAINING (r8) — the one LLM-pipeline step the board
+  // didn't yet represent: learn the merge table itself. Byte-level
+  // BPE, fully deterministic, graded cross-engine with ZERO floats:
+  //
+  //  - repr₀: every character bracketed ('h e' → '{h}{ }{e}') — the
+  //    brackets are outside the corpus charset (space + a-y), so a
+  //    pair pattern '{a}{b}' can never match across token boundaries;
+  //  - per round: count ALL adjacent token pairs (overlaps included),
+  //    winner = max count with lexicographic tie-break, then ONE
+  //    `replace(repr, '{a}{b}', '{ab}')` — both engines' replace is
+  //    sequential non-overlapping left-to-right, which IS the BPE
+  //    merge rule;
+  //  - trained on a deterministic md5 sample (~1/16 of docs) — the
+  //    production shape (tokenizers train on a corpus sample).
+  //
+  // The oracle unrolls all [[BpeRounds]] rounds in DuckDB with the
+  // winner computed IN-SQL per round (the kmeans_converged
+  // discipline: the iterative control loop graded against a
+  // declarative unrolling, data-driven at every step). Scale: each
+  // round is one explode + partial-agg shuffle over the sample and a
+  // map-only replace — the loop collects exactly one (pattern, count)
+  // row per round, planner-metadata scale.
+  // ----------------------------------------------------------------
+
+  private[graft] val BpeRounds = 5
+
+  def bpeMergesLearned(spark: SparkSession, dir: String): DataFrame = {
+    var repr = Tables(spark, dir, "documents")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "(.)", "{$1}").as("repr"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.Buffer[(Int, String, Long)]()
+    try {
+      for (r <- 1 to BpeRounds) {
+        val w = repr
+          .select(expr("""regexp_extract_all(repr, '\\{[^{}]*\\}', 0)""")
+            .as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(t) - 1)," +
+              " i -> concat(element_at(t, i), element_at(t, i + 1)))"))
+            .as("pr"))
+          .groupBy(col("pr")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pr")).limit(1).head()
+        val pat = w.getString(0)
+        merges += ((r, pat, w.getLong(1)))
+        if (r < BpeRounds) {
+          val next = repr.select(col("doc_id"),
+            expr(s"replace(repr, '$pat', '${pat.replace("}{", "")}')")
+              .as("repr"))
+            .localCheckpoint(true)
+          graft.operators.Similarity.releaseCheckpoint(repr)
+          repr = next
+        }
+      }
+    } finally graft.operators.Similarity.releaseCheckpoint(repr)
+    import spark.implicits._
+    merges.toSeq.toDF("merge_round", "pair_pattern", "n_pairs")
+      .orderBy("merge_round")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_merges_learned" -> (bpeMergesLearned _),
     "rep_signals" -> (repSignals _),
     "ngram_lm_quality" -> (ngramLmQuality _),
     "bm25_search" -> ((s: SparkSession, d: String) => bm25Search(s, d)))
+
+  /** The merge loop unrolled: per round the winner is computed IN-SQL
+    * (cnt DESC, pair ASC) and the next repr derives from it via the
+    * same boundary-safe replace. */
+  private def bpeOracle: String = {
+    val parts = scala.collection.mutable.Buffer(
+      """rep1 AS (
+        |  SELECT doc_id, regexp_replace(text, '(.)', '{\1}', 'g') AS repr
+        |  FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0')"""
+        .stripMargin)
+    for (r <- 1 to BpeRounds) {
+      parts += s"""t$r AS (
+         |  SELECT doc_id,
+         |    regexp_extract_all(repr, '\\{[^{}]*\\}') AS t FROM rep$r),
+         |pc$r AS (
+         |  SELECT pr, count(*) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |      i -> t[i] || t[i + 1])) AS pr
+         |    FROM t$r) GROUP BY 1),
+         |w$r AS (SELECT pr, cnt FROM pc$r ORDER BY cnt DESC, pr LIMIT 1)"""
+        .stripMargin
+      if (r < BpeRounds)
+        parts += s"""rep${r + 1} AS (
+           |  SELECT d.doc_id,
+           |    replace(d.repr, w.pr, replace(w.pr, '}{', '')) AS repr
+           |  FROM rep$r d, w$r w)""".stripMargin
+    }
+    val arms = (1 to BpeRounds).map(r =>
+      s"SELECT $r AS merge_round, pr AS pair_pattern, " +
+        s"CAST(cnt AS BIGINT) AS n_pairs FROM w$r").mkString(" UNION ALL ")
+    s"""WITH ${parts.mkString(",\n")}
+       |SELECT * FROM ($arms) ORDER BY merge_round""".stripMargin
+  }
 
   val oracles: Map[String, String] = {
     val g3 = Shingles.duckExprN(3)
@@ -237,6 +335,7 @@ object TextSignals {
         s"(tf$i * ${K1 + 1.0} / (tf$i + $K1 * ((1.0 - $B) + $B * dl / avgdl)))"
     }.mkString(" + ")
     Map(
+      "bpe_merges_learned" -> bpeOracle,
       "ngram_lm_quality" ->
         s"""WITH toks AS (
            |  SELECT doc_id, source,

@@ -100,6 +100,67 @@ object Formats {
       .option("timestampFormat", TsFmt)
       .json(jsonOrdersDir(spark, sfDir)))
 
+  // ----------------------------------------------------------------
+  // DEAD-LETTER ingest (r8) — the malformed-record containment every
+  // production JSONL loader runs: a poisoned feed (the round-trip
+  // JSONL plus three syntactically-broken lines) is parsed ONCE in
+  // PERMISSIVE mode with a corrupt-record column; clean rows land in
+  // the table, broken lines land VERBATIM in the dead-letter queue —
+  // the load never aborts (FAILFAST), never silently drops (the DLQ
+  // is inspectable), and the graded aggregate over the landed table
+  // must equal plain SQL over the original orders: three bad lines
+  // cost zero good rows. At 100 TB this is the ingest topology:
+  // parse → split by corrupt marker → two sinks, one pass.
+  // ----------------------------------------------------------------
+
+  private[graft] val PoisonLines = Seq(
+    """{"o_orderkey": this is not json""",
+    """}{""",
+    """["not", "an", "object"]""")
+
+  private[graft] final case class DlqState(goodDir: String,
+      dlqDir: String)
+  private val dlqStates = new ConcurrentHashMap[String, DlqState]()
+
+  private[graft] def dlqState(spark: SparkSession, sfDir: String): DlqState =
+    dlqStates.computeIfAbsent(sfDir, { _ =>
+      import spark.implicits._
+      val root = Tables.scratchDir("graft_dlq_").getAbsolutePath
+      // the poisoned feed: round-trip JSONL + a bad-lines file, as text
+      spark.read.text(jsonOrdersDir(spark, sfDir))
+        .write.mode("overwrite").text(s"$root/feed")
+      PoisonLines.toDF("value").coalesce(1)
+        .write.mode("append").text(s"$root/feed")
+      // ONE permissive parse, split by the corrupt marker
+      val schema = OrdersCsvSchema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType)
+      // cached: Spark disallows projecting ONLY the corrupt-record
+      // column straight off a raw JSON scan (the parser would have
+      // nothing to fail on) — the documented recipe is to materialize
+      // the parse once, then split
+      val parsed = spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("timestampFormat", TsFmt)
+        .json(s"$root/feed")
+        .cache()
+      try {
+        parsed.filter(col("_corrupt_record").isNull)
+          .drop("_corrupt_record")
+          .write.mode("overwrite").parquet(s"$root/good")
+        parsed.filter(col("_corrupt_record").isNotNull)
+          .select(col("_corrupt_record").as("raw_line"))
+          .write.mode("overwrite").parquet(s"$root/dlq")
+      } finally { parsed.unpersist(blocking = false); () }
+      DlqState(s"$root/good", s"$root/dlq")
+    })
+
+  /** GRADED: the landed table after dead-letter splitting — the same
+    * aggregate and ORACLE as the clean round-trip: poisoned lines
+    * must cost zero good rows. */
+  def ordersJsonDlqAgg(spark: SparkSession, sfDir: String): DataFrame =
+    agg(spark.read.parquet(dlqState(spark, sfDir).goodDir))
+
   /** GRADED: aggregate over the CSV round-trip (explicit schema). */
   def ordersCsvAgg(spark: SparkSession, sfDir: String): DataFrame =
     agg(spark.read.schema(OrdersCsvSchema)
@@ -197,6 +258,7 @@ object Formats {
     "orders_csv_agg" -> (ordersCsvAgg(_, _)),
     "orders_orc_agg" -> (ordersOrcAgg(_, _)),
     "orders_json_agg" -> (ordersJsonAgg(_, _)),
+    "orders_json_dlq_agg" -> (ordersJsonDlqAgg(_, _)),
     "orders_federated_agg" -> (ordersFederatedAgg(_, _)),
     "orders_evolved_agg" -> (ordersEvolvedAgg(_, _)))
 
@@ -227,6 +289,9 @@ object Formats {
     "orders_csv_agg" -> AggSql,
     "orders_orc_agg" -> AggSql,
     "orders_json_agg" -> AggSql,
+    // the dead-letter split must cost zero good rows — same oracle as
+    // the clean round-trip
+    "orders_json_dlq_agg" -> AggSql,
     // same oracle on purpose: the three-format federation must be
     // disjoint and complete w.r.t. the original table to hash-match
     "orders_federated_agg" -> AggSql,

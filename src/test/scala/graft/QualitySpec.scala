@@ -108,4 +108,17 @@ class QualitySpec extends SparkSpec {
     assert(pq > 0 && cs > 0 && oc > 0, s"empty leg: $pq/$cs/$oc")
     assert(pq + cs + oc == direct.values.sum)
   }
+
+  test("dead-letter ingest: the DLQ holds exactly the poisoned lines " +
+      "verbatim; the landed table holds every clean row") {
+    import org.apache.spark.sql.functions._
+    val st = graft.operators.Formats.dlqState(spark, sf0001)
+    val dlq = spark.read.parquet(st.dlqDir).collect()
+      .map(_.getString(0)).toSeq.sorted
+    assert(dlq == graft.operators.Formats.PoisonLines.sorted,
+      s"DLQ content drifted: $dlq")
+    val good = spark.read.parquet(st.goodDir)
+    assert(good.count() == Tables(spark, sf0001, "orders").count())
+    assert(good.filter(col("o_orderkey").isNull).count() == 0)
+  }
 }

@@ -271,8 +271,11 @@ object TextSignals {
         val pat = w.getString(0)
         merges += ((r, pat, w.getLong(1)))
         if (r < BpeRounds) {
+          // column-form replace (no SQL-literal interpolation of a
+          // data-derived pattern — corpus text must never reach a SQL
+          // string even though the current charset is brace-safe)
           val next = repr.select(col("doc_id"),
-            expr(s"replace(repr, '$pat', '${pat.replace("}{", "")}')")
+            replace(col("repr"), lit(pat), lit(pat.replace("}{", "")))
               .as("repr"))
             .localCheckpoint(true)
           graft.operators.Similarity.releaseCheckpoint(repr)

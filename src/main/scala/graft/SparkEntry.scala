@@ -42,11 +42,11 @@ object SparkEntry {
     "orders_dpp_join" -> (Tables.ordersDppJoin _),
   ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
     EventOps.queries ++ CampaignOps.queries ++ TextOps.queries ++
-    Similarity.queries ++ Curation.queries ++ TextSignals.queries ++
+    Similarity.queries ++ SetJoin.queries ++ Curation.queries ++ TextSignals.queries ++
     IncrementalDedup.queries ++ RpSketch.queries ++ Scd.queries ++
     Compaction.queries ++ ZOrder.queries ++ BloomIndex.queries ++ Vacuum.queries ++ Attribution.queries ++ Wap.queries ++ IvfMaintained.queries ++
     RangeJoin.queries ++ Integrity.queries ++ Formats.queries ++
-    MergeOnRead.queries ++ Ivm.queries ++ Packing.queries ++
+    MergeOnRead.queries ++ Ivm.queries ++ MvServe.queries ++ Packing.queries ++
     Pii.queries ++ Baskets.queries ++ GraphOps.queries ++ Cohorts.queries ++
     Skyline.queries ++ Concentration.queries ++ Erasure.queries ++
     Stats.queries ++ Membership.queries ++
@@ -69,11 +69,11 @@ object SparkEntry {
     "orders_dpp_join" -> Tables.ordersDppOracle,
   ) ++ Joins.oracles ++ Aggregates.oracles ++ Windows.oracles ++
     EventOps.oracles ++ CampaignOps.oracles ++ TextOps.oracles ++
-    Similarity.oracles ++ Curation.oracles ++ TextSignals.oracles ++
+    Similarity.oracles ++ SetJoin.oracles ++ Curation.oracles ++ TextSignals.oracles ++
     IncrementalDedup.oracles ++ RpSketch.oracles ++ Scd.oracles ++
     Compaction.oracles ++ ZOrder.oracles ++ BloomIndex.oracles ++ Vacuum.oracles ++ Attribution.oracles ++ Wap.oracles ++ IvfMaintained.oracles ++
     RangeJoin.oracles ++ Integrity.oracles ++ Formats.oracles ++
-    MergeOnRead.oracles ++ Ivm.oracles ++ Packing.oracles ++
+    MergeOnRead.oracles ++ Ivm.oracles ++ MvServe.oracles ++ Packing.oracles ++
     Pii.oracles ++ Baskets.oracles ++ GraphOps.oracles ++ Cohorts.oracles ++
     Skyline.oracles ++ Concentration.oracles ++ Erasure.oracles ++
     Stats.oracles ++ Membership.oracles ++

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** EXACT set-similarity join via PREFIX FILTERING — every document
+  * pair with word-3-gram (shingle) set Jaccard ≥ τ, with NO false
+  * negatives (Chaudhuri/Ganti/Kaushik "SSJoin", ICDE 2006; Bayardo/
+  * Ma/Srikant "Scaling Up All Pairs Similarity Search", WWW 2007).
+  * This is the exact counterpart of the MinHash-LSH tier in
+  * [[Similarity]], over the SAME shingle universe
+  * ([[graft.functions.Shingles]]): LSH trades recall for candidate
+  * sparsity; the prefix filter keeps candidates sparse AND provably
+  * complete — what a dedup audit (or a legal "find every copy" sweep)
+  * needs where LSH's per-gate recall board reports < 100 %.
+  *
+  * The filter: order every document's distinct shingles by one GLOBAL
+  * total order — ascending document frequency with the shingle string
+  * as tiebreak, so the RAREST shingles come first — and keep only each
+  * document's first `p = n − ⌈τ·n⌉ + 1` shingles (its prefix). Any two
+  * sets with Jaccard ≥ τ must overlap in more elements than either can
+  * exclude from its prefix, so every qualifying pair collides on ≥ 1
+  * prefix shingle. Candidates = the prefix-posting self-join plus the
+  * length filter `10·min(na,nb) ≥ 6·max(na,nb)` (J ≥ τ forces
+  * |small|/|big| ≥ τ); verification computes exact Jaccard on the full
+  * shingle sets.
+  *
+  * Everything is integer-exact: τ = 0.6 enters as ⌈0.6n⌉ =
+  * `(6n+9) div 10` for the prefix bound and as `10·inter ≥ 6·union`
+  * for the final test — no floating point anywhere, so the DuckDB
+  * oracle (the INDEPENDENT inverted-list formulation with no
+  * prefix/length machinery) hash-matches bit-for-bit, proving the
+  * filter lossless ([[graft.SetJoinSpec]] additionally proves it
+  * against a brute-force quadratic and asserts real selectivity).
+  *
+  * 100 TB shape: the per-doc prefix rank is a doc-partitioned window
+  * (never a global sort); the only shuffles are shingle-granularity
+  * (df count, posting join) and pair-granularity (verify). The df
+  * ordering is the built-in skew guard — high-df shingles are exactly
+  * the ones prefixes EXCLUDE, so the posting self-join runs over
+  * rare-shingle lists and the boilerplate-shingle hot keys never form
+  * pairs. Candidate verification joins pair ids against per-doc
+  * shingle arrays — cost ∝ verified candidates, not n².
+  */
+object SetJoin {
+
+  /** Jaccard threshold τ = 6/10, carried as integers end to end. */
+  private val TauNum = 6
+  private val TauDen = 10
+
+  /** doc_id → exploded DISTINCT word-3-gram shingles (the streaming
+    * [[graft.plans.WordGrams]] generator — no per-row gram arrays). */
+  private def shingleSet(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.WordGrams.register(spark)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), expr("word_grams(text, 3)").as("tok"))
+      .distinct()
+  }
+
+  /** Per-doc prefix under the global (df, tok) order. */
+  private def prefixes(t: DataFrame): DataFrame = {
+    val dfreq = t.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("tok"))
+    t.join(dfreq, Seq("tok"))
+      .withColumn("rn", row_number().over(w))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("rn") <=
+        col("n") - expr(s"(($TauNum*n+${TauDen - 1}) div $TauDen)") + 1)
+      .select(col("doc_id"), col("tok"), col("n"))
+  }
+
+  /** Candidate pairs: prefix-posting self-join + integer length filter. */
+  private def candidates(pref: DataFrame): DataFrame =
+    pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          lit(TauDen) * least(col("a.n"), col("b.n")) >=
+            lit(TauNum) * greatest(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+  /** GRADED: all pairs with shingle-set Jaccard ≥ 0.6, exact. */
+  def similarityJoinExact(spark: SparkSession, dir: String): DataFrame = {
+    val t = shingleSet(spark, dir)
+    val cand = candidates(prefixes(t))
+    // exact verification on the full sorted shingle sets
+    val arrs = t.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("tok"))).as("ts"))
+      .withColumn("nn", size(col("ts")).cast("bigint"))
+    cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("ts").as("ta"),
+        col("nn").as("na")), Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"), col("ts").as("tb"),
+        col("nn").as("nb")), Seq("doc_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("bigint"))
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      .filter(lit(TauDen) * col("n_inter") >= lit(TauNum) * col("n_union"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Candidate-pair count — the filter's selectivity as an auditable
+    * number ([[graft.SetJoinSpec]] bounds it against both the answer
+    * count from below and the share-any-shingle pair count from above). */
+  private[graft] def candidateCount(spark: SparkSession, dir: String): Long =
+    candidates(prefixes(shingleSet(spark, dir))).count()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "similarity_join_exact" -> (similarityJoinExact(_, _)))
+
+  /** Oracle: the inverted-list formulation — pairs sharing ANY
+    * shingle, intersection counted directly, NO prefix/length
+    * machinery. Hash equality is the losslessness proof. */
+  val oracles: Map[String, String] = Map(
+    "similarity_join_exact" ->
+      s"""WITH toks AS (
+        |  ${graft.functions.Shingles.duckToks}),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(${graft.functions.Shingles.duckExpr}) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_inter,
+        |  sa.n + sb.n - n_inter AS n_union
+        |FROM pairs
+        |JOIN sz sa ON sa.doc_id = doc_a
+        |JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE $TauDen * n_inter >= $TauNum * (sa.n + sb.n - n_inter)
+        |ORDER BY doc_a, doc_b""".stripMargin)
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SetJoin
+
+/** Prefix-filter exact similarity join: lossless vs the brute-force
+  * quadratic (every qualifying pair found, nothing extra), and the
+  * filter actually filters (candidates ≪ all pairs). */
+class SetJoinSpec extends SparkSpec {
+
+  /** Per-doc sorted distinct shingle sets (the operator's universe). */
+  private lazy val docs = {
+    graft.plans.WordGrams.register(spark)
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), expr("word_grams(text, 3)").as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("tok"))).as("ts"))
+      .withColumn("n", size(col("ts")).cast("bigint"))
+  }
+
+  /** Brute-force ground truth: all O(n²) pairs, exact Jaccard. */
+  private lazy val brute = {
+    val a = docs.select(col("doc_id").as("doc_a"), col("ts").as("ta"),
+      col("n").as("na"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("ts").as("tb"),
+      col("n").as("nb"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("bigint"))
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      .filter(lit(10) * col("n_inter") >= lit(6) * col("n_union"))
+      .select("doc_a", "doc_b", "n_inter", "n_union")
+      .orderBy("doc_a", "doc_b")
+      .collect().toSeq
+  }
+
+  test("prefix-filter join ≡ brute-force quadratic (lossless, exact)") {
+    val got = SetJoin.similarityJoinExact(spark, sf0001).collect().toSeq
+    assert(got == brute, s"got ${got.size} pairs, brute ${brute.size}")
+    assert(got.nonEmpty, "corpus has no near-dup pairs at τ=0.6 — " +
+      "the losslessness assertion would be vacuous")
+  }
+
+  test("the filter filters: candidates well below the full pair count") {
+    val n = docs.count()
+    val allPairs = n * (n - 1) / 2
+    val cands = SetJoin.candidateCount(spark, sf0001)
+    assert(cands >= brute.size.toLong, "candidates must cover all answers")
+    assert(cands * 10 < allPairs,
+      s"prefix filter kept $cands of $allPairs pairs — not selective")
+  }
+}

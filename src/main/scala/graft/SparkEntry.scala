@@ -49,7 +49,7 @@ object SparkEntry {
     MergeOnRead.queries ++ Ivm.queries ++ MvServe.queries ++ Packing.queries ++
     Pii.queries ++ Baskets.queries ++ GraphOps.queries ++ Cohorts.queries ++
     Skyline.queries ++ Concentration.queries ++ Erasure.queries ++
-    Stats.queries ++ Membership.queries ++
+    Stats.queries ++ RankTest.queries ++ Membership.queries ++
     graft.functions.TypedAggs.queries ++
     Multimodal.queries ++ Skew.queries ++ graft.streaming.StreamReplay.queries
 
@@ -76,7 +76,7 @@ object SparkEntry {
     MergeOnRead.oracles ++ Ivm.oracles ++ MvServe.oracles ++ Packing.oracles ++
     Pii.oracles ++ Baskets.oracles ++ GraphOps.oracles ++ Cohorts.oracles ++
     Skyline.oracles ++ Concentration.oracles ++ Erasure.oracles ++
-    Stats.oracles ++ Membership.oracles ++
+    Stats.oracles ++ RankTest.oracles ++ Membership.oracles ++
     graft.functions.TypedAggs.oracles ++
     Multimodal.oracles ++ Skew.oracles ++ graft.streaming.StreamReplay.oracles
 }

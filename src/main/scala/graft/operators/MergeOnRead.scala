@@ -222,6 +222,86 @@ object MergeOnRead {
   def ordersMorAsof(spark: SparkSession, dir: String): DataFrame =
     agg(snapshotAt(spark, dir, 1L))
 
+  // ----------------------------------------------------------------
+  // LOG CHECKPOINT — Delta's `_last_checkpoint` / Iceberg's snapshot
+  // manifest move: fold the log PREFIX (_seq ≤ CheckpointSeq) into one
+  // per-key latest-version state file, so a reader resolves
+  // base ⊎ CHECKPOINT ⊎ TAIL instead of replaying the whole log. On a
+  // table taking continuous CDC the log grows without bound and every
+  // reader pays a window over all of it; the checkpoint caps that at
+  // O(touched keys at ckpt) + O(tail) rows forever. Tombstones are
+  // KEPT in the checkpoint state (a reader must still know the key
+  // died — exactly why Delta checkpoints carry remove actions); the
+  // tail can resurrect or re-kill them, latest `_seq` wins as always.
+  // ----------------------------------------------------------------
+
+  /** The log prefix folded into the checkpoint ( _seq ≤ this). */
+  private[graft] val CheckpointSeq = 1L
+
+  private val checkpointDirs = new ConcurrentHashMap[String, String]()
+
+  /** Per-key latest-version state of the log prefix — one window over
+    * O(changes-at-ckpt) rows, written once; base is NOT consulted (the
+    * checkpoint is log state, not a table snapshot — the base stays
+    * unrewritten, which is the merge-on-read contract). */
+  private[graft] def checkpointDir(spark: SparkSession, dir: String): String =
+    checkpointDirs.computeIfAbsent(dir, { _ =>
+      val f = Tables.scratchDir("graft_mor_ckpt_state_").getAbsolutePath
+      val log = spark.read.parquet(deltaLogDir(spark, dir))
+        .filter(col("_seq") <= CheckpointSeq)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderkey")).orderBy(col("_seq").desc)
+      log.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn", "_batch_id")
+        .coalesce(1).write.mode("overwrite").parquet(f)
+      f
+    })
+
+  /** Resolve base ⊎ checkpoint ⊎ tail: the window ranks only
+    * checkpoint-state ∪ tail rows (O(changes)), base stays a map-only
+    * anti-join — same discipline as [[snapshotAt]], with the log
+    * prefix never re-read. */
+  private[graft] def snapshotViaCheckpoint(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = Tables(spark, dir, "orders")
+    val ckpt = spark.read.parquet(checkpointDir(spark, dir))
+    val tail = spark.read.parquet(deltaLogDir(spark, dir))
+      .filter(col("_seq") > CheckpointSeq).drop("_batch_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderkey")).orderBy(col("_seq").desc)
+    val latest = ckpt.unionByName(tail)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    val untouched = base.join(
+      broadcast(latest.select(col("o_orderkey")).distinct()),
+      Seq("o_orderkey"), "left_anti")
+    untouched.unionByName(
+      latest.filter(!col("_deleted"))
+        .select(base.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** GRADED: the checkpoint+tail read — SAME oracle as the full-log
+    * read, so the hash proves the fold lost no version and the tail
+    * still wins where it must. */
+  def ordersMorCheckpointed(spark: SparkSession, dir: String): DataFrame =
+    agg(snapshotViaCheckpoint(spark, dir))
+
+  /** GRADED: the checkpoint state read ALONE (no tail, no window) —
+    * base anti-joined against the checkpoint keys ∪ its live versions.
+    * Same oracle as [[ordersMorAsof]]: the checkpoint IS the as-of-
+    * seq-1 snapshot, which is what makes it a valid time-travel
+    * anchor, not just a read accelerator. */
+  def ordersMorCkptAsof(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "orders")
+    val ckpt = spark.read.parquet(checkpointDir(spark, dir))
+    val untouched = base.join(
+      broadcast(ckpt.select(col("o_orderkey")).distinct()),
+      Seq("o_orderkey"), "left_anti")
+    agg(untouched.unionByName(
+      ckpt.filter(!col("_deleted"))
+        .select(base.columns.map(col).toIndexedSeq: _*)))
+  }
+
   /** CDC EXTRACT (snapshot diff) — the INVERSE of the read path above:
     * merge-on-read turns log → table; this turns a TABLE PAIR → change
     * feed, the move you need when two snapshots exist but no log does
@@ -285,6 +365,8 @@ object MergeOnRead {
     "orders_merge_on_read" -> (ordersMergeOnRead(_, _)),
     "orders_mor_compacted" -> (ordersMorCompacted(_, _)),
     "orders_mor_asof" -> (ordersMorAsof(_, _)),
+    "orders_mor_checkpointed" -> (ordersMorCheckpointed(_, _)),
+    "orders_mor_ckpt_asof" -> (ordersMorCkptAsof(_, _)),
     "orders_cdc_extract" -> (ordersCdcExtract(_, _)))
 
   /** The final (fully-resolved) table stated as one `WITH f AS` CTE —
@@ -377,5 +459,8 @@ object MergeOnRead {
     // same oracle on purpose: the fold must be a pure layout change
     "orders_mor_compacted" -> MorSql,
     "orders_mor_asof" -> MorAsofSql,
+    // same oracles on purpose: ckpt+tail ≡ full log; ckpt alone ≡ as-of
+    "orders_mor_checkpointed" -> MorSql,
+    "orders_mor_ckpt_asof" -> MorAsofSql,
     "orders_cdc_extract" -> CdcExtractSql)
 }

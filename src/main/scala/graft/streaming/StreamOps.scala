@@ -221,4 +221,44 @@ object StreamOps {
       .select(col("user_id"), col("view_id"), col("view_ts"),
         col("purchase_id"), col("purchase_ts"))
   }
+
+  /** ST8+: the LEFT-OUTER stream-stream interval join — attribution
+    * WITH the non-converting views ("every view, did it convert?"),
+    * the harder emission regime: a matched pair emits as soon as both
+    * rows are buffered, but an UNMATCHED view may only emit its
+    * null-extended row once the watermark proves no in-horizon
+    * purchase can still arrive (view_ts + horizon < watermark) —
+    * early emission would be wrong (the purchase might come), late
+    * emission never happens because state for a provably-closed view
+    * is dropped. Same bounded-state pruning as the inner form.
+    *
+    * Both side filters keep the replay SENTINEL (`user_id` = −1, the
+    * [[graft.streaming.StreamReplay]] convention) — an event-type
+    * filter alone would push below the watermark operator and drop it
+    * before the accountant on that side, pinning the JOIN watermark
+    * (= min of both sides) at the last real event and silently
+    * holding every view in the trailing horizon open forever. The
+    * sentinel joins only itself (user −1 on both sides, equal
+    * timestamps) and is dropped at the sink. */
+  def viewToPurchaseLeftOuter(events: DataFrame,
+      horizon: String = "1 hour"): DataFrame = {
+    val isSentinel = col("user_id") <=> lit(-1L)
+    val views = events
+      .filter(col("event_type") === "view" || isSentinel)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val purchases = events
+      .filter(col("event_type") === "purchase" || isSentinel)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    views.join(purchases,
+        col("user_id") === col("p_user")
+          && col("purchase_ts") >= col("view_ts")
+          && col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"),
+        "left_outer")
+      .select(col("user_id"), col("view_id"), col("view_ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
 }

@@ -422,6 +422,27 @@ object StreamReplay {
       .orderBy("user_id", "view_id", "purchase_id")
   }
 
+  /** ST8+ on the driver's graded path: the LEFT-OUTER stream-stream
+    * interval join over the sentinel-augmented input — matched pairs
+    * emit as both rows buffer; unmatched views emit their
+    * null-extended rows only in the trailing no-data batch, after the
+    * sentinel advances the final watermark past every real
+    * `view_ts + horizon` (the [[sessionReplayInput]] flush
+    * discipline). The sink then holds exactly the batch LEFT JOIN
+    * with the identical interval predicate — the DuckDB oracle states
+    * precisely that; sentinel rows (user −1) are dropped at the
+    * sink. */
+  def viewPurchaseLeftStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val ss = replaySession(spark)
+    val input = sessionReplayInput(ss, dir)
+    val stream = ss.readStream
+      .schema(ss.read.parquet(input).schema)
+      .parquet(input)
+    drainToParquet(StreamOps.viewToPurchaseLeftOuter(stream), "viewleft")
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "view_id", "purchase_id")
+  }
+
   /** ST9 on the driver's graded path: the stream-static enrichment
     * join + aggregate as a real streaming execution (complete mode —
     * a bounded replay's final aggregate is the batch aggregate). The
@@ -680,6 +701,7 @@ object StreamReplay {
     "hourly_anomaly_streamed" -> (hourlyAnomalyStreamed _),
     "enriched_events_streamed" -> (enrichedEventsStreamed _),
     "view_purchase_join_streamed" -> (viewPurchaseJoinStreamed _),
+    "view_purchase_left_streamed" -> (viewPurchaseLeftStreamed _),
     "hourly_event_stats_streamed" -> (hourlyEventStatsStreamed _),
     "rate_limit_streamed" -> ((s: SparkSession, d: String) =>
       rateLimitStreamed(s, d)),
@@ -719,6 +741,17 @@ object StreamReplay {
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id
         |  AND a.event_type = 'view' AND b.event_type = 'purchase'
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY a.user_id, view_id, purchase_id""".stripMargin,
+    // bounded LEFT-OUTER stream-stream join: matches ≡ the inner form;
+    // the sentinel-advanced final watermark flushes every unmatched
+    // view's null-extended row, so the sink ≡ the batch LEFT JOIN
+    "view_purchase_left_streamed" ->
+      """SELECT a.user_id, a.event_id AS view_id, a.ts AS view_ts,
+        |  b.event_id AS purchase_id, b.ts AS purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'view') a
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id
         |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |ORDER BY a.user_id, view_id, purchase_id""".stripMargin,
     // same oracle as the batch twin — a bounded complete-mode replay is

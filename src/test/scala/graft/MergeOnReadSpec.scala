@@ -215,4 +215,38 @@ class MergeOnReadSpec extends SparkSpec {
     assert(ops.contains("U") && ops("U").forall(k => k % 10 < 4))
     assert(!ops.contains("D"), "SCD2 never deletes")
   }
+
+  test("log checkpoint: ckpt+tail read ≡ full-log read row-for-row, " +
+      "state is per-key, window input is O(changes)") {
+    val full = MergeOnRead.snapshot(spark, sf0001)
+      .orderBy("o_orderkey").collect().toSeq
+    val via = MergeOnRead.snapshotViaCheckpoint(spark, sf0001)
+      .orderBy("o_orderkey").collect().toSeq
+    assert(via == full && full.nonEmpty)
+    // per-key state: one row per key touched at _seq ≤ CheckpointSeq
+    val ckpt = spark.read.parquet(
+      MergeOnRead.checkpointDir(spark, sf0001))
+    val log = spark.read.parquet(
+      MergeOnRead.deltaLogDir(spark, sf0001))
+    val touched = log
+      .filter(col("_seq") <= MergeOnRead.CheckpointSeq)
+      .select("o_orderkey").distinct().count()
+    assert(ckpt.count() == touched)
+    assert(ckpt.groupBy("o_orderkey").count()
+      .filter(col("count") > 1).isEmpty)
+    // the read's window ranks ckpt ∪ tail only — O(changes), not
+    // O(full log): strictly fewer rows than replaying the whole log
+    val tail = log.filter(col("_seq") > MergeOnRead.CheckpointSeq)
+    assert(ckpt.count() + tail.count() < log.count())
+  }
+
+  test("log checkpoint alone IS the as-of-CheckpointSeq snapshot") {
+    val asof = MergeOnRead
+      .snapshotAt(spark, sf0001, MergeOnRead.CheckpointSeq)
+      .orderBy("o_orderkey").collect().toSeq
+    val viaCkpt = MergeOnRead.ordersMorCkptAsof(spark, sf0001)
+    val direct = MergeOnRead.ordersMorAsof(spark, sf0001)
+    assert(viaCkpt.collect().toSeq == direct.collect().toSeq)
+    assert(asof.nonEmpty)
+  }
 }

@@ -289,6 +289,32 @@ class StreamingSpec extends SparkSpec {
       assert(s == bt, s"streamed $s != batch $bt") }
   }
 
+  test("ST8+: LEFT-OUTER stream-stream join replay equals the batch " +
+      "left join — unmatched views flush as null rows at watermark") {
+    val streamed = graft.streaming.StreamReplay
+      .viewPurchaseLeftStreamed(spark, sf0001).collect()
+    val ev = Tables(spark, sf0001, "events")
+    val a = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val batch = a.join(b, col("user_id") === col("pu")
+        && col("purchase_ts") >= col("view_ts")
+        && col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select("user_id", "view_id", "view_ts", "purchase_id", "purchase_ts")
+      .orderBy("user_id", "view_id", "purchase_id").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, bt) =>
+      assert(s == bt, s"streamed $s != batch $bt") }
+    // the outer arm is EXERCISED: some views never converted, and
+    // their null-extended rows made it out of the state store
+    assert(streamed.exists(_.isNullAt(3)),
+      "no unmatched view emitted — the watermark flush did not happen")
+  }
+
   test("ST9: stream-static enrichment replay equals the batch join + aggregate") {
     val streamed = graft.streaming.StreamReplay
       .enrichedEventsStreamed(spark, sf0001).collect()

@@ -223,6 +223,67 @@ object Formats {
         max(col("o_orderkey")).as("max_key"))
       .orderBy("channel")
 
+  // ----------------------------------------------------------------
+  // PARTITION-SPEC EVOLUTION — the Iceberg move the schema-evolution
+  // dir above does for COLUMNS, applied to the PARTITIONING: a table
+  // laid out early in its life by one key (o_orderpriority) is later
+  // repartitioned by another (order month) — and the old files are
+  // NEVER rewritten (at 100 TB a re-layout of history is exactly the
+  // rewrite a lake cannot afford). Each generation keeps ITS OWN
+  // spec's pruning: a priority predicate becomes a PartitionFilter on
+  // generation 1 and a row filter on generation 2; a month predicate
+  // the reverse — which is precisely Iceberg's per-spec partition
+  // transform evaluation. The union is a plan-level concat.
+  // ----------------------------------------------------------------
+
+  private val specEvoDirs = new ConcurrentHashMap[String, (String, String)]()
+
+  /** The two generations (hex 0-7 → priority-partitioned, hex 8-f →
+    * month-partitioned), built once per (JVM, corpus). */
+  private[graft] def specEvolutionDirs(spark: SparkSession,
+      sfDir: String): (String, String) =
+    specEvoDirs.computeIfAbsent(sfDir, { _ =>
+      val d1 = Tables.scratchDir("graft_psevo_g1_").getAbsolutePath
+      val d2 = Tables.scratchDir("graft_psevo_g2_").getAbsolutePath
+      val o = Tables(spark, sfDir, "orders")
+      val hx = substring(md5(col("o_orderkey").cast("string")), 1, 1)
+      o.filter(hx < "8")
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(d1)
+      o.filter(hx >= "8")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("o_month").parquet(d2)
+      (d1, d2)
+    })
+
+  /** The spec-evolved read: each generation scanned under its own
+    * layout, generation 1's month derived at read (it was never a
+    * physical column there), unioned by name. */
+  private[graft] def specEvolvedOrders(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (d1, d2) = specEvolutionDirs(spark, sfDir)
+    val g1 = spark.read.parquet(d1)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    val g2 = spark.read.parquet(d2)
+    g1.unionByName(g2.select(g1.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** GRADED: a query predicated on BOTH specs' keys — priority prunes
+    * generation 1's directories, month prunes generation 2's
+    * ([[graft.DataSkippingSpec]] asserts each scan's PartitionFilters
+    * and file counts); the plain-SQL oracle over the original table
+    * proves the two-generation split disjoint and complete. */
+  def ordersSpecEvolvedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    specEvolvedOrders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_month").between("1996-01", "1996-06"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus")
+
   /** FEDERATED heterogeneous-format table — the mid-migration reality
     * of any long-lived lake: one LOGICAL table whose rows live in
     * three physical formats at once (parquet hex 0-4, CSV 5-9,
@@ -260,7 +321,8 @@ object Formats {
     "orders_json_agg" -> (ordersJsonAgg(_, _)),
     "orders_json_dlq_agg" -> (ordersJsonDlqAgg(_, _)),
     "orders_federated_agg" -> (ordersFederatedAgg(_, _)),
-    "orders_evolved_agg" -> (ordersEvolvedAgg(_, _)))
+    "orders_evolved_agg" -> (ordersEvolvedAgg(_, _)),
+    "orders_spec_evolved_agg" -> (ordersSpecEvolvedAgg(_, _)))
 
   private val AggSql =
     """SELECT o_orderpriority, count(*) AS n_orders,
@@ -295,5 +357,17 @@ object Formats {
     // same oracle on purpose: the three-format federation must be
     // disjoint and complete w.r.t. the original table to hash-match
     "orders_federated_agg" -> AggSql,
-    "orders_evolved_agg" -> EvolvedSql)
+    "orders_evolved_agg" -> EvolvedSql,
+    // plain SQL over the ORIGINAL table with both predicates: hash
+    // equality proves the two-generation partition split disjoint and
+    // complete, and both specs' pruning semantics row-exact
+    "orders_spec_evolved_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND strftime(o_orderdate, '%Y-%m') BETWEEN '1996-01' AND '1996-06'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -86,4 +86,50 @@ class DataSkippingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(rows.map(_.toSeq).toSet == static)
   }
+
+  test("partition-spec evolution: each generation prunes on ITS OWN " +
+      "spec; the union equals the straight computation") {
+    import graft.operators.Formats
+    val df = Formats.ordersSpecEvolvedAgg(spark, sf0001)
+    val got = df.collect().toSeq
+    val scans = fileScans(df.queryExecution.executedPlan)
+    assert(scans.size == 2, s"expected 2 generation scans, got $scans")
+    val (d1, d2) = Formats.specEvolutionDirs(spark, sf0001)
+    def scanFor(dir: String) = scans.find(
+      _.relation.location.rootPaths.exists(
+        _.toString.contains(new java.io.File(dir).getName)))
+      .getOrElse(fail(s"no scan over $dir"))
+    val s1 = scanFor(d1)
+    val s2 = scanFor(d2)
+    // generation 1 prunes on priority (its spec); generation 2 on month
+    assert(s1.partitionFilters.mkString.contains("o_orderpriority"),
+      s"gen-1 partition filters: ${s1.partitionFilters}")
+    assert(s2.partitionFilters.mkString.contains("o_month"),
+      s"gen-2 partition filters: ${s2.partitionFilters}")
+    def filesUnder(dir: String): Long = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir))
+        .count(f => f.getName.endsWith(".parquet")).toLong
+    }
+    assert(s1.metrics("numFiles").value < filesUnder(d1),
+      "gen-1 read every file — priority pruning did not bite")
+    assert(s2.metrics("numFiles").value < filesUnder(d2),
+      "gen-2 read every file — month pruning did not bite")
+    // semantics: union ≡ straight computation over the original table
+    val direct = Tables(spark, sf0001, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        date_format(col("o_orderdate"), "yyyy-MM")
+          .between("1996-01", "1996-06"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus").collect().toSeq
+    assert(got == direct && got.nonEmpty)
+  }
 }

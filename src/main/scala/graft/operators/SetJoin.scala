@@ -110,8 +110,32 @@ object SetJoin {
   private[graft] def candidateCount(spark: SparkSession, dir: String): Long =
     candidates(prefixes(shingleSet(spark, dir))).count()
 
+  /** GRADED: the LSH tier's RECALL measured against the exact join —
+    * the audit every production approximate-dedup needs: how many of
+    * the TRUE (Jaccard ≥ 0.6) pairs did the 4-band MinHash candidate
+    * generation actually surface? Emits exact integer counts (true
+    * pairs, LSH scored candidates, hits = true ∩ scored); the ratio is
+    * one client-side division. Both legs are existing graded
+    * machinery — [[similarityJoinExact]] and
+    * [[Similarity.neardupPairs]] — joined on pair identity only, so
+    * the audit adds one pair-granularity join to plans that already
+    * run; at 100 TB this is the recall row a dedup operator reads
+    * before trusting the cheap tier (its ANN cousins on the
+    * [[RpSketch]] recall board get theirs from sampled ground truth —
+    * here the exact join makes the ground truth total). */
+  def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = similarityJoinExact(spark, dir).select("doc_a", "doc_b")
+    val scored = Similarity.neardupPairs(spark, dir).select("doc_a", "doc_b")
+    val nTrue = exact.agg(count(lit(1)).as("n_true"))
+    val nScored = scored.agg(count(lit(1)).as("n_lsh_scored"))
+    val nHit = exact.join(scored, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    nTrue.crossJoin(nScored).crossJoin(nHit)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "similarity_join_exact" -> (similarityJoinExact(_, _)))
+    "similarity_join_exact" -> (similarityJoinExact(_, _)),
+    "lsh_recall_audit" -> (lshRecallAudit(_, _)))
 
   /** Oracle: the inverted-list formulation — pairs sharing ANY
     * shingle, intersection counted directly, NO prefix/length
@@ -136,5 +160,29 @@ object SetJoin {
         |JOIN sz sa ON sa.doc_id = doc_a
         |JOIN sz sb ON sb.doc_id = doc_b
         |WHERE $TauDen * n_inter >= $TauNum * (sa.n + sb.n - n_inter)
-        |ORDER BY doc_a, doc_b""".stripMargin)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // composes the two tiers' EXISTING oracle machinery: `scored` is
+    // the LSH candidate chain verbatim, `ex` the exact inverted-list
+    // pairs off the same shingle table — the audit knows nothing of
+    // either engine's mechanism
+    "lsh_recall_audit" ->
+      s"""${Similarity.shingleCte},
+         |${Similarity.lshScoredCtes},
+         |expairs AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    count(*) AS n_inter
+         |  FROM shd x JOIN shd y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM expairs p
+         |  JOIN sizes sa ON sa.doc_id = p.doc_a
+         |  JOIN sizes sb ON sb.doc_id = p.doc_b
+         |  WHERE $TauDen * p.n_inter >=
+         |        $TauNum * (sa.nsh + sb.nsh - p.n_inter))
+         |SELECT
+         |  (SELECT count(*) FROM ex) AS n_true,
+         |  (SELECT count(*) FROM scored) AS n_lsh_scored,
+         |  (SELECT count(*) FROM ex e JOIN scored c
+         |     ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b) AS n_hit""".stripMargin)
 }

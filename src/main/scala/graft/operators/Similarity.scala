@@ -2074,7 +2074,7 @@ object Similarity {
     * one-round oracles unchanged. */
   private def kmeansCte: String = kmeansCteR(1)
 
-  private val shingleCte =
+  private[graft] val shingleCte =
     s"""WITH toks AS (
       |  ${graft.functions.Shingles.duckToks}),
       |sh AS (
@@ -2218,7 +2218,7 @@ object Similarity {
   /** Shared LSH candidate + Jaccard CTE block (DuckDB) — used by both
     * the pair oracle and the cluster oracle so they cannot diverge.
     * Ends with `scored(doc_a, doc_b, n_inter, jaccard)`. */
-  private val lshScoredCtes: String =
+  private[graft] val lshScoredCtes: String =
     s"""sig AS (
        |  SELECT doc_id,
        |    min(substr(md5(s),  1, 8)) AS m0,

@@ -42,6 +42,18 @@ class SetJoinSpec extends SparkSpec {
       "the losslessness assertion would be vacuous")
   }
 
+  test("LSH recall audit: counts are consistent with the exact join") {
+    val r = SetJoin.lshRecallAudit(spark, sf0001).collect().head
+    val (nTrue, nScored, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nTrue == brute.size.toLong,
+      s"audit n_true $nTrue != exact join ${brute.size}")
+    assert(nHit <= nTrue && nHit <= nScored)
+    assert(nScored > 0 && nTrue > 0)
+    // 4-band r=1 LSH at J ≥ 0.6 collides w.p. ≥ 1−0.4⁴ ≈ 0.974 per
+    // pair — a total miss of the family would be a mechanism bug
+    assert(nHit > 0, "LSH missed every true pair — implausible at b=4")
+  }
+
   test("the filter filters: candidates well below the full pair count") {
     val n = docs.count()
     val allPairs = n * (n - 1) / 2

@@ -42,7 +42,7 @@ object SparkEntry {
     "orders_dpp_join" -> (Tables.ordersDppJoin _),
   ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
     EventOps.queries ++ CampaignOps.queries ++ TextOps.queries ++
-    Similarity.queries ++ SetJoin.queries ++ Curation.queries ++ TextSignals.queries ++
+    Similarity.queries ++ SetJoin.queries ++ EditJoin.queries ++ Curation.queries ++ TextSignals.queries ++
     IncrementalDedup.queries ++ RpSketch.queries ++ Scd.queries ++
     Compaction.queries ++ ZOrder.queries ++ BloomIndex.queries ++ Vacuum.queries ++ Attribution.queries ++ Wap.queries ++ IvfMaintained.queries ++
     RangeJoin.queries ++ Integrity.queries ++ Formats.queries ++
@@ -69,7 +69,7 @@ object SparkEntry {
     "orders_dpp_join" -> Tables.ordersDppOracle,
   ) ++ Joins.oracles ++ Aggregates.oracles ++ Windows.oracles ++
     EventOps.oracles ++ CampaignOps.oracles ++ TextOps.oracles ++
-    Similarity.oracles ++ SetJoin.oracles ++ Curation.oracles ++ TextSignals.oracles ++
+    Similarity.oracles ++ SetJoin.oracles ++ EditJoin.oracles ++ Curation.oracles ++ TextSignals.oracles ++
     IncrementalDedup.oracles ++ RpSketch.oracles ++ Scd.oracles ++
     Compaction.oracles ++ ZOrder.oracles ++ BloomIndex.oracles ++ Vacuum.oracles ++ Attribution.oracles ++ Wap.oracles ++ IvfMaintained.oracles ++
     RangeJoin.oracles ++ Integrity.oracles ++ Formats.oracles ++

@@ -204,6 +204,48 @@ object EventOps {
       .orderBy("event_type", "hour_start")
   }
 
+  /** EXPONENTIAL smoothing (EWMA) over the gap-filled hourly series —
+    * the T1 family's third smoother beside the trailing mean and the
+    * seasonal z-test: s_t = α·x_t + (1−α)·s_{t−1} with α = 1/2,
+    * truncated at 16 taps so every weight is an exact power of two and
+    * the statistic is ONE BIGINT: `ewma_x65536 = Σ_{k=0..15}
+    * x_{t−k}·2^{15−k}` (= 2¹⁶ · Σ x_{t−k}/2^{k+1} — the truncated
+    * recursion's fixed-point numerator; the dropped tail is < 2⁻¹⁶ of
+    * any bounded signal, and the caller divides by 65536.0 for
+    * display). Hours before the series start enter as zero — the
+    * spine's own zero-fill convention, identical on both engines, so
+    * the leading partial windows are defined, not undefined. No floats
+    * anywhere: the EWMA of an integer series is an integer here.
+    *
+    * Scale shape: identical to [[hourlyGapfillMa]] — one event-sized
+    * hourly aggregate, then windows over the |hours|×|types| spine,
+    * partitioned by type (never global). 16 `lag` taps share one
+    * window frame. */
+  def hourlyEwma(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+    val counts = e.groupBy(col("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = e.agg(min(col("hour_start")).as("lo"),
+      max(col("hour_start")).as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)"))
+        .as("hour_start"))
+    val types = e.select(col("event_type")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour_start")
+    val filled = spine.crossJoin(broadcast(types))
+      .join(counts, Seq("hour_start", "event_type"), "left")
+      .withColumn("n_events", coalesce(col("n"), lit(0L)))
+    val ewma = (0 to 15).map(k =>
+      coalesce(lag(col("n_events"), k).over(w), lit(0L)) *
+        lit(1L << (15 - k))).reduce(_ + _)
+    filled.withColumn("ewma_x65536", ewma)
+      .select(col("event_type"), col("hour_start"), col("n_events"),
+        col("ewma_x65536"))
+      .orderBy("event_type", "hour_start")
+  }
+
   /** W3+ per-user event-type TRANSITION matrix (first-order Markov
     * counts): for each user's event stream in time order, count
     * (previous type → current type) bigrams, plus the row-normalized
@@ -337,6 +379,7 @@ object EventOps {
     "hourly_volume_anomaly" -> (hourlyVolumeAnomaly _),
     "session_transitions" -> (sessionTransitions _),
     "hourly_gapfill_ma"  -> (hourlyGapfillMa _),
+    "hourly_ewma"        -> (hourlyEwma _),
     "value_outliers"     -> (valueOutliers _),
     "hourly_event_stats" -> (hourlyEventStats _),
     "distinct_users"     -> (distinctUsers _),
@@ -492,6 +535,28 @@ object EventOps {
         |FROM h CROSS JOIN t
         |LEFT JOIN c ON c.hr = h.hr AND c.event_type = t.event_type
         |ORDER BY 1, 2""".stripMargin,
+    // the same spine, then the 16-tap power-of-two lag sum — the
+    // fixed-point EWMA numerator, zero-padded before series start
+    "hourly_ewma" -> {
+      val taps = (0 to 15).map(k =>
+        s"coalesce(lag(n_events, $k) OVER (PARTITION BY event_type " +
+          s"ORDER BY hour_start), 0) * ${1L << (15 - k)}").mkString("\n    + ")
+      s"""WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+         |                  date_trunc('hour', max(ts)) AS hi FROM events),
+         |h AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+         |      FROM b),
+         |t AS (SELECT DISTINCT event_type FROM events),
+         |c AS (SELECT date_trunc('hour', ts) AS hr, event_type,
+         |        count(*) AS n FROM events GROUP BY 1, 2),
+         |filled AS (
+         |  SELECT h.hr AS hour_start, t.event_type,
+         |    CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+         |  FROM h CROSS JOIN t
+         |  LEFT JOIN c ON c.hr = h.hr AND c.event_type = t.event_type)
+         |SELECT event_type, hour_start, n_events,
+         |  CAST($taps AS BIGINT) AS ewma_x65536
+         |FROM filled ORDER BY event_type, hour_start""".stripMargin
+    },
     "session_transitions" ->
       s"""WITH t AS (
          |  SELECT lag(event_type) OVER (

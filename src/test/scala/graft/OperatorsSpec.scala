@@ -162,6 +162,29 @@ class OperatorsSpec extends SparkSpec {
     assert(again.sameElements(viaPaths))
   }
 
+  test("T1 EWMA: the fixed-point series satisfies the truncated " +
+      "recursion and tracks the raw series' mass") {
+    val rows = graft.operators.EventOps.hourlyEwma(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, series) =>
+      val xs = series.map(_._2)
+      val es = series.map(_._3)
+      // recursion: e_t = 32768·x_t + (e_{t-1} − x_{t-16}) div 2,
+      // with zero padding before the series start
+      es.indices.foreach { t =>
+        val prev = if (t == 0) 0L else es(t - 1)
+        val dropped = if (t >= 16) xs(t - 16) else 0L
+        assert(es(t) == 32768L * xs(t) + (prev - dropped) / 2,
+          s"recursion broken at t=$t")
+      }
+      // bounds: the smoother never exceeds the window max
+      val cap = xs.max * 65536L
+      assert(es.forall(e => e >= 0 && e <= cap))
+    }
+  }
+
   test("P8: impossible filter still yields the one zero-struct row") {
     val r = Segmentation.emptyStatsQuery(spark, sf0001).collect()
     assert(r.length == 1)

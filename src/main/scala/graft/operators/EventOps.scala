@@ -246,6 +246,46 @@ object EventOps {
       .orderBy("event_type", "hour_start")
   }
 
+  /** DEBOUNCE — the ingest-side noise gate: within each USER's
+    * stream, collapse bursts into their FIRST event, where a burst is
+    * a maximal chain of events each within 5 minutes of its
+    * predecessor (gaps-and-islands, the batch statement of
+    * `session_window` + first-per-session). Note the semantics the
+    * naive `lag ≤ 5min ⇒ drop` filter gets WRONG: whether an event
+    * survives depends on its distance to the previous RAW event only
+    * through the island structure — a 9-minute burst of 2-minute
+    * steps keeps exactly its head, not every 6th event. Emits per
+    * user: kept count, raw count, and the kept events' id
+    * checksum (mod 2⁶¹−1, the [[Integrity]] idiom) so the grade pins
+    * WHICH events survived, not just how many.
+    *
+    * Scale shape: ONE user-partitioned window shuffle (the
+    * partitioning every sessionized pipeline already has) + a partial
+    * agg at (user, type) granularity. The streaming twin of this gate
+    * is [[graft.streaming.StreamOps.sessionMachine]]'s state
+    * discipline with emit-on-open. */
+  def eventsDebounced(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapped = Tables(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      // island head ⟺ no predecessor within 300 s; compared in exact
+      // MICROSECONDS (a truncated-seconds compare would disagree with
+      // the oracle on sub-second offsets around the boundary)
+      .withColumn("head",
+        col("prev_ts").isNull ||
+          expr("unix_micros(ts) - unix_micros(prev_ts)") > 300000000L)
+    gapped.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("head"), 1L).otherwise(0L)).as("n_kept"),
+        count(lit(1)).as("n_raw"),
+        (sum(when(col("head"), col("event_id")).otherwise(lit(0L))
+          .cast("decimal(38,0)")) % lit(Integrity.ChecksumMod))
+          .cast("bigint").as("kept_checksum"))
+      .orderBy("user_id")
+  }
+
   /** W3+ per-user event-type TRANSITION matrix (first-order Markov
     * counts): for each user's event stream in time order, count
     * (previous type → current type) bigrams, plus the row-normalized
@@ -380,6 +420,7 @@ object EventOps {
     "session_transitions" -> (sessionTransitions _),
     "hourly_gapfill_ma"  -> (hourlyGapfillMa _),
     "hourly_ewma"        -> (hourlyEwma _),
+    "events_debounced"   -> (eventsDebounced _),
     "value_outliers"     -> (valueOutliers _),
     "hourly_event_stats" -> (hourlyEventStats _),
     "distinct_users"     -> (distinctUsers _),
@@ -535,6 +576,26 @@ object EventOps {
         |FROM h CROSS JOIN t
         |LEFT JOIN c ON c.hr = h.hr AND c.event_type = t.event_type
         |ORDER BY 1, 2""".stripMargin,
+    // gaps-and-islands: head ⟺ no predecessor within 300 s; the kept
+    // set is pinned by the id checksum, not just counted
+    "events_debounced" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id,
+         |    CASE WHEN lag(ts) OVER (
+         |        PARTITION BY user_id
+         |        ORDER BY ts, event_id) IS NULL
+         |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+         |        PARTITION BY user_id
+         |        ORDER BY ts, event_id)) > 300000000
+         |    THEN 1 ELSE 0 END AS head
+         |  FROM events)
+         |SELECT user_id,
+         |  CAST(sum(head) AS BIGINT) AS n_kept,
+         |  count(*) AS n_raw,
+         |  CAST(sum(CASE WHEN head = 1 THEN CAST(event_id AS HUGEINT)
+         |           ELSE 0 END) % ${Integrity.ChecksumMod}
+         |    AS BIGINT) AS kept_checksum
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     // the same spine, then the 16-tap power-of-two lag sum — the
     // fixed-point EWMA numerator, zero-padded before series start
     "hourly_ewma" -> {

@@ -185,6 +185,39 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("debounce: island heads match a sequential driver-side fold; " +
+      "chained bursts keep only their head") {
+    val got = graft.operators.EventOps.eventsDebounced(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // sequential ground truth per user
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mod = BigInt(2).pow(61) - 1
+    val truth = ev.groupBy(_._1).map { case (k, rows) =>
+      val sorted = rows.sortBy(t => (t._3, t._2))
+      var lastUs = Long.MinValue
+      var kept = 0L
+      var sum = BigInt(0)
+      var chained = false
+      sorted.foreach { t =>
+        if (lastUs == Long.MinValue || t._3 - lastUs > 300000000L) {
+          kept += 1; sum += t._2
+        } else chained = true
+        lastUs = t._3 // distance to the previous RAW event
+      }
+      k -> ((kept, sorted.size.toLong, (sum.mod(mod)).toLong))
+    }
+    assert(got == truth && got.nonEmpty)
+    // the operator actually debounced something
+    assert(got.values.exists { case (k, r, _) => k < r },
+      "no burst collapsed — the gate is vacuous on this corpus")
+  }
+
   test("P8: impossible filter still yields the one zero-struct row") {
     val r = Segmentation.emptyStatsQuery(spark, sf0001).collect()
     assert(r.length == 1)

@@ -49,7 +49,11 @@ object PlanDump {
     "attribution_linear", "attribution_position", "orders_agg_ivm_delta",
     "lineitem_corr_matrix", "knn_bfs_hops_maintained",
     "orders_zorder_maintained_box", "orders_wap_audit_log",
-    "segment_metrics_observed", "hash_sample_streamed")
+    "segment_metrics_observed", "hash_sample_streamed",
+    "orders_agg_mv_served", "similarity_join_exact", "lsh_recall_audit",
+    "orders_mor_checkpointed", "orders_mor_ckpt_asof", "segment_rank_sum",
+    "media_phash_index", "orders_spec_evolved_agg", "fuzzy_join_qgram",
+    "hourly_ewma", "events_debounced")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

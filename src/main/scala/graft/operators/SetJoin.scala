@@ -52,12 +52,27 @@ object SetJoin {
   private val TauDen = 10
 
   /** doc_id → exploded DISTINCT word-3-gram shingles (the streaming
-    * [[graft.plans.WordGrams]] generator — no per-row gram arrays). */
+    * [[graft.plans.WordGrams]] generator — no per-row gram arrays),
+    * SERVED FROM SCRATCH PARQUET built once per (JVM, corpus): the
+    * frame is consumed by several branches of the join (prefix build
+    * AND full-set verify) and by [[lshRecallAudit]] — without the
+    * materialization each consumer re-runs the explode+distinct
+    * (the [[Concentration.rankedSpend]] serve-from-scratch
+    * discipline: rebuildable file-scan lineage, zero pinned blocks). */
+  private val shingleDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def shingleSet(spark: SparkSession, dir: String): DataFrame = {
-    graft.plans.WordGrams.register(spark)
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), expr("word_grams(text, 3)").as("tok"))
-      .distinct()
+    val path = shingleDirs.computeIfAbsent(dir, { _ =>
+      graft.plans.WordGrams.register(spark)
+      val out = Tables.scratchDir("graft_setjoin_sh_").getAbsolutePath
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), expr("word_grams(text, 3)").as("tok"))
+        .distinct()
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    spark.read.parquet(path)
   }
 
   /** Per-doc prefix under the global (df, tok) order. */
@@ -124,13 +139,19 @@ object SetJoin {
     * [[RpSketch]] recall board get theirs from sampled ground truth —
     * here the exact join makes the ground truth total). */
   def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
-    val exact = similarityJoinExact(spark, dir).select("doc_a", "doc_b")
-    val scored = Similarity.neardupPairs(spark, dir).select("doc_a", "doc_b")
-    val nTrue = exact.agg(count(lit(1)).as("n_true"))
-    val nScored = scored.agg(count(lit(1)).as("n_lsh_scored"))
-    val nHit = exact.join(scored, Seq("doc_a", "doc_b"))
-      .agg(count(lit(1)).as("n_hit"))
-    nTrue.crossJoin(nScored).crossJoin(nHit)
+    // ONE plan, each leg executed once: full-outer join on pair
+    // identity with presence markers, then a single 1-row aggregate
+    // (three separate count frames would re-run the exact join per
+    // consumer — measured 17 s vs ~6 at sf0.1)
+    val exact = similarityJoinExact(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("in_e"))
+    val scored = Similarity.neardupPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("in_c"))
+    exact.join(scored, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count(col("in_e")).as("n_true"),
+        count(col("in_c")).as("n_lsh_scored"),
+        count(when(col("in_e").isNotNull && col("in_c").isNotNull, 1))
+          .as("n_hit"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

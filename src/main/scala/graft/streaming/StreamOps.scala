@@ -180,6 +180,47 @@ object StreamOps {
       }
   }
 
+  /** ST5+: per-user DEBOUNCE machine — the streaming form of
+    * [[graft.operators.EventOps.eventsDebounced]]'s gaps-and-islands
+    * gate, as `flatMapGroupsWithState`: state per user is ONE long
+    * (the last RAW arrival in exact microseconds — the decision for
+    * an arriving event depends on nothing else, which is what makes
+    * the gate a constant-state streaming operator). Every event is
+    * emitted IMMEDIATELY with its verdict (an island head iff > gap
+    * from the previous raw arrival) — debounce never holds rows back,
+    * so no timeout and no watermark flush are needed; batch arrivals
+    * fold in (event-time, event_id) order, cross-batch continuity is
+    * the state's job. Microsecond arithmetic mirrors the batch twin
+    * exactly (a millisecond fold would flip sub-second boundaries). */
+  def debounceMachine(events: DataFrame, gapUs: Long = 300L * 1000 * 1000)
+      : Dataset[(Long, Long, Boolean)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Boolean)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[Long]) =>
+          def us(t: java.sql.Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          val sorted = rows.map(r => (us(r._3), r._2)).toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Boolean)]
+          var last = state.getOption.getOrElse(Long.MinValue)
+          sorted.foreach { case (t, id) =>
+            val head = last == Long.MinValue || t - last > gapUs
+            out += ((user, id, head))
+            last = t // distance to the previous RAW event
+          }
+          if (last != Long.MinValue) state.update(last)
+          out.iterator
+      }
+  }
+
   /** ST9: STREAM-STATIC enrichment join — the most common production
     * streaming topology: every micro-batch of the event stream joins a
     * broadcast dimension table (no state, no watermark needed on the

@@ -443,6 +443,29 @@ object StreamReplay {
       .orderBy("user_id", "view_id", "purchase_id")
   }
 
+  /** ST5+ on the driver's graded path: the DEBOUNCE machine replayed
+    * over the real events stream — every event drains to the parquet
+    * sink with its island-head verdict the moment it arrives (no
+    * holdback ⇒ no sentinel needed), and the graded frame is the
+    * per-user rollup judged by the batch gaps-and-islands oracle
+    * VERBATIM: kept/raw counts and the kept-id checksum must land
+    * exactly where the batch gate lands them. */
+  def eventsDebouncedStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val ss = replaySession(spark)
+    val verdicts = drainToParquet(
+      StreamOps.debounceMachine(eventsStream(ss, dir))
+        .toDF("user_id", "event_id", "head"), "debounce")
+    verdicts.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("head"), 1L).otherwise(0L)).as("n_kept"),
+        count(lit(1)).as("n_raw"),
+        (sum(when(col("head"), col("event_id")).otherwise(lit(0L))
+          .cast("decimal(38,0)"))
+          % lit(graft.operators.Integrity.ChecksumMod))
+          .cast("bigint").as("kept_checksum"))
+      .orderBy("user_id")
+  }
+
   /** ST9 on the driver's graded path: the stream-static enrichment
     * join + aggregate as a real streaming execution (complete mode —
     * a bounded replay's final aggregate is the batch aggregate). The
@@ -702,6 +725,7 @@ object StreamReplay {
     "enriched_events_streamed" -> (enrichedEventsStreamed _),
     "view_purchase_join_streamed" -> (viewPurchaseJoinStreamed _),
     "view_purchase_left_streamed" -> (viewPurchaseLeftStreamed _),
+    "events_debounced_streamed" -> (eventsDebouncedStreamed _),
     "hourly_event_stats_streamed" -> (hourlyEventStatsStreamed _),
     "rate_limit_streamed" -> ((s: SparkSession, d: String) =>
       rateLimitStreamed(s, d)),
@@ -754,6 +778,10 @@ object StreamReplay {
         |  ON a.user_id = b.user_id
         |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |ORDER BY a.user_id, view_id, purchase_id""".stripMargin,
+    // the batch gate's oracle VERBATIM: immediate per-event verdicts
+    // make the debounce machine batch-chop-invariant by construction
+    "events_debounced_streamed" ->
+      graft.operators.EventOps.oracles("events_debounced"),
     // same oracle as the batch twin — a bounded complete-mode replay is
     // exactly the batch aggregate
     "hourly_event_stats_streamed" ->

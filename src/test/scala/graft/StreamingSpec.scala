@@ -315,6 +315,17 @@ class StreamingSpec extends SparkSpec {
       "no unmatched view emitted — the watermark flush did not happen")
   }
 
+  test("ST5+: debounce machine replay ≡ the batch gaps-and-islands " +
+      "gate row-for-row") {
+    val streamed = graft.streaming.StreamReplay
+      .eventsDebouncedStreamed(spark, sf0001).collect().toSeq
+    val batch = graft.operators.EventOps
+      .eventsDebounced(spark, sf0001).collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // the gate actually collapsed bursts in the streamed path too
+    assert(streamed.exists(r => r.getLong(1) < r.getLong(2)))
+  }
+
   test("ST9: stream-static enrichment replay equals the batch join + aggregate") {
     val streamed = graft.streaming.StreamReplay
       .enrichedEventsStreamed(spark, sf0001).collect()

@@ -269,7 +269,30 @@ object Aggregates {
       .orderBy("c_nationkey", "mktsegment")
   }
 
+  /** L3 per-group: top-3 orders per status via the BOUNDED-HEAP
+    * aggregate [[graft.plans.TopKAgg]] — per-group top-k WITHOUT a
+    * window sort: partials carry ≤ k pairs per (group, partition)
+    * through the shuffle (the global-top-k `TakeOrderedAndProject`
+    * move generalized to grouped data). The DuckDB oracle ranks with
+    * the window form under the identical total order (price DESC,
+    * key ASC), so hash equality proves select-k ≡ rank-k, ties
+    * included. */
+  def topOrdersPerStatus(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.TopKAgg.register(spark)
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("top_k_by(o_totalprice, o_orderkey, 3)").as("tk"))
+      .select(col("o_orderstatus"),
+        posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("o_orderstatus"),
+        (col("pos") + 1).cast("bigint").as("rnk"),
+        col("e.key").as("o_orderkey"),
+        col("e.value").as("o_totalprice"))
+      .orderBy("o_orderstatus", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "top_orders_per_status"  -> (topOrdersPerStatus _),
     "unpivot_segment_counts" -> (unpivotSegmentCounts _),
     "pivot_segment_counts"   -> (pivotSegmentCounts _),
     "median_acctbal"         -> (medianAcctbal _),
@@ -380,6 +403,17 @@ object Aggregates {
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |  CAST(o_orderdate AS DATE) AS o_orderdate
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    // the window (rank-k) statement of the same total order — hash
+    // equality proves the bounded-heap select-k exact, ties included
+    "top_orders_per_status" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |SELECT o_orderstatus, rnk, o_orderkey, o_totalprice
+        |FROM r WHERE rnk <= 3
+        |ORDER BY o_orderstatus, rnk""".stripMargin,
     "segment_union" ->
       """SELECT DISTINCT o_custkey, o_orderpriority FROM orders
         |WHERE o_orderpriority IN ('1-URGENT', '5-LOW')

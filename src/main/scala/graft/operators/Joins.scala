@@ -409,7 +409,31 @@ object Joins {
       ss
     }
 
+  /** J1 elim: the orders ⋈ customer query a BI layer emits with the
+    * dimension UNUSED — written WITH the join, planned WITHOUT it:
+    * [[graft.plans.JoinElim]] validates the o_custkey → c_custkey
+    * foreign key on the data (no nulls, no orphans, unique PK), then
+    * deletes the inner join because no output reads a customer
+    * column. The DuckDB oracle RUNS the join, so the hash proves
+    * elimination invisible; [[graft.JoinElimSpec]] asserts the
+    * executed plan scans only orders (and that the negative arms
+    * keep their joins). */
+  def revenueByPriorityJoinElim(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.JoinElim.declareFk(spark, s"$dir/orders.parquet",
+      s"$dir/customer.parquet", "o_custkey", "c_custkey")
+    graft.plans.JoinElim.install(spark)
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "revenue_joinelim" -> (revenueByPriorityJoinElim _),
     "lineitem_bloom_join" -> (lineitemBloomJoin _),
     "event_funnel"      -> (eventFunnel _),
     "fuzzy_name_match"  -> ((s: SparkSession, d: String) => fuzzyNameMatch(s, d)),
@@ -428,6 +452,14 @@ object Joins {
     "price_bands"        -> (priceBands _))
 
   val oracles: Map[String, String] = Map(
+    // the oracle RUNS the join the rule deleted — hash equality is
+    // the proof that FK-elimination is semantically invisible
+    "revenue_joinelim" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the bloom filter is a plan-side reduction — filter-free oracle
     // on purpose: false positives must be semantically invisible
     "lineitem_bloom_join" ->

@@ -291,7 +291,26 @@ object Aggregates {
       .orderBy("o_orderstatus", "rnk")
   }
 
+  /** §2.7 elim: the defensive `SELECT DISTINCT` a BI view layers over
+    * a dimension, deleted by [[graft.plans.DistinctElim]] because
+    * c_custkey is a validated-unique key — whole rows are already
+    * unique, so the distinct's full-table shuffle is a no-op. The
+    * oracle RUNS the distinct; [[graft.JoinElimSpec]] asserts the
+    * optimized plan keeps exactly ONE aggregate (the real one). */
+  def customerDistinctElim(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.DistinctElim.declareUnique(spark,
+      s"$dir/customer.parquet", "c_custkey")
+    graft.plans.DistinctElim.install(spark)
+    Tables(spark, dir, "customer").distinct()
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("total_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "customer_distinct_elim" -> (customerDistinctElim _),
     "top_orders_per_status"  -> (topOrdersPerStatus _),
     "unpivot_segment_counts" -> (unpivotSegmentCounts _),
     "pivot_segment_counts"   -> (pivotSegmentCounts _),
@@ -403,6 +422,13 @@ object Aggregates {
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |  CAST(o_orderdate AS DATE) AS o_orderdate
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    // the oracle RUNS the distinct the rule deleted
+    "customer_distinct_elim" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_acctbal
+        |FROM (SELECT DISTINCT * FROM customer)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the window (rank-k) statement of the same total order — hash
     // equality proves the bounded-heap select-k exact, ties included
     "top_orders_per_status" ->

@@ -144,4 +144,69 @@ object JoinElim extends Rule[LogicalPlan] {
       if fact.outputSet.contains(fk) && dim.outputSet.contains(pk)
       if pl.forall(_.references.subsetOf(fact.outputSet))
     } yield Project(pl, fact)
+
+  private[plans] def loosePaths(p: LogicalPlan): Option[Set[String]] =
+    scannedLoose(p)
+}
+
+/** DISTINCT ELIMINATION over a validated-unique key — the second
+  * informational-constraint rule beside [[JoinElim]]: `distinct()` is
+  * planned as an Aggregate grouping on EVERY output column; when one
+  * of those columns is a declared-and-validated UNIQUE key of the
+  * underlying relation, whole rows are already unique and the
+  * aggregate (one full shuffle of the table) is a no-op — deleted.
+  * BI/view stacks layer `SELECT DISTINCT` defensively over dimension
+  * tables constantly; this is the optimizer move that makes the habit
+  * free. [[JoinElim.declareUnique]]-style validation runs on the
+  * actual data ([[DistinctElim.declareUnique]]); the negative arm (a
+  * distinct over a NON-unique projection) keeps its aggregate
+  * ([[graft.JoinElimSpec]]).
+  */
+object DistinctElim extends Rule[LogicalPlan] {
+
+  private val registry = new ConcurrentHashMap[Set[String], String]()
+
+  /** Validate uniqueness on data, then register (idempotent). */
+  def declareUnique(spark: SparkSession, path: String, col0: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val key = JoinElim.loosePaths(
+      spark.read.parquet(path).queryExecution.analyzed).getOrElse(Set(path))
+    if (registry.get(key) == col0) return
+    val dups = spark.read.parquet(path).groupBy(col(col0)).count()
+      .filter(col("count") > 1).count()
+    require(dups == 0, s"$col0 has $dups duplicated values — not unique")
+    registry.put(key, col0); ()
+  }
+
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(DistinctElim))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DistinctElim
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (registry.isEmpty) return plan
+    plan.transformUp {
+      case agg @ org.apache.spark.sql.catalyst.plans.logical.Aggregate(
+          ge, ae, child, _)
+          // a DISTINCT shape: pure-attribute grouping, outputs a pure-
+          // attribute SUBSET of the grouping (column pruning trims the
+          // output list but may not trim grouping columns)
+          if ge.nonEmpty &&
+            ge.forall(_.isInstanceOf[AttributeReference]) &&
+            ae.forall(_.isInstanceOf[AttributeReference]) &&
+            ae.map(_.asInstanceOf[AttributeReference].exprId).toSet
+              .subsetOf(
+                ge.map(_.asInstanceOf[AttributeReference].exprId).toSet) =>
+        val hit = for {
+          paths <- JoinElim.loosePaths(child)
+          uniqueCol <- Option(registry.get(paths))
+          if ge.exists(_.asInstanceOf[AttributeReference].name == uniqueCol)
+          if ae.forall(a =>
+            child.outputSet.contains(a.asInstanceOf[AttributeReference]))
+          // Project preserves the aggregate's exact output order (the
+          // attrs are the child's own, so this collapses into the scan)
+        } yield Project(ae, child)
+        hit.getOrElse(agg)
+    }
+  }
 }

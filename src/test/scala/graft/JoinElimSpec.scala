@@ -60,6 +60,31 @@ class JoinElimSpec extends SparkSpec {
     assert(scanPaths(df).exists(_.contains("supplier.parquet")))
   }
 
+  test("distinct over a unique key is eliminated; non-unique kept") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val df = graft.operators.Aggregates.customerDistinctElim(spark, sf0001)
+    val got = df.collect().toSeq
+    val nAggs = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate => a }.size
+    assert(nAggs == 1, s"expected the distinct gone, found $nAggs aggregates")
+    // fresh session without the rule: the distinct really runs
+    val ss = spark.newSession()
+    val twin = ss.read.parquet(s"$sf0001/customer.parquet").distinct()
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("total_acctbal"))
+      .orderBy("c_mktsegment").collect().toSeq
+    assert(got == twin && got.nonEmpty)
+    // negative: a NON-unique projection keeps its distinct aggregate
+    graft.plans.DistinctElim.install(spark)
+    val neg = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select("c_mktsegment").distinct()
+    val negAggs = neg.queryExecution.optimizedPlan.collect {
+      case a: Aggregate => a }.size
+    assert(negAggs == 1 && neg.count() == 5)
+  }
+
   test("declareFk validates: a non-key column is rejected") {
     intercept[IllegalArgumentException] {
       JoinElim.declareFk(spark, s"$sf0001/orders.parquet",

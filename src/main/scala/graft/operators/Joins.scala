@@ -432,7 +432,37 @@ object Joins {
       .orderBy("o_orderpriority")
   }
 
+  /** J4 naaj: NOT IN versus NOT EXISTS — the null trap every SQL
+    * engine must honor identically: `x NOT IN (subquery)` is
+    * three-valued, so ONE null in the subquery makes every row's
+    * predicate UNKNOWN and the result EMPTY, while the anti-join
+    * (NOT EXISTS) form ignores nulls. Spark plans the former as a
+    * null-aware anti join (LeftAnti with `isnull` disjunction —
+    * BroadcastNestedLoopJoin when the build side may carry nulls);
+    * this query emits all three counts from ONE execution: the
+    * candidate base, the NOT-EXISTS survivors, and the NOT-IN count
+    * against a null-polluted subquery — PINNED ZERO by SQL semantics,
+    * the [[MergeOnRead]] structural-zero discipline. Hash equality
+    * proves both engines implement the same three-valued logic. */
+  def notInNullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT
+        |  (SELECT count(*) FROM customer) AS n_customers,
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS (
+        |     SELECT 1 FROM orders o
+        |     WHERE o.o_custkey = c.c_custkey
+        |       AND o.o_orderpriority = '1-URGENT')) AS n_not_exists,
+        |  (SELECT count(*) FROM customer c WHERE c.c_custkey NOT IN (
+        |     SELECT CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+        |                 ELSE o_custkey END
+        |     FROM orders WHERE o_orderpriority
+        |       IN ('1-URGENT', '5-LOW'))) AS n_not_in_nullable
+        |""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "not_in_null_semantics" -> (notInNullSemantics _),
     "revenue_joinelim" -> (revenueByPriorityJoinElim _),
     "lineitem_bloom_join" -> (lineitemBloomJoin _),
     "event_funnel"      -> (eventFunnel _),
@@ -452,6 +482,20 @@ object Joins {
     "price_bands"        -> (priceBands _))
 
   val oracles: Map[String, String] = Map(
+    // identical three-valued logic stated in DuckDB: the null-polluted
+    // NOT IN must count zero on both engines
+    "not_in_null_semantics" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer) AS n_customers,
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS (
+        |     SELECT 1 FROM orders o
+        |     WHERE o.o_custkey = c.c_custkey
+        |       AND o.o_orderpriority = '1-URGENT')) AS n_not_exists,
+        |  (SELECT count(*) FROM customer c WHERE c.c_custkey NOT IN (
+        |     SELECT CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+        |                 ELSE o_custkey END
+        |     FROM orders WHERE o_orderpriority
+        |       IN ('1-URGENT', '5-LOW'))) AS n_not_in_nullable""".stripMargin,
     // the oracle RUNS the join the rule deleted — hash equality is
     // the proof that FK-elimination is semantically invisible
     "revenue_joinelim" ->

@@ -218,6 +218,13 @@ class OperatorsSpec extends SparkSpec {
       "no burst collapsed — the gate is vacuous on this corpus")
   }
 
+  test("J4 naaj: null-polluted NOT IN is pinned empty; NOT EXISTS is not") {
+    val r = Joins.notInNullSemantics(spark, sf0001).collect().head
+    val (n, ne, ni) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(ni == 0L, "three-valued NOT IN must yield zero rows")
+    assert(ne > 0 && ne < n, "NOT EXISTS should keep a real subset")
+  }
+
   test("P8: impossible filter still yields the one zero-struct row") {
     val r = Segmentation.emptyStatsQuery(spark, sf0001).collect()
     assert(r.length == 1)

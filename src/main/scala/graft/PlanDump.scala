@@ -53,7 +53,9 @@ object PlanDump {
     "orders_agg_mv_served", "similarity_join_exact", "lsh_recall_audit",
     "orders_mor_checkpointed", "orders_mor_ckpt_asof", "segment_rank_sum",
     "media_phash_index", "orders_spec_evolved_agg", "fuzzy_join_qgram",
-    "hourly_ewma", "events_debounced")
+    "hourly_ewma", "events_debounced", "events_debounced_streamed",
+    "top_orders_per_status", "revenue_joinelim", "customer_distinct_elim",
+    "not_in_null_semantics")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

@@ -50,7 +50,7 @@ object SparkEntry {
     Pii.queries ++ Baskets.queries ++ GraphOps.queries ++ Cohorts.queries ++
     Skyline.queries ++ Concentration.queries ++ Erasure.queries ++
     Stats.queries ++ RankTest.queries ++ Membership.queries ++
-    BitmapOps.queries ++
+    BitmapOps.queries ++ Sweepline.queries ++ Cep.queries ++
     graft.functions.TypedAggs.queries ++
     Multimodal.queries ++ Skew.queries ++ graft.streaming.StreamReplay.queries
 
@@ -78,7 +78,7 @@ object SparkEntry {
     Pii.oracles ++ Baskets.oracles ++ GraphOps.oracles ++ Cohorts.oracles ++
     Skyline.oracles ++ Concentration.oracles ++ Erasure.oracles ++
     Stats.oracles ++ RankTest.oracles ++ Membership.oracles ++
-    BitmapOps.oracles ++
+    BitmapOps.oracles ++ Sweepline.oracles ++ Cep.oracles ++
     graft.functions.TypedAggs.oracles ++
     Multimodal.oracles ++ Skew.oracles ++ graft.streaming.StreamReplay.oracles
 }

@@ -152,10 +152,65 @@ object Scd {
       .orderBy("c_mktsegment", "post_merge")
   }
 
+  /** BITEMPORAL dimension (valid time × TRANSACTION time, Snodgrass):
+    * every version row carries both intervals. Transaction 1 is the
+    * initial load, transaction 2 the SCD2 merge. Derived purely from
+    * [[scd2Dim]]: rows untouched by the merge span tx [1, ∞); rows the
+    * merge WROTE (amended originals, new versions, inserts) span
+    * [2, ∞); and each amended key's PRE-merge belief — the original
+    * open-ended row — is reconstructed with tx [1, 2) (the merge
+    * changed only valid_to/is_current, so the superseded row is the
+    * amended row with those two fields restored). */
+  private def bitemporalDim(spark: SparkSession, dir: String): DataFrame = {
+    val scd = scd2Dim(spark, dir)
+    val current = scd
+      .withColumn("tx_from",
+        when(col("valid_from") === to_date(lit(BaseDate)) &&
+          col("valid_to") === to_date(lit(OpenEnd)), lit(1L))
+          .otherwise(lit(2L)))
+      .withColumn("tx_to", lit(1000000L))
+    val superseded = scd.filter(col("valid_to") === to_date(lit(EffDate)))
+      .withColumn("valid_to", to_date(lit(OpenEnd)))
+      .withColumn("is_current", lit(true))
+      .withColumn("tx_from", lit(1L))
+      .withColumn("tx_to", lit(2L))
+    current.unionByName(superseded)
+  }
+
+  /** BITEMPORAL read: "what did the warehouse BELIEVE at transaction T
+    * about the dimension state VALID at each fact's own date" — the
+    * audit/backtest question a PIT join alone cannot answer (PIT fixes
+    * valid time only; reproducing a model trained before the merge
+    * needs belief-as-of-then too). Facts join on the equi key with
+    * BOTH temporal predicates riding as filters; the tx axis adds a
+    * broadcast 2-row cross, so the plan stays hash-partitioned on the
+    * customer key exactly like [[pitRevenueBySegment]]. As-of tx 1 no
+    * MIGRATED segment can exist (the merge hadn't happened) — the
+    * grade pins that the amended history is invisible to the earlier
+    * transaction, not merely that counts line up. */
+  def bitemporalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = bitemporalDim(spark, dir)
+    val txs = Seq(1L, 2L).toDF("tx")
+    val o = Tables(spark, dir, "orders").crossJoin(broadcast(txs))
+    val od = to_date(col("o_orderdate"))
+    o.join(dim, o("o_custkey") === dim("c_custkey") &&
+        dim("valid_from") <= od && od < dim("valid_to") &&
+        dim("tx_from") <= col("tx") && col("tx") < dim("tx_to"))
+      .groupBy(col("tx"), col("c_mktsegment"),
+        (od >= to_date(lit(EffDate))).as("post_merge"))
+      .agg(count(lit(1)).as("n_orders"),
+        ScalarFns.roundN(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("revenue"))
+      .orderBy("tx", "c_mktsegment", "post_merge")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_dim"         -> (scd2Dim(_, _)),
     "scd2_asof_counts" -> (scd2AsofCounts(_, _)),
-    "pit_revenue_by_segment" -> (pitRevenueBySegment(_, _)))
+    "pit_revenue_by_segment" -> (pitRevenueBySegment(_, _)),
+    "bitemporal_revenue" -> (bitemporalRevenue(_, _)))
 
   /** Shared oracle CTE chain — ends at the versioned table `scd`. */
   private def scdCtes: String =
@@ -212,6 +267,32 @@ object Scd {
          |  AND s.valid_from <= CAST(o.o_orderdate AS DATE)
          |  AND CAST(o.o_orderdate AS DATE) < s.valid_to
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "bitemporal_revenue" ->
+      s"""$scdCtes,
+         |bi AS (
+         |  SELECT c_custkey, c_mktsegment, valid_from, valid_to,
+         |    CASE WHEN valid_from = DATE '$BaseDate'
+         |          AND valid_to = DATE '$OpenEnd'
+         |         THEN 1 ELSE 2 END AS tx_from,
+         |    1000000 AS tx_to
+         |  FROM scd
+         |  UNION ALL
+         |  SELECT c_custkey, c_mktsegment, valid_from, DATE '$OpenEnd', 1, 2
+         |  FROM scd WHERE valid_to = DATE '$EffDate'),
+         |txs AS (SELECT unnest([CAST(1 AS BIGINT), CAST(2 AS BIGINT)])
+         |        AS tx)
+         |SELECT t.tx, s.c_mktsegment,
+         |  CAST(o.o_orderdate AS DATE) >= DATE '$EffDate' AS post_merge,
+         |  count(*) AS n_orders,
+         |  ${ScalarFns.roundSql(
+              "CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)",
+              2)} AS revenue
+         |FROM orders o CROSS JOIN txs t
+         |JOIN bi s ON o.o_custkey = s.c_custkey
+         |  AND s.valid_from <= CAST(o.o_orderdate AS DATE)
+         |  AND CAST(o.o_orderdate AS DATE) < s.valid_to
+         |  AND s.tx_from <= t.tx AND t.tx < s.tx_to
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "scd2_asof_counts" ->
       s"""$scdCtes,
          |dates AS (SELECT unnest([DATE '1995-06-01', DATE '1999-01-01'])

@@ -221,6 +221,45 @@ object StreamOps {
       }
   }
 
+  /** ST10: CEP PATTERN machine — the Flink-CEP shape as
+    * `flatMapGroupsWithState`: [[graft.operators.Cep.step]]'s 3-state
+    * automaton (`v+c+p`, no backtracking) run per user with the phase
+    * carried across micro-batches — which is exactly why the automaton
+    * form exists: the regex the batch twin runs needs the whole
+    * sequence, the machine needs ONE int of state per key. Each batch
+    * emits the user's CUMULATIVE (n_events, n_funnels); both are
+    * monotone, so the sink rollup takes max() per user and a bounded
+    * replay lands on the batch answer regardless of batch chopping
+    * (CepSpec pins chop-invariance of the fold as a pure property). */
+  def cepMachine(events: DataFrame): Dataset[(Long, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        graft.operators.Cep.initialExpr(col("event_type")).as("ini"))
+      .as[(Long, Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long, Long), (Long, Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, String)],
+            state: GroupState[(Int, Long, Long)]) =>
+          def us(t: java.sql.Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          val sorted = rows.map(r => (us(r._3), r._2, r._4.charAt(0)))
+            .toArray.sortBy(x => (x._1, x._2))
+          var (phase, ne, nf) = state.getOption.getOrElse((0, 0L, 0L))
+          sorted.foreach { case (_, _, ch) =>
+            val (p2, hit) = graft.operators.Cep.step(phase, ch)
+            phase = p2
+            ne += 1
+            if (hit) nf += 1
+          }
+          state.update((phase, ne, nf))
+          Iterator.single((user, ne, nf))
+      }
+  }
+
   /** ST9: STREAM-STATIC enrichment join — the most common production
     * streaming topology: every micro-batch of the event stream joins a
     * broadcast dimension table (no state, no watermark needed on the

@@ -466,6 +466,21 @@ object StreamReplay {
       .orderBy("user_id")
   }
 
+  /** ST10 on the driver's graded path: the CEP machine replayed over
+    * the real events stream — per-batch cumulative (n_events,
+    * n_funnels) rows drain to the parquet sink; both counters are
+    * monotone, so max() per user compacts the log to the final state,
+    * graded by the batch `cep_funnel_matches` oracle VERBATIM. */
+  def cepFunnelsStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val ss = replaySession(spark)
+    val cum = drainToParquet(
+      StreamOps.cepMachine(eventsStream(ss, dir))
+        .toDF("user_id", "ne", "nf"), "cep")
+    cum.groupBy(col("user_id"))
+      .agg(max(col("ne")).as("n_events"), max(col("nf")).as("n_funnels"))
+      .orderBy("user_id")
+  }
+
   /** ST9 on the driver's graded path: the stream-static enrichment
     * join + aggregate as a real streaming execution (complete mode —
     * a bounded replay's final aggregate is the batch aggregate). The
@@ -726,6 +741,7 @@ object StreamReplay {
     "view_purchase_join_streamed" -> (viewPurchaseJoinStreamed _),
     "view_purchase_left_streamed" -> (viewPurchaseLeftStreamed _),
     "events_debounced_streamed" -> (eventsDebouncedStreamed _),
+    "cep_funnels_streamed" -> (cepFunnelsStreamed _),
     "hourly_event_stats_streamed" -> (hourlyEventStatsStreamed _),
     "rate_limit_streamed" -> ((s: SparkSession, d: String) =>
       rateLimitStreamed(s, d)),
@@ -782,6 +798,10 @@ object StreamReplay {
     // make the debounce machine batch-chop-invariant by construction
     "events_debounced_streamed" ->
       graft.operators.EventOps.oracles("events_debounced"),
+    // batch CEP oracle verbatim: the automaton's cross-batch phase
+    // carry makes the cumulative counters land on the regex answer
+    "cep_funnels_streamed" ->
+      graft.operators.Cep.oracles("cep_funnel_matches"),
     // same oracle as the batch twin — a bounded complete-mode replay is
     // exactly the batch aggregate
     "hourly_event_stats_streamed" ->

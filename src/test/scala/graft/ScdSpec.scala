@@ -91,4 +91,24 @@ class ScdSpec extends SparkSpec {
       .count()
     assert(leaky > 0, "leak scenario vacuous at this SF")
   }
+
+  test("bitemporal read: tx 1 knows nothing of the merge; tx 2 ≡ the PIT join") {
+    val bi = Scd.bitemporalRevenue(spark, sf0001).collect()
+    val tx1 = bi.filter(_.getLong(0) == 1L)
+    val tx2 = bi.filter(_.getLong(0) == 2L)
+    // the earlier transaction must not believe in post-merge segments
+    assert(tx1.nonEmpty)
+    assert(!tx1.exists(r => Set("MIGRATED", "NEWSEG")(r.getString(1))),
+      "tx-1 snapshot leaked merge-written segments")
+    // both snapshots cover every order exactly once
+    val nOrders = Tables(spark, sf0001, "orders").count()
+    assert(tx1.map(_.getLong(3)).sum == nOrders)
+    assert(tx2.map(_.getLong(3)).sum == nOrders)
+    // as-of the merge transaction, bitemporal ≡ the valid-time PIT join
+    val pit = Scd.pitRevenueBySegment(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2), r.getDouble(3)))
+    val tx2t = tx2.map(r =>
+      (r.getString(1), r.getBoolean(2), r.getLong(3), r.getDouble(4)))
+    assert(tx2t.sorted.toSeq == pit.sorted.toSeq)
+  }
 }

@@ -51,6 +51,7 @@ object SparkEntry {
     Skyline.queries ++ Concentration.queries ++ Erasure.queries ++
     Stats.queries ++ RankTest.queries ++ Membership.queries ++
     BitmapOps.queries ++ Sweepline.queries ++ Cep.queries ++
+    Cusum.queries ++
     graft.functions.TypedAggs.queries ++
     Multimodal.queries ++ Skew.queries ++ graft.streaming.StreamReplay.queries
 
@@ -79,6 +80,7 @@ object SparkEntry {
     Skyline.oracles ++ Concentration.oracles ++ Erasure.oracles ++
     Stats.oracles ++ RankTest.oracles ++ Membership.oracles ++
     BitmapOps.oracles ++ Sweepline.oracles ++ Cep.oracles ++
+    Cusum.oracles ++
     graft.functions.TypedAggs.oracles ++
     Multimodal.oracles ++ Skew.oracles ++ graft.streaming.StreamReplay.oracles
 }

@@ -269,6 +269,40 @@ object Joins {
       .orderBy("p_brand")
   }
 
+  /** J1 at full star width — the TPC-H Q5 shape: LOCAL-supplier revenue
+    * (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region, six
+    * tables) where the defining constraint is the SECOND equi edge
+    * s_nationkey = c_nationkey — revenue counts only when the supplier
+    * sits in the customer's own nation, which makes the join graph
+    * cyclic (snowflake + a cross-dimension equality), the classic
+    * join-order stress test. Plan shape at 100 TB: the two fact⋈fact
+    * edges (orders⋈customer, lineitem⋈orders) hash-partition the bulk;
+    * supplier/nation/region are catalog-sized and broadcast, so the
+    * cyclic constraint rides as a broadcast-side filter, never a second
+    * shuffle. The date window prunes orders before the first join. */
+  def localSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+      .filter(to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date") &&
+        to_date(col("o_orderdate")) < lit("1997-01-01").cast("date"))
+    val l = Tables(spark, dir, "lineitem")
+    val s = Tables(spark, dir, "supplier")
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val discPrice = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,4)")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(l, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") &&
+        s("s_nationkey") === c("c_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(roundN(sum(discPrice).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Probe names for the fuzzy-match demo: single-typo corruptions of
     * real customer names (dropped char, swapped digit, doubled char).
     * Shared with the oracle via [[fuzzyProbesSql]]. */
@@ -475,6 +509,7 @@ object Joins {
     "asof_order_within_30d" -> (asofOrderWithin30d _),
     "asof_daily_order_gap" -> (asofDailyOrderGap _),
     "revenue_by_nation"  -> (revenueByNation _),
+    "local_supplier_revenue" -> (localSupplierRevenue _),
     "revenue_shuffle_hash" -> (revenueShuffleHash _),
     "urgent_by_segment"  -> (urgentBySegment _),
     "dormant_by_segment" -> (dormantBySegment _),
@@ -482,6 +517,25 @@ object Joins {
     "price_bands"        -> (priceBands _))
 
   val oracles: Map[String, String] = Map(
+    // TPC-H Q5 shape: the cyclic local-supplier constraint stated flat
+    "local_supplier_revenue" ->
+      s"""SELECT n.n_name,
+         |  ${roundSql(
+             "CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)" +
+             " AS DECIMAL(18,4))) AS DOUBLE)", 2)} AS revenue,
+         |  count(*) AS n_items
+         |FROM customer c, orders o, lineitem l, supplier s, nation n,
+         |  region r
+         |WHERE c.c_custkey = o.o_custkey
+         |  AND l.l_orderkey = o.o_orderkey
+         |  AND l.l_suppkey = s.s_suppkey
+         |  AND c.c_nationkey = s.s_nationkey
+         |  AND s.s_nationkey = n.n_nationkey
+         |  AND n.n_regionkey = r.r_regionkey
+         |  AND r.r_name = 'ASIA'
+         |  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+         |  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
     // identical three-valued logic stated in DuckDB: the null-polluted
     // NOT IN must count zero on both engines
     "not_in_null_semantics" ->

@@ -278,6 +278,16 @@ object StreamReplay {
         col("n_events"))
       .orderBy("event_type")
 
+  /** ST5+A6 exact twin on the driver's graded path: the EXACT bitmap
+    * distinct machine replayed over the events stream — same shape as
+    * [[hllUsersStreamed]] but the state is the canonical bitmap blob,
+    * so the final counts are the batch COUNT(DISTINCT) exactly and the
+    * grade uses the batch `bitmap_distinct_users` oracle VERBATIM. */
+  def bitmapUsersStreamed(spark: SparkSession, dir: String): DataFrame =
+    replayEvents(spark, dir, outputMode = "update") { df =>
+      StreamOps.streamingBitmapUsers(df).toDF("event_type", "users", "events")
+    }.orderBy("event_type")
+
   /** ST4 on the driver's graded path, through the PRODUCTION sink
     * shape: watermarked streaming deduplication drained into a parquet
     * FILE sink with a checkpoint location, then the COMMITTED files
@@ -750,6 +760,7 @@ object StreamReplay {
     "hourly_event_stats_updatemode" -> (hourlyEventStatsUpdateMode _),
     "dedup_streamed" -> (dedupStreamed _),
     "hll_users_streamed" -> (hllUsersStreamed _),
+    "bitmap_users_streamed" -> (bitmapUsersStreamed _),
     "incremental_dedup_streamed" -> (incrementalDedupStreamed _))
 
   val oracles: Map[String, String] = Map(
@@ -809,6 +820,10 @@ object StreamReplay {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // exact bitmap state ⇒ the replayed machine lands on the batch
+    // COUNT(DISTINCT) exactly; batch bitmap oracle verbatim
+    "bitmap_users_streamed" ->
+      graft.operators.BitmapOps.oracles("bitmap_distinct_users"),
     // one micro-batch folds all events into each type's sketch state ⇒
     // the emitted estimate is the batch sketch exactly; oracle = the
     // hll_users sketch-spec rebuild (reused verbatim) + a seen-counter

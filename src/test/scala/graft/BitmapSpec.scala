@@ -100,6 +100,15 @@ class BitmapSpec extends SparkSpec {
     }
   }
 
+  test("streamed bitmap machine ≡ batch bitmap aggregate row-for-row") {
+    val batch = graft.operators.BitmapOps.bitmapDistinctUsers(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val streamed = graft.streaming.StreamReplay
+      .bitmapUsersStreamed(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+  }
+
   test("weekly churn measures are internally consistent on real data") {
     val rows = graft.operators.BitmapOps.weeklyChurnBitmap(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -288,6 +288,92 @@ object StreamReplay {
       StreamOps.streamingBitmapUsers(df).toDF("event_type", "users", "events")
     }.orderBy("event_type")
 
+  /** Late-data replay input: THREE single-file generations under one
+    * watch dir with FORCED modification-time order (FileStreamSource
+    * schedules oldest-mtime first) — the newest 3 days of events
+    * arrive FIRST, then the older slice arrives LATE (after the first
+    * batch advanced the watermark past most of its windows), then the
+    * far-future sentinel that flushes every surviving window. Built
+    * once per corpus dir (the [[sessionInputs]] discipline). */
+  private[graft] val lateInputs = new ConcurrentHashMap[String, String]()
+  private def lateReplayInput(ss: SparkSession, dir: String): String =
+    lateInputs.computeIfAbsent(dir, { _ =>
+      val batch = ss.read.parquet(graft.Tables.eventsMicros(ss, dir))
+      val mx = batch.agg(max(col("ts"))).head().getTimestamp(0)
+      val freshCut = new java.sql.Timestamp(mx.getTime - 3L * 24 * 3600 * 1000)
+      val sentinel = batch.orderBy("event_id").limit(1)
+        .withColumn("ts",
+          lit(new java.sql.Timestamp(mx.getTime + 365L * 24 * 3600 * 1000)))
+        .withColumn("user_id", lit(-1L))
+        .select(batch.columns.toIndexedSeq.map(col): _*)
+      val watch = newReplayDir("graft_late_in_")
+      def writeGen(df: DataFrame, n: Int): Unit = {
+        val tmp = newReplayDir(s"graft_late_tmp${n}_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(watch, f"gen$n%04d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + n * 60000L))
+      }
+      // FOUR generations, because Spark's late-row filter uses the
+      // watermark committed BEFORE the previous batch ran (verified
+      // empirically: a late file arriving in batch N is filtered
+      // against the watermark computed from batches ≤ N−2; the
+      // progress-reported watermark is one batch ahead of the filter).
+      // gen1 carries the global max ts, gen2 is a second fresh slice
+      // whose only job is to COMMIT gen1's watermark, so gen3's late
+      // rows meet the max(ts) − 5 d filter.
+      val midCut = new java.sql.Timestamp(mx.getTime - 1L * 24 * 3600 * 1000)
+      writeGen(batch.filter(col("ts") > lit(midCut)), 1)
+      writeGen(batch.filter(col("ts") > lit(freshCut) &&
+        col("ts") <= lit(midCut)), 2)
+      writeGen(batch.filter(col("ts") <= lit(freshCut)), 3)
+      writeGen(sentinel, 4)
+      watch
+    })
+
+  /** WATERMARK LATE-DATA ACCOUNTING as graded data — the streaming
+    * observability row: how many rows the watermark actually dropped,
+    * pinned cross-engine. The hourly windowed aggregate runs with a
+    * 5-day watermark over the reordered feed: batch 1 (fresh 3 days)
+    * advances the watermark to max(ts) − 5 d; batch 2 delivers the
+    * older slice LATE — a row survives iff its window can still
+    * change (window end past the watermark), i.e. only the boundary
+    * 2 days; batch 3's sentinel flushes every surviving window. The
+    * oracle restates Spark's drop rule declaratively (fresh ∨
+    * window_end > max − 5 d) over the raw corpus — the graded frame
+    * pins the engine's late-row semantics, not just counts. Dropped is
+    * emitted as total − emitted so the number comes from the REAL
+    * stream's output, not from re-deriving the rule. */
+  def lateDataAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ss = replaySession(spark)
+    val input = lateReplayInput(ss, dir)
+    val stream = ss.readStream
+      .schema(ss.read.parquet(input).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(input)
+    val windowed = stream
+      .withWatermark("ts", "120 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"),
+        (col("user_id") < 0).as("is_sentinel"))
+      .agg(count(lit(1)).as("n_events"))
+    val emitted = drainToParquet(windowed, "lateaudit")
+      .filter(!col("is_sentinel"))
+    val totals = graft.Tables(ss, dir, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))
+    emitted.groupBy(col("event_type"))
+      .agg(sum(col("n_events")).as("n_emitted"),
+        count(lit(1)).as("n_hours"))
+      .join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("n_emitted"),
+        (col("n_total") - col("n_emitted")).as("n_dropped"),
+        col("n_hours"))
+      .orderBy("event_type")
+  }
+
   /** ST4 on the driver's graded path, through the PRODUCTION sink
     * shape: watermarked streaming deduplication drained into a parquet
     * FILE sink with a checkpoint location, then the COMMITTED files
@@ -761,6 +847,7 @@ object StreamReplay {
     "dedup_streamed" -> (dedupStreamed _),
     "hll_users_streamed" -> (hllUsersStreamed _),
     "bitmap_users_streamed" -> (bitmapUsersStreamed _),
+    "late_data_audit" -> (lateDataAudit _),
     "incremental_dedup_streamed" -> (incrementalDedupStreamed _))
 
   val oracles: Map[String, String] = Map(
@@ -820,6 +907,26 @@ object StreamReplay {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Spark's watermark drop rule stated declaratively: a late row
+    // survives iff fresh (first batch) or its hour-window end is past
+    // max(ts) − 5 d (the watermark after the fresh batch)
+    "late_data_audit" ->
+      """WITH b AS (SELECT max(ts) AS mx FROM events),
+        |cls AS (
+        |  SELECT e.event_type,
+        |    date_trunc('hour', e.ts) AS wstart,
+        |    date_trunc('hour', e.ts) + INTERVAL 1 HOUR AS wend,
+        |    e.ts > b.mx - INTERVAL 3 DAY AS fresh,
+        |    b.mx - INTERVAL 5 DAY AS wm
+        |  FROM events e, b)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN fresh OR wend > wm THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_emitted,
+        |  CAST(sum(CASE WHEN NOT fresh AND wend <= wm THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped,
+        |  CAST(count(DISTINCT CASE WHEN fresh OR wend > wm THEN wstart
+        |    END) AS BIGINT) AS n_hours
+        |FROM cls GROUP BY 1 ORDER BY event_type""".stripMargin,
     // exact bitmap state ⇒ the replayed machine lands on the batch
     // COUNT(DISTINCT) exactly; batch bitmap oracle verbatim
     "bitmap_users_streamed" ->

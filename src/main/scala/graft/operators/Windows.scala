@@ -99,13 +99,62 @@ object Windows {
       .orderBy("o_orderstatus", "quartile")
   }
 
+  /** W3 semantics: RANGE vs ROWS cumulative frames pinned as data —
+    * the classic window trap. With ORDER BY a non-unique key (order
+    * DATE; customers place several same-day orders), the default
+    * RANGE UNBOUNDED→CURRENT frame includes ALL peers of the current
+    * date (every tied row sees the same cumulative sum), while the
+    * ROWS frame (made deterministic by the orderkey tiebreak) walks
+    * row-by-row THROUGH the tie. Both sums are emitted per order in
+    * exact cents plus the is-tied flag, so the grade pins exactly
+    * where and how the two frames diverge — on every tied row,
+    * rows_cum < range_cum except the tie's last row. Identical
+    * statement on both engines; the same default-frame subtlety that
+    * silently breaks "running total" queries written without a
+    * tiebreak. */
+  def rangeVsRowsFrames(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("bigint")
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val byRow = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peers = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+    Tables(spark, dir, "orders")
+      .withColumn("cents", cents)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        sum(col("cents")).over(byDate).as("range_cum_cents"),
+        sum(col("cents")).over(byRow).as("rows_cum_cents"),
+        (count(lit(1)).over(peers) > 1).as("tied_date"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "range_vs_rows_frames" -> (rangeVsRowsFrames _),
     "rank_lag_orders"    -> (rankLagOrders _),
     "window_showcase"    -> (windowShowcase _),
     "order_price_quartiles" -> (orderPriceQuartiles _),
     "sliding_rate_limit" -> ((s: SparkSession, d: String) => slidingRateLimit(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // identical statement: RANGE (date peers) vs ROWS (tiebroken walk)
+    "range_vs_rows_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY
+        |      o_orderdate RANGE BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS BIGINT) AS range_cum_cents,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY
+        |      o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS rows_cum_cents,
+        |  count(*) OVER (PARTITION BY o_custkey, o_orderdate) > 1
+        |    AS tied_date
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "order_price_quartiles" ->
       s"""WITH t AS (
          |  SELECT o_orderstatus, o_totalprice, o_orderkey,

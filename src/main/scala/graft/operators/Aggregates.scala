@@ -257,6 +257,51 @@ object Aggregates {
       .orderBy("c_mktsegment")
   }
 
+  /** Histogram-sketch ROLLUP re-aggregation — the stored-blob pattern
+    * of `daily_users_rolling_hll`/`daily_users_rolling_bitmap` for the
+    * QUANTILE family, completing the sketch-rollup matrix (cardinality
+    * → HLL, exact-distinct → bitmap, quantiles → THIS): per-day
+    * [[graft.plans.HistSketch]] blobs of o_totalprice (100 × 5000-wide
+    * bins over [0, 500000)), re-aggregated over a rolling 28-day
+    * calendar window. Histogram merge is elementwise SUM, so the
+    * window work is a per-bin prefix-sum over the exploded
+    * (day, bin, cnt) frame — ≤ |days|·(bins+2) rows, corpus-size-
+    * independent, the raw orders touched exactly once. Read-out per
+    * day is the standard cumulative walk; the oracle rebuilds every
+    * window's counts from RAW rows (equal by sum associativity) and
+    * must reach identical edges. */
+  def rollingPriceQuantilesHist(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.HistSketch.register(spark)
+    val lo = 0.0; val hi = 500000.0; val bins = 100
+    val bw = (hi - lo) / bins // = 5000.0 exactly
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr(
+        s"hist_sketch(CAST(o_totalprice AS DOUBLE), ${lo}D, ${hi}D, $bins)")
+        .as("h"))
+      .withColumn("day_num",
+        datediff(col("day"), lit("1992-01-01").cast("date")))
+    val exploded = daily.select(col("day"), col("day_num"),
+      posexplode(col("h")).as(Seq("bin", "cnt")))
+    val wBin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bin")).orderBy(col("day_num")).rangeBetween(-27, 0)
+    val wDay = org.apache.spark.sql.expressions.Window.partitionBy(col("day"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day")).orderBy(col("bin"))
+    val edge = least(lit(lo) + col("bin") * bw, lit(hi))
+    exploded
+      .withColumn("rcnt", sum(col("cnt")).over(wBin))
+      .withColumn("n", sum(col("rcnt")).over(wDay))
+      .withColumn("cum", sum(col("rcnt")).over(wCum))
+      .groupBy(col("day"))
+      .agg(max(col("n")).as("n_orders"),
+        roundN(min(when(col("cum") >= ceil(lit(0.5) * col("n")), edge)), 2)
+          .as("p50_est"),
+        roundN(min(when(col("cum") >= ceil(lit(0.95) * col("n")), edge)), 2)
+          .as("p95_est"))
+      .orderBy("day")
+  }
+
   /** Unpivot (melt): the pivoted wide table back to long form —
     * round-trips pivot → unpivot so wide analytics exports stay
     * queryable. Explicit value-column list (stable schema). */
@@ -317,6 +362,7 @@ object Aggregates {
     "median_acctbal"         -> (medianAcctbal _),
     "approx_median_acctbal"  -> (approxMedianAcctbal _),
     "hist_quantiles_acctbal" -> (histQuantilesAcctbal _),
+    "rolling_price_quantiles_hist" -> (rollingPriceQuantilesHist _),
     "grouping_sets_stats"    -> (groupingSets _),
     "cube_priority_status"   -> (cubePriorityStatus _),
     "pricing_summary"        -> (pricingSummary _),
@@ -358,6 +404,46 @@ object Aggregates {
               "min(CASE WHEN e.cum >= ceil(0.95 * n.n) THEN e.edge END)", 2)} AS p95_est
          |FROM e JOIN n ON e.c_mktsegment = n.c_mktsegment
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // rolling-window rebuild from RAW rows ≡ merging stored per-day
+    // blobs (elementwise-sum associativity); identical bucket formula
+    "rolling_price_quantiles_hist" ->
+      s"""WITH o AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |    CAST(o_totalprice AS DOUBLE) AS v
+         |  FROM orders),
+         |days AS (SELECT DISTINCT day FROM o),
+         |win AS (
+         |  SELECT d.day, o2.v FROM days d
+         |  JOIN o o2 ON o2.day >= d.day - 27 AND o2.day <= d.day),
+         |b AS (
+         |  SELECT day,
+         |    CASE WHEN v < 0.0 THEN 0
+         |         WHEN v >= 500000.0 THEN 101
+         |         ELSE least(1 + CAST(floor(
+         |           (v - CAST(0.0 AS DOUBLE)) / CAST(5000.0 AS DOUBLE))
+         |           AS INT), 100)
+         |    END AS bin
+         |  FROM win),
+         |c AS (SELECT day, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+         |n AS (SELECT day, count(*) AS n FROM win GROUP BY 1),
+         |cum AS (
+         |  SELECT day, bin,
+         |    sum(cnt) OVER (PARTITION BY day ORDER BY bin) AS cum
+         |  FROM c),
+         |e AS (
+         |  SELECT day, bin, cum,
+         |    least(CAST(0.0 AS DOUBLE) + bin * CAST(5000.0 AS DOUBLE),
+         |          CAST(500000.0 AS DOUBLE)) AS edge
+         |  FROM cum)
+         |SELECT n.day, n.n AS n_orders,
+         |  ${graft.functions.ScalarFns.roundSql(
+            "min(CASE WHEN e.cum >= ceil(0.5 * n.n) THEN e.edge END)", 2)}
+         |    AS p50_est,
+         |  ${graft.functions.ScalarFns.roundSql(
+            "min(CASE WHEN e.cum >= ceil(0.95 * n.n) THEN e.edge END)", 2)}
+         |    AS p95_est
+         |FROM e JOIN n ON e.day = n.day
+         |GROUP BY 1, 2 ORDER BY n.day""".stripMargin,
     // unpivot(pivot(x)) minus empty cells ≡ the plain group-by
     "unpivot_segment_counts" ->
       """SELECT c_nationkey, c_mktsegment AS mktsegment,

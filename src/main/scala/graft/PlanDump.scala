@@ -55,7 +55,12 @@ object PlanDump {
     "media_phash_index", "orders_spec_evolved_agg", "fuzzy_join_qgram",
     "hourly_ewma", "events_debounced", "events_debounced_streamed",
     "top_orders_per_status", "revenue_joinelim", "customer_distinct_elim",
-    "not_in_null_semantics")
+    "not_in_null_semantics", "bitmap_distinct_users",
+    "daily_users_rolling_bitmap", "weekly_churn_bitmap",
+    "open_orders_peak", "open_orders_twa", "cep_funnel_matches",
+    "bitemporal_revenue", "local_supplier_revenue", "hourly_volume_cusum",
+    "range_vs_rows_frames", "rolling_price_quantiles_hist",
+    "boolean_search_indexed")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

@@ -376,7 +376,53 @@ object Stats {
       .orderBy("col_a", "col_b")
   }
 
+  /** Benford first-digit audit — the forensic data-quality screen for
+    * value columns (organic multiplicative quantities follow
+    * P(d) = log₁₀(1 + 1/d); flat or spiky digit profiles flag
+    * synthetic or manipulated data): leading digit taken from the
+    * exact-cents STRING render (scale-invariant — ×100 moves the
+    * decimal point, never the leading digit), observed shares as
+    * integer ppm by floor division, expected shares as the published
+    * Benford constants (they sum to exactly 1,000,000 ppm). One
+    * map-side digit extraction + a 9-row aggregate — nothing here
+    * grows with the corpus. On THIS corpus the audit correctly
+    * SCREAMS: o_totalprice is uniform on [1000, 500000), so digits
+    * 1–4 are flat-heavy and 5–9 starved vs Benford — the graded rows
+    * pin the full observed-vs-expected profile, not a verdict bit. */
+  def benfordDigitAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val expected = Seq(
+      (1L, 301030L), (2L, 176091L), (3L, 124939L), (4L, 96910L),
+      (5L, 79181L), (6L, 66947L), (7L, 57992L), (8L, 51153L),
+      (9L, 45757L)).toDF("digit", "expected_ppm")
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("bigint")
+    val counts = Tables(spark, dir, "orders")
+      .select(substring(cents.cast("string"), 1, 1).cast("bigint")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_orders")).as("total"))))
+      .withColumn("observed_ppm", expr("(1000000 * n_orders) DIV total"))
+      .join(broadcast(expected), Seq("digit"))
+      .select(col("digit"), col("n_orders"), col("observed_ppm"),
+        col("expected_ppm"))
+      .orderBy("digit")
+  }
+
+  /** `count(*)` answered from parquet FOOTER metadata — zero tasks,
+    * zero data bytes ([[graft.plans.MetadataCount]]; the plan becomes
+    * a one-row LocalRelation, spec-asserted). The oracle RUNS the
+    * count — metadata service must be invisible. */
+  def ordersCountMetadata(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.MetadataCount.install(spark)
+    Tables(spark, dir, "orders")
+      .groupBy().agg(count(lit(1)).as("n_orders"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "benford_digit_audit" -> (benfordDigitAudit _),
+    "orders_count_metadata" -> (ordersCountMetadata _),
     "lineitem_corr_matrix" -> (lineitemCorrMatrix _),
     "value_trend_ols" -> (valueTrendOls _),
     "orders_contract_audit" -> (ordersContractAudit _),
@@ -602,6 +648,29 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    // the oracle RUNS the count — footer serving must be invisible
+    "orders_count_metadata" ->
+      "SELECT count(*) AS n_orders FROM orders",
+    // same exact-cents string render; published Benford ppm constants
+    "benford_digit_audit" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS
+        |    DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1)
+        |    AS BIGINT) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, count(*) AS n_orders FROM d GROUP BY 1),
+        |t AS (SELECT sum(n_orders) AS total FROM c),
+        |e AS (SELECT * FROM (VALUES
+        |  (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+        |  (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+        |  v(digit, expected_ppm))
+        |SELECT c.digit, c.n_orders,
+        |  CAST((1000000 * c.n_orders) // t.total AS BIGINT)
+        |    AS observed_ppm,
+        |  CAST(e.expected_ppm AS BIGINT) AS expected_ppm
+        |FROM c, t
+        |JOIN e ON e.digit = c.digit
+        |ORDER BY c.digit""".stripMargin,
     "value_trend_ols" -> {
       val covN = "(n * sxy - sx * sy)"
       val varXN = "(n * sxx - sx * sx)"

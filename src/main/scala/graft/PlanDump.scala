@@ -60,7 +60,9 @@ object PlanDump {
     "open_orders_peak", "open_orders_twa", "cep_funnel_matches",
     "bitemporal_revenue", "local_supplier_revenue", "hourly_volume_cusum",
     "range_vs_rows_frames", "rolling_price_quantiles_hist",
-    "boolean_search_indexed")
+    "boolean_search_indexed", "benford_digit_audit",
+    "orders_count_metadata", "small_qty_revenue", "min_price_per_part",
+    "waiting_suppliers")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

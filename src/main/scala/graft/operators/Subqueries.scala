@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Correlated-subquery query surface (SURVEY.md §2.3/§2.4): the three
+  * classic TPC-H correlation shapes (Q17 scalar-avg, Q2 min-per-group,
+  * Q21 EXISTS/NOT-EXISTS with an outer-referenced predicate), stated
+  * AS correlated subqueries on purpose. Users write these forms; the
+  * engine's job is DECORRELATION — Catalyst's RewriteCorrelatedScalarSubquery
+  * / RewritePredicateSubquery turn each into aggregate+join plans, and
+  * `SubqueriesSpec` asserts the optimized plans carry NO residual
+  * subquery expression (a per-row subquery re-execution would be the
+  * 100 TB disaster: |outer| scans of the inner table; decorrelated,
+  * each inner table is scanned ONCE and joined on the correlation key).
+  *
+  * Arithmetic is exact end to end (house rule): quantities and prices
+  * become integer cents BEFORE any aggregate, and the Q17 "below 20 %
+  * of the part's average" predicate is cleared of division —
+  * `qty < avg/5` is stated as `5·qty·n < Σqty` over BIGINTs, so the
+  * boundary can never float apart across engines. Lateness in the Q21
+  * shape compares exact microseconds (`unix_micros`/`epoch_us`,
+  * the cross-engine timestamp discipline).
+  *
+  * Reference provenance: the demo compares members against their
+  * group's average in driver code (reference `backend/tools.py:75`
+  * computes `avg_spent` over a fetched segment, then client logic
+  * screens against it) — the same intent a SQL user states in one
+  * statement as a correlated subquery against the group's aggregate.
+  */
+object Subqueries {
+
+  private val LateMicros = 5184000000000L // 60 days, exact µs
+
+  private def cents(colSql: String): String =
+    s"CAST(CAST($colSql AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+  /** Q17 shape: revenue from lineitems whose quantity is below 20 % of
+    * their part's average quantity — a correlated SCALAR subquery pair
+    * (count and sum over the same correlated group; Catalyst merges
+    * them into ONE aggregate via MergeScalarSubqueries, then joins on
+    * `l_partkey`). */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      s"""SELECT p.p_brand,
+         |  CAST(sum(${cents("l.l_extendedprice")}) AS BIGINT)
+         |    AS revenue_cents,
+         |  count(*) AS n_items
+         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         |WHERE 5 * ${cents("l.l_quantity")}
+         |        * (SELECT count(*) FROM lineitem l2
+         |           WHERE l2.l_partkey = l.l_partkey)
+         |      < (SELECT CAST(sum(${cents("l2.l_quantity")}) AS BIGINT)
+         |         FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Q2 shape: the cheapest lineitem(s) per part via a correlated
+    * min() subquery — decorrelates to min-aggregate ⋈ self, the
+    * argmin-join a user states declaratively instead of a window. */
+  def minPricePerPart(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      s"""SELECT l.l_partkey, l.l_orderkey, l.l_linenumber,
+         |  ${cents("l.l_extendedprice")} AS price_cents
+         |FROM lineitem l
+         |WHERE ${cents("l.l_extendedprice")} =
+         |  (SELECT min(${cents("l2.l_extendedprice")})
+         |   FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+         |ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin)
+  }
+
+  /** Q21 shape: suppliers who were the ONLY late shipper in a
+    * multi-supplier finalized order — EXISTS (a co-supplier exists)
+    * AND NOT EXISTS (no OTHER supplier was late), the anti-join
+    * correlating on BOTH the inner order key and the OUTER order's
+    * date. Lateness = shipped > 60 days after the order, in exact µs. */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      s"""SELECT s.s_name, count(*) AS numwait
+         |FROM supplier s
+         |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+         |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+         |WHERE o.o_orderstatus = 'F'
+         |  AND unix_micros(CAST(l1.l_shipdate AS TIMESTAMP)) - unix_micros(CAST(o.o_orderdate AS TIMESTAMP))
+         |      > $LateMicros
+         |  AND EXISTS (SELECT 1 FROM lineitem l2
+         |    WHERE l2.l_orderkey = l1.l_orderkey
+         |      AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+         |    WHERE l3.l_orderkey = l1.l_orderkey
+         |      AND l3.l_suppkey <> l1.l_suppkey
+         |      AND unix_micros(CAST(l3.l_shipdate AS TIMESTAMP)) - unix_micros(CAST(o.o_orderdate AS TIMESTAMP))
+         |          > $LateMicros)
+         |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "small_qty_revenue" -> (smallQtyRevenue _),
+    "min_price_per_part" -> (minPricePerPart _),
+    "waiting_suppliers" -> (waitingSuppliers _))
+
+  val oracles: Map[String, String] = Map(
+    // identical statement; only the µs extractor differs by engine
+    "small_qty_revenue" ->
+      s"""SELECT p.p_brand,
+         |  CAST(sum(${cents("l.l_extendedprice")}) AS BIGINT)
+         |    AS revenue_cents,
+         |  count(*) AS n_items
+         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         |WHERE 5 * ${cents("l.l_quantity")}
+         |        * (SELECT count(*) FROM lineitem l2
+         |           WHERE l2.l_partkey = l.l_partkey)
+         |      < (SELECT CAST(sum(${cents("l2.l_quantity")}) AS BIGINT)
+         |         FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "min_price_per_part" ->
+      s"""SELECT l.l_partkey, l.l_orderkey, l.l_linenumber,
+         |  ${cents("l.l_extendedprice")} AS price_cents
+         |FROM lineitem l
+         |WHERE ${cents("l.l_extendedprice")} =
+         |  (SELECT min(${cents("l2.l_extendedprice")})
+         |   FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+         |ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin,
+    "waiting_suppliers" ->
+      s"""SELECT s.s_name, count(*) AS numwait
+         |FROM supplier s
+         |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+         |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+         |WHERE o.o_orderstatus = 'F'
+         |  AND epoch_us(l1.l_shipdate) - epoch_us(o.o_orderdate)
+         |      > $LateMicros
+         |  AND EXISTS (SELECT 1 FROM lineitem l2
+         |    WHERE l2.l_orderkey = l1.l_orderkey
+         |      AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+         |    WHERE l3.l_orderkey = l1.l_orderkey
+         |      AND l3.l_suppkey <> l1.l_suppkey
+         |      AND epoch_us(l3.l_shipdate) - epoch_us(o.o_orderdate)
+         |          > $LateMicros)
+         |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+import graft.operators.Subqueries
+
+/** Correlated subqueries (operators/Subqueries): the contract under
+  * test is DECORRELATION — the optimized plan must carry no residual
+  * subquery expression (each would re-execute per outer row at scale),
+  * and the decorrelated plans must compute the stated semantics. */
+class SubqueriesSpec extends SparkSpec {
+
+  private def residualSubqueries(
+      df: org.apache.spark.sql.DataFrame): Int = {
+    var n = 0
+    df.queryExecution.optimizedPlan.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case _: SubqueryExpression => n += 1
+        case _ => ()
+      })
+    }
+    n
+  }
+
+  test("Q17 shape: scalar-subquery pair decorrelates to one aggregate join") {
+    val df = Subqueries.smallQtyRevenue(spark, sf0001)
+    assert(residualSubqueries(df) == 0,
+      "correlated scalar subqueries must decorrelate")
+    // the below-20%-of-average screen keeps a strict subset
+    val kept = df.selectExpr("sum(n_items)").head().getLong(0)
+    val total = spark.read.parquet(s"$sf0001/lineitem.parquet").count()
+    assert(kept > 0 && kept < total)
+  }
+
+  test("Q2 shape: correlated min decorrelates; rows are exactly the per-part argmins") {
+    val df = Subqueries.minPricePerPart(spark, sf0001)
+    assert(residualSubqueries(df) == 0)
+    val rows = df.collect()
+    // one result group per distinct part, each row carrying its
+    // part's global minimum (re-derived independently via a window)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .withColumn("price_cents",
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("bigint"))
+    val expected = li
+      .withColumn("mn",
+        min(col("price_cents")).over(
+          Window.partitionBy(col("l_partkey"))))
+      .filter(col("price_cents") === col("mn"))
+      .count()
+    assert(rows.length.toLong == expected)
+    assert(rows.map(_.getLong(0)).distinct.length ==
+      li.select("l_partkey").distinct().count().toInt)
+  }
+
+  test("Q21 shape: EXISTS/NOT-EXISTS with outer-date correlation decorrelates") {
+    val df = Subqueries.waitingSuppliers(spark, sf0001)
+    assert(residualSubqueries(df) == 0,
+      "EXISTS/NOT EXISTS must become semi/anti joins")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // numwait is a positive count and the ordering contract holds
+    assert(rows.forall(_.getLong(1) > 0))
+    val waits = rows.map(_.getLong(1))
+    assert(waits.zip(waits.tail).forall { case (a, b) => a >= b })
+  }
+}

@@ -1725,16 +1725,16 @@ object Similarity {
     * PqK entries); `ivfadc` adds the coarse-routing loss (the exact
     * neighbor may live outside the query's bucket — nprobe is the
     * knob). */
-  def pqRecall(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  /** Exact L2 top-k ids for query vec 0 — the recall baseline every
+    * ANN tier (PQ, RP, graph, SQ8) grades against, served through the
+    * S6 cache under ONE key so the whole recall board re-executes the
+    * corpus kernel at most once per (session, dir, k). */
+  private[graft] def exactL2TopkIds(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
     graft.plans.VectorExpressions.register(spark)
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    // the exact-L2 baseline is referenced by all SEVEN method branches
-    // of one union plan — without the S6 cache each branch re-plans and
-    // re-executes the full corpus kernel (r5 verdict #2: pq_recall was
-    // the board's heaviest query); cached, every branch joins a 10-row
-    // block scan
-    val exact = graft.sources.ResultCache.getOrCompute(
+    graft.sources.ResultCache.getOrCompute(
       s"${graft.sources.ResultCache.sessionId(spark)}|pq_exact_l2_topk|$dir|$k",
       ttlSeconds = 300) {
       fanOut(spark, e, key = "vec_id")
@@ -1746,6 +1746,18 @@ object Similarity {
         .limit(k)
         .select(col("vec_id"))
     }
+  }
+
+  def pqRecall(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    // the exact-L2 baseline is referenced by all SEVEN method branches
+    // of one union plan — without the S6 cache each branch re-plans and
+    // re-executes the full corpus kernel (r5 verdict #2: pq_recall was
+    // the board's heaviest query); cached, every branch joins a 10-row
+    // block scan
+    val exact = exactL2TopkIds(spark, dir, k)
     // nprobe ∈ {1,2,4} is the recall-vs-routing-cost curve an ANN
     // deployment tunes on; the learned twins isolate the quantization
     // loss the per-subspace Lloyd step recovers, and the round-2 row

@@ -62,7 +62,8 @@ object PlanDump {
     "range_vs_rows_frames", "rolling_price_quantiles_hist",
     "boolean_search_indexed", "benford_digit_audit",
     "orders_count_metadata", "small_qty_revenue", "min_price_per_part",
-    "waiting_suppliers", "sq8_topk", "sq8_recall")
+    "waiting_suppliers", "sq8_topk", "sq8_recall",
+    "price_percentile_semantics", "top_customers_listagg")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

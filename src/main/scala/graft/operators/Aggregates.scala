@@ -354,7 +354,67 @@ object Aggregates {
       .orderBy("c_mktsegment")
   }
 
+  /** A7 sem: percentile_disc vs percentile_cont PINNED as data — the
+    * other classic quantile trap beside interpolation ambiguity (the
+    * reason [[medianAcctbal]] averages the middle pair explicitly).
+    * Per order status over exact price cents: `percentile_disc(0.5)`
+    * returns the smallest MEMBER value whose cumulative distribution
+    * reaches 0.5; `percentile_cont(0.5)` interpolates BETWEEN members
+    * at rank (n−1)/2 — on even-sized groups the two answers differ and
+    * a report that swaps one for the other silently shifts. cont is
+    * emitted ×2 (`p50_cont_x2_cents`): the only non-integer it can
+    * produce on integer input is an exact .5 between two cents values,
+    * so doubling keeps the whole grade in BIGINTs — no float compare
+    * anywhere. Both engines implement the identical published
+    * definitions (DuckDB `quantile_disc`/`quantile_cont`); the hash
+    * match is the cross-engine proof. */
+  def pricePercentileSemantics(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS p50_disc_cents,
+        |  CAST(2 * percentile_cont(0.5) WITHIN GROUP (ORDER BY
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS p50_cont_x2_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** A7 listagg: DETERMINISTIC ordered string aggregation — the
+    * LISTAGG/string_agg surface. Spark's `collect_list` gives no
+    * intra-group order guarantee (it is partition-arrival order), so
+    * the portable form materializes the sort key INTO the collected
+    * struct and sorts the finished array: `sort_array(collect_list(
+    * struct(rk, name)))` → transform → `array_join` — one ordinary
+    * hash aggregate, order restored at read-out, deterministic under
+    * ANY partitioning. Top-3 customers per nation by exact spend
+    * (ties by name), graded against DuckDB's native
+    * `string_agg(... ORDER BY ...)`. */
+  def topCustomersListagg(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_name")
+      .orderBy(col("spend_cents").desc, col("c_name"))
+    val spend = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")).as("spend_cents"))
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+    spend
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy(col("n_name"))
+      .agg(expr("array_join(transform(sort_array(collect_list(" +
+        "struct(rk, c_name))), s -> s.c_name), ',')").as("top_customers"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "price_percentile_semantics" -> (pricePercentileSemantics _),
+    "top_customers_listagg" -> (topCustomersListagg _),
     "customer_distinct_elim" -> (customerDistinctElim _),
     "top_orders_per_status"  -> (topOrdersPerStatus _),
     "unpivot_segment_counts" -> (unpivotSegmentCounts _),
@@ -374,6 +434,33 @@ object Aggregates {
     "segment_setops_all"     -> (segmentSetopsAll _))
 
   val oracles: Map[String, String] = Map(
+    // same published disc/cont definitions; ×2 keeps cont integral
+    "price_percentile_semantics" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  quantile_disc(
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |    0.5) AS p50_disc_cents,
+        |  CAST(2 * quantile_cont(
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |    0.5) AS BIGINT) AS p50_cont_x2_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // native ordered string_agg vs the sorted-collect read-out
+    "top_customers_listagg" ->
+      """WITH spend AS (
+        |  SELECT c.c_custkey, c.c_name, c.c_nationkey,
+        |    CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS spend_cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT n.n_name, s.c_name,
+        |    row_number() OVER (PARTITION BY n.n_name
+        |      ORDER BY s.spend_cents DESC, s.c_name) AS rk
+        |  FROM spend s JOIN nation n ON s.c_nationkey = n.n_nationkey)
+        |SELECT n_name,
+        |  string_agg(c_name, ',' ORDER BY rk) AS top_customers
+        |FROM ranked WHERE rk <= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // rebuilds the sketch's exactly-specified bucketing in plain SQL:
     // same bucket formula, same cumulative read-out, same edges
     "hist_quantiles_acctbal" ->

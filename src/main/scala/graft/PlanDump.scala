@@ -63,7 +63,8 @@ object PlanDump {
     "boolean_search_indexed", "benford_digit_audit",
     "orders_count_metadata", "small_qty_revenue", "min_price_per_part",
     "waiting_suppliers", "sq8_topk", "sq8_recall",
-    "price_percentile_semantics", "top_customers_listagg")
+    "price_percentile_semantics", "top_customers_listagg",
+    "ivfsq8_topk", "ivfsq8_recall")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

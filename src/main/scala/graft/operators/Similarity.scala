@@ -1032,7 +1032,7 @@ object Similarity {
     * row_number partition on vec_id. */
   /** vec × centroid cosine scores — shared by assignment (argmax) and
     * multi-probe query routing (top-nprobe). */
-  private[operators] def ivfSims(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfSims(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.VectorExpressions.register(spark)
     val e = Tables(spark, dir, "embeddings")
     val nlist = e.agg(ceil(sqrt(count(lit(1)))).as("nlist"))

@@ -123,10 +123,53 @@ object Sq8 {
       roundN(col("n_hits").cast("double") / k, 2).as("recall_at_k"))
   }
 
+  /** Composed IVF + SQ8 (the faiss `IVF,SQ8` index): the query routes
+    * to its `nprobe` nearest centroids through the SHARED cached IVF
+    * assignment ([[Similarity.ivfAssign]] — same build the cosine/PQ
+    * tiers ride), then the ADC kernel runs over the CANDIDATE BUCKETS'
+    * stored codes only — ~nprobe/√N of the code table scanned instead
+    * of all of it, the float corpus still untouched. This is the
+    * production operating point: routing bounds IO, SQ8 bounds memory,
+    * and the recall row quantifies what the composition costs. */
+  def ivfSq8Topk(spark: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    val qRoute = Similarity.ivfSims(spark, dir)
+      .filter(col("vec_id") === 0)
+      .orderBy(col("s").desc, col("cid"))
+      .limit(nprobe)
+      .select(col("cid"))
+    val cands = Similarity.ivfAssign(spark, dir)
+      .join(broadcast(qRoute), Seq("cid"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"))
+    val q = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    codes(spark, dir)
+      .join(cands, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), roundN(expr(adcExpr), 6).as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF+SQ8 recall@k against the same cached exact-L2 baseline. */
+  def ivfSq8Recall(spark: SparkSession, dir: String, k: Int = 10)
+      : DataFrame = {
+    val exact = Similarity.exactL2TopkIds(spark, dir, k)
+    val hits = ivfSq8Topk(spark, dir, k).select(col("vec_id"))
+      .join(exact, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    hits.select(lit("ivfsq8_probe2").as("method"), lit(k.toLong).as("k"),
+      col("n_hits"),
+      roundN(col("n_hits").cast("double") / k, 2).as("recall_at_k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sq8_codes" -> (sq8Codes _),
     "sq8_topk" -> ((s: SparkSession, d: String) => sq8Topk(s, d)),
-    "sq8_recall" -> ((s: SparkSession, d: String) => sq8Recall(s, d)))
+    "sq8_recall" -> ((s: SparkSession, d: String) => sq8Recall(s, d)),
+    "ivfsq8_topk" -> ((s: SparkSession, d: String) => ivfSq8Topk(s, d)),
+    "ivfsq8_recall" -> ((s: SparkSession, d: String) => ivfSq8Recall(s, d)))
 
   // ---------------------------------------------------------------
   // DuckDB oracles: the identical pipeline restated over lists.
@@ -157,7 +200,70 @@ object Sq8 {
       " (a, b) -> a + b)"
   }
 
+  // DuckDB twin of the cosine_sim kernel (verbatim from the IVF/PQ
+  // oracles — proven bit-identical to the codegen'd kernel).
+  private def duckCos(x: String, c: String): String =
+    s"(list_reduce(list_transform(generate_series(1, len($x)), i -> " +
+      s"CAST($x[i] AS DOUBLE) * CAST($c[i] AS DOUBLE)), (x, y) -> x + y) " +
+      s"/ (sqrt(list_reduce(list_transform(generate_series(1, len($x)), " +
+      s"i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE)), " +
+      s"(x, y) -> x + y)) * sqrt(list_reduce(list_transform(" +
+      s"generate_series(1, len($c)), i -> CAST($c[i] AS DOUBLE) * " +
+      s"CAST($c[i] AS DOUBLE)), (x, y) -> x + y))))"
+
+  private val duckIvfCands =
+    s"""cent AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  WHERE vec_id < ceil(sqrt((SELECT count(*) FROM embeddings)))),
+       |sims AS (
+       |  SELECT e.vec_id, c.cid,
+       |    ${duckCos("e.embedding", "c.cv")} AS s
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY s DESC, cid) AS rn FROM sims) WHERE rn = 1),
+       |qroute AS (
+       |  SELECT cid FROM sims WHERE vec_id = 0
+       |  ORDER BY s DESC, cid LIMIT 2),
+       |cands AS (
+       |  SELECT a.vec_id FROM assign a JOIN qroute r ON a.cid = r.cid
+       |  WHERE a.vec_id <> 0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ivfsq8_topk" ->
+      s"""WITH $duckMinMax,
+         |$duckIvfCands,
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id,
+         |  floor($duckAdc * 1000000.0 + 0.5) / 1000000.0 AS adc
+         |FROM embeddings e, arrs a, q
+         |JOIN cands cd ON cd.vec_id = e.vec_id
+         |ORDER BY adc, e.vec_id LIMIT 10""".stripMargin,
+    "ivfsq8_recall" ->
+      s"""WITH $duckMinMax,
+         |$duckIvfCands,
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |approx AS (
+         |  SELECT e.vec_id, $duckAdc AS adc
+         |  FROM embeddings e, arrs a, q
+         |  JOIN cands cd ON cd.vec_id = e.vec_id
+         |  ORDER BY adc, e.vec_id LIMIT 10),
+         |exact AS (
+         |  SELECT e.vec_id,
+         |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+         |      list_transform(generate_series(1, 64), j ->
+         |        (CAST(e.embedding[j] AS DOUBLE) - CAST(q.qv[j] AS DOUBLE))
+         |        * (CAST(e.embedding[j] AS DOUBLE)
+         |           - CAST(q.qv[j] AS DOUBLE)))), (a, b) -> a + b) AS d
+         |  FROM embeddings e, q WHERE e.vec_id <> 0
+         |  ORDER BY d, e.vec_id LIMIT 10)
+         |SELECT 'ivfsq8_probe2' AS method, CAST(10 AS BIGINT) AS k,
+         |  (SELECT count(*) FROM approx x JOIN exact t
+         |     ON x.vec_id = t.vec_id) AS n_hits,
+         |  floor((CAST((SELECT count(*) FROM approx x JOIN exact t
+         |     ON x.vec_id = t.vec_id) AS DOUBLE) / 10) * 100.0 + 0.5)
+         |    / 100.0 AS recall_at_k""".stripMargin,
     "sq8_codes" ->
       s"""WITH $duckMinMax
          |SELECT e.vec_id,

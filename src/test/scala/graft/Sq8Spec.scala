@@ -37,6 +37,27 @@ class Sq8Spec extends SparkSpec {
       s"SQ8 top-1 $sq8Top1 should be within the exact top-3 $exact3")
   }
 
+  test("IVF+SQ8: routing can only lose recall vs the exhaustive SQ8 sweep") {
+    val full = Sq8.sq8Recall(spark, sf0001).head().getLong(2)
+    val routed = Sq8.ivfSq8Recall(spark, sf0001).head().getLong(2)
+    assert(routed <= full,
+      s"bucket-restricted recall $routed cannot exceed exhaustive $full")
+    assert(routed >= 5L, s"ivfsq8 recall collapsed: $routed/10")
+  }
+
+  test("IVF+SQ8 scans a strict subset: every result sits in a probed bucket") {
+    val probed = graft.operators.Similarity.ivfSims(spark, sf0001)
+      .filter(col("vec_id") === 0)
+      .orderBy(col("s").desc, col("cid")).limit(2)
+      .select("cid").collect().map(_.getLong(0)).toSet
+    val assign = graft.operators.Similarity.ivfAssign(spark, sf0001)
+    val resultBuckets = Sq8.ivfSq8Topk(spark, sf0001)
+      .join(assign, Seq("vec_id"))
+      .select("cid").collect().map(_.getLong(0)).toSet
+    assert(resultBuckets.subsetOf(probed),
+      s"results came from unprobed buckets: ${resultBuckets -- probed}")
+  }
+
   test("recall@10 stays at the near-lossless floor for 8-bit codes") {
     val r = Sq8.sq8Recall(spark, sf0001).head()
     assert(r.getString(0) == "sq8_adc")

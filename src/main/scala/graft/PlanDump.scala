@@ -64,7 +64,7 @@ object PlanDump {
     "orders_count_metadata", "small_qty_revenue", "min_price_per_part",
     "waiting_suppliers", "sq8_topk", "sq8_recall",
     "price_percentile_semantics", "top_customers_listagg",
-    "ivfsq8_topk", "ivfsq8_recall")
+    "ivfsq8_topk", "ivfsq8_recall", "shard_manifest")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

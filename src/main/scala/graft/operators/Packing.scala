@@ -113,8 +113,47 @@ object Packing {
       .orderBy("source")
   }
 
+  /** Shards per training-data export. */
+  private[graft] val NShards = 8L
+
+  /** GRADED: the SHARD MANIFEST — the writer step after packing: packs
+    * stripe round-robin onto `NShards` shard files (pack p → shard
+    * p mod N, the standard interleave that makes every shard a
+    * statistically identical sample of the corpus — contiguous ranges
+    * would give shard 0 the alphabetically-first slice). The audit is
+    * segment accounting: a doc spanning packs [first..last] is CUT
+    * into one segment per pack, and each segment follows its pack to
+    * that pack's shard. Per shard: segment count, count + token mass
+    * of docs whose FIRST token lands there (where the doc's loss mask
+    * starts), and a position checksum pinning the full assignment.
+    *
+    * Scale: `sequence(pack_first, pack_last)` explodes to exactly
+    * n_docs + n_boundary_cuts rows (spans are token-budget-bounded) —
+    * a map-side generate off the two-phase prefix sum, then an
+    * NShards-row aggregate. No new shuffle beyond [[positioned]]'s. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    positioned(spark, dir)
+      .withColumn("pack_first", expr(s"cum_start div $PackTokens"))
+      .withColumn("pack_last", expr(s"(cum_end - 1) div $PackTokens"))
+      .select(col("doc_id"), col("tok"), col("pack_first"),
+        explode(expr("sequence(pack_first, pack_last)")).as("pack"))
+      .withColumn("shard_id", expr(s"pack % $NShards"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("pack") === col("pack_first"), 1L).otherwise(0L))
+          .as("n_docs_start"),
+        sum(when(col("pack") === col("pack_first"), col("tok"))
+          .otherwise(0L)).as("tokens_start"),
+        // Knuth-hash position checksum, mod-reduced BEFORE the multiply
+        // so the product stays < 2^63 at any corpus size
+        sum(expr("((pack % 1000000007) * 2654435761) % 1000000007"))
+          .as("pack_checksum"))
+      .orderBy("shard_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "doc_pack_chunks" -> (docPackChunks(_, _)))
+    "doc_pack_chunks" -> (docPackChunks(_, _)),
+    "shard_manifest" -> (shardManifest(_, _)))
 
   /** DuckDB twin: the SINGLE-window cumsum ground truth — the graded
     * hash can only match if the two-phase prefix sum is exact. */
@@ -145,5 +184,39 @@ object Packing {
          |  CAST(sum(pack_last - pack_first) AS BIGINT) AS n_boundary_cuts,
          |  CAST(g.n_packs_total AS BIGINT) AS n_packs_total
          |FROM p, g GROUP BY source, g.n_packs_total ORDER BY source""".stripMargin
+    },
+    // single-window ground truth + unnested pack spans: the same
+    // round-robin striping and segment accounting restated flat
+    "shard_manifest" -> {
+      val B = PackTokens
+      s"""WITH d AS (
+         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         |    CAST(len(regexp_extract_all(text, '${TextOps.bpePattern}'))
+         |      AS BIGINT) AS tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, tok,
+         |    sum(tok) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_end
+         |  FROM d),
+         |p AS (
+         |  SELECT doc_id, tok,
+         |    CAST((cum_end - tok) // $B AS BIGINT) AS pack_first,
+         |    CAST((cum_end - 1) // $B AS BIGINT) AS pack_last
+         |  FROM c),
+         |seg AS (
+         |  SELECT p.doc_id, p.tok, p.pack_first, u.pack
+         |  FROM p, unnest(generate_series(p.pack_first, p.pack_last))
+         |    u(pack))
+         |SELECT pack % $NShards AS shard_id,
+         |  count(*) AS n_segments,
+         |  CAST(sum(CASE WHEN pack = pack_first THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_docs_start,
+         |  CAST(sum(CASE WHEN pack = pack_first THEN tok ELSE 0 END)
+         |    AS BIGINT) AS tokens_start,
+         |  CAST(sum(((pack % 1000000007) * 2654435761) % 1000000007)
+         |    AS BIGINT) AS pack_checksum
+         |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin
     })
 }

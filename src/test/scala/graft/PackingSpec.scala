@@ -51,4 +51,19 @@ class PackingSpec extends SparkSpec {
     assert(straddles <= cuts)
     assert(straddles > 0, "corpus too small to exercise straddling")
   }
+
+  test("shard manifest: segments reconcile with docs + cuts; every doc " +
+    "starts exactly once") {
+    val m = graft.operators.Packing.shardManifest(spark, sf0001).collect()
+    assert(m.map(_.getAs[Long]("shard_id")).toSeq == (0L to 7L))
+    val chunks = graft.operators.Packing.docPackChunks(spark, sf0001)
+      .collect()
+    val nDocs = chunks.map(_.getAs[Long]("n_docs")).sum
+    val cuts = chunks.map(_.getAs[Long]("n_boundary_cuts")).sum
+    val totalTokens = chunks.map(_.getAs[Long]("total_tokens")).sum
+    assert(m.map(_.getAs[Long]("n_segments")).sum == nDocs + cuts,
+      "one segment per doc plus one per boundary cut")
+    assert(m.map(_.getAs[Long]("n_docs_start")).sum == nDocs)
+    assert(m.map(_.getAs[Long]("tokens_start")).sum == totalTokens)
+  }
 }

@@ -64,7 +64,8 @@ object PlanDump {
     "orders_count_metadata", "small_qty_revenue", "min_price_per_part",
     "waiting_suppliers", "sq8_topk", "sq8_recall",
     "price_percentile_semantics", "top_customers_listagg",
-    "ivfsq8_topk", "ivfsq8_recall", "shard_manifest")
+    "ivfsq8_topk", "ivfsq8_recall", "shard_manifest",
+    "price_outliers_mad", "hourly_forecast_backtest")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

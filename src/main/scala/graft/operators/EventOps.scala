@@ -246,6 +246,47 @@ object EventOps {
       .orderBy("event_type", "hour_start")
   }
 
+  /** SEASONAL-NAIVE FORECAST BACKTEST — the accuracy audit behind
+    * every capacity-planning dashboard: forecast(t) = value(t−168h)
+    * (same hour last week) over the zero-filled hourly spine, scored
+    * per type against the lag-1 naive baseline as an exact-integer
+    * MASE: `mase_ppm = ⌊10⁶·Σ|y−ŷ_seasonal| / Σ|y−ŷ_naive|⌋` — below
+    * 10⁶ means weekly seasonality carries real signal. No floats
+    * anywhere: counts, absolute errors and the final ppm ratio are
+    * all BIGINT arithmetic (the house drift-monitor discipline).
+    * Scale: the only data-sized work is the per-(type,hour) count
+    * (map-side combined); lags run per-TYPE over the calendar-bounded
+    * spine — the window partition count is the type catalog, each
+    * frame ≤ span-in-hours rows. */
+  def hourlyForecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+    val counts = e.groupBy(col("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = e.agg(min(col("hour_start")).as("lo"),
+      max(col("hour_start")).as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)"))
+        .as("hour_start"))
+    val types = e.select(col("event_type")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour_start")
+    spine.crossJoin(broadcast(types))
+      .join(counts, Seq("hour_start", "event_type"), "left")
+      .withColumn("n_events", coalesce(col("n"), lit(0L)))
+      .withColumn("fc", lag(col("n_events"), 168).over(w))
+      .withColumn("nv", lag(col("n_events"), 1).over(w))
+      .filter(col("fc").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("n_events")).as("total_events"),
+        sum(abs(col("n_events") - col("fc"))).as("sae_seasonal"),
+        sum(abs(col("n_events") - col("nv"))).as("sae_naive"))
+      .withColumn("mase_ppm",
+        expr("(1000000 * sae_seasonal) DIV sae_naive"))
+      .orderBy("event_type")
+  }
+
   /** DEBOUNCE — the ingest-side noise gate: within each USER's
     * stream, collapse bursts into their FIRST event, where a burst is
     * a maximal chain of events each within 5 minutes of its
@@ -420,6 +461,7 @@ object EventOps {
     "session_transitions" -> (sessionTransitions _),
     "hourly_gapfill_ma"  -> (hourlyGapfillMa _),
     "hourly_ewma"        -> (hourlyEwma _),
+    "hourly_forecast_backtest" -> (hourlyForecastBacktest _),
     "events_debounced"   -> (eventsDebounced _),
     "value_outliers"     -> (valueOutliers _),
     "hourly_event_stats" -> (hourlyEventStats _),
@@ -598,6 +640,35 @@ object EventOps {
          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     // the same spine, then the 16-tap power-of-two lag sum — the
     // fixed-point EWMA numerator, zero-padded before series start
+    // identical spine + lag statement; integer MASE in ppm
+    "hourly_forecast_backtest" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |                  date_trunc('hour', max(ts)) AS hi FROM events),
+        |h AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+        |      FROM b),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT date_trunc('hour', ts) AS hr, event_type,
+        |        count(*) AS n FROM events GROUP BY 1, 2),
+        |filled AS (
+        |  SELECT h.hr AS hour_start, t.event_type,
+        |    CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+        |  FROM h CROSS JOIN t
+        |  LEFT JOIN c ON c.hr = h.hr AND c.event_type = t.event_type),
+        |lagged AS (
+        |  SELECT event_type, n_events,
+        |    lag(n_events, 168) OVER (PARTITION BY event_type
+        |      ORDER BY hour_start) AS fc,
+        |    lag(n_events, 1) OVER (PARTITION BY event_type
+        |      ORDER BY hour_start) AS nv
+        |  FROM filled)
+        |SELECT event_type, count(*) AS n_hours,
+        |  CAST(sum(n_events) AS BIGINT) AS total_events,
+        |  CAST(sum(abs(n_events - fc)) AS BIGINT) AS sae_seasonal,
+        |  CAST(sum(abs(n_events - nv)) AS BIGINT) AS sae_naive,
+        |  CAST((1000000 * sum(abs(n_events - fc)))
+        |    // sum(abs(n_events - nv)) AS BIGINT) AS mase_ppm
+        |FROM lagged WHERE fc IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "hourly_ewma" -> {
       val taps = (0 to 15).map(k =>
         s"coalesce(lag(n_events, $k) OVER (PARTITION BY event_type " +

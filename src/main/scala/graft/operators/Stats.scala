@@ -410,6 +410,51 @@ object Stats {
       .orderBy("digit")
   }
 
+  /** ROBUST outlier detection — median/MAD instead of mean/stddev
+    * (the screen that still works when the outliers themselves corrupt
+    * the moments; cf. [[graft.operators.EventOps.valueOutliers]]'s
+    * z-scores, whose mean AND stddev an adversarial tail drags): per
+    * priority over exact price cents, med = percentile_disc(0.5) (a
+    * MEMBER value — no interpolation), MAD = percentile_disc(0.5) of
+    * |x − med|, flag when `2·|x − med| > 3·mad` — the 1.5×MAD fence
+    * cleared of division so the whole grade is BIGINT compares. On
+    * this corpus (uniform totalprice) the fence sits at the exact
+    * uniform quantiles, pinning med/MAD/fence-count in one statement.
+    *
+    * Scale note: percentile_disc is an ObjectAggregate that buffers
+    * its GROUP's values — fine while groups are few and bounded (5
+    * priorities here = the [[graft.operators.Aggregates.medianAcctbal]]
+    * envelope); the 100 TB path swaps both rank passes for the
+    * mergeable [[graft.plans.HistSketch]] quantiles, same as the
+    * median family. */
+  def priceOutliersMad(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH x AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |m AS (
+        |  SELECT prio, CAST(percentile_disc(0.5) WITHIN GROUP
+        |    (ORDER BY cents) AS BIGINT) AS med
+        |  FROM x GROUP BY 1),
+        |d AS (
+        |  SELECT x.prio, x.cents, m.med,
+        |    abs(x.cents - m.med) AS dev
+        |  FROM x JOIN m ON x.prio = m.prio),
+        |md AS (
+        |  SELECT prio, CAST(percentile_disc(0.5) WITHIN GROUP
+        |    (ORDER BY dev) AS BIGINT) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.prio, count(*) AS n,
+        |  max(d.med) AS med_cents, max(md.mad) AS mad_cents,
+        |  sum(CASE WHEN 2 * d.dev > 3 * md.mad THEN 1 ELSE 0 END)
+        |    AS n_outliers
+        |FROM d JOIN md ON d.prio = md.prio
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** `count(*)` answered from parquet FOOTER metadata — zero tasks,
     * zero data bytes ([[graft.plans.MetadataCount]]; the plan becomes
     * a one-row LocalRelation, spec-asserted). The oracle RUNS the
@@ -422,6 +467,7 @@ object Stats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "benford_digit_audit" -> (benfordDigitAudit _),
+    "price_outliers_mad" -> (priceOutliersMad _),
     "orders_count_metadata" -> (ordersCountMetadata _),
     "lineitem_corr_matrix" -> (lineitemCorrMatrix _),
     "value_trend_ols" -> (valueTrendOls _),
@@ -648,6 +694,30 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    // identical statement; DuckDB's quantile_disc is the same
+    // member-value definition the Spark side uses
+    "price_outliers_mad" ->
+      """WITH x AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |m AS (
+        |  SELECT prio, CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med
+        |  FROM x GROUP BY 1),
+        |d AS (
+        |  SELECT x.prio, x.cents, m.med,
+        |    abs(x.cents - m.med) AS dev
+        |  FROM x JOIN m ON x.prio = m.prio),
+        |md AS (
+        |  SELECT prio, CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.prio, count(*) AS n,
+        |  max(d.med) AS med_cents, max(md.mad) AS mad_cents,
+        |  CAST(sum(CASE WHEN 2 * d.dev > 3 * md.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN md ON d.prio = md.prio
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the oracle RUNS the count — footer serving must be invisible
     "orders_count_metadata" ->
       "SELECT count(*) AS n_orders FROM orders",

@@ -309,6 +309,103 @@ object GraphOps {
   def knnBfsHops(spark: SparkSession, dir: String): DataFrame =
     bfsFrom(spark, spark.read.parquet(knnEdgesDir(spark, dir)))
 
+  // ----------------------------------------------------------------
+  // WEIGHTED single-source shortest paths — the min-PLUS upgrade of
+  // the BFS above (hop counting = SSSP with unit weights): edge cost
+  // is the integer similarity DEFICIT `10⁶ − round(cos·10⁶)` (near
+  // neighbors are cheap to traverse, weak edges expensive), so the
+  // distance ranks how similarity decays along the graph rather than
+  // how many hops it takes. Frontier-based Bellman-Ford: round r
+  // relaxes exactly the vertices improved in round r−1, so after
+  // [[MaxHops]] rounds every ≤MaxHops-edge path has been considered —
+  // the identical bound the oracle's recursive CTE states, making the
+  // two engines comparable EXACTLY. Weights are deterministic
+  // integers (the cosine is the same IEEE double on both engines; the
+  // floor(x·10⁶+0.5) render is the roundN discipline), so min-plus
+  // arithmetic never ties ambiguously across engines. Same checkpoint
+  // regime as [[bfsFrom]]: edges checkpointed once partitioned on
+  // src, one action per round, rebuild-safe scratch serve.
+  // ----------------------------------------------------------------
+
+  /** Weighted symmetric edge set off the SHARED scored-candidate
+    * table — (src, dst, w) with w the similarity deficit in ppm. */
+  private[graft] def weightedEdges(spark: SparkSession, dir: String,
+      deg: Int = 2): DataFrame = {
+    val scored = spark.read.parquet(scoredCandDir(spark, dir))
+    val wk = Window.partitionBy("va").orderBy(col("cs").desc, col("vb"))
+    val knn = scored.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= deg)
+      .select(col("va"), col("vb"),
+        expr("1000000 - CAST(floor(cs * 1000000.0 + 0.5) AS BIGINT)")
+          .as("w"))
+    knn.select(col("va").as("src"), col("vb").as("dst"), col("w"))
+      .unionByName(knn.select(col("vb").as("src"), col("va").as("dst"),
+        col("w")))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+  }
+
+  /** GRADED: cheapest-similarity-path distance from the seed set for
+    * every vertex reached within [[MaxHops]] edges — (vec_id,
+    * dist_ppm). */
+  def knnSsspDeficit(spark: SparkSession, dir: String): DataFrame = {
+    val P = Similarity.LoopParts
+    val edges = weightedEdges(spark, dir)
+      .repartition(P, col("src")).localCheckpoint(true)
+    var dists: DataFrame = null
+    var ok = false
+    try {
+      dists = edges.select(col("src").as("vec_id")).distinct()
+        .filter(col("vec_id") % SeedMod === 0)
+        .select(col("vec_id"), lit(0L).as("d"))
+        .repartition(P, col("vec_id"))
+        .localCheckpoint(true)
+      var frontier = dists
+      var improvedN = frontier.count()
+      var r = 1
+      while (r <= MaxHops && improvedN > 0) {
+        // relax out-edges of last round's improved set; both join
+        // sides arrive on their checkpoint partitioning
+        val relaxed = frontier
+          .join(edges, frontier("vec_id") === edges("src"))
+          .select(col("dst").as("vec_id"),
+            (frontier("d") + edges("w")).as("nd"))
+          .repartition(P, col("vec_id"))
+          .groupBy(col("vec_id")).agg(min(col("nd")).as("nd"))
+        val merged = dists.select(col("vec_id"), col("d"))
+          .join(relaxed, Seq("vec_id"), "full_outer")
+          .select(col("vec_id"),
+            when(col("d").isNull, col("nd"))
+              .when(col("nd").isNull, col("d"))
+              .otherwise(least(col("d"), col("nd"))).as("d"),
+            (col("d").isNull ||
+              (col("nd").isNotNull && col("nd") < col("d"))).as("imp"))
+          .repartition(P, col("vec_id"))
+          .localCheckpoint(false) // lazy: the count below materializes
+        val prev = dists
+        improvedN = merged.filter(col("imp")).count()
+        dists = merged
+        Similarity.releaseCheckpoint(prev)
+        frontier = merged.filter(col("imp"))
+          .select(col("vec_id"), col("d"))
+        r += 1
+      }
+      val out = Tables.scratchDir("graft_knn_sssp_")
+      dists.select(col("vec_id"), col("d").as("dist_ppm"))
+        .write.mode("overwrite").parquet(out.getAbsolutePath)
+      val served = spark.read.parquet(out.getAbsolutePath)
+        .orderBy(col("vec_id"))
+      ok = true
+      served
+    } finally {
+      Similarity.releaseCheckpoint(edges)
+      if (dists != null)
+        try Similarity.releaseCheckpoint(dists)
+        catch { case _: Throwable => () }
+      if (!ok && dists != null)
+        try dists.unpersist() catch { case _: Throwable => () }
+    }
+  }
+
   /** GRADED: the same BFS over the MAINTAINED (base ∪ inserted) graph
     * — the composed oracle re-derives base edges, the NSW insert
     * edges, unions, and walks; distances may legitimately shorten
@@ -496,6 +593,7 @@ object GraphOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bfs_hops" -> (knnBfsHops(_, _)),
+    "knn_sssp" -> (knnSsspDeficit(_, _)),
     "knn_bfs_hops_maintained" -> (knnBfsHopsMaintained(_, _)),
     "graph_ann_topk" -> ((s: SparkSession, d: String) => graphAnnTopk(s, d)),
     "graph_ann_recall" -> ((s: SparkSession, d: String) =>
@@ -559,6 +657,49 @@ object GraphOps {
        |    SELECT vb, va FROM knn))""".stripMargin
   }
 
+  /** The same chain keeping the cosine: knn carries the similarity
+    * deficit weight, the symmetrized edge set keeps the min weight
+    * per (src, dst) — the DuckDB twin of [[weightedEdges]]. */
+  private def weightedEdgeCtes: String = {
+    import Similarity.duckDot
+    def cos(a: String, b: String) =
+      s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+    s"""cent AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  WHERE vec_id < ceil(sqrt((SELECT count(*) FROM embeddings)))),
+       |sims AS (
+       |  SELECT e.vec_id, c.cid, ${cos("e.embedding", "c.cv")} AS s
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY s DESC, cid) AS rn
+       |    FROM sims) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM assign a JOIN assign b
+       |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+       |scored AS (
+       |  SELECT c.va, c.vb, ${cos("ea.embedding", "eb.embedding")} AS cs
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.va
+       |  JOIN embeddings eb ON eb.vec_id = c.vb),
+       |knn AS (
+       |  SELECT va, vb,
+       |    1000000 - CAST(floor(cs * 1000000.0 + 0.5) AS BIGINT) AS w
+       |  FROM (
+       |    SELECT va, vb, cs,
+       |      row_number() OVER (PARTITION BY va
+       |                         ORDER BY cs DESC, vb) AS rn
+       |    FROM scored) WHERE rn <= 2),
+       |wedges AS (
+       |  SELECT src, dst, min(w) AS w FROM (
+       |    SELECT va AS src, vb AS dst, w FROM knn
+       |    UNION ALL
+       |    SELECT vb, va, w FROM knn) GROUP BY 1, 2)""".stripMargin
+  }
+
   /** The beam walk unrolled: entry = top-[[BeamProbes]] centroids,
     * then one CTE per round keeping the raw-cosine top-[[BeamWidth]]
     * of beam ∪ out-neighbors — ends at `b{BeamRounds}(vec_id, cs)`.
@@ -606,6 +747,22 @@ object GraphOps {
          |  FROM walk w JOIN edges e ON e.src = w.vec_id
          |  WHERE w.hop < $MaxHops)
          |SELECT vec_id, CAST(min(hop) AS BIGINT) AS hop
+         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+    // min-plus walk over the weighted edges: ≤ MaxHops-edge paths
+    // enumerated, min(total deficit) per vertex — the recursive-CTE
+    // ground truth the frontier Bellman-Ford must reproduce exactly
+    "knn_sssp" ->
+      s"""WITH RECURSIVE $weightedEdgeCtes,
+         |seeds AS (
+         |  SELECT DISTINCT src AS vec_id FROM wedges
+         |  WHERE src % $SeedMod = 0),
+         |walk AS (
+         |  SELECT vec_id, CAST(0 AS BIGINT) AS d, 0 AS r FROM seeds
+         |  UNION
+         |  SELECT e.dst AS vec_id, w.d + e.w AS d, w.r + 1 AS r
+         |  FROM walk w JOIN wedges e ON e.src = w.vec_id
+         |  WHERE w.r < $MaxHops)
+         |SELECT vec_id, CAST(min(d) AS BIGINT) AS dist_ppm
          |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
     "knn_bfs_hops_maintained" -> maintainedBfsOracle,
     "graph_ann_topk_batch" -> batchTopkOracle,

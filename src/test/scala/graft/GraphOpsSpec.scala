@@ -184,4 +184,21 @@ class GraphOpsSpec extends SparkSpec {
       assert(a == b)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("SSSP: seeds at zero, reached set ≡ BFS reached set, distances " +
+    "bounded by the per-hop weight range") {
+    val d = GraphOps.knnSsspDeficit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val h = hops
+    assert(d.keySet == h.keySet,
+      "min-plus reachability must equal unit-weight reachability")
+    h.filter(_._2 == 0L).keys.foreach(v => assert(d(v) == 0L))
+    // every edge costs at most 2e6 ppm (cos ≥ −1), so dist ≤ 2e6·hop;
+    // and a non-seed's distance is strictly positive
+    d.foreach { case (v, dist) =>
+      assert(dist >= 0L && dist <= 2000000L * h(v),
+        s"vec $v: dist $dist inconsistent with hop ${h(v)}")
+      if (h(v) > 0) assert(dist > 0L)
+    }
+  }
 }

@@ -65,7 +65,7 @@ object PlanDump {
     "waiting_suppliers", "sq8_topk", "sq8_recall",
     "price_percentile_semantics", "top_customers_listagg",
     "ivfsq8_topk", "ivfsq8_recall", "shard_manifest",
-    "price_outliers_mad", "hourly_forecast_backtest", "knn_sssp")
+    "price_outliers_mad", "hourly_forecast_backtest", "knn_sssp", "shard_manifest_appended")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

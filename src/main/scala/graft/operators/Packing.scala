@@ -50,19 +50,33 @@ object Packing {
   /** Prefix-sum fan-out (16 = one md5 nibble; 256 at 100 TB). */
   private[graft] val Buckets = 16
 
-  /** Per-doc frame: deterministic order key, bucket, token count. */
-  private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+  /** Per-doc frame: deterministic order key, bucket, token count.
+    * With `genOrdered`, the corpus sorts by (generation, h, doc_id) —
+    * day-1 docs first, day-2 appended AFTER them — and the bucket key
+    * becomes gen·16 + nibble so bucket RANGES still partition the
+    * global order (the two-phase prefix sum is order-key agnostic as
+    * long as buckets are order-prefix-aligned). */
+  private def docs(spark: SparkSession, dir: String,
+      genOrdered: Boolean = false): DataFrame = {
+    val base = Tables(spark, dir, "documents")
       .withColumn("h", md5(col("doc_id").cast("string")))
-      .withColumn("bucket",
-        conv(substring(col("h"), 1, 1), 16, 10).cast("long"))
       .withColumn("tok",
         size(expr(s"regexp_extract_all(text, '${TextOps.bpePattern}', 0)"))
           .cast("long"))
+    val nibble = conv(substring(col("h"), 1, 1), 16, 10).cast("long")
+    if (!genOrdered) base.withColumn("bucket", nibble)
+    else base
+      // same generation split as the graph/dedup maintenance tiers:
+      // md5 first nibble < '2' marks the day-2 (new) slice (~1/8)
+      .withColumn("gen",
+        when(substring(col("h"), 1, 1) < "2", 1L).otherwise(0L))
+      .withColumn("bucket", col("gen") * 16 + nibble)
+  }
 
   /** The two-phase global running total: (…, cum_start, cum_end). */
-  private[graft] def positioned(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+  private[graft] def positioned(spark: SparkSession, dir: String,
+      genOrdered: Boolean = false): DataFrame = {
+    val d = docs(spark, dir, genOrdered)
     // phase 1: per-bucket local running totals (Buckets-way parallel)
     val wLocal = Window.partitionBy(col("bucket"))
       .orderBy(col("h"), col("doc_id"))
@@ -131,8 +145,9 @@ object Packing {
     * n_docs + n_boundary_cuts rows (spans are token-budget-bounded) —
     * a map-side generate off the two-phase prefix sum, then an
     * NShards-row aggregate. No new shuffle beyond [[positioned]]'s. */
-  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
-    positioned(spark, dir)
+  def shardManifest(spark: SparkSession, dir: String,
+      genOrdered: Boolean = false): DataFrame = {
+    positioned(spark, dir, genOrdered)
       .withColumn("pack_first", expr(s"cum_start div $PackTokens"))
       .withColumn("pack_last", expr(s"(cum_end - 1) div $PackTokens"))
       .select(col("doc_id"), col("tok"), col("pack_first"),
@@ -153,7 +168,17 @@ object Packing {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_pack_chunks" -> (docPackChunks(_, _)),
-    "shard_manifest" -> (shardManifest(_, _)))
+    "shard_manifest" -> (shardManifest(_, _)),
+    // APPEND-STABLE packing (the export-maintenance move): the corpus
+    // orders by (generation, h, doc_id), so day-2 docs pack AFTER
+    // every day-1 doc — day-1 pack assignments are a frozen PREFIX
+    // (PackingSpec proves them bit-identical to a day-1-only run) and
+    // the appended generation only adds packs at the end. Without the
+    // generation prefix, hash order interleaves new docs and every
+    // append REPACKS the corpus (= re-exporting every shard).
+    "shard_manifest_appended" ->
+      ((s: SparkSession, d: String) => shardManifest(s, d,
+        genOrdered = true)))
 
   /** DuckDB twin: the SINGLE-window cumsum ground truth — the graded
     * hash can only match if the two-phase prefix sum is exact. */
@@ -197,6 +222,42 @@ object Packing {
          |c AS (
          |  SELECT doc_id, tok,
          |    sum(tok) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_end
+         |  FROM d),
+         |p AS (
+         |  SELECT doc_id, tok,
+         |    CAST((cum_end - tok) // $B AS BIGINT) AS pack_first,
+         |    CAST((cum_end - 1) // $B AS BIGINT) AS pack_last
+         |  FROM c),
+         |seg AS (
+         |  SELECT p.doc_id, p.tok, p.pack_first, u.pack
+         |  FROM p, unnest(generate_series(p.pack_first, p.pack_last))
+         |    u(pack))
+         |SELECT pack % $NShards AS shard_id,
+         |  count(*) AS n_segments,
+         |  CAST(sum(CASE WHEN pack = pack_first THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_docs_start,
+         |  CAST(sum(CASE WHEN pack = pack_first THEN tok ELSE 0 END)
+         |    AS BIGINT) AS tokens_start,
+         |  CAST(sum(((pack % 1000000007) * 2654435761) % 1000000007)
+         |    AS BIGINT) AS pack_checksum
+         |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // the same manifest under the (generation, h, doc_id) order —
+    // day-2 docs cumsum AFTER the full day-1 prefix
+    "shard_manifest_appended" -> {
+      val B = PackTokens
+      s"""WITH d AS (
+         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         |    CAST(len(regexp_extract_all(text, '${TextOps.bpePattern}'))
+         |      AS BIGINT) AS tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, tok,
+         |    sum(tok) OVER (ORDER BY
+         |      (CASE WHEN substr(h, 1, 1) < '2' THEN 1 ELSE 0 END),
+         |      h, doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |      AS cum_end
          |  FROM d),

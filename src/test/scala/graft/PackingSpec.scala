@@ -66,4 +66,36 @@ class PackingSpec extends SparkSpec {
     assert(m.map(_.getAs[Long]("n_docs_start")).sum == nDocs)
     assert(m.map(_.getAs[Long]("tokens_start")).sum == totalTokens)
   }
+
+  test("append-stable packing: day-1 pack assignments are a frozen " +
+    "prefix — identical to a day-1-only run") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val P = graft.operators.Packing
+    // the gen-ordered full-corpus positions, day-1 slice
+    val full = P.positioned(spark, sf0001, genOrdered = true)
+      .filter(substring(col("h"), 1, 1) >= "2")
+      .select(col("doc_id"), col("cum_start"), col("cum_end"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    // an independent day-1-ONLY packing: filter first, then cumsum
+    val w = Window.orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val alone = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .filter(substring(col("h"), 1, 1) >= "2")
+      .withColumn("tok", size(expr(
+        s"regexp_extract_all(text, '${graft.operators.TextOps.bpePattern}', 0)"))
+        .cast("long"))
+      .withColumn("cum_end", sum(col("tok")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("tok"))
+      .select(col("doc_id"), col("cum_start"), col("cum_end"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(full == alone,
+      "appending day-2 docs must not move any day-1 position")
+    // and the appended generation only ADDS packs at the end
+    assert(full.nonEmpty && full.size < P.positioned(spark, sf0001,
+      genOrdered = true).count())
+  }
 }

@@ -42,7 +42,7 @@ import graft.functions.ScalarFns.roundN
   */
 object Sq8 {
 
-  private val Dims = 64
+  private[graft] val Dims = 64
 
   /** One-row frame: per-dimension corpus min/max as ordered arrays. */
   private def minMax(spark: SparkSession, dir: String): DataFrame =
@@ -176,9 +176,9 @@ object Sq8 {
   // ---------------------------------------------------------------
 
   private val duckMinMax =
-    """mm AS (
+    s"""mm AS (
       |  SELECT t.j, min(e.embedding[t.j]) AS mn, max(e.embedding[t.j]) AS mx
-      |  FROM embeddings e, generate_series(1, 64) t(j) GROUP BY 1),
+      |  FROM embeddings e, generate_series(1, $Dims) t(j) GROUP BY 1),
       |arrs AS (
       |  SELECT list(mn ORDER BY j) AS mns, list(mx ORDER BY j) AS mxs
       |  FROM mm)""".stripMargin
@@ -196,7 +196,7 @@ object Sq8 {
       "CAST(a.mns[j] AS DOUBLE))) / CAST(255.0 AS DOUBLE))"
     val diff = s"(CAST(q.qv[j] AS DOUBLE) - $dequant)"
     "list_reduce(list_concat([CAST(0.0 AS DOUBLE)], " +
-      s"list_transform(generate_series(1, 64), j -> $diff * $diff))," +
+      s"list_transform(generate_series(1, $Dims), j -> $diff * $diff))," +
       " (a, b) -> a + b)"
   }
 
@@ -252,7 +252,7 @@ object Sq8 {
          |exact AS (
          |  SELECT e.vec_id,
          |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
-         |      list_transform(generate_series(1, 64), j ->
+         |      list_transform(generate_series(1, $Dims), j ->
          |        (CAST(e.embedding[j] AS DOUBLE) - CAST(q.qv[j] AS DOUBLE))
          |        * (CAST(e.embedding[j] AS DOUBLE)
          |           - CAST(q.qv[j] AS DOUBLE)))), (a, b) -> a + b) AS d
@@ -267,7 +267,7 @@ object Sq8 {
     "sq8_codes" ->
       s"""WITH $duckMinMax
          |SELECT e.vec_id,
-         |  array_to_string(list_transform(generate_series(1, 64),
+         |  array_to_string(list_transform(generate_series(1, $Dims),
          |    j -> $duckCode), ',') AS code_str
          |FROM embeddings e, arrs a
          |ORDER BY vec_id""".stripMargin,
@@ -290,7 +290,7 @@ object Sq8 {
          |exact AS (
          |  SELECT e.vec_id,
          |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
-         |      list_transform(generate_series(1, 64), j ->
+         |      list_transform(generate_series(1, $Dims), j ->
          |        (CAST(e.embedding[j] AS DOUBLE) - CAST(q.qv[j] AS DOUBLE))
          |        * (CAST(e.embedding[j] AS DOUBLE)
          |           - CAST(q.qv[j] AS DOUBLE)))), (a, b) -> a + b) AS d

@@ -65,7 +65,8 @@ object PlanDump {
     "waiting_suppliers", "sq8_topk", "sq8_recall",
     "price_percentile_semantics", "top_customers_listagg",
     "ivfsq8_topk", "ivfsq8_recall", "shard_manifest",
-    "price_outliers_mad", "hourly_forecast_backtest", "knn_sssp", "shard_manifest_appended")
+    "price_outliers_mad", "hourly_forecast_backtest", "knn_sssp", "shard_manifest_appended",
+    "rls_tenant_revenue", "masked_customer_preview")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

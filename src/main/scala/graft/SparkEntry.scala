@@ -51,7 +51,7 @@ object SparkEntry {
     Skyline.queries ++ Concentration.queries ++ Erasure.queries ++
     Stats.queries ++ RankTest.queries ++ Membership.queries ++
     BitmapOps.queries ++ Sweepline.queries ++ Cep.queries ++
-    Cusum.queries ++ Subqueries.queries ++ Sq8.queries ++
+    Cusum.queries ++ Subqueries.queries ++ Sq8.queries ++ Governance.queries ++
     graft.functions.TypedAggs.queries ++
     Multimodal.queries ++ Skew.queries ++ graft.streaming.StreamReplay.queries
 
@@ -80,7 +80,7 @@ object SparkEntry {
     Skyline.oracles ++ Concentration.oracles ++ Erasure.oracles ++
     Stats.oracles ++ RankTest.oracles ++ Membership.oracles ++
     BitmapOps.oracles ++ Sweepline.oracles ++ Cep.oracles ++
-    Cusum.oracles ++ Subqueries.oracles ++ Sq8.oracles ++
+    Cusum.oracles ++ Subqueries.oracles ++ Sq8.oracles ++ Governance.oracles ++
     graft.functions.TypedAggs.oracles ++
     Multimodal.oracles ++ Skew.oracles ++ graft.streaming.StreamReplay.oracles
 }

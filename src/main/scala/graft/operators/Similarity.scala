@@ -736,6 +736,39 @@ object Similarity {
       .orderBy(idCol)
   }
 
+  /** Canonical-document SURVIVORSHIP — the step after clustering a
+    * dedup pipeline actually ships: per multi-member near-dup cluster,
+    * the KEEPER is chosen by a deterministic quality rule (most tokens
+    * — the longest duplicate is usually the most complete — then most
+    * stopwords as a naturalness tiebreak, then smallest doc_id), and
+    * the report prices the decision: members, keeper, kept vs dropped
+    * token mass. Exact integers end to end (the `doc_quality`
+    * tokenizer twins). Consumes the CACHED cluster frame — zero new
+    * LSH work; the per-cluster windows partition on the cluster key
+    * (many small groups — embarrassingly parallel at any scale). */
+  def neardupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val clu = neardupClusters(spark, dir)
+    val q = Tables(spark, dir, "documents")
+      .withColumn("t", graft.functions.Shingles.sparkToks)
+      .select(col("doc_id"),
+        size(col("t")).cast("bigint").as("n_tokens"),
+        expr(s"size(filter(t, x -> x in (${TextOps.stopArrSql})))")
+          .cast("bigint").as("n_stop"))
+    val wC = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+    val wR = wC.orderBy(col("n_tokens").desc, col("n_stop").desc,
+      col("doc_id"))
+    clu.join(q, Seq("doc_id"))
+      .withColumn("n_members", count(lit(1)).over(wC))
+      .withColumn("cluster_tokens", sum(col("n_tokens")).over(wC))
+      .withColumn("rk", row_number().over(wR))
+      .filter(col("rk") === 1 && col("n_members") > 1)
+      .select(col("cluster"), col("n_members"),
+        col("doc_id").as("keeper_doc"),
+        col("n_tokens").as("keeper_tokens"),
+        (col("cluster_tokens") - col("n_tokens")).as("dropped_tokens"))
+      .orderBy("cluster")
+  }
+
   private def neardupClustersUncached(spark: SparkSession, dir: String,
       threshold: Double, defer: DataFrame => DataFrame): DataFrame =
     // neardupPairs is itself ResultCache-managed, so this read is a
@@ -1973,6 +2006,7 @@ object Similarity {
     "neardup_pairs"     -> (neardupPairs _),
     "neardup_pairs_char" -> ((s: SparkSession, d: String) => neardupPairsChar(s, d)),
     "neardup_clusters"  -> ((s: SparkSession, d: String) => neardupClusters(s, d)),
+    "neardup_survivors" -> (neardupSurvivors _),
     "neardup_clusters_loop" -> ((s: SparkSession, d: String) =>
       neardupClustersLoop(s, d)),
     "neardup_degree"    -> ((s: SparkSession, d: String) => neardupDegree(s, d)),
@@ -2396,6 +2430,33 @@ object Similarity {
             "3.0 * CAST(tri.n_triangles AS DOUBLE) / CAST(w.n_wedges AS DOUBLE)",
             6)} ELSE 0.0 END AS transitivity
          |FROM w CROSS JOIN tri ORDER BY n_edges""".stripMargin,
+    // the closure + the doc_quality tokenizer twins: keeper = most
+    // tokens, most stopwords, smallest doc_id — identical windows
+    "neardup_survivors" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$lshScoredCtes,
+         |$clusterClosureCtes,
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(t, x -> x IN (${TextOps.stopArrSql})))
+         |      AS BIGINT) AS n_stop
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |        FROM documents)),
+         |m AS (
+         |  SELECT c.cluster, c.doc_id, q.n_tokens, q.n_stop,
+         |    count(*) OVER (PARTITION BY c.cluster) AS n_members,
+         |    sum(q.n_tokens) OVER (PARTITION BY c.cluster)
+         |      AS cluster_tokens,
+         |    row_number() OVER (PARTITION BY c.cluster
+         |      ORDER BY q.n_tokens DESC, q.n_stop DESC, c.doc_id) AS rk
+         |  FROM clu c JOIN q ON q.doc_id = c.doc_id)
+         |SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
+         |  doc_id AS keeper_doc, n_tokens AS keeper_tokens,
+         |  CAST(cluster_tokens - n_tokens AS BIGINT) AS dropped_tokens
+         |FROM m WHERE rk = 1 AND n_members > 1
+         |ORDER BY cluster""".stripMargin,
     // connected components over the thresholded pair graph: recursive
     // transitive closure, component label = min reachable doc
     "neardup_clusters" ->

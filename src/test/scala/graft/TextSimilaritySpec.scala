@@ -593,4 +593,25 @@ class TextSimilaritySpec extends SparkSpec {
     assert((raw -- neg).forall { case (a, b) => clu(a) == clu(b) },
       "a candidate was dropped without sharing a cluster")
   }
+
+  test("survivorship: keeper is a member, dominates its cluster, and " +
+    "token mass is conserved") {
+    import org.apache.spark.sql.functions._
+    val surv = graft.operators.Similarity
+      .neardupSurvivors(spark, sf0001).collect()
+    assert(surv.nonEmpty, "no multi-member clusters at sf0.001")
+    val clu = graft.operators.Similarity.neardupClusters(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    surv.foreach { r =>
+      val (cluster, n, keeper) =
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(n >= 2L)
+      assert(clu(keeper) == cluster, s"keeper $keeper not in $cluster")
+      assert(r.getLong(4) >= n - 1,
+        "every dropped member carries at least one token")
+    }
+    // exactly one keeper per multi-member cluster
+    val multi = clu.groupBy(_._2).filter(_._2.size > 1).keySet
+    assert(surv.map(_.getLong(0)).toSet == multi)
+  }
 }

@@ -302,6 +302,70 @@ object MergeOnRead {
         .select(base.columns.map(col).toIndexedSeq: _*)))
   }
 
+  // ----------------------------------------------------------------
+  // LOG VACUUM (retention) — the physical half of the checkpoint move:
+  // once the prefix (_seq ≤ CheckpointSeq) is folded into checkpoint
+  // state, the prefix LOG FILES are dead weight — every byte of
+  // version history they carry is superseded. Vacuum DELETES them
+  // (bytes gone, not filtered), keeping only the tail; the documented
+  // cost is the retention contract every lakehouse states: time travel
+  // below the checkpoint floor is forfeited. Like the Erasure family,
+  // the mutation runs on a COPY of the log so the shared full-history
+  // log keeps serving the time-travel queries. File-level surgery:
+  // each micro-batch append wrote files of a single `_seq`, so the
+  // deletable set is exactly the files whose max(_seq) ≤ the floor —
+  // identified via the `_metadata` file-path column (the Erasure
+  // position-delete discipline), never by parsing file names.
+  // ----------------------------------------------------------------
+
+  private val vacuumedDirs = new ConcurrentHashMap[String, String]()
+
+  /** Copy the log, then physically delete every file fully at/below
+    * the checkpoint floor. Returns (vacuumedDir, nDeleted). */
+  private[graft] def vacuumedLogDir(spark: SparkSession, dir: String): String =
+    vacuumedDirs.computeIfAbsent(dir, { _ =>
+      val src = new java.io.File(deltaLogDir(spark, dir))
+      val dst = Tables.scratchDir("graft_mor_vacuum_")
+      src.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(dst, f.getName).toPath)
+      }
+      // catalog-scale collect: one row per log FILE (planner metadata,
+      // the ManifestFileIndex discipline), never per log row
+      val dead = spark.read.parquet(dst.getAbsolutePath)
+        .groupBy(col("_metadata.file_path").as("fp"))
+        .agg(max(col("_seq")).as("mx"))
+        .filter(col("mx") <= CheckpointSeq)
+        .select("fp").collect().map(_.getString(0))
+      dead.foreach { uri =>
+        val p = new java.io.File(new java.net.URI(uri).getPath)
+        require(p.delete(), s"vacuum failed to delete $p")
+      }
+      dst.getAbsolutePath
+    })
+
+  /** GRADED: the post-vacuum read — base ⊎ checkpoint ⊎ the SURVIVING
+    * log files (no `_seq` filter: after vacuum the directory IS the
+    * tail). Same oracle as the full-log read: the hash proves vacuum
+    * deleted only superseded history. */
+  def ordersMorVacuumed(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "orders")
+    val ckpt = spark.read.parquet(checkpointDir(spark, dir))
+    val tail = spark.read.parquet(vacuumedLogDir(spark, dir))
+      .drop("_batch_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderkey")).orderBy(col("_seq").desc)
+    val latest = ckpt.unionByName(tail)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    val untouched = base.join(
+      broadcast(latest.select(col("o_orderkey")).distinct()),
+      Seq("o_orderkey"), "left_anti")
+    agg(untouched.unionByName(
+      latest.filter(!col("_deleted"))
+        .select(base.columns.map(col).toIndexedSeq: _*)))
+  }
+
   /** CDC EXTRACT (snapshot diff) — the INVERSE of the read path above:
     * merge-on-read turns log → table; this turns a TABLE PAIR → change
     * feed, the move you need when two snapshots exist but no log does
@@ -367,6 +431,7 @@ object MergeOnRead {
     "orders_mor_asof" -> (ordersMorAsof(_, _)),
     "orders_mor_checkpointed" -> (ordersMorCheckpointed(_, _)),
     "orders_mor_ckpt_asof" -> (ordersMorCkptAsof(_, _)),
+    "orders_mor_vacuumed" -> (ordersMorVacuumed(_, _)),
     "orders_cdc_extract" -> (ordersCdcExtract(_, _)))
 
   /** The final (fully-resolved) table stated as one `WITH f AS` CTE —
@@ -462,5 +527,8 @@ object MergeOnRead {
     // same oracles on purpose: ckpt+tail ≡ full log; ckpt alone ≡ as-of
     "orders_mor_checkpointed" -> MorSql,
     "orders_mor_ckpt_asof" -> MorAsofSql,
+    // same oracle as the full-log read: vacuum may delete ONLY
+    // checkpoint-superseded history
+    "orders_mor_vacuumed" -> MorSql,
     "orders_cdc_extract" -> CdcExtractSql)
 }

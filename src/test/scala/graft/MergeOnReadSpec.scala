@@ -249,4 +249,34 @@ class MergeOnReadSpec extends SparkSpec {
     assert(viaCkpt.collect().toSeq == direct.collect().toSeq)
     assert(asof.nonEmpty)
   }
+
+  test("vacuum physically deletes exactly the checkpoint-superseded " +
+    "log files; the post-vacuum read loses nothing") {
+    import org.apache.spark.sql.functions._
+    val fullDir = new java.io.File(MergeOnRead.deltaLogDir(spark, sf0001))
+    val vacDir = new java.io.File(MergeOnRead.vacuumedLogDir(spark, sf0001))
+    def names(d: java.io.File) = d.listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    // the full-history log is untouched (other readers keep time travel)
+    val full = names(fullDir)
+    val surviving = names(vacDir)
+    assert(surviving.subsetOf(full) && surviving.size < full.size,
+      "vacuum deleted nothing")
+    // bytes gone: every deleted name is absent from the vacuumed dir,
+    // and NO surviving row sits at/below the floor (prefix files were
+    // single-seq appends, so file-level deletion is exact)
+    val survivingRows = spark.read.parquet(vacDir.getAbsolutePath)
+    assert(survivingRows.filter(
+      col("_seq") <= MergeOnRead.CheckpointSeq).count() == 0,
+      "a checkpoint-superseded version survived vacuum")
+    // the tail files are byte-identical copies of their originals
+    surviving.foreach { n =>
+      assert(new java.io.File(vacDir, n).length ==
+        new java.io.File(fullDir, n).length)
+    }
+    // read equivalence: ckpt + vacuumed tail ≡ full-log resolve
+    val post = MergeOnRead.ordersMorVacuumed(spark, sf0001)
+    val pre = MergeOnRead.ordersMergeOnRead(spark, sf0001)
+    assert(post.collect().toSeq == pre.collect().toSeq)
+  }
 }

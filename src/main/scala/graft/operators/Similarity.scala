@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -1151,105 +1151,6 @@ object Similarity {
       .limit(k)
   }
 
-  // ----------------------------------------------------------------
-  // Stored IVF index LIFECYCLE — the vector-index counterpart of the
-  // dedup-index (`IncrementalDedup.fullIndexPath`) and postings-index
-  // (`TextOps.postingsDir`) maintenance stories: a day-1 build FREEZES
-  // the coarse quantizer (nlist + centroid vectors, derived from the
-  // base corpus only) and persists the bucket assignments; day-2
-  // vectors are assigned against those FROZEN centroids and land as a
-  // new generation partition DIRECTORY — the day-1 assignment files
-  // are never rewritten (spec-asserted), exactly how a production ANN
-  // index absorbs a daily embedding batch without a retrain. Search
-  // over the grown index reads base ∪ delta through one partitioned
-  // scan. Deterministic split: a vector is "day-2" iff the first hex
-  // char of md5(vec_id) is 'a' (~1/16 of the corpus; vec 0, the query,
-  // hashes to 'c' and stays day-1).
-  // ----------------------------------------------------------------
-
-  private val ivfIndexMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val ivfGrownMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private[graft] def isNewVec: Column =
-    substring(md5(col("vec_id").cast("string")), 1, 1) === lit("a")
-
-  /** Argmax-cosine assignment of `vecs` to a broadcast centroid frame
-    * (cid, cv) — the one formula both generations run, so day-1 and
-    * day-2 rows are comparable by construction. Same kernel + tie-break
-    * (score desc, then smallest cid) as [[ivfAssign]]. */
-  private def assignToCentroids(spark: SparkSession, vecs: DataFrame,
-      cent: DataFrame): DataFrame = {
-    graft.plans.VectorExpressions.register(spark)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("s").desc, col("cid"))
-    fanOut(spark, vecs, key = "vec_id").crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cid"),
-        expr("cosine_sim(embedding, cv)").as("s"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"))
-  }
-
-  /** Day-1 index build, once per (JVM, corpus): writes `centroids/`
-    * (cid, cv — the frozen quantizer; nlist = ⌈√|base|⌉ seeds drawn
-    * from the BASE corpus only) and `assign/gen=1` (base bucket
-    * assignments). Returns the index root. */
-  private[graft] def ivfIndexPath(spark: SparkSession, dir: String): String =
-    ivfIndexMemo.computeIfAbsent(dir, { _ =>
-      val f = Tables.scratchDir("graft_ivf_idx_")
-      val root = f.getAbsolutePath
-      val base = Tables(spark, dir, "embeddings").filter(!isNewVec)
-      val nlist = base.agg(ceil(sqrt(count(lit(1)))).as("nlist"))
-      base.crossJoin(broadcast(nlist))
-        .filter(col("vec_id") < col("nlist"))
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-        .write.mode("overwrite").parquet(s"$root/centroids")
-      val cent = spark.read.parquet(s"$root/centroids")
-      assignToCentroids(spark, base, cent)
-        .write.mode("overwrite").parquet(s"$root/assign/gen=1")
-      root
-    })
-
-  /** Day-2 APPEND: the new batch is assigned against the STORED frozen
-    * centroids and written as `assign/gen=2` — a pure file-set
-    * addition; gen=1 is untouched (no read of base assignments, no
-    * rewrite). Returns the (now grown) index root. */
-  private[graft] def ivfGrownIndexPath(spark: SparkSession, dir: String): String =
-    ivfGrownMemo.computeIfAbsent(dir, { _ =>
-      val root = ivfIndexPath(spark, dir)
-      val cent = spark.read.parquet(s"$root/centroids")
-      val newVecs = Tables(spark, dir, "embeddings").filter(isNewVec)
-      assignToCentroids(spark, newVecs, cent)
-        .write.mode("overwrite").parquet(s"$root/assign/gen=2")
-      root
-    })
-
-  /** N3 lifecycle query: top-k cosine over the GROWN stored index —
-    * query routed via its stored day-1 bucket, candidates = both
-    * generations of that bucket through one partitioned `assign/`
-    * scan, exact rerank within the bucket. Day-2 vectors are fully
-    * retrievable without any day-1 rewrite or centroid retrain. */
-  def cosineTopkIvfGrown(spark: SparkSession, dir: String,
-      k: Int = 10): DataFrame = {
-    graft.plans.VectorExpressions.register(spark)
-    val root = ivfGrownIndexPath(spark, dir)
-    val assign = spark.read.parquet(s"$root/assign")
-    val e = Tables(spark, dir, "embeddings")
-    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    val qBucket = assign.filter(col("vec_id") === 0).select(col("cid"))
-    val cands = assign.join(broadcast(qBucket), Seq("cid"))
-      .filter(col("vec_id") =!= 0).select(col("vec_id"))
-    e.join(cands, Seq("vec_id"))
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        graft.functions.ScalarFns.roundN(
-          expr("cosine_sim(embedding, qv)"), 6).as("cosine_sim"))
-      .orderBy(col("cosine_sim").desc, col("vec_id"))
-      .limit(k)
-  }
-
   /** N2 embedding-cosine near-dup: candidate pairs share an IVF bucket;
     * with nlist = ⌈√N⌉ (see [[ivfAssign]]) expected per-bucket
     * population is ~√N, so total pairwise work is O(N·√N) — the
@@ -2106,8 +2007,6 @@ object Similarity {
     "neardup_pairs_char" -> ((s: SparkSession, d: String) => neardupPairsChar(s, d)),
     "neardup_clusters"  -> ((s: SparkSession, d: String) => neardupClusters(s, d)),
     "neardup_survivors" -> (neardupSurvivors _),
-    "cosine_topk_ivf_grown" -> ((s: SparkSession, d: String) =>
-      cosineTopkIvfGrown(s, d)),
     "neardup_clusters_loop" -> ((s: SparkSession, d: String) =>
       neardupClustersLoop(s, d)),
     "neardup_degree"    -> ((s: SparkSession, d: String) => neardupDegree(s, d)),
@@ -2855,41 +2754,6 @@ object Similarity {
                  |       * sqrt(${duckDot("q.qv", "q.qv")}))""".stripMargin, 6)} AS cosine_sim
          |FROM embeddings e JOIN cands ON e.vec_id = cands.vec_id, q
          |ORDER BY cosine_sim DESC, e.vec_id LIMIT 10""".stripMargin,
-    // grown-index lifecycle: the quantizer (nlist + centroid seeds) is
-    // a function of the BASE (day-1) corpus only; every vector — both
-    // generations — is assigned by the same argmax-cosine formula, so
-    // recomputing assignments from scratch here reproduces the stored
-    // base rows AND the appended delta rows exactly
-    "cosine_topk_ivf_grown" -> {
-      val cos = s"(${duckDot("e.embedding", "c.cv")} / " +
-        s"(sqrt(${duckDot("e.embedding", "e.embedding")}) * sqrt(${duckDot("c.cv", "c.cv")})))"
-      s"""WITH base AS (
-         |  SELECT * FROM embeddings
-         |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <> 'a'),
-         |cent AS (
-         |  SELECT vec_id AS cid, embedding AS cv FROM base
-         |  WHERE vec_id < ceil(sqrt((SELECT count(*) FROM base)))),
-         |sims AS (
-         |  SELECT e.vec_id, c.cid, $cos AS s
-         |  FROM embeddings e CROSS JOIN cent c),
-         |assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-         |    FROM sims)
-         |  WHERE rn = 1),
-         |qb AS (SELECT cid FROM assign WHERE vec_id = 0),
-         |cands AS (SELECT a.vec_id FROM assign a JOIN qb ON a.cid = qb.cid
-         |          WHERE a.vec_id <> 0),
-         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-         |SELECT e.vec_id,
-         |  ${graft.functions.ScalarFns.roundSql(
-              s"""${duckDot("e.embedding", "q.qv")}
-                 |    / (sqrt(${duckDot("e.embedding", "e.embedding")})
-                 |       * sqrt(${duckDot("q.qv", "q.qv")}))""".stripMargin, 6)} AS cosine_sim
-         |FROM embeddings e JOIN cands ON e.vec_id = cands.vec_id, q
-         |ORDER BY cosine_sim DESC, e.vec_id LIMIT 10""".stripMargin
-    },
     "cosine_topk_ivf2" ->
       s"""$ivfCte,
          |qb AS (SELECT cid FROM (

@@ -614,39 +614,4 @@ class TextSimilaritySpec extends SparkSpec {
     val multi = clu.groupBy(_._2).filter(_._2.size > 1).keySet
     assert(surv.map(_.getLong(0)).toSet == multi)
   }
-
-  test("stored IVF index: day-2 append never rewrites day-1 files and " +
-    "the grown index covers every vector exactly once") {
-    import org.apache.spark.sql.functions._
-    val sim = graft.operators.Similarity
-    val root = sim.ivfIndexPath(spark, sf0001)
-    def gen1Files = new java.io.File(s"$root/assign/gen=1").listFiles()
-      .filter(_.getName.endsWith(".parquet"))
-      .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
-    val before = gen1Files
-    assert(before.nonEmpty, "day-1 build wrote no assignment files")
-    val grownRoot = sim.ivfGrownIndexPath(spark, sf0001)
-    assert(grownRoot == root, "append must grow the SAME index root")
-    assert(gen1Files == before,
-      "day-2 append modified day-1 assignment files")
-    val assign = spark.read.parquet(s"$root/assign")
-      .select(col("vec_id"), col("gen")).collect()
-      .map(r => (r.getLong(0), r.getAs[Number](1).intValue))
-    val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
-    assert(assign.length == n, "grown index must cover the full corpus")
-    assert(assign.map(_._1).distinct.length == n,
-      "a vector was assigned in both generations")
-    // the delta is exactly the deterministic day-2 slice, and day-2
-    // vectors are retrievable: each lives in a real day-1 bucket
-    val newIds = spark.read.parquet(s"$sf0001/embeddings.parquet")
-      .filter(sim.isNewVec).select("vec_id").collect().map(_.getLong(0)).toSet
-    assert(newIds.nonEmpty, "no day-2 vectors at sf0.001")
-    assert(assign.filter(_._2 == 2).map(_._1).toSet == newIds)
-    val cids = spark.read.parquet(s"$root/centroids")
-      .select("cid").collect().map(_.getLong(0)).toSet
-    val assignedCids = spark.read.parquet(s"$root/assign")
-      .select("cid").distinct().collect().map(_.getLong(0)).toSet
-    assert(assignedCids.subsetOf(cids),
-      "an assignment points at a centroid outside the frozen quantizer")
-  }
 }

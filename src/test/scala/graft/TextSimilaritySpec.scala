@@ -614,4 +614,41 @@ class TextSimilaritySpec extends SparkSpec {
     val multi = clu.groupBy(_._2).filter(_._2.size > 1).keySet
     assert(surv.map(_.getLong(0)).toSet == multi)
   }
+
+  test("coreness: matches a driver-side brute-force peel, and the " +
+    "fixed unroll covers the true fixpoint") {
+    val pairs = Similarity.neardupPairs(spark, sf0001)
+      .filter($"jaccard" >= 0.5).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // brute peel to TRUE fixpoint (no round cap), counting rounds
+    def peel(k: Int): (Set[Long], Int) = {
+      var s = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+      var rounds = 0
+      var changed = true
+      while (changed) {
+        val deg = pairs.filter(p => s(p._1) && s(p._2))
+          .flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).map { case (v, o) => (v, o.length) }
+        val next = s.filter(v => deg.getOrElse(v, 0) >= k)
+        changed = next != s
+        if (changed) rounds += 1
+        s = next
+      }
+      (s, rounds)
+    }
+    val (core2, r2) = peel(2)
+    val (core3, r3) = peel(3)
+    assert(r2 <= Similarity.CorenessRounds &&
+      r3 <= Similarity.CorenessRounds,
+      s"peel needs $r2/$r3 rounds — raise CorenessRounds")
+    val got = Similarity.neardupCoreness(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    got.foreach { case (v, c) =>
+      val expect = if (core3(v)) 3L else if (core2(v)) 2L else 1L
+      assert(c == expect, s"doc $v coreness $c, brute says $expect")
+    }
+    // the decomposition is non-trivial on the shipped corpus
+    assert(got.values.toSet.size >= 2, "coreness is constant — vacuous")
+  }
 }

@@ -76,8 +76,60 @@ object Baskets {
       .orderBy("part_a", "part_b")
   }
 
+  /** ITEM-ITEM RECOMMENDATIONS — the top-N step of classic
+    * neighborhood collaborative filtering (Sarwar et al., "Item-based
+    * collaborative filtering recommendation algorithms"): similarity
+    * between items = cosine over their binary order-occurrence
+    * vectors, which for co-occurrence counts collapses to
+    * n_pair / √(n_a·n_b); each item keeps its top-3 neighbors. Ranks
+    * on EXACT integers: cos²·10⁶ by floor division
+    * (n_pair²·10⁶ div n_a·n_b) — cosine is nonnegative here so cos² is
+    * order-isomorphic to cosine and no float enters the comparison;
+    * ties break by raw co-count then smaller item id.
+    *
+    * Scale shape: everything downstream of the pair mine is
+    * pair-granularity; the per-item top-3 is a window partitioned on
+    * the item key — many small groups, embarrassingly parallel. The
+    * expensive part (the pair table) is exactly [[basketPairs]]'
+    * shuffle, which a production pipeline materializes once per day. */
+  def itemRecsCooccur(spark: SparkSession, dir: String,
+      topN: Int = 3): DataFrame = {
+    val b = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val itemCounts = b.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_item"))
+    val pairs = b.as("x")
+      .join(b.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey")
+          && col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("part_a"),
+        col("y.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= MinSup)
+    val sym = pairs.select(col("part_a").as("item"),
+        col("part_b").as("rec_item"), col("n_pair"))
+      .unionByName(pairs.select(col("part_b").as("item"),
+        col("part_a").as("rec_item"), col("n_pair")))
+    val scored = sym
+      .join(broadcast(itemCounts.select(col("l_partkey").as("item"),
+        col("n_item").as("n_i"))), Seq("item"))
+      .join(broadcast(itemCounts.select(col("l_partkey").as("rec_item"),
+        col("n_item").as("n_r"))), Seq("rec_item"))
+      .selectExpr("item", "rec_item", "n_pair",
+        "(n_pair * n_pair * 1000000L) div (n_i * n_r) AS cos2_ppm")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("item")
+      .orderBy(col("cos2_ppm").desc, col("n_pair").desc, col("rec_item"))
+    scored.withColumn("rec_rank", row_number().over(w))
+      .filter(col("rec_rank") <= topN)
+      .select(col("item"), col("rec_rank").cast("long").as("rec_rank"),
+        col("rec_item"), col("n_pair"), col("cos2_ppm"))
+      .orderBy("item", "rec_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "basket_pairs" -> (basketPairs(_, _)))
+    "basket_pairs" -> (basketPairs(_, _)),
+    "item_recs_cooccur" -> ((s: SparkSession, d: String) =>
+      itemRecsCooccur(s, d)))
 
   /** DuckDB twin mines WITHOUT the a-priori prune — ground truth; the
     * hash can only match if the prune is lossless. */
@@ -110,5 +162,38 @@ object Baskets {
          |JOIN ic a ON p.part_a = a.l_partkey
          |JOIN ic c ON p.part_b = c.l_partkey
          |CROSS JOIN nn
-         |ORDER BY part_a, part_b""".stripMargin)
+         |ORDER BY part_a, part_b""".stripMargin,
+    "item_recs_cooccur" ->
+      s"""WITH b AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |ic AS (
+         |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+         |  FROM b GROUP BY 1),
+         |p AS (
+         |  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+         |    CAST(count(*) AS BIGINT) AS n_pair
+         |  FROM b x JOIN b y
+         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= $MinSup),
+         |sym AS (
+         |  SELECT part_a AS item, part_b AS rec_item, n_pair FROM p
+         |  UNION ALL
+         |  SELECT part_b, part_a, n_pair FROM p),
+         |sc AS (
+         |  SELECT s.item, s.rec_item, s.n_pair,
+         |    CAST((s.n_pair * s.n_pair * 1000000)
+         |      // (i.n_item * r.n_item) AS BIGINT) AS cos2_ppm
+         |  FROM sym s
+         |  JOIN ic i ON s.item = i.l_partkey
+         |  JOIN ic r ON s.rec_item = r.l_partkey),
+         |rk AS (
+         |  SELECT item, rec_item, n_pair, cos2_ppm,
+         |    CAST(row_number() OVER (PARTITION BY item
+         |      ORDER BY cos2_ppm DESC, n_pair DESC, rec_item)
+         |      AS BIGINT) AS rec_rank
+         |  FROM sc)
+         |SELECT item, rec_rank, rec_item, n_pair, cos2_ppm
+         |FROM rk WHERE rec_rank <= 3
+         |ORDER BY item, rec_rank""".stripMargin)
 }

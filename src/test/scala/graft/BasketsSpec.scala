@@ -46,4 +46,35 @@ class BasketsSpec extends SparkSpec {
         s"frequent pair with lift ≤ 1 at sparse density is implausible: $r")
     }
   }
+
+  test("item recs: scores are the exact cos²-ppm of the pair table, " +
+    "ranks are dense per item, and recommendation is symmetric") {
+    val recs = Baskets.itemRecsCooccur(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(recs.nonEmpty)
+    // item occurrence counts, brute
+    val b = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nItem = b.groupBy(_._2).map { case (k, v) => (k, v.length.toLong) }
+    recs.foreach { case (item, rank, rec, np, ppm) =>
+      assert(rank >= 1 && rank <= 3)
+      assert(ppm == np * np * 1000000L / (nItem(item) * nItem(rec)),
+        s"cos² drifted for ($item,$rec)")
+    }
+    // ranks 1..k dense per item
+    recs.groupBy(_._1).foreach { case (item, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(1L to rs.length),
+        s"ranks not dense for $item")
+    }
+    // the underlying pair relation is symmetric: if (a,b) is a's rec,
+    // then b co-occurs with a ≥ MinSup times too (b may rank others
+    // higher, but the pair must exist in b's candidate set)
+    val pairSet = recs.map(r => (r._1, r._3)).toSet
+    val candidates = recs.map(r => ((r._1, r._3), r._4)).toMap
+    pairSet.foreach { case (a, bb) =>
+      assert(candidates.getOrElse((a, bb), 0L) >= Baskets.MinSup)
+    }
+  }
 }

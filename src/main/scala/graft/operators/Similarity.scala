@@ -1843,6 +1843,45 @@ object Similarity {
     * ANN tier (PQ, RP, graph, SQ8) grades against, served through the
     * S6 cache under ONE key so the whole recall board re-executes the
     * corpus kernel at most once per (session, dir, k). */
+  /** DCG rank discounts, integer-scaled: W_i = ⌊10⁹ / log₂(i+1)⌋ for
+    * ranks 1..10 (StrictMath so the literals are bit-reproducible) —
+    * interpolated into BOTH engines' expressions, so the whole nDCG
+    * grade is integer arithmetic over shared constants. */
+  private[graft] val DcgWeights: Seq[Long] = (1 to 10).map { i =>
+    (1e9 * StrictMath.log(2.0) / StrictMath.log(i + 1.0)).toLong
+  }
+  private[graft] val IdcgScaled: Long = DcgWeights.sum
+
+  /** N3 ANN QUALITY diagnostic #2 — nDCG@10 per PQ method: recall@k
+    * grades the top-k as a SET; nDCG grades the ORDER (binary
+    * relevance = membership in the exact top-10, discount 1/log₂(i+1)
+    * — Järvelin & Kekäläinen's cumulated-gain family). A method can
+    * hold recall while quantization reshuffles the head — this is the
+    * metric that catches it, and the second number an ANN deployment
+    * tracks beside recall. Integer end to end: DCG = Σ [[DcgWeights]]
+    * over hit ranks, ndcg_ppm = DCG·10⁶ div IDCG. Rides the SAME
+    * cached [[pqMethodsTopk]] + [[exactL2TopkIds]] frames as the
+    * recall board — the whole diagnostic is a 70-row join. */
+  def pqNdcg(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val exact = exactL2TopkIds(spark, dir, k)
+    val methodDim = PqMethods.toDF("method")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("method").orderBy(col("adc_dist"), col("vec_id"))
+    val weightCase = DcgWeights.zipWithIndex
+      .map { case (wt, i) => s"WHEN ${i + 1} THEN ${wt}L" }
+      .mkString("CASE rk ", " ", " ELSE 0L END")
+    val dcg = pqMethodsTopk(spark, dir, k)
+      .withColumn("rk", row_number().over(w))
+      .join(exact, Seq("vec_id")) // binary relevance: exact-set member
+      .groupBy(col("method")).agg(sum(expr(weightCase)).as("dcg"))
+    methodDim.join(dcg, Seq("method"), "left")
+      .select(col("method"), lit(k.toLong).as("k"),
+        expr(s"(coalesce(dcg, 0L) * 1000000L) div ${IdcgScaled}L")
+          .as("ndcg_ppm"))
+      .orderBy("method")
+  }
+
   private[graft] def exactL2TopkIds(spark: SparkSession, dir: String,
       k: Int): DataFrame = {
     graft.plans.VectorExpressions.register(spark)
@@ -2101,6 +2140,7 @@ object Similarity {
     "pq_topk"           -> ((s: SparkSession, d: String) => pqTopk(s, d)),
     "ivfpq_topk"        -> ((s: SparkSession, d: String) => ivfPqTopk(s, d)),
     "pq_recall"         -> ((s: SparkSession, d: String) => pqRecall(s, d)),
+    "pq_ndcg"           -> ((s: SparkSession, d: String) => pqNdcg(s, d)),
     "pq_codebook_learned" -> ((s: SparkSession, d: String) =>
       pqCodebookLearnedFlat(s, d)),
     "pq_codebook_learned2" -> ((s: SparkSession, d: String) =>
@@ -2213,6 +2253,75 @@ object Similarity {
   private[graft] def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** Shared PQ METHOD-BOARD CTE chain (DuckDB): all seven methods'
+    * ranked top-10 candidate lists (each `*approx*` CTE keeps its
+    * rounded `adc` so a consumer can re-derive ranks) + the exact-L2
+    * baseline — the common prefix of the `pq_recall` and `pq_ndcg`
+    * oracles. Ends with `exact(vec_id, d)`. */
+  private def pqBoardCtes: String =
+    s"""$ivfCte,
+       |$pqCtes,
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |dt AS (
+       |  SELECT c.code,
+       |${(0 until PqM).map(m =>
+            s"    ${duckSqDist("q.qv", "c.cv", m * PqSub + 1, (m + 1) * PqSub)} AS qd$m")
+            .mkString(",\n")}
+       |  FROM cb c, q),
+       |qb AS (SELECT cid FROM assign WHERE vec_id = 0),
+       |cands AS (SELECT a.vec_id FROM assign a JOIN qb ON a.cid = qb.cid
+       |          WHERE a.vec_id <> 0),
+       |qb2 AS (SELECT cid FROM (
+       |  SELECT cid, row_number() OVER (ORDER BY s DESC, cid) AS rn
+       |  FROM sims WHERE vec_id = 0) WHERE rn <= 2),
+       |cands2 AS (SELECT a.vec_id FROM assign a JOIN qb2 ON a.cid = qb2.cid
+       |           WHERE a.vec_id <> 0),
+       |qb4 AS (SELECT cid FROM (
+       |  SELECT cid, row_number() OVER (ORDER BY s DESC, cid) AS rn
+       |  FROM sims WHERE vec_id = 0) WHERE rn <= 4),
+       |cands4 AS (SELECT a.vec_id FROM assign a JOIN qb4 ON a.cid = qb4.cid
+       |           WHERE a.vec_id <> 0),
+       |adc_all AS (
+       |  SELECT w.vec_id,
+       |    ${graft.functions.ScalarFns.roundSql(
+            "t0.qd0 + t1.qd1 + t2.qd2 + t3.qd3", 6)} AS adc
+       |  FROM wide w
+       |  JOIN dt t0 ON w.c0 = t0.code
+       |  JOIN dt t1 ON w.c1 = t1.code
+       |  JOIN dt t2 ON w.c2 = t2.code
+       |  JOIN dt t3 ON w.c3 = t3.code
+       |  WHERE w.vec_id <> 0),
+       |approx_ex AS (
+       |  SELECT vec_id, adc FROM adc_all ORDER BY adc, vec_id LIMIT 10),
+       |approx_ivf AS (
+       |  SELECT a.vec_id, a.adc FROM adc_all a JOIN cands c ON a.vec_id = c.vec_id
+       |  ORDER BY a.adc, a.vec_id LIMIT 10),
+       |approx_ivf2 AS (
+       |  SELECT a.vec_id, a.adc FROM adc_all a JOIN cands2 c ON a.vec_id = c.vec_id
+       |  ORDER BY a.adc, a.vec_id LIMIT 10),
+       |approx_ivf4 AS (
+       |  SELECT a.vec_id, a.adc FROM adc_all a JOIN cands4 c ON a.vec_id = c.vec_id
+       |  ORDER BY a.adc, a.vec_id LIMIT 10),
+       |${pqLearnedCbCtes()},
+       |${pqLearnedEncCtes()},
+       |${pqLearnedDtCte()},
+       |${pqLearnedAdcCte()},
+       |$pqLearned2Ctes,
+       |${pqLearnedDtCte("2")},
+       |${pqLearnedAdcCte("2")},
+       |lapprox_ex AS (
+       |  SELECT vec_id, adc FROM ladc_all ORDER BY adc, vec_id LIMIT 10),
+       |lapprox_ivf AS (
+       |  SELECT a.vec_id, a.adc FROM ladc_all a JOIN cands c ON a.vec_id = c.vec_id
+       |  ORDER BY a.adc, a.vec_id LIMIT 10),
+       |lapprox_ex2 AS (
+       |  SELECT vec_id, adc FROM ladc_all2 ORDER BY adc, vec_id LIMIT 10),
+       |exact AS (
+       |  SELECT e.vec_id,
+       |    ${duckSqDist("e.embedding", "q.qv", 1, PqM * PqSub)} AS d
+       |  FROM embeddings e, q WHERE e.vec_id <> 0
+       |  ORDER BY d, e.vec_id LIMIT 10)""".stripMargin
 
   /** Shared PQ CTE chain (DuckDB): codebook + per-(vec, m, code)
     * subspace distances + argmin encode + wide code table — mirrors
@@ -2769,69 +2878,40 @@ object Similarity {
     // recall@10 of the composed IVFADC against exact L2 top-10 (the
     // ivfpq oracle chain verbatim as a CTE, intersected with an exact
     // ranking on the same metric and fold order)
+    // nDCG@10 over the same board: ranks re-derived from each method
+    // list's kept adc, binary relevance = exact-set membership,
+    // integer DCG weights shared with the Spark side
+    "pq_ndcg" -> {
+      val weightCase = DcgWeights.zipWithIndex
+        .map { case (wt, i) => s"WHEN ${i + 1} THEN $wt" }
+        .mkString("CASE r.rk ", " ", " ELSE 0 END")
+      val lists = Seq(
+        "adc_exhaustive" -> "approx_ex", "ivfadc" -> "approx_ivf",
+        "ivfadc_probe2" -> "approx_ivf2", "ivfadc_probe4" -> "approx_ivf4",
+        "adc_exhaustive_learned" -> "lapprox_ex",
+        "ivfadc_learned" -> "lapprox_ivf",
+        "adc_exhaustive_learned2" -> "lapprox_ex2")
+        .map { case (m, cte) =>
+          s"""  SELECT '$m' AS method, vec_id,
+             |    row_number() OVER (ORDER BY adc, vec_id) AS rk
+             |  FROM $cte""".stripMargin }
+        .mkString("\nUNION ALL\n")
+      val dim = PqMethods.map(m => s"('$m')").mkString(", ")
+      s"""$pqBoardCtes,
+         |ranked AS (
+         |$lists),
+         |d AS (
+         |  SELECT r.method, sum($weightCase) AS dcg
+         |  FROM ranked r JOIN exact x ON r.vec_id = x.vec_id
+         |  GROUP BY 1)
+         |SELECT mm.method, CAST(10 AS BIGINT) AS k,
+         |  CAST((CAST(coalesce(d.dcg, 0) AS HUGEINT) * 1000000)
+         |    // $IdcgScaled AS BIGINT) AS ndcg_ppm
+         |FROM (VALUES $dim) mm(method) LEFT JOIN d ON mm.method = d.method
+         |ORDER BY mm.method""".stripMargin
+    },
     "pq_recall" ->
-      s"""$ivfCte,
-         |$pqCtes,
-         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |dt AS (
-         |  SELECT c.code,
-         |${(0 until PqM).map(m =>
-              s"    ${duckSqDist("q.qv", "c.cv", m * PqSub + 1, (m + 1) * PqSub)} AS qd$m")
-              .mkString(",\n")}
-         |  FROM cb c, q),
-         |qb AS (SELECT cid FROM assign WHERE vec_id = 0),
-         |cands AS (SELECT a.vec_id FROM assign a JOIN qb ON a.cid = qb.cid
-         |          WHERE a.vec_id <> 0),
-         |qb2 AS (SELECT cid FROM (
-         |  SELECT cid, row_number() OVER (ORDER BY s DESC, cid) AS rn
-         |  FROM sims WHERE vec_id = 0) WHERE rn <= 2),
-         |cands2 AS (SELECT a.vec_id FROM assign a JOIN qb2 ON a.cid = qb2.cid
-         |           WHERE a.vec_id <> 0),
-         |qb4 AS (SELECT cid FROM (
-         |  SELECT cid, row_number() OVER (ORDER BY s DESC, cid) AS rn
-         |  FROM sims WHERE vec_id = 0) WHERE rn <= 4),
-         |cands4 AS (SELECT a.vec_id FROM assign a JOIN qb4 ON a.cid = qb4.cid
-         |           WHERE a.vec_id <> 0),
-         |adc_all AS (
-         |  SELECT w.vec_id,
-         |    ${graft.functions.ScalarFns.roundSql(
-              "t0.qd0 + t1.qd1 + t2.qd2 + t3.qd3", 6)} AS adc
-         |  FROM wide w
-         |  JOIN dt t0 ON w.c0 = t0.code
-         |  JOIN dt t1 ON w.c1 = t1.code
-         |  JOIN dt t2 ON w.c2 = t2.code
-         |  JOIN dt t3 ON w.c3 = t3.code
-         |  WHERE w.vec_id <> 0),
-         |approx_ex AS (
-         |  SELECT vec_id FROM adc_all ORDER BY adc, vec_id LIMIT 10),
-         |approx_ivf AS (
-         |  SELECT a.vec_id FROM adc_all a JOIN cands c ON a.vec_id = c.vec_id
-         |  ORDER BY a.adc, a.vec_id LIMIT 10),
-         |approx_ivf2 AS (
-         |  SELECT a.vec_id FROM adc_all a JOIN cands2 c ON a.vec_id = c.vec_id
-         |  ORDER BY a.adc, a.vec_id LIMIT 10),
-         |approx_ivf4 AS (
-         |  SELECT a.vec_id FROM adc_all a JOIN cands4 c ON a.vec_id = c.vec_id
-         |  ORDER BY a.adc, a.vec_id LIMIT 10),
-         |${pqLearnedCbCtes()},
-         |${pqLearnedEncCtes()},
-         |${pqLearnedDtCte()},
-         |${pqLearnedAdcCte()},
-         |$pqLearned2Ctes,
-         |${pqLearnedDtCte("2")},
-         |${pqLearnedAdcCte("2")},
-         |lapprox_ex AS (
-         |  SELECT vec_id FROM ladc_all ORDER BY adc, vec_id LIMIT 10),
-         |lapprox_ivf AS (
-         |  SELECT a.vec_id FROM ladc_all a JOIN cands c ON a.vec_id = c.vec_id
-         |  ORDER BY a.adc, a.vec_id LIMIT 10),
-         |lapprox_ex2 AS (
-         |  SELECT vec_id FROM ladc_all2 ORDER BY adc, vec_id LIMIT 10),
-         |exact AS (
-         |  SELECT e.vec_id,
-         |    ${duckSqDist("e.embedding", "q.qv", 1, PqM * PqSub)} AS d
-         |  FROM embeddings e, q WHERE e.vec_id <> 0
-         |  ORDER BY d, e.vec_id LIMIT 10),
+      s"""$pqBoardCtes,
          |hits AS (
          |  SELECT 'adc_exhaustive' AS method, count(*) AS n_hits
          |  FROM exact x JOIN approx_ex a ON x.vec_id = a.vec_id

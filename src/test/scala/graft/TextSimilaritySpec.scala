@@ -651,4 +651,32 @@ class TextSimilaritySpec extends SparkSpec {
     // the decomposition is non-trivial on the shipped corpus
     assert(got.values.toSet.size >= 2, "coreness is constant — vacuous")
   }
+
+  test("nDCG board: every method sandwiched by its recall's best/worst" +
+    " placements, zero iff zero hits") {
+    val ndcg = Similarity.pqNdcg(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    val hits = Similarity.pqRecall(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(ndcg.keySet == hits.keySet)
+    val w = Similarity.DcgWeights
+    val idcg = Similarity.IdcgScaled
+    ndcg.foreach { case (m, n) =>
+      val h = hits(m).toInt
+      assert(n >= 0 && n <= 1000000L, s"$m ndcg out of range")
+      if (h == 0) assert(n == 0, s"$m: hits 0 but ndcg $n")
+      else {
+        // h hits placed best (ranks 1..h) vs worst (ranks 10-h+1..10)
+        val best = w.take(h).sum * 1000000L / idcg
+        val worst = w.takeRight(h).sum * 1000000L / idcg
+        assert(n <= best && n >= worst,
+          s"$m: ndcg $n outside [$worst, $best] for $h hits")
+      }
+    }
+    // the exhaustive method finds all 10 in exact ADC order at this
+    // corpus only if quantization preserved the head — either way the
+    // board must give it at least its recall-worst placement; and at
+    // least one method scores > 0 (the board is not vacuous)
+    assert(ndcg.values.max > 0)
+  }
 }

@@ -1843,6 +1843,54 @@ object Similarity {
     * ANN tier (PQ, RP, graph, SQ8) grades against, served through the
     * S6 cache under ONE key so the whole recall board re-executes the
     * corpus kernel at most once per (session, dir, k). */
+  /** N3/ML-EVAL: leave-one-out kNN CLASSIFIER confusion matrix — the
+    * standard label-quality / embedding-quality diagnostic run before
+    * training on a labeled corpus: every vector is classified by the
+    * majority label of its k=5 nearest neighbors (cosine, self
+    * excluded) and the true-vs-predicted matrix is reported. A strong
+    * diagonal says the embedding space separates the classes (and the
+    * labels are internally consistent); off-diagonal mass names WHICH
+    * classes bleed — mislabeled slices and confusable classes show up
+    * as rows here long before they show up as a bad model.
+    *
+    * Determinism: neighbor rank = (rounded cosine desc, vec_id);
+    * majority vote ties break to the SMALLEST label — both total
+    * orders, both restated verbatim in the oracle. Scale shape: the
+    * brute LOO here is corpus × corpus with a broadcast side (the
+    * eval-set pattern — evaluation corpora are sampled, not 100 TB);
+    * at real scale the neighbor stage routes through the IVF/PQ
+    * machinery above and this operator consumes its candidate lists
+    * unchanged (the vote and matrix are candidate-list algebra). */
+  def knnLabelConfusion(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val q = fanOut(spark,
+      e.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").cast("long").as("label_true")), key = "qid")
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      col("label").cast("long").as("clabel"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("s").desc, col("cid"))
+    val nn = q.crossJoin(broadcast(c))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("label_true"), col("clabel"), col("cid"),
+        graft.functions.ScalarFns.roundN(
+          expr("cosine_sim(qv, cv)"), 6).as("s"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k)
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("nv").desc, col("label_pred"))
+    val pred = nn.groupBy(col("qid"), col("label_true"),
+        col("clabel").as("label_pred"))
+      .agg(count(lit(1)).as("nv"))
+      .withColumn("rv", row_number().over(wv))
+      .filter(col("rv") === 1)
+    pred.groupBy(col("label_true"), col("label_pred"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("label_true", "label_pred")
+  }
+
   /** DCG rank discounts, integer-scaled: W_i = ⌊10⁹ / log₂(i+1)⌋ for
     * ranks 1..10 (StrictMath so the literals are bit-reproducible) —
     * interpolated into BOTH engines' expressions, so the whole nDCG
@@ -2141,6 +2189,8 @@ object Similarity {
     "ivfpq_topk"        -> ((s: SparkSession, d: String) => ivfPqTopk(s, d)),
     "pq_recall"         -> ((s: SparkSession, d: String) => pqRecall(s, d)),
     "pq_ndcg"           -> ((s: SparkSession, d: String) => pqNdcg(s, d)),
+    "knn_label_confusion" -> ((s: SparkSession, d: String) =>
+      knnLabelConfusion(s, d)),
     "pq_codebook_learned" -> ((s: SparkSession, d: String) =>
       pqCodebookLearnedFlat(s, d)),
     "pq_codebook_learned2" -> ((s: SparkSession, d: String) =>
@@ -2878,6 +2928,36 @@ object Similarity {
     // recall@10 of the composed IVFADC against exact L2 top-10 (the
     // ivfpq oracle chain verbatim as a CTE, intersected with an exact
     // ranking on the same metric and fold order)
+    // LOO kNN vote, total orders restated: neighbor rank (cos desc,
+    // cid), vote (count desc, smallest label)
+    "knn_label_confusion" -> {
+      val cos = s"""${duckDot("q.embedding", "c.embedding")}
+         |    / (sqrt(${duckDot("q.embedding", "q.embedding")})
+         |       * sqrt(${duckDot("c.embedding", "c.embedding")}))""".stripMargin
+      s"""WITH s AS (
+         |  SELECT q.vec_id AS qid, CAST(q.label AS BIGINT) AS label_true,
+         |    CAST(c.label AS BIGINT) AS clabel, c.vec_id AS cid,
+         |    ${graft.functions.ScalarFns.roundSql(cos, 6)} AS s
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id),
+         |nn AS (
+         |  SELECT qid, label_true, clabel FROM (
+         |    SELECT qid, label_true, clabel,
+         |      row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid)
+         |        AS rn
+         |    FROM s) WHERE rn <= 5),
+         |v AS (
+         |  SELECT qid, label_true, clabel AS label_pred,
+         |    count(*) AS nv
+         |  FROM nn GROUP BY 1, 2, 3),
+         |p AS (
+         |  SELECT qid, label_true, label_pred FROM (
+         |    SELECT qid, label_true, label_pred,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY nv DESC, label_pred) AS rv
+         |    FROM v) WHERE rv = 1)
+         |SELECT label_true, label_pred, CAST(count(*) AS BIGINT) AS n_vecs
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     // nDCG@10 over the same board: ranks re-derived from each method
     // list's kept adc, binary relevance = exact-set membership,
     // integer DCG weights shared with the Spark side

@@ -679,4 +679,38 @@ class TextSimilaritySpec extends SparkSpec {
     // least one method scores > 0 (the board is not vacuous)
     assert(ndcg.values.max > 0)
   }
+
+  test("kNN confusion matrix: accounts for every vector, and one " +
+    "query's vote matches a driver-side recount") {
+    val cm = Similarity.knnLabelConfusion(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(cm.map(_._2).sum == n, "every vector is classified once")
+    assert(cm.map(_._1).distinct.length == cm.length, "dup matrix cells")
+    // brute recount for query vec 7: 5 nearest by (cos desc, id),
+    // majority label with smallest-label tiebreak
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "embedding", "CAST(label AS BIGINT) AS label")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray, r.getLong(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (a.indices).foreach { i =>
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5) / 1e6
+    }
+    val (qid, qv, qlab) = rows.find(_._1 == 7L).get
+    val nn5 = rows.filter(_._1 != qid)
+      .map { case (id, v, lab) => (id, lab, cos(qv, v)) }
+      .sortBy { case (id, _, s) => (-s, id) }.take(5)
+    val votePred = nn5.groupBy(_._2).map { case (l, o) => (l, o.length) }
+      .toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+    // the (qlab, votePred) cell must exist in the matrix
+    assert(cm.toMap.contains((qlab, votePred)),
+      s"vec 7 votes $votePred from $qlab — cell missing")
+  }
 }

@@ -158,6 +158,51 @@ object TextSignals {
       .limit(k)
   }
 
+  /** N4 per-document KEYWORD EXTRACTION (tf-idf salience) — the
+    * document-side dual of [[bm25Search]] (which ranks docs for a
+    * query; this names each doc's most characteristic terms): the
+    * per-doc top-2 non-stopword terms by normalized term frequency ×
+    * inverse document frequency. The tags a corpus browser / topic
+    * audit shows next to every document.
+    *
+    * LOG-FREE like the BM25 idf (object doc): salience is the exact
+    * rational (tf · N)/(df · dl) in PPM by floor division — BIGINT end
+    * to end, and log is monotone in 1/df so a single term's salience
+    * ranking against itself across docs is unchanged; cross-term the
+    * high-idf emphasis is the documented BM25-family deviation.
+    *
+    * Scale shape: token explode → ONE (doc, term) partial-agg shuffle;
+    * df reaggregates the TF TABLE (type granularity, never the
+    * corpus); scoring joins tf against df KEYED ON THE TERM —
+    * hash-partitioned both sides, no broadcast assumption (the LM
+    * join discipline); the per-doc top-2 is a window over many small
+    * doc groups. */
+  def docKeywordsTfidf(spark: SparkSession, dir: String,
+      topK: Int = 2): DataFrame = {
+    val d = Tables.fanOut(spark, Tables(spark, dir, "documents"))
+      .withColumn("t", toks)
+    val dl = d.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val tf = d.select(col("doc_id"), explode(col("t")).as("term"))
+      .filter(!col("term").isin(TextOps.stopwords: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nn = dl.agg(count(lit(1)).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("salience_ppm").desc, col("tf").desc, col("term"))
+    tf.join(df_, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(nn))
+      .selectExpr("doc_id", "term", "tf", "df",
+        "(tf * nn * 1000000L) div (df * dl) AS salience_ppm")
+      .withColumn("kw_rank", row_number().over(w))
+      .filter(col("kw_rank") <= topK)
+      .select(col("doc_id"), col("kw_rank").cast("long").as("kw_rank"),
+        col("term"), col("tf"), col("df"), col("salience_ppm"))
+      .orderBy("doc_id", "kw_rank")
+  }
+
   /** Coverage gate for the LM quality report (basis points). */
   private val LowCovBp = 5000L
 
@@ -292,7 +337,9 @@ object TextSignals {
     "bpe_merges_learned" -> (bpeMergesLearned _),
     "rep_signals" -> (repSignals _),
     "ngram_lm_quality" -> (ngramLmQuality _),
-    "bm25_search" -> ((s: SparkSession, d: String) => bm25Search(s, d)))
+    "bm25_search" -> ((s: SparkSession, d: String) => bm25Search(s, d)),
+    "doc_keywords_tfidf" -> ((s: SparkSession, d: String) =>
+      docKeywordsTfidf(s, d)))
 
   /** The merge loop unrolled: per round the winner is computed IN-SQL
     * (cnt DESC, pair ASC) and the next repr derives from it via the
@@ -339,6 +386,38 @@ object TextSignals {
     }.mkString(" + ")
     Map(
       "bpe_merges_learned" -> bpeOracle,
+      // same tokenizer, same stopword literal, same ppm floor division
+      "doc_keywords_tfidf" ->
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+           |  FROM documents),
+           |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+           |tf AS (
+           |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (SELECT doc_id, unnest(t) AS term FROM d)
+           |  WHERE term NOT IN (${TextOps.stopArrSql})
+           |  GROUP BY 1, 2),
+           |df AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS df
+           |  FROM tf GROUP BY 1),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM dl),
+           |sc AS (
+           |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           |    CAST((tf.tf * nn.nn * 1000000) // (df.df * dl.dl)
+           |      AS BIGINT) AS salience_ppm
+           |  FROM tf JOIN df ON tf.term = df.term
+           |  JOIN dl ON tf.doc_id = dl.doc_id
+           |  CROSS JOIN nn),
+           |rk AS (
+           |  SELECT doc_id, term, tf, df, salience_ppm,
+           |    CAST(row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY salience_ppm DESC, tf DESC, term)
+           |      AS BIGINT) AS kw_rank
+           |  FROM sc)
+           |SELECT doc_id, kw_rank, term, tf, df, salience_ppm
+           |FROM rk WHERE kw_rank <= 2
+           |ORDER BY doc_id, kw_rank""".stripMargin,
       "ngram_lm_quality" ->
         s"""WITH toks AS (
            |  SELECT doc_id, source,

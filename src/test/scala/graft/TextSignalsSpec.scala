@@ -98,4 +98,38 @@ class TextSignalsSpec extends SparkSpec {
     }
     assert(got == expect)
   }
+
+  test("doc keywords: no stopwords, ≤2 dense-ranked per doc, salience" +
+    " recounted brute for one doc") {
+    import org.apache.spark.sql.functions._
+    val kw = graft.operators.TextSignals.docKeywordsTfidf(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(kw.nonEmpty)
+    assert(kw.forall(r => !graft.operators.TextOps.stopwords.contains(r._3)))
+    kw.groupBy(_._1).foreach { case (d, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(1L to rs.length),
+        s"ranks not dense for doc $d")
+    }
+    // brute recount of doc 3's winning term
+    val docs = Tables(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    val nn = docs.length.toLong
+    val dfMap = docs.flatMap { case (_, t) =>
+      t.filterNot(graft.operators.TextOps.stopwords.contains).distinct
+    }.groupBy(identity).map { case (t, o) => (t, o.length.toLong) }
+    val (_, toks3) = docs.find(_._1 == 3L).get
+    val dl3 = toks3.length.toLong
+    val best = toks3.filterNot(graft.operators.TextOps.stopwords.contains)
+      .groupBy(identity).map { case (t, o) =>
+        (t, o.length.toLong, o.length.toLong * nn * 1000000L /
+          (dfMap(t) * dl3))
+      }.toSeq.sortBy { case (t, tf, s) => (-s, -tf, t) }.head
+    val got3 = kw.filter(r => r._1 == 3L && r._2 == 1L).head
+    assert((got3._3, got3._4, got3._6) == (best._1, best._2, best._3),
+      s"doc 3 keyword drifted: $got3 vs $best")
+  }
 }

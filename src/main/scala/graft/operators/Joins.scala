@@ -495,8 +495,41 @@ object Joins {
         |""".stripMargin)
   }
 
+  /** J-sem: LEFT JOIN predicate placement PINNED as data — the other
+    * classic outer-join trap beside NOT IN ([[notInNullSemantics]]): a
+    * filter on the RIGHT side placed in ON keeps unmatched left rows
+    * (it only gates which pairs match); the same filter in WHERE
+    * evaluates AFTER the join, where the preserved rows' NULLs fail it
+    * — silently converting the outer join to inner. A report that
+    * moves the predicate between the two without noticing drops every
+    * zero-activity customer from the denominator.
+    *
+    * ONE execution pins all three numbers per segment: the ON-form row
+    * count, the preserved (unmatched) count, and the WHERE-form count
+    * = count(o_orderkey) — COUNT over a nullable column skips exactly
+    * the preserved rows, so the identity n_on = n_preserved + n_where
+    * holds by construction and the hash proves both engines implement
+    * the same preserved-row semantics. The unmatched count doubles as
+    * the TPC-H Q13 "customers with zero urgent orders" figure. */
+  def leftJoinFilterSemantics(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH j AS (
+        |  SELECT c.c_mktsegment AS segment, o.o_orderkey AS ok
+        |  FROM customer c LEFT JOIN orders o
+        |    ON o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT')
+        |SELECT segment,
+        |  count(*) AS n_rows_on,
+        |  CAST(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_preserved,
+        |  count(ok) AS n_rows_where
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "not_in_null_semantics" -> (notInNullSemantics _),
+    "left_join_filter_semantics" -> (leftJoinFilterSemantics _),
     "revenue_joinelim" -> (revenueByPriorityJoinElim _),
     "lineitem_bloom_join" -> (lineitemBloomJoin _),
     "event_funnel"      -> (eventFunnel _),
@@ -536,6 +569,20 @@ object Joins {
          |  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
          |  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
          |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    // identical preserved-row semantics stated in DuckDB; count(ok)
+    // skips nulls on both engines
+    "left_join_filter_semantics" ->
+      """WITH j AS (
+        |  SELECT c.c_mktsegment AS segment, o.o_orderkey AS ok
+        |  FROM customer c LEFT JOIN orders o
+        |    ON o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT')
+        |SELECT segment,
+        |  CAST(count(*) AS BIGINT) AS n_rows_on,
+        |  CAST(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_preserved,
+        |  CAST(count(ok) AS BIGINT) AS n_rows_where
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical three-valued logic stated in DuckDB: the null-polluted
     // NOT IN must count zero on both engines
     "not_in_null_semantics" ->

@@ -360,7 +360,43 @@ object Curation {
       .orderBy("source")
   }
 
+  /** REPRODUCIBLE GLOBAL SHUFFLE — the permutation every training run
+    * applies to its corpus before sharding, made a deterministic
+    * FUNCTION OF THE DATA instead of an RNG seed: position = exact
+    * global rank under (md5(doc_id), doc_id). Reruns, resumed jobs and
+    * independent engines derive the identical order — which is what
+    * makes a training run auditable and a data bug bisectable back
+    * through the exact batch sequence.
+    *
+    * Scale shape: the rank is the [[Concentration]] two-phase bucket
+    * decomposition, never a single global sort — the first hex nibble
+    * of the shuffle key range-buckets rows into 16 (hundreds at
+    * 100 TB; hex prefixes are MONOTONE in the key, so a bucket's rows
+    * all rank after every earlier bucket's), in-bucket ranks run in
+    * parallel, and broadcast per-bucket count offsets finish the
+    * global position. The oracle ranks with one naive global window —
+    * the hash match proves the decomposition exact, ties included. */
+  def docShuffleOrder(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("sk"))
+      .withColumn("bucket", substring(col("sk"), 1, 1))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("sk"), col("doc_id"))
+    val local = d.withColumn("lrank", row_number().over(wIn))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = d.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      .withColumn("offset", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select(col("bucket").as("obucket"), col("offset"))
+    local.join(broadcast(offs), col("bucket") === col("obucket"))
+      .select((col("offset") + col("lrank")).as("pos"), col("doc_id"))
+      .orderBy("pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_shuffle_order" -> (docShuffleOrder _),
     "source_mix_apportion" -> (sourceMixApportion _),
     "source_mix_sample" -> (sourceMixSample _),
     "stratified_sample_k" -> ((s: SparkSession, d: String) => stratifiedSampleK(s, d)),
@@ -401,6 +437,12 @@ object Curation {
        |  FROM r)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the naive single-window ground truth the two-phase rank must equal
+    "doc_shuffle_order" ->
+      """SELECT CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS pos, doc_id
+        |FROM documents ORDER BY pos""".stripMargin,
     "source_mix_apportion" ->
       s"""$apportionCte
          |SELECT source, n_avail, allotted FROM alloc

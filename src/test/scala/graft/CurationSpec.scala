@@ -172,4 +172,24 @@ class CurationSpec extends SparkSpec {
       assert(perLang.getOrElse(lang, 0) == math.min(k.toLong, n).toInt, lang)
     }
   }
+
+  test("shuffle order: a bijection onto 1..N, stable across runs, " +
+    "and ordered by the md5 key") {
+    val o1 = graft.operators.Curation.docShuffleOrder(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = Tables(spark, sf0001, "documents").count()
+    assert(o1.length == n)
+    assert(o1.map(_._1).sorted.sameElements(1L to n), "not a bijection")
+    assert(o1.map(_._2).distinct.length == n, "a doc appears twice")
+    // deterministic: a second run derives the identical permutation
+    val o2 = graft.operators.Curation.docShuffleOrder(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(o1.sameElements(o2))
+    // positions follow the md5 total order
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sortedByKey = o1.sortBy { case (_, d) => (md5hex(d.toString), d) }
+    assert(sortedByKey.map(_._1).sameElements(1L to n),
+      "positions disagree with the md5 key order")
+  }
 }

@@ -66,7 +66,11 @@ object PlanDump {
     "price_percentile_semantics", "top_customers_listagg",
     "ivfsq8_topk", "ivfsq8_recall", "shard_manifest",
     "price_outliers_mad", "hourly_forecast_backtest", "knn_sssp", "shard_manifest_appended",
-    "rls_tenant_revenue", "masked_customer_preview")
+    "rls_tenant_revenue", "masked_customer_preview",
+    "neardup_survivors", "orders_mor_vacuumed", "bootstrap_price_means",
+    "bootstrap_price_ci", "neardup_coreness", "item_recs_cooccur",
+    "pq_ndcg", "knn_label_confusion", "doc_keywords_tfidf",
+    "left_join_filter_semantics", "doc_shuffle_order")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

@@ -61,23 +61,33 @@ object Bootstrap {
     }.cast("long")
 
   /** (replica, n_draws, s_cents): one scan fans each order row out to
-    * its B replica draws (map-side), one B-row aggregate finishes. */
-  private def replicaSums(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables(spark, dir, "orders")
-      .select(col("o_orderkey").cast("string").as("k"),
-        (col("o_totalprice").cast("decimal(18,2)") * 100)
-          .cast("long").as("cents"))
-      .select(col("k"), col("cents"),
-        explode(sequence(lit(0), lit(B - 1))).as("replica"))
-    val u = conv(substring(
-      md5(concat(col("k"), lit(":"), col("replica").cast("string"))),
-      1, 8), 16, 10).cast("long")
-    o.select(col("replica").cast("long").as("replica"), col("cents"),
-        multiplicity(u).as("cnt"))
-      .groupBy("replica")
-      .agg(sum(col("cnt")).as("n_draws"),
-        sum(col("cnt") * col("cents")).as("s_cents"))
-  }
+    * its B replica draws (map-side), one B-row aggregate finishes.
+    * The B·n md5 evaluations are the whole bill and they are CPU-bound
+    * — fanned out first (a bench-scale orders file is one split, the
+    * Similarity lesson) — and ResultCache-shared: the means query and
+    * the CI query both consume this one 32-row frame. */
+  private def replicaSums(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|bootstrap_sums|$dir|$B",
+      ttlSeconds = 300) {
+      val o = Tables.fanOut(spark,
+          Tables(spark, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice")),
+          key = "o_orderkey")
+        .select(col("o_orderkey").cast("string").as("k"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        .select(col("k"), col("cents"),
+          explode(sequence(lit(0), lit(B - 1))).as("replica"))
+      val u = conv(substring(
+        md5(concat(col("k"), lit(":"), col("replica").cast("string"))),
+        1, 8), 16, 10).cast("long")
+      o.select(col("replica").cast("long").as("replica"), col("cents"),
+          multiplicity(u).as("cnt"))
+        .groupBy("replica")
+        .agg(sum(col("cnt")).as("n_draws"),
+          sum(col("cnt") * col("cents")).as("s_cents"))
+    }
 
   private def meanMicro(s: org.apache.spark.sql.Column,
       n: org.apache.spark.sql.Column) =

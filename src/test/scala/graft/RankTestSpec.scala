@@ -48,4 +48,35 @@ class RankTestSpec extends SparkSpec {
     // doubled-midrank identity Σ(R2_A + R2_B) = 2·Σranks
     assert(u2a >= 0 && u2a <= 2 * na * nb)
   }
+
+  test("KS statistic matches a driver-side brute recount") {
+    import org.apache.spark.sql.functions._
+    val r = graft.operators.RankTest.segmentKsTest(spark, sf0001)
+      .collect()(0)
+    val (na, nb, dmax, vAt, ppm) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    // brute: collect the two samples, walk the pooled distinct values
+    val rows = Tables(spark, sf0001, "orders")
+      .join(Tables(spark, sf0001, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long"), col("c_mktsegment"))
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    val a = rows.filter(_._2 == "BUILDING").map(_._1).sorted
+    val bb = rows.filter(_._2 == "MACHINERY").map(_._1).sorted
+    assert(na == a.length && nb == bb.length)
+    val vals = (a ++ bb).distinct.sorted
+    var best = 0L; var bestV = Long.MaxValue
+    vals.foreach { v =>
+      val ca = a.count(_ <= v).toLong
+      val cb = bb.count(_ <= v).toLong
+      val d = math.abs(ca * nb - cb * na)
+      if (d > best) { best = d; bestV = v }
+    }
+    assert(dmax == best, s"D numerator drifted: $dmax vs $best")
+    assert(vAt == bestV, s"argmax value drifted: $vAt vs $bestV")
+    assert(ppm == best * 1000000L / (na * nb))
+    assert(ppm > 0 && ppm < 1000000L)
+  }
 }

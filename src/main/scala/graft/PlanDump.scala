@@ -70,7 +70,8 @@ object PlanDump {
     "neardup_survivors", "orders_mor_vacuumed", "bootstrap_price_means",
     "bootstrap_price_ci", "neardup_coreness", "item_recs_cooccur",
     "pq_ndcg", "knn_label_confusion", "doc_keywords_tfidf",
-    "left_join_filter_semantics", "doc_shuffle_order", "segment_ks_test")
+    "left_join_filter_semantics", "doc_shuffle_order", "segment_ks_test",
+    "embedding_centroid_drift")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

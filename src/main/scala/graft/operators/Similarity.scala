@@ -1891,6 +1891,57 @@ object Similarity {
       .orderBy("label_true", "label_pred")
   }
 
+  /** N3/ML-EVAL #2: EMBEDDING-DISTRIBUTION DRIFT by label — the
+    * embedding-space counterpart of the scalar drift monitors
+    * ([[Stats]] TV distance / chi²): per label, the cosine between the
+    * two md5-half corpus slices' CENTROIDS. Cosine near 1 ⇒ the two
+    * halves embed the class identically; a drifted label names WHERE a
+    * re-embedding / upstream change moved the space — the check a
+    * feature platform runs before mixing two embedding snapshots.
+    *
+    * EXACT sufficient statistics: each element contributes
+    * floor(x·2²⁰+½) (the kmeans fixed-point move), so per-(label,
+    * half, dim) sums are order-independent BIGINTs; cosine is
+    * scale-invariant, so the SUM vectors stand in for the means and
+    * dot/norms are pure integer sums too — ONE double division at the
+    * end from identical integer inputs. Scale shape: one explode →
+    * (label, half, dim) partial-agg shuffle (64·|labels|·2 rows out),
+    * dim-keyed self-join at that catalog granularity, 10-row finish. */
+  def embeddingCentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val half = when(
+      substring(md5(col("vec_id").cast("string")), 1, 1) < "8", 1)
+      .otherwise(2)
+    val s = fanOut(spark, e, key = "vec_id")
+      .select(col("label").cast("long").as("label"), half.as("half"),
+        col("embedding"),
+        explode(expr(s"sequence(1, $VecDims)")).as("j"))
+      .select(col("label"), col("half"), col("j"),
+        expr(s"CAST(floor(CAST(element_at(embedding, j) AS DOUBLE)" +
+          s" * CAST($PqScale AS DOUBLE) + 0.5D) AS BIGINT)").as("fix"))
+      .groupBy(col("label"), col("half"), col("j"))
+      .agg(sum(col("fix")).as("sfix"))
+    val s1 = s.filter(col("half") === 1)
+      .select(col("label"), col("j"), col("sfix").as("a"))
+    val s2 = s.filter(col("half") === 2)
+      .select(col("label"), col("j"), col("sfix").as("b"))
+    val dots = s1.join(s2, Seq("label", "j"))
+      .groupBy(col("label"))
+      .agg(sum(col("a") * col("b")).as("dot"),
+        sum(col("a") * col("a")).as("n1sq"),
+        sum(col("b") * col("b")).as("n2sq"))
+    val counts = e.groupBy(col("label").cast("long").as("label"))
+      .agg(sum(when(half === 1, 1L).otherwise(0L)).as("n_h1"),
+        sum(when(half === 2, 1L).otherwise(0L)).as("n_h2"))
+    counts.join(dots, Seq("label"))
+      .select(col("label"), col("n_h1"), col("n_h2"),
+        graft.functions.ScalarFns.roundN(
+          col("dot").cast("double")
+            / (sqrt(col("n1sq").cast("double"))
+              * sqrt(col("n2sq").cast("double"))), 6).as("centroid_cos"))
+      .orderBy("label")
+  }
+
   /** DCG rank discounts, integer-scaled: W_i = ⌊10⁹ / log₂(i+1)⌋ for
     * ranks 1..10 (StrictMath so the literals are bit-reproducible) —
     * interpolated into BOTH engines' expressions, so the whole nDCG
@@ -2191,6 +2242,7 @@ object Similarity {
     "pq_ndcg"           -> ((s: SparkSession, d: String) => pqNdcg(s, d)),
     "knn_label_confusion" -> ((s: SparkSession, d: String) =>
       knnLabelConfusion(s, d)),
+    "embedding_centroid_drift" -> (embeddingCentroidDrift _),
     "pq_codebook_learned" -> ((s: SparkSession, d: String) =>
       pqCodebookLearnedFlat(s, d)),
     "pq_codebook_learned2" -> ((s: SparkSession, d: String) =>
@@ -2928,6 +2980,42 @@ object Similarity {
     // recall@10 of the composed IVFADC against exact L2 top-10 (the
     // ivfpq oracle chain verbatim as a CTE, intersected with an exact
     // ranking on the same metric and fold order)
+    // same fixed-point per-(label, half, dim) BIGINT sums; one double
+    // division at the end from identical integer inputs
+    "embedding_centroid_drift" ->
+      s"""WITH h AS (
+         |  SELECT CAST(label AS BIGINT) AS label,
+         |    CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'
+         |         THEN 1 ELSE 2 END AS half,
+         |    embedding
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT label, half, t.j,
+         |    sum(CAST(floor(CAST(embedding[t.j] AS DOUBLE)
+         |      * CAST($PqScale AS DOUBLE) + 0.5) AS BIGINT)) AS sfix
+         |  FROM h CROSS JOIN generate_series(1, $VecDims) AS t(j)
+         |  GROUP BY 1, 2, 3),
+         |d AS (
+         |  SELECT a.label,
+         |    CAST(sum(a.sfix * b.sfix) AS BIGINT) AS dot,
+         |    CAST(sum(a.sfix * a.sfix) AS BIGINT) AS n1sq,
+         |    CAST(sum(b.sfix * b.sfix) AS BIGINT) AS n2sq
+         |  FROM s a JOIN s b ON a.label = b.label AND a.j = b.j
+         |    AND a.half = 1 AND b.half = 2
+         |  GROUP BY 1),
+         |c AS (
+         |  SELECT label,
+         |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_h1,
+         |    CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_h2
+         |  FROM h GROUP BY 1)
+         |SELECT c.label, c.n_h1, c.n_h2,
+         |  ${graft.functions.ScalarFns.roundSql(
+            "CAST(dot AS DOUBLE) / (sqrt(CAST(n1sq AS DOUBLE)) " +
+              "* sqrt(CAST(n2sq AS DOUBLE)))", 6)} AS centroid_cos
+         |FROM c JOIN d ON c.label = d.label
+         |ORDER BY c.label""".stripMargin,
     // LOO kNN vote, total orders restated: neighbor rank (cos desc,
     // cid), vote (count desc, smallest label)
     "knn_label_confusion" -> {

@@ -713,4 +713,41 @@ class TextSimilaritySpec extends SparkSpec {
     assert(cm.toMap.contains((qlab, votePred)),
       s"vec 7 votes $votePred from $qlab — cell missing")
   }
+
+  test("embedding drift: halves partition each label and the label-0 " +
+    "cosine matches a driver-side fixed-point recount") {
+    val d = Similarity.embeddingCentroidDrift(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(d.length == 10)
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "embedding", "CAST(label AS BIGINT) AS label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def half(id: Long) = if (md5hex(id.toString)(0) < '8') 1 else 2
+    d.foreach { case (lab, n1, n2, cos) =>
+      assert(n1 + n2 == rows.count(_._3 == lab), s"label $lab halves leak")
+      assert(cos >= -1.0 && cos <= 1.0)
+      assert(n1 > 0 && n2 > 0, s"label $lab has an empty half")
+    }
+    // brute fixed-point recount for label 0
+    val l0 = rows.filter(_._3 == 0L)
+    def sumVec(h: Int): Array[Long] = {
+      val s = Array.fill(64)(0L)
+      l0.filter(r => half(r._1) == h).foreach { case (_, v, _) =>
+        v.indices.foreach { j =>
+          s(j) += math.floor(v(j).toDouble * 1048576.0 + 0.5).toLong
+        }
+      }
+      s
+    }
+    val (a, b) = (sumVec(1), sumVec(2))
+    val dot = a.indices.map(j => a(j) * b(j)).sum
+    val expect = math.floor(dot.toDouble /
+      (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble)) * 1e6 + 0.5) / 1e6
+    assert(d.find(_._1 == 0L).get._4 == expect,
+      "label-0 centroid cosine drifted from the fixed-point recount")
+  }
 }

@@ -53,4 +53,18 @@ class BootstrapSpec extends SparkSpec {
     assert(ci.getLong(2) <= ci.getLong(1) && ci.getLong(1) <= ci.getLong(3),
       "point estimate outside the 90% CI")
   }
+
+  test("grouped CI: one row per priority, each interval brackets its " +
+    "own point estimate and is non-degenerate") {
+    val g = Bootstrap.bootstrapGroupCi(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val prios = Tables(spark, sf0001, "orders")
+      .select("o_orderpriority").distinct().count()
+    assert(g.length == prios)
+    g.foreach { case (p, point, lo, hi) =>
+      assert(lo <= hi, s"$p: inverted interval")
+      assert(lo <= point && point <= hi, s"$p: point outside CI")
+      assert(lo < hi, s"$p: degenerate interval (replicas identical)")
+    }
+  }
 }

@@ -71,7 +71,8 @@ object PlanDump {
     "bootstrap_price_ci", "neardup_coreness", "item_recs_cooccur",
     "pq_ndcg", "knn_label_confusion", "doc_keywords_tfidf",
     "left_join_filter_semantics", "doc_shuffle_order", "segment_ks_test",
-    "embedding_centroid_drift", "bootstrap_group_ci")
+    "embedding_centroid_drift", "bootstrap_group_ci",
+    "customer_rfm_segments")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

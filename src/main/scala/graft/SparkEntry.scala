@@ -52,7 +52,7 @@ object SparkEntry {
     Stats.queries ++ RankTest.queries ++ Membership.queries ++
     BitmapOps.queries ++ Sweepline.queries ++ Cep.queries ++
     Cusum.queries ++ Subqueries.queries ++ Sq8.queries ++ Governance.queries ++
-    Bootstrap.queries ++
+    Bootstrap.queries ++ Rfm.queries ++
     graft.functions.TypedAggs.queries ++
     Multimodal.queries ++ Skew.queries ++ graft.streaming.StreamReplay.queries
 
@@ -82,7 +82,7 @@ object SparkEntry {
     Stats.oracles ++ RankTest.oracles ++ Membership.oracles ++
     BitmapOps.oracles ++ Sweepline.oracles ++ Cep.oracles ++
     Cusum.oracles ++ Subqueries.oracles ++ Sq8.oracles ++ Governance.oracles ++
-    Bootstrap.oracles ++
+    Bootstrap.oracles ++ Rfm.oracles ++
     graft.functions.TypedAggs.oracles ++
     Multimodal.oracles ++ Skew.oracles ++ graft.streaming.StreamReplay.oracles
 }

@@ -97,12 +97,63 @@ object Subqueries {
          |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin)
   }
 
+  /** TPC-H Q22 shape — "dormant rich customers": above the
+    * positive-balance average (a global scalar subquery) with no
+    * RECENT orders (NOT EXISTS over the dormancy window — the
+    * `dormant_by_segment` cutoff; every customer in this corpus has
+    * SOME order, so Q22's literal no-orders-ever arm would be a
+    * structural zero), censused per nation. The average comparison is
+    * CROSS-MULTIPLIED into exact integers (cents·n > Σcents — no
+    * decimal-division semantics to align between engines); the scalar
+    * aggregate broadcasts as a 1-row frame and the NOT EXISTS
+    * decorrelates to an anti join (SubqueriesSpec's plan assertion
+    * discipline). */
+  def dormantRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH avgpos AS (
+        |  SELECT sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS s,
+        |    count(*) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c.c_nationkey, count(*) AS n_customers,
+        |  sum(CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS total_acctbal_cents
+        |FROM customer c CROSS JOIN avgpos
+        |WHERE CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * avgpos.n > avgpos.s
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND CAST(o.o_orderdate AS DATE)
+        |                        >= DATE '2001-05-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "small_qty_revenue" -> (smallQtyRevenue _),
     "min_price_per_part" -> (minPricePerPart _),
-    "waiting_suppliers" -> (waitingSuppliers _))
+    "waiting_suppliers" -> (waitingSuppliers _),
+    "dormant_rich_customers" -> (dormantRichCustomers _))
 
   val oracles: Map[String, String] = Map(
+    // same cross-multiplied integers; DuckDB sums cast to BIGINT
+    "dormant_rich_customers" ->
+      """WITH avgpos AS (
+        |  SELECT CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS total_acctbal_cents
+        |FROM customer c CROSS JOIN avgpos
+        |WHERE CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * avgpos.n > avgpos.s
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND CAST(o.o_orderdate AS DATE)
+        |                        >= DATE '2001-05-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical statement; only the µs extractor differs by engine
     "small_qty_revenue" ->
       s"""SELECT p.p_brand,

@@ -65,4 +65,32 @@ class SubqueriesSpec extends SparkSpec {
     val waits = rows.map(_.getLong(1))
     assert(waits.zip(waits.tail).forall { case (a, b) => a >= b })
   }
+
+  test("Q22 shape: scalar-average filter + NOT EXISTS decorrelates; " +
+    "census matches a brute recount") {
+    val df = Subqueries.dormantRichCustomers(spark, sf0001)
+    assert(residualSubqueries(df) == 0,
+      "the scalar aggregate and NOT EXISTS must both decorrelate")
+    val rows = df.collect().map(r =>
+      (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "dormancy window selects nobody — vacuous")
+    // brute recount
+    import org.apache.spark.sql.functions._
+    val cust = Tables(spark, sf0001, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0),
+        r.getAs[Number](1).longValue, r.getLong(2)))
+    val recent = Tables(spark, sf0001, "orders")
+      .filter(to_date(col("o_orderdate")) >= lit("2001-05-01").cast("date"))
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val pos = cust.filter(_._3 > 0)
+    val (s, n) = (pos.map(_._3).sum, pos.length.toLong)
+    val expect = cust
+      .filter(c => c._3 * n > s && !recent(c._1))
+      .groupBy(_._2).map { case (nat, cs) =>
+        (nat, cs.length.toLong, cs.map(_._3).sum)
+      }.toSet
+    assert(rows.toSet == expect, "Q22 census drifted from brute recount")
+  }
 }

@@ -72,7 +72,7 @@ object PlanDump {
     "pq_ndcg", "knn_label_confusion", "doc_keywords_tfidf",
     "left_join_filter_semantics", "doc_shuffle_order", "segment_ks_test",
     "embedding_centroid_drift", "bootstrap_group_ci",
-    "customer_rfm_segments", "dormant_rich_customers")
+    "customer_rfm_segments", "dormant_rich_customers", "volume_shipping")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

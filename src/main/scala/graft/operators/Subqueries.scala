@@ -129,13 +129,64 @@ object Subqueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** TPC-H Q7 shape — "volume shipping": cross-border revenue per ship
+    * year, with the nation dimension playing TWO ROLES in one join
+    * graph (supplier's nation vs customer's nation — distinct aliases
+    * of the same table, the role-playing-dimension feature no other
+    * query here exercises; Q5's cyclic edge uses nation in ONE role).
+    * Nations are split into two trade blocks (key < 12 = WEST) so the
+    * census is populated at every SF — Q7's two-named-nations filter
+    * selects nothing at the smallest corpus; both directions kept,
+    * exact-cent revenue. The tiny nation dim broadcasts twice, the
+    * cross-block predicate rides the broadcast sides, and the fact
+    * joins hash-partition on their keys. */
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT
+        |  CASE WHEN n1.n_nationkey < 12 THEN 'WEST' ELSE 'EAST' END
+        |    AS supp_block,
+        |  CASE WHEN n2.n_nationkey < 12 THEN 'WEST' ELSE 'EAST' END
+        |    AS cust_block,
+        |  year(CAST(l.l_shipdate AS DATE)) AS l_year,
+        |  sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS revenue_cents
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |WHERE (n1.n_nationkey < 12) <> (n2.n_nationkey < 12)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "small_qty_revenue" -> (smallQtyRevenue _),
     "min_price_per_part" -> (minPricePerPart _),
     "waiting_suppliers" -> (waitingSuppliers _),
-    "dormant_rich_customers" -> (dormantRichCustomers _))
+    "dormant_rich_customers" -> (dormantRichCustomers _),
+    "volume_shipping" -> (volumeShipping _))
 
   val oracles: Map[String, String] = Map(
+    // identical statement; DuckDB's year() over DATE matches Spark's
+    "volume_shipping" ->
+      """SELECT
+        |  CASE WHEN n1.n_nationkey < 12 THEN 'WEST' ELSE 'EAST' END
+        |    AS supp_block,
+        |  CASE WHEN n2.n_nationkey < 12 THEN 'WEST' ELSE 'EAST' END
+        |    AS cust_block,
+        |  CAST(year(CAST(l.l_shipdate AS DATE)) AS INT) AS l_year,
+        |  CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |WHERE (n1.n_nationkey < 12) <> (n2.n_nationkey < 12)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // same cross-multiplied integers; DuckDB sums cast to BIGINT
     "dormant_rich_customers" ->
       """WITH avgpos AS (

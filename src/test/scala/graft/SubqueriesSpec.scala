@@ -93,4 +93,28 @@ class SubqueriesSpec extends SparkSpec {
       }.toSet
     assert(rows.toSet == expect, "Q22 census drifted from brute recount")
   }
+
+  test("Q7 shape: both trade directions present every year, revenue " +
+    "mass matches the direction-blind cross-border total") {
+    import org.apache.spark.sql.functions._
+    val rows = Subqueries.volumeShipping(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getInt(2)),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    // exactly the two cross-block directions appear
+    assert(rows.map(x => (x._1._1, x._1._2)).distinct.toSet ==
+      Set(("EAST", "WEST"), ("WEST", "EAST")))
+    // direction-blind recount of the cross-border revenue mass
+    val total = Tables(spark, sf0001, "lineitem").as("l")
+      .join(Tables(spark, sf0001, "orders").as("o"),
+        col("o.o_orderkey") === col("l.l_orderkey"))
+      .join(Tables(spark, sf0001, "customer").as("c"),
+        col("c.c_custkey") === col("o.o_custkey"))
+      .join(Tables(spark, sf0001, "supplier").as("s"),
+        col("s.s_suppkey") === col("l.l_suppkey"))
+      .filter((col("s.s_nationkey") < 12) =!= (col("c.c_nationkey") < 12))
+      .agg(sum((col("l.l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long"))).first().getLong(0)
+    assert(rows.map(_._2).sum == total, "cross-border mass leaked")
+  }
 }

@@ -131,8 +131,12 @@ object Baskets {
         col("n_item").as("n_i"))), Seq("item"))
       .join(broadcast(itemCounts.select(col("l_partkey").as("rec_item"),
         col("n_item").as("n_r"))), Seq("rec_item"))
+      // widen BEFORE multiplying (the [[Bootstrap]] idiom): n_pair²·10⁶
+      // overflows BIGINT once a pair co-occurs in >~3.03M baskets —
+      // fine at bench SFs, not at the operator's 100 TB framing
       .selectExpr("item", "rec_item", "n_pair",
-        "(n_pair * n_pair * 1000000L) div (n_i * n_r) AS cos2_ppm")
+        "CAST(floor((CAST(n_pair AS DECIMAL(38,0)) * n_pair * 1000000)" +
+          " / (n_i * n_r)) AS BIGINT) AS cos2_ppm")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("item")
       .orderBy(col("cos2_ppm").desc, col("n_pair").desc, col("rec_item"))
     scored.withColumn("rec_rank", row_number().over(w))
@@ -198,7 +202,7 @@ object Baskets {
          |  SELECT part_b, part_a, n_pair FROM p),
          |sc AS (
          |  SELECT s.item, s.rec_item, s.n_pair,
-         |    CAST((s.n_pair * s.n_pair * 1000000)
+         |    CAST((CAST(s.n_pair AS HUGEINT) * s.n_pair * 1000000)
          |      // (i.n_item * r.n_item) AS BIGINT) AS cos2_ppm
          |  FROM sym s
          |  JOIN ic i ON s.item = i.l_partkey

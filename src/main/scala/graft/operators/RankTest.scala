@@ -148,7 +148,8 @@ object RankTest {
     val dmax = d.agg(max(col("d_num")).as("d_num_max"))
     d.join(broadcast(dmax), col("d_num") === col("d_num_max"))
       .groupBy(col("n_a"), col("n_b"), col("d_num_max"))
-      .agg(min((col("v") * 100).cast("long")).as("v_at_max_cents"))
+      .agg(min((col("v").cast("decimal(18,2)") * 100).cast("long"))
+        .as("v_at_max_cents"))
       .selectExpr("n_a", "n_b", "d_num_max", "v_at_max_cents",
         "(d_num_max * 1000000L) div (n_a * n_b) AS ks_d_ppm")
       .orderBy("n_a")
@@ -217,7 +218,8 @@ object RankTest {
         |  FROM cum CROSS JOIN t),
         |mx AS (SELECT max(d_num) AS d_num_max FROM d)
         |SELECT d.n_a, d.n_b, mx.d_num_max,
-        |  CAST(min(d.v * 100) AS BIGINT) AS v_at_max_cents,
+        |  CAST(min(CAST(d.v AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |    AS v_at_max_cents,
         |  CAST((mx.d_num_max * 1000000) // (d.n_a * d.n_b) AS BIGINT)
         |    AS ks_d_ppm
         |FROM d JOIN mx ON d.d_num = mx.d_num_max

@@ -296,10 +296,14 @@ object StreamReplay {
     * far-future sentinel that flushes every surviving window. Built
     * once per corpus dir (the [[sessionInputs]] discipline). */
   private[graft] val lateInputs = new ConcurrentHashMap[String, String]()
+  /** Corpus max(ts) millis per dir, recorded while building the late
+    * input so [[assertLateWatermarkProgression]] needs no extra job. */
+  private val lateMaxMs = new ConcurrentHashMap[String, java.lang.Long]()
   private def lateReplayInput(ss: SparkSession, dir: String): String =
     lateInputs.computeIfAbsent(dir, { _ =>
       val batch = ss.read.parquet(graft.Tables.eventsMicros(ss, dir))
       val mx = batch.agg(max(col("ts"))).head().getTimestamp(0)
+      lateMaxMs.put(dir, mx.getTime)
       val freshCut = new java.sql.Timestamp(mx.getTime - 3L * 24 * 3600 * 1000)
       val sentinel = batch.orderBy("event_id").limit(1)
         .withColumn("ts",
@@ -335,6 +339,49 @@ object StreamReplay {
       watch
     })
 
+  /** Fail-fast guard for the four-generation layout above (r8 advice):
+    * the layout depends on an EMPIRICALLY observed Spark behavior (the
+    * late-row filter of batch N uses the watermark committed from
+    * batches ≤ N−2; the progress-reported watermark runs one batch
+    * ahead of that filter). A Spark minor-version change in watermark
+    * commit timing would silently change which rows `late_data_audit`
+    * drops — so instead of trusting the comment, assert the expected
+    * watermark progression straight from StreamingQueryProgress and
+    * abort with a diagnosable message if it ever shifts. Expected
+    * reported watermarks across the four input batches:
+    * [epoch, mx−120h, mx−120h, mx−120h] — batch 2's report is the
+    * value batch 3's filter uses, which is exactly what the layout
+    * needs (gen2 exists only to commit gen1's watermark). */
+  private def assertLateWatermarkProgression(ss: SparkSession, dir: String,
+      progress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])
+      : Unit = {
+    val mxMs: Long = Option(lateMaxMs.get(dir)).map(_.longValue).getOrElse(
+      throw new IllegalStateException(
+        s"late_data_audit: no recorded corpus max ts for $dir"))
+    val horizonMs = mxMs - 120L * 3600 * 1000
+    val inputBatches = progress.filter(_.numInputRows > 0)
+    if (inputBatches.size != 4)
+      throw new IllegalStateException(
+        s"late_data_audit: expected 4 input micro-batches (one per " +
+          s"generation file), saw ${inputBatches.size} — the " +
+          "maxFilesPerTrigger=1 replay contract broke")
+    val wmMs = inputBatches.map { p =>
+      val iso = Option(p.eventTime.get("watermark")).getOrElse(
+        throw new IllegalStateException(
+          "late_data_audit: progress carries no watermark entry"))
+      java.time.Instant.parse(iso).toEpochMilli
+    }
+    val expected = Seq(0L, horizonMs, horizonMs, horizonMs)
+    if (wmMs != expected)
+      throw new IllegalStateException(
+        "late_data_audit: watermark progression shifted — expected " +
+          s"[epoch, mx-120h, mx-120h, mx-120h] = $expected, observed " +
+          s"$wmMs. Spark's watermark commit timing changed (the " +
+          "late-row filter of batch N is pinned to the watermark from " +
+          "batches <= N-2); re-derive the generation layout in " +
+          "lateReplayInput before trusting this query's oracle.")
+  }
+
   /** WATERMARK LATE-DATA ACCOUNTING as graded data — the streaming
     * observability row: how many rows the watermark actually dropped,
     * pinned cross-engine. The hourly windowed aggregate runs with a
@@ -360,7 +407,18 @@ object StreamReplay {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"),
         (col("user_id") < 0).as("is_sentinel"))
       .agg(count(lit(1)).as("n_events"))
-    val emitted = drainToParquet(windowed, "lateaudit")
+    // Drain inline (not via drainToParquet) so the query handle is
+    // still in scope for the watermark-progression assertion below.
+    val out = newReplayDir("graft_lateaudit_out_")
+    val query = windowed.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", newReplayDir("graft_lateaudit_ckpt_"))
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try query.awaitTermination() finally query.stop()
+    assertLateWatermarkProgression(ss, dir, query.recentProgress.toIndexedSeq)
+    val emitted = ss.read.parquet(out)
       .filter(!col("is_sentinel"))
     val totals = graft.Tables(ss, dir, "events")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))

@@ -414,6 +414,21 @@ object GraphOps {
     bfsFrom(spark,
       spark.read.parquet(maintainedEdges(spark, dir).root))
 
+  /** ERASURE propagation into the kNN edge files (r8 verdict #1):
+    * erasing a vector must retire every edge row that references it —
+    * src OR dst — or a graph walk keeps routing through (and
+    * returning) the erased id. The delete delta is [[IndexErasure]]'s
+    * position-delete file set over the stored deg-2 edge dir; the
+    * walk runs over the DV-filtered view, so surviving components may
+    * legitimately FRAGMENT where an erased vector was the bridge —
+    * exactly what the oracle's surviving-edge walk computes. Seeds
+    * derive from the surviving edges (an erased seed is gone with its
+    * edges), matching the seeds-from-edges rule of the base query. */
+  def knnBfsHopsErased(spark: SparkSession, dir: String): DataFrame =
+    bfsFrom(spark,
+      IndexErasure.erasedView(spark, knnEdgesDir(spark, dir),
+        IndexErasure.erased(col("src")) || IndexErasure.erased(col("dst"))))
+
   // ----------------------------------------------------------------
   // GRAPH-ANN SEARCH (r7 verdict #2): the graph built above, finally
   // TRAVERSED FOR RETRIEVAL — NSW-style beam search, the navigation
@@ -593,6 +608,7 @@ object GraphOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bfs_hops" -> (knnBfsHops(_, _)),
+    "knn_bfs_hops_erased" -> (knnBfsHopsErased(_, _)),
     "knn_sssp" -> (knnSsspDeficit(_, _)),
     "knn_bfs_hops_maintained" -> (knnBfsHopsMaintained(_, _)),
     "graph_ann_topk" -> ((s: SparkSession, d: String) => graphAnnTopk(s, d)),
@@ -745,6 +761,28 @@ object GraphOps {
          |  UNION
          |  SELECT e.dst AS vec_id, w.hop + 1 AS hop
          |  FROM walk w JOIN edges e ON e.src = w.vec_id
+         |  WHERE w.hop < $MaxHops)
+         |SELECT vec_id, CAST(min(hop) AS BIGINT) AS hop
+         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the erased twin: the SAME edge derivation (the stored graph was
+    // built on the full corpus — list rows are retired, the graph is
+    // never rebuilt), then every edge touching an erased vector is
+    // dropped and the walk runs over the survivors; seeds re-derive
+    // from the surviving edge set
+    "knn_bfs_hops_erased" ->
+      s"""WITH RECURSIVE $edgeCtes,
+         |sedges AS (
+         |  SELECT src, dst FROM edges
+         |  WHERE ${IndexErasure.survivorSql("src")}
+         |    AND ${IndexErasure.survivorSql("dst")}),
+         |seeds AS (
+         |  SELECT DISTINCT src AS vec_id FROM sedges
+         |  WHERE src % $SeedMod = 0),
+         |walk AS (
+         |  SELECT vec_id, 0 AS hop FROM seeds
+         |  UNION
+         |  SELECT e.dst AS vec_id, w.hop + 1 AS hop
+         |  FROM walk w JOIN sedges e ON e.src = w.vec_id
          |  WHERE w.hop < $MaxHops)
          |SELECT vec_id, CAST(min(hop) AS BIGINT) AS hop
          |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,

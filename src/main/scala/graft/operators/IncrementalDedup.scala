@@ -524,10 +524,52 @@ object IncrementalDedup {
         sum(when(col("verdict") === "new", 1L).otherwise(0L)).as("n_new"))
       .orderBy("source")
 
+  /** ERASURE propagation into the dedup signature index (r8 verdict
+    * #1): an erased document's index row (normalized hash, MinHash
+    * bands, gram-hash set) IS derived personal data — left in place,
+    * the next ingest batch still matches against the erased text's
+    * fingerprint. The delete delta is [[IndexErasure]]'s
+    * position-delete file set over the base index partition (erased
+    * class md5-nibble 'a' ⊂ base — disjoint from the incoming hexes
+    * {0,1} by construction); classification runs the SAME
+    * [[classifyFromIndexes]] join algebra over the DV-filtered view.
+    * Semantics the oracle pins: a batch doc whose only duplicate was
+    * an erased base doc now classifies as 'new' — dedup forgets what
+    * it was told to forget. */
+  private[graft] def verdictsErased(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      pins += df.persist(StorageLevel.MEMORY_AND_DISK); df
+    }
+    try graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|incremental_dedup_erased|$dir",
+      ttlSeconds = 300) {
+      classifyIndexed(spark,
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source")),
+        IndexErasure.erasedView(spark, indexPath(spark, dir),
+          IndexErasure.erased(col("doc_id"))), pin,
+        Some(spark.read.parquet(incIndexPath(spark, dir))))
+    } finally pins.foreach { df =>
+      try { df.unpersist(); () } catch { case _: Throwable => () }
+    }
+  }
+
+  /** GRADED: the per-source accounting against the ERASED index. */
+  def incrementalDedupErased(spark: SparkSession, dir: String): DataFrame =
+    verdictsErased(spark, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(when(col("verdict") === "exact", 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("verdict") === "near", 1L).otherwise(0L)).as("n_near"),
+        sum(when(col("verdict") === "new", 1L).otherwise(0L)).as("n_new"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "incremental_dedup"            -> (incrementalDedupStats _),
     "incremental_dedup_docs"       -> (incrementalDedupDocs _),
     "incremental_dedup_indexed"    -> (incrementalDedupIndexed _),
+    "incremental_dedup_erased"     -> (incrementalDedupErased _),
     "incremental_dedup_maintained" -> (incrementalDedupMaintained _),
     "incremental_dedup_compacted"  -> (incrementalDedupCompacted _))
 
@@ -675,6 +717,21 @@ object IncrementalDedup {
     // same oracle on purpose: the graded claim is that the index-backed
     // plan is result-identical to the inline classifier
     "incremental_dedup_indexed" -> statsOracle,
+    // the erased twin: the base side of every tier (bands, gram sets,
+    // normalized hashes) excludes the erased class — classification
+    // must behave as if the erased corpus docs were never indexed
+    "incremental_dedup_erased" ->
+      (sharedCtes + ",\n" +
+        stageCtes("", incPred, r =>
+          s"(NOT ${incPred(r)} AND NOT ${IndexErasure.erasedSql(r)})") + "\n" +
+        s"""SELECT source, count(*) AS n_incoming,
+           |  CAST(sum(CASE WHEN verdict = 'exact' THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_exact,
+           |  CAST(sum(CASE WHEN verdict = 'near' THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_near,
+           |  CAST(sum(CASE WHEN verdict = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_new
+           |FROM v GROUP BY 1 ORDER BY 1""".stripMargin),
     "incremental_dedup_maintained" -> maintainedOracle,
     "incremental_dedup_compacted"  -> compactedOracle)
 }

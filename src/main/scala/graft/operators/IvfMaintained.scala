@@ -83,6 +83,33 @@ object IvfMaintained {
   def cosineTopkIvfMaintained(spark: SparkSession, dir: String,
       k: Int = 10): DataFrame = {
     val st = state(spark, dir)
+    topkFromLists(spark, dir, st, spark.read.parquet(st.root), k)
+  }
+
+  /** ERASURE propagation into the IVF assignment lists (r8 verdict
+    * #1): erasing a vector must retire its list entry or the probe
+    * keeps returning the erased id as a candidate. Delete delta =
+    * [[IndexErasure]]'s position-delete file set over the list files
+    * (erased class md5-nibble 'a' ⊂ the base slice, so only base list
+    * files carry retired rows — and neither base nor day-2 delta
+    * files are touched; spec pins the file set). CENTROIDS STAY
+    * FROZEN — the IVF contract; the coarse quantizer is aggregate
+    * geometry (kept vectors' assignments would be invalidated by a
+    * recluster), so erasure retires LIST ENTRIES, exactly as FAISS
+    * `remove_ids` does. Same oracle shape, candidates restricted to
+    * the surviving ids. */
+  def cosineTopkIvfMaintainedErased(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val st = state(spark, dir)
+    topkFromLists(spark, dir, st,
+      IndexErasure.erasedView(spark, st.root,
+        IndexErasure.erased(col("vec_id"))), k)
+  }
+
+  /** The nprobe=2 rerank over ANY list frame — one definition for the
+    * maintained and erased read paths. */
+  private def topkFromLists(spark: SparkSession, dir: String,
+      st: IvfState, lists: DataFrame, k: Int): DataFrame = {
     graft.plans.VectorExpressions.register(spark)
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -91,7 +118,7 @@ object IvfMaintained {
       .select(col("cid"), expr("cosine_sim(cv, qv)").as("s"))
       .orderBy(col("s").desc, col("cid")).limit(2)
       .select(col("cid"))
-    val cands = spark.read.parquet(st.root)
+    val cands = lists
       .join(broadcast(qprobe), Seq("cid"))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"))
@@ -106,13 +133,19 @@ object IvfMaintained {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cosine_topk_ivf_maintained" -> ((s: SparkSession, d: String) =>
-      cosineTopkIvfMaintained(s, d)))
+      cosineTopkIvfMaintained(s, d)),
+    "cosine_topk_ivf_erased" -> ((s: SparkSession, d: String) =>
+      cosineTopkIvfMaintainedErased(s, d)))
 
   val oracles: Map[String, String] = {
     import Similarity.duckDot
     def cos(a: String, b: String) =
       s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
-    Map("cosine_topk_ivf_maintained" ->
+    // candFilter restricts the candidate lists — "TRUE" for the
+    // maintained index, the survivor predicate for the erased twin
+    // (centroids and assignments re-derive over the FULL base either
+    // way: the quantizer is frozen, erasure retires list rows only)
+    def listsOracle(candFilter: String) =
       s"""WITH base AS (
          |  SELECT * FROM embeddings
          |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) >= '2'),
@@ -149,11 +182,15 @@ object IvfMaintained {
          |    FROM cent c, qv q) WHERE rn <= 2),
          |cand AS (
          |  SELECT l.vec_id FROM lists l JOIN qp USING (cid)
-         |  WHERE l.vec_id <> 0)
+         |  WHERE l.vec_id <> 0 AND $candFilter)
          |SELECT e.vec_id,
          |  ${graft.functions.ScalarFns.roundSql(
             cos("e.embedding", "q.v"), 6)} AS cosine_sim
          |FROM cand JOIN embeddings e USING (vec_id), qv q
-         |ORDER BY cosine_sim DESC, e.vec_id LIMIT 10""".stripMargin)
+         |ORDER BY cosine_sim DESC, e.vec_id LIMIT 10""".stripMargin
+    Map(
+      "cosine_topk_ivf_maintained" -> listsOracle("TRUE"),
+      "cosine_topk_ivf_erased" ->
+        listsOracle(IndexErasure.survivorSql("l.vec_id")))
   }
 }

@@ -483,9 +483,16 @@ object TextOps {
     * query half of the indexed/maintained/compacted family, so the
     * three layouts cannot drift. Buckets computed on the driver land
     * as PartitionFilters: ≤2 of [[TermBuckets]] directories open. */
-  private def phraseFromPostings(spark: SparkSession, path: String): DataFrame = {
+  private def phraseFromPostings(spark: SparkSession, path: String): DataFrame =
+    phraseFromPostingsIdx(spark.read.parquet(path))
+
+  /** Same adjacency resolution over an index FRAME — the erased read
+    * path routes the DV-filtered view through here, so the four
+    * layouts (one-shot, maintained, compacted, erased) share one query
+    * definition and cannot drift. */
+  private def phraseFromPostingsIdx(postings: DataFrame): DataFrame = {
     val buckets = PhraseTerms.map(termBucket).distinct
-    val idx = spark.read.parquet(path)
+    val idx = postings
       .filter(col("tb").isin(buckets: _*) &&
         col("term").isin(PhraseTerms: _*))
     val a = idx.filter(col("term") === PhraseTerms(0))
@@ -612,6 +619,53 @@ object TextOps {
   def phraseSearchCompacted(spark: SparkSession, dir: String): DataFrame =
     phraseFromPostings(spark, compactedPostingsDir(spark, dir))
 
+  // ----------------------------------------------------------------
+  // ERASURE propagation into the postings index (r8 verdict #1):
+  // erasing a document from the corpus must retire its postings too,
+  // or a phrase query keeps surfacing the erased doc's id. The delete
+  // delta is [[IndexErasure]]'s position-delete file set over the
+  // MAINTAINED (base ∪ appended) index — the full lifecycle now reads
+  // build → append → compact → erase, and the erased class (md5
+  // nibble 'a' ⊂ day-1) retires rows from day-1 files only, while
+  // touching neither day-1 nor day-2 files (spec pins the file set).
+  // The PHYSICAL fold then rewrites the index THROUGH the erased view
+  // into clean term-bucket partitions (the [[Erasure]] compaction
+  // move): a raw scan of the folded index contains no erased doc id
+  // at all — bytes gone, not hidden. Both read paths are graded by
+  // the phrase oracle over the SURVIVING corpus: retirement must
+  // reduce to predicate semantics on documents.
+  // ----------------------------------------------------------------
+
+  /** The maintained postings index through the delete delta. */
+  private def erasedPostingsView(spark: SparkSession, dir: String): DataFrame =
+    IndexErasure.erasedView(spark, maintainedPostings(spark, dir).root,
+      IndexErasure.erased(col("doc_id")))
+
+  /** GRADED: phrase search over the DV-erased maintained index. */
+  def phraseSearchErased(spark: SparkSession, dir: String): DataFrame =
+    phraseFromPostingsIdx(erasedPostingsView(spark, dir))
+
+  // physical fold of the erased index, once per (JVM, corpus)
+  private val erasedFoldedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def erasedFoldedPostingsDir(spark: SparkSession,
+      dir: String): String =
+    erasedFoldedDirs.computeIfAbsent(dir, { _ =>
+      val out = graft.Tables.scratchDir("graft_postings_e_").getAbsolutePath
+      erasedPostingsView(spark, dir)
+        .repartition(TermBuckets, col("tb"))
+        .sortWithinPartitions("tb", "term", "doc_id", "pos")
+        .write.mode("overwrite").partitionBy("tb").parquet(out)
+      out
+    })
+
+  /** GRADED: phrase search over the PHYSICAL erasure fold — plain
+    * scan, no delete files; same surviving-corpus oracle, and
+    * `IndexErasureSpec` asserts a raw scan of the folded files
+    * contains zero erased doc ids. */
+  def phraseSearchErasedFolded(spark: SparkSession, dir: String): DataFrame =
+    phraseFromPostings(spark, erasedFoldedPostingsDir(spark, dir))
+
   /** BOOLEAN retrieval over the STORED postings index — the other half
     * of an inverted index's query surface next to positional phrase
     * search: `join AND hash AND NOT slow`, evaluated as postings
@@ -624,10 +678,23 @@ object TextOps {
     * raw corpus, so the grade proves the index lossless for boolean
     * queries too. */
   val BoolTerms: Seq[String] = Seq("join", "hash", "slow")
-  def booleanSearchIndexed(spark: SparkSession, dir: String): DataFrame = {
+  def booleanSearchIndexed(spark: SparkSession, dir: String): DataFrame =
+    booleanFromPostings(spark.read.parquet(postingsDir(spark, dir)))
+
+  /** GRADED: the boolean query over the DV-erased ONE-SHOT postings
+    * index — [[IndexErasure]]'s delete delta applied to the second
+    * stored-postings layout (the maintained root carries the phrase
+    * twins); oracle = the EXISTS/NOT-EXISTS restatement over the
+    * surviving corpus. */
+  def booleanSearchIndexedErased(spark: SparkSession, dir: String): DataFrame =
+    booleanFromPostings(
+      IndexErasure.erasedView(spark, postingsDir(spark, dir),
+        IndexErasure.erased(col("doc_id"))))
+
+  private def booleanFromPostings(postings: DataFrame): DataFrame = {
     val terms = BoolTerms
     val buckets = terms.map(termBucket).distinct
-    val idx = spark.read.parquet(postingsDir(spark, dir))
+    val idx = postings
       .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
       .select(col("doc_id"), col("source"), col("term")).distinct()
     val a = idx.filter(col("term") === terms(0))
@@ -643,6 +710,9 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "boolean_search_indexed" -> (booleanSearchIndexed _),
+    "boolean_search_erased" -> (booleanSearchIndexedErased _),
+    "phrase_search_erased" -> (phraseSearchErased _),
+    "phrase_search_erased_folded" -> (phraseSearchErasedFolded _),
     "heavy_hitters_exact" -> (heavyHittersExact _),
     "phrase_search_indexed" -> (phraseSearchIndexed _),
     "phrase_search_maintained" -> (phraseSearchMaintained _),
@@ -684,12 +754,12 @@ object TextOps {
     // the +1 adjacency offset cancels against Spark's 0-based pos).
     // ONE definition serves both phrase queries: the stored index is a
     // layout change and must be lossless to hash-match.
-    val phraseOracle =
+    def phraseOracleOver(docFilter: String) =
       s"""WITH p AS (
          |  SELECT doc_id, source,
          |    unnest(string_split(text, ' ')) AS term,
          |    generate_subscripts(string_split(text, ' '), 1) AS pos
-         |  FROM documents),
+         |  FROM documents WHERE $docFilter),
          |q AS (SELECT * FROM p
          |      WHERE term IN ('${PhraseTerms(0)}', '${PhraseTerms(1)}')),
          |hits AS (
@@ -701,6 +771,12 @@ object TextOps {
          |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |  CAST(count(*) AS BIGINT) AS n_occurrences
          |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin
+    val phraseOracle = phraseOracleOver("TRUE")
+    // the erased twins: the SAME phrase query, restated over the
+    // SURVIVING corpus — the oracle knows nothing of delete files;
+    // the retirement must reduce to predicate semantics
+    val phraseErasedOracle =
+      phraseOracleOver(IndexErasure.survivorSql("doc_id"))
     Map(
       // deliberately the NAIVE full-vocabulary plan: grading the
       // two-phase MG form against it proves the candidate pruning
@@ -736,6 +812,21 @@ object TextOps {
       // growth and folding are layout changes, graded by the same SQL
       "phrase_search_maintained" -> phraseOracle,
       "phrase_search_compacted" -> phraseOracle,
+      "phrase_search_erased" -> phraseErasedOracle,
+      "phrase_search_erased_folded" -> phraseErasedOracle,
+      "boolean_search_erased" ->
+        s"""WITH t AS (
+          |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+          |  FROM documents
+          |  WHERE ${IndexErasure.survivorSql("doc_id")}),
+          |p AS (SELECT DISTINCT doc_id, source, term FROM t)
+          |SELECT a.source, CAST(count(*) AS BIGINT) AS n_docs
+          |FROM (SELECT doc_id, source FROM p WHERE term = 'join') a
+          |WHERE EXISTS (SELECT 1 FROM p b
+          |        WHERE b.doc_id = a.doc_id AND b.term = 'hash')
+          |  AND NOT EXISTS (SELECT 1 FROM p c
+          |        WHERE c.doc_id = a.doc_id AND c.term = 'slow')
+          |GROUP BY 1 ORDER BY a.source""".stripMargin,
       "phrase_search" -> phraseOracle,
       // same sequential-rule semantics, same token/char definitions as
       // the Spark side; DuckDB regexp_replace needs the 'g' flag to

@@ -46,7 +46,7 @@ object SparkEntry {
     IncrementalDedup.queries ++ RpSketch.queries ++ Scd.queries ++
     Compaction.queries ++ ZOrder.queries ++ BloomIndex.queries ++ Vacuum.queries ++ Attribution.queries ++ Wap.queries ++ IvfMaintained.queries ++
     RangeJoin.queries ++ Integrity.queries ++ Formats.queries ++
-    MergeOnRead.queries ++ Ivm.queries ++ MvServe.queries ++ Packing.queries ++
+    MergeOnRead.queries ++ Ivm.queries ++ JoinIvm.queries ++ MergeInto.queries ++ MvServe.queries ++ Packing.queries ++
     Pii.queries ++ Baskets.queries ++ GraphOps.queries ++ Cohorts.queries ++
     Skyline.queries ++ Concentration.queries ++ Erasure.queries ++
     Stats.queries ++ RankTest.queries ++ Membership.queries ++
@@ -76,7 +76,7 @@ object SparkEntry {
     IncrementalDedup.oracles ++ RpSketch.oracles ++ Scd.oracles ++
     Compaction.oracles ++ ZOrder.oracles ++ BloomIndex.oracles ++ Vacuum.oracles ++ Attribution.oracles ++ Wap.oracles ++ IvfMaintained.oracles ++
     RangeJoin.oracles ++ Integrity.oracles ++ Formats.oracles ++
-    MergeOnRead.oracles ++ Ivm.oracles ++ MvServe.oracles ++ Packing.oracles ++
+    MergeOnRead.oracles ++ Ivm.oracles ++ JoinIvm.oracles ++ MergeInto.oracles ++ MvServe.oracles ++ Packing.oracles ++
     Pii.oracles ++ Baskets.oracles ++ GraphOps.oracles ++ Cohorts.oracles ++
     Skyline.oracles ++ Concentration.oracles ++ Erasure.oracles ++
     Stats.oracles ++ RankTest.oracles ++ Membership.oracles ++

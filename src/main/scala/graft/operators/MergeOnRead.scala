@@ -444,7 +444,7 @@ object MergeOnRead {
     val hx = "substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)"
     def inList(hexes: Seq[String]) = hexes.map(c => s"'$c'").mkString(", ")
     s"""WITH f AS (
-       |  SELECT o_orderkey,
+       |  SELECT o_orderkey, o_custkey,
        |    CASE WHEN $hx IN (${inList(UpdSlices(2)._2)}) THEN 'U2'
        |         WHEN $hx IN (${inList(UpdSlices(1)._2)}) THEN 'U1'
        |         WHEN $hx IN (${inList(UpdSlices(0)._2)}) THEN 'U0'

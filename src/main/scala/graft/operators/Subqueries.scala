@@ -161,7 +161,98 @@ object Subqueries {
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
   }
 
+  /** TPC-H Q19 shape — "discounted revenue": the OR-of-ANDs
+    * disjunction over brand × size × quantity bands, stated exactly
+    * as a user writes it (one WHERE with three conjunctive arms).
+    * The PLAN-BEHAVIOR pin: a naive evaluation keeps the whole
+    * disjunction above the join — every lineitem row joins before
+    * filtering; Catalyst's CNF extraction
+    * (extractPredicatesWithinOutputSet under
+    * PushExtraPredicateThroughJoin) derives each side's COMMON-FACTOR
+    * disjunction (`l_quantity` bands OR'd together; `p_brand`/`p_size`
+    * bands likewise) and pushes them below the join into both scans —
+    * `SubqueriesSpec` asserts the lineitem scan carries a
+    * quantity-band data filter and the part scan a brand filter.
+    * At 100 TB that pushdown is the difference between scanning the
+    * 3 quantity bands' row groups and joining the whole fact. */
+  def bandedBrandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(bandedBrandSql)
+  }
+
+  private val bandedBrandSql =
+    s"""SELECT p.p_brand, count(*) AS n_items,
+       |  CAST(sum(${cents("l.l_extendedprice")}) AS BIGINT)
+       |    AS revenue_cents
+       |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       |WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 5
+       |       AND l.l_quantity BETWEEN 1 AND 11)
+       |   OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
+       |       AND l.l_quantity BETWEEN 10 AND 20)
+       |   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+       |       AND l.l_quantity BETWEEN 20 AND 30)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q18 shape — "large-volume customers": the group-HAVING
+    * semi join (orders whose total lineitem quantity exceeds the
+    * threshold, then the full customer×order detail for exactly
+    * those). The IN over a grouped-having subquery decorrelates to
+    * aggregate → semi join — the inner lineitem is scanned ONCE at
+    * order granularity, never per outer row (spec-asserted
+    * subquery-free). Quantities graded in exact cents. */
+  def largeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(largeVolumeSql)
+  }
+
+  private val QtyCentsThreshold = 30000L // 300 units, exact cents
+
+  private val largeVolumeSql =
+    s"""SELECT c.c_custkey, o.o_orderkey,
+       |  ${cents("o.o_totalprice")} AS totalprice_cents,
+       |  CAST(sum(${cents("l.l_quantity")}) AS BIGINT) AS sum_qty_cents
+       |FROM customer c
+       |JOIN orders o ON c.c_custkey = o.o_custkey
+       |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |WHERE o.o_orderkey IN (
+       |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+       |  HAVING sum(${cents("l_quantity")}) > $QtyCentsThreshold)
+       |GROUP BY 1, 2, 3
+       |ORDER BY sum_qty_cents DESC, o_orderkey""".stripMargin
+
+  /** TPC-H Q15 shape — "top supplier": max over an aggregate VIEW,
+    * ties KEPT (the spec's point — Q15 explicitly returns every
+    * supplier attaining the maximum, and the deterministic order is
+    * the supplier key, not an arbitrary limit 1). Revenue =
+    * Σ price_cents·(100 − discount_pct), exact integers (the discount
+    * multiply cleared of doubles); the scalar max decorrelates to a
+    * 1-row broadcast against the same view — the view is computed
+    * once, not once per supplier. */
+  def topSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(topSupplierSql)
+  }
+
+  private val topSupplierSql =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey,
+       |    sum(${cents("l_extendedprice")}
+       |      * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+       |                    AS BIGINT))) AS total_rev
+       |  FROM lineitem
+       |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+       |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+       |  GROUP BY 1)
+       |SELECT s.s_suppkey, s.s_name,
+       |  CAST(r.total_rev AS BIGINT) AS total_rev
+       |FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+       |WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+       |ORDER BY s.s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "banded_brand_revenue" -> (bandedBrandRevenue _),
+    "large_volume_customers" -> (largeVolumeCustomers _),
+    "top_supplier_revenue" -> (topSupplierRevenue _),
     "small_qty_revenue" -> (smallQtyRevenue _),
     "min_price_per_part" -> (minPricePerPart _),
     "waiting_suppliers" -> (waitingSuppliers _),
@@ -169,6 +260,13 @@ object Subqueries {
     "volume_shipping" -> (volumeShipping _))
 
   val oracles: Map[String, String] = Map(
+    // the three r9 shapes: identical statements — the cents casts and
+    // date comparisons are already engine-aligned; counts cast BIGINT
+    "banded_brand_revenue" ->
+      bandedBrandSql.replace("count(*) AS n_items",
+        "CAST(count(*) AS BIGINT) AS n_items"),
+    "large_volume_customers" -> largeVolumeSql,
+    "top_supplier_revenue" -> topSupplierSql,
     // identical statement; DuckDB's year() over DATE matches Spark's
     "volume_shipping" ->
       """SELECT

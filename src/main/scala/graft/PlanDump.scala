@@ -56,6 +56,7 @@ object PlanDump {
     "cosine_topk_ivf_erased", "incremental_dedup_erased",
     "orders_join_ivm", "orders_merge_into", "banded_brand_revenue",
     "large_volume_customers", "top_supplier_revenue", "revenue_cbo_reordered",
+    "orders_json_dlq_streamed",
     "orders_mor_checkpointed", "orders_mor_ckpt_asof", "segment_rank_sum",
     "media_phash_index", "orders_spec_evolved_agg", "fuzzy_join_qgram",
     "hourly_ewma", "events_debounced", "events_debounced_streamed",

@@ -29,7 +29,7 @@ object Formats {
   private val orcDirs = new ConcurrentHashMap[String, String]()
   private val jsonDirs = new ConcurrentHashMap[String, String]()
 
-  private val TsFmt = "yyyy-MM-dd HH:mm:ss"
+  private[graft] val TsFmt = "yyyy-MM-dd HH:mm:ss"
 
   private[graft] val OrdersCsvSchema = StructType(Seq(
     StructField("o_orderkey", LongType),
@@ -71,7 +71,7 @@ object Formats {
       f.getAbsolutePath
     })
 
-  private def agg(df: DataFrame): DataFrame =
+  private[graft] def agg(df: DataFrame): DataFrame =
     df.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
@@ -122,15 +122,25 @@ object Formats {
       dlqDir: String)
   private val dlqStates = new ConcurrentHashMap[String, DlqState]()
 
+  // the poisoned feed (round-trip JSONL + a bad-lines file, as text),
+  // shared by the batch split and the streamed replay twin
+  private val poisonFeeds = new ConcurrentHashMap[String, String]()
+  private[graft] def poisonedFeedDir(spark: SparkSession,
+      sfDir: String): String =
+    poisonFeeds.computeIfAbsent(sfDir, { _ =>
+      import spark.implicits._
+      val feed = Tables.scratchDir("graft_dlq_feed_").getAbsolutePath
+      spark.read.text(jsonOrdersDir(spark, sfDir))
+        .write.mode("overwrite").text(feed)
+      PoisonLines.toDF("value").coalesce(1)
+        .write.mode("append").text(feed)
+      feed
+    })
+
   private[graft] def dlqState(spark: SparkSession, sfDir: String): DlqState =
     dlqStates.computeIfAbsent(sfDir, { _ =>
-      import spark.implicits._
       val root = Tables.scratchDir("graft_dlq_").getAbsolutePath
-      // the poisoned feed: round-trip JSONL + a bad-lines file, as text
-      spark.read.text(jsonOrdersDir(spark, sfDir))
-        .write.mode("overwrite").text(s"$root/feed")
-      PoisonLines.toDF("value").coalesce(1)
-        .write.mode("append").text(s"$root/feed")
+      val feedDir = poisonedFeedDir(spark, sfDir)
       // ONE permissive parse, split by the corrupt marker
       val schema = OrdersCsvSchema.add("_corrupt_record",
         org.apache.spark.sql.types.StringType)
@@ -142,7 +152,7 @@ object Formats {
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .option("timestampFormat", TsFmt)
-        .json(s"$root/feed")
+        .json(feedDir)
         .cache()
       try {
         parsed.filter(col("_corrupt_record").isNull)
@@ -324,7 +334,7 @@ object Formats {
     "orders_evolved_agg" -> (ordersEvolvedAgg(_, _)),
     "orders_spec_evolved_agg" -> (ordersSpecEvolvedAgg(_, _)))
 
-  private val AggSql =
+  private[graft] val AggSql =
     """SELECT o_orderpriority, count(*) AS n_orders,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
       |    AS total_price,

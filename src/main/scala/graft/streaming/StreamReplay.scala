@@ -887,7 +887,73 @@ object StreamReplay {
     drainToParquet(stream, "hsample").orderBy("doc_id")
   }
 
+  // ----------------------------------------------------------------
+  // STREAMED dead-letter queue (r8 verdict #7): the batch PERMISSIVE
+  // split (`orders_json_dlq_agg`, Formats.dlqState) run as a real
+  // micro-batch ingest — each batch of raw text lines parses with the
+  // IDENTICAL DataFrameReader (same schema, PERMISSIVE mode, corrupt
+  // column, timestamp format), clean rows land in the good sink and
+  // broken lines divert to the DLQ sink PER BATCH, both stamped with
+  // the batch id (provenance: WHICH ingest batch carried the poison).
+  // Graded by the batch oracle VERBATIM — the split must cost zero
+  // good rows under any chopping (the heavy_hitters_streamed
+  // discipline); `StreamingSpec`'s chop-invariance arm compares the
+  // landed multisets against the batch split's.
+  // ----------------------------------------------------------------
+  private val dlqRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def dlqStreamRoot(outer: SparkSession, dir: String): String =
+    dlqRoots.computeIfAbsent(dir, { _ =>
+      val ss = replaySession(outer)
+      val root = newReplayDir("graft_dlqstream_")
+      val feed = graft.operators.Formats.poisonedFeedDir(ss, dir)
+      val schema = graft.operators.Formats.OrdersCsvSchema
+        .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+      val stream = ss.readStream
+        .option("maxFilesPerTrigger", "1").text(feed)
+      val query = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", newReplayDir("graft_dlqstream_ckpt_"))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            val s = batch.sparkSession
+            import s.implicits._
+            val parsed = s.read.schema(schema)
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", "_corrupt_record")
+              .option("timestampFormat", graft.operators.Formats.TsFmt)
+              .json(batch.select(col("value")).as[String])
+              .cache()
+            try {
+              parsed.filter(col("_corrupt_record").isNull)
+                .drop("_corrupt_record")
+                .withColumn("_batch_id", lit(batchId))
+                .write.mode("append").parquet(s"$root/good")
+              parsed.filter(col("_corrupt_record").isNotNull)
+                .select(col("_corrupt_record").as("raw_line"),
+                  lit(batchId).as("_batch_id"))
+                .write.mode("append").parquet(s"$root/dlq")
+            } finally { parsed.unpersist(blocking = false); () }
+            ()
+        }
+        .start()
+      try query.awaitTermination() finally query.stop()
+      root
+    })
+
+  /** GRADED: the streamed-ingest landed table's aggregate — batch
+    * `orders_json_dlq_agg` oracle verbatim. */
+  def ordersJsonDlqStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val ss = replaySession(spark)
+    val root = dlqStreamRoot(spark, dir)
+    graft.operators.Formats.agg(
+      ss.read.parquet(s"$root/good").drop("_batch_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_json_dlq_streamed" -> (ordersJsonDlqStreamed _),
     "hash_sample_streamed" -> (hashSampleStreamed _),
     "heavy_hitters_streamed" -> (heavyHittersStreamed _),
     "hourly_anomaly_streamed" -> (hourlyAnomalyStreamed _),
@@ -909,6 +975,9 @@ object StreamReplay {
     "incremental_dedup_streamed" -> (incrementalDedupStreamed _))
 
   val oracles: Map[String, String] = Map(
+    // the batch dead-letter oracle verbatim: streamed per-batch
+    // splitting must cost zero good rows under any chopping
+    "orders_json_dlq_streamed" -> graft.operators.Formats.AggSql,
     // stateless map-only admission ⇒ the streamed sample is the batch
     // sample membership-for-membership; batch oracle verbatim
     "hash_sample_streamed" ->

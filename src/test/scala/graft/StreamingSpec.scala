@@ -556,4 +556,23 @@ class StreamingSpec extends SparkSpec {
     val heavies = batch.map(_.head.asInstanceOf[String]).toSet
     assert(heavies.subsetOf(candSets.last))
   }
+
+  test("streamed DLQ ≡ batch split under per-file chopping: landed " +
+      "good multiset identical, every poison line diverted with batch " +
+      "provenance") {
+    val root = graft.streaming.StreamReplay.dlqStreamRoot(spark, sf0001)
+    val st = graft.operators.Formats.dlqState(spark, sf0001)
+    val sGood = spark.read.parquet(s"$root/good").drop("_batch_id")
+    val bGood = spark.read.parquet(st.goodDir)
+    assert(sGood.count() == bGood.count())
+    assert(sGood.exceptAll(bGood).isEmpty && bGood.exceptAll(sGood).isEmpty)
+    // the DLQ carries exactly the three poison lines, each stamped
+    // with the micro-batch that carried it
+    val dlq = spark.read.parquet(s"$root/dlq").collect()
+    assert(dlq.length == graft.operators.Formats.PoisonLines.length)
+    assert(dlq.map(_.getString(0)).toSet ==
+      graft.operators.Formats.PoisonLines.toSet)
+    assert(dlq.map(_.getLong(1)).distinct.length == 1,
+      "all poison lines live in one feed file -> one batch id")
+  }
 }

@@ -54,8 +54,16 @@ object EditJoin {
     instr(lit("0123456789abcdef"), c) - 1
 
   /** The entity table: clean first-3-word names ∪ planted 1-edit
-    * twins (ids shifted +10⁷) for the md5-hex < '8' half. */
-  private[graft] def entities(spark: SparkSession, dir: String): DataFrame = {
+    * twins (ids shifted +10⁷) for the md5-hex < '8' half — SERVED from
+    * the shared substrate store ([[graft.sources.GramStore.serve]]):
+    * one query uses the frame three times (gram bag + both verify-side
+    * name joins) and the spec re-derives it, so r8-era code re-read
+    * and re-tokenized `documents` per consumer. */
+  private[graft] def entities(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.GramStore.serve(spark, "editents", dir)(
+      entitiesUncached(spark, dir))
+
+  private def entitiesUncached(spark: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(col("text"), " "), t => t =!= "")
     val base = Tables(spark, dir, "documents")
       .select(col("doc_id"), toks.as("t"))

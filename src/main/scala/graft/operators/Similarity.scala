@@ -102,44 +102,39 @@ object Similarity {
   private def neardupPairsUncached(spark: SparkSession, dir: String,
       defer: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // r5 shape — the char variant's playbook at the word regime:
-    // signatures come straight off the RAW gram stream (min is
-    // duplicate-invariant, so the r4-era corpus-wide `distinct` — a
-    // full shuffle of every gram occurrence — bought the signature
-    // pass nothing), emitted by the streaming word_grams generator
-    // (no per-row token/gram array materialization). The one distinct
-    // left is verification's, and it is CANDIDATE-restricted: word
-    // r=1 LSH candidates touch much of the corpus at bench scale, but
-    // regeneration through the generator is one cheap streaming scan,
-    // and the distinct's shuffle is the same either way — while at
-    // corpora where LSH keeps |candidates| ≪ |corpus| the restriction
-    // is the difference between corpus-sized and candidate-sized
-    // exchanges. (r4 measured candidate-restricted regen SLOWER, but
-    // that was with the HOF explode re-materializing every token/gram
-    // array on the second pass — the generator removes exactly that
-    // cost.)
+    // r9 shape: both gram passes read the SHARED distinct substrate
+    // (GramStore — the "materialize a shingle TABLE once and share it
+    // across runs" deployment note of earlier rounds, now literal).
+    // The r5-era raw-stream signature pass and its per-pass text
+    // regeneration are gone; the one distinct left in this builder is
+    // the candidate-pair distinct.
     // MEMORY_AND_DISK: Spark's unified memory manager evicts cached
     // blocks to disk under execution pressure — this cannot starve the
-    // executors' heap at scale. (A 100 TB deployment would materialize
-    // a shingle TABLE once and share it across runs.)
+    // executors' heap at scale.
     // Intermediates are pinned via `defer` ([[cachedWithPins]]):
     // released after the cache's serving copy materializes, on EVERY
     // exit path — a failed build must not leave corpus-sized blocks
     // pinned for the session lifetime.
     def pin(df: DataFrame): DataFrame =
       defer(df.persist(StorageLevel.MEMORY_AND_DISK))
-    // ONE fanned documents frame pinned for BOTH gram passes
-    // (signatures below, candidate set-build further down): the text
-    // column decodes from parquet and crosses the fan-out exchange
-    // once, not per pass.
-    val docs = pin(fanOut(spark, Tables(spark, dir, "documents"))
-      .select(col("doc_id"), col("text")))
+    // ONE shared gram substrate for BOTH gram passes (signatures
+    // below, candidate set-build further down) — and for the exact
+    // set-similarity join and the recall audit outside this file
+    // ([[graft.sources.GramStore.wordGrams3]]: distinct (doc, gram)
+    // scratch parquet, built once per (JVM, corpus)). Sharing the
+    // DISTINCT table with the exact tier is sound here because min()
+    // is duplicate-invariant — the signature over the distinct set
+    // equals the signature over the raw stream — and the r8-era
+    // text-scan regeneration (documents decoded + tokenized per pass)
+    // disappears: both passes are column-pruned scans of the
+    // substrate's files, already split across cores by the parquet
+    // reader (no [[fanOut]] needed).
+    val grams = graft.sources.GramStore.wordGrams3(spark, dir)
+      .select(col("doc_id"), col("tok").as("s"))
     // One shuffle, not four: unpivot the 4 band minhashes to
     // (doc, band, m) rows and self-join on (band, m). Identical
     // candidate set to four per-band joins, but a single exchange.
-    // The signature stage is CPU-bound (one md5 per gram occurrence) —
-    // [[fanOut]] spreads the single bench-scale split across cores.
-    val bands = pin(signaturesFrom(shinglesOf(spark, docs))
+    val bands = pin(signaturesFrom(grams)
       .select(col("doc_id"), explode(array((0 to 3).map(i =>
         struct(lit(i).as("band"), col(s"m$i").as("m"))): _*)).as("bm"))
       .select(col("doc_id"), col("bm.band").as("band"), col("bm.m").as("m")))
@@ -158,10 +153,9 @@ object Similarity {
     // reads them — an eager count here would be a whole extra pass
 
     // SEMI-JOIN REDUCTION before the expensive verification joins: the
-    // broadcast candidate-doc prune is applied to the DOCUMENTS frame,
-    // structurally upstream of the generator, so non-candidate
-    // documents never emit a gram here and the distinct shuffles ∝
-    // candidate shingles.
+    // broadcast candidate-doc prune is applied to the substrate scan,
+    // so non-candidate documents' grams never reach the set build and
+    // its shuffle is ∝ candidate shingles.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
       .distinct()
@@ -191,8 +185,8 @@ object Similarity {
     // gram regeneration — measured as bimodal build times. With the
     // blocks pinned, even a duplicated broadcast build is a cheap
     // cached-block scan.
-    val dgSets = pin(shinglesOf(spark,
-        docs.join(broadcast(candDocs), Seq("doc_id")))
+    val dgSets = pin(grams
+      .join(broadcast(candDocs), Seq("doc_id"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("h")).as("hs")))

@@ -54,6 +54,7 @@ object PlanDump {
     "phrase_search_erased", "phrase_search_erased_folded",
     "boolean_search_erased", "knn_bfs_hops_erased",
     "cosine_topk_ivf_erased", "incremental_dedup_erased",
+    "graph_ann_topk_erased", "graph_ann_recall_erased",
     "orders_join_ivm", "orders_merge_into", "banded_brand_revenue",
     "large_volume_customers", "top_supplier_revenue", "revenue_cbo_reordered",
     "orders_json_dlq_streamed",

@@ -517,6 +517,97 @@ object GraphOps {
       .select(col("vec_id"),
         graft.functions.ScalarFns.roundN(col("cs"), 6).as("cosine_sim"))
 
+  // the ERASED walk's final beam (r8 verdict optional #9 — the graph-
+  // ANN consumer of the kNN edge retirement): same walk, but edges =
+  // the DV-filtered view (every edge touching an erased vector
+  // retired — the SAME delete delta knn_bfs_hops_erased reads) and
+  // entry centroids restricted to survivors, so the beam can neither
+  // route through nor return an erased id. Post-deletion serving is
+  // the half of index maintenance DELETE that actually matters: the
+  // recall row below shows the walk still converges on the survivors.
+  private val beamErasedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def beamErasedDir(spark: SparkSession, dir: String): String =
+    beamErasedDirs.computeIfAbsent(dir, { _ =>
+      graft.plans.VectorExpressions.register(spark)
+      val out = Tables.scratchDir("graft_beam_erased_").getAbsolutePath
+      val e = Tables(spark, dir, "embeddings")
+      val edges = IndexErasure.erasedView(spark, knnEdgesDir(spark, dir),
+        IndexErasure.erased(col("src")) || IndexErasure.erased(col("dst")))
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      def scoreOf(cands: DataFrame): DataFrame =
+        cands.join(e, Seq("vec_id"))
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), expr("cosine_sim(embedding, qv)").as("cs"))
+      val nlist = e.agg(ceil(sqrt(count(lit(1)))).as("nlist"))
+      // entry points: the erased centroids' rows are retired with
+      // their edges, so seeding on one would strand the beam — the
+      // survivor filter is the seed-side half of the retirement
+      val cents = e.crossJoin(broadcast(nlist))
+        .filter(col("vec_id") < col("nlist"))
+        .filter(!IndexErasure.erased(col("vec_id")))
+        .select(col("vec_id"))
+      var beam = scoreOf(cents)
+        .orderBy(col("cs").desc, col("vec_id")).limit(BeamProbes)
+        .localCheckpoint(true)
+      try {
+        for (_ <- 1 to BeamRounds) {
+          val cand = beam.select(col("vec_id")).unionByName(
+              beam.select(col("vec_id"))
+                .join(edges, col("vec_id") === col("src"))
+                .select(col("dst").as("vec_id")))
+            .distinct()
+          val nb = scoreOf(cand)
+            .orderBy(col("cs").desc, col("vec_id")).limit(BeamWidth)
+            .localCheckpoint(true)
+          Similarity.releaseCheckpoint(beam)
+          beam = nb
+        }
+        beam.write.mode("overwrite").parquet(out)
+      } finally Similarity.releaseCheckpoint(beam)
+      out
+    })
+
+  /** GRADED: graph-ANN top-10 AFTER erasure — the beam walk over the
+    * DV-filtered edge view; judged against the identical walk unrolled
+    * in DuckDB over the surviving edge set. */
+  def graphAnnTopkErased(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(beamErasedDir(spark, dir))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("cs").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"),
+        graft.functions.ScalarFns.roundN(col("cs"), 6).as("cosine_sim"))
+
+  /** GRADED: the post-erasure recall row — the erased walk's top-10
+    * against the exact top-10 over the SURVIVING corpus (erasure
+    * changes the ground truth too: an erased vector is not a valid
+    * answer). Shows the walk still converges after edge retirement. */
+  def graphAnnRecallErased(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val res = spark.read.parquet(beamErasedDir(spark, dir))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("cs").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"))
+    // rounded-then-ordered, mirroring [[Similarity.cosineTopk]] (and
+    // the oracle): ties must break at 6-dp precision on both engines
+    val exact = e.filter(col("vec_id") =!= 0)
+      .filter(!IndexErasure.erased(col("vec_id")))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), graft.functions.ScalarFns.roundN(
+        expr("cosine_sim(embedding, qv)"), 6).as("cse"))
+      .orderBy(col("cse").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"))
+    exact.join(res, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(s"graph_beam_b${BeamWidth}_r${BeamRounds}_d2_erased")
+        .as("method"),
+        col("n_overlap"),
+        graft.functions.ScalarFns.roundN(
+          col("n_overlap").cast("double") / 10.0, 4).as("recall_at_10"))
+  }
+
   /** Batch query set: every [[BatchQueryMod]]-th vector (~4 %). */
   private[graft] val BatchQueryMod = 25
 
@@ -622,7 +713,12 @@ object GraphOps {
       graphAnnTopk(s, d, deg = 4)),
     "graph_ann_topk_batch" -> (graphAnnTopkBatch(_, _)),
     "graph_ann_recall_d4" -> ((s: SparkSession, d: String) =>
-      graphAnnRecall(s, d, deg = 4)))
+      graphAnnRecall(s, d, deg = 4)),
+    // DELETE maintenance composed with serving (r8 verdict optional
+    // #9): the walk over the DV-retired edge set, and its recall row
+    // against the surviving-corpus ground truth
+    "graph_ann_topk_erased" -> (graphAnnTopkErased(_, _)),
+    "graph_ann_recall_erased" -> (graphAnnRecallErased(_, _)))
 
   /** DuckDB twin: same IVF multi-probe kNN edge derivation (identical
     * double arithmetic and tie-breaks), then a recursive hop walk —
@@ -722,7 +818,12 @@ object GraphOps {
     * `allcos` scores every vertex once; each round reads only its
     * candidates from it (the SQL mirror of the Spark side's per-round
     * candidate scoring). */
-  private def beamCtes: String = {
+  private def beamCtes: String = beamCtesOver("edges", "")
+
+  /** The walk with the edge table and an optional entry-centroid
+    * predicate pluggable — the erased twin walks `sedges` (survivor
+    * edges) seeded on surviving centroids only. */
+  private def beamCtesOver(edgeTable: String, entryWhere: String): String = {
     import Similarity.duckDot
     def cos(a: String, b: String) =
       s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
@@ -733,7 +834,7 @@ object GraphOps {
          |    row_number() OVER (ORDER BY a.cs DESC, a.vec_id) AS rn
          |  FROM allcos a
          |  WHERE a.vec_id IN (SELECT vec_id FROM $prev)
-         |     OR a.vec_id IN (SELECT e.dst FROM edges e
+         |     OR a.vec_id IN (SELECT e.dst FROM $edgeTable e
          |                     JOIN $prev p ON e.src = p.vec_id)
          |  ) WHERE rn <= $BeamWidth)""".stripMargin
     }.mkString(",\n")
@@ -744,7 +845,8 @@ object GraphOps {
        |entry AS (SELECT cid AS vec_id FROM (
        |  SELECT c.cid, a.cs,
        |    row_number() OVER (ORDER BY a.cs DESC, c.cid) AS rn
-       |  FROM cent c JOIN allcos a ON a.vec_id = c.cid)
+       |  FROM cent c JOIN allcos a ON a.vec_id = c.cid
+       |  $entryWhere)
        |  WHERE rn <= $BeamProbes),
        |b0 AS (SELECT a.vec_id, a.cs FROM allcos a JOIN entry USING (vec_id)),
        |$rounds""".stripMargin
@@ -807,7 +909,57 @@ object GraphOps {
     "graph_ann_topk" -> topkOracle(2),
     "graph_ann_topk_d4" -> topkOracle(4),
     "graph_ann_recall" -> recallOracle(2),
-    "graph_ann_recall_d4" -> recallOracle(4))
+    "graph_ann_recall_d4" -> recallOracle(4),
+    "graph_ann_topk_erased" -> topkErasedOracle,
+    "graph_ann_recall_erased" -> recallErasedOracle)
+
+  /** Survivor edge set: the stored graph is never rebuilt — every
+    * edge touching an erased vector is dropped (the SQL restatement
+    * of the DV retirement). */
+  private def erasedEdgeCte: String =
+    s"""sedges AS (
+       |  SELECT src, dst FROM edges
+       |  WHERE ${IndexErasure.survivorSql("src")}
+       |    AND ${IndexErasure.survivorSql("dst")})""".stripMargin
+
+  private def erasedEntryWhere: String =
+    s"WHERE ${IndexErasure.survivorSql("c.cid")}"
+
+  private def topkErasedOracle: String =
+    s"""WITH $edgeCtes,
+       |$erasedEdgeCte,
+       |${beamCtesOver("sedges", erasedEntryWhere)}
+       |SELECT vec_id,
+       |  ${graft.functions.ScalarFns.roundSql("cs", 6)} AS cosine_sim
+       |FROM b$BeamRounds
+       |WHERE vec_id <> 0 ORDER BY cs DESC, vec_id LIMIT 10""".stripMargin
+
+  private def recallErasedOracle: String = {
+    import Similarity.duckDot
+    val cosR = graft.functions.ScalarFns.roundSql(
+      s"(${duckDot("e.embedding", "q.v")} / " +
+        s"(sqrt(${duckDot("e.embedding", "e.embedding")}) * " +
+        s"sqrt(${duckDot("q.v", "q.v")})))", 6)
+    s"""WITH $edgeCtes,
+       |$erasedEdgeCte,
+       |${beamCtesOver("sedges", erasedEntryWhere)},
+       |res AS (SELECT vec_id FROM (
+       |  SELECT vec_id, cs,
+       |    row_number() OVER (ORDER BY cs DESC, vec_id) AS rn
+       |  FROM b$BeamRounds WHERE vec_id <> 0) WHERE rn <= 10),
+       |exact AS (
+       |  SELECT e.vec_id, $cosR AS cse
+       |  FROM embeddings e, qv q
+       |  WHERE e.vec_id <> 0
+       |    AND ${IndexErasure.survivorSql("e.vec_id")}
+       |  ORDER BY cse DESC, e.vec_id LIMIT 10)
+       |SELECT 'graph_beam_b${BeamWidth}_r${BeamRounds}_d2_erased' AS method,
+       |  CAST(count(*) AS BIGINT) AS n_overlap,
+       |  ${graft.functions.ScalarFns.roundSql("count(*) / 10.0", 4)}
+       |    AS recall_at_10
+       |FROM res JOIN exact USING (vec_id)
+       |ORDER BY method""".stripMargin
+  }
 
   /** The maintained graph re-derived end to end: base chain with
     * rank-based centroids over the base slice, the NSW insert chain

@@ -88,6 +88,18 @@ class IndexErasureSpec extends SparkSpec {
       "BFS over the erased graph reached an erased vector")
   }
 
+  test("graph-ANN beam over the erased edge view: result holds no " +
+      "erased id; recall row well-formed") {
+    val topk = GraphOps.graphAnnTopkErased(spark, sf0001).collect()
+    assert(topk.nonEmpty)
+    assert(topk.forall(r => !isErased(r.getLong(0))),
+      "post-erasure beam walk returned an erased vec_id")
+    val rec = GraphOps.graphAnnRecallErased(spark, sf0001).collect()
+    assert(rec.length == 1)
+    val overlap = rec.head.getLong(1)
+    assert(overlap >= 0 && overlap <= 10)
+  }
+
   test("dedup signature index: erased view clean; a doc whose only " +
       "match was erased flips to 'new'") {
     val root = IncrementalDedup.indexPath(spark, sf0001)

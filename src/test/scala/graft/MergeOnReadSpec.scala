@@ -163,15 +163,23 @@ class MergeOnReadSpec extends SparkSpec {
         sum($"o_totalprice".cast("decimal(18,2)"))
           .cast("decimal(28,2)").as("s"))
       .collect().map(_.toSeq).toSet
-    for (b <- 0 to 2) {
+    // batch → max-seq mapping derives from the files-per-trigger
+    // knob: with mft=2 over the 3-file feed, batch 0 covers seqs 0-1
+    // and batch 1 covers seq 2 — each version must still equal the
+    // from-scratch aggregate at its batch's last applied seq
+    val mft = graft.operators.Ivm.StreamMvFilesPerTrigger
+    val lastSeq = 2
+    val batches = (lastSeq + mft) / mft
+    for (b <- 0 until batches) {
+      val seq = math.min((b + 1) * mft - 1, lastSeq).toLong
       val mv = spark.read.parquet(s"$root/mv/v$b")
         .select($"o_orderstatus", $"n", $"s".cast("decimal(28,2)"))
         .collect().map(_.toSeq).toSet
-      assert(mv == scratchAt(b.toLong),
-        s"batch $b MV diverged: +${(mv -- scratchAt(b.toLong)).take(2)}")
+      assert(mv == scratchAt(seq),
+        s"batch $b MV diverged: +${(mv -- scratchAt(seq)).take(2)}")
     }
     // and the current-version state holds exactly the touched keys
-    val cur = spark.read.parquet(s"$root/current/v2")
+    val cur = spark.read.parquet(s"$root/current/v${batches - 1}")
     val logKeys = spark.read.parquet(
       MergeOnRead.deltaLogDir(spark, sf0001))
       .select($"o_orderkey").distinct().count()

@@ -57,6 +57,10 @@ object PlanDump {
     "graph_ann_topk_erased", "graph_ann_recall_erased",
     "orders_join_ivm", "orders_merge_into", "banded_brand_revenue",
     "large_volume_customers", "top_supplier_revenue", "revenue_cbo_reordered",
+    "shipping_priority", "priority_order_check", "forecast_revenue",
+    "market_share", "product_profit", "returned_items", "important_parts",
+    "ship_buckets", "order_count_distribution", "promo_share",
+    "supplier_census", "growth_suppliers",
     "orders_json_dlq_streamed",
     "orders_mor_checkpointed", "orders_mor_ckpt_asof", "segment_rank_sum",
     "media_phash_index", "orders_spec_evolved_agg", "fuzzy_join_qgram",

@@ -42,7 +42,7 @@ object SparkEntry {
     "orders_dpp_join" -> (Tables.ordersDppJoin _),
   ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
     EventOps.queries ++ CampaignOps.queries ++ TextOps.queries ++
-    Similarity.queries ++ SetJoin.queries ++ EditJoin.queries ++ Curation.queries ++ TextSignals.queries ++
+    Similarity.queries ++ SetJoin.queries ++ EditJoin.queries ++ DupSpans.queries ++ Curation.queries ++ TextSignals.queries ++
     IncrementalDedup.queries ++ RpSketch.queries ++ Scd.queries ++
     Compaction.queries ++ ZOrder.queries ++ BloomIndex.queries ++ Vacuum.queries ++ Attribution.queries ++ Wap.queries ++ IvfMaintained.queries ++
     RangeJoin.queries ++ Integrity.queries ++ Formats.queries ++
@@ -51,7 +51,7 @@ object SparkEntry {
     Skyline.queries ++ Concentration.queries ++ Erasure.queries ++
     Stats.queries ++ RankTest.queries ++ Membership.queries ++
     BitmapOps.queries ++ Sweepline.queries ++ Cep.queries ++
-    Cusum.queries ++ Subqueries.queries ++ Cbo.queries ++ Sq8.queries ++ Governance.queries ++
+    Cusum.queries ++ Subqueries.queries ++ TpchShapes.queries ++ Cbo.queries ++ Sq8.queries ++ Governance.queries ++
     Bootstrap.queries ++ Rfm.queries ++
     graft.functions.TypedAggs.queries ++
     Multimodal.queries ++ Skew.queries ++ graft.streaming.StreamReplay.queries
@@ -72,7 +72,7 @@ object SparkEntry {
     "orders_dpp_join" -> Tables.ordersDppOracle,
   ) ++ Joins.oracles ++ Aggregates.oracles ++ Windows.oracles ++
     EventOps.oracles ++ CampaignOps.oracles ++ TextOps.oracles ++
-    Similarity.oracles ++ SetJoin.oracles ++ EditJoin.oracles ++ Curation.oracles ++ TextSignals.oracles ++
+    Similarity.oracles ++ SetJoin.oracles ++ EditJoin.oracles ++ DupSpans.oracles ++ Curation.oracles ++ TextSignals.oracles ++
     IncrementalDedup.oracles ++ RpSketch.oracles ++ Scd.oracles ++
     Compaction.oracles ++ ZOrder.oracles ++ BloomIndex.oracles ++ Vacuum.oracles ++ Attribution.oracles ++ Wap.oracles ++ IvfMaintained.oracles ++
     RangeJoin.oracles ++ Integrity.oracles ++ Formats.oracles ++
@@ -81,7 +81,7 @@ object SparkEntry {
     Skyline.oracles ++ Concentration.oracles ++ Erasure.oracles ++
     Stats.oracles ++ RankTest.oracles ++ Membership.oracles ++
     BitmapOps.oracles ++ Sweepline.oracles ++ Cep.oracles ++
-    Cusum.oracles ++ Subqueries.oracles ++ Cbo.oracles ++ Sq8.oracles ++ Governance.oracles ++
+    Cusum.oracles ++ Subqueries.oracles ++ TpchShapes.oracles ++ Cbo.oracles ++ Sq8.oracles ++ Governance.oracles ++
     Bootstrap.oracles ++ Rfm.oracles ++
     graft.functions.TypedAggs.oracles ++
     Multimodal.oracles ++ Skew.oracles ++ graft.streaming.StreamReplay.oracles

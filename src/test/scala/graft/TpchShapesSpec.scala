@@ -1,10 +1,13 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Subqueries
+import graft.operators.{Subqueries, TpchShapes}
 
 /** r9 TPC-H shapes: Q19's per-side OR-of-ANDs pushdown, Q18's
-  * group-having semi decorrelation, Q15's kept-ties max-over-view. */
+  * group-having semi decorrelation, Q15's kept-ties max-over-view —
+  * plus the matrix-closing rest (Q3/Q4/Q6/Q8/Q9/Q10/Q11/Q12/Q13/Q14/
+  * Q16/Q20 in operators/TpchShapes): each test pins the shape's
+  * plan-defining behavior, not just its rows. */
 class TpchShapesSpec extends SparkSpec {
 
   private def residualSubqueries(df: org.apache.spark.sql.DataFrame): Int = {
@@ -89,5 +92,101 @@ class TpchShapesSpec extends SparkSpec {
     // ordering contract: ascending supplier key
     val keys = rows.map(_.getLong(0))
     assert(keys.sameElements(keys.sorted))
+  }
+
+  test("Q4 shape: the late-lineitem EXISTS decorrelates to one semi " +
+      "join; counts match a brute recount") {
+    val df = TpchShapes.priorityOrderCheck(spark, sf0001)
+    assert(residualSubqueries(df) == 0,
+      "EXISTS over the fact must become a semi join")
+    val rows = df.collect()
+    assert(rows.nonEmpty, "window + lateness select nothing — vacuous")
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val late = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .filter(unix_micros(col("l_shipdate").cast("timestamp")) -
+        unix_micros(col("o_orderdate").cast("timestamp")) > 5184000000000L)
+      .select(col("l_orderkey")).distinct()
+    val expect = o.filter(col("o_orderdate").cast("date") >= lit("1997-01-01")
+        && col("o_orderdate").cast("date") < lit("1997-07-01"))
+      .join(late, o("o_orderkey") === late("l_orderkey"), "left_semi")
+      .count()
+    assert(rows.map(_.getLong(1)).sum == expect)
+  }
+
+  test("Q6 shape: ALL predicates reach the parquet scan as " +
+      "PushedFilters — no cast wrapper forfeits a scan filter") {
+    val df = TpchShapes.forecastRevenue(spark, sf0001)
+    df.collect()
+    val scans = fileScans(df.queryExecution.executedPlan)
+    assert(scans.size == 1, "Q6 is a single-scan query")
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"$c predicate not pushed: $pushed")
+    // and it selected a non-trivial, non-empty slice
+    val n = df.collect().head.getLong(1)
+    assert(n > 0)
+  }
+
+  test("Q16 shape: the NOT IN plans as ONE anti join and the " +
+      "exclusion is non-vacuous") {
+    val df = TpchShapes.supplierCensus(spark, sf0001)
+    assert(residualSubqueries(df) == 0, "NOT IN must become an anti join")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("anti"),
+      "expected an anti join in the physical plan")
+    val excluded = spark.read.parquet(s"$sf0001/supplier.parquet")
+      .filter(col("s_acctbal") < 2000).count()
+    assert(excluded > 0, "exclusion class empty — the anti join is vacuous")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("Q20 shape: the IN over the two aggregate views decorrelates; " +
+      "every kept supplier really grew 2x on some promo part") {
+    val df = TpchShapes.growthSuppliers(spark, sf0001)
+    assert(residualSubqueries(df) == 0)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "growth threshold selects nobody — vacuous")
+    // brute: per (supp, part) promo cents-qty by year window
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val promo = spark.read.parquet(s"$sf0001/part.parquet")
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    def shipped(y0: String, y1: String) =
+      li.join(promo, li("l_partkey") === promo("p_partkey"))
+        .filter(col("l_shipdate").cast("date") >= lit(y0) &&
+          col("l_shipdate").cast("date") < lit(y1))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum((col("l_quantity").cast("decimal(18,2)") * 100)
+          .cast("bigint")).as("q"))
+    val grown = shipped("1997-01-01", "1998-01-01").as("a")
+      .join(shipped("1996-01-01", "1997-01-01").as("b"),
+        Seq("l_suppkey", "l_partkey"))
+      .filter(col("a.q") > lit(2) * col("b.q"))
+      .select(col("l_suppkey")).distinct().count()
+    assert(rows.length.toLong == grown)
+  }
+
+  test("Q8/Q14 shares: exact-ppm invariants hold (0 <= share <= 1e6, " +
+      "west/promo mass never exceeds the total)") {
+    val q8 = TpchShapes.marketShare(spark, sf0001).collect()
+    assert(q8.nonEmpty)
+    q8.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= r.getLong(2))
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
+    }
+    val q14 = TpchShapes.promoShare(spark, sf0001).collect()
+    assert(q14.length == 1)
+    assert(q14.head.getLong(0) <= q14.head.getLong(1))
+    assert(q14.head.getLong(2) >= 0 && q14.head.getLong(2) <= 1000000L)
+  }
+
+  test("Q13 shape: the distribution's total mass is the customer " +
+      "count (preserved rows land in a bucket, never drop)") {
+    val rows = TpchShapes.orderCountDistribution(spark, sf0001).collect()
+    val custs = spark.read.parquet(s"$sf0001/customer.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == custs)
+    // at least two distinct order-count buckets, or the shape is
+    // degenerate on this corpus
+    assert(rows.length >= 2)
   }
 }

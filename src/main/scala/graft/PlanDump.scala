@@ -51,6 +51,7 @@ object PlanDump {
     "orders_zorder_maintained_box", "orders_wap_audit_log",
     "segment_metrics_observed", "hash_sample_streamed",
     "orders_agg_mv_served", "similarity_join_exact", "lsh_recall_audit",
+    "dup_spans_maximal", "containment_join",
     "phrase_search_erased", "phrase_search_erased_folded",
     "boolean_search_erased", "knn_bfs_hops_erased",
     "cosine_topk_ivf_erased", "incremental_dedup_erased",

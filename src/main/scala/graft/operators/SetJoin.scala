@@ -148,14 +148,131 @@ object SetJoin {
           .as("n_hit"))
   }
 
+  /** Containment threshold τc = 4/5, carried as integers. */
+  private val CTauNum = 4
+  private val CTauDen = 5
+
+  /** GRADED: EXACT CONTAINMENT join — every ORDERED pair where doc A's
+    * shingle set is ≥ 80 % inside doc B's (C(A→B) = |A∩B|/|A| ≥ τc).
+    * Jaccard is symmetric and misses exactly the dedup case LLM
+    * corpora are full of: a short document quoted whole inside a long
+    * one (J = |A|/|B| can be arbitrarily small while C(A→B) = 1).
+    * The prefix argument adapts asymmetrically (Chaudhuri et al.'s
+    * SSJoin framework): |A∩B| ≥ ⌈τc·|A|⌉ means A can exclude at most
+    * |A| − ⌈τc·|A|⌉ of its elements from B, so A's first
+    * |A| − ⌈τc·|A|⌉ + 1 rarest shingles must hit B's FULL set — the
+    * contained side prunes to a prefix, the container side stays
+    * whole (no symmetric length filter exists for containment: any
+    * size may contain a small doc). Candidates = prefix ⋈ full
+    * postings; verification = exact intersection on the full sets,
+    * 5·|A∩B| ≥ 4·|A| in BIGINTs. Skew note: the join's hot side is
+    * the full posting list, but prefix elements are df-RAREST by the
+    * global order, so high-df boilerplate shingles never appear on
+    * the probe side — the same structural exclusion as the Jaccard
+    * prefix. */
+  /** The containment corpus: documents ∪ planted EXCERPTS — the first
+    * max(3, ⌊2n/5⌋) tokens of every md5-nibble < '4' document, id
+    * shifted +2·10⁷ (the [[EditJoin]] planted-twin discipline). The
+    * raw corpus's only ≥ 0.8-containments are mutual near-dup twins,
+    * which Jaccard machinery already finds; a quoted excerpt is the
+    * case containment EXISTS for (C(excerpt→source) = 1 while the
+    * reverse is ~0.4 and Jaccard ~0.4 — invisible at both symmetric
+    * gates), and the plant makes that case provably present at every
+    * SF. */
+  private[graft] def containmentCorpus(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val withToks = base
+      .withColumn("t", graft.functions.Shingles.sparkToks)
+    val k = greatest(lit(3), expr("(2 * size(t)) div 5"))
+    val excerpts = withToks
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "4" &&
+        size(col("t")) >= 3)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        concat_ws(" ", slice(col("t"), lit(1), k)).as("text"))
+    base.unionByName(excerpts)
+  }
+
+  /** Distinct word-3-grams of the containment corpus, served from the
+    * shared scratch owner like the base substrate. */
+  private def containmentGrams(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.GramStore.serve(spark, "wg3cont", dir) {
+      graft.plans.WordGrams.register(spark)
+      containmentCorpus(spark, dir)
+        .select(col("doc_id"), expr("word_grams(text, 3)").as("tok"))
+        .distinct()
+    }
+
+  def containmentJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = containmentGrams(spark, dir)
+    val dfreq = t.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("tok"))
+    val pref = t.join(dfreq, Seq("tok"))
+      .withColumn("rn", row_number().over(w))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("rn") <= col("n")
+        - expr(s"(($CTauNum*n+${CTauDen - 1}) div $CTauDen)") + 1)
+      .select(col("doc_id"), col("tok"))
+    val cand = pref.as("a").join(t.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_sub"), col("b.doc_id").as("doc_sup"))
+      .distinct()
+    val arrs = t.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("tok"))).as("ts"))
+      .withColumn("nn", size(col("ts")).cast("bigint"))
+    cand
+      .join(arrs.select(col("doc_id").as("doc_sub"), col("ts").as("ta"),
+        col("nn").as("n_sub")), Seq("doc_sub"))
+      .join(arrs.select(col("doc_id").as("doc_sup"), col("ts").as("tb")),
+        Seq("doc_sup"))
+      .withColumn("n_inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("bigint"))
+      .filter(lit(CTauDen) * col("n_inter") >= lit(CTauNum) * col("n_sub"))
+      .select(col("doc_sub"), col("doc_sup"), col("n_inter"), col("n_sub"))
+      .orderBy(col("doc_sub"), col("doc_sup"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_join_exact" -> (similarityJoinExact(_, _)),
+    "containment_join" -> (containmentJoin(_, _)),
     "lsh_recall_audit" -> (lshRecallAudit(_, _)))
 
   /** Oracle: the inverted-list formulation — pairs sharing ANY
     * shingle, intersection counted directly, NO prefix/length
     * machinery. Hash equality is the losslessness proof. */
   val oracles: Map[String, String] = Map(
+    // containment: the naive inverted-list form — ordered pairs
+    // sharing ANY shingle, intersection counted directly, no prefix
+    // machinery; hash equality proves the asymmetric filter lossless
+    "containment_join" ->
+      s"""WITH toks0 AS (
+         |  ${graft.functions.Shingles.duckToks}),
+         |toks AS (
+         |  SELECT doc_id, t FROM toks0
+         |  UNION ALL
+         |  SELECT doc_id + 20000000 AS doc_id,
+         |    t[1:greatest(3, (2 * len(t)) // 5)] AS t
+         |  FROM toks0
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+         |    AND len(t) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(${graft.functions.Shingles.duckExpr}) AS s
+         |  FROM toks WHERE len(t) >= 3),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup,
+         |    count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i.doc_sub, i.doc_sup, i.n_inter, sa.n AS n_sub
+         |FROM inter i JOIN sz sa ON sa.doc_id = i.doc_sub
+         |WHERE $CTauDen * i.n_inter >= $CTauNum * sa.n
+         |ORDER BY doc_sub, doc_sup""".stripMargin,
     "similarity_join_exact" ->
       s"""WITH toks AS (
         |  ${graft.functions.Shingles.duckToks}),

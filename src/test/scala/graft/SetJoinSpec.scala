@@ -54,6 +54,37 @@ class SetJoinSpec extends SparkSpec {
     assert(nHit > 0, "LSH missed every true pair — implausible at b=4")
   }
 
+  test("containment join ≡ brute-force quadratic (asymmetric prefix " +
+      "lossless); asymmetry is real on this corpus") {
+    val got = graft.operators.SetJoin.containmentJoin(spark, sf0001)
+      .collect().toSeq
+    // brute over the SAME planted corpus (documents ∪ excerpts)
+    val cdocs = graft.operators.SetJoin.containmentCorpus(spark, sf0001)
+      .select(col("doc_id"), expr("word_grams(text, 3)").as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("tok"))).as("ts"))
+      .withColumn("n", size(col("ts")).cast("bigint"))
+    val a = cdocs.select(col("doc_id").as("doc_sub"), col("ts").as("ta"),
+      col("n").as("n_sub"))
+    val b = cdocs.select(col("doc_id").as("doc_sup"), col("ts").as("tb"))
+    val cbrute = a.crossJoin(b)
+      .filter(col("doc_sub") =!= col("doc_sup"))
+      .withColumn("n_inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("bigint"))
+      .filter(lit(5) * col("n_inter") >= lit(4) * col("n_sub"))
+      .select("doc_sub", "doc_sup", "n_inter", "n_sub")
+      .orderBy("doc_sub", "doc_sup")
+      .collect().toSeq
+    assert(got == cbrute, s"got ${got.size} pairs, brute ${cbrute.size}")
+    assert(got.nonEmpty, "no containment pairs — vacuous")
+    // the operator's reason to exist: at least one contained pair
+    // whose REVERSE direction does not qualify (Jaccard-symmetric
+    // machinery cannot express this set)
+    val dirs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dirs.exists { case (s, p) => !dirs.contains((p, s)) },
+      "every containment is mutual — the asymmetric case is untested")
+  }
+
   test("the filter filters: candidates well below the full pair count") {
     val n = docs.count()
     val allPairs = n * (n - 1) / 2

@@ -429,6 +429,60 @@ object GraphOps {
       IndexErasure.erasedView(spark, knnEdgesDir(spark, dir),
         IndexErasure.erased(col("src")) || IndexErasure.erased(col("dst"))))
 
+  /** GRADED: exact TRIANGLE census of the undirected kNN graph — the
+    * standard graph-quality statistic (a kNN graph whose neighbors
+    * are mutually close is triangle-dense; clustering collapse flags
+    * a broken metric or a disconnected build). The 100 TB shape is
+    * DEGREE ORIENTATION (Cohen's oriented wedge counting / the MR
+    * triangle algorithm): orient every undirected edge from the
+    * endpoint with smaller (degree, id) to the larger, so each
+    * triangle is counted at exactly ONE vertex (its order-minimum)
+    * and — the scale point — the wedge join fans out from each
+    * vertex's OUT-degree, which orientation caps near √|E| even under
+    * power-law skew (a celebrity vertex's million in-edges produce no
+    * wedges at the celebrity; the wedge work lands on the low-degree
+    * side). Clustering coefficient = 3·triangles/wedges in exact ppm
+    * (floor div, both engines). */
+  def knnTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(knnEdgesDir(spark, dir))
+    val und = e.filter(col("src") < col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val deg = und.select(col("src").as("v"))
+      .unionByName(und.select(col("dst").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // total order key: (deg, id) packed into one BIGINT (ids are far
+    // below 1e9 at any bench SF; the packing is the engine-portable
+    // spelling of lexicographic (deg, id))
+    def ord(d: org.apache.spark.sql.Column,
+        v: org.apache.spark.sql.Column) = d * 1000000000L + v
+    val o = und
+      .join(deg.select(col("v").as("src"), col("deg").as("ds")), Seq("src"))
+      .join(deg.select(col("v").as("dst"), col("deg").as("dd")), Seq("dst"))
+      .select(
+        when(ord(col("ds"), col("src")) < ord(col("dd"), col("dst")),
+          col("src")).otherwise(col("dst")).as("a"),
+        when(ord(col("ds"), col("src")) < ord(col("dd"), col("dst")),
+          col("dst")).otherwise(col("src")).as("b"),
+        least(ord(col("ds"), col("src")), ord(col("dd"), col("dst")))
+          .as("orda"),
+        greatest(ord(col("ds"), col("src")), ord(col("dd"), col("dst")))
+          .as("ordb"))
+    val tri = o.as("e1").join(o.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.ordb") < col("e2.ordb"))
+      .select(col("e1.b").as("v"), col("e2.b").as("w"))
+      .join(o.as("c"), col("c.a") === col("v") && col("c.b") === col("w"),
+        "left_semi")
+      .count()
+    val stats = deg.agg(
+      count(lit(1)).as("n_vertices"),
+      (sum(col("deg")) / 2).cast("bigint").as("n_edges"),
+      sum(col("deg") * (col("deg") - 1) / 2).cast("bigint").as("n_wedges"))
+    stats.select(col("n_vertices"), col("n_edges"), col("n_wedges"),
+      lit(tri).as("n_triangles"),
+      (lit(3L) * lit(tri) * 1000000L).cast("bigint")
+        .divide(col("n_wedges")).cast("bigint").as("clustering_ppm"))
+  }
+
   // ----------------------------------------------------------------
   // GRAPH-ANN SEARCH (r7 verdict #2): the graph built above, finally
   // TRAVERSED FOR RETRIEVAL — NSW-style beam search, the navigation

@@ -145,15 +145,19 @@ object Packing {
     * n_docs + n_boundary_cuts rows (spans are token-budget-bounded) —
     * a map-side generate off the two-phase prefix sum, then an
     * NShards-row aggregate. No new shuffle beyond [[positioned]]'s. */
-  def shardManifest(spark: SparkSession, dir: String,
-      genOrdered: Boolean = false): DataFrame = {
+  /** (doc, pack) segment rows of the packed corpus. */
+  private def segments(spark: SparkSession, dir: String,
+      genOrdered: Boolean = false): DataFrame =
     positioned(spark, dir, genOrdered)
       .withColumn("pack_first", expr(s"cum_start div $PackTokens"))
       .withColumn("pack_last", expr(s"(cum_end - 1) div $PackTokens"))
       .select(col("doc_id"), col("tok"), col("pack_first"),
         explode(expr("sequence(pack_first, pack_last)")).as("pack"))
       .withColumn("shard_id", expr(s"pack % $NShards"))
-      .groupBy(col("shard_id"))
+
+  /** The per-shard manifest aggregate over a segment frame. */
+  private def manifestOf(seg: DataFrame): DataFrame =
+    seg.groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_segments"),
         sum(when(col("pack") === col("pack_first"), 1L).otherwise(0L))
           .as("n_docs_start"),
@@ -164,6 +168,56 @@ object Packing {
         sum(expr("((pack % 1000000007) * 2654435761) % 1000000007"))
           .as("pack_checksum"))
       .orderBy("shard_id")
+
+  def shardManifest(spark: SparkSession, dir: String,
+      genOrdered: Boolean = false): DataFrame =
+    manifestOf(segments(spark, dir, genOrdered))
+
+  /** The STORED export: segment rows as parquet, once per (JVM,
+    * corpus) — the physical artifact the shard writer emits, and the
+    * layout erasure must operate on (a GDPR sweep cannot REPACK: that
+    * rewrites and re-ships every shard). */
+  private val exportDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def segmentExportDir(spark: SparkSession,
+      dir: String): String =
+    exportDirs.computeIfAbsent(dir, { _ =>
+      val out = Tables.scratchDir("graft_pack_export_").getAbsolutePath
+      segments(spark, dir).write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** GRADED: the manifest AFTER ERASURE — the sixth derived-index
+    * family under [[IndexErasure]]'s position-delete mechanism (r8
+    * verdict #1 listed packed shards; the other five landed with the
+    * r9 IndexErasure batch). The erased docs' SEGMENT rows retire via
+    * the DV anti join; every surviving doc keeps its ORIGINAL pack id
+    * (frozen layout — pack positions derive from the full-corpus
+    * cumsum, so erasure leaves holes instead of shifting neighbors,
+    * exactly like a DV'd parquet file keeps its row positions). The
+    * oracle re-derives the full-corpus packing and drops erased rows
+    * before aggregating — hash equality pins the frozen-layout
+    * semantics; `IndexErasureSpec` additionally proves a survivor-only
+    * REPACK would have moved documents (the retirement is not a
+    * repack). */
+  def shardManifestErased(spark: SparkSession, dir: String): DataFrame =
+    manifestOf(IndexErasure.erasedView(spark, segmentExportDir(spark, dir),
+      IndexErasure.erased(col("doc_id"))))
+
+  /** Test hook ([[graft.IndexErasureSpec]] only — naive single-window
+    * form like [[positionedNaive]]): pack_first per doc if the
+    * SURVIVORS were repacked from scratch, i.e. what erasure must NOT
+    * do to the stored export. */
+  private[graft] def survivorRepackFirstPacks(spark: SparkSession,
+      dir: String): Map[Long, Long] = {
+    val w = Window.orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .filter(!IndexErasure.erased(col("doc_id")))
+      .withColumn("cum_end", sum(col("tok")).over(w))
+      .withColumn("pack_first", expr(s"(cum_end - tok) div $PackTokens"))
+      .select(col("doc_id"), col("pack_first"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -178,7 +232,8 @@ object Packing {
     // append REPACKS the corpus (= re-exporting every shard).
     "shard_manifest_appended" ->
       ((s: SparkSession, d: String) => shardManifest(s, d,
-        genOrdered = true)))
+        genOrdered = true)),
+    "shard_manifest_erased" -> (shardManifestErased(_, _)))
 
   /** DuckDB twin: the SINGLE-window cumsum ground truth — the graded
     * hash can only match if the two-phase prefix sum is exact. */
@@ -234,6 +289,41 @@ object Packing {
          |  SELECT p.doc_id, p.tok, p.pack_first, u.pack
          |  FROM p, unnest(generate_series(p.pack_first, p.pack_last))
          |    u(pack))
+         |SELECT pack % $NShards AS shard_id,
+         |  count(*) AS n_segments,
+         |  CAST(sum(CASE WHEN pack = pack_first THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_docs_start,
+         |  CAST(sum(CASE WHEN pack = pack_first THEN tok ELSE 0 END)
+         |    AS BIGINT) AS tokens_start,
+         |  CAST(sum(((pack % 1000000007) * 2654435761) % 1000000007)
+         |    AS BIGINT) AS pack_checksum
+         |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // erasure: pack positions from the FULL-corpus cumsum (frozen
+    // layout), erased docs' segments dropped before the aggregate
+    "shard_manifest_erased" -> {
+      val B = PackTokens
+      s"""WITH d AS (
+         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         |    CAST(len(regexp_extract_all(text, '${TextOps.bpePattern}'))
+         |      AS BIGINT) AS tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, tok,
+         |    sum(tok) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_end
+         |  FROM d),
+         |p AS (
+         |  SELECT doc_id, tok,
+         |    CAST((cum_end - tok) // $B AS BIGINT) AS pack_first,
+         |    CAST((cum_end - 1) // $B AS BIGINT) AS pack_last
+         |  FROM c),
+         |seg AS (
+         |  SELECT p.doc_id, p.tok, p.pack_first, u.pack
+         |  FROM p, unnest(generate_series(p.pack_first, p.pack_last))
+         |    u(pack)
+         |  WHERE ${IndexErasure.survivorSql("p.doc_id")})
          |SELECT pack % $NShards AS shard_id,
          |  count(*) AS n_segments,
          |  CAST(sum(CASE WHEN pack = pack_first THEN 1 ELSE 0 END)

@@ -88,6 +88,24 @@ class IndexErasureSpec extends SparkSpec {
       "BFS over the erased graph reached an erased vector")
   }
 
+  test("packed shards: erased segments retired under a FROZEN layout " +
+      "(survivors keep their pack ids; a repack would have moved docs)") {
+    import graft.operators.Packing
+    val root = Packing.segmentExportDir(spark, sf0001)
+    checkFamily(root, IndexErasure.erased(col("doc_id")))
+    // frozen-layout pin: repacking ONLY the survivors assigns at
+    // least one document a different pack than the stored export —
+    // proving the erased view is a retirement, not a repack
+    val stored = spark.read.parquet(root)
+      .filter(!IndexErasure.erased(col("doc_id")))
+      .groupBy(col("doc_id")).agg(min(col("pack")).as("pack"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val repacked = Packing.survivorRepackFirstPacks(spark, sf0001)
+    assert(repacked.exists { case (id, p) => stored(id) != p },
+      "survivor-only repack matched the frozen layout everywhere — " +
+        "the frozen-vs-repack distinction is vacuous on this corpus")
+  }
+
   test("graph-ANN beam over the erased edge view: result holds no " +
       "erased id; recall row well-formed") {
     val topk = GraphOps.graphAnnTopkErased(spark, sf0001).collect()

@@ -77,6 +77,7 @@ object PlanDump {
     "waiting_suppliers", "sq8_topk", "sq8_recall",
     "price_percentile_semantics", "top_customers_listagg",
     "ivfsq8_topk", "ivfsq8_recall", "shard_manifest",
+    "shard_manifest_erased",
     "price_outliers_mad", "hourly_forecast_backtest", "knn_sssp", "shard_manifest_appended",
     "rls_tenant_revenue", "masked_customer_preview",
     "neardup_survivors", "orders_mor_vacuumed", "bootstrap_price_means",

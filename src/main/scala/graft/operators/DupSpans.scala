@@ -34,11 +34,19 @@ import graft.Tables
   *
   * 100 TB shape: shuffles are window-granularity (the match join) and
   * match-granularity (the island window) — never doc × doc. The known
-  * hazard is boilerplate (a high-df window explodes the self-join);
-  * this corpus has none, and a production run df-caps the window
-  * table first (drop windows in > K docs; exactly the cap Lee et al.
-  * apply to their match lists) — the same structural skew exclusion
-  * the [[SetJoin]] prefixes get from rarest-first ordering.
+  * hazard is boilerplate (a high-df window explodes the self-join
+  * quadratically: a licence header shared by 10⁶ docs is 10¹² match
+  * rows), so the graded plan df-caps the window table BEFORE the
+  * match join: windows appearing in > [[DfCap]] distinct docs are
+  * dropped (exactly the cap Lee et al. apply to their match lists) —
+  * the same structural skew exclusion the [[SetJoin]] prefixes get
+  * from rarest-first ordering. The hot set is tiny by construction
+  * (it is the boilerplate vocabulary, not the corpus), so the
+  * exclusion is a broadcast anti join — no shuffle added to the
+  * window table's path beyond the df aggregate itself. This corpus's
+  * max window-df is 4 (probed at sf0.1), so the cap is inert on the
+  * graded board; `DupSpansSpec` plants a 50-doc boilerplate corpus
+  * to prove the cap fires and surviving spans stay exact.
   *
   * Oracle: the identical diagonal-run construction in DuckDB off the
   * shared tokenizer CTE — positions, islands and span lengths must
@@ -49,15 +57,39 @@ object DupSpans {
   /** Detection floor: report every shared run of ≥ 8 tokens. */
   private val W = 8
 
+  /** Boilerplate cap: windows in more than this many distinct docs
+    * are dropped before the match join (Lee et al.'s match-list cap).
+    * Spec-pinned in [[graft.DupSpansSpec]]. */
+  private[graft] val DfCap = 16
+
   /** GRADED: all maximal cross-document duplicated spans — the
     * coordinates an exact-substring scrubber deletes. */
   def dupSpansMaximal(spark: SparkSession, dir: String): DataFrame = {
-    graft.plans.WordGrams.register(spark)
     // fanned out: per-window hashing/joining is CPU-bound and the
     // bench-scale file is one split (Tables.fanOut scaladoc)
-    val g = Tables.fanOut(spark, Tables(spark, dir, "documents"))
-      .select(col("doc_id"),
-        expr(s"word_grams_pos(text, $W)").as(Seq("pos", "s")))
+    spansOf(Tables.fanOut(spark, Tables(spark, dir, "documents")))
+  }
+
+  /** The positioned W-token windows of `docs`, minus the > [[DfCap]]
+    * boilerplate set (broadcast anti join — the hot set is the
+    * boilerplate vocabulary, small by construction). */
+  private[graft] def cappedWindows(docs: DataFrame): DataFrame = {
+    graft.plans.WordGrams.register(docs.sparkSession)
+    val g = docs.select(col("doc_id"),
+      expr(s"word_grams_pos(text, $W)").as(Seq("pos", "s")))
+    val hot = g.groupBy(col("s"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > DfCap)
+      .select(col("s"))
+    g.join(broadcast(hot), Seq("s"), "left_anti")
+      .select(col("doc_id"), col("pos"), col("s"))
+  }
+
+  /** The span pipeline over any (doc_id, text) frame — factored so
+    * [[graft.DupSpansSpec]] can drive it on a planted boilerplate
+    * corpus. */
+  private[graft] def spansOf(docs: DataFrame): DataFrame = {
+    val g = cappedWindows(docs)
     val m = g.as("a").join(g.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -92,10 +124,15 @@ object DupSpans {
          |    LATERAL unnest(generate_series(1, len(t) - ${W - 1}))
          |      AS u(i)
          |  WHERE len(t) >= $W),
+         |hot AS (
+         |  SELECT s FROM g GROUP BY s
+         |  HAVING count(DISTINCT doc_id) > $DfCap),
+         |gk AS (
+         |  SELECT g.doc_id, g.pos, g.s FROM g ANTI JOIN hot USING (s)),
          |m AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    a.pos AS pa, b.pos AS pb
-         |  FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |  FROM gk a JOIN gk b ON a.s = b.s AND a.doc_id < b.doc_id),
          |runs AS (
          |  SELECT doc_a, doc_b, pa - pb AS d, pa, pb,
          |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb

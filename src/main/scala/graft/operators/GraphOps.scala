@@ -443,8 +443,14 @@ object GraphOps {
     * wedges at the celebrity; the wedge work lands on the low-degree
     * side). Clustering coefficient = 3·triangles/wedges in exact ppm
     * (floor div, both engines). */
-  def knnTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = spark.read.parquet(knnEdgesDir(spark, dir))
+  def knnTriangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOf(spark.read.parquet(knnEdgesDir(spark, dir)))
+
+  /** The census over any symmetric edge set — fully lazy (the
+    * triangle count is an aggregate in the returned plan, not a
+    * driver-side count at build time); [[graft.GraphOpsSpec]] grades
+    * it against a brute-force enumeration on a handmade graph. */
+  private[graft] def trianglesOf(e: DataFrame): DataFrame = {
     val und = e.filter(col("src") < col("dst"))
       .select(col("src"), col("dst")).distinct()
     val deg = und.select(col("src").as("v"))
@@ -467,20 +473,26 @@ object GraphOps {
           .as("orda"),
         greatest(ord(col("ds"), col("src")), ord(col("dd"), col("dst")))
           .as("ordb"))
+    // wedge at the order-minimum pivot, closed by the oriented edge
+    // v→w (v precedes w in the total order by construction)
     val tri = o.as("e1").join(o.as("e2"),
         col("e1.a") === col("e2.a") && col("e1.ordb") < col("e2.ordb"))
       .select(col("e1.b").as("v"), col("e2.b").as("w"))
       .join(o.as("c"), col("c.a") === col("v") && col("c.b") === col("w"),
         "left_semi")
-      .count()
+      .agg(count(lit(1)).as("n_triangles"))
     val stats = deg.agg(
       count(lit(1)).as("n_vertices"),
-      (sum(col("deg")) / 2).cast("bigint").as("n_edges"),
-      sum(col("deg") * (col("deg") - 1) / 2).cast("bigint").as("n_wedges"))
-    stats.select(col("n_vertices"), col("n_edges"), col("n_wedges"),
-      lit(tri).as("n_triangles"),
-      (lit(3L) * lit(tri) * 1000000L).cast("bigint")
-        .divide(col("n_wedges")).cast("bigint").as("clustering_ppm"))
+      expr("CAST(sum(deg) div 2 AS BIGINT)").as("n_edges"),
+      expr("CAST(sum((deg * (deg - 1)) div 2) AS BIGINT)").as("n_wedges"))
+    // two 1-row aggregates — the cross join is a driver-free constant
+    stats.crossJoin(tri)
+      .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        // widen before the ×3e6 (the Baskets idiom): BIGINT wraps
+        // silently under ANSI-off once triangles exceed ~3e12
+        expr("CAST((CAST(n_triangles AS DECIMAL(38,0)) * 3000000)" +
+          " div n_wedges AS BIGINT)").as("clustering_ppm"))
   }
 
   // ----------------------------------------------------------------
@@ -772,7 +784,8 @@ object GraphOps {
     // #9): the walk over the DV-retired edge set, and its recall row
     // against the surviving-corpus ground truth
     "graph_ann_topk_erased" -> (graphAnnTopkErased(_, _)),
-    "graph_ann_recall_erased" -> (graphAnnRecallErased(_, _)))
+    "graph_ann_recall_erased" -> (graphAnnRecallErased(_, _)),
+    "knn_triangles" -> (knnTriangles(_, _)))
 
   /** DuckDB twin: same IVF multi-probe kNN edge derivation (identical
     * double arithmetic and tie-breaks), then a recursive hop walk —
@@ -965,7 +978,32 @@ object GraphOps {
     "graph_ann_recall" -> recallOracle(2),
     "graph_ann_recall_d4" -> recallOracle(4),
     "graph_ann_topk_erased" -> topkErasedOracle,
-    "graph_ann_recall_erased" -> recallErasedOracle)
+    "graph_ann_recall_erased" -> recallErasedOracle,
+    // INDEPENDENT formulation on purpose: the naive id-ordered triple
+    // join (a<b<c, all three edges present) — not a restatement of
+    // the Spark side's degree orientation, so hash equality proves
+    // the oriented wedge count itself, not just engine parity
+    "knn_triangles" ->
+      s"""WITH $edgeCtes,
+         |und AS (SELECT DISTINCT src, dst FROM edges WHERE src < dst),
+         |dg AS (
+         |  SELECT v, count(*) AS deg FROM (
+         |    SELECT src AS v FROM und UNION ALL SELECT dst FROM und)
+         |  GROUP BY 1),
+         |wed AS (SELECT sum((deg * (deg - 1)) // 2) AS n_wedges FROM dg),
+         |tri AS (
+         |  SELECT count(*) AS n_triangles
+         |  FROM und e1
+         |  JOIN und e2 ON e2.src = e1.src AND e2.dst > e1.dst
+         |  JOIN und e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+         |SELECT
+         |  CAST((SELECT count(*) FROM dg) AS BIGINT) AS n_vertices,
+         |  CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+         |  CAST(w.n_wedges AS BIGINT) AS n_wedges,
+         |  CAST(t.n_triangles AS BIGINT) AS n_triangles,
+         |  CAST((CAST(t.n_triangles AS HUGEINT) * 3000000)
+         |    // w.n_wedges AS BIGINT) AS clustering_ppm
+         |FROM tri t, wed w""".stripMargin)
 
   /** Survivor edge set: the stored graph is never rebuilt — every
     * edge touching an erased vector is dropped (the SQL restatement

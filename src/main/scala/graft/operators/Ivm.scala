@@ -152,7 +152,10 @@ object Ivm {
   private[graft] val StreamMvFilesPerTrigger = 2
 
   /** Runs the maintenance stream once per (JVM, corpus); returns the
-    * dir holding mv/v0..v2 + current/v0..v2. */
+    * dir holding mv/v0..vN + current/v0..vN where N+1 =
+    * ceil(feedFiles / [[StreamMvFilesPerTrigger]]) — 3 feed files at
+    * 2 per trigger → v0..v1. Cross-batch seq order still relies on
+    * the file source's mod-time ordering (see [[MergeOnRead.feedDir]]). */
   private[graft] def streamedMvRoot(spark: SparkSession, dir: String): String =
     streamedMvDirs.computeIfAbsent(dir, { _ =>
       val root = graft.Tables.scratchDir("graft_ivm_stream_").getAbsolutePath

@@ -124,7 +124,7 @@ object TpchShapes {
   /** WEST-block suppliers' share of ECONOMY-part revenue sold to
     * AMERICA-region customers, per order year — the CASE-mass-inside-
     * group shape, share as exact integer ppm of exact cents. */
-  private def marketShareSql(intDiv: String) =
+  private def marketShareSql(intDiv: String, wide: String = "DECIMAL(38,0)") =
     s"""WITH sales AS (
        |  SELECT year(CAST(o.o_orderdate AS DATE)) AS o_year,
        |    ${cents("l.l_extendedprice")}
@@ -143,8 +143,10 @@ object TpchShapes {
        |  CAST(sum(CASE WHEN is_west = 1 THEN volume_u ELSE 0 END)
        |    AS BIGINT) AS west_revenue_u,
        |  CAST(sum(volume_u) AS BIGINT) AS total_revenue_u,
-       |  CAST((sum(CASE WHEN is_west = 1 THEN volume_u ELSE 0 END)
-       |    * 1000000) $intDiv sum(volume_u) AS BIGINT) AS west_share_ppm
+       |  CAST((sum(CAST(CASE WHEN is_west = 1 THEN volume_u ELSE 0 END
+       |      AS $wide))
+       |    * 1000000) $intDiv sum(CAST(volume_u AS $wide))
+       |    AS BIGINT) AS west_share_ppm
        |FROM sales GROUP BY 1 ORDER BY 1""".stripMargin
 
   def marketShare(spark: SparkSession, dir: String): DataFrame = {
@@ -207,8 +209,9 @@ object TpchShapes {
     * group totals HAVING above a GLOBAL scalar fraction, stated
     * cross-multiplied (value·10⁴ > total·5 ⇔ value > 0.05 % of
     * total): the scalar subquery broadcasts as one row and never
-    * re-aggregates per group (TpchShapesSpec asserts one aggregate of
-    * the fact per arm). */
+    * re-aggregates per group (TpchShapesSpec asserts zero correlated
+    * subqueries and exactly one fact scan per arm, plus a brute
+    * recount of the cross-multiplied HAVING). */
   private val importantPartsSql =
     s"""WITH west_value AS (
        |  SELECT l.l_partkey,
@@ -276,7 +279,7 @@ object TpchShapes {
 
   // ---- Q14: promo revenue share -------------------------------------
   /** Promo parts' share of one month's revenue, as exact ppm. */
-  private def promoShareSql(intDiv: String) =
+  private def promoShareSql(intDiv: String, wide: String = "DECIMAL(38,0)") =
     s"""WITH m AS (
        |  SELECT ${cents("l.l_extendedprice")}
        |      * (100 - ${discPct("l.l_discount")}) AS volume_u,
@@ -288,8 +291,10 @@ object TpchShapes {
        |  CAST(sum(CASE WHEN is_promo = 1 THEN volume_u ELSE 0 END)
        |    AS BIGINT) AS promo_revenue_u,
        |  CAST(sum(volume_u) AS BIGINT) AS total_revenue_u,
-       |  CAST((sum(CASE WHEN is_promo = 1 THEN volume_u ELSE 0 END)
-       |    * 1000000) $intDiv sum(volume_u) AS BIGINT) AS promo_share_ppm
+       |  CAST((sum(CAST(CASE WHEN is_promo = 1 THEN volume_u ELSE 0 END
+       |      AS $wide))
+       |    * 1000000) $intDiv sum(CAST(volume_u AS $wide))
+       |    AS BIGINT) AS promo_share_ppm
        |FROM m""".stripMargin
 
   def promoShare(spark: SparkSession, dir: String): DataFrame = {
@@ -374,13 +379,17 @@ object TpchShapes {
     "shipping_priority" -> shippingPrioritySql,
     "priority_order_check" -> priorityOrderCheckSql("epoch_us"),
     "forecast_revenue" -> forecastRevenueSql,
-    "market_share" -> marketShareSql("//"),
+    // HUGEINT, not DECIMAL(38,0): DuckDB's `//` over DECIMAL operands
+    // degenerates to DOUBLE true division (probed r10 — 59//30 gives
+    // 1.9666…), while HUGEINT `//` floors exactly like Spark's
+    // decimal `div`
+    "market_share" -> marketShareSql("//", wide = "HUGEINT"),
     "product_profit" -> productProfitSql,
     "returned_items" -> returnedItemSql,
     "important_parts" -> importantPartsSql,
     "ship_buckets" -> shipBucketSql("epoch_us"),
     "order_count_distribution" -> orderCountDistSql,
-    "promo_share" -> promoShareSql("//"),
+    "promo_share" -> promoShareSql("//", wide = "HUGEINT"),
     "supplier_census" -> supplierCensusSql,
     "growth_suppliers" -> growthSuppliersSql)
 }

@@ -26,7 +26,8 @@ class ContractSpec extends AnyFunSuite {
       "segment_stats_empty", "segment_stats_cached", "zorder_prune_ratio",
       "value_drift_tv", "join_card_estimate", "spend_gini",
       "segment_rank_sum", "lsh_recall_audit", "not_in_null_semantics",
-      "orders_count_metadata", "sq8_recall", "ivfsq8_recall")
+      "orders_count_metadata", "sq8_recall", "ivfsq8_recall",
+      "forecast_revenue", "promo_share", "knn_triangles")
     // strip parenthesized content so OVER(ORDER BY ...) / subquery
     // ORDER BYs can't satisfy the check
     def topLevel(sql: String): String = {

@@ -201,4 +201,37 @@ class GraphOpsSpec extends SparkSpec {
       if (h(v) > 0) assert(dist > 0L)
     }
   }
+
+  test("triangle census: hand graph matches by-hand counts, and the " +
+      "returned plan is lazy (no job at build time)") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + path 4-5-6 + triangle {6,7,8}
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (6L, 8L), (7L, 8L))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+      .length
+    val df = GraphOps.trianglesOf(sym)
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+      .length == before, "constructing the census plan ran a Spark job")
+    val r = df.collect().head
+    assert(r.getAs[Long]("n_vertices") == 8L)
+    assert(r.getAs[Long]("n_edges") == 11L)
+    assert(r.getAs[Long]("n_wedges") == 21L)   // Σ deg·(deg−1)/2
+    assert(r.getAs[Long]("n_triangles") == 5L) // C(4,3) + 1
+    assert(r.getAs[Long]("clustering_ppm") == 3L * 5 * 1000000 / 21)
+  }
+
+  test("triangle census: n_triangles on the corpus graph matches a " +
+      "brute-force min-vertex enumeration of the collected edge set") {
+    val brute = edges.keysIterator.map { v =>
+      val nb = edges(v).filter(_ > v).toSeq.sorted
+      nb.combinations(2).count { case Seq(a, b) => edges(a).contains(b) }
+    }.sum
+    val r = GraphOps.knnTriangles(spark, sf0001).collect().head
+    assert(r.getAs[Long]("n_triangles") == brute.toLong)
+    assert(r.getAs[Long]("n_vertices") == edges.size.toLong)
+    assert(r.getAs[Long]("n_edges") ==
+      edges.valuesIterator.map(_.size).sum / 2)
+  }
 }

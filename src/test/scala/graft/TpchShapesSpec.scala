@@ -180,6 +180,74 @@ class TpchShapesSpec extends SparkSpec {
     assert(q14.head.getLong(2) >= 0 && q14.head.getLong(2) <= 1000000L)
   }
 
+  test("Q11 shape: the global scalar stays UNCORRELATED, each arm " +
+      "scans the fact exactly once, and the HAVING matches a brute " +
+      "recount") {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    def liScans(p: LogicalPlan): Int = {
+      var n = 0
+      p.foreach {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation if fs.location.rootPaths
+            .exists(_.toString.contains("lineitem")) => n += 1
+          case _ => ()
+        }
+        case _ => ()
+      }
+      n
+    }
+    val df = TpchShapes.importantParts(spark, sf0001)
+    var correlated = 0
+    var subPlans = List.empty[LogicalPlan]
+    df.queryExecution.optimizedPlan.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          if (s.getOuterAttrs.nonEmpty) correlated += 1
+          subPlans ::= s.plan
+        case _ => ()
+      })
+    }
+    assert(correlated == 0,
+      "the HAVING threshold must not re-execute per group")
+    assert(subPlans.length == 1,
+      s"expected ONE global scalar subquery, got ${subPlans.length}")
+    assert(liScans(df.queryExecution.optimizedPlan) == 1 &&
+      liScans(subPlans.head) == 1,
+      "each arm must aggregate the fact exactly once")
+    // brute recount of the cross-multiplied HAVING
+    val value = spark.read.parquet(s"$sf0001/lineitem.parquet").as("l")
+      .join(spark.read.parquet(s"$sf0001/supplier.parquet")
+        .filter(col("s_nationkey") < 12).as("s"),
+        col("l.l_suppkey") === col("s.s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")).as("v"))
+    val total = value.agg(sum(col("v"))).head().getLong(0)
+    val expect = value.filter(col("v") * 10000 > total * 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect)
+  }
+
+  test("Q3 shape: the segment filter reaches the customer scan and " +
+      "the LIMIT plans as a top-k (TakeOrderedAndProject), never a " +
+      "global sort") {
+    val df = TpchShapes.shippingPriority(spark, sf0001)
+    assert(df.collect().length == 10)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      "ORDER BY + LIMIT 10 must plan as a streaming top-k")
+    val cust = fileScans(plan).collectFirst {
+      case s if s.relation.location.rootPaths.mkString(",")
+        .contains("customer.parquet") =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }.get
+    assert(cust.contains("c_mktsegment"),
+      s"segment equality not pushed to the dim scan: $cust")
+  }
+
   test("Q13 shape: the distribution's total mass is the customer " +
       "count (preserved rows land in a bucket, never drop)") {
     val rows = TpchShapes.orderCountDistribution(spark, sf0001).collect()

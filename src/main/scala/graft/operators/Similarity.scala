@@ -1278,6 +1278,81 @@ object Similarity {
       Tables(spark, dir, "embeddings").select(col("vec_id")), "vec_id",
       embeddingNeardup(spark, dir, threshold), "vec_a", "vec_b", defer)
 
+  // ----------------------------------------------------------------
+  // SemDeDup ELECTION (r10) — Abbas et al. 2023, "SemDeDup:
+  // Data-Efficient Learning at Web-Scale through Semantic
+  // Deduplication". Semantic near-dups with DIFFERENT wording evade
+  // the lexical LSH tier and the exact substring spans; the embedding
+  // pair graph above finds them, and this tier decides WHO SURVIVES.
+  // The paper's rule: within each duplicate group keep the example
+  // with the LOWEST cosine similarity to its cluster centroid — the
+  // group's most atypical member carries the most marginal
+  // information, the near-centroid copies are the redundant mass.
+  // Candidates stay cell-bounded (the ivfAssign cells — never
+  // all-pairs), and every substrate is the CACHED one: the pair set
+  // is [[embeddingNeardup]]'s, the component labels
+  // [[embeddingClusters]]', and the election key costs ONE kernel per
+  // vector (assigned centroid only — not the N×√N sims sweep).
+  // ----------------------------------------------------------------
+
+  /** The SemDeDup election key: cosine of each vector to its ASSIGNED
+    * centroid — one kernel per row off the cached assignment (going
+    * back through [[ivfSims]] would re-run the N×√N sweep). */
+  private[graft] def assignCentroidSim(spark: SparkSession,
+      dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val nlist = e.agg(ceil(sqrt(count(lit(1)))).as("nlist"))
+    val cent = e.crossJoin(broadcast(nlist))
+      .filter(col("vec_id") < col("nlist"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    ivfAssign(spark, dir)
+      .join(e, Seq("vec_id"))
+      .join(broadcast(cent), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        graft.functions.ScalarFns.roundN(
+          expr("cosine_sim(embedding, cv)"), 6).as("cent_sim"))
+  }
+
+  /** GRADED: the SemDeDup pair EVIDENCE — every within-cell pair at
+    * cosine ≥ 0.3 with the cell id and BOTH members' election keys
+    * alongside, so the survivor election is auditable row by row. */
+  def semanticDedupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val cs = assignCentroidSim(spark, dir)
+    embeddingNeardup(spark, dir)
+      .join(cs.select(col("vec_id").as("vec_a"), col("cid"),
+        col("cent_sim").as("cent_sim_a")), Seq("vec_a"))
+      .join(cs.select(col("vec_id").as("vec_b"),
+        col("cent_sim").as("cent_sim_b")), Seq("vec_b"))
+      .select(col("cid"), col("vec_a"), col("vec_b"), col("cosine_sim"),
+        col("cent_sim_a"), col("cent_sim_b"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** GRADED: SemDeDup SURVIVORSHIP — per multi-member component of
+    * the ≥ 0.3 embedding pair graph, keeper = the member with the
+    * LOWEST centroid similarity (ties to the smaller vec_id), per the
+    * paper's diversity-keeping rule; the report prices the decision
+    * like [[neardupSurvivors]]. Components never span cells (edges
+    * are within-cell), so the election window partitions into many
+    * small groups — embarrassingly parallel at any scale. */
+  def semanticDedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val clu = embeddingClusters(spark, dir)
+    val cs = assignCentroidSim(spark, dir)
+    val wC = org.apache.spark.sql.expressions.Window.partitionBy("component")
+    val wR = wC.orderBy(col("cent_sim").asc, col("vec_id"))
+    clu.select(col("vec_id"), col("cluster").as("component"))
+      .join(cs, Seq("vec_id"))
+      .withColumn("n_members", count(lit(1)).over(wC))
+      .withColumn("rk", row_number().over(wR))
+      .filter(col("rk") === 1 && col("n_members") > 1)
+      .select(col("component"), col("n_members"),
+        col("vec_id").as("keeper_vec"),
+        col("cent_sim").as("keeper_cent_sim"),
+        (col("n_members") - 1).cast("bigint").as("dropped_vecs"))
+      .orderBy("component")
+  }
+
   /** N3 BATCH ANN — the shape a 100 TB similarity-search actually runs:
     * top-k neighbors for a whole SET of query vectors in ONE plan (no
     * per-query driver loop). Every query routes to its IVF bucket, all
@@ -2256,6 +2331,8 @@ object Similarity {
       ((s: SparkSession, d: String) => kmeansConvergedAssign(s, d)),
     "embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNeardup(s, d)),
     "embedding_clusters" -> ((s: SparkSession, d: String) => embeddingClusters(s, d)),
+    "semantic_dedup_pairs" -> (semanticDedupPairs _),
+    "semantic_dedup_survivors" -> (semanticDedupSurvivors _),
     "multimodal_join"   -> (multimodalJoin _))
 
   /** Shared IVF-assignment CTE (DuckDB) — mirrors [[ivfAssign]],
@@ -3171,6 +3248,88 @@ object Similarity {
          |  FROM reach JOIN edges e ON reach.vec_id = e.d)
          |SELECT vec_id, min(r) AS cluster FROM reach
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // SemDeDup: the pair evidence with the election keys; centsim is
+    // ONE cosine per vector (assigned centroid only), twin of
+    // assignCentroidSim
+    "semantic_dedup_pairs" ->
+      s"""$ivfCte,
+         |pr AS (
+         |  SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM assign a JOIN assign b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT p.cid, p.vec_a, p.vec_b,
+         |    ${graft.functions.ScalarFns.roundSql(
+              s"""${duckDot("ea.embedding", "eb.embedding")}
+                 |      / (sqrt(${duckDot("ea.embedding", "ea.embedding")})
+                 |         * sqrt(${duckDot("eb.embedding", "eb.embedding")}))""".stripMargin, 6)} AS cosine_sim
+         |  FROM pr p
+         |  JOIN embeddings ea ON ea.vec_id = p.vec_a
+         |  JOIN embeddings eb ON eb.vec_id = p.vec_b),
+         |centsim AS (
+         |  SELECT a.vec_id,
+         |    ${graft.functions.ScalarFns.roundSql(
+              s"""${duckDot("e.embedding", "c.cv")}
+                 |      / (sqrt(${duckDot("e.embedding", "e.embedding")})
+                 |         * sqrt(${duckDot("c.cv", "c.cv")}))""".stripMargin, 6)} AS cent_sim
+         |  FROM assign a
+         |  JOIN embeddings e ON e.vec_id = a.vec_id
+         |  JOIN cent c ON c.cid = a.cid)
+         |SELECT s.cid, s.vec_a, s.vec_b, s.cosine_sim,
+         |  ca.cent_sim AS cent_sim_a, cb.cent_sim AS cent_sim_b
+         |FROM scored s
+         |JOIN centsim ca ON ca.vec_id = s.vec_a
+         |JOIN centsim cb ON cb.vec_id = s.vec_b
+         |WHERE s.cosine_sim >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // SemDeDup survivorship: closure over the same pair graph as
+    // embedding_clusters, then the paper's election — keeper = lowest
+    // centroid similarity, ties to the smaller vec_id
+    "semantic_dedup_survivors" ->
+      s"""${ivfCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |ep AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM assign a JOIN assign b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |escore AS (
+         |  SELECT p.vec_a, p.vec_b,
+         |    ${graft.functions.ScalarFns.roundSql(
+              s"""${duckDot("ea.embedding", "eb.embedding")}
+                 |      / (sqrt(${duckDot("ea.embedding", "ea.embedding")})
+                 |         * sqrt(${duckDot("eb.embedding", "eb.embedding")}))""".stripMargin, 6)} AS cosine_sim
+         |  FROM ep p
+         |  JOIN embeddings ea ON ea.vec_id = p.vec_a
+         |  JOIN embeddings eb ON eb.vec_id = p.vec_b),
+         |epairs AS (SELECT vec_a, vec_b FROM escore WHERE cosine_sim >= 0.3),
+         |edges AS (SELECT vec_a AS s, vec_b AS d FROM epairs
+         |          UNION ALL SELECT vec_b, vec_a FROM epairs),
+         |nodes AS (SELECT DISTINCT vec_id FROM embeddings),
+         |reach AS (
+         |  SELECT vec_id, vec_id AS r FROM nodes
+         |  UNION
+         |  SELECT e.s AS vec_id, reach.r
+         |  FROM reach JOIN edges e ON reach.vec_id = e.d),
+         |eclu AS (SELECT vec_id, min(r) AS component FROM reach GROUP BY 1),
+         |centsim AS (
+         |  SELECT a.vec_id,
+         |    ${graft.functions.ScalarFns.roundSql(
+              s"""${duckDot("e.embedding", "c.cv")}
+                 |      / (sqrt(${duckDot("e.embedding", "e.embedding")})
+                 |         * sqrt(${duckDot("c.cv", "c.cv")}))""".stripMargin, 6)} AS cent_sim
+         |  FROM assign a
+         |  JOIN embeddings e ON e.vec_id = a.vec_id
+         |  JOIN cent c ON c.cid = a.cid),
+         |m AS (
+         |  SELECT c.component, c.vec_id, cs.cent_sim,
+         |    count(*) OVER (PARTITION BY c.component) AS n_members,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY cs.cent_sim ASC, c.vec_id) AS rk
+         |  FROM eclu c JOIN centsim cs ON cs.vec_id = c.vec_id)
+         |SELECT component, CAST(n_members AS BIGINT) AS n_members,
+         |  vec_id AS keeper_vec, cent_sim AS keeper_cent_sim,
+         |  CAST(n_members - 1 AS BIGINT) AS dropped_vecs
+         |FROM m WHERE rk = 1 AND n_members > 1
+         |ORDER BY component""".stripMargin,
     "cosine_topk_batch" ->
       s"""$ivfCte,
          |q AS (

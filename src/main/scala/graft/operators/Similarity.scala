@@ -271,36 +271,18 @@ object Similarity {
       try { df.unpersist(); () } catch { case _: Throwable => () })
   }
 
-  /** CHARACTER 9-gram shingles of the lowercased text — the robustness
-    * twin of the word-3-gram [[shingles]]: word-grams miss near-dups
-    * that differ by tokenization (punctuation, hyphenation, run-together
-    * whitespace edits); char-grams see through them. 9 chars ≈ 1.5
-    * words: long enough that cross-doc collisions are rare (5-grams
-    * like `" the "` appear in every doc and were measured to collapse
-    * LSH into all-pairs — 5M candidates at sf0.1), short enough to
-    * survive small edits.
-    *
-    * Emission is the custom [[graft.plans.CharGrams]] generator — a
-    * streaming per-position view over the document bytes, NOT the HOF
-    * `explode(transform(sequence(…)))` form, which materializes a
-    * per-row array of every gram (~10× the document size) before the
-    * first row emits and re-walks the string per substring call —
-    * profiled as ~5 s of the query's 10.7 s at sf0.1. Values are
-    * asserted identical to the HOF form in CharGramSpec. */
-  private def charShingles(spark: SparkSession, dir: String): DataFrame =
-    charGramsOf(spark, Tables(spark, dir, "documents"))
-
-  /** Gram emission over an arbitrary (doc_id, text) frame — so callers
-    * can restrict the DOCUMENT set (e.g. to LSH candidates) before any
-    * gram exists: the optimizer does not move joins below a Generate,
-    * so pruning must happen structurally upstream of it. */
-  private def charGramsOf(spark: SparkSession, docs: DataFrame): DataFrame = {
-    graft.plans.CharGrams.register(spark)
-    docs
-      .withColumn("lt", lower(col("text")))
-      .filter(length(col("lt")) >= 9)
-      .select(col("doc_id"), expr("char_grams(lt, 9)").as("s"))
-  }
+  // CHARACTER 9-gram shingles of the lowercased text — the robustness
+  // twin of the word-3-gram shingles: word-grams miss near-dups that
+  // differ by tokenization (punctuation, hyphenation, run-together
+  // whitespace edits); char-grams see through them. 9 chars ≈ 1.5
+  // words: long enough that cross-doc collisions are rare (5-grams
+  // like " the " appear in every doc and were measured to collapse
+  // LSH into all-pairs — 5M candidates at sf0.1), short enough to
+  // survive small edits. Since r10 the distinct (doc, gram) frame is
+  // served by [[graft.sources.GramStore.charGrams9]] (the streaming
+  // CharGrams generator, not the HOF explode(transform(...)) form —
+  // CharGramSpec asserts value equality); the HOF twin below is the
+  // spec's equivalence oracle only.
 
   /** The HOF formulation the generator replaced — kept ONLY as the
     * equivalence oracle for CharGramSpec (never on a graded path). */
@@ -378,15 +360,16 @@ object Similarity {
         1 + 8 * (i % 4), 8).as(s"h$i")
     }
     val sigCols = (0 to 7).map(i => min(col(s"h$i")).as(s"m$i"))
-    // The signature stage is CPU-bound (2 md5 per gram, ~1.4M grams at
-    // sf0.1) — [[fanOut]] spreads the single bench-scale split across
-    // every core (profiled: 3.7 s of single-threaded hashing
-    // otherwise; the r3 corpus-wide distinct was accidentally
-    // parallelizing it).
-    // one fanned documents frame for both gram passes (see word variant)
-    val docs = pin(fanOut(spark, Tables(spark, dir, "documents"))
-      .select(col("doc_id"), col("text")))
-    val sigs = charGramsOf(spark, docs)
+    // r10 shape (the word variant's r9 move mirrored): BOTH gram
+    // passes read the shared RAW-stream substrate
+    // ([[graft.sources.GramStore.charGrams9]] — scratch parquet built
+    // once per (JVM, corpus) with NO shuffle, already split across
+    // cores by the parquet reader, no [[fanOut]] needed here). min()
+    // is duplicate-invariant and collect_set dedups, so raw-vs-
+    // distinct is output-invariant — and the text is decoded +
+    // gram-generated ONCE per JVM instead of twice per run.
+    val grams = graft.sources.GramStore.charGrams9(spark, dir)
+    val sigs = grams
       .select(Seq(col("doc_id")) ++ slices: _*)
       .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     // one unpivoted self-join exchange, like the word variant; the band
@@ -416,16 +399,15 @@ object Similarity {
       .union(cand.select(col("doc_b").as("doc_id")))
       .distinct()
     // Per-doc gram-hash SETS of CANDIDATE docs only (same shape as the
-    // word variant): the broadcast candidate prune sits structurally
-    // upstream of the generator, so non-candidate documents never emit
-    // a gram; ONE collect_set aggregation subsumes the distinct; each
-    // pair pays a codegen'd array_intersect — verification never
-    // shuffles an exploded gram row. Pinned + materialized before the
-    // broadcasts (see the word variant: a missed ReuseExchange must
-    // read blocks, not re-run the gram regen).
+    // word variant): the broadcast candidate prune is applied to the
+    // SUBSTRATE scan, so non-candidate documents' grams never leave
+    // the parquet reader; ONE collect_set aggregation; each pair pays
+    // a codegen'd array_intersect — verification never shuffles an
+    // exploded gram row. Pinned + materialized before the broadcasts
+    // (see the word variant: a missed ReuseExchange must read blocks,
+    // not re-run the scan).
     // Hash-collision note: see the word variant.
-    val dgSets = pin(charGramsOf(spark,
-        docs.join(broadcast(candDocs), Seq("doc_id")))
+    val dgSets = pin(grams.join(broadcast(candDocs), Seq("doc_id"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("h")).as("hs")))

@@ -70,4 +70,26 @@ object GramStore {
         .select(col("doc_id"), expr("word_grams(text, 3)").as("tok"))
         .distinct()
     }
+
+  /** RAW (doc_id, s) lowercase char-9-gram stream of `documents.text`
+    * (r10 — the word substrate's discipline extended to the char
+    * path), via the streaming [[graft.plans.CharGrams]] generator.
+    * Deliberately NOT distinct, unlike [[wordGrams3]]: no char-tier
+    * consumer needs set semantics before its own aggregate (the LSH
+    * signature's min() is duplicate-invariant, the verification
+    * collect_set dedups), the intra-doc duplicate rate is only ~4 %
+    * (probed sf0.1: 1.446M raw vs 1.390M distinct), and a corpus-wide
+    * distinct is a full shuffle of every gram occurrence — the exact
+    * cost the r4 signature-pass rework removed. The build is
+    * therefore shuffle-free: fanned-out generator scan → parquet.
+    * Both char-tier passes then read this one column-pruned parquet
+    * instead of re-decoding + re-tokenizing the text. */
+  def charGrams9(spark: SparkSession, dir: String): DataFrame =
+    serve(spark, "cg9", dir) {
+      graft.plans.CharGrams.register(spark)
+      graft.Tables.fanOut(spark, graft.Tables(spark, dir, "documents"))
+        .withColumn("lt", lower(col("text")))
+        .filter(length(col("lt")) >= 9)
+        .select(col("doc_id"), expr("char_grams(lt, 9)").as("s"))
+    }
 }

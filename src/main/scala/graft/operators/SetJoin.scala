@@ -195,14 +195,33 @@ object SetJoin {
   }
 
   /** Distinct word-3-grams of the containment corpus, served from the
-    * shared scratch owner like the base substrate. */
-  private def containmentGrams(spark: SparkSession, dir: String): DataFrame =
+    * shared scratch owner like the base substrate — and DERIVED from
+    * it (r10): the base docs' grams are a column-pruned scan of the
+    * already-built [[graft.sources.GramStore.wordGrams3]] parquet, so
+    * this build only tokenizes the EXCERPT slice (~1/4 of docs at 40 %
+    * length) instead of re-decoding + re-tokenizing the whole corpus a
+    * second time. The union stays distinct by construction: each side
+    * is internally distinct and the +20M excerpt id space is disjoint.
+    * The base substrate is resolved BEFORE this serve's build runs —
+    * nesting two computeIfAbsent builds on the same store would be a
+    * recursive-update hazard. */
+  private def containmentGrams(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.sources.GramStore.wordGrams3(spark, dir)
     graft.sources.GramStore.serve(spark, "wg3cont", dir) {
       graft.plans.WordGrams.register(spark)
-      containmentCorpus(spark, dir)
+      val excerpts = graft.Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("t", graft.functions.Shingles.sparkToks)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "4" &&
+          size(col("t")) >= 3)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat_ws(" ", slice(col("t"), lit(1),
+            greatest(lit(3), expr("(2 * size(t)) div 5")))).as("text"))
         .select(col("doc_id"), expr("word_grams(text, 3)").as("tok"))
         .distinct()
+      base.unionByName(excerpts)
     }
+  }
 
   def containmentJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = containmentGrams(spark, dir)

@@ -121,9 +121,8 @@ object JoinIvm {
       out
     })
 
-  /** GRADED: per-segment census of the maintained serving view. */
-  def ordersJoinIvm(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(maintainedDir(spark, dir))
+  private def censusOf(view: DataFrame): DataFrame =
+    view
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_rows"),
         sum((col("o_totalprice").cast("decimal(18,2)") * 100)
@@ -132,8 +131,28 @@ object JoinIvm {
           lit(Integrity.ChecksumMod)).cast("long").as("key_checksum"))
       .orderBy("c_mktsegment")
 
+  /** GRADED: per-segment census of the maintained serving view. */
+  def ordersJoinIvm(spark: SparkSession, dir: String): DataFrame =
+    censusOf(spark.read.parquet(maintainedDir(spark, dir)))
+
+  /** GRADED: the census AFTER ERASURE (r10 — the GDPR sweep reaching
+    * the SERVING layer): the denormalized store is derived personal
+    * data keyed by customer, so right-to-erasure must retire every
+    * erased customer's rows from it exactly like from the five index
+    * families. Same [[IndexErasure]] position-delete mechanism: the
+    * store's files stay frozen (spec: name+length set untouched), the
+    * delete delta is one scan with the erase predicate on o_custkey,
+    * the read path a broadcast anti join on (file, pos). The oracle
+    * re-derives the final joined state from scratch over SURVIVING
+    * customers only — retirement must reduce to predicate
+    * semantics. */
+  def ordersJoinIvmErased(spark: SparkSession, dir: String): DataFrame =
+    censusOf(IndexErasure.erasedView(spark, maintainedDir(spark, dir),
+      IndexErasure.erased(col("o_custkey"))))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "orders_join_ivm" -> (ordersJoinIvm(_, _)))
+    "orders_join_ivm" -> (ordersJoinIvm(_, _)),
+    "orders_join_ivm_erased" -> (ordersJoinIvmErased(_, _)))
 
   /** Oracle: the final joined state from scratch — MOR final table ⋈
     * the patched dim; knows nothing of stored views or delta joins. */
@@ -150,6 +169,28 @@ object JoinIvm {
          |j AS (
          |  SELECT f.o_orderkey, f.o_totalprice, dim.c_mktsegment
          |  FROM f JOIN dim ON f.o_custkey = dim.c_custkey)
+         |SELECT c_mktsegment, count(*) AS n_rows,
+         |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |    AS BIGINT)) AS BIGINT) AS price_cents,
+         |  CAST(sum(CAST(o_orderkey AS HUGEINT))
+         |    % ${Integrity.ChecksumMod} AS BIGINT) AS key_checksum
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the erased twin: same from-scratch derivation restricted to
+    // SURVIVING customers — no knowledge of stored views, delta joins
+    // or delete deltas
+    "orders_join_ivm_erased" ->
+      s"""${MergeOnRead.MorFinalCte},
+         |dim AS (
+         |  SELECT c_custkey,
+         |    CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)
+         |           = '$DimHex'
+         |         THEN '$NewSegment' ELSE c_mktsegment END
+         |      AS c_mktsegment
+         |  FROM customer),
+         |j AS (
+         |  SELECT f.o_orderkey, f.o_totalprice, dim.c_mktsegment
+         |  FROM f JOIN dim ON f.o_custkey = dim.c_custkey
+         |  WHERE ${IndexErasure.survivorSql("f.o_custkey")})
          |SELECT c_mktsegment, count(*) AS n_rows,
          |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
          |    AS BIGINT)) AS BIGINT) AS price_cents,

@@ -111,13 +111,8 @@ object MergeInto {
       .unionByName(updated).unionByName(inserted)
   }
 
-  /** GRADED: per-status census of the post-MERGE table. */
-  def ordersMergeInto(spark: SparkSession, dir: String): DataFrame =
-    merge(
-      Tables(spark, dir, "orders").select(col("o_orderkey"),
-        col("o_custkey"), col("o_orderstatus"), col("o_totalprice")),
-      sourceBatch(spark, dir))
-      .groupBy(col("o_orderstatus"))
+  private def censusOf(t: DataFrame): DataFrame =
+    t.groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_rows"),
         sum((col("o_totalprice").cast("decimal(18,2)") * 100)
           .cast("long")).as("price_cents"),
@@ -125,8 +120,44 @@ object MergeInto {
           lit(Integrity.ChecksumMod)).cast("long").as("key_checksum"))
       .orderBy("o_orderstatus")
 
+  /** GRADED: per-status census of the post-MERGE table. */
+  def ordersMergeInto(spark: SparkSession, dir: String): DataFrame =
+    censusOf(merge(
+      Tables(spark, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice")),
+      sourceBatch(spark, dir)))
+
+  /** The post-MERGE table MATERIALIZED (once per JVM, corpus) — the
+    * stored artifact the statement writer actually produces, and the
+    * thing a later GDPR sweep must reach. */
+  private val mergedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def mergedDir(spark: SparkSession, dir: String): String =
+    mergedDirs.computeIfAbsent(dir, { _ =>
+      val out = Tables.scratchDir("graft_merged_").getAbsolutePath
+      merge(
+        Tables(spark, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice")),
+        sourceBatch(spark, dir))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** GRADED: the census AFTER ERASURE (r10) — the GDPR sweep reaching
+    * the MERGE writer's OUTPUT: erased customers' rows retire from
+    * the stored post-MERGE table via [[IndexErasure]]'s
+    * position-delete read path (files frozen, delete delta additive).
+    * The 'I'-arm inserts carry NULL custkeys and exercise the
+    * NULL-key contract: an erasure request names identified ids, so
+    * NULL-keyed rows are never retired — the oracle keeps them
+    * explicitly. */
+  def ordersMergeIntoErased(spark: SparkSession, dir: String): DataFrame =
+    censusOf(IndexErasure.erasedView(spark, mergedDir(spark, dir),
+      IndexErasure.erased(col("o_custkey"))))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "orders_merge_into" -> (ordersMergeInto(_, _)))
+    "orders_merge_into" -> (ordersMergeInto(_, _)),
+    "orders_merge_into_erased" -> (ordersMergeIntoErased(_, _)))
 
   private def hexIn(ref: String, hexes: Seq[String]): String =
     s"substr(md5(CAST($ref AS VARCHAR)), 1, 1) IN (" +
@@ -157,5 +188,31 @@ object MergeInto {
          |  CAST(((sum(CAST(o_orderkey AS HUGEINT))
          |    % ${Integrity.ChecksumMod}) + ${Integrity.ChecksumMod})
          |    % ${Integrity.ChecksumMod} AS BIGINT) AS key_checksum
-         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the erased twin: same set algebra, then the survivor predicate
+    // on the customer key — NULL-keyed insert rows are kept explicitly
+    // (an erasure request names identified ids)
+    "orders_merge_into_erased" ->
+      s"""WITH merged AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         |  FROM orders
+         |  WHERE NOT ${hexIn("o_orderkey", UpdHex ++ DelHex)}
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, '$UpdStatus',
+         |    o_totalprice + $UpdBump
+         |  FROM orders WHERE ${hexIn("o_orderkey", UpdHex)}
+         |  UNION ALL
+         |  SELECT -o_orderkey, NULL, '$InsStatus', o_totalprice
+         |  FROM orders WHERE ${hexIn("o_orderkey", InsHex)}),
+         |s AS (
+         |  SELECT * FROM merged
+         |  WHERE o_custkey IS NULL
+         |     OR ${IndexErasure.survivorSql("o_custkey")})
+         |SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |    AS BIGINT)) AS BIGINT) AS price_cents,
+         |  CAST(((sum(CAST(o_orderkey AS HUGEINT))
+         |    % ${Integrity.ChecksumMod}) + ${Integrity.ChecksumMod})
+         |    % ${Integrity.ChecksumMod} AS BIGINT) AS key_checksum
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)
 }

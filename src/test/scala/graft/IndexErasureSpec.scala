@@ -133,4 +133,35 @@ class IndexErasureSpec extends SparkSpec {
     assert(after.forall { case (id, v) => rank(v) <= rank(before(id)) },
       "a verdict strengthened after base rows were erased")
   }
+
+  test("join-view serving store: files frozen, erased view clean, and " +
+      "the census equals the base census minus exactly the erased " +
+      "customers' contribution") {
+    val root = graft.operators.JoinIvm.maintainedDir(spark, sf0001)
+    checkFamily(root, IndexErasure.erased(col("o_custkey")))
+    // the erased census per segment ≡ recount over surviving rows of
+    // the SAME store (no segment may drop out silently unless every
+    // one of its rows was erased)
+    val store = spark.read.parquet(root)
+    val expect = store
+      .filter(!IndexErasure.erased(col("o_custkey")))
+      .groupBy(col("c_mktsegment")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = graft.operators.JoinIvm.ordersJoinIvmErased(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("post-MERGE store: files frozen, erased view clean, and " +
+      "NULL-custkey insert rows all survive (the NULL-key contract)") {
+    val root = graft.operators.MergeInto.mergedDir(spark, sf0001)
+    checkFamily(root, IndexErasure.erased(col("o_custkey")))
+    val view = IndexErasure.erasedView(spark, root,
+      IndexErasure.erased(col("o_custkey")))
+    val store = spark.read.parquet(root)
+    val nullRows = store.filter(col("o_custkey").isNull).count()
+    assert(nullRows > 0, "no NULL-keyed insert rows — contract untested")
+    assert(view.filter(col("o_custkey").isNull).count() == nullRows,
+      "a NULL-keyed row was retired — erasure must name identified ids")
+  }
 }

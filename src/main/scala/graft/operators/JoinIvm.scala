@@ -150,14 +150,121 @@ object JoinIvm {
     censusOf(IndexErasure.erasedView(spark, maintainedDir(spark, dir),
       IndexErasure.erased(col("o_custkey"))))
 
+  // ----------------------------------------------------------------
+  // STREAMED twin (r10, r9 verdict #6): the SAME delta-join
+  // maintenance run through a real micro-batch execution — the CDC
+  // feed replayed with AvailableNow + foreachBatch, the stored view
+  // rolled forward one version per micro-batch (retire touched keys,
+  // add surviving latest ⋈ broadcast dim), the dim patch applied ONCE
+  // after the stream drains (it is a batch re-segmentation event, not
+  // CDC — the same order [[maintainedFrame]] applies it). The batch
+  // oracle grades the result VERBATIM: micro-batch chopping must be
+  // invisible in the final state (chop-invariance also spec-asserted
+  // store ≡ store row-for-row). Cross-batch key resolution leans on
+  // the same file-source mod-time ordering as the aggregate-MV
+  // stream; within a batch the in-data _seq ranks defensively.
+  // ----------------------------------------------------------------
+
+  private[graft] val StreamFilesPerTrigger = 2
+
+  private val streamedDirs = new ConcurrentHashMap[String, String]()
+  private[graft] def streamedViewDir(spark: SparkSession,
+      dir: String): String =
+    streamedDirs.computeIfAbsent(dir, { _ =>
+      val root = Tables.scratchDir("graft_joinivm_stream_").getAbsolutePath
+      val ckpt = Tables.scratchDir("graft_joinivm_sckpt_").getAbsolutePath
+      val feed = MergeOnRead.feedDir(spark, dir)
+      val ss = spark.newSession()
+      // view-granularity frames; 2 partitions like the MV stream
+      ss.conf.set("spark.sql.shuffle.partitions", "2")
+      ss.read.parquet(storedViewDir(ss, dir))
+        .write.mode("overwrite").parquet(s"$root/view/v0_init")
+      val stream = ss.readStream.schema(ss.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", StreamFilesPerTrigger.toString)
+        .parquet(feed)
+      val query = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            val s = batch.sparkSession
+            val prev =
+              if (batchId == 0) s.read.parquet(s"$root/view/v0_init")
+              else s.read.parquet(s"$root/view/v${batchId - 1}")
+            val w = Window.partitionBy(col("o_orderkey"))
+              .orderBy(col("_seq").desc)
+            val latest = batch.toDF()
+              .withColumn("_rn", row_number().over(w))
+              .filter(col("_rn") === 1)
+            val touched = latest.select(col("o_orderkey"))
+            val kept = prev.join(broadcast(touched), Seq("o_orderkey"),
+              "left_anti")
+            val added = latest.filter(!col("_deleted"))
+              .select(col("o_orderkey"), col("o_custkey"),
+                col("o_orderstatus"), col("o_totalprice"))
+              .join(broadcast(dimProj(s, dir)),
+                col("o_custkey") === col("c_custkey"))
+              .drop("c_custkey")
+            // ONE single-file versioned write per batch (the Ivm
+            // stream's two-write discipline, halved: no separate
+            // current-state frame — the view IS the state)
+            kept.unionByName(added).coalesce(1)
+              .write.mode("overwrite").parquet(s"$root/view/v$batchId")
+            ()
+        }
+        .start()
+      query.awaitTermination()
+      val lastV = new java.io.File(s"$root/view").listFiles
+        .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toInt).max
+      // the dim patch, once, after the fact stream drains
+      val dimDelta = dimProj(ss, dir).filter(dimHit)
+        .select(col("c_custkey").as("dk"), lit(NewSegment).as("new_seg"))
+      ss.read.parquet(s"$root/view/v$lastV")
+        .join(broadcast(dimDelta), col("o_custkey") === col("dk"), "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          coalesce(col("new_seg"), col("c_mktsegment")).as("c_mktsegment"))
+        .write.mode("overwrite").parquet(s"$root/final")
+      root
+    })
+
+  /** GRADED: the same census over the STREAM-maintained store — the
+    * batch oracle verbatim. */
+  def ordersJoinIvmStreamed(spark: SparkSession, dir: String): DataFrame =
+    censusOf(spark.read.parquet(
+      s"${streamedViewDir(spark, dir)}/final"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_join_ivm" -> (ordersJoinIvm(_, _)),
-    "orders_join_ivm_erased" -> (ordersJoinIvmErased(_, _)))
+    "orders_join_ivm_erased" -> (ordersJoinIvmErased(_, _)),
+    "orders_join_ivm_streamed" -> (ordersJoinIvmStreamed(_, _)))
 
   /** Oracle: the final joined state from scratch — MOR final table ⋈
     * the patched dim; knows nothing of stored views or delta joins. */
   val oracles: Map[String, String] = Map(
     "orders_join_ivm" ->
+      s"""${MergeOnRead.MorFinalCte},
+         |dim AS (
+         |  SELECT c_custkey,
+         |    CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)
+         |           = '$DimHex'
+         |         THEN '$NewSegment' ELSE c_mktsegment END
+         |      AS c_mktsegment
+         |  FROM customer),
+         |j AS (
+         |  SELECT f.o_orderkey, f.o_totalprice, dim.c_mktsegment
+         |  FROM f JOIN dim ON f.o_custkey = dim.c_custkey)
+         |SELECT c_mktsegment, count(*) AS n_rows,
+         |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |    AS BIGINT)) AS BIGINT) AS price_cents,
+         |  CAST(sum(CAST(o_orderkey AS HUGEINT))
+         |    % ${Integrity.ChecksumMod} AS BIGINT) AS key_checksum
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // streamed twin: the BATCH oracle verbatim — micro-batch chopping
+    // must be invisible in the final state
+    "orders_join_ivm_streamed" ->
       s"""${MergeOnRead.MorFinalCte},
          |dim AS (
          |  SELECT c_custkey,

@@ -155,9 +155,116 @@ object MergeInto {
     censusOf(IndexErasure.erasedView(spark, mergedDir(spark, dir),
       IndexErasure.erased(col("o_custkey"))))
 
+  // ----------------------------------------------------------------
+  // STREAMED twin (r10, r9 verdict #6): ONE logical MERGE statement
+  // whose source arrives chopped into micro-batches (the CDC-fed
+  // upsert shape real lakehouse writers run). Each micro-batch
+  // applies the same statement algebra to the rolling target; the
+  // final state must equal the single-statement result — sound here
+  // because merge(merge(T,S₁),S₂) = merge(T,S₁∪S₂) exactly when
+  // S₁,S₂ touch disjoint keys, which is the SAME condition the
+  // cardinality contract enforces. The contract therefore gains a
+  // CROSS-BATCH half: a key consumed by an earlier chunk of the
+  // statement re-arriving in a later chunk is "two source rows match
+  // one target row" even though the rows never share a micro-batch —
+  // caught against the statement's cumulative key log, thrown before
+  // any output. Batch oracle verbatim; chop-invariance spec-asserted
+  // store ≡ batch merge row-for-row.
+  // ----------------------------------------------------------------
+
+  /** One micro-batch MERGE step: the statement algebra plus the
+    * cross-batch cardinality gate. */
+  private[graft] def mergeStep(prev: DataFrame, chunk: DataFrame,
+      mergedKeys: Option[DataFrame]): DataFrame = {
+    mergedKeys.foreach { mk =>
+      if (chunk.select(col("k")).join(mk, Seq("k"), "left_semi")
+          .head(1).nonEmpty)
+        throw new MergeCardinalityException(
+          "MERGE (streamed): a source key arrived in two micro-batches " +
+            "of one statement — ambiguous, must fail")
+    }
+    merge(prev, chunk)
+  }
+
+  /** The source batch as a 3-file feed (one file per arm class — a
+    * key-disjoint chop by construction), one micro-batch per file. */
+  private val mergeFeedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mergeFeedDir(spark: SparkSession, dir: String): String =
+    mergeFeedDirs.computeIfAbsent(dir, { _ =>
+      val out = Tables.scratchDir("graft_merge_feed_")
+      val src = sourceBatch(spark, dir)
+      Seq("U", "D", "I").zipWithIndex.foreach { case (op, i) =>
+        val tmp = Tables.scratchDir("graft_merge_feed_tmp_")
+        src.filter(col("_op") === op).repartition(1)
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(out, f"chunk$i%03d.parquet").toPath)
+      }
+      out.getAbsolutePath
+    })
+
+  /** The statement replayed through a real streaming execution; the
+    * rolling target versioned per micro-batch, the statement's key
+    * log appended per micro-batch (the cross-batch gate's state).
+    * Returns the FINAL target's dir. At 100 TB each step rewrites
+    * only touched files of a clustered target (or logs deltas MOR-
+    * style — [[MergeOnRead]] grades that mechanism); the full-table
+    * version files here keep the bench artifact inspectable. */
+  private val streamedMergeDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def streamedMergedDir(spark: SparkSession,
+      dir: String): String =
+    streamedMergeDirs.computeIfAbsent(dir, { _ =>
+      val root = Tables.scratchDir("graft_merge_stream_").getAbsolutePath
+      val ckpt = Tables.scratchDir("graft_merge_sckpt_").getAbsolutePath
+      val feed = mergeFeedDir(spark, dir)
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "2")
+      Tables(ss, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$root/t/v0_init")
+      val stream = ss.readStream.schema(ss.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+      val query = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            val s = batch.sparkSession
+            val prev =
+              if (batchId == 0) s.read.parquet(s"$root/t/v0_init")
+              else s.read.parquet(s"$root/t/v${batchId - 1}")
+            val mk =
+              if (batchId == 0) None
+              else Some(s.read.parquet(s"$root/keys"))
+            mergeStep(prev, batch.toDF(), mk).coalesce(1)
+              .write.mode("overwrite").parquet(s"$root/t/v$batchId")
+            batch.toDF().select(col("k")).coalesce(1)
+              .write.mode("append").parquet(s"$root/keys")
+            ()
+        }
+        .start()
+      query.awaitTermination()
+      val lastV = new java.io.File(s"$root/t").listFiles
+        .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toInt).max
+      s"$root/t/v$lastV"
+    })
+
+  /** GRADED: the same census over the STREAM-applied statement — the
+    * batch oracle verbatim. */
+  def ordersMergeIntoStreamed(spark: SparkSession, dir: String): DataFrame =
+    censusOf(spark.read.parquet(streamedMergedDir(spark, dir)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_merge_into" -> (ordersMergeInto(_, _)),
-    "orders_merge_into_erased" -> (ordersMergeIntoErased(_, _)))
+    "orders_merge_into_erased" -> (ordersMergeIntoErased(_, _)),
+    "orders_merge_into_streamed" -> (ordersMergeIntoStreamed(_, _)))
 
   private def hexIn(ref: String, hexes: Seq[String]): String =
     s"substr(md5(CAST($ref AS VARCHAR)), 1, 1) IN (" +
@@ -172,6 +279,26 @@ object MergeInto {
     * ((x % M) + M) % M. */
   val oracles: Map[String, String] = Map(
     "orders_merge_into" ->
+      s"""WITH merged AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice
+         |  FROM orders
+         |  WHERE NOT ${hexIn("o_orderkey", UpdHex ++ DelHex)}
+         |  UNION ALL
+         |  SELECT o_orderkey, '$UpdStatus', o_totalprice + $UpdBump
+         |  FROM orders WHERE ${hexIn("o_orderkey", UpdHex)}
+         |  UNION ALL
+         |  SELECT -o_orderkey, '$InsStatus', o_totalprice
+         |  FROM orders WHERE ${hexIn("o_orderkey", InsHex)})
+         |SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |    AS BIGINT)) AS BIGINT) AS price_cents,
+         |  CAST(((sum(CAST(o_orderkey AS HUGEINT))
+         |    % ${Integrity.ChecksumMod}) + ${Integrity.ChecksumMod})
+         |    % ${Integrity.ChecksumMod} AS BIGINT) AS key_checksum
+         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // streamed twin: the BATCH oracle verbatim — the chopped
+    // statement's final state must be indistinguishable
+    "orders_merge_into_streamed" ->
       s"""WITH merged AS (
          |  SELECT o_orderkey, o_orderstatus, o_totalprice
          |  FROM orders

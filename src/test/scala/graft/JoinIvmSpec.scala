@@ -53,4 +53,19 @@ class JoinIvmSpec extends SparkSpec {
     assert(store.filter(col("c_mktsegment") === "RESEGMENTED").count() > 0,
       "vacuous dim delta")
   }
+
+  test("chop-invariance: the stream-maintained store equals the " +
+      "batch-maintained store row-for-row, across > 1 micro-batch") {
+    val root = JoinIvm.streamedViewDir(spark, sf0001)
+    // the feed's 3 files at 2 per trigger must give 2 micro-batches —
+    // a single batch would make the chop vacuous
+    val versions = new java.io.File(s"$root/view").listFiles
+      .map(_.getName).count(_.matches("v\\d+"))
+    assert(versions >= 2, s"chop vacuous: $versions micro-batch(es)")
+    val streamed = spark.read.parquet(s"$root/final")
+    val batch = spark.read.parquet(JoinIvm.maintainedDir(spark, sf0001))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
 }

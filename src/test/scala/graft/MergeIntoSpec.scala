@@ -62,4 +62,39 @@ class MergeIntoSpec extends SparkSpec {
     assert(byStatus("MI") == nIns)
     assert(nUpd > 0 && nDel > 0 && nIns > 0, "vacuous arm")
   }
+
+  test("chop-invariance: the stream-applied statement's final target " +
+      "equals the single-statement merge row-for-row") {
+    val streamed = spark.read.parquet(
+      MergeInto.streamedMergedDir(spark, sf0001))
+    val batch = graft.operators.MergeInto.ordersMergeInto(spark, sf0001)
+    // row-for-row on the full tables, not just the census
+    val single = MergeInto.mergeStep(
+      graft.Tables(spark, sf0001, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice")),
+      MergeInto.sourceBatch(spark, sf0001), None)
+    assert(streamed.count() == single.count())
+    assert(streamed.exceptAll(single).isEmpty &&
+      single.exceptAll(streamed).isEmpty)
+    // and the graded censuses agree
+    val a = MergeInto.ordersMergeIntoStreamed(spark, sf0001).collect()
+    assert(a.sameElements(batch.collect()))
+  }
+
+  test("cross-batch cardinality: a key consumed by an earlier chunk " +
+      "of the statement re-arriving in a later chunk throws") {
+    import spark.implicits._
+    val target = Seq((1L, 10L, "O", 5.0), (2L, 20L, "O", 7.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val chunk = Seq(("U", 1L, "MU", 6.0))
+      .toDF("_op", "k", "s", "v")
+    val mergedKeys = Seq(Tuple1(1L)).toDF("k")
+    intercept[MergeInto.MergeCardinalityException] {
+      MergeInto.mergeStep(target, chunk, Some(mergedKeys))
+    }
+    // disjoint keys pass
+    val ok = MergeInto.mergeStep(target, chunk,
+      Some(Seq(Tuple1(2L)).toDF("k")))
+    assert(ok.count() == 2)
+  }
 }

@@ -105,8 +105,80 @@ object Cbo {
   def revenueCboReordered(spark: SparkSession, dir: String): DataFrame =
     planned(spark, dir, cbo = true)
 
+  // ----------------------------------------------------------------
+  // The SECOND classic stats win (r10, r9 verdict #8): the
+  // BROADCAST-THRESHOLD flip. The dim's post-filter size estimate
+  // decides the physical join: stats-free, a Filter passes the
+  // relation's FULL size through (selectivity 1 — Spark's
+  // size-only visitor), which sits ABOVE the threshold → the dim
+  // shuffles; with column stats, FilterEstimation prices
+  // `p_size <= 2` off min/max/NDV (~4 % of rows), the estimate drops
+  // BELOW the threshold → BroadcastHashJoin. Same threshold both
+  // arms — the flip is caused by statistics alone.
+  //
+  // Two deliberate knobs, both scale-honest:
+  //  - the threshold is set to 1/6 of the dim's on-disk size (a
+  //    catalog lookup, exactly how an operator tunes a cluster), so
+  //    the contract holds at every SF instead of only where a magic
+  //    constant lands. Why 1/6: the stats-free estimate is NOT the
+  //    raw file size — column pruning's width scaling already cuts it
+  //    to ~0.30× disk (probed r10: 2018/8999/57549 B vs
+  //    7.6/26/180 KB files), while the stats estimate lands at
+  //    0.02–0.08× disk — 1/6 sits between the two bands with ≥1.6×
+  //    margin each way at sf0.001/0.01/0.1;
+  //  - AQE is off in BOTH arms: its runtime SMJ→BHJ rescue would
+  //    convert the stats-free arm anyway at bench sizes and mask the
+  //    PLAN-TIME flip this operator pins (the runtime path is graded
+  //    by the AQE/skew family).
+  // ----------------------------------------------------------------
+
+  private def dimSizeBytes(spark: SparkSession, table: String): Long = {
+    val loc = new java.io.File(spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles).getOrElse(Array.empty).map(walk).sum
+      else if (f.getName.endsWith(".parquet")) f.length
+      else 0L
+    walk(loc)
+  }
+
+  /** The single-dim statement of the broadcast arm (no second fact —
+    * the reorder is the OTHER query's job). */
+  private[graft] def broadcastStatement(l: String, p: String): String =
+    s"""SELECT p.p_brand, count(*) AS n_items,
+       |  CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+       |    AS BIGINT)) AS BIGINT) AS revenue_cents
+       |FROM $l l
+       |JOIN $p p ON p.p_partkey = l.l_partkey
+       |WHERE p.p_size <= 2
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val bcClones =
+    new ConcurrentHashMap[(SparkSession, String, Boolean), SparkSession]()
+  private[graft] def broadcastArm(spark: SparkSession, dir: String,
+      cbo: Boolean): DataFrame = {
+    val (lT, _, pT) = analyzedTables(spark, dir)
+    val ss = bcClones.computeIfAbsent((spark, dir, cbo), { _ =>
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.cbo.enabled", cbo.toString)
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        math.max(1L, dimSizeBytes(spark, pT) / 6).toString)
+      s2
+    })
+    ss.sql(broadcastStatement(lT, pT))
+  }
+
+  /** GRADED: the census under the stats-driven BROADCAST plan —
+    * values must be physical-strategy-invariant. */
+  def revenueCboBroadcast(spark: SparkSession, dir: String): DataFrame =
+    broadcastArm(spark, dir, cbo = true)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "revenue_cbo_reordered" -> (revenueCboReordered(_, _)))
+    "revenue_cbo_reordered" -> (revenueCboReordered(_, _)),
+    "revenue_cbo_broadcast" -> (revenueCboBroadcast(_, _)))
 
   val oracles: Map[String, String] = Map(
     "revenue_cbo_reordered" ->
@@ -117,5 +189,13 @@ object Cbo {
          |JOIN orders o ON l.l_orderkey = o.o_orderkey
          |JOIN part p ON p.p_partkey = l.l_partkey
          |WHERE p.p_size <= 2 AND o.o_orderstatus = 'F'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "revenue_cbo_broadcast" ->
+      s"""SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+         |    AS BIGINT)) AS BIGINT) AS revenue_cents
+         |FROM lineitem l
+         |JOIN part p ON p.p_partkey = l.l_partkey
+         |WHERE p.p_size <= 2
          |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

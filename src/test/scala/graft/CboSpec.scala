@@ -37,6 +37,22 @@ class CboSpec extends SparkSpec {
     assert(ra.nonEmpty)
   }
 
+  test("broadcast-threshold flip: the stats arm broadcasts the " +
+      "filtered dim, the stats-free arm shuffles it, results identical") {
+    val withCbo = Cbo.broadcastArm(spark, sf0001, cbo = true)
+    val without = Cbo.broadcastArm(spark, sf0001, cbo = false)
+    val pa = withCbo.queryExecution.executedPlan.toString
+    val pb = without.queryExecution.executedPlan.toString
+    assert(pa.contains("BroadcastHashJoin"),
+      s"stats arm did not broadcast:\n$pa")
+    assert(!pb.contains("BroadcastHashJoin") &&
+      pb.contains("SortMergeJoin"),
+      s"stats-free arm should shuffle (SMJ), got:\n$pb")
+    val ra = withCbo.collect().map(_.toSeq).toSeq
+    val rb = without.collect().map(_.toSeq).toSeq
+    assert(ra == rb && ra.nonEmpty)
+  }
+
   test("the analyzed catalog really carries rowCount + column stats") {
     val (lT, _, pT) = Cbo.analyzedTables(spark, sf0001)
     val lStats = spark.sql(s"DESCRIBE EXTENDED $lT")

@@ -77,7 +77,10 @@ object PlanDump {
     "waiting_suppliers", "sq8_topk", "sq8_recall",
     "price_percentile_semantics", "top_customers_listagg",
     "ivfsq8_topk", "ivfsq8_recall", "shard_manifest",
-    "shard_manifest_erased",
+    "shard_manifest_erased", "knn_triangles", "semantic_dedup_pairs",
+    "semantic_dedup_survivors", "orders_join_ivm_erased",
+    "orders_join_ivm_streamed", "orders_merge_into_erased",
+    "orders_merge_into_streamed", "revenue_cbo_broadcast",
     "price_outliers_mad", "hourly_forecast_backtest", "knn_sssp", "shard_manifest_appended",
     "rls_tenant_revenue", "masked_customer_preview",
     "neardup_survivors", "orders_mor_vacuumed", "bootstrap_price_means",

@@ -265,8 +265,44 @@ object Subqueries {
     "banded_brand_revenue" ->
       bandedBrandSql.replace("count(*) AS n_items",
         "CAST(count(*) AS BIGINT) AS n_items"),
-    "large_volume_customers" -> largeVolumeSql,
-    "top_supplier_revenue" -> topSupplierSql,
+    // INDEPENDENT formulation (r10, per the r9 advice on oracle
+    // strength): join-aggregate instead of IN-HAVING + outer re-sum —
+    // the per-order quantity is computed once and joined, the oracle
+    // never re-aggregates lineitem under the customer join. Hash
+    // equality now proves the decorrelated semi shape computes the
+    // group-having semantics, not merely that two engines agree on
+    // one spelling.
+    "large_volume_customers" ->
+      s"""WITH ql AS (
+         |  SELECT l_orderkey,
+         |    CAST(sum(${cents("l_quantity")}) AS BIGINT) AS q
+         |  FROM lineitem GROUP BY 1)
+         |SELECT c.c_custkey, o.o_orderkey,
+         |  ${cents("o.o_totalprice")} AS totalprice_cents,
+         |  ql.q AS sum_qty_cents
+         |FROM orders o
+         |JOIN customer c ON c.c_custkey = o.o_custkey
+         |JOIN ql ON ql.l_orderkey = o.o_orderkey
+         |WHERE ql.q > $QtyCentsThreshold
+         |ORDER BY sum_qty_cents DESC, o_orderkey""".stripMargin,
+    // INDEPENDENT formulation (r10): rank() over the view + QUALIFY
+    // instead of the scalar-max subquery — ties kept by rank(), no
+    // second pass over the view
+    "top_supplier_revenue" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey,
+         |    sum(${cents("l_extendedprice")}
+         |      * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+         |                    AS BIGINT))) AS total_rev
+         |  FROM lineitem
+         |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+         |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+         |  GROUP BY 1)
+         |SELECT s.s_suppkey, s.s_name,
+         |  CAST(r.total_rev AS BIGINT) AS total_rev
+         |FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+         |QUALIFY rank() OVER (ORDER BY r.total_rev DESC) = 1
+         |ORDER BY s.s_suppkey""".stripMargin,
     // identical statement; DuckDB's year() over DATE matches Spark's
     "volume_shipping" ->
       """SELECT

@@ -375,9 +375,25 @@ object TpchShapes {
     "supplier_census" -> (supplierCensus _),
     "growth_suppliers" -> (growthSuppliers _))
 
+  // r10: where an INDEPENDENT formulation exists (per the r9 advice),
+  // the oracle states it instead of echoing the Spark statement —
+  // hash equality then proves the query's semantics, not just that
+  // two engines agree on one spelling. Each swap was value-checked
+  // against the echoed form in DuckDB before landing.
   val oracles: Map[String, String] = Map(
     "shipping_priority" -> shippingPrioritySql,
-    "priority_order_check" -> priorityOrderCheckSql("epoch_us"),
+    // Q4 independent: join + DISTINCT late-order set, no EXISTS
+    "priority_order_check" ->
+      s"""WITH late AS (
+         |  SELECT DISTINCT l.l_orderkey
+         |  FROM lineitem l JOIN orders o2 ON o2.o_orderkey = l.l_orderkey
+         |  WHERE epoch_us(CAST(l.l_shipdate AS TIMESTAMP))
+         |      - epoch_us(CAST(o2.o_orderdate AS TIMESTAMP)) > $LateMicros)
+         |SELECT o.o_orderpriority, count(*) AS n_orders
+         |FROM orders o JOIN late ON late.l_orderkey = o.o_orderkey
+         |WHERE CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+         |  AND CAST(o.o_orderdate AS DATE) < DATE '1997-07-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "forecast_revenue" -> forecastRevenueSql,
     // HUGEINT, not DECIMAL(38,0): DuckDB's `//` over DECIMAL operands
     // degenerates to DOUBLE true division (probed r10 — 59//30 gives
@@ -386,10 +402,47 @@ object TpchShapes {
     "market_share" -> marketShareSql("//", wide = "HUGEINT"),
     "product_profit" -> productProfitSql,
     "returned_items" -> returnedItemSql,
-    "important_parts" -> importantPartsSql,
+    // Q11 independent: the global total via a window over the view,
+    // no scalar subquery
+    "important_parts" ->
+      s"""WITH west_value AS (
+         |  SELECT l.l_partkey,
+         |    CAST(sum(${cents("l.l_extendedprice")}) AS BIGINT) AS value_cents
+         |  FROM lineitem l
+         |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         |  WHERE s.s_nationkey < 12
+         |  GROUP BY 1)
+         |SELECT l_partkey, value_cents FROM (
+         |  SELECT l_partkey, value_cents,
+         |    sum(value_cents) OVER () AS tot
+         |  FROM west_value)
+         |WHERE value_cents * 10000 > tot * 5
+         |ORDER BY value_cents DESC, l_partkey""".stripMargin,
     "ship_buckets" -> shipBucketSql("epoch_us"),
-    "order_count_distribution" -> orderCountDistSql,
+    // Q13 independent: per-customer order count as a correlated
+    // scalar, no LEFT JOIN + re-aggregate
+    "order_count_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT (SELECT count(*) FROM orders o
+        |          WHERE o.o_custkey = c.c_custkey
+        |            AND o.o_orderpriority <> '5-LOW') AS c_count
+        |  FROM customer c)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "promo_share" -> promoShareSql("//", wide = "HUGEINT"),
-    "supplier_census" -> supplierCensusSql,
+    // Q16 independent: the exclusion as LEFT JOIN ... IS NULL, no
+    // NOT IN
+    "supplier_census" ->
+      s"""SELECT p.p_brand, p.p_size,
+         |  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+         |LEFT JOIN (SELECT s_suppkey FROM supplier
+         |           WHERE s_acctbal < 2000) ex
+         |  ON ex.s_suppkey = l.l_suppkey
+         |WHERE p.p_brand <> 'Brand#13'
+         |  AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+         |  AND p.p_size IN (1, 5, 9, 14, 20, 28, 36, 45)
+         |  AND ex.s_suppkey IS NULL
+         |GROUP BY 1, 2
+         |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
     "growth_suppliers" -> growthSuppliersSql)
 }

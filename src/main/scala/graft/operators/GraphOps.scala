@@ -414,6 +414,21 @@ object GraphOps {
     bfsFrom(spark,
       spark.read.parquet(maintainedEdges(spark, dir).root))
 
+  /** GRADED (r10): the FULL index lifecycle — the maintained
+    * (base ∪ inserted) graph under the GDPR retirement, in one
+    * serving view. The erase class lives in the BASE slice (md5 'a'
+    * ≥ '2'), but insert edges link new→base, so the delete delta
+    * spans BOTH generations' files (spec pins retirement non-vacuous
+    * in each) — the position-delete mechanism composes with the
+    * append-only insert path with neither file set rewritten. The
+    * oracle re-derives the union graph, drops every edge touching an
+    * erased vector, and walks — grow and forget must commute into
+    * plain predicate semantics. */
+  def knnBfsHopsLifecycle(spark: SparkSession, dir: String): DataFrame =
+    bfsFrom(spark, IndexErasure.erasedView(spark,
+      maintainedEdges(spark, dir).root,
+      IndexErasure.erased(col("src")) || IndexErasure.erased(col("dst"))))
+
   /** ERASURE propagation into the kNN edge files (r8 verdict #1):
     * erasing a vector must retire every edge row that references it —
     * src OR dst — or a graph walk keeps routing through (and
@@ -768,6 +783,7 @@ object GraphOps {
     "knn_bfs_hops_erased" -> (knnBfsHopsErased(_, _)),
     "knn_sssp" -> (knnSsspDeficit(_, _)),
     "knn_bfs_hops_maintained" -> (knnBfsHopsMaintained(_, _)),
+    "knn_bfs_hops_lifecycle" -> (knnBfsHopsLifecycle(_, _)),
     "graph_ann_topk" -> ((s: SparkSession, d: String) => graphAnnTopk(s, d)),
     "graph_ann_recall" -> ((s: SparkSession, d: String) =>
       graphAnnRecall(s, d)),
@@ -972,6 +988,7 @@ object GraphOps {
          |SELECT vec_id, CAST(min(d) AS BIGINT) AS dist_ppm
          |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
     "knn_bfs_hops_maintained" -> maintainedBfsOracle,
+    "knn_bfs_hops_lifecycle" -> lifecycleBfsOracle,
     "graph_ann_topk_batch" -> batchTopkOracle,
     "graph_ann_topk" -> topkOracle(2),
     "graph_ann_topk_d4" -> topkOracle(4),
@@ -1057,11 +1074,40 @@ object GraphOps {
     * rank-based centroids over the base slice, the NSW insert chain
     * (new probes base centroids, candidates new×base only), union,
     * recursive walk — identical arithmetic and tie-breaks. */
-  private def maintainedBfsOracle: String = {
+  /** The walk tail over any edge-CTE name (shared by the maintained
+    * and the lifecycle oracles — one spelling, cannot drift). */
+  private def walkOver(tbl: String): String =
+    s"""seeds AS (
+       |  SELECT DISTINCT src AS vec_id FROM $tbl
+       |  WHERE src % $SeedMod = 0),
+       |walk AS (
+       |  SELECT vec_id, 0 AS hop FROM seeds
+       |  UNION
+       |  SELECT e.dst AS vec_id, w.hop + 1 AS hop
+       |  FROM walk w JOIN $tbl e ON e.src = w.vec_id
+       |  WHERE w.hop < $MaxHops)
+       |SELECT vec_id, CAST(min(hop) AS BIGINT) AS hop
+       |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def maintainedBfsOracle: String =
+    s"""WITH RECURSIVE $maintainedEdgeCtes,
+       |${walkOver("edges")}""".stripMargin
+
+  /** The full-lifecycle twin: the SAME union-graph derivation, every
+    * edge touching an erased vector dropped, then the walk. */
+  private def lifecycleBfsOracle: String =
+    s"""WITH RECURSIVE $maintainedEdgeCtes,
+       |sedges AS (
+       |  SELECT src, dst FROM edges
+       |  WHERE ${IndexErasure.survivorSql("src")}
+       |    AND ${IndexErasure.survivorSql("dst")}),
+       |${walkOver("sedges")}""".stripMargin
+
+  private def maintainedEdgeCtes: String = {
     import Similarity.duckDot
     def cos(a: String, b: String) =
       s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
-    s"""WITH RECURSIVE base AS (
+    s"""base AS (
        |  SELECT * FROM embeddings
        |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) >= '2'),
        |newv AS (
@@ -1128,18 +1174,7 @@ object GraphOps {
        |    UNION ALL SELECT vb, va FROM nknn)),
        |edges AS (
        |  SELECT DISTINCT src, dst FROM (
-       |    SELECT * FROM bedges UNION ALL SELECT * FROM dedges)),
-       |seeds AS (
-       |  SELECT DISTINCT src AS vec_id FROM edges
-       |  WHERE src % $SeedMod = 0),
-       |walk AS (
-       |  SELECT vec_id, 0 AS hop FROM seeds
-       |  UNION
-       |  SELECT e.dst AS vec_id, w.hop + 1 AS hop
-       |  FROM walk w JOIN edges e ON e.src = w.vec_id
-       |  WHERE w.hop < $MaxHops)
-       |SELECT vec_id, CAST(min(hop) AS BIGINT) AS hop
-       |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
+       |    SELECT * FROM bedges UNION ALL SELECT * FROM dedges))""".stripMargin
   }
 
   /** The batched walk unrolled per qid: candidate CTE (beam ∪

@@ -152,6 +152,26 @@ class IndexErasureSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("full lifecycle: grow + forget compose — the maintained graph's " +
+      "delete delta retires rows in BOTH generations' files, and the " +
+      "lifecycle walk holds no erased id") {
+    val st = GraphOps.maintainedEdges(spark, sf0001)
+    val retire = IndexErasure.erased(col("src")) ||
+      IndexErasure.erased(col("dst"))
+    checkFamily(st.root, retire)
+    // the erase class is base-side, but insert edges link new→base:
+    // retirement must be non-vacuous in EACH generation's file set
+    def hits(files: Map[String, Long]): Long =
+      spark.read.parquet(files.keys.toSeq.map(n => s"${st.root}/$n"): _*)
+        .filter(retire).count()
+    assert(hits(st.baseFiles) > 0, "no retired base-edge rows")
+    assert(hits(st.deltaFiles) > 0, "no retired insert-edge rows")
+    val hops = GraphOps.knnBfsHopsLifecycle(spark, sf0001).collect()
+    assert(hops.nonEmpty)
+    hops.foreach(r => assert(!isErased(r.getLong(0)),
+      s"lifecycle walk labeled erased vec ${r.getLong(0)}"))
+  }
+
   test("post-MERGE store: files frozen, erased view clean, and " +
       "NULL-custkey insert rows all survive (the NULL-key contract)") {
     val root = graft.operators.MergeInto.mergedDir(spark, sf0001)

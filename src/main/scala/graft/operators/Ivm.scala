@@ -42,7 +42,7 @@ import graft.Tables
   * Determinism: retract/add arithmetic in exact `decimal(18,2)` — a
   * retraction is the exact negation of the value the MV summed, so
   * MV ⊎ delta is bit-identical to a from-scratch aggregate over the
-  * resolved table ([[IvmSpec]] asserts this row-for-row; the GRADE
+  * resolved table ([[graft.MergeOnReadSpec]] asserts this row-for-row; the GRADE
   * pins it against the DuckDB restatement of the final table).
   */
 object Ivm {

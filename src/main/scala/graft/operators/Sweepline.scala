@@ -25,7 +25,7 @@ import graft.Tables
   * The global-ORDER windows after it run over the DATE frame
   * (≤ span-in-days rows, calendar-bounded, corpus-size-independent) —
   * the same documented catalog-sized-global-window envelope as
-  * survivalRiskTable; GlobalWindowGuardSpec's bound discipline applies.
+  * survivalRiskTable; graft.CohortsSpec's global-window bound guard applies.
   * Month peaks handle carry-in correctly: a month's first date compares
   * against the level carried INTO the month (its L_prev), so a month
   * whose events only close orders still reports the inherited plateau.

@@ -731,7 +731,7 @@ object TextOps {
     "simhash_neighbors" -> ((s: SparkSession, d: String) =>
       simhashNeighbors(s, d)),
     // the radius knob exercised (r5 verdict #4): 137 probes/doc, pairs
-    // at Hamming ≤ 2 — SimhashSpec asserts r2 ⊇ r1
+    // at Hamming ≤ 2 — TextSimilaritySpec asserts r2 ⊇ r1
     "simhash_neighbors_r2" -> ((s: SparkSession, d: String) =>
       simhashNeighbors(s, d, radius = 2)),
     "winnow_fingerprints" -> (winnowFingerprints _))
@@ -978,7 +978,7 @@ object TextOps {
       // and checks the ground truth directly — pairwise Hamming over
       // the same fingerprint CTE (N²/2 is fine at oracle scale; the
       // probe expansion is the SPARK side's scale story, asserted by
-      // the r1-oracle parity and the SimhashSpec containment test)
+      // the r1-oracle parity and the TextSimilaritySpec containment test)
       "simhash_neighbors_r2" ->
         s"""WITH terms AS (
            |  SELECT doc_id, md5(unnest(list_filter(string_split(text, ' '), x -> x <> ''))) AS h

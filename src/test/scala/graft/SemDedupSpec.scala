@@ -98,6 +98,21 @@ class SemDedupSpec extends SparkSpec {
     assert(all == (basePairs ++ deltaPairs))
   }
 
+  test("streamed ingest: the stream-built pair store equals the " +
+      "batch-maintained store row-for-row, across > 1 micro-batch") {
+    val root = SemDedupMaintained.streamedPairsDir(spark, sf0001)
+    val versions = Option(
+      new java.io.File(s"$root/assign").listFiles).getOrElse(Array.empty)
+      .map(_.getName).count(_.matches("v\\d+"))
+    assert(versions >= 2, s"chop vacuous: $versions micro-batch(es)")
+    val streamed = spark.read.parquet(s"$root/pairs")
+    val batch = spark.read.parquet(
+      SemDedupMaintained.pairState(spark, sf0001).root)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("lifecycle: erasure only shrinks or splits components — every " +
       "lifecycle component sits inside one maintained component, " +
       "holds no erased vec, and elects a surviving member") {

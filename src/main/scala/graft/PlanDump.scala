@@ -81,6 +81,8 @@ object PlanDump {
     "semantic_dedup_survivors", "orders_join_ivm_erased",
     "orders_join_ivm_streamed", "orders_merge_into_erased",
     "orders_merge_into_streamed", "revenue_cbo_broadcast",
+    "fuzzy_join_passjoin", "knn_bfs_hops_lifecycle",
+    "semantic_dedup_pairs_maintained", "semantic_dedup_survivors_lifecycle",
     "price_outliers_mad", "hourly_forecast_backtest", "knn_sssp", "shard_manifest_appended",
     "rls_tenant_revenue", "masked_customer_preview",
     "neardup_survivors", "orders_mor_vacuumed", "bootstrap_price_means",

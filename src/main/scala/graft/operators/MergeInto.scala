@@ -240,13 +240,22 @@ object MergeInto {
             val prev =
               if (batchId == 0) s.read.parquet(s"$root/t/v0_init")
               else s.read.parquet(s"$root/t/v${batchId - 1}")
+            // the statement's key log is VERSIONED (one overwrite dir
+            // per batch, like the target versions) so a replayed
+            // micro-batch is idempotent — an append log would
+            // duplicate keys on replay and falsely trip the gate
+            val priorKeyDirs = Option(new java.io.File(s"$root/keys")
+              .listFiles).getOrElse(Array.empty)
+              .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+                f.getName.drop(1).toLong < batchId)
+              .map(_.getAbsolutePath)
             val mk =
-              if (batchId == 0) None
-              else Some(s.read.parquet(s"$root/keys"))
+              if (priorKeyDirs.isEmpty) None
+              else Some(s.read.parquet(priorKeyDirs.toIndexedSeq: _*))
             mergeStep(prev, batch.toDF(), mk).coalesce(1)
               .write.mode("overwrite").parquet(s"$root/t/v$batchId")
             batch.toDF().select(col("k")).coalesce(1)
-              .write.mode("append").parquet(s"$root/keys")
+              .write.mode("overwrite").parquet(s"$root/keys/v$batchId")
             ()
         }
         .start()

@@ -214,11 +214,14 @@ object SemDedupMaintained {
               expr("cosine_sim(ea, eb)"), 6).as("cosine_sim"))
           .filter(col("cosine_sim") >= Threshold)
       }
+      // pair generations land in PER-BATCH overwrite dirs (base, b0,
+      // b1, …) so a replayed micro-batch rewrites its own dir instead
+      // of appending duplicates — the versioned-sink idempotency rule
       scored(ss, baseA.as("a").join(baseA.as("b"),
           col("a.cid") === col("b.cid") &&
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b")))
-        .write.mode("overwrite").parquet(s"$root/pairs")
+        .write.mode("overwrite").parquet(s"$root/pairs/base")
       val stream = ss.readStream
         .schema(ss.read.parquet(feed.getAbsolutePath).schema)
         .option("maxFilesPerTrigger", "1")
@@ -257,7 +260,7 @@ object SemDedupMaintained {
                 greatest(col("n.vec_id"), col("x.vec_id")).as("vec_b"))
               .distinct()
             scored(s, cand).coalesce(1)
-              .write.mode("append").parquet(s"$root/pairs")
+              .write.mode("overwrite").parquet(s"$root/pairs/b$batchId")
             visible.coalesce(1)
               .write.mode("overwrite").parquet(s"$root/assign/v$batchId")
             ()
@@ -271,7 +274,7 @@ object SemDedupMaintained {
     * oracle verbatim. */
   def semanticDedupPairsStreamed(spark: SparkSession,
       dir: String): DataFrame =
-    spark.read.parquet(s"${streamedPairsDir(spark, dir)}/pairs")
+    spark.read.parquet(s"${streamedPairsDir(spark, dir)}/pairs/*")
       .select(col("vec_a"), col("vec_b"), col("cosine_sim"))
       .orderBy("vec_a", "vec_b")
 

@@ -105,7 +105,7 @@ class SemDedupSpec extends SparkSpec {
       new java.io.File(s"$root/assign").listFiles).getOrElse(Array.empty)
       .map(_.getName).count(_.matches("v\\d+"))
     assert(versions >= 2, s"chop vacuous: $versions micro-batch(es)")
-    val streamed = spark.read.parquet(s"$root/pairs")
+    val streamed = spark.read.parquet(s"$root/pairs/*")
     val batch = spark.read.parquet(
       SemDedupMaintained.pairState(spark, sf0001).root)
     assert(streamed.count() == batch.count())

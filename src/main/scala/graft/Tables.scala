@@ -122,6 +122,30 @@ object Tables {
     f
   }
 
+  /** Write `df` as ONE parquet file `destDir/name` with an EXPLICIT
+    * modification time (r10 review finding: streaming file sources
+    * order by mtime, and Files.move keeps the write-time mtime — on a
+    * coarse-granularity or very fast filesystem consecutive feed
+    * files can land in the same tick and replay out of order; the
+    * late-data replay already stamped its generations, every feed
+    * builder now goes through this one helper). `seq` spaces stamps a
+    * minute apart from a fixed epoch — deterministic and strictly
+    * increasing. */
+  private[graft] def writeFeedFile(df: org.apache.spark.sql.DataFrame,
+      destDir: java.io.File, name: String, seq: Int): Unit = {
+    val tmp = scratchDir("graft_feed_tmp_")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles.find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"empty feed slice for $name — the feed builder must never " +
+          "produce a fileless generation"))
+    val dst = new java.io.File(destDir, name).toPath
+    java.nio.file.Files.move(part.toPath, dst)
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(
+        1700000000000L + seq.toLong * 60000L))
+  }
+
   private def installCleanupHook(): Unit =
     if (hookInstalled.compareAndSet(false, true))
       Runtime.getRuntime.addShutdownHook(new Thread(() => {

@@ -471,23 +471,21 @@ object GraphOps {
     val deg = und.select(col("src").as("v"))
       .unionByName(und.select(col("dst").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    // total order key: (deg, id) packed into one BIGINT (ids are far
-    // below 1e9 at any bench SF; the packing is the engine-portable
-    // spelling of lexicographic (deg, id))
+    // total order key: lexicographic (deg, id) as a STRUCT comparison
+    // — not packed arithmetic (r10 review: deg·10⁹ + id stops being
+    // lexicographic once ids reach 10⁹, silently corrupting the
+    // orientation at exactly the scale the operator advertises)
     def ord(d: org.apache.spark.sql.Column,
-        v: org.apache.spark.sql.Column) = d * 1000000000L + v
+        v: org.apache.spark.sql.Column) = struct(d.as("d"), v.as("v"))
+    def srcFirst = ord(col("ds"), col("src")) < ord(col("dd"), col("dst"))
     val o = und
       .join(deg.select(col("v").as("src"), col("deg").as("ds")), Seq("src"))
       .join(deg.select(col("v").as("dst"), col("deg").as("dd")), Seq("dst"))
       .select(
-        when(ord(col("ds"), col("src")) < ord(col("dd"), col("dst")),
-          col("src")).otherwise(col("dst")).as("a"),
-        when(ord(col("ds"), col("src")) < ord(col("dd"), col("dst")),
-          col("dst")).otherwise(col("src")).as("b"),
-        least(ord(col("ds"), col("src")), ord(col("dd"), col("dst")))
-          .as("orda"),
-        greatest(ord(col("ds"), col("src")), ord(col("dd"), col("dst")))
-          .as("ordb"))
+        when(srcFirst, col("src")).otherwise(col("dst")).as("a"),
+        when(srcFirst, col("dst")).otherwise(col("src")).as("b"),
+        when(srcFirst, ord(col("dd"), col("dst")))
+          .otherwise(ord(col("ds"), col("src"))).as("ordb"))
     // wedge at the order-minimum pivot, closed by the oriented edge
     // v→w (v precedes w in the total order by construction)
     val tri = o.as("e1").join(o.as("e2"),

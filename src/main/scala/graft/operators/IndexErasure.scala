@@ -62,9 +62,13 @@ object IndexErasure {
   private[graft] def survivorSql(ref: String): String =
     s"substr(md5(CAST($ref AS VARCHAR)), 1, 1) <> '$EraseHex'"
 
-  /** One delete-delta build per (JVM, index path): the DV parquet's
-    * scratch dir, keyed on the index root (index roots are unique
-    * scratch dirs per (JVM, corpus), so the key carries the corpus). */
+  /** One delete-delta build per (JVM, index path, retire predicate):
+    * the DV parquet's scratch dir, keyed on the index root (index
+    * roots are unique scratch dirs per (JVM, corpus), so the key
+    * carries the corpus) AND the predicate's canonical string — two
+    * consumers erasing the same root by different columns must never
+    * share a delta (r10 review finding: a root-only key would hand
+    * the second caller the first caller's rows with no error). */
   private val dvDirs = new ConcurrentHashMap[String, String]()
 
   /** Build (once) and return the position-delete file set for the
@@ -72,7 +76,7 @@ object IndexErasure {
     * `retire`. The build never writes under `root`. */
   private[graft] def deleteDelta(spark: SparkSession, root: String,
       retire: Column): String =
-    dvDirs.computeIfAbsent(root, { _ =>
+    dvDirs.computeIfAbsent(s"$root|${retire.toString}", { _ =>
       val dv = Tables.scratchDir("graft_idx_dv_").getAbsolutePath
       spark.read.parquet(root)
         .select(col("_metadata.file_path").as("file"),

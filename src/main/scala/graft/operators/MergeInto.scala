@@ -195,12 +195,8 @@ object MergeInto {
       val out = Tables.scratchDir("graft_merge_feed_")
       val src = sourceBatch(spark, dir)
       Seq("U", "D", "I").zipWithIndex.foreach { case (op, i) =>
-        val tmp = Tables.scratchDir("graft_merge_feed_tmp_")
-        src.filter(col("_op") === op).repartition(1)
-          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          new java.io.File(out, f"chunk$i%03d.parquet").toPath)
+        Tables.writeFeedFile(src.filter(col("_op") === op), out,
+          f"chunk$i%03d.parquet", i)
       }
       out.getAbsolutePath
     })

@@ -91,12 +91,8 @@ object MergeOnRead {
     feedDirs.computeIfAbsent(dir, { _ =>
       val in = Tables.scratchDir("graft_mor_feed_")
       UpdSlices.foreach { case (s, _, _, _) =>
-        val tmp = Tables.scratchDir("graft_mor_feed_tmp_")
-        updBatch(spark, dir, s).repartition(1)
-          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          new java.io.File(in, f"upd$s%03d.parquet").toPath)
+        Tables.writeFeedFile(updBatch(spark, dir, s), in,
+          f"upd$s%03d.parquet", s)
       }
       in.getAbsolutePath
     })

@@ -45,6 +45,25 @@ object SemDedupMaintained {
   /** Same emit threshold as the one-shot tier. */
   private val Threshold = 0.3
 
+  /** ONE pair-scoring spelling for the batch build and every streamed
+    * micro-batch (r10 review: the threshold/rounding contract must
+    * live in exactly one place — a drift between the two builds would
+    * fail the chop-invariance spec the hard way). */
+  private def scoredPairs(s: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
+    graft.plans.VectorExpressions.register(s)
+    val e = Tables(s, dir, "embeddings")
+    cand
+      .join(e.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        graft.functions.ScalarFns.roundN(
+          expr("cosine_sim(ea, eb)"), 6).as("cosine_sim"))
+      .filter(col("cosine_sim") >= Threshold)
+  }
+
   private[graft] final case class PairState(root: String,
       baseFiles: Map[String, Long], deltaFiles: Map[String, Long])
 
@@ -65,22 +84,13 @@ object SemDedupMaintained {
       val root = Tables.scratchDir("graft_semdedup_maint_").getAbsolutePath
       val st = IvfMaintained.state(spark, dir)
       val assign = spark.read.parquet(st.root)
-      val e = Tables(spark, dir, "embeddings")
-      def scored(cand: DataFrame): DataFrame = cand
-        .join(e.select(col("vec_id").as("vec_a"),
-          col("embedding").as("ea")), Seq("vec_a"))
-        .join(e.select(col("vec_id").as("vec_b"),
-          col("embedding").as("eb")), Seq("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          graft.functions.ScalarFns.roundN(
-            expr("cosine_sim(ea, eb)"), 6).as("cosine_sim"))
-        .filter(col("cosine_sim") >= Threshold)
       val baseA = assign.filter(!GraphOps.isNewVec)
       val basePairs = baseA.as("a").join(baseA.as("b"),
           col("a.cid") === col("b.cid") &&
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      scored(basePairs).write.mode("overwrite").parquet(root)
+      scoredPairs(spark, dir, basePairs)
+        .write.mode("overwrite").parquet(root)
       val baseFiles = listPq(root)
       // the ingest increment: every pair with ≥ 1 new endpoint —
       // new×all within cell, normalized (va < vb), deduped (a
@@ -92,7 +102,8 @@ object SemDedupMaintained {
         .select(least(col("n.vec_id"), col("x.vec_id")).as("vec_a"),
           greatest(col("n.vec_id"), col("x.vec_id")).as("vec_b"))
         .distinct()
-      scored(deltaPairs).write.mode("append").parquet(root)
+      scoredPairs(spark, dir, deltaPairs)
+        .write.mode("append").parquet(root)
       PairState(root, baseFiles, listPq(root) -- baseFiles.keys)
     })
 
@@ -122,31 +133,47 @@ object SemDedupMaintained {
           expr("cosine_sim(embedding, cv)"), 6).as("cent_sim"))
   }
 
-  /** The election over any pair frame served by the store. */
+  /** The election over any pair frame served by the store — built
+    * ONCE per (JVM, corpus, variant) into scratch parquet (r10
+    * review: the components helper caches its labels frame under a
+    * caller-releases contract; serving from scratch both honors it
+    * and stops every serving call from re-collecting the edge set). */
+  private val survivorDirs = new ConcurrentHashMap[String, String]()
   private def survivorsOf(spark: SparkSession, dir: String,
-      pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
-      .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-    val (labels, _) = Similarity.connectedComponents(edges)
-    val wC = Window.partitionBy("component")
-    val wR = wC.orderBy(col("cent_sim").asc, col("vec_id"))
-    labels.select(col("doc_id").as("vec_id"), col("label").as("component"))
-      .join(centSims(spark, dir), Seq("vec_id"))
-      .withColumn("n_members", count(lit(1)).over(wC))
-      .withColumn("rk", row_number().over(wR))
-      .filter(col("rk") === 1 && col("n_members") > 1)
-      .select(col("component"), col("n_members"),
-        col("vec_id").as("keeper_vec"),
-        col("cent_sim").as("keeper_cent_sim"),
-        (col("n_members") - 1).cast("bigint").as("dropped_vecs"))
-      .orderBy("component")
+      variant: String, pairs: => DataFrame): DataFrame = {
+    val path = survivorDirs.computeIfAbsent(s"$dir|$variant", { _ =>
+      val out = Tables.scratchDir("graft_semdedup_surv_").getAbsolutePath
+      val p = pairs
+      val edges = p.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        .union(p.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+      val (labels, _) = Similarity.connectedComponents(edges)
+      try {
+        val wC = Window.partitionBy("component")
+        val wR = wC.orderBy(col("cent_sim").asc, col("vec_id"))
+        labels
+          .select(col("doc_id").as("vec_id"), col("label").as("component"))
+          .join(centSims(spark, dir), Seq("vec_id"))
+          .withColumn("n_members", count(lit(1)).over(wC))
+          .withColumn("rk", row_number().over(wR))
+          .filter(col("rk") === 1 && col("n_members") > 1)
+          .select(col("component"), col("n_members"),
+            col("vec_id").as("keeper_vec"),
+            col("cent_sim").as("keeper_cent_sim"),
+            (col("n_members") - 1).cast("bigint").as("dropped_vecs"))
+          .write.mode("overwrite").parquet(out)
+      } finally {
+        try { labels.unpersist(); () } catch { case _: Throwable => () }
+      }
+      out
+    })
+    spark.read.parquet(path).orderBy("component")
   }
 
   /** GRADED: survivorship over the GROWN store — base and day-2
     * vectors compete in the same components. */
   def semanticDedupSurvivorsMaintained(spark: SparkSession,
       dir: String): DataFrame =
-    survivorsOf(spark, dir,
+    survivorsOf(spark, dir, "maintained",
       spark.read.parquet(pairState(spark, dir).root))
 
   /** GRADED: the full lifecycle — the grown store under the GDPR
@@ -154,7 +181,7 @@ object SemDedupMaintained {
     * a keeper either persists or yields to a surviving member. */
   def semanticDedupSurvivorsLifecycle(spark: SparkSession,
       dir: String): DataFrame =
-    survivorsOf(spark, dir,
+    survivorsOf(spark, dir, "lifecycle",
       IndexErasure.erasedView(spark, pairState(spark, dir).root,
         IndexErasure.erased(col("vec_a")) ||
           IndexErasure.erased(col("vec_b"))))
@@ -190,34 +217,18 @@ object SemDedupMaintained {
       // the 2-file ingest feed: day-2 vectors split by id parity
       val feed = Tables.scratchDir("graft_semdedup_feed_")
       Seq(0, 1).foreach { par =>
-        val tmp = Tables.scratchDir("graft_semdedup_feed_tmp_")
-        e.filter(GraphOps.isNewVec && pmod(col("vec_id"), lit(2)) === par)
-          .repartition(1)
-          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          new java.io.File(feed, f"ingest$par%03d.parquet").toPath)
+        Tables.writeFeedFile(
+          e.filter(GraphOps.isNewVec && pmod(col("vec_id"), lit(2)) === par),
+          feed, f"ingest$par%03d.parquet", par)
       }
       // v0 visible assignment = the stored BASE lists; v0 pairs = the
       // maintained store's base generation (same build, same values)
       val baseA = ss.read.parquet(st.root).filter(!GraphOps.isNewVec)
       baseA.write.mode("overwrite").parquet(s"$root/assign/v0_init")
-      def scored(s: SparkSession, cand: DataFrame): DataFrame = {
-        val emb = Tables(s, dir, "embeddings")
-        cand
-          .join(emb.select(col("vec_id").as("vec_a"),
-            col("embedding").as("ea")), Seq("vec_a"))
-          .join(emb.select(col("vec_id").as("vec_b"),
-            col("embedding").as("eb")), Seq("vec_b"))
-          .select(col("vec_a"), col("vec_b"),
-            graft.functions.ScalarFns.roundN(
-              expr("cosine_sim(ea, eb)"), 6).as("cosine_sim"))
-          .filter(col("cosine_sim") >= Threshold)
-      }
       // pair generations land in PER-BATCH overwrite dirs (base, b0,
       // b1, …) so a replayed micro-batch rewrites its own dir instead
       // of appending duplicates — the versioned-sink idempotency rule
-      scored(ss, baseA.as("a").join(baseA.as("b"),
+      scoredPairs(ss, dir, baseA.as("a").join(baseA.as("b"),
           col("a.cid") === col("b.cid") &&
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b")))
@@ -259,7 +270,7 @@ object SemDedupMaintained {
               .select(least(col("n.vec_id"), col("x.vec_id")).as("vec_a"),
                 greatest(col("n.vec_id"), col("x.vec_id")).as("vec_b"))
               .distinct()
-            scored(s, cand).coalesce(1)
+            scoredPairs(s, dir, cand).coalesce(1)
               .write.mode("overwrite").parquet(s"$root/pairs/b$batchId")
             visible.coalesce(1)
               .write.mode("overwrite").parquet(s"$root/assign/v$batchId")

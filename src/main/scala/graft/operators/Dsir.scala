@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.plans.WordGrams
+
+/** DSIR-style DATA SELECTION via hashed n-gram importance (Xie et al.,
+  * NeurIPS 2023 "Data Selection for Language Models via Importance
+  * Resampling") — the named LLM-pipeline selection tier beside the
+  * rule funnel ([[TextOps.qualityFunnel]]) and the LM-quality gate
+  * ([[TextSignals.ngramLmQuality]]): score every raw doc by how much
+  * its hashed-bigram profile looks like a TARGET domain, then keep the
+  * top slice. Target here = the `lang = 'en'` subcorpus (the
+  * "benchmark-like" domain); raw = the whole corpus.
+  *
+  * Exact-integer re-expression (the repo's no-libm discipline): DSIR's
+  * per-feature weight is log p_tgt(b) − log p_raw(b); logarithms are
+  * last-ulp divergent across engines, so the graded score is the MEAN
+  * PER-OCCURRENCE RELEVANCE RATIO in ppm — score(d) = floor(Σ_g
+  * ratio_ppm(b(g)) / n_grams(d)) with ratio_ppm(b) = floor(10⁶ ·
+  * (c_tgt(b)+1)(N_raw+B) / ((c_raw(b)+1)(N_tgt+B))), Laplace-smoothed
+  * over B = 64 buckets, widened to DECIMAL(38,0)/HUGEINT before the
+  * multiply (the share-ppm overflow lesson). A sum of ratios is a
+  * linear relevance model rather than naive Bayes — rank-equivalent in
+  * the common near-uniform regime and exactly reproducible, which is
+  * what the grade needs; the scaladoc states the substitution rather
+  * than hiding it.
+  *
+  * 100 TB shape: the model is ONE map-side-combined (bucket) aggregate
+  * into a 64-row frame; scoring is a broadcast join of that frame onto
+  * the gram stream + one (doc) partial agg; selection is a global
+  * TopK (orderBy.limit — per-partition top-k then a k-row reduce, the
+  * [[Curation.prioritySample]] shape). No all-pairs, no driver loop;
+  * doc length is platform-bounded so Σratio stays far under BIGINT.
+  */
+object Dsir {
+
+  /** Hash buckets B (the published method's hashed feature space; 64
+    * keeps the model human-auditable while leaving ~360 occurrences
+    * per bucket at sf0.01). */
+  private[graft] val Buckets = 64
+  /** Docs kept by the selection tier. */
+  private[graft] val SelK = 100
+
+  /** (doc_id, source, lang, b) — one row per bigram OCCURRENCE, b =
+    * u32(md5(gram)) % B. The repo-wide md5-nibble uniform, so the
+    * oracle rebuilds b with the nibble polynomial. */
+  private def features(spark: SparkSession, dir: String): DataFrame = {
+    WordGrams.register(spark)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        expr("word_grams(text, 2)").as("g"))
+      .withColumn("b", pmod(
+        expr("CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT)"),
+        lit(Buckets.toLong)))
+  }
+
+  /** The 64-row bucket model: target/raw occurrence counts + the
+    * smoothed relevance ratio. The bucket spine is generated in-plan
+    * (`sequence`), so a bucket no gram hits still reports (0, 0,
+    * smoothed ratio) — the frame is total by construction. */
+  def dsirBucketModel(spark: SparkSession, dir: String): DataFrame = {
+    val counts = features(spark, dir)
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+    val spine = spark.range(1)
+      .select(explode(sequence(lit(0L), lit((Buckets - 1).toLong))).as("b"))
+    val model = spine.join(counts, Seq("b"), "left")
+      .select(col("b"),
+        coalesce(col("c_raw"), lit(0L)).as("c_raw"),
+        coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+    val totals = model.agg(sum(col("c_raw")).as("n_raw"),
+      sum(col("c_tgt")).as("n_tgt"))
+    model.crossJoin(broadcast(totals))
+      .selectExpr("b", "c_tgt", "c_raw",
+        s"""CAST((CAST(c_tgt + 1 AS DECIMAL(38,0)) * (n_raw + $Buckets)
+           |  * 1000000)
+           |  DIV (CAST(c_raw + 1 AS DECIMAL(38,0)) * (n_tgt + $Buckets))
+           |  AS BIGINT) AS ratio_ppm""".stripMargin)
+      .orderBy("b")
+  }
+
+  /** Per-doc scores via the broadcast model join, kept as the shared
+    * scoring frame (selection + yield both read it). */
+  private def scored(spark: SparkSession, dir: String): DataFrame =
+    features(spark, dir)
+      .join(broadcast(dsirBucketModel(spark, dir)
+        .select(col("b"), col("ratio_ppm"))), Seq("b"))
+      .groupBy(col("doc_id"), col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("ratio_ppm")).as("rsum"))
+      .selectExpr("doc_id", "source", "lang", "n_grams",
+        "rsum DIV n_grams AS score_ppm")
+
+  /** The SELECTED slice: global top-[[SelK]] docs by (score desc,
+    * doc_id) — membership-level grading, rank included so row identity
+    * is pinned. orderBy.limit plans as TakeOrderedAndProject (per-
+    * partition top-k, k-row reduce — no global sort shuffle). */
+  def dsirSelectedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val top = scored(spark, dir)
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(SelK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_ppm").desc, col("doc_id")) // SelK rows only
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("source"), col("lang"),
+        col("n_grams"), col("score_ppm"))
+      .orderBy("rank")
+  }
+
+  /** What mix the selection produced — the report DSIR exists for:
+    * per source, scored docs vs selected docs vs selected gram mass
+    * (catalog-granularity finish over the two cached-size frames). */
+  def dsirSourceYield(spark: SparkSession, dir: String): DataFrame = {
+    val sel = dsirSelectedDocs(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("n_grams")).as("sel_grams"))
+    scored(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(sel, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("sel_grams"), lit(0L)).as("sel_grams"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of the first-8-nibble u32 over hex column `h`. */
+  private val u32Poly: String = (1 to 8).map { j =>
+    val mult = 1L << (4 * (8 - j))
+    s"(instr('0123456789abcdef', substr(h, $j, 1)) - 1) * $mult"
+  }.mkString(" + ")
+
+  /** Shared oracle prefix ending at scored(doc_id, source, lang,
+    * n_grams, score_ppm) — the bigram/bucket/model/score chain. */
+  private val scoredCte: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, lang,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, source, lang,
+       |    md5(t[i] || ' ' || t[i + 1]) AS h
+       |  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+       |  WHERE len(t) >= 2),
+       |bh AS (SELECT doc_id, source, lang, ($u32Poly) % $Buckets AS b
+       |  FROM bg),
+       |spine AS (SELECT unnest(generate_series(0, ${Buckets - 1})) AS b),
+       |cnt AS (SELECT b, count(*) AS c_raw,
+       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+       |  FROM bh GROUP BY 1),
+       |model AS (SELECT s.b, coalesce(c.c_raw, 0) AS c_raw,
+       |    coalesce(c.c_tgt, 0) AS c_tgt
+       |  FROM spine s LEFT JOIN cnt c USING (b)),
+       |tot AS (SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM model),
+       |ratio AS (SELECT b, c_tgt, c_raw,
+       |    CAST((CAST(c_tgt + 1 AS HUGEINT) * (t.n_raw + $Buckets)
+       |        * 1000000)
+       |      // (CAST(c_raw + 1 AS HUGEINT) * (t.n_tgt + $Buckets))
+       |      AS BIGINT) AS ratio_ppm
+       |  FROM model, tot t),
+       |scored AS (
+       |  SELECT doc_id, source, lang,
+       |    CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum(r.ratio_ppm) // count(*) AS BIGINT) AS score_ppm
+       |  FROM bh JOIN ratio r USING (b)
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
+  private val selectedCte: String =
+    s"""sel AS (
+       |  SELECT row_number() OVER (ORDER BY score_ppm DESC, doc_id)
+       |      AS rank,
+       |    doc_id, source, lang, n_grams, score_ppm
+       |  FROM scored
+       |  ORDER BY score_ppm DESC, doc_id LIMIT $SelK)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsir_bucket_model" -> (dsirBucketModel _),
+    "dsir_selected_docs" -> (dsirSelectedDocs _),
+    "dsir_source_yield" -> (dsirSourceYield _))
+
+  val oracles: Map[String, String] = Map(
+    "dsir_bucket_model" ->
+      s"""$scoredCte
+         |SELECT CAST(b AS BIGINT) AS b, CAST(c_tgt AS BIGINT) AS c_tgt,
+         |  CAST(c_raw AS BIGINT) AS c_raw, ratio_ppm
+         |FROM ratio ORDER BY b""".stripMargin,
+    "dsir_selected_docs" ->
+      s"""$scoredCte,
+         |$selectedCte
+         |SELECT CAST(rank AS BIGINT) AS rank, doc_id, source, lang,
+         |  n_grams, score_ppm
+         |FROM sel ORDER BY rank""".stripMargin,
+    "dsir_source_yield" ->
+      s"""$scoredCte,
+         |$selectedCte,
+         |y AS (SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+         |    CAST(sum(n_grams) AS BIGINT) AS sel_grams
+         |  FROM sel GROUP BY 1)
+         |SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  coalesce(max(y.n_selected), 0) AS n_selected,
+         |  coalesce(max(y.sel_grams), 0) AS sel_grams
+         |FROM scored s LEFT JOIN y ON y.source = s.source
+         |GROUP BY 1 ORDER BY s.source""".stripMargin)
+}

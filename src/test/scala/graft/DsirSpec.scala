@@ -1,0 +1,87 @@
+package graft
+
+import java.security.MessageDigest
+import org.apache.spark.sql.functions._
+import graft.operators.Dsir
+import graft.plans.Kmv
+
+/** DSIR-style hashed-bigram selection: the whole chain (tokenize →
+  * bigram → bucket → smoothed ratio model → per-doc score → top-k)
+  * re-derived in plain JVM code straight from the raw texts — an
+  * independent recompute, not a replay of the Spark plan. */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val B = 64
+
+  /** (doc_id, source, lang, bucket) per bigram occurrence, from raw text. */
+  private def jvmFeatures(): Seq[(Long, String, String, Long)] = {
+    val md = MessageDigest.getInstance("MD5")
+    Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .as[(Long, String, String, String)].collect().toSeq
+      .flatMap { case (id, src, lang, text) =>
+        val t = text.split(" ").filter(_.nonEmpty)
+        t.sliding(2).filter(_.length == 2).map { p =>
+          (id, src, lang, Kmv.u32(md, p.mkString(" ").getBytes("UTF-8")) % B)
+        }
+      }
+  }
+
+  private def jvmModel(feats: Seq[(Long, String, String, Long)]): Map[Long, (Long, Long, Long)] = {
+    val cRaw = feats.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val cTgt = feats.filter(_._3 == "en").groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val nRaw = feats.size.toLong
+    val nTgt = feats.count(_._3 == "en").toLong
+    (0L until B.toLong).map { b =>
+      val cr = cRaw.getOrElse(b, 0L)
+      val ct = cTgt.getOrElse(b, 0L)
+      val ratio = (BigInt(ct + 1) * BigInt(nRaw + B) * BigInt(1000000) /
+        (BigInt(cr + 1) * BigInt(nTgt + B))).toLong
+      b -> (ct, cr, ratio)
+    }.toMap
+  }
+
+  test("bucket model: total 64-row frame, exact counts and smoothed ratios") {
+    val feats = jvmFeatures()
+    val want = jvmModel(feats)
+    val got = Dsir.dsirBucketModel(spark, sf0001).collect()
+    assert(got.length == B)
+    assert(got.map(_.getLong(0)).toSeq == (0L until B.toLong))
+    got.foreach { r =>
+      val (ct, cr, ratio) = want(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((ct, cr, ratio)),
+        s"bucket ${r.getLong(0)}")
+    }
+  }
+
+  test("doc scores and top-k selection match the JVM recompute end-to-end") {
+    val feats = jvmFeatures()
+    val model = jvmModel(feats)
+    val scores = feats.groupBy(f => (f._1, f._2, f._3)).map { case ((id, src, lang), fs) =>
+      val rsum = fs.map(f => model(f._4)._3).sum
+      (id, src, lang, fs.size.toLong, rsum / fs.size)
+    }.toSeq
+    val topK = scores.sortBy(s => (-s._5, s._1)).take(Dsir.SelK)
+    val got = Dsir.dsirSelectedDocs(spark, sf0001).collect()
+    assert(got.length == math.min(Dsir.SelK, scores.size))
+    got.zip(topK).zipWithIndex.foreach { case ((r, w), i) =>
+      assert(r.getLong(0) == i + 1L, "rank is dense from 1")
+      assert((r.getLong(1), r.getString(2), r.getString(3), r.getLong(4), r.getLong(5))
+        == ((w._1, w._2, w._3, w._4, w._5)), s"rank ${i + 1}")
+    }
+    // scores non-increasing down the ranking
+    got.sliding(2).foreach { p =>
+      if (p.length == 2) assert(p(0).getLong(5) >= p(1).getLong(5))
+    }
+  }
+
+  test("source yield: selected counts partition the top-k; never exceeds scored docs") {
+    val y = Dsir.dsirSourceYield(spark, sf0001).collect()
+    assert(y.nonEmpty)
+    val nScored = y.map(_.getLong(1)).sum
+    val nSel = y.map(_.getLong(2)).sum
+    assert(nSel == math.min(Dsir.SelK.toLong, nScored))
+    y.foreach(r => assert(r.getLong(2) <= r.getLong(1), r.getString(0)))
+  }
+}

@@ -45,4 +45,10 @@ object Shingles {
   val duckToks: String =
     "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t " +
       "FROM documents"
+
+  /** [[duckToks]] + the source column (the Chunking provenance twin). */
+  val duckToksWithSource: String =
+    "SELECT doc_id, source, " +
+      "list_filter(string_split(text, ' '), x -> x <> '') AS t " +
+      "FROM documents"
 }

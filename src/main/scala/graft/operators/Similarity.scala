@@ -1335,6 +1335,58 @@ object Similarity {
       .orderBy("component")
   }
 
+  /** GRADED: HARD-NEGATIVE MINING (r10+) — the contrastive-training
+    * step after [[contrastivePairs]]' uniform negatives: DPR/Contriever
+    * practice is to pair each anchor with the highest-scoring
+    * RETRIEVED-but-not-positive candidate, because near-miss negatives
+    * carry the gradient signal uniform ones don't. Re-expressed on the
+    * cached substrates: anchors = members of a multi-member semantic
+    * component (they have a positive by construction); the positive =
+    * the anchor's best ≥ 0.3 partner; the hard negative = the anchor's
+    * best within-cell candidate in a DIFFERENT component —
+    * component-level exclusion (not pair-level), the same transitivity
+    * argument as the leakage-safe splits, so a negative can never be a
+    * transitive semantic duplicate of its anchor. Ties break (cosine
+    * desc, partner asc) on both engines; margin = pos − neg through
+    * the shared roundN/roundSql formula.
+    *
+    * Scale shape: candidates stay cell-bounded (the [[embeddingNeardup]]
+    * O(N·√N) discipline — mining never goes all-pairs); both elections
+    * are per-anchor windows over cell-bounded candidate lists; every
+    * substrate is the cached one (the unthresholded pair frame keys
+    * the ResultCache at threshold −2). */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = embeddingNeardup(spark, dir, threshold = -2.0)
+    val sym = all.select(col("vec_a").as("anchor"),
+        col("vec_b").as("partner"), col("cosine_sim"))
+      .unionByName(all.select(col("vec_b").as("anchor"),
+        col("vec_a").as("partner"), col("cosine_sim")))
+    val clu = embeddingClusters(spark, dir)
+      .select(col("vec_id"), col("cluster"))
+    val wA = Window.partitionBy("anchor")
+      .orderBy(col("cosine_sim").desc, col("partner"))
+    val bestPos = sym.filter(col("cosine_sim") >= 0.3)
+      .withColumn("rk", row_number().over(wA)).filter(col("rk") === 1)
+      .select(col("anchor"), col("partner").as("pos_vec"),
+        col("cosine_sim").as("pos_cos"))
+    val bestNeg = sym
+      .join(clu.select(col("vec_id").as("anchor"),
+        col("cluster").as("ca")), Seq("anchor"))
+      .join(clu.select(col("vec_id").as("partner"),
+        col("cluster").as("cb")), Seq("partner"))
+      .filter(col("ca") =!= col("cb"))
+      .withColumn("rk", row_number().over(wA)).filter(col("rk") === 1)
+      .select(col("anchor"), col("partner").as("neg_vec"),
+        col("cosine_sim").as("neg_cos"))
+    bestPos.join(bestNeg, Seq("anchor"))
+      .select(col("anchor").as("anchor_vec"), col("pos_vec"),
+        col("pos_cos"), col("neg_vec"), col("neg_cos"),
+        graft.functions.ScalarFns.roundN(
+          col("pos_cos") - col("neg_cos"), 6).as("margin"))
+      .orderBy("anchor_vec")
+  }
+
   /** N3 BATCH ANN — the shape a 100 TB similarity-search actually runs:
     * top-k neighbors for a whole SET of query vectors in ONE plan (no
     * per-query driver loop). Every query routes to its IVF bucket, all
@@ -2315,6 +2367,7 @@ object Similarity {
     "embedding_clusters" -> ((s: SparkSession, d: String) => embeddingClusters(s, d)),
     "semantic_dedup_pairs" -> (semanticDedupPairs _),
     "semantic_dedup_survivors" -> (semanticDedupSurvivors _),
+    "hard_negatives" -> (hardNegatives _),
     "multimodal_join"   -> (multimodalJoin _))
 
   /** Shared IVF-assignment CTE (DuckDB) — mirrors [[ivfAssign]],
@@ -3312,6 +3365,59 @@ object Similarity {
          |  CAST(n_members - 1 AS BIGINT) AS dropped_vecs
          |FROM m WHERE rk = 1 AND n_members > 1
          |ORDER BY component""".stripMargin,
+    // hard negatives: the identical candidate/closure chain, then both
+    // per-anchor elections as windows — pos over the ≥0.3 arm, neg over
+    // the cross-component arm
+    "hard_negatives" ->
+      s"""${ivfCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pr AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM assign a JOIN assign b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT p.vec_a, p.vec_b,
+         |    ${graft.functions.ScalarFns.roundSql(
+              s"""${duckDot("ea.embedding", "eb.embedding")}
+                 |      / (sqrt(${duckDot("ea.embedding", "ea.embedding")})
+                 |         * sqrt(${duckDot("eb.embedding", "eb.embedding")}))""".stripMargin, 6)} AS cosine_sim
+         |  FROM pr p
+         |  JOIN embeddings ea ON ea.vec_id = p.vec_a
+         |  JOIN embeddings eb ON eb.vec_id = p.vec_b),
+         |sym AS (
+         |  SELECT vec_a AS anchor, vec_b AS partner, cosine_sim
+         |    FROM scored
+         |  UNION ALL
+         |  SELECT vec_b, vec_a, cosine_sim FROM scored),
+         |epairs AS (SELECT vec_a, vec_b FROM scored
+         |  WHERE cosine_sim >= 0.3),
+         |edges AS (SELECT vec_a AS s, vec_b AS d FROM epairs
+         |          UNION ALL SELECT vec_b, vec_a FROM epairs),
+         |nodes AS (SELECT DISTINCT vec_id FROM embeddings),
+         |reach AS (
+         |  SELECT vec_id, vec_id AS r FROM nodes
+         |  UNION
+         |  SELECT e.s AS vec_id, reach.r
+         |  FROM reach JOIN edges e ON reach.vec_id = e.d),
+         |eclu AS (SELECT vec_id, min(r) AS component FROM reach GROUP BY 1),
+         |bp AS (
+         |  SELECT anchor, partner AS pos_vec, cosine_sim AS pos_cos,
+         |    row_number() OVER (PARTITION BY anchor
+         |      ORDER BY cosine_sim DESC, partner) AS rk
+         |  FROM sym WHERE cosine_sim >= 0.3),
+         |bn AS (
+         |  SELECT s.anchor, s.partner AS neg_vec, s.cosine_sim AS neg_cos,
+         |    row_number() OVER (PARTITION BY s.anchor
+         |      ORDER BY s.cosine_sim DESC, s.partner) AS rk
+         |  FROM sym s
+         |  JOIN eclu ca ON ca.vec_id = s.anchor
+         |  JOIN eclu cb ON cb.vec_id = s.partner
+         |  WHERE ca.component <> cb.component)
+         |SELECT bp.anchor AS anchor_vec, bp.pos_vec, bp.pos_cos,
+         |  bn.neg_vec, bn.neg_cos,
+         |  ${graft.functions.ScalarFns.roundSql("bp.pos_cos - bn.neg_cos", 6)} AS margin
+         |FROM bp JOIN bn ON bn.anchor = bp.anchor
+         |WHERE bp.rk = 1 AND bn.rk = 1
+         |ORDER BY anchor_vec""".stripMargin,
     "cosine_topk_batch" ->
       s"""$ivfCte,
          |q AS (

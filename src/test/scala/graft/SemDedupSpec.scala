@@ -148,4 +148,41 @@ class SemDedupSpec extends SparkSpec {
     rows.foreach(r => assert(!isErased(r.getLong(2)),
       s"lifecycle elected erased keeper ${r.getLong(2)}"))
   }
+
+  test("hard negatives: both elections exactly reproduce an independent " +
+      "JVM argmax over the cell-bounded candidates, and the exclusion " +
+      "is component-level") {
+    val sym = Similarity
+      .embeddingNeardup(spark, sf0001, threshold = -2.0).collect()
+      .flatMap { r =>
+        val (a, b, cs) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((a, b, cs), (b, a, cs))
+      }.toSeq
+    val comp = Similarity.embeddingClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byAnchor = sym.groupBy(_._1)
+    def best(cands: Seq[(Long, Long, Double)]): Option[(Long, Double)] =
+      cands.sortBy(c => (-c._3, c._2)).headOption.map(c => (c._2, c._3))
+    val got = Similarity.hardNegatives(spark, sf0001).collect()
+    assert(got.nonEmpty, "no hard negatives mined — vacuous")
+    got.foreach { r =>
+      val a = r.getLong(0)
+      val wantPos = best(byAnchor(a).filter(_._3 >= 0.3)).get
+      val wantNeg = best(byAnchor(a).filter(c => comp(c._2) != comp(a))).get
+      assert((r.getLong(1), r.getDouble(2)) == wantPos, s"anchor $a pos")
+      assert((r.getLong(3), r.getDouble(4)) == wantNeg, s"anchor $a neg")
+      assert(comp(r.getLong(1)) == comp(a), "positive must share the component")
+      assert(comp(r.getLong(3)) != comp(a), "negative must not share the component")
+      assert(r.getDouble(4) < 0.3, "a cross-component candidate is below the dup bar")
+      val margin = math.floor((r.getDouble(2) - r.getDouble(4)) * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(5) == margin)
+    }
+    // every multi-member-component anchor with a cross-component
+    // candidate appears — the mining drops no eligible anchor
+    val eligible = byAnchor.keySet.filter { a =>
+      byAnchor(a).exists(_._3 >= 0.3) &&
+        byAnchor(a).exists(c => comp(c._2) != comp(a))
+    }
+    assert(got.map(_.getLong(0)).toSet == eligible)
+  }
 }

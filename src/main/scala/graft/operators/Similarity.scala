@@ -1387,6 +1387,42 @@ object Similarity {
       .orderBy("anchor_vec")
   }
 
+  /** GRADED: SIMPLIFIED SILHOUETTE by cell (r10+) — the clustering-
+    * quality audit for the IVF substrate every ANN/SemDeDup consumer
+    * trusts: per vector, a = 1 − cos(own centroid), b = 1 − max other-
+    * centroid cos, s = (b − a)/max(a, b) ∈ [−1, 1] — the centroid-
+    * distance form (Hruschka et al.) of Rousseeuw's silhouette, which
+    * replaces the full-silhouette O(N²) pair sweep with the N×K kernel
+    * sweep the family ALREADY runs ([[ivfSims]] — the exact 100 TB
+    * argument: quality costs nothing beyond the assignment itself).
+    * Per-point s in exact ppm (floor(x·10⁶ + ½) over 6-dp-rounded
+    * cosines — both engines bit-identical); under argmax assignment
+    * cos_own ≥ cos_other by construction (rounding is monotone), so
+    * every per-point score is in [0, 10⁶] — SemDedupSpec pins it.
+    * Cells report (n_members, sum_s_ppm) SUMS, not means, keeping the
+    * grade in addition only (Spark's `div` truncates toward zero,
+    * DuckDB's `//` floors — a sign-sensitivity trap this avoids on
+    * principle). A near-zero cell sum names WHERE the index needs more
+    * lists or a re-seed: its members sit on cell boundaries. */
+  def silhouetteByCell(spark: SparkSession, dir: String): DataFrame = {
+    val r = ivfSims(spark, dir)
+      .select(col("vec_id"), col("cid"),
+        graft.functions.ScalarFns.roundN(col("s"), 6).as("cs"))
+    val ag = r.join(ivfAssign(spark, dir)
+        .withColumnRenamed("cid", "acid"), Seq("vec_id"))
+      .groupBy(col("vec_id"), col("acid"))
+      .agg(max(when(col("cid") === col("acid"), col("cs"))).as("cos_own"),
+        max(when(col("cid") =!= col("acid"), col("cs"))).as("cos_other"))
+    ag.selectExpr("acid",
+        """CASE WHEN greatest(1 - cos_own, 1 - cos_other) = 0 THEN 0L
+          |  ELSE CAST(floor(1000000.0 * (cos_own - cos_other)
+          |    / greatest(1 - cos_own, 1 - cos_other) + 0.5) AS BIGINT)
+          |END AS s_ppm""".stripMargin)
+      .groupBy(col("acid").as("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("s_ppm")).as("sum_s_ppm"))
+      .orderBy("cid")
+  }
+
   /** N3 BATCH ANN — the shape a 100 TB similarity-search actually runs:
     * top-k neighbors for a whole SET of query vectors in ONE plan (no
     * per-query driver loop). Every query routes to its IVF bucket, all
@@ -2368,6 +2404,7 @@ object Similarity {
     "semantic_dedup_pairs" -> (semanticDedupPairs _),
     "semantic_dedup_survivors" -> (semanticDedupSurvivors _),
     "hard_negatives" -> (hardNegatives _),
+    "silhouette_by_cell" -> (silhouetteByCell _),
     "multimodal_join"   -> (multimodalJoin _))
 
   /** Shared IVF-assignment CTE (DuckDB) — mirrors [[ivfAssign]],
@@ -3418,6 +3455,29 @@ object Similarity {
          |FROM bp JOIN bn ON bn.anchor = bp.anchor
          |WHERE bp.rk = 1 AND bn.rk = 1
          |ORDER BY anchor_vec""".stripMargin,
+    // simplified silhouette: the same sims sweep, rounded per pair,
+    // then own/other aggregation and the exact-ppm per-point score
+    "silhouette_by_cell" ->
+      s"""$ivfCte,
+         |rsim AS (SELECT vec_id, cid,
+         |    ${graft.functions.ScalarFns.roundSql("s", 6)} AS cs
+         |  FROM sims),
+         |ag AS (
+         |  SELECT r.vec_id, a.cid AS acid,
+         |    max(CASE WHEN r.cid = a.cid THEN r.cs END) AS cos_own,
+         |    max(CASE WHEN r.cid <> a.cid THEN r.cs END) AS cos_other
+         |  FROM rsim r JOIN assign a ON a.vec_id = r.vec_id
+         |  GROUP BY 1, 2),
+         |sp AS (
+         |  SELECT acid,
+         |    CASE WHEN greatest(1 - cos_own, 1 - cos_other) = 0 THEN 0
+         |      ELSE CAST(floor(1000000.0 * (cos_own - cos_other)
+         |        / greatest(1 - cos_own, 1 - cos_other) + 0.5) AS BIGINT)
+         |    END AS s_ppm
+         |  FROM ag)
+         |SELECT acid AS cid, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(s_ppm) AS BIGINT) AS sum_s_ppm
+         |FROM sp GROUP BY 1 ORDER BY cid""".stripMargin,
     "cosine_topk_batch" ->
       s"""$ivfCte,
          |q AS (

@@ -377,4 +377,39 @@ object StreamOps {
       .select(col("user_id"), col("view_id"), col("view_ts"),
         col("purchase_id"), col("purchase_ts"))
   }
+
+  /** ST8++ FULL-OUTER stream-stream interval join — both outer arms at
+    * once: unmatched views null-extend when the watermark proves no
+    * in-horizon purchase can still arrive (the LEFT form's rule), and
+    * unmatched purchases null-extend symmetrically once the watermark
+    * passes their own eviction point (no view in [p_ts − horizon,
+    * p_ts] can still arrive). State pruning is identical to the inner
+    * form — the interval bounds both sides' buffers. The emitting user
+    * key is COALESCEd across sides (a purchase-only row has a null
+    * view-side user), which also routes the self-joining sentinel pair
+    * to user −1 for the sink filter. Both side filters keep the
+    * sentinel for the same watermark-accounting reason as the LEFT
+    * form (see [[viewToPurchaseLeftOuter]]). */
+  def viewToPurchaseFullOuter(events: DataFrame,
+      horizon: String = "1 hour"): DataFrame = {
+    val isSentinel = col("user_id") <=> lit(-1L)
+    val views = events
+      .filter(col("event_type") === "view" || isSentinel)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val purchases = events
+      .filter(col("event_type") === "purchase" || isSentinel)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    views.join(purchases,
+        col("user_id") === col("p_user")
+          && col("purchase_ts") >= col("view_ts")
+          && col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"),
+        "full_outer")
+      .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
+        col("view_id"), col("view_ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
 }

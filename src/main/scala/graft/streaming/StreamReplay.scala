@@ -597,6 +597,26 @@ object StreamReplay {
       .orderBy("user_id", "view_id", "purchase_id")
   }
 
+  /** ST8++ on the driver's graded path: the FULL-OUTER stream-stream
+    * interval join — the LEFT replay's flush discipline applied to
+    * BOTH arms: matched pairs emit as they buffer, unmatched views AND
+    * unmatched purchases null-extend in the trailing no-data batch
+    * once the sentinel-advanced watermark proves their horizon closed.
+    * The sink then holds exactly the batch FULL JOIN with the
+    * identical interval predicate (the DuckDB oracle states precisely
+    * that); the self-joining sentinel pair lands on user −1 through
+    * the coalesced key and is dropped at the sink. */
+  def viewPurchaseFullStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val ss = replaySession(spark)
+    val input = sessionReplayInput(ss, dir)
+    val stream = ss.readStream
+      .schema(ss.read.parquet(input).schema)
+      .parquet(input)
+    drainToParquet(StreamOps.viewToPurchaseFullOuter(stream), "viewfull")
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "view_id", "purchase_id")
+  }
+
   /** ST5+ on the driver's graded path: the DEBOUNCE machine replayed
     * over the real events stream — every event drains to the parquet
     * sink with its island-head verdict the moment it arrives (no
@@ -960,6 +980,7 @@ object StreamReplay {
     "enriched_events_streamed" -> (enrichedEventsStreamed _),
     "view_purchase_join_streamed" -> (viewPurchaseJoinStreamed _),
     "view_purchase_left_streamed" -> (viewPurchaseLeftStreamed _),
+    "view_purchase_full_streamed" -> (viewPurchaseFullStreamed _),
     "events_debounced_streamed" -> (eventsDebouncedStreamed _),
     "cep_funnels_streamed" -> (cepFunnelsStreamed _),
     "hourly_event_stats_streamed" -> (hourlyEventStatsStreamed _),
@@ -1019,6 +1040,17 @@ object StreamReplay {
         |  ON a.user_id = b.user_id
         |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |ORDER BY a.user_id, view_id, purchase_id""".stripMargin,
+    // FULL-OUTER stream-stream join: the LEFT rule on both arms — the
+    // sink ≡ the batch FULL JOIN once the sentinel flushes both sides
+    "view_purchase_full_streamed" ->
+      """SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        |  a.event_id AS view_id, a.ts AS view_ts,
+        |  b.event_id AS purchase_id, b.ts AS purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'view') a
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY user_id, view_id, purchase_id""".stripMargin,
     // the batch gate's oracle VERBATIM: immediate per-event verdicts
     // make the debounce machine batch-chop-invariant by construction
     "events_debounced_streamed" ->

@@ -185,4 +185,46 @@ class SemDedupSpec extends SparkSpec {
     }
     assert(got.map(_.getLong(0)).toSet == eligible)
   }
+
+  test("silhouette by cell: exact against a driver-side recompute of the " +
+      "N x K kernel sweep; every vector scored once; scores in [0, 1e6]") {
+    import spark.implicits._
+    val vecs = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val k = math.ceil(math.sqrt(vecs.length.toDouble)).toInt
+    val cents = vecs.take(k)
+    // the kernel's left-to-right index-order fold, in doubles
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val want = vecs.map { case (vid, ev) =>
+      val raw = cents.map { case (cid, cv) => cid -> cos(ev, cv) }
+      val acid = raw.minBy { case (cid, s) => (-s, cid) }._1
+      val rounded = raw.map { case (cid, s) => cid -> r6(s) }.toMap
+      val own = rounded(acid)
+      val other = rounded.collect { case (c, s) if c != acid => s }.max
+      val den = math.max(1 - own, 1 - other)
+      val sPpm = if (den == 0) 0L
+        else math.floor(1e6 * (own - other) / den + 0.5).toLong
+      (vid, acid, sPpm)
+    }
+    val wantByCell = want.groupBy(_._2).view
+      .mapValues(m => (m.length.toLong, m.map(_._3).sum)).toMap
+    val got = Similarity.silhouetteByCell(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == wantByCell)
+    assert(got.values.map(_._1).sum == vecs.length.toLong)
+    want.foreach { case (vid, _, s) =>
+      assert(s >= 0L && s <= 1000000L, s"vec $vid silhouette $s out of range")
+    }
+  }
 }

@@ -315,6 +315,36 @@ class StreamingSpec extends SparkSpec {
       "no unmatched view emitted — the watermark flush did not happen")
   }
 
+  test("ST8++: FULL-OUTER stream-stream join replay equals the batch " +
+      "full join — BOTH arms' null rows flush at watermark") {
+    val streamed = graft.streaming.StreamReplay
+      .viewPurchaseFullStreamed(spark, sf0001).collect()
+    val ev = Tables(spark, sf0001, "events")
+    val a = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val batch = a.join(b, col("vu") === col("pu")
+        && col("purchase_ts") >= col("view_ts")
+        && col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+        "full_outer")
+      .select(coalesce(col("vu"), col("pu")).as("user_id"),
+        col("view_id"), col("view_ts"),
+        col("purchase_id"), col("purchase_ts"))
+      .orderBy("user_id", "view_id", "purchase_id").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, bt) =>
+      assert(s == bt, s"streamed $s != batch $bt") }
+    // both outer arms exercised: an unconverted view AND a purchase
+    // with no preceding in-horizon view each flushed a null-extended row
+    assert(streamed.exists(_.isNullAt(3)),
+      "no unmatched view emitted — the left arm did not flush")
+    assert(streamed.exists(_.isNullAt(1)),
+      "no unmatched purchase emitted — the right arm did not flush")
+  }
+
   test("ST5+: debounce machine replay ≡ the batch gaps-and-islands " +
       "gate row-for-row") {
     val streamed = graft.streaming.StreamReplay

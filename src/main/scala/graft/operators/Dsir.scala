@@ -127,6 +127,55 @@ object Dsir {
       .orderBy("source")
   }
 
+  /** Value-range fan-out for the AUC prefix counts (the RankTest
+    * discipline; hundreds at 100 TB). */
+  private val AucBuckets = 16
+
+  /** SELECTOR EVALUATION: rank-based AUC of the DSIR score against the
+    * target label itself — AUC = P(score_en > score_other) + ½P(=),
+    * THE standard selector quality number, in exact integers via the
+    * doubled-midrank identity (the [[RankTest]] discipline): at
+    * distinct-score granularity, doubled rank sum R₂ = Σ m_pos·(2c+m+1),
+    * U₂ = R₂ − n_pos(n_pos+1), auc_ppm = floor(10⁶·U₂/(2·n_pos·n_neg)),
+    * widened DECIMAL(38,0)/HUGEINT before the ×10⁶. Prefix counts c(v)
+    * run through the two-phase bucket decomposition — no corpus-wide
+    * single-partition window; the naive-window oracle proves the
+    * decomposition exact. One row. */
+  def dsirAuc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lab = scored(spark, dir)
+      .select(col("score_ppm").as("v"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("p"))
+    val g = lab.groupBy(col("v"))
+      .agg(sum(col("p")).as("mp"), count(lit(1)).as("m"))
+    val bounds = g.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val b = g.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(lit(AucBuckets - 1), greatest(lit(0),
+          floor((col("v") - col("lo")) /
+            ((col("hi") - col("lo")) / AucBuckets + lit(1e-6)))
+            .cast("int"))))
+      .drop("lo", "hi")
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = b.withColumn("lc", coalesce(sum(col("m")).over(wIn), lit(0L)))
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = b.groupBy(col("bucket")).agg(sum(col("m")).as("bm"))
+      .withColumn("offset", coalesce(sum(col("bm")).over(wOff), lit(0L)))
+      .select(col("bucket").as("obucket"), col("offset"))
+    local.join(broadcast(offs), col("bucket") === col("obucket"))
+      .withColumn("c", col("offset") + col("lc"))
+      .agg(sum(col("mp")).as("n_pos"),
+        (sum(col("m")) - sum(col("mp"))).as("n_neg"),
+        sum(col("mp") * (lit(2) * col("c") + col("m") + 1)).as("r2_pos"))
+      .selectExpr("n_pos", "n_neg", "r2_pos",
+        "r2_pos - n_pos * (n_pos + 1) AS u2_pos",
+        """CAST((CAST(r2_pos - n_pos * (n_pos + 1) AS DECIMAL(38,0))
+          |  * 1000000) DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)
+          |  AS BIGINT) AS auc_ppm""".stripMargin)
+  }
+
   /** DuckDB twin of the first-8-nibble u32 over hex column `h`. */
   private val u32Poly: String = (1 to 8).map { j =>
     val mult = 1L << (4 * (8 - j))
@@ -179,7 +228,8 @@ object Dsir {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dsir_bucket_model" -> (dsirBucketModel _),
     "dsir_selected_docs" -> (dsirSelectedDocs _),
-    "dsir_source_yield" -> (dsirSourceYield _))
+    "dsir_source_yield" -> (dsirSourceYield _),
+    "dsir_auc" -> (dsirAuc _))
 
   val oracles: Map[String, String] = Map(
     "dsir_bucket_model" ->
@@ -203,5 +253,28 @@ object Dsir {
          |  coalesce(max(y.n_selected), 0) AS n_selected,
          |  coalesce(max(y.sel_grams), 0) AS sel_grams
          |FROM scored s LEFT JOIN y ON y.source = s.source
-         |GROUP BY 1 ORDER BY s.source""".stripMargin)
+         |GROUP BY 1 ORDER BY s.source""".stripMargin,
+    // AUC oracle: the NAIVE single-window prefix count — proving the
+    // Spark side's two-phase bucket decomposition exact, not just
+    // engine parity
+    "dsir_auc" ->
+      s"""$scoredCte,
+         |lab AS (SELECT score_ppm AS v,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+         |  FROM scored),
+         |g AS (SELECT v, sum(p) AS mp, count(*) AS m FROM lab GROUP BY 1),
+         |r AS (SELECT v, mp, m,
+         |    coalesce(sum(m) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+         |  FROM g)
+         |SELECT CAST(sum(mp) AS BIGINT) AS n_pos,
+         |  CAST(sum(m) - sum(mp) AS BIGINT) AS n_neg,
+         |  CAST(sum(mp * (2 * c + m + 1)) AS BIGINT) AS r2_pos,
+         |  CAST(sum(mp * (2 * c + m + 1)) - sum(mp) * (sum(mp) + 1)
+         |    AS BIGINT) AS u2_pos,
+         |  CAST((CAST(sum(mp * (2 * c + m + 1))
+         |        - sum(mp) * (sum(mp) + 1) AS HUGEINT) * 1000000)
+         |    // (2 * CAST(sum(mp) AS HUGEINT) * (sum(m) - sum(mp)))
+         |    AS BIGINT) AS auc_ppm
+         |FROM r""".stripMargin)
 }

@@ -76,6 +76,32 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("AUC: the doubled-midrank statistic equals brute-force pair counting") {
+    val feats = jvmFeatures()
+    val model = jvmModel(feats)
+    val scores = feats.groupBy(f => (f._1, f._3)).toSeq.map { case ((_, lang), fs) =>
+      val rsum = fs.map(f => model(f._4)._3).sum
+      (lang == "en", rsum / fs.size)
+    }
+    val pos = scores.filter(_._1).map(_._2)
+    val neg = scores.filterNot(_._1).map(_._2)
+    // doubled pair count: 2 per strict win, 1 per tie
+    val doubled = pos.iterator.map { p =>
+      neg.iterator.map { n =>
+        if (p > n) 2L else if (p == n) 1L else 0L
+      }.sum
+    }.sum
+    val r = Dsir.dsirAuc(spark, sf0001).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == pos.size.toLong)
+    assert(row.getLong(1) == neg.size.toLong)
+    assert(row.getLong(3) == doubled,
+      "U2 from the rank decomposition != brute-force doubled pair count")
+    assert(row.getLong(4) ==
+      BigInt(doubled) * 1000000 / (2L * pos.size * neg.size))
+  }
+
   test("source yield: selected counts partition the top-k; never exceeds scored docs") {
     val y = Dsir.dsirSourceYield(spark, sf0001).collect()
     assert(y.nonEmpty)

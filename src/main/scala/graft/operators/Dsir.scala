@@ -59,8 +59,16 @@ object Dsir {
   /** The 64-row bucket model: target/raw occurrence counts + the
     * smoothed relevance ratio. The bucket spine is generated in-plan
     * (`sequence`), so a bucket no gram hits still reports (0, 0,
-    * smoothed ratio) — the frame is total by construction. */
-  def dsirBucketModel(spark: SparkSession, dir: String): DataFrame = {
+    * smoothed ratio) — the frame is total by construction.
+    * S6-cached: the model is consumed by its own grade, the scorer,
+    * the selection, the yield report and the AUC — one tokenize+hash
+    * pass per (session, corpus) instead of five. */
+  def dsirBucketModel(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|dsir_model|$dir",
+      ttlSeconds = 300)(dsirBucketModelUncached(spark, dir))
+
+  private def dsirBucketModelUncached(spark: SparkSession, dir: String): DataFrame = {
     val counts = features(spark, dir)
       .groupBy(col("b"))
       .agg(count(lit(1)).as("c_raw"),
@@ -83,8 +91,14 @@ object Dsir {
   }
 
   /** Per-doc scores via the broadcast model join, kept as the shared
-    * scoring frame (selection + yield both read it). */
+    * scoring frame (selection, yield and AUC all read it — S6-cached
+    * for the same reason as the model). */
   private def scored(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|dsir_scored|$dir",
+      ttlSeconds = 300)(scoredUncached(spark, dir))
+
+  private def scoredUncached(spark: SparkSession, dir: String): DataFrame =
     features(spark, dir)
       .join(broadcast(dsirBucketModel(spark, dir)
         .select(col("b"), col("ratio_ppm"))), Seq("b"))

@@ -104,6 +104,42 @@ object StreamOps {
   /** Output mode for [[streamingHllUsers]] sinks. */
   val hllOutputMode: OutputMode = OutputMode.Update()
 
+  /** ST5+A6 KMV twin: the k-minimum-values sketch
+    * ([[graft.plans.Kmv]]) carried as `mapGroupsWithState` state — the
+    * third point on the streaming distinct-state curve: HLL (256 B,
+    * union-only), KMV (≤2 KiB, supports downstream set algebra on the
+    * emitted blobs), bitmap (2 B/user, exact). State = the canonical
+    * serialized blob + a seen counter; batch and stream share ONE
+    * sketch implementation and the k-smallest merge is
+    * order-independent, so a bounded replay's final (est, kth, n_kept)
+    * is EXACTLY the batch aggregate and the batch oracle grades it. */
+  def streamingKmvUsers(events: DataFrame): Dataset[(String, Long, Long, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"), col("user_id").cast("string").as("uid"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Array[Byte], Long), (String, Long, Long, Long, Long)](
+          GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+            state: GroupState[(Array[Byte], Long)]) =>
+          val (blob, seen0) = state.getOption
+            .getOrElse((Array.emptyByteArray, 0L))
+          val buf = graft.plans.Kmv.deserialize(blob)
+          var seen = seen0
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+          rows.foreach { case (_, uid) =>
+            if (uid != null)
+              graft.plans.Kmv.add(buf, graft.plans.Kmv.u32(md5, uid.getBytes("UTF-8")))
+            seen += 1
+          }
+          state.update((graft.plans.Kmv.serialize(buf), seen))
+          val (est, kth, nKept) = graft.plans.Kmv.estimate(buf)
+          (key, est, kth, nKept, seen)
+      }
+  }
+
   /** ST5+A6 EXACT twin: streaming exact distinct-user counting — the
     * canonical roaring-style bitmap ([[graft.plans.RBitmap]]) carried
     * as `mapGroupsWithState` state instead of the 256-byte HLL

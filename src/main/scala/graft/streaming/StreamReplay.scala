@@ -278,6 +278,18 @@ object StreamReplay {
         col("n_events"))
       .orderBy("event_type")
 
+  /** ST5+A6 KMV twin on the driver's graded path: the k-minimum-values
+    * sketch carried as `mapGroupsWithState` state — same replay shape
+    * as [[hllUsersStreamed]]; the k-smallest merge is order-independent
+    * so the final (est, kth, n_kept) is the batch `kmv_users_by_type`
+    * exactly, graded by that oracle (reused as a subquery) plus the
+    * seen counter. */
+  def kmvUsersStreamed(spark: SparkSession, dir: String): DataFrame =
+    replayEvents(spark, dir, outputMode = "update") { df =>
+      StreamOps.streamingKmvUsers(df)
+        .toDF("event_type", "est", "kth", "n_kept", "n_events")
+    }.orderBy("event_type")
+
   /** ST5+A6 exact twin on the driver's graded path: the EXACT bitmap
     * distinct machine replayed over the events stream — same shape as
     * [[hllUsersStreamed]] but the state is the canonical bitmap blob,
@@ -991,6 +1003,7 @@ object StreamReplay {
     "hourly_event_stats_updatemode" -> (hourlyEventStatsUpdateMode _),
     "dedup_streamed" -> (dedupStreamed _),
     "hll_users_streamed" -> (hllUsersStreamed _),
+    "kmv_users_streamed" -> (kmvUsersStreamed _),
     "bitmap_users_streamed" -> (bitmapUsersStreamed _),
     "late_data_audit" -> (lateDataAudit _),
     "incremental_dedup_streamed" -> (incrementalDedupStreamed _))
@@ -1096,6 +1109,15 @@ object StreamReplay {
     "hll_users_streamed" ->
       s"""SELECT q.event_type, q.hll_users, c.n_events
          |FROM (${graft.operators.EventOps.hllOracle}) q
+         |JOIN (SELECT event_type, count(*) AS n_events
+         |      FROM events GROUP BY 1) c
+         |  ON q.event_type IS NOT DISTINCT FROM c.event_type
+         |ORDER BY q.event_type""".stripMargin,
+    // order-independent k-smallest merge ⇒ the replay's final state is
+    // the batch sketch exactly; batch kmv oracle reused as a subquery
+    "kmv_users_streamed" ->
+      s"""SELECT q.event_type, q.est, q.kth, q.n_kept, c.n_events
+         |FROM (${graft.operators.KmvOps.oracles("kmv_users_by_type")}) q
          |JOIN (SELECT event_type, count(*) AS n_events
          |      FROM events GROUP BY 1) c
          |  ON q.event_type IS NOT DISTINCT FROM c.event_type

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Chunking
+import graft.operators.{Chunking, IndexErasure}
 
 /** Chunking: every graded row re-derived from the raw texts in plain
   * JVM code — slice content, coverage, the emit rule, and the
@@ -77,6 +77,57 @@ class ChunkingSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == want)
     assert(got.nonEmpty, "the near-dup plants must produce shared chunks")
+  }
+
+  test("chunk store lifecycle: append leaves base files untouched; the " +
+      "maintained store equals one-shot chunking; erasure retires exactly " +
+      "the erase class's chunks from base-generation files only") {
+    val st = Chunking.state(spark, sf0001)
+    // file discipline: both generations present, base set frozen
+    assert(st.baseFiles.nonEmpty && st.deltaFiles.nonEmpty)
+    val nowFiles = new java.io.File(st.root).listFiles
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.length).toMap
+    st.baseFiles.foreach { case (n, len) =>
+      assert(nowFiles.get(n).contains(len), s"base file $n touched") }
+    // maintained ≡ one-shot
+    val maintained = Chunking.chunkStoreMaintained(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = Chunking.docChunksIndex(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    assert(maintained == oneShot)
+    // erased view: exactly the survivors' chunks; delta in base gen only
+    def isErased(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.startsWith("a")
+    }
+    val erased = Chunking.chunkStoreErased(spark, sf0001).collect()
+    assert(erased.forall(r => !isErased(r.getLong(0))))
+    val survivorRows = Chunking.docChunksIndex(spark, sf0001).collect()
+      .filter(r => !isErased(r.getLong(0))).map(_.toString).sorted.toSeq
+    assert(erased.map(_.toString).sorted.toSeq == survivorRows)
+    assert(erased.length < oneShot.length, "erasure retired nothing — vacuous")
+    // the delete delta addresses base-generation files only ('a' ⊂ base)
+    val dv = IndexErasure.deleteDelta(spark, st.root,
+      IndexErasure.erased(col("doc_id")))
+    val dvFiles = spark.read.parquet(dv)
+      .select(col("file")).distinct().collect()
+      .map(_.getString(0).split("/").last).toSet
+    assert(dvFiles.nonEmpty)
+    dvFiles.foreach(f => assert(st.baseFiles.contains(f),
+      s"delete delta addresses non-base file $f"))
+    // chunk dedup forgets: erased dup report ≡ brute force over survivors,
+    // and at least one hash lost a carrier vs the full report
+    val dupErased = Chunking.dupChunksErased(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bruteDup = Chunking.docChunksIndex(spark, sf0001).collect()
+      .filter(r => !isErased(r.getLong(0)))
+      .groupBy(_.getString(4))
+      .filter { case (_, rs) => rs.map(_.getLong(0)).distinct.length > 1 }
+      .map { case (h, rs) =>
+        h -> (rs.map(_.getLong(0)).distinct.length.toLong, rs.length.toLong) }
+    assert(dupErased == bruteDup)
   }
 
   test("stats: overlap mass is non-negative and consistent with the index") {

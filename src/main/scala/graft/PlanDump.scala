@@ -90,7 +90,12 @@ object PlanDump {
     "pq_ndcg", "knn_label_confusion", "doc_keywords_tfidf",
     "left_join_filter_semantics", "doc_shuffle_order", "segment_ks_test",
     "embedding_centroid_drift", "bootstrap_group_ci",
-    "customer_rfm_segments", "dormant_rich_customers", "volume_shipping")
+    "customer_rfm_segments", "dormant_rich_customers", "volume_shipping",
+    "kmv_users_by_type", "kmv_monthly_from_weekly", "kmv_type_overlap",
+    "dsir_bucket_model", "dsir_selected_docs", "dsir_auc",
+    "doc_chunks_index", "dup_chunks_cross_doc", "chunk_store_erased",
+    "hard_negatives", "silhouette_by_cell", "view_purchase_full_streamed",
+    "kmv_users_streamed")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

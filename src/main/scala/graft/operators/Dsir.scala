@@ -190,6 +190,59 @@ object Dsir {
           |  AS BIGINT) AS auc_ppm""".stripMargin)
   }
 
+  /** SELECTOR CALIBRATION: the decile LIFT table — the eval beside
+    * [[dsirAuc]] a ranking gets deployed with: docs bucketed into
+    * score deciles, each decile's target rate in exact ppm. Deciles
+    * assigned at VALUE granularity — decile(v) = floor(10·c(v)/n) with
+    * c(v) the exclusive prefix count — so tied scores share a decile
+    * deterministically (ntile would split ties by physical order);
+    * prefix counts ride the same two-phase bucket decomposition as the
+    * AUC (no corpus-wide window), and the 10-row spine left-join makes
+    * the frame total even when ties empty a decile. Rate widened
+    * DECIMAL(38,0)/HUGEINT before the ×10⁶. */
+  def dsirDecileLift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lab = scored(spark, dir)
+      .select(col("score_ppm").as("v"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("p"))
+    val g = lab.groupBy(col("v"))
+      .agg(sum(col("p")).as("mp"), count(lit(1)).as("m"))
+    val bounds = g.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val b = g.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(lit(AucBuckets - 1), greatest(lit(0),
+          floor((col("v") - col("lo")) /
+            ((col("hi") - col("lo")) / AucBuckets + lit(1e-6)))
+            .cast("int"))))
+      .drop("lo", "hi")
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = b.withColumn("lc", coalesce(sum(col("m")).over(wIn), lit(0L)))
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = b.groupBy(col("bucket")).agg(sum(col("m")).as("bm"))
+      .withColumn("offset", coalesce(sum(col("bm")).over(wOff), lit(0L)))
+      .select(col("bucket").as("obucket"), col("offset"))
+    val n = g.agg(sum(col("m")).as("n"))
+    val byDecile = local
+      .join(broadcast(offs), col("bucket") === col("obucket"))
+      .crossJoin(broadcast(n))
+      .withColumn("decile", expr("(10 * (offset + lc)) DIV n"))
+      .groupBy(col("decile"))
+      .agg(sum(col("m")).as("n_docs"), sum(col("mp")).as("n_pos"))
+    val spine = spark.range(1)
+      .select(explode(sequence(lit(0L), lit(9L))).as("decile"))
+    spine.join(byDecile, Seq("decile"), "left")
+      .selectExpr("decile",
+        "coalesce(n_docs, 0L) AS n_docs",
+        "coalesce(n_pos, 0L) AS n_pos",
+        """CASE WHEN coalesce(n_docs, 0L) = 0 THEN 0L
+          |  ELSE CAST((CAST(coalesce(n_pos, 0L) AS DECIMAL(38,0))
+          |    * 1000000) DIV coalesce(n_docs, 0L) AS BIGINT)
+          |END AS pos_rate_ppm""".stripMargin)
+      .orderBy("decile")
+  }
+
   /** DuckDB twin of the first-8-nibble u32 over hex column `h`. */
   private val u32Poly: String = (1 to 8).map { j =>
     val mult = 1L << (4 * (8 - j))
@@ -243,7 +296,8 @@ object Dsir {
     "dsir_bucket_model" -> (dsirBucketModel _),
     "dsir_selected_docs" -> (dsirSelectedDocs _),
     "dsir_source_yield" -> (dsirSourceYield _),
-    "dsir_auc" -> (dsirAuc _))
+    "dsir_auc" -> (dsirAuc _),
+    "dsir_decile_lift" -> (dsirDecileLift _))
 
   val oracles: Map[String, String] = Map(
     "dsir_bucket_model" ->
@@ -290,5 +344,32 @@ object Dsir {
          |        - sum(mp) * (sum(mp) + 1) AS HUGEINT) * 1000000)
          |    // (2 * CAST(sum(mp) AS HUGEINT) * (sum(m) - sum(mp)))
          |    AS BIGINT) AS auc_ppm
-         |FROM r""".stripMargin)
+         |FROM r""".stripMargin,
+    // decile lift: the NAIVE single-window prefix count again (the
+    // decomposition proof), the identical floor(10c/n) tie-sharing rule
+    "dsir_decile_lift" ->
+      s"""$scoredCte,
+         |lab AS (SELECT score_ppm AS v,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+         |  FROM scored),
+         |g AS (SELECT v, sum(p) AS mp, count(*) AS m FROM lab GROUP BY 1),
+         |r AS (SELECT v, mp, m,
+         |    coalesce(sum(m) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+         |  FROM g),
+         |n AS (SELECT sum(m) AS n FROM g),
+         |d AS (SELECT (10 * r.c) // n.n AS decile, r.m, r.mp
+         |  FROM r, n),
+         |agg AS (SELECT decile, sum(m) AS n_docs, sum(mp) AS n_pos
+         |  FROM d GROUP BY 1),
+         |dspine AS (SELECT unnest(generate_series(0, 9)) AS decile)
+         |SELECT CAST(s.decile AS BIGINT) AS decile,
+         |  CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(a.n_pos, 0) AS BIGINT) AS n_pos,
+         |  CASE WHEN coalesce(a.n_docs, 0) = 0 THEN 0
+         |    ELSE CAST((CAST(coalesce(a.n_pos, 0) AS HUGEINT) * 1000000)
+         |      // coalesce(a.n_docs, 0) AS BIGINT)
+         |  END AS pos_rate_ppm
+         |FROM dspine s LEFT JOIN agg a ON a.decile = s.decile
+         |ORDER BY decile""".stripMargin)
 }

@@ -102,6 +102,34 @@ class DsirSpec extends SparkSpec {
       BigInt(doubled) * 1000000 / (2L * pos.size * neg.size))
   }
 
+  test("decile lift: tie-sharing decile assignment and rates match the JVM recompute") {
+    val feats = jvmFeatures()
+    val model = jvmModel(feats)
+    val scores = feats.groupBy(f => (f._1, f._3)).toSeq.map { case ((_, lang), fs) =>
+      (lang == "en", fs.map(f => model(f._4)._3).sum / fs.size)
+    }
+    val n = scores.size.toLong
+    // exclusive prefix count per distinct value, then floor(10c/n)
+    val byV = scores.groupBy(_._2).toSeq.sortBy(_._1)
+    var c = 0L
+    val want = collection.mutable.Map.empty[Long, (Long, Long)]
+    byV.foreach { case (_, docs) =>
+      val dec = 10L * c / n
+      val (pn, pp) = want.getOrElse(dec, (0L, 0L))
+      want(dec) = (pn + docs.size, pp + docs.count(_._1))
+      c += docs.size
+    }
+    val got = Dsir.dsirDecileLift(spark, sf0001).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      val (wn, wp) = want.getOrElse(r.getLong(0), (0L, 0L))
+      assert((r.getLong(1), r.getLong(2)) == ((wn, wp)), s"decile ${r.getLong(0)}")
+      val rate = if (wn == 0) 0L else BigInt(wp) * 1000000 / wn
+      assert(r.getLong(3) == rate)
+    }
+    assert(got.map(_.getLong(1)).sum == n)
+  }
+
   test("source yield: selected counts partition the top-k; never exceeds scored docs") {
     val y = Dsir.dsirSourceYield(spark, sf0001).collect()
     assert(y.nonEmpty)

@@ -182,6 +182,63 @@ object Chunking {
       .filter(col("n_docs") > 1)
       .orderBy("chunk_md5")
 
+  private val streamedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STREAMED day-2 chunk ingest (AvailableNow + foreachBatch): the
+    * base generation is written once, then the day-2 docs arrive in ≥2
+    * real micro-batches (2-file feed, maxFilesPerTrigger=1) and each
+    * batch's chunks land in a PER-BATCH overwrite dir — the
+    * versioned-sink idempotency rule: a replayed batch rewrites its own
+    * dir instead of appending duplicates. Chunking is stateless per
+    * doc, so chopping is invisible by construction and the batch
+    * oracle grades the streamed store VERBATIM — the graded fact is
+    * that the ingest plumbing (feed, checkpoint, per-batch sinks)
+    * preserves exactly the one-shot result. */
+  private[graft] def streamedChunksDir(spark: SparkSession,
+      dir: String): String =
+    streamedDirs.computeIfAbsent(dir, { _ =>
+      val root = graft.Tables.scratchDir("graft_chunk_stream_")
+        .getAbsolutePath
+      val ckpt = graft.Tables.scratchDir("graft_chunk_sckpt_")
+        .getAbsolutePath
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "2")
+      val docs = Tables(ss, dir, "documents")
+      chunkRowsOf(docs.filter(!isNewDoc))
+        .write.mode("overwrite").parquet(s"$root/chunks/base")
+      val feed = graft.Tables.scratchDir("graft_chunk_feed_")
+      Seq(0, 1).foreach { par =>
+        graft.Tables.writeFeedFile(
+          docs.filter(isNewDoc && pmod(col("doc_id"), lit(2)) === par),
+          feed, f"ingest$par%03d.parquet", par)
+      }
+      val stream = ss.readStream
+        .schema(ss.read.parquet(feed.getAbsolutePath).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.getAbsolutePath)
+      val query = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            chunkRowsOf(batch.toDF())
+              .write.mode("overwrite").parquet(s"$root/chunks/b$batchId")
+        }
+        .start()
+      query.awaitTermination()
+      root
+    })
+
+  /** GRADED: the stream-built chunk store — batch oracle VERBATIM. */
+  def chunkStoreStreamed(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${streamedChunksDir(spark, dir)}/chunks/*")
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("n_tokens"), col("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** Shared oracle prefix ending at ch(doc_id, source, chunk_idx,
     * start_tok, n_tokens, chunk_md5) — the identical start/slice rule. */
   private val chunkCte: String =
@@ -206,7 +263,8 @@ object Chunking {
     "dup_chunks_cross_doc" -> (dupChunksCrossDoc _),
     "chunk_store_maintained" -> (chunkStoreMaintained _),
     "chunk_store_erased" -> (chunkStoreErased _),
-    "dup_chunks_erased" -> (dupChunksErased _))
+    "dup_chunks_erased" -> (dupChunksErased _),
+    "chunk_store_streamed" -> (chunkStoreStreamed _))
 
   val oracles: Map[String, String] = Map(
     "doc_chunks_index" ->
@@ -234,6 +292,14 @@ object Chunking {
          |  CAST(count(*) AS BIGINT) AS n_occ
          |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
          |ORDER BY chunk_md5""".stripMargin,
+    // the stream-built store must equal the one-shot result under any
+    // micro-batch chopping — batch oracle verbatim
+    "chunk_store_streamed" ->
+      s"""$chunkCte
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(start_tok AS BIGINT) AS start_tok,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens, chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     // the maintained store ≡ one-shot chunking of ALL docs (the
     // generations partition the doc space)
     "chunk_store_maintained" ->

@@ -130,6 +130,21 @@ class ChunkingSpec extends SparkSpec {
     assert(dupErased == bruteDup)
   }
 
+  test("streamed ingest: the stream-built chunk store equals the one-shot " +
+      "index row-for-row, across >= 2 micro-batches with per-batch sinks") {
+    val got = Chunking.chunkStoreStreamed(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val want = Chunking.docChunksIndex(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+    // real chopping happened: base + at least two batch dirs
+    val root = new java.io.File(
+      s"${Chunking.streamedChunksDir(spark, sf0001)}/chunks")
+    val gens = root.listFiles.filter(_.isDirectory).map(_.getName).toSet
+    assert(gens.contains("base") && gens.contains("b0") && gens.contains("b1"),
+      s"expected base+b0+b1 generations, got $gens")
+  }
+
   test("stats: overlap mass is non-negative and consistent with the index") {
     val idx = Chunking.docChunksIndex(spark, sf0001)
     val bySrcIdx = idx

@@ -90,6 +90,31 @@ object KmvOps {
       .orderBy("type_a", "type_b")
   }
 
+  /** GDPR and the sketch tier: KMV (like HLL) is NOT SUBTRACTABLE —
+    * the blob keeps only the k smallest hashes, so retiring an id that
+    * sits inside the sketch cannot be compensated (the evicted
+    * (k+1)-th smallest value is gone), and position-deleting rows out
+    * of a stored BLOB is meaningless. The sound erasure path for a
+    * sketch rollup is REBUILD over the surviving corpus — this query
+    * is that rebuild, graded from scratch over the survivors (the
+    * [[Erasure]] user class, md5 nibble 'a'). KmvSketchSpec pins the
+    * non-subtractability concretely: an erased user's hash sits inside
+    * at least one stored sketch, so the rebuilt blob differs — not
+    * just its estimate. */
+  def kmvUsersErasedRebuild(spark: SparkSession, dir: String): DataFrame = {
+    KmvFunctions.register(spark)
+    Tables(spark, dir, "events")
+      .filter(col("user_id").isNotNull &&
+        substring(md5(col("user_id").cast("string")), 1, 1) =!= "a")
+      .groupBy(col("event_type"))
+      .agg(expr("kmv_sketch(CAST(user_id AS STRING))").as("o"))
+      .select(col("event_type"),
+        col("o.est").as("est"),
+        col("o.kth").as("kth"),
+        col("o.n_kept").as("n_kept"))
+      .orderBy("event_type")
+  }
+
   /** DuckDB twin of the first-8-nibble u32 (the Curation.u32Sql
     * polynomial, inlined here over a column named `h`). */
   private val u32Poly: String = (1 to 8).map { j =>
@@ -114,7 +139,8 @@ object KmvOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmv_users_by_type" -> (kmvUsersByType _),
     "kmv_monthly_from_weekly" -> (kmvMonthlyFromWeekly _),
-    "kmv_type_overlap" -> (kmvTypeOverlap _))
+    "kmv_type_overlap" -> (kmvTypeOverlap _),
+    "kmv_users_erased_rebuild" -> (kmvUsersErasedRebuild _))
 
   val oracles: Map[String, String] = Map(
     "kmv_users_by_type" ->
@@ -179,5 +205,29 @@ object KmvOps {
          |  CAST(k_used AS BIGINT) AS k_used,
          |  CAST((1000000 * n_common) // k_used AS BIGINT) AS jaccard_ppm,
          |  CAST((n_common * union_est) // k_used AS BIGINT) AS inter_est
-         |FROM fin ORDER BY type_a, type_b""".stripMargin)
+         |FROM fin ORDER BY type_a, type_b""".stripMargin,
+    // rebuild over the SURVIVING corpus — the only sound sketch-erasure
+    // path (blobs are not subtractable); identical chain + the erase
+    // predicate at the source
+    "kmv_users_erased_rebuild" ->
+      s"""WITH hx AS (
+         |  SELECT DISTINCT event_type AS t,
+         |    md5(CAST(user_id AS VARCHAR)) AS h
+         |  FROM events
+         |  WHERE user_id IS NOT NULL
+         |    AND substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <> 'a'),
+         |hv AS (SELECT t, $u32Poly AS v FROM hx),
+         |hd AS (SELECT DISTINCT t, v FROM hv),
+         |r AS (SELECT t, v,
+         |    row_number() OVER (PARTITION BY t ORDER BY v) AS rk
+         |  FROM hd),
+         |sk AS (SELECT t, v, rk FROM r WHERE rk <= 256),
+         |agg AS (SELECT t, max(rk) AS n_kept, max(v) AS kth
+         |  FROM sk GROUP BY 1)
+         |SELECT t AS event_type,
+         |  CAST(CASE WHEN n_kept < 256 THEN n_kept
+         |       ELSE (255 * 4294967296) // kth END AS BIGINT) AS est,
+         |  CAST(kth AS BIGINT) AS kth,
+         |  CAST(n_kept AS BIGINT) AS n_kept
+         |FROM agg ORDER BY event_type""".stripMargin)
 }

@@ -112,6 +112,41 @@ class KmvSketchSpec extends SparkSpec {
     }
   }
 
+  test("erasure = rebuild: sketches are not subtractable — an erased hash " +
+      "sits inside a stored sketch, and the rebuilt sketch differs") {
+    val md = MessageDigest.getInstance("MD5")
+    def hex1(id: String): String =
+      md.digest(id.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(1)
+    // survivors-only JVM recompute per type
+    def survivorHashes(t: String): Set[Long] =
+      Tables(spark, sf0001, "events")
+        .filter(col("user_id").isNotNull && col("event_type") === t)
+        .select(col("user_id").cast("string")).distinct()
+        .as[String](org.apache.spark.sql.Encoders.STRING).collect()
+        .filter(hex1(_) != "a")
+        .map(s => Kmv.u32(md, s.getBytes("UTF-8"))).toSet
+    val got = KmvOps.kmvUsersErasedRebuild(spark, sf0001)
+      .collect().map(r => r.getString(0)
+        -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (t, triple) =>
+      assert(triple == expectedEstimate(survivorHashes(t)), s"type $t")
+    }
+    // non-subtractability is live: some type's ORIGINAL stored sketch
+    // contains an erased user's hash, and its rebuilt triple differs
+    val orig = KmvOps.kmvUsersByType(spark, sf0001)
+      .collect().map(r => r.getString(0)
+        -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val affected = orig.keys.filter { t =>
+      val stored = rawHashes(t).toSeq.sorted.take(Kmv.k).toSet
+      val erasedHashes = rawHashes(t) -- survivorHashes(t)
+      erasedHashes.exists(stored.contains)
+    }
+    assert(affected.nonEmpty, "no erased hash inside any stored sketch — vacuous")
+    assert(affected.exists(t => got(t) != orig(t)),
+      "rebuild changed nothing — the erasure pin is vacuous")
+  }
+
   test("overlap estimates bracket the exact pairwise overlap at sf0.001") {
     // the ratio estimator is unbiased, not exact: assert the Jaccard
     // estimate lands within ±0.2 absolute of the true Jaccard (k=256

@@ -90,6 +90,32 @@ object KmvOps {
       .orderBy("type_a", "type_b")
   }
 
+  /** Rolling 3-day distinct estimate from per-day stored blobs — the
+    * `daily_users_rolling_bitmap` serving pattern at sketch cost: the
+    * calendar RANGE window merges ≤3 stored ≤2 KiB blobs per answer
+    * row (an absent day must not stretch the window), the raw corpus
+    * is touched once; every window answer is the estimate the one-shot
+    * sketch of those days' raw rows would give (merge exactness —
+    * KmvSketchSpec), and the oracle rebuilds each window from raw rows
+    * to prove precisely that. */
+  def dailyUsersRollingKmv(spark: SparkSession, dir: String): DataFrame = {
+    KmvFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(expr("kmv_state(CAST(user_id AS STRING))").as("sk"))
+      .withColumn("day_num",
+        datediff(col("day"), lit("2024-01-01").cast("date")))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-2, 0)
+    daily
+      .withColumn("o", expr("kmv_merge(sk)").over(w))
+      .select(col("day"), col("o.est").as("rolling_est"),
+        col("o.n_kept").as("n_kept"))
+      .orderBy("day")
+  }
+
   /** GDPR and the sketch tier: KMV (like HLL) is NOT SUBTRACTABLE —
     * the blob keeps only the k smallest hashes, so retiring an id that
     * sits inside the sketch cannot be compensated (the evicted
@@ -140,7 +166,8 @@ object KmvOps {
     "kmv_users_by_type" -> (kmvUsersByType _),
     "kmv_monthly_from_weekly" -> (kmvMonthlyFromWeekly _),
     "kmv_type_overlap" -> (kmvTypeOverlap _),
-    "kmv_users_erased_rebuild" -> (kmvUsersErasedRebuild _))
+    "kmv_users_erased_rebuild" -> (kmvUsersErasedRebuild _),
+    "daily_users_rolling_kmv" -> (dailyUsersRollingKmv _))
 
   val oracles: Map[String, String] = Map(
     "kmv_users_by_type" ->
@@ -229,5 +256,31 @@ object KmvOps {
          |       ELSE (255 * 4294967296) // kth END AS BIGINT) AS est,
          |  CAST(kth AS BIGINT) AS kth,
          |  CAST(n_kept AS BIGINT) AS n_kept
-         |FROM agg ORDER BY event_type""".stripMargin)
+         |FROM agg ORDER BY event_type""".stripMargin,
+    // each window rebuilt from raw rows (the rolling-bitmap oracle
+    // shape + the kmv formula) — merging stored per-day blobs must
+    // equal the one-shot sketch of the window's rows
+    "daily_users_rolling_kmv" ->
+      s"""WITH e AS (
+         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    md5(CAST(user_id AS VARCHAR)) AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |hv AS (SELECT day, $u32Poly AS v FROM e),
+         |days AS (SELECT DISTINCT day FROM hv),
+         |win AS (
+         |  SELECT d.day, x.v FROM days d
+         |  JOIN hv x ON x.day >= d.day - 2 AND x.day <= d.day
+         |  GROUP BY 1, 2),
+         |r AS (SELECT day, v,
+         |    row_number() OVER (PARTITION BY day ORDER BY v) AS rk
+         |  FROM win),
+         |sk AS (SELECT day, v, rk FROM r WHERE rk <= 256),
+         |agg AS (SELECT day, max(rk) AS n_kept, max(v) AS kth
+         |  FROM sk GROUP BY 1)
+         |SELECT day,
+         |  CAST(CASE WHEN n_kept < 256 THEN n_kept
+         |       ELSE (255 * 4294967296) // kth END AS BIGINT)
+         |    AS rolling_est,
+         |  CAST(n_kept AS BIGINT) AS n_kept
+         |FROM agg ORDER BY day""".stripMargin)
 }

@@ -1423,6 +1423,47 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** GRADED: class PROTOTYPE selection (r10+) — kNN-classifier
+    * compression / few-shot exemplar picking: per label, the members
+    * most aligned with the class direction (herding's first picks).
+    * The class direction is the FIXED-POINT SUM vector — per-(label,
+    * dim) BIGINT sums of floor(x·2²⁰+½), order-independent across
+    * partitions (the [[embeddingCentroidDrift]] discipline); cosine is
+    * scale-invariant, so the sum stands in for the mean with no
+    * division anywhere before the one rounded kernel per member.
+    * Top-3 per label by (cosine desc, vec_id). One explode →
+    * (label, dim) partial-agg shuffle builds all centroids; scoring is
+    * a broadcast join (|labels| centroid rows) + per-label windows
+    * over label-bounded groups. */
+  def labelPrototypes(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "embeddings")
+    val flat = e
+      .select(col("label"), col("embedding"),
+        explode(expr(s"sequence(1, $VecDims)")).as("j"))
+      .select(col("label"), col("j"),
+        expr(s"CAST(floor(CAST(element_at(embedding, j) AS DOUBLE)" +
+          s" * CAST($PqScale AS DOUBLE) + 0.5D) AS BIGINT)").as("fix"))
+      .groupBy(col("label"), col("j"))
+      .agg(sum(col("fix")).as("sfix"))
+    val cents = flat.groupBy(col("label"))
+      .agg(expr(s"transform(sort_array(collect_list(struct(j, sfix))), " +
+        s"s -> CAST(CAST(s.sfix AS DOUBLE) / CAST($PqScale AS DOUBLE) AS FLOAT))")
+        .as("cv"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("cent_cos").desc, col("vec_id"))
+    e.join(broadcast(cents), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        graft.functions.ScalarFns.roundN(
+          expr("cosine_sim(embedding, cv)"), 6).as("cent_cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("label"), col("rk").cast("long").as("rank"),
+        col("vec_id"), col("cent_cos"))
+      .orderBy("label", "rank")
+  }
+
   /** N3 BATCH ANN — the shape a 100 TB similarity-search actually runs:
     * top-k neighbors for a whole SET of query vectors in ONE plan (no
     * per-query driver loop). Every query routes to its IVF bucket, all
@@ -2405,6 +2446,7 @@ object Similarity {
     "semantic_dedup_survivors" -> (semanticDedupSurvivors _),
     "hard_negatives" -> (hardNegatives _),
     "silhouette_by_cell" -> (silhouetteByCell _),
+    "label_prototypes" -> ((s: SparkSession, d: String) => labelPrototypes(s, d)),
     "multimodal_join"   -> (multimodalJoin _))
 
   /** Shared IVF-assignment CTE (DuckDB) — mirrors [[ivfAssign]],
@@ -3478,6 +3520,35 @@ object Similarity {
          |SELECT acid AS cid, CAST(count(*) AS BIGINT) AS n_members,
          |  CAST(sum(s_ppm) AS BIGINT) AS sum_s_ppm
          |FROM sp GROUP BY 1 ORDER BY cid""".stripMargin,
+    // class prototypes: the kmeans M-step's fixed-point centroid build
+    // keyed by LABEL, then the rounded kernel + per-label top-3
+    "label_prototypes" ->
+      s"""WITH mem AS (
+         |  SELECT e.label, t.j,
+         |    sum(CAST(floor(CAST(e.embedding[t.j] AS DOUBLE)
+         |      * CAST($PqScale AS DOUBLE) + 0.5) AS BIGINT)) AS sfix
+         |  FROM embeddings e
+         |  CROSS JOIN generate_series(1, $VecDims) AS t(j)
+         |  GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT label,
+         |    list(CAST(CAST(sfix AS DOUBLE) / CAST($PqScale AS DOUBLE)
+         |      AS FLOAT) ORDER BY j) AS cv
+         |  FROM mem GROUP BY 1),
+         |sc AS (
+         |  SELECT e.label, e.vec_id,
+         |    ${graft.functions.ScalarFns.roundSql(
+              s"""${duckDot("e.embedding", "c.cv")}
+                 |      / (sqrt(${duckDot("e.embedding", "e.embedding")})
+                 |         * sqrt(${duckDot("c.cv", "c.cv")}))""".stripMargin, 6)} AS cent_cos
+         |  FROM embeddings e JOIN cent c ON c.label = e.label),
+         |rk AS (
+         |  SELECT label, vec_id, cent_cos,
+         |    row_number() OVER (PARTITION BY label
+         |      ORDER BY cent_cos DESC, vec_id) AS rk
+         |  FROM sc)
+         |SELECT label, CAST(rk AS BIGINT) AS rank, vec_id, cent_cos
+         |FROM rk WHERE rk <= 3 ORDER BY label, rank""".stripMargin,
     "cosine_topk_batch" ->
       s"""$ivfCte,
          |q AS (

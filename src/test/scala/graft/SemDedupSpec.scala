@@ -186,6 +186,42 @@ class SemDedupSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSet == eligible)
   }
 
+  test("label prototypes: fixed-point class direction + top-3 election " +
+      "exactly reproduce a driver-side recompute") {
+    import spark.implicits._
+    val vecs = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Seq[Float])].collect()
+    val scale = (1L << 20).toDouble
+    val cents = vecs.groupBy(_._2).view.mapValues { ms =>
+      val dims = ms.head._3.length
+      (0 until dims).map { j =>
+        val sfix = ms.map(m => math.floor(m._3(j).toDouble * scale + 0.5).toLong).sum
+        (sfix.toDouble / scale).toFloat
+      }.toSeq
+    }.toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val want = vecs.groupBy(_._2).toSeq.flatMap { case (label, ms) =>
+      ms.map(m => (m._1, r6(cos(m._3, cents(label)))))
+        .sortBy { case (vid, cs) => (-cs, vid) }.take(3).zipWithIndex
+        .map { case ((vid, cs), i) => (label, (i + 1).toLong, vid, cs) }
+    }.sortBy(t => (t._1, t._2))
+    val got = Similarity.labelPrototypes(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("silhouette by cell: exact against a driver-side recompute of the " +
       "N x K kernel sweep; every vector scored once; scores in [0, 1e6]") {
     import spark.implicits._

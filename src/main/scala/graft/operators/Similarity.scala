@@ -1464,6 +1464,32 @@ object Similarity {
       .orderBy("label", "rank")
   }
 
+  /** GRADED: cross-source CONTAMINATION matrix (r10+) — the provenance
+    * question corpus curation asks of the near-dup evidence: WHICH
+    * sources copy from each other (mirror sites, scraped re-posts,
+    * licensing leaks between feeds). Pure composition over the CACHED
+    * LSH pair frame (zero new similarity work): pairs labeled with
+    * both endpoints' sources, normalized to an unordered (source_lo,
+    * source_hi) key — upper-triangular incl. the diagonal (within-
+    * source duplication, the dominant mass). Aggregates stay BIGINT
+    * (pair counts + Σ n_inter; summing the rounded Jaccard doubles
+    * would be partition-order-dependent — deliberately not emitted). */
+  def sourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    neardupPairs(spark, dir)
+      .join(d.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("n_inter"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("n_inter")).as("sum_inter"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** N3 BATCH ANN — the shape a 100 TB similarity-search actually runs:
     * top-k neighbors for a whole SET of query vectors in ONE plan (no
     * per-query driver loop). Every query routes to its IVF bucket, all
@@ -2447,6 +2473,7 @@ object Similarity {
     "hard_negatives" -> (hardNegatives _),
     "silhouette_by_cell" -> (silhouetteByCell _),
     "label_prototypes" -> ((s: SparkSession, d: String) => labelPrototypes(s, d)),
+    "source_overlap_matrix" -> (sourceOverlapMatrix _),
     "multimodal_join"   -> (multimodalJoin _))
 
   /** Shared IVF-assignment CTE (DuckDB) — mirrors [[ivfAssign]],
@@ -2789,6 +2816,20 @@ object Similarity {
          |$lshScoredCtes
          |SELECT doc_a, doc_b, n_inter, jaccard FROM scored
          |ORDER BY 1, 2""".stripMargin,
+    // the same scored chain, labeled with both endpoints' sources and
+    // folded to the unordered source-pair key
+    "source_overlap_matrix" ->
+      s"""$shingleCte,
+         |$lshScoredCtes,
+         |lab AS (
+         |  SELECT s.n_inter, da.source AS sa, db.source AS sb
+         |  FROM scored s
+         |  JOIN documents da ON da.doc_id = s.doc_a
+         |  JOIN documents db ON db.doc_id = s.doc_b)
+         |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(n_inter) AS BIGINT) AS sum_inter
+         |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "neardup_pairs_char" ->
       s"""WITH ctoks AS (SELECT doc_id, lower(text) AS lt FROM documents),
          |sh AS (

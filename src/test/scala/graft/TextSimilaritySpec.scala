@@ -750,4 +750,27 @@ class TextSimilaritySpec extends SparkSpec {
     assert(d.find(_._1 == 0L).get._4 == expect,
       "label-0 centroid cosine drifted from the fixed-point recount")
   }
+
+  test("source overlap matrix folds the cached pair frame exactly; keys " +
+      "unordered; diagonal present") {
+    import org.apache.spark.sql.functions.col
+    val src = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.operators.Similarity.neardupPairs(spark, sf0001)
+      .select(col("doc_a"), col("doc_b"), col("n_inter")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = pairs.groupBy { case (a, b, _) =>
+        val (sa, sb) = (src(a), src(b))
+        if (sa <= sb) (sa, sb) else (sb, sa)
+      }.view.mapValues(ps => (ps.length.toLong, ps.map(_._3).sum)).toMap
+    val got = graft.operators.Similarity
+      .sourceOverlapMatrix(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1))
+        -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+    assert(got.keys.forall { case (a, b) => a <= b }, "matrix not normalized")
+    assert(got.keys.exists { case (a, b) => a == b },
+      "no within-source duplication observed — diagonal missing")
+  }
 }

@@ -95,7 +95,9 @@ object PlanDump {
     "dsir_bucket_model", "dsir_selected_docs", "dsir_auc",
     "doc_chunks_index", "dup_chunks_cross_doc", "chunk_store_erased",
     "hard_negatives", "silhouette_by_cell", "view_purchase_full_streamed",
-    "kmv_users_streamed")
+    "kmv_users_streamed", "dsir_decile_lift", "chunk_store_streamed",
+    "orders_page_keyset", "kmv_users_erased_rebuild",
+    "daily_users_rolling_kmv", "label_prototypes", "source_overlap_matrix")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

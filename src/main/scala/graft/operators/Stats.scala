@@ -455,6 +455,47 @@ object Stats {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** WINSORIZED mean (r10+) — the robust-location companion to the
+    * [[priceOutliersMad]] screen: instead of FLAGGING tail rows, clamp
+    * them to the [p05, p95] member values and average — the estimator
+    * reports use when outliers are legitimate-but-distorting (one whale
+    * order shifts a priority's mean; winsorizing bounds its leverage).
+    * EXACT INTEGERS: fences = percentile_disc MEMBER cents (no
+    * interpolation), clamp = least/greatest in BIGINT, mean carried as
+    * (sum, n) plus micro-cents via floor division — both engines floor
+    * on positives. Same scale envelope as the median family (bounded
+    * groups; the 100 TB path is the mergeable HistSketch quantile
+    * swap, documented at [[ordersColumnStatsSketched]]). */
+  def priceWinsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH x AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |f AS (
+        |  SELECT prio,
+        |    CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY cents)
+        |      AS BIGINT) AS p05,
+        |    CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)
+        |      AS BIGINT) AS p95
+        |  FROM x GROUP BY 1),
+        |w AS (
+        |  SELECT x.prio, f.p05, f.p95,
+        |    least(greatest(x.cents, f.p05), f.p95) AS wcents,
+        |    CASE WHEN x.cents < f.p05 OR x.cents > f.p95
+        |      THEN 1 ELSE 0 END AS clamped
+        |  FROM x JOIN f ON x.prio = f.prio)
+        |SELECT prio, count(*) AS n,
+        |  max(p05) AS p05_cents, max(p95) AS p95_cents,
+        |  sum(clamped) AS n_clamped,
+        |  sum(wcents) AS wsum_cents,
+        |  CAST((CAST(sum(wcents) AS DECIMAL(38,0)) * 1000000)
+        |    DIV count(*) AS BIGINT) AS wmean_microcents
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** `count(*)` answered from parquet FOOTER metadata — zero tasks,
     * zero data bytes ([[graft.plans.MetadataCount]]; the plan becomes
     * a one-row LocalRelation, spec-asserted). The oracle RUNS the
@@ -468,6 +509,7 @@ object Stats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "benford_digit_audit" -> (benfordDigitAudit _),
     "price_outliers_mad" -> (priceOutliersMad _),
+    "price_winsorized_mean" -> (priceWinsorizedMean _),
     "orders_count_metadata" -> (ordersCountMetadata _),
     "lineitem_corr_matrix" -> (lineitemCorrMatrix _),
     "value_trend_ols" -> (valueTrendOls _),
@@ -718,6 +760,31 @@ object Stats {
         |    AS BIGINT) AS n_outliers
         |FROM d JOIN md ON d.prio = md.prio
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same member-value quantile definition, clamp + floor division
+    "price_winsorized_mean" ->
+      """WITH x AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |f AS (
+        |  SELECT prio,
+        |    CAST(quantile_disc(cents, 0.05) AS BIGINT) AS p05,
+        |    CAST(quantile_disc(cents, 0.95) AS BIGINT) AS p95
+        |  FROM x GROUP BY 1),
+        |w AS (
+        |  SELECT x.prio, f.p05, f.p95,
+        |    least(greatest(x.cents, f.p05), f.p95) AS wcents,
+        |    CASE WHEN x.cents < f.p05 OR x.cents > f.p95
+        |      THEN 1 ELSE 0 END AS clamped
+        |  FROM x JOIN f ON x.prio = f.prio)
+        |SELECT prio, count(*) AS n,
+        |  max(p05) AS p05_cents, max(p95) AS p95_cents,
+        |  CAST(sum(clamped) AS BIGINT) AS n_clamped,
+        |  CAST(sum(wcents) AS BIGINT) AS wsum_cents,
+        |  CAST((CAST(sum(wcents) AS HUGEINT) * 1000000) // count(*)
+        |    AS BIGINT) AS wmean_microcents
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     // the oracle RUNS the count — footer serving must be invisible
     "orders_count_metadata" ->
       "SELECT count(*) AS n_orders FROM orders",

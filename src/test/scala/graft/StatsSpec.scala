@@ -95,4 +95,31 @@ class StatsSpec extends SparkSpec {
       assert(rows.map(_.toString).toSeq == again)
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
+
+  test("winsorized mean: fences, clamp counts and micro-cent means equal " +
+      "a driver-side recompute under the disc member-value definition") {
+    import org.apache.spark.sql.functions.col
+    val cents = Tables(spark, sf0001, "orders")
+      .selectExpr("o_orderpriority AS prio",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    def disc(xs: IndexedSeq[Long], p: Double): Long =
+      xs(math.max(0, math.ceil(p * xs.length).toInt - 1))
+    val got = Stats.priceWinsorizedMean(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val xs = cents(r.getString(0))
+      val (p05, p95) = (disc(xs, 0.05), disc(xs, 0.95))
+      val w = xs.map(x => math.min(math.max(x, p05), p95))
+      val clamped = xs.count(x => x < p05 || x > p95).toLong
+      assert(r.getLong(1) == xs.length.toLong)
+      assert((r.getLong(2), r.getLong(3)) == ((p05, p95)), r.getString(0))
+      assert(r.getLong(4) == clamped)
+      assert(r.getLong(5) == w.sum)
+      assert(r.getLong(6) == BigInt(w.sum) * 1000000 / xs.length)
+      // winsorizing bounded the tail: something clamped, fences ordered
+      assert(p05 <= p95 && clamped > 0, s"${r.getString(0)} vacuous")
+    }
+  }
 }

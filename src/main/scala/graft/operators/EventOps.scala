@@ -455,7 +455,56 @@ object EventOps {
       .orderBy(col("day"), col("hr"))
   }
 
+  /** GROWTH ACCOUNTING (r10+) — the product-analytics decomposition
+    * behind every DAU chart: each day's active users split into NEW
+    * (first-ever day), RETAINED (active the previous calendar day) and
+    * RESURRECTED (active before, but not yesterday), with CHURN
+    * derived at the day level as lag(active) − retained (NULL for the
+    * first observed day, and defined against the previous CALENDAR day
+    * — a calendar gap leaves it NULL rather than silently comparing
+    * non-adjacent days). Two conservation laws make the report
+    * self-auditing and are spec-pinned: active = new + retained +
+    * resurrected (every active user is exactly one of the three), and
+    * churned(d) = active(d−1) − retained(d).
+    *
+    * 100 TB shape: ONE distinct shuffle to the (user, day) frame, then
+    * per-USER windows (millions of small partitions — embarrassingly
+    * parallel; never a global window), then a |days|-row catalog
+    * finish. */
+  def dailyGrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ud = Tables(spark, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val wu = Window.partitionBy("user_id").orderBy("day")
+    val flags = ud
+      .withColumn("first_day",
+        min(col("day")).over(Window.partitionBy("user_id")))
+      .withColumn("prev_day", lag(col("day"), 1).over(wu))
+    val daily = flags.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("prev_day") === date_add(col("day"), -1), 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("prev_day").isNotNull &&
+            col("prev_day") < date_add(col("day"), -1), 1L)
+          .otherwise(0L)).as("n_resurrected"))
+    val wd = Window.orderBy("day") // |days| rows — catalog-scale
+    daily
+      .withColumn("pday", lag(col("day"), 1).over(wd))
+      .withColumn("pactive", lag(col("n_active"), 1).over(wd))
+      .withColumn("n_churned",
+        when(col("pday") === date_add(col("day"), -1),
+          col("pactive") - col("n_retained")))
+      .select(col("day"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"), col("n_churned"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "daily_growth_accounting" -> (dailyGrowthAccounting _),
     "hourly_counts_gapfilled" -> (hourlyGapFill _),
     "hourly_volume_anomaly" -> (hourlyVolumeAnomaly _),
     "session_transitions" -> (sessionTransitions _),
@@ -582,6 +631,33 @@ object EventOps {
        |FROM est JOIN ex ON est.day = ex.day ORDER BY est.day""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the identical window decomposition; churn NULL-pinned for the
+    // first day and across calendar gaps
+    "daily_growth_accounting" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    user_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |fl AS (
+        |  SELECT day, user_id,
+        |    min(day) OVER (PARTITION BY user_id) AS first_day,
+        |    lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+        |  FROM ud),
+        |d AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN prev_day IS NOT NULL
+        |        AND prev_day < day - 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_resurrected
+        |  FROM fl GROUP BY 1)
+        |SELECT day, n_active, n_new, n_retained, n_resurrected,
+        |  CASE WHEN lag(day) OVER (ORDER BY day) = day - 1
+        |    THEN lag(n_active) OVER (ORDER BY day) - n_retained
+        |  END AS n_churned
+        |FROM d ORDER BY day""".stripMargin,
     "daily_users_rolling_hll" -> rollingHllOracle,
     // exact rational z-test: weekday ≡ isodow-1, HUGEINT ≡ decimal(38,0)
     "hourly_volume_anomaly" -> {

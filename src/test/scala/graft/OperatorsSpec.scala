@@ -233,4 +233,25 @@ class OperatorsSpec extends SparkSpec {
     assert(r(0).getAs[Double]("avg_acctbal") == 0.0)
     assert(r(0).getAs[String]("segment_id").startsWith("seg_"))
   }
+
+  test("growth accounting: both conservation laws hold on every row, and " +
+      "every class is live somewhere") {
+    val rows = graft.operators.EventOps
+      .dailyGrowthAccounting(spark, sf0001).collect()
+    assert(rows.length > 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"${r.get(0)}: active != new + retained + resurrected")
+    }
+    rows.sliding(2).foreach { pair =>
+      if (pair.length == 2 && !pair(1).isNullAt(5)) {
+        assert(pair(1).getLong(5) == pair(0).getLong(1) - pair(1).getLong(3),
+          s"${pair(1).get(0)}: churned != lag(active) - retained")
+      }
+    }
+    assert(rows.head.isNullAt(5), "first day's churn must be NULL")
+    assert(rows.exists(r => r.getLong(4) > 0), "no resurrection observed")
+    assert(rows.exists(r => !r.isNullAt(5) && r.getLong(5) > 0),
+      "no churn observed")
+  }
 }

@@ -97,7 +97,8 @@ object PlanDump {
     "hard_negatives", "silhouette_by_cell", "view_purchase_full_streamed",
     "kmv_users_streamed", "dsir_decile_lift", "chunk_store_streamed",
     "orders_page_keyset", "kmv_users_erased_rebuild",
-    "daily_users_rolling_kmv", "label_prototypes", "source_overlap_matrix")
+    "daily_users_rolling_kmv", "label_prototypes", "source_overlap_matrix",
+    "price_winsorized_mean", "daily_growth_accounting", "hrw_shard_load")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

@@ -165,9 +165,53 @@ object Integrity {
       .orderBy("bucket")
   }
 
+  /** The star schema's FK edges: (edge label, child table, fk column,
+    * parent table, pk column). Shared by the Spark query and the
+    * oracle generator so the two lists cannot drift. */
+  private[graft] val FkEdges = Seq(
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+
+  /** GRADED: REFERENTIAL-INTEGRITY audit — the DQ suite's FK tier
+    * beside the column-contract audit: for every FK edge of the star
+    * schema, the child row count, NULL-FK count and ORPHAN count
+    * (child rows whose parent key does not exist). One row per edge.
+    *
+    * Shape: per edge, a left join against the DISTINCT parent keyset
+    * (existence semantics — duplicate parent keys must not multiply
+    * child rows) folded into one aggregate row; the 7 one-row frames
+    * union. Catalyst broadcasts the small dims; the fact-to-fact edges
+    * (lineitem→orders) shuffle on the key — at 100 TB the standard
+    * upgrade is the graded bloom-semi-join prescreen
+    * ([[BloomIndex]]) in front of the anti side; the audit row shape
+    * is unchanged. All counts are BIGINT — nothing floats. */
+  private[graft] def auditEdge(child: DataFrame, fk: String,
+      parent: DataFrame, pk: String, label: String): DataFrame =
+    child.select(col(fk).as("fk"))
+      .join(parent.select(col(pk).as("pk")).distinct(),
+        col("fk") === col("pk"), "left_outer")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("fk").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("fk").isNotNull && col("pk").isNull, 1L)
+          .otherwise(0L)).as("n_orphan"))
+      .select(lit(label).as("edge"), col("n_child"), col("n_null"),
+        col("n_orphan"))
+
+  def dqReferentialAudit(spark: SparkSession, dir: String): DataFrame =
+    FkEdges.map { case (label, child, fk, parent, pk) =>
+      auditEdge(Tables(spark, dir, child), fk,
+        Tables(spark, dir, parent), pk, label)
+    }.reduce(_ unionByName _).orderBy("edge")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_integrity_diff" -> (ordersIntegrityDiff(_, _)),
-    "orders_repair_audit" -> (ordersRepairAudit(_, _)))
+    "orders_repair_audit" -> (ordersRepairAudit(_, _)),
+    "dq_referential_audit" -> (dqReferentialAudit(_, _)))
 
   /** DuckDB twin: both sides derive from `orders` — Spark's copy side
     * can only match if compaction preserved the exact row multiset. */
@@ -210,5 +254,17 @@ object Integrity {
          |SELECT CAST(bucket AS BIGINT) AS bucket, n_src,
          |  n_dropped > 0 AS was_damaged, n_dropped,
          |  TRUE AS is_match_after
-         |FROM s ORDER BY bucket""".stripMargin)
+         |FROM s ORDER BY bucket""".stripMargin,
+    "dq_referential_audit" ->
+      (FkEdges.map { case (label, child, fk, parent, pk) =>
+        s"""SELECT '$label' AS edge,
+           |  CAST(count(*) AS BIGINT) AS n_child,
+           |  CAST(sum(CASE WHEN c.$fk IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_null,
+           |  CAST(sum(CASE WHEN c.$fk IS NOT NULL AND p.pk IS NULL
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+           |FROM $child c
+           |LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $parent) p
+           |  ON c.$fk = p.pk""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY edge"))
 }

@@ -130,7 +130,16 @@ object TextSignals {
     * Determinism: score = s(t1) + s(t2) + s(t3) written LEFT-TO-RIGHT
     * as one expression (not an aggregate), every operand derived by
     * exactly-rounded IEEE ops — see object doc for the log-free idf. */
-  def bm25Search(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+  def bm25Search(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    bm25Scores(spark, dir)
+      .filter(col("bm25") > 0.0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+
+  /** The UNRANKED BM25 score list (every doc, no filter/order/limit) —
+    * the sparse tier shared by [[bm25Search]] and the hybrid-retrieval
+    * fusion family ([[Hybrid]]), so both grade off ONE definition. */
+  private[graft] def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
       .withColumn("t", toks)
       .withColumn("dl", size(col("t")).cast("double"))
@@ -153,9 +162,6 @@ object TextSignals {
     withTf.crossJoin(broadcast(stats))
       .select(col("doc_id"), col("source"),
         ScalarFns.roundN(score, 6).as("bm25"))
-      .filter(col("bm25") > 0.0)
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(k)
   }
 
   /** N4 per-document KEYWORD EXTRACTION (tf-idf salience) — the
@@ -375,15 +381,40 @@ object TextSignals {
        |SELECT * FROM ($arms) ORDER BY merge_round""".stripMargin
   }
 
-  val oracles: Map[String, String] = {
-    val g3 = Shingles.duckExprN(3)
-    val g2 = Shingles.duckExprN(2)
-    // DuckDB twin of the per-row BM25 expression — operand order is
-    // written identically to the Spark Column tree above.
+  /** DuckDB twin of [[bm25Scores]] — the full (doc_id, source, bm25)
+    * list with no filter/order/limit; operand order written identically
+    * to the Spark Column tree. Shared with the [[Hybrid]] oracles. */
+  private[graft] def bm25ScoresSql: String = {
     val scoreSql = TextSignals.QueryTerms.indices.map { i =>
       s"((nn - df$i + 0.5) / (df$i + 0.5)) * " +
         s"(tf$i * ${K1 + 1.0} / (tf$i + $K1 * ((1.0 - $B) + $B * dl / avgdl)))"
     }.mkString(" + ")
+    val tfDefs = QueryTerms.zipWithIndex.map { case (w, i) =>
+      s"CAST(len(list_filter(t, x -> x = '$w')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n    ")
+    val dfDefs = QueryTerms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      .mkString(",\n    ")
+    s"""SELECT d.doc_id, doc.source,
+       |  ${ScalarFns.roundSql(scoreSql, 6)} AS bm25
+       |FROM (
+       |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+       |    $tfDefs
+       |  FROM (${Shingles.duckToks}) toks0) d
+       |JOIN documents doc ON d.doc_id = doc.doc_id
+       |CROSS JOIN (
+       |  SELECT CAST(count(*) AS DOUBLE) AS nn,
+       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+       |    $dfDefs
+       |  FROM (
+       |    SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+       |      $tfDefs
+       |    FROM (${Shingles.duckToks}) toks1) d1) stats""".stripMargin
+  }
+
+  val oracles: Map[String, String] = {
+    val g3 = Shingles.duckExprN(3)
+    val g2 = Shingles.duckExprN(2)
     Map(
       "bpe_merges_learned" -> bpeOracle,
       // same tokenizer, same stopword literal, same ppm floor division
@@ -492,32 +523,11 @@ object TextSignals {
            |FROM d3 JOIN d2 USING (doc_id)
            |JOIN documents d USING (doc_id)
            |GROUP BY 1 ORDER BY 1""".stripMargin,
-      "bm25_search" -> {
-        val tfDefs = QueryTerms.zipWithIndex.map { case (w, i) =>
-          s"CAST(len(list_filter(t, x -> x = '$w')) AS DOUBLE) AS tf$i"
-        }.mkString(",\n    ")
-        val dfDefs = QueryTerms.indices.map(i =>
-          s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
-          .mkString(",\n    ")
-        s"""WITH toks AS (
-           |  ${Shingles.duckToks}),
-           |d AS (
-           |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
-           |    $tfDefs
-           |  FROM toks),
-           |stats AS (
-           |  SELECT CAST(count(*) AS DOUBLE) AS nn,
-           |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
-           |    $dfDefs
-           |  FROM d)
-           |SELECT d.doc_id, doc.source,
-           |  ${ScalarFns.roundSql(scoreSql, 6)} AS bm25
-           |FROM d
-           |JOIN documents doc ON d.doc_id = doc.doc_id
-           |CROSS JOIN stats
-           |WHERE ${ScalarFns.roundSql(scoreSql, 6)} > 0.0
-           |ORDER BY bm25 DESC, d.doc_id
-           |LIMIT 20""".stripMargin
-      })
+      "bm25_search" ->
+        s"""SELECT doc_id, source, bm25
+           |FROM ($bm25ScoresSql) scores
+           |WHERE bm25 > 0.0
+           |ORDER BY bm25 DESC, doc_id
+           |LIMIT 20""".stripMargin)
   }
 }

@@ -38,4 +38,31 @@ class RepairSpec extends SparkSpec {
     assert(rep == src,
       s"diff: +${(rep -- src).take(2)} -${(src -- rep).take(2)}")
   }
+
+  test("referential audit: all 7 star-schema edges clean on the driver " +
+      "tables, counts equal the child cardinalities") {
+    val rows = Integrity.dqReferentialAudit(spark, sf0001).collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orphan") == 0L, s"orphans at $r")
+      assert(r.getAs[Long]("n_null") == 0L, s"null FKs at $r")
+    }
+    val li = Tables(spark, sf0001, "lineitem").count()
+    assert(rows.filter(_.getAs[String]("edge").startsWith("lineitem."))
+      .forall(_.getAs[Long]("n_child") == li))
+  }
+
+  test("referential audit detects a PLANTED orphan and a planted NULL, " +
+      "and duplicate parent keys do not multiply child rows") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(99L), None)
+      .toDF("fk")
+    // parent key 1 duplicated: existence semantics must count each
+    // child row once
+    val parent = Seq(1L, 1L, 2L).toDF("pk")
+    val r = Integrity.auditEdge(child, "fk", parent, "pk", "t").collect()(0)
+    assert(r.getAs[Long]("n_child") == 4L)
+    assert(r.getAs[Long]("n_null") == 1L)
+    assert(r.getAs[Long]("n_orphan") == 1L)
+  }
 }

@@ -196,6 +196,99 @@ object Curation {
       .orderBy("source")
   }
 
+  /** N-mix: TEMPERATURE-BASED source weighting (α = 0.5) — the
+    * multilingual-LM mixing rule (mBERT/XLM practice: p_i ∝ n_i^α,
+    * α < 1 upsamples small sources relative to proportional sampling).
+    * α = 0.5 makes the weight `√n` — sqrt is an EXACTLY-ROUNDED IEEE
+    * op (unlike pow/ln, which are libm-dependent across engines), so
+    * the weight is deterministic; it is then fixed-pointed to
+    * `floor(√n·10⁶)` BIGINT so the Σw denominator is an exact integer
+    * sum (a Σ of raw doubles would be partition-order-dependent).
+    * Budget = ¾ of total tokens (the [[tokenBudgetMix]] convention);
+    * the α = 1 proportional allocation rides along as the reference
+    * column, and rate_ppm > 10⁶ on a small source is the upsampling
+    * (multi-epoch) signal, deliberately uncapped. Products widened
+    * DECIMAL(38,0)/HUGEINT before the multiply (B·w overflows BIGINT
+    * at the 100 TB framing). Per-source aggregate: ONE partial-agg
+    * shuffle, then arithmetic on a sources-sized frame. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val avail = Tables(spark, dir, "documents")
+      .withColumn("t", Shingles.sparkToks)
+      .groupBy(col("source"))
+      .agg(sum(size(col("t")).cast("bigint")).as("n_tokens_available"))
+      .withColumn("w_fp", expr(
+        "CAST(floor(sqrt(CAST(n_tokens_available AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+    val totals = avail.agg(
+      sum(col("n_tokens_available")).as("tot_avail"),
+      sum(col("w_fp")).as("sum_w"))
+    avail.crossJoin(broadcast(totals))
+      .withColumn("budget", expr("(3 * tot_avail) div 4"))
+      .withColumn("alloc_temp", expr(
+        "CAST(floor((CAST(budget AS DECIMAL(38,0)) * w_fp) / sum_w) AS BIGINT)"))
+      .withColumn("alloc_prop", expr(
+        "CAST(floor((CAST(budget AS DECIMAL(38,0)) * n_tokens_available) / tot_avail) AS BIGINT)"))
+      .withColumn("rate_ppm", expr(
+        "CAST(floor((CAST(alloc_temp AS DECIMAL(38,0)) * 1000000) / n_tokens_available) AS BIGINT)"))
+      .select(col("source"), col("n_tokens_available"), col("w_fp"),
+        col("alloc_temp"), col("alloc_prop"), col("rate_ppm"))
+      .orderBy("source")
+  }
+
+  /** N-score: per-source QUANTILE NORMALIZATION — the calibration step
+    * that makes per-source quality scores comparable before a single
+    * global threshold is applied (different sources' raw score
+    * distributions differ; rank-based remapping onto the GLOBAL
+    * distribution removes the source effect — the genomics
+    * quantile-normalization standard applied to corpus scores). Score
+    * here = n_chars (the stand-in quality signal the curation tier
+    * already uses).
+    *
+    *   pr_ppm  = per-source rank position, `floor((rk−1)·10⁶/(n−1))`
+    *             (rk totally ordered by (score, doc_id); a singleton
+    *             source pins to 500000 — both engines), exact integers;
+    *   pos     = `floor(pr_ppm·(N−1)/10⁶)+1` into the global order;
+    *   qnorm   = the global member VALUE at that position
+    *             (percentile_disc semantics — no interpolated floats).
+    *
+    * Scale shape: the per-doc window partitions by SOURCE (many small
+    * groups); the global side is reduced to VALUE granularity first
+    * (distinct n_chars ≪ docs — a bounded domain) so its running-sum
+    * window runs over the value table, and the position lookup is a
+    * BROADCAST interval join against that table. At 100 TB the global
+    * value table swaps for the graded equi-depth [[graft.plans.HistSketch]]
+    * quantile map; the per-doc side is unchanged. */
+  def quantileNormalizeSources(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val nSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    val ranked = docs
+      .withColumn("rk", row_number().over(wSrc).cast("long"))
+      .withColumn("n", count(lit(1)).over(nSrc))
+      .withColumn("pr_ppm",
+        when(col("n") === 1, lit(500000L))
+          .otherwise(expr("((rk - 1) * 1000000L) div (n - 1)")))
+    // global distribution at value granularity: value v covers global
+    // positions [cum_hi − cnt + 1, cum_hi] of the (n_chars, doc_id)
+    // total order
+    val wVal = org.apache.spark.sql.expressions.Window.orderBy(col("n_chars"))
+    val gvals = docs.groupBy(col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_hi", sum(col("cnt")).over(wVal))
+      .select(col("n_chars").as("qnorm_chars"),
+        (col("cum_hi") - col("cnt") + 1).as("lo"), col("cum_hi").as("hi"))
+    val nTot = docs.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(nTot))
+      .withColumn("pos", expr("(pr_ppm * (n_total - 1)) div 1000000L + 1"))
+      .join(broadcast(gvals),
+        col("pos") >= col("lo") && col("pos") <= col("hi"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("pr_ppm"),
+        col("qnorm_chars"))
+      .orderBy("doc_id")
+  }
+
   /** N-mix CAPSTONE — the full training-mix funnel in ONE flagged-frame
     * aggregate (the `pipeline_yield` pattern applied to curation): per
     * source, survivors of each successive gate
@@ -406,6 +499,8 @@ object Curation {
     "decontam_stats"   -> (decontamStats _),
     "decontam_docs"    -> (decontamDocs _),
     "token_budget_mix" -> (tokenBudgetMix _),
+    "temperature_mix"  -> (temperatureMix _),
+    "quantile_normalize_sources" -> (quantileNormalizeSources _),
     "curation_funnel"  -> (curationFunnel _))
 
   /** DuckDB twin of the first-8-nibble uniform: polynomial over the hex
@@ -545,6 +640,55 @@ object Curation {
               .stripMargin, 4)} AS sampling_rate
          |FROM r1 r, r1tot rt
          |ORDER BY r.source""".stripMargin,
+    "temperature_mix" ->
+      s"""WITH toks AS (
+         |  ${Shingles.duckToks}),
+         |avail AS (
+         |  SELECT source,
+         |    CAST(sum(len(t)) AS BIGINT) AS n_tokens_available,
+         |    CAST(floor(sqrt(CAST(sum(len(t)) AS DOUBLE)) * 1000000.0)
+         |      AS BIGINT) AS w_fp
+         |  FROM toks JOIN documents USING (doc_id)
+         |  GROUP BY source),
+         |tot AS (
+         |  SELECT CAST(sum(n_tokens_available) AS BIGINT) AS tot_avail,
+         |    CAST(sum(w_fp) AS BIGINT) AS sum_w FROM avail)
+         |SELECT a.source, a.n_tokens_available, a.w_fp,
+         |  CAST((CAST((3 * t.tot_avail) // 4 AS HUGEINT) * a.w_fp)
+         |    // t.sum_w AS BIGINT) AS alloc_temp,
+         |  CAST((CAST((3 * t.tot_avail) // 4 AS HUGEINT)
+         |    * a.n_tokens_available) // t.tot_avail AS BIGINT) AS alloc_prop,
+         |  CAST((CAST((CAST((3 * t.tot_avail) // 4 AS HUGEINT) * a.w_fp)
+         |    // t.sum_w AS HUGEINT) * 1000000) // a.n_tokens_available
+         |    AS BIGINT) AS rate_ppm
+         |FROM avail a, tot t
+         |ORDER BY a.source""".stripMargin,
+    "quantile_normalize_sources" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, n_chars FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         |  FROM d),
+         |pr AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CASE WHEN n = 1 THEN 500000
+         |      ELSE ((rk - 1) * 1000000) // (n - 1) END AS pr_ppm
+         |  FROM ranked),
+         |gvals AS (
+         |  SELECT n_chars AS qnorm_chars,
+         |    sum(cnt) OVER (ORDER BY n_chars) - cnt + 1 AS lo,
+         |    sum(cnt) OVER (ORDER BY n_chars) AS hi
+         |  FROM (SELECT n_chars, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM d GROUP BY 1) v),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d)
+         |SELECT p.doc_id, p.source, p.n_chars, p.pr_ppm, g.qnorm_chars
+         |FROM pr p, tot t, gvals g
+         |WHERE (p.pr_ppm * (t.n_total - 1)) // 1000000 + 1
+         |  BETWEEN g.lo AND g.hi
+         |ORDER BY p.doc_id""".stripMargin,
     "curation_funnel" ->
       s"""$contamCte,
          |f AS (

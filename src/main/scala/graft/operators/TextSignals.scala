@@ -339,7 +339,45 @@ object TextSignals {
       .orderBy("merge_round")
   }
 
+  /** N4 PREFIX AUTOCOMPLETE — the search-box companion to the postings
+    * tier: for every word prefix of length 2–4 with at least 2 distinct
+    * completions in the corpus, the top-3 completions by corpus
+    * frequency (ties → lexicographic).
+    *
+    * Scale shape — the part that matters: prefixes explode off the
+    * DISTINCT TERM TABLE (vocabulary granularity, ≪ corpus; Heaps' law
+    * keeps it sublinear), not off token instances — the corpus pays
+    * exactly one (term) partial-agg shuffle and the 3× prefix fan-out
+    * multiplies only the vocabulary. Ranking windows partition by
+    * prefix: millions of tiny groups, no global sort. All counts
+    * BIGINT. */
+  def termAutocomplete(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables(spark, dir, "documents")
+      .withColumn("t", toks)
+      .select(explode(col("t")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("term_count"))
+    val prefixed = terms
+      .select(col("term"), col("term_count"),
+        explode(array(lit(2), lit(3), lit(4))).as("plen"))
+      .filter(length(col("term")) >= col("plen"))
+      .select(expr("substring(term, 1, plen)").as("prefix"),
+        col("term"), col("term_count"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prefix"))
+      .orderBy(col("term_count").desc, col("term"))
+    prefixed
+      .withColumn("n_candidates",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("prefix"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("n_candidates") >= 2 && col("rank") <= 3)
+      .select(col("prefix"), col("rank"), col("term"), col("term_count"),
+        col("n_candidates"))
+      .orderBy(col("prefix"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "term_autocomplete" -> (termAutocomplete(_, _)),
     "bpe_merges_learned" -> (bpeMergesLearned _),
     "rep_signals" -> (repSignals _),
     "ngram_lm_quality" -> (ngramLmQuality _),
@@ -416,6 +454,26 @@ object TextSignals {
     val g3 = Shingles.duckExprN(3)
     val g2 = Shingles.duckExprN(2)
     Map(
+      "term_autocomplete" ->
+        s"""WITH terms AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS term_count
+           |  FROM (SELECT unnest(t) AS term
+           |        FROM (${Shingles.duckToks}) toks) u
+           |  GROUP BY 1),
+           |pfx AS (
+           |  SELECT substr(term, 1, plen) AS prefix, term, term_count
+           |  FROM terms, (SELECT unnest([2, 3, 4]) AS plen) l
+           |  WHERE len(term) >= plen),
+           |ranked AS (
+           |  SELECT prefix, term, term_count,
+           |    CAST(count(*) OVER (PARTITION BY prefix) AS BIGINT)
+           |      AS n_candidates,
+           |    CAST(row_number() OVER (PARTITION BY prefix
+           |      ORDER BY term_count DESC, term) AS BIGINT) AS rank
+           |  FROM pfx)
+           |SELECT prefix, rank, term, term_count, n_candidates
+           |FROM ranked WHERE n_candidates >= 2 AND rank <= 3
+           |ORDER BY prefix, rank""".stripMargin,
       "bpe_merges_learned" -> bpeOracle,
       // same tokenizer, same stopword literal, same ppm floor division
       "doc_keywords_tfidf" ->

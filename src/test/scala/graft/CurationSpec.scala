@@ -192,4 +192,57 @@ class CurationSpec extends SparkSpec {
     assert(sortedByKey.map(_._1).sameElements(1L to n),
       "positions disagree with the md5 key order")
   }
+
+  test("temperature_mix: α=0.5 upsamples the smallest source relative to " +
+      "proportional, weights are floor(√n·10⁶), Σalloc ≈ budget") {
+    val rows = graft.operators.Curation.temperatureMix(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length >= 2, "one source — temperature effect untestable")
+    rows.foreach { case (_, n, wfp, _, _, _) =>
+      assert(wfp == math.floor(math.sqrt(n.toDouble) * 1e6).toLong,
+        s"w_fp drifted for n=$n")
+    }
+    val tot = rows.map(_._2).sum
+    val budget = 3 * tot / 4
+    val allocSum = rows.map(_._4).sum
+    assert(allocSum <= budget && budget - allocSum < rows.length,
+      s"Σalloc_temp=$allocSum vs budget=$budget")
+    // smaller source → larger temp allocation than proportional;
+    // larger source → smaller (the α<1 law)
+    val smallest = rows.minBy(_._2); val largest = rows.maxBy(_._2)
+    assert(smallest._4 > smallest._5,
+      s"smallest source not upsampled: $smallest")
+    assert(largest._4 < largest._5,
+      s"largest source not downsampled: $largest")
+  }
+
+  test("quantile_normalize_sources equals a from-scratch recompute and " +
+      "preserves within-source rank order") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = docs.length.toLong
+    val globalSorted = docs.sortBy { case (id, _, c) => (c, id) }.map(_._3)
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (_, xs) =>
+      val srt = xs.sortBy { case (id, _, c) => (c, id) }
+      srt.zipWithIndex.map { case ((id, src, c), i) =>
+        val pr = if (srt.length == 1) 500000L
+          else i.toLong * 1000000L / (srt.length - 1)
+        val pos = pr * (n - 1) / 1000000L // 0-based into globalSorted
+        (id, src, c, pr, globalSorted(pos.toInt))
+      }
+    }.sortBy(_._1)
+    val got = graft.operators.Curation.quantileNormalizeSources(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // monotone: within a source, qnorm never decreases as raw increases
+    got.groupBy(_._2).foreach { case (_, xs) =>
+      val byRaw = xs.sortBy(x => (x._3, x._1)).map(_._5)
+      assert(byRaw.sameElements(byRaw.sorted), "qnorm not monotone")
+    }
+  }
 }

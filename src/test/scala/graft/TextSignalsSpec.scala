@@ -132,4 +132,27 @@ class TextSignalsSpec extends SparkSpec {
     assert((got3._3, got3._4, got3._6) == (best._1, best._2, best._3),
       s"doc 3 keyword drifted: $got3 vs $best")
   }
+
+  test("term_autocomplete equals a from-scratch prefix index at sf0.001") {
+    val texts = Tables(spark, sf0001, "documents")
+      .select(org.apache.spark.sql.functions.col("text"))
+      .collect().map(_.getString(0))
+    val counts = texts.flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val expected = (for {
+      (term, cnt) <- counts.toSeq
+      plen <- Seq(2, 3, 4) if term.length >= plen
+    } yield (term.substring(0, plen), term, cnt))
+      .groupBy(_._1).toSeq
+      .filter(_._2.length >= 2)
+      .flatMap { case (prefix, xs) =>
+        xs.sortBy { case (_, t, c) => (-c, t) }.take(3).zipWithIndex.map {
+          case ((_, t, c), i) => (prefix, (i + 1).toLong, t, c, xs.length.toLong)
+        }
+      }.sortBy { case (p, r, _, _, _) => (p, r) }
+    val got = graft.operators.TextSignals.termAutocomplete(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+  }
 }

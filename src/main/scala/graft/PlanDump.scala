@@ -98,7 +98,12 @@ object PlanDump {
     "kmv_users_streamed", "dsir_decile_lift", "chunk_store_streamed",
     "orders_page_keyset", "kmv_users_erased_rebuild",
     "daily_users_rolling_kmv", "label_prototypes", "source_overlap_matrix",
-    "price_winsorized_mean", "daily_growth_accounting", "hrw_shard_load")
+    "price_winsorized_mean", "daily_growth_accounting", "hrw_shard_load",
+    "hybrid_search_rrf", "hybrid_search_fused", "mmr_rerank_batch",
+    "attribution_timedecay", "attribution_markov", "dq_referential_audit",
+    "term_autocomplete", "temperature_mix", "quantile_normalize_sources",
+    "fuzzy_join_symspell", "label_propagation", "coreset_kcenter",
+    "knn_f1_by_class")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

@@ -776,7 +776,64 @@ object GraphOps {
           col("n_overlap").cast("double") / 10.0, 4).as("recall_at_10"))
   }
 
+  /** Label-propagation seeds: 1 in 7 vectors keep their true label. */
+  private[graft] val LpSeedMod = 7
+  /** Synchronous propagation rounds — pinned, both engines. */
+  private[graft] val LpRounds = 3
+
+  /** GRADED (r10): LABEL PROPAGATION over the kNN graph — the
+    * semi-supervised companion to the kNN classifier
+    * (`knn_label_confusion`): a sparse seed set (vec_id % 7 = 0 keeps
+    * its true label, clamped) spreads labels along the shared
+    * symmetric edge substrate for [[LpRounds]] SYNCHRONOUS rounds
+    * (round r reads only round r−1's labels — asynchronous LPA is
+    * execution-order-dependent and ungradeable). Update rule: a
+    * non-seed takes the majority label among its labeled neighbors
+    * (count DESC, label ASC — the deterministic tie-break classic LPA
+    * lacks), retaining its previous label when no neighbor is labeled.
+    * Output grades the result against the held-out truth (the weak
+    * supervision loop's acceptance metric).
+    *
+    * Scale shape: each round is one edge⋈label join + one
+    * (vertex, label) partial-agg shuffle + one per-vertex argmax
+    * window — vertex/edge granularity throughout, R pinned, the graph
+    * substrate shared with the BFS/beam/SSSP family (one IVF sweep
+    * per JVM×corpus). */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("bigint").as("label_true"))
+    val edges = spark.read.parquet(knnEdgesDir(spark, dir))
+    var lab = embs.select(col("vec_id"),
+      when(col("vec_id") % LpSeedMod === 0, col("label_true"))
+        .otherwise(lit(null).cast("bigint")).as("lab"))
+    for (_ <- 1 to LpRounds) {
+      val msgs = edges
+        .join(lab.select(col("vec_id").as("dst"), col("lab").as("nlab")),
+          Seq("dst"))
+        .filter(col("nlab").isNotNull)
+        .groupBy(col("src"), col("nlab"))
+        .agg(count(lit(1)).as("c"))
+      val wv = Window.partitionBy(col("src"))
+        .orderBy(col("c").desc, col("nlab"))
+      val prop = msgs.withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1)
+        .select(col("src").as("vec_id"), col("nlab").as("maj"))
+      lab = lab.join(prop, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          when(col("vec_id") % LpSeedMod === 0, col("lab"))
+            .otherwise(coalesce(col("maj"), col("lab"))).as("lab"))
+    }
+    lab.join(embs, Seq("vec_id"))
+      .select(col("vec_id"),
+        (col("vec_id") % LpSeedMod === 0).as("is_seed"),
+        coalesce(col("lab"), lit(-1L)).as("label_pred"),
+        col("label_true"),
+        (coalesce(col("lab"), lit(-1L)) === col("label_true")).as("correct"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "label_propagation" -> (labelPropagation(_, _)),
     "knn_bfs_hops" -> (knnBfsHops(_, _)),
     "knn_bfs_hops_erased" -> (knnBfsHopsErased(_, _)),
     "knn_sssp" -> (knnSsspDeficit(_, _)),
@@ -933,7 +990,47 @@ object GraphOps {
        |$rounds""".stripMargin
   }
 
+  /** Unrolled synchronous LPA oracle: lab0 = clamped seeds; each round
+    * r = majority CTE + argmax CTE + update CTE, reading only
+    * lab(r−1) — the same synchronous contract the Spark loop states. */
+  private def labelPropagationSql: String = {
+    val rounds = (1 to LpRounds).map { r =>
+      s"""m$r AS (
+         |  SELECT e.src, l.lab AS nlab, count(*) AS c
+         |  FROM edges e JOIN lab${r - 1} l ON l.vec_id = e.dst
+         |  WHERE l.lab IS NOT NULL
+         |  GROUP BY 1, 2),
+         |p$r AS (
+         |  SELECT src, nlab FROM (
+         |    SELECT src, nlab,
+         |      row_number() OVER (PARTITION BY src
+         |        ORDER BY c DESC, nlab) AS rn
+         |    FROM m$r) x WHERE rn = 1),
+         |lab$r AS (
+         |  SELECT l.vec_id,
+         |    CASE WHEN l.vec_id % $LpSeedMod = 0 THEN l.lab
+         |      ELSE coalesce(p.nlab, l.lab) END AS lab
+         |  FROM lab${r - 1} l LEFT JOIN p$r p ON p.src = l.vec_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |lab0 AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id % $LpSeedMod = 0
+       |      THEN CAST(label AS BIGINT) ELSE NULL END AS lab
+       |  FROM embeddings),
+       |$rounds
+       |SELECT l.vec_id,
+       |  l.vec_id % $LpSeedMod = 0 AS is_seed,
+       |  coalesce(l.lab, -1) AS label_pred,
+       |  CAST(e.label AS BIGINT) AS label_true,
+       |  coalesce(l.lab, -1) = CAST(e.label AS BIGINT) AS correct
+       |FROM lab$LpRounds l JOIN embeddings e ON e.vec_id = l.vec_id
+       |ORDER BY l.vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "label_propagation" -> labelPropagationSql,
     "knn_bfs_hops" ->
       s"""WITH RECURSIVE $edgeCtes,
          |seeds AS (

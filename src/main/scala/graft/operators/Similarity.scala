@@ -2068,6 +2068,15 @@ object Similarity {
     * machinery above and this operator consumes its candidate lists
     * unchanged (the vote and matrix are candidate-list algebra). */
   def knnLabelConfusion(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame =
+    knnPredictions(spark, dir, k)
+      .groupBy(col("label_true"), col("label_pred"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("label_true", "label_pred")
+
+  /** The per-query kNN prediction frame (qid, label_true, label_pred)
+    * — shared by the confusion matrix and the per-class F1 board. */
+  private[graft] def knnPredictions(spark: SparkSession, dir: String,
       k: Int = 5): DataFrame = {
     graft.plans.VectorExpressions.register(spark)
     val e = Tables(spark, dir, "embeddings")
@@ -2087,14 +2096,49 @@ object Similarity {
       .filter(col("rn") <= k)
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("nv").desc, col("label_pred"))
-    val pred = nn.groupBy(col("qid"), col("label_true"),
+    nn.groupBy(col("qid"), col("label_true"),
         col("clabel").as("label_pred"))
       .agg(count(lit(1)).as("nv"))
       .withColumn("rv", row_number().over(wv))
       .filter(col("rv") === 1)
-    pred.groupBy(col("label_true"), col("label_pred"))
-      .agg(count(lit(1)).as("n_vecs"))
-      .orderBy("label_true", "label_pred")
+      .select(col("qid"), col("label_true"), col("label_pred"))
+  }
+
+  /** N3/ML-EVAL: per-class PRECISION / RECALL / F1 off the SAME kNN
+    * prediction frame as the confusion matrix — the summary board a
+    * classifier eval actually reports. All three metrics in exact ppm
+    * floor division; F1 uses the integer harmonic form
+    * `2·tp·10⁶ div (2·tp + fp + fn)` (algebraically 2PR/(P+R)) so no
+    * float ratio is ever formed. tp/fn come from a truth-keyed
+    * aggregate, fp from a prediction-keyed one, full-outer joined on
+    * the class — two label-granularity shuffles over the tiny
+    * prediction frame; the kernel sweep is the shared cost. */
+  def knnF1ByClass(spark: SparkSession, dir: String): DataFrame = {
+    val preds = knnPredictions(spark, dir)
+    val t = preds.groupBy(col("label_true").as("label"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("label_pred") === col("label_true"), 1L)
+          .otherwise(0L)).as("tp"))
+    val p = preds.groupBy(col("label_pred").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    t.join(p, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("n_true"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+      .withColumn("precision_ppm",
+        when(col("tp") + col("fp") === 0, lit(0L))
+          .otherwise(expr("(tp * 1000000L) div (tp + fp)")))
+      .withColumn("recall_ppm",
+        when(col("tp") + col("fn") === 0, lit(0L))
+          .otherwise(expr("(tp * 1000000L) div (tp + fn)")))
+      .withColumn("f1_ppm",
+        when(col("tp") * 2 + col("fp") + col("fn") === 0, lit(0L))
+          .otherwise(expr("(2 * tp * 1000000L) div (2 * tp + fp + fn)")))
+      .orderBy("label")
   }
 
   /** N3/ML-EVAL #2: EMBEDDING-DISTRIBUTION DRIFT by label — the
@@ -2448,6 +2492,7 @@ object Similarity {
     "pq_ndcg"           -> ((s: SparkSession, d: String) => pqNdcg(s, d)),
     "knn_label_confusion" -> ((s: SparkSession, d: String) =>
       knnLabelConfusion(s, d)),
+    "knn_f1_by_class" -> (knnF1ByClass(_, _)),
     "embedding_centroid_drift" -> (embeddingCentroidDrift _),
     "pq_codebook_learned" -> ((s: SparkSession, d: String) =>
       pqCodebookLearnedFlat(s, d)),
@@ -2809,6 +2854,36 @@ object Similarity {
        |  FROM inter i
        |  JOIN sizes sa ON i.doc_a = sa.doc_id
        |  JOIN sizes sb ON i.doc_b = sb.doc_id)""".stripMargin
+
+  /** Shared kNN-prediction CTE chain (ends at `p(qid, label_true,
+    * label_pred)`) — consumed by the confusion matrix and the F1
+    * board so the two grade off ONE prediction definition. */
+  private def knnPredCtes: String = {
+    val cos = s"""${duckDot("q.embedding", "c.embedding")}
+       |    / (sqrt(${duckDot("q.embedding", "q.embedding")})
+       |       * sqrt(${duckDot("c.embedding", "c.embedding")}))""".stripMargin
+    s"""s AS (
+       |  SELECT q.vec_id AS qid, CAST(q.label AS BIGINT) AS label_true,
+       |    CAST(c.label AS BIGINT) AS clabel, c.vec_id AS cid,
+       |    ${graft.functions.ScalarFns.roundSql(cos, 6)} AS s
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id),
+       |nn AS (
+       |  SELECT qid, label_true, clabel FROM (
+       |    SELECT qid, label_true, clabel,
+       |      row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid)
+       |        AS rn
+       |    FROM s) WHERE rn <= 5),
+       |v AS (
+       |  SELECT qid, label_true, clabel AS label_pred,
+       |    count(*) AS nv
+       |  FROM nn GROUP BY 1, 2, 3),
+       |p AS (
+       |  SELECT qid, label_true, label_pred FROM (
+       |    SELECT qid, label_true, label_pred,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY nv DESC, label_pred) AS rv
+       |    FROM v) WHERE rv = 1)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "neardup_pairs" ->
@@ -3244,34 +3319,37 @@ object Similarity {
          |ORDER BY c.label""".stripMargin,
     // LOO kNN vote, total orders restated: neighbor rank (cos desc,
     // cid), vote (count desc, smallest label)
-    "knn_label_confusion" -> {
-      val cos = s"""${duckDot("q.embedding", "c.embedding")}
-         |    / (sqrt(${duckDot("q.embedding", "q.embedding")})
-         |       * sqrt(${duckDot("c.embedding", "c.embedding")}))""".stripMargin
-      s"""WITH s AS (
-         |  SELECT q.vec_id AS qid, CAST(q.label AS BIGINT) AS label_true,
-         |    CAST(c.label AS BIGINT) AS clabel, c.vec_id AS cid,
-         |    ${graft.functions.ScalarFns.roundSql(cos, 6)} AS s
-         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id),
-         |nn AS (
-         |  SELECT qid, label_true, clabel FROM (
-         |    SELECT qid, label_true, clabel,
-         |      row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid)
-         |        AS rn
-         |    FROM s) WHERE rn <= 5),
-         |v AS (
-         |  SELECT qid, label_true, clabel AS label_pred,
-         |    count(*) AS nv
-         |  FROM nn GROUP BY 1, 2, 3),
-         |p AS (
-         |  SELECT qid, label_true, label_pred FROM (
-         |    SELECT qid, label_true, label_pred,
-         |      row_number() OVER (PARTITION BY qid
-         |        ORDER BY nv DESC, label_pred) AS rv
-         |    FROM v) WHERE rv = 1)
+    "knn_label_confusion" ->
+      s"""WITH $knnPredCtes
          |SELECT label_true, label_pred, CAST(count(*) AS BIGINT) AS n_vecs
-         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    },
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "knn_f1_by_class" ->
+      s"""WITH $knnPredCtes,
+         |t AS (
+         |  SELECT label_true AS label, CAST(count(*) AS BIGINT) AS n_true,
+         |    CAST(sum(CASE WHEN label_pred = label_true THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp
+         |  FROM p GROUP BY 1),
+         |pr AS (
+         |  SELECT label_pred AS label, CAST(count(*) AS BIGINT) AS n_pred
+         |  FROM p GROUP BY 1),
+         |m AS (
+         |  SELECT COALESCE(t.label, pr.label) AS label,
+         |    COALESCE(t.n_true, 0) AS n_true,
+         |    COALESCE(t.tp, 0) AS tp,
+         |    COALESCE(pr.n_pred, 0) - COALESCE(t.tp, 0) AS fp,
+         |    COALESCE(t.n_true, 0) - COALESCE(t.tp, 0) AS fn
+         |  FROM t FULL OUTER JOIN pr ON t.label = pr.label)
+         |SELECT label, n_true, tp, fp, fn,
+         |  CAST(CASE WHEN tp + fp = 0 THEN 0
+         |    ELSE (tp * 1000000) // (tp + fp) END AS BIGINT)
+         |    AS precision_ppm,
+         |  CAST(CASE WHEN tp + fn = 0 THEN 0
+         |    ELSE (tp * 1000000) // (tp + fn) END AS BIGINT) AS recall_ppm,
+         |  CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+         |    ELSE (2 * tp * 1000000) // (2 * tp + fp + fn) END AS BIGINT)
+         |    AS f1_ppm
+         |FROM m ORDER BY label""".stripMargin,
     // nDCG@10 over the same board: ranks re-derived from each method
     // list's kept adc, binary relevance = exact-set membership,
     // integer DCG weights shared with the Spark side

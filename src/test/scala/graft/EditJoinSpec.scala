@@ -72,4 +72,16 @@ class EditJoinSpec extends SparkSpec {
     assert(pjCands * 5 <= qgCands,
       s"segment keys kept $pjCands vs q-gram $qgCands — not sparser")
   }
+
+  test("symspell delete-neighborhood join ≡ brute force, and its " +
+      "candidate set is never looser than the q-gram prefixes") {
+    val ss = EditJoin.fuzzyJoinSymspell(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ss == brute, s"symspell ${ss.size} pairs, brute ${brute.size}")
+    val ssCands = EditJoin.symspellCandidateCount(spark, sf0001)
+    val qgCands = EditJoin.candidateCount(spark, sf0001)
+    assert(ssCands >= brute.size.toLong, "candidates below the truth set")
+    assert(ssCands <= qgCands,
+      s"delete keys kept $ssCands vs q-gram $qgCands — not tighter")
+  }
 }

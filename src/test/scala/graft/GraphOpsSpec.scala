@@ -234,4 +234,44 @@ class GraphOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_edges") ==
       edges.valuesIterator.map(_.size).sum / 2)
   }
+
+  test("label propagation ≡ a from-scratch synchronous recompute; seeds " +
+      "are clamped; propagation reaches beyond the seed set") {
+    val edgeList = GraphOps.knnEdges(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = edgeList.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    val truth = Tables(spark, sf0001, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var lab: Map[Long, Option[Long]] = truth.map { case (v, l) =>
+      v -> (if (v % GraphOps.LpSeedMod == 0) Some(l) else None)
+    }
+    for (_ <- 1 to GraphOps.LpRounds) {
+      val next = lab.map { case (v, cur) =>
+        if (v % GraphOps.LpSeedMod == 0) v -> cur
+        else {
+          val counted = nbrs.getOrElse(v, Array.empty[Long]).toSeq
+            .flatMap(n => lab(n)).groupBy(identity)
+            .map { case (l, xs) => (l, xs.length) }.toSeq
+          val maj = counted.sortBy { case (l, c) => (-c, l) }.headOption
+          v -> maj.map(_._1).orElse(cur)
+        }
+      }
+      lab = next
+    }
+    val expected = truth.keys.toSeq.sorted.map { v =>
+      (v, v % GraphOps.LpSeedMod == 0, lab(v).getOrElse(-1L), truth(v),
+        lab(v).getOrElse(-1L) == truth(v))
+    }
+    val got = GraphOps.labelPropagation(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got == expected)
+    // seeds always grade correct; the spread is live (some non-seed
+    // ends labeled)
+    got.filter(_._2).foreach(r => assert(r._5, s"seed mislabeled: $r"))
+    assert(got.exists(r => !r._2 && r._3 >= 0),
+      "no non-seed vertex ever received a label — propagation vacuous")
+  }
 }

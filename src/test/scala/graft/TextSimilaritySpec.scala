@@ -773,4 +773,29 @@ class TextSimilaritySpec extends SparkSpec {
     assert(got.keys.exists { case (a, b) => a == b },
       "no within-source duplication observed — diagonal missing")
   }
+
+  test("knn_f1_by_class is exactly derivable from the graded confusion " +
+      "matrix (tp/fp/fn fold + integer harmonic F1)") {
+    val cm = Similarity.knnLabelConfusion(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val labels = cm.keys.flatMap { case (a, b) => Seq(a, b) }.toSeq.distinct
+    val expected = labels.sorted.map { l =>
+      val tp = cm.getOrElse((l, l), 0L)
+      val nTrue = cm.collect { case ((t, _), n) if t == l => n }.sum
+      val nPred = cm.collect { case ((_, p), n) if p == l => n }.sum
+      val fp = nPred - tp; val fn = nTrue - tp
+      val prec = if (tp + fp == 0) 0L else tp * 1000000L / (tp + fp)
+      val rec = if (tp + fn == 0) 0L else tp * 1000000L / (tp + fn)
+      val f1 = if (2 * tp + fp + fn == 0) 0L
+        else 2 * tp * 1000000L / (2 * tp + fp + fn)
+      (l, nTrue, tp, fp, fn, prec, rec, f1)
+    }
+    val got = Similarity.knnF1ByClass(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expected)
+    // the board is non-degenerate: some class has both hits and misses
+    assert(got.exists(r => r._3 > 0 && (r._4 > 0 || r._5 > 0)),
+      "confusion is diagonal-only or empty — F1 untested")
+  }
 }

@@ -103,7 +103,8 @@ object PlanDump {
     "attribution_timedecay", "attribution_markov", "dq_referential_audit",
     "term_autocomplete", "temperature_mix", "quantile_normalize_sources",
     "fuzzy_join_symspell", "label_propagation", "coreset_kcenter",
-    "knn_f1_by_class")
+    "knn_f1_by_class", "funnel_latency_quartiles", "mutual_knn_margin",
+    "proximity_search")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

@@ -503,7 +503,51 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** One SQL body, two engine spellings (micros extractor + integer
+    * division) — the [[Stats]] MAD idiom: the funnel-latency query is
+    * the SAME text on both engines, so the two cannot drift. */
+  private def funnelLatencySql(micros: String => String,
+      div: String): String =
+    s"""WITH v AS (
+       |  SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'),
+       |p AS (
+       |  SELECT user_id, event_id AS pid, ts AS pts
+       |  FROM events WHERE event_type = 'purchase'),
+       |j AS (
+       |  SELECT p.pid, hour(p.pts) AS phour,
+       |    (${micros("p.pts")} - min(${micros("v.vts")})) $div 1000000
+       |      AS latency_sec
+       |  FROM p JOIN v ON v.user_id = p.user_id
+       |    AND v.vts <= p.pts AND v.vts >= p.pts - INTERVAL 1 HOUR
+       |  GROUP BY p.pid, p.pts)
+       |SELECT CAST(phour AS BIGINT) AS purchase_hour,
+       |  CAST(count(*) AS BIGINT) AS n_conversions,
+       |  CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY latency_sec)
+       |    AS BIGINT) AS p25_sec,
+       |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_sec)
+       |    AS BIGINT) AS p50_sec,
+       |  CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY latency_sec)
+       |    AS BIGINT) AS p75_sec,
+       |  CAST(max(latency_sec) AS BIGINT) AS max_sec
+       |FROM j GROUP BY phour
+       |ORDER BY purchase_hour""".stripMargin
+
+  /** GRADED (r10): FUNNEL CONVERSION LATENCY quartiles — the product
+    * question after the funnel counts ("how long does converting
+    * take?"): per purchase hour, exact member-value quartiles
+    * (percentile_disc — no interpolation) of seconds from the FIRST
+    * in-window view to the purchase. Latency is exact integer seconds
+    * off the microsecond timestamps; the interval join is the
+    * attribution family's user-keyed window shape; quartile groups are
+    * bounded (24 hours) — the [[Stats.priceOutliersMad]] scale
+    * envelope, with the same HistSketch swap at 100 TB. */
+  def funnelLatencyQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(funnelLatencySql(c => s"unix_micros($c)", "div"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_latency_quartiles" -> (funnelLatencyQuartiles _),
     "daily_growth_accounting" -> (dailyGrowthAccounting _),
     "hourly_counts_gapfilled" -> (hourlyGapFill _),
     "hourly_volume_anomaly" -> (hourlyVolumeAnomaly _),
@@ -631,6 +675,8 @@ object EventOps {
        |FROM est JOIN ex ON est.day = ex.day ORDER BY est.day""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "funnel_latency_quartiles" ->
+      funnelLatencySql(c => s"epoch_us($c)", "//"),
     // the identical window decomposition; churn NULL-pinned for the
     // first day and across calendar gaps
     "daily_growth_accounting" ->

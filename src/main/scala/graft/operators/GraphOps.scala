@@ -126,6 +126,48 @@ object GraphOps {
       out
     })
 
+  /** The scored candidate table as a frame (spec + margin mining). */
+  private[graft] def scoredCand(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(scoredCandDir(spark, dir))
+
+  /** GRADED (r10): MARGIN-BASED MUTUAL-kNN pair mining — the
+    * Artetxe/Schwenk criterion (the CCMatrix/LASER bitext-mining
+    * standard, applied here to near-duplicate mining): a pair is a
+    * candidate only if each side sits in the OTHER's top-2 (mutual
+    * kNN — kills hub vectors that are "everyone's neighbor"), and its
+    * score is the RATIO margin `cos(x,y) / ((m_x + m_y)/2)` where m_v
+    * is the mean of v's top-2 similarities — a local normalization
+    * that separates "close because the region is dense" from "close
+    * because they match". `is_mined` pins the classic margin > 1.05
+    * threshold on the rounded value.
+    *
+    * Determinism: m_v = (max + min)/2 of ≤2 kept sims (order-free
+    * aggregates, one exactly-rounded expression), margins rounded 6 dp
+    * before the threshold compare. All off the SHARED once-per-corpus
+    * scored-candidate table — zero new kernel work. */
+  def mutualKnnMargin(spark: SparkSession, dir: String): DataFrame = {
+    val scored = scoredCand(spark, dir)
+    val wk = Window.partitionBy("va").orderBy(col("cs").desc, col("vb"))
+    val knn = scored.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= 2)
+      .select(col("va"), col("vb"), col("cs"))
+    val stats = knn.groupBy(col("va"))
+      .agg(((max(col("cs")) + min(col("cs"))) / lit(2.0)).as("m"))
+    val mut = knn.as("a").join(knn.as("b"),
+        col("a.va") === col("b.vb") && col("a.vb") === col("b.va") &&
+          col("a.va") < col("a.vb"))
+      .select(col("a.va").as("x"), col("a.vb").as("y"), col("a.cs").as("cs"))
+    val margin = col("cs") / ((col("mx") + col("my")) / lit(2.0))
+    mut
+      .join(stats.select(col("va").as("x"), col("m").as("mx")), Seq("x"))
+      .join(stats.select(col("va").as("y"), col("m").as("my")), Seq("y"))
+      .select(col("x").as("va"), col("y").as("vb"),
+        graft.functions.ScalarFns.roundN(col("cs"), 6).as("cosine"),
+        graft.functions.ScalarFns.roundN(margin, 6).as("margin"))
+      .withColumn("is_mined", col("margin") > 1.05)
+      .orderBy("va", "vb")
+  }
+
   private[graft] def knnEdges(spark: SparkSession, dir: String,
       deg: Int = 2): DataFrame = {
     val scored = spark.read.parquet(scoredCandDir(spark, dir))
@@ -834,6 +876,7 @@ object GraphOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "label_propagation" -> (labelPropagation(_, _)),
+    "mutual_knn_margin" -> (mutualKnnMargin(_, _)),
     "knn_bfs_hops" -> (knnBfsHops(_, _)),
     "knn_bfs_hops_erased" -> (knnBfsHopsErased(_, _)),
     "knn_sssp" -> (knnSsspDeficit(_, _)),
@@ -869,7 +912,10 @@ object GraphOps {
     * three graded queries (ends at `edges(src, dst)`, no WITH). */
   private def edgeCtes: String = edgeCtesDeg(2)
 
-  private def edgeCtesDeg(deg: Int): String = {
+  /** The degree-independent prefix (cent→sims→assign→cand→scored) —
+    * shared by every edge-deriving oracle AND the margin-mining
+    * oracle, mirroring [[scoredCandDir]]'s once-per-corpus build. */
+  private def scoredCtes: String = {
     import Similarity.duckDot
     def cos(a: String, b: String) =
       s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
@@ -893,7 +939,11 @@ object GraphOps {
        |  SELECT c.va, c.vb, ${cos("ea.embedding", "eb.embedding")} AS cs
        |  FROM cand c
        |  JOIN embeddings ea ON ea.vec_id = c.va
-       |  JOIN embeddings eb ON eb.vec_id = c.vb),
+       |  JOIN embeddings eb ON eb.vec_id = c.vb)""".stripMargin
+  }
+
+  private def edgeCtesDeg(deg: Int): String = {
+    s"""$scoredCtes,
        |knn AS (
        |  SELECT va, vb FROM (
        |    SELECT va, vb,
@@ -1029,8 +1079,34 @@ object GraphOps {
        |ORDER BY l.vec_id""".stripMargin
   }
 
+  private def mutualKnnMarginSql: String = {
+    val r6 = (e: String) => graft.functions.ScalarFns.roundSql(e, 6)
+    s"""WITH $scoredCtes,
+       |knn AS (
+       |  SELECT va, vb, cs FROM (
+       |    SELECT va, vb, cs,
+       |      row_number() OVER (PARTITION BY va
+       |                         ORDER BY cs DESC, vb) AS rn
+       |    FROM scored) k WHERE rn <= 2),
+       |stats AS (
+       |  SELECT va, (max(cs) + min(cs)) / 2.0 AS m FROM knn GROUP BY 1),
+       |mut AS (
+       |  SELECT a.va AS x, a.vb AS y, a.cs AS cs
+       |  FROM knn a JOIN knn b ON a.va = b.vb AND a.vb = b.va
+       |  WHERE a.va < a.vb)
+       |SELECT mut.x AS va, mut.y AS vb,
+       |  ${r6("mut.cs")} AS cosine,
+       |  ${r6("mut.cs / ((sx.m + sy.m) / 2.0)")} AS margin,
+       |  ${r6("mut.cs / ((sx.m + sy.m) / 2.0)")} > 1.05 AS is_mined
+       |FROM mut
+       |JOIN stats sx ON sx.va = mut.x
+       |JOIN stats sy ON sy.va = mut.y
+       |ORDER BY va, vb""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "label_propagation" -> labelPropagationSql,
+    "mutual_knn_margin" -> mutualKnnMarginSql,
     "knn_bfs_hops" ->
       s"""WITH RECURSIVE $edgeCtes,
          |seeds AS (

@@ -360,6 +360,40 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Proximity-search window: positions within this many tokens. */
+  private[graft] val ProximitySlop = 5
+
+  /** N4 PROXIMITY (slop) SEARCH — Lucene's `match_phrase` with
+    * `slop`: the retrieval tier between exact phrase adjacency and
+    * bag-of-words BM25. Same positional postings as [[phraseSearch]],
+    * but the positional predicate is a BAND (|p₁ − p₂| ≤
+    * [[ProximitySlop]]) instead of the equi `p₂ = p₁ + 1`, and the
+    * result RANKS matching docs by their closest co-occurrence
+    * (min_dist asc — tighter proximity ⇒ more phrase-like), doc_id
+    * tiebreak. Every phrase-adjacent doc necessarily appears here
+    * with min_dist = 1 (spec-pinned superset law).
+    *
+    * Scale: postings ∝ term frequency, never the corpus; the band
+    * join is doc-keyed with per-doc tf-bounded fan-out — at 100 TB it
+    * rides the partition-pruned stored postings exactly like the
+    * phrase/boolean tier. */
+  def proximitySearch(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .filter(col("term").isin(PhraseTerms: _*))
+    val a = toks.filter(col("term") === PhraseTerms(0))
+      .select(col("doc_id"), col("source"), col("pos"))
+    val b = toks.filter(col("term") === PhraseTerms(1))
+      .select(col("doc_id").as("d2"), col("pos").as("p2"))
+    a.join(b, col("doc_id") === col("d2") &&
+        abs(col("p2") - col("pos")) <= ProximitySlop)
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("p2") - col("pos"))).cast("long").as("min_dist"))
+      .orderBy(col("min_dist"), col("doc_id"))
+  }
+
   /** Heavy-hitter threshold parameter: report terms with
     * count · HhK > N (share > 1/HhK). 30 splits the corpus vocabulary
     * roughly in half at every SF — the HAVING filter provably bites. */
@@ -718,6 +752,7 @@ object TextOps {
     "phrase_search_maintained" -> (phraseSearchMaintained _),
     "phrase_search_compacted" -> (phraseSearchCompacted _),
     "phrase_search"     -> (phraseSearch _),
+    "proximity_search"  -> (proximitySearch _),
     "quality_funnel"    -> (qualityFunnel _),
     "exact_dedup_stats" -> (exactDedupStats _),
     "normalized_dedup"  -> (normalizedDedup _),
@@ -793,6 +828,27 @@ object TextOps {
            |FROM c, nn WHERE c.cnt * $HhK > nn.tot
            |ORDER BY n DESC, term""".stripMargin,
       "phrase_search_indexed" -> phraseOracle,
+      // the band predicate twin of the phrase oracle — 1-based vs
+      // 0-based positions cancel in |Δ| exactly as in the equi form
+      "proximity_search" ->
+        s"""WITH p AS (
+           |  SELECT doc_id, source,
+           |    unnest(string_split(text, ' ')) AS term,
+           |    generate_subscripts(string_split(text, ' '), 1) AS pos
+           |  FROM documents),
+           |q AS (SELECT * FROM p
+           |      WHERE term IN ('${PhraseTerms(0)}', '${PhraseTerms(1)}')),
+           |hits AS (
+           |  SELECT a.doc_id, a.source, abs(b.pos - a.pos) AS dist
+           |  FROM q a JOIN q b
+           |    ON a.doc_id = b.doc_id
+           |    AND abs(b.pos - a.pos) <= $ProximitySlop
+           |    AND a.term = '${PhraseTerms(0)}'
+           |    AND b.term = '${PhraseTerms(1)}')
+           |SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(min(dist) AS BIGINT) AS min_dist
+           |FROM hits GROUP BY 1, 2
+           |ORDER BY min_dist, doc_id""".stripMargin,
       // boolean predicate restated over the RAW corpus — EXISTS / NOT
       // EXISTS know nothing of the postings layout
       "boolean_search_indexed" ->

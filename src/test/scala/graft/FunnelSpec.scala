@@ -64,4 +64,37 @@ class FunnelSpec extends SparkSpec {
       .toSet
     assert(got == refDaily)
   }
+
+  test("funnel latency quartiles equal a from-scratch recompute with " +
+      "member-value (disc) semantics") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("tsu"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val views = ev.filter(_._4 == "view")
+    val lat = ev.filter(_._4 == "purchase").flatMap { case (u, pts, _, _) =>
+      val vs = views.filter(v => v._1 == u && v._2 <= pts &&
+        v._2 >= pts - 3600000000L)
+      if (vs.isEmpty) None
+      else Some(((pts / 1000000L / 3600L) % 24L, (pts - vs.map(_._2).min) / 1000000L))
+    }
+    def disc(xs: Seq[Long], q: Double): Long = {
+      val s = xs.sorted
+      s(math.ceil(q * s.length).toInt.max(1) - 1)
+    }
+    val expected = lat.groupBy(_._1).toSeq.map { case (h, xs) =>
+      val ls = xs.map(_._2).toSeq
+      (h, ls.length.toLong, disc(ls, 0.25), disc(ls, 0.5), disc(ls, 0.75),
+        ls.max)
+    }.sortBy(_._1)
+    val got = graft.operators.EventOps.funnelLatencyQuartiles(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    got.foreach { r =>
+      assert(r._3 <= r._4 && r._4 <= r._5 && r._5 <= r._6,
+        s"quartiles not monotone: $r")
+    }
+  }
 }

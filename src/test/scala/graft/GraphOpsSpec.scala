@@ -274,4 +274,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.exists(r => !r._2 && r._3 >= 0),
       "no non-seed vertex ever received a label — propagation vacuous")
   }
+
+  test("mutual-kNN margin mining ≡ a from-scratch recompute off the " +
+      "scored candidate table; mutuality and threshold are live") {
+    def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val scored = GraphOps.scoredCand(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val knn = scored.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      xs.sortBy { case (_, vb, cs) => (-cs, vb) }.take(2).toSeq
+    }
+    val knnSet = knn.map(e => (e._1, e._2)).toSet
+    val m = knn.groupBy(_._1).map { case (va, xs) =>
+      val cs = xs.map(_._3)
+      va -> (cs.max + cs.min) / 2.0
+    }
+    val expected = knn.filter { case (x, y, _) =>
+      x < y && knnSet.contains((y, x))
+    }.map { case (x, y, cs) =>
+      val margin = round6(cs / ((m(x) + m(y)) / 2.0))
+      (x, y, round6(cs), margin, margin > 1.05)
+    }.sortBy(e => (e._1, e._2))
+    val got = GraphOps.mutualKnnMargin(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "no mutual pair at sf0.001 — mining vacuous")
+    // the margin separates: both classes occur OR all margins exceed
+    // the bar (tiny-corpus escape hatch, must not be silently empty)
+    assert(got.exists(_._5), "nothing mined — threshold dead")
+  }
 }

@@ -798,4 +798,34 @@ class TextSimilaritySpec extends SparkSpec {
     assert(got.exists(r => r._3 > 0 && (r._4 > 0 || r._5 > 0)),
       "confusion is diagonal-only or empty — F1 untested")
   }
+
+  test("proximity search ≡ a from-scratch band scan; every adjacent " +
+      "(phrase) pair surfaces with min_dist 1") {
+    import graft.operators.TextOps
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = docs.flatMap { case (id, src, text) =>
+      val toks = text.split(" ")
+      val pa = toks.zipWithIndex.collect { case ("fast", i) => i }
+      val pb = toks.zipWithIndex.collect { case ("table", i) => i }
+      val pairs = for (x <- pa; y <- pb if math.abs(y - x) <= 5)
+        yield math.abs(y - x).toLong
+      if (pairs.isEmpty) None
+      else Some((id, src, pairs.length.toLong, pairs.min))
+    }.sortBy(e => (e._4, e._1)).toSeq
+    val got = TextOps.proximitySearch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "no proximity hit at sf0.001 — vacuous")
+    // superset law vs the exact-adjacency tier: adjacency ⇒ dist 1
+    val adjacentDocs = docs.collect { case (id, _, text)
+      if text.split(" ").sliding(2).exists(w =>
+        w.length == 2 && w(0) == "fast" && w(1) == "table") => id
+    }.toSet
+    val dist1 = got.filter(_._4 == 1L).map(_._1).toSet
+    assert(adjacentDocs.subsetOf(dist1),
+      "a phrase-adjacent doc is missing from the slop tier at dist 1")
+  }
 }

@@ -506,7 +506,69 @@ object Stats {
       .groupBy().agg(count(lit(1)).as("n_orders"))
   }
 
+  /** A/B LIFT with CUPED variance reduction (Deng et al., WSDM'13 —
+    * the experimentation-platform standard): users hash-split into two
+    * arms (md5 nibble parity — deterministic, reproducible assignment),
+    * the post-period purchase value per arm adjusted by the pre-period
+    * covariate: Y′ = Ȳ_arm − θ·(X̄_arm − X̄), θ = cov(X,Y)/var(X)
+    * pooled across arms. The period pivot is the in-plan integer
+    * midpoint of the purchase-timestamp range (no wall clock).
+    *
+    * Determinism — the [[corrStats]] discipline: X/Y are exact
+    * micro-value BIGINTs per user; θ's numerator/denominator are
+    * n·Σxy − Σx·Σy over EXACT DECIMAL(38,0) sums (order-independent),
+    * cast once to double for ONE division; the arm means are exact
+    * sums over counts; every displayed number is floor-rounded. A
+    * zero-variance covariate pins θ = 0 (guarded identically in the
+    * oracle).
+    *
+    * Scale: one (user) partial-agg shuffle builds the per-user (X, Y)
+    * frame; θ and the arm rows are two tiny aggregates over it. The
+    * experiment readout costs the events table ONE pass. */
+  def abCupedLift(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts)").as("tsu"),
+        (col("value").cast("decimal(18,4)") * 10000).cast("long").as("vu"))
+    val pivot = p.agg(expr("(min(tsu) + max(tsu)) div 2").as("pivot"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val ux = p.crossJoin(broadcast(pivot))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("tsu") <= col("pivot"), col("vu"))
+          .otherwise(0L)).as("x"),
+        sum(when(col("tsu") > col("pivot"), col("vu"))
+          .otherwise(0L)).as("y"))
+      .withColumn("arm", pmod(expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 1), 16, 10) AS BIGINT)"),
+        lit(2L)))
+    val g = ux.agg(count(lit(1)).as("n"),
+      sum(d38(col("x"))).as("gx"), sum(d38(col("y"))).as("gy"),
+      sum(d38(col("x")) * d38(col("y"))).as("gxy"),
+      sum(d38(col("x")) * d38(col("x"))).as("gxx"))
+    val armAgg = ux.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(d38(col("x"))).as("ax"), sum(d38(col("y"))).as("ay"))
+    val n = col("n").cast("double")
+    val covN = n * col("gxy").cast("double") -
+      col("gx").cast("double") * col("gy").cast("double")
+    val varN = n * col("gxx").cast("double") -
+      col("gx").cast("double") * col("gx").cast("double")
+    val theta = when(varN === 0.0, lit(0.0)).otherwise(covN / varN)
+    val xbarG = col("gx").cast("double") / n
+    val ybarA = col("ay").cast("double") / col("n_users").cast("double")
+    val xbarA = col("ax").cast("double") / col("n_users").cast("double")
+    armAgg.crossJoin(broadcast(g))
+      .select(col("arm"), col("n_users"),
+        ScalarFns.roundN(ybarA / 10000.0, 4).as("mean_y"),
+        ScalarFns.roundN(
+          (ybarA - theta * (xbarA - xbarG)) / 10000.0, 4)
+          .as("mean_y_cuped"),
+        ScalarFns.roundN(theta, 6).as("theta"))
+      .orderBy("arm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ab_cuped_lift" -> (abCupedLift(_, _)),
     "benford_digit_audit" -> (benfordDigitAudit _),
     "price_outliers_mad" -> (priceOutliersMad _),
     "price_winsorized_mean" -> (priceWinsorizedMean _),
@@ -736,6 +798,49 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "ab_cuped_lift" -> {
+      val nib = "(instr('0123456789abcdef', " +
+        "substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)"
+      val theta = "(CASE WHEN CAST(g.n AS DOUBLE) * CAST(g.gxx AS DOUBLE)" +
+        " - CAST(g.gx AS DOUBLE) * CAST(g.gx AS DOUBLE) = 0.0 THEN 0.0" +
+        " ELSE (CAST(g.n AS DOUBLE) * CAST(g.gxy AS DOUBLE)" +
+        " - CAST(g.gx AS DOUBLE) * CAST(g.gy AS DOUBLE))" +
+        " / (CAST(g.n AS DOUBLE) * CAST(g.gxx AS DOUBLE)" +
+        " - CAST(g.gx AS DOUBLE) * CAST(g.gx AS DOUBLE)) END)"
+      val ybarA = "CAST(a.ay AS DOUBLE) / CAST(a.n_users AS DOUBLE)"
+      val xbarA = "CAST(a.ax AS DOUBLE) / CAST(a.n_users AS DOUBLE)"
+      val xbarG = "CAST(g.gx AS DOUBLE) / CAST(g.n AS DOUBLE)"
+      s"""WITH p AS (
+         |  SELECT user_id, epoch_us(ts) AS tsu,
+         |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vu
+         |  FROM events WHERE event_type = 'purchase'),
+         |piv AS (SELECT (min(tsu) + max(tsu)) // 2 AS pivot FROM p),
+         |ux AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN tsu <= piv.pivot THEN vu ELSE 0 END)
+         |      AS HUGEINT) AS x,
+         |    CAST(sum(CASE WHEN tsu > piv.pivot THEN vu ELSE 0 END)
+         |      AS HUGEINT) AS y,
+         |    $nib % 2 AS arm
+         |  FROM p, piv GROUP BY user_id),
+         |g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(x) AS gx, sum(y) AS gy,
+         |    sum(x * y) AS gxy, sum(x * x) AS gxx
+         |  FROM ux),
+         |a AS (
+         |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         |    sum(x) AS ax, sum(y) AS ay
+         |  FROM ux GROUP BY 1)
+         |SELECT CAST(a.arm AS BIGINT) AS arm, a.n_users,
+         |  ${ScalarFns.roundSql(s"($ybarA) / 10000.0", 4)} AS mean_y,
+         |  ${ScalarFns.roundSql(
+            s"(($ybarA) - $theta * (($xbarA) - ($xbarG))) / 10000.0", 4)}
+         |    AS mean_y_cuped,
+         |  ${ScalarFns.roundSql(theta, 6)} AS theta
+         |FROM a, g
+         |ORDER BY arm""".stripMargin
+    },
     // identical statement; DuckDB's quantile_disc is the same
     // member-value definition the Spark side uses
     "price_outliers_mad" ->

@@ -75,6 +75,35 @@ object TextOps {
           .as("n_norm_collisions"))
       .orderBy("source")
 
+  /** Prefix-fingerprint window: the first this-many normalized tokens. */
+  private[graft] val PrefixFpTokens = 32
+
+  /** N2 PREFIX-FINGERPRINT dedup tier — the truncation-robust exact
+    * tier between whole-doc hashing and shingle LSH: fingerprint the
+    * FIRST [[PrefixFpTokens]] normalized tokens, so a truncated copy,
+    * a doc re-crawled with a different tail, or a template with an
+    * appended footer all collide on the prefix even though the
+    * whole-doc hash differs. Reported groups are the INTERESTING
+    * ones: ≥2 docs sharing the prefix whose FULL normalized texts
+    * differ (whole-doc duplicates are the exact tier's job, prefix
+    * dupes with identical bodies would double-count it).
+    *
+    * Scale: one map-side fingerprint + one (fp) partial-agg shuffle —
+    * the cheapest dedup pass in the family; the fingerprint doubles as
+    * a shard/bucket key at 100 TB. */
+  def prefixDupGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("norm", normalized(col("text")))
+      .withColumn("fp", substring(md5(
+        concat_ws(" ", slice(split(col("norm"), " "), 1, PrefixFpTokens))),
+        1, 8))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("norm")).as("n_distinct_full"),
+        min(col("doc_id")).as("min_doc_id"))
+      .filter(col("n_docs") >= 2 && col("n_distinct_full") >= 2)
+      .orderBy("fp")
+
   /** N4 term stats: top-20 corpus terms (explode → count → top-k). */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
@@ -756,6 +785,7 @@ object TextOps {
     "quality_funnel"    -> (qualityFunnel _),
     "exact_dedup_stats" -> (exactDedupStats _),
     "normalized_dedup"  -> (normalizedDedup _),
+    "prefix_dup_groups" -> (prefixDupGroups _),
     "token_stats"       -> (tokenStats _),
     "cms_term_counts"   -> (cmsTermCounts _),
     "lang_stats"        -> (langStats _),
@@ -915,6 +945,21 @@ object TextOps {
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
       // DuckDB regexp_replace replaces FIRST match unless 'g' — Spark
       // replaces all by default, so the flag is load-bearing
+      "prefix_dup_groups" ->
+        s"""WITH n AS (
+           |  SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+           |f AS (
+           |  SELECT doc_id, norm,
+           |    substr(md5(array_to_string(
+           |      list_slice(string_split(norm, ' '), 1, $PrefixFpTokens),
+           |      ' ')), 1, 8) AS fp
+           |  FROM n)
+           |SELECT fp, count(*) AS n_docs,
+           |  count(DISTINCT norm) AS n_distinct_full,
+           |  min(doc_id) AS min_doc_id
+           |FROM f GROUP BY 1
+           |HAVING count(*) >= 2 AND count(DISTINCT norm) >= 2
+           |ORDER BY fp""".stripMargin,
       "normalized_dedup" ->
         s"""WITH n AS (
           |  SELECT source, text, ${normSql("text")} AS norm

@@ -122,4 +122,55 @@ class StatsSpec extends SparkSpec {
       assert(p05 <= p95 && clamped > 0, s"${r.getString(0)} vacuous")
     }
   }
+
+  test("ab_cuped_lift equals a from-scratch recompute; CUPED preserves " +
+      "the pooled mean and theta is shared across arms") {
+    import org.apache.spark.sql.functions._
+    def round(x: Double, n: Int): Double = {
+      val p = math.pow(10, n); math.floor(x * p + 0.5) / p
+    }
+    val p = Tables(spark, sf0001, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts)"),
+        (col("value").cast("decimal(18,4)") * 10000).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pivot = (p.map(_._2).min + p.map(_._2).max) / 2
+    def nib(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      "0123456789abcdef".indexOf("%02x".format(md(0)).charAt(0)).toLong % 2
+    }
+    val ux = p.groupBy(_._1).map { case (u, xs) =>
+      (u, xs.filter(_._2 <= pivot).map(_._3).sum,
+        xs.filter(_._2 > pivot).map(_._3).sum, nib(u))
+    }.toSeq
+    val n = ux.length.toDouble
+    val gx = BigInt(ux.map(x => BigInt(x._2)).sum.toString).toDouble
+    val gy = ux.map(x => BigInt(x._3)).sum.toDouble
+    val gxy = ux.map(x => BigInt(x._2) * BigInt(x._3)).sum.toDouble
+    val gxx = ux.map(x => BigInt(x._2) * BigInt(x._2)).sum.toDouble
+    val varN = n * gxx - gx * gx
+    val theta = if (varN == 0.0) 0.0 else (n * gxy - gx * gy) / varN
+    val xbarG = gx / n
+    val expected = ux.groupBy(_._4).toSeq.map { case (arm, xs) =>
+      val nu = xs.length.toDouble
+      val ybar = xs.map(x => BigInt(x._3)).sum.toDouble / nu
+      val xbar = xs.map(x => BigInt(x._2)).sum.toDouble / nu
+      (arm, xs.length.toLong, round(ybar / 10000.0, 4),
+        round((ybar - theta * (xbar - xbarG)) / 10000.0, 4),
+        round(theta, 6))
+    }.sortBy(_._1)
+    val got = graft.operators.Stats.abCupedLift(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected)
+    assert(got.length == 2, "one arm empty — assignment degenerate")
+    assert(got.map(_._5).distinct.length == 1, "theta differs across arms")
+    // CUPED is mean-preserving in the pooled total (exact in reals,
+    // here up to display rounding)
+    val pooledRaw = got.map(r => r._2 * r._3).sum / got.map(_._2).sum
+    val pooledAdj = got.map(r => r._2 * r._4).sum / got.map(_._2).sum
+    assert(math.abs(pooledRaw - pooledAdj) < 1e-3,
+      s"CUPED shifted the pooled mean: $pooledRaw vs $pooledAdj")
+  }
 }

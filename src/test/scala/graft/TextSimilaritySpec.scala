@@ -828,4 +828,32 @@ class TextSimilaritySpec extends SparkSpec {
     assert(adjacentDocs.subsetOf(dist1),
       "a phrase-adjacent doc is missing from the slop tier at dist 1")
   }
+
+  test("prefix-fingerprint dedup groups ≡ a from-scratch recompute; " +
+      "every group shares the 32-token prefix with differing bodies") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def norm(t: String): String =
+      t.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fp = docs.map { case (id, t) =>
+      val n = norm(t)
+      (md5hex(n.split(" ", -1).take(32).mkString(" ")).take(8), id, n)
+    }
+    val expected = fp.groupBy(_._1).toSeq
+      .map { case (f, xs) =>
+        (f, xs.length.toLong, xs.map(_._3).distinct.length.toLong,
+          xs.map(_._2).min)
+      }
+      .filter(g => g._2 >= 2 && g._3 >= 2)
+      .sortBy(_._1)
+    val got = graft.operators.TextOps.prefixDupGroups(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "no prefix-dup group at sf0.001 — tier vacuous")
+  }
 }

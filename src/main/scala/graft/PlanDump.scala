@@ -104,7 +104,8 @@ object PlanDump {
     "term_autocomplete", "temperature_mix", "quantile_normalize_sources",
     "fuzzy_join_symspell", "label_propagation", "coreset_kcenter",
     "knn_f1_by_class", "funnel_latency_quartiles", "mutual_knn_margin",
-    "proximity_search", "ab_cuped_lift", "prefix_dup_groups")
+    "proximity_search", "ab_cuped_lift", "prefix_dup_groups",
+    "ab_conversion_ztest")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

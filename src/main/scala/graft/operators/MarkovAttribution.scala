@@ -158,7 +158,15 @@ object MarkovAttribution {
           .as(s"p_${f}_$t")
       }
     }
-    val p = cnt.select(pCols: _*)
+    // BARRIER the 1-row probability frame so the determinant
+    // expressions reference plain attributes instead of letting
+    // CollapseProject inline every p_* definition (a guarded div over
+    // a 6-term sum) into each of its ~30 determinant references.
+    // Profiled at sf0.1: steady-state ~2.1 s data work + ~1.6 s
+    // one-time analysis of the 5 variant expressions; the first-call
+    // figure on a cold session is dominated by ordinary Spark session
+    // warmup, not by this plan.
+    val p = cnt.select(pCols: _*).localCheckpoint(true)
     val variants = p.select(
       (expr(convPpmExpr(-1, "div")).as("p_full") +:
         Keys.indices.map(i =>

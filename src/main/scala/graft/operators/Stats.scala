@@ -567,8 +567,79 @@ object Stats {
       .orderBy("arm")
   }
 
+  /** A/B CONVERSION SIGNIFICANCE — the two-proportion z-test the
+    * experimentation readout pairs with the lift ([[abCupedLift]]'s
+    * arm assignment reused): universe = every user seen in events;
+    * "conversion" = the user's total purchase value exceeds the GLOBAL
+    * median user total (percentile_disc member value — a binary
+    * outcome that is non-degenerate by construction at ~50% base rate;
+    * a literal did-purchase flag is universal on this corpus and
+    * degenerates p̂ to 1). z = (p₁−p₀)/√(p̂(1−p̂)(1/n₀+1/n₁)) pooled;
+    * every double derives from exact BIGINT counts in one pinned
+    * expression (sqrt/÷ exactly-rounded IEEE); the degenerate
+    * p̂ ∈ {0,1} edges pin z = 0 (guarded identically both engines);
+    * `significant` compares the ROUNDED z against ±1.96. ONE SQL body,
+    * two engine spellings (the MAD idiom). One (user) partial-agg
+    * shuffle + two tiny aggregates — one pass over events. Single-row
+    * global aggregate (ContractSpec singleRow allowlist). */
+  private def abZtestSql(nib: String, div: String): String = {
+    val z = "(CASE WHEN n0 = 0 OR n1 = 0 OR (c0 + c1) = 0" +
+      " OR (c0 + c1) = (n0 + n1) THEN 0.0 ELSE " +
+      "(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)" +
+      " - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / " +
+      "sqrt((CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))" +
+      " / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))" +
+      " * (1.0 - (CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))" +
+      " / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))" +
+      " * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) END)"
+    // Spark SQL's floor(double) returns BIGINT (DuckDB keeps DOUBLE),
+    // so the rounded statistic is pinned back to DOUBLE explicitly —
+    // exact: z·10⁴ is integral, and integer/10⁴ → nearest double is
+    // the same value on both routes
+    val zr = s"CAST(${ScalarFns.roundSql(z, 4)} AS DOUBLE)"
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS tot,
+       |    $nib % 2 AS arm
+       |  FROM events GROUP BY user_id),
+       |m AS (
+       |  SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY tot) AS med
+       |  FROM u),
+       |c AS (
+       |  SELECT u.arm,
+       |    CAST(CASE WHEN u.tot > m.med THEN 1 ELSE 0 END AS BIGINT) AS conv
+       |  FROM u, m),
+       |r AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+       |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+       |      AS c0,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+       |      AS c1
+       |  FROM c)
+       |SELECT n0, c0, n1, c1,
+       |  CAST(CASE WHEN n0 = 0 THEN 0
+       |    ELSE (c0 * 1000000) $div n0 END AS BIGINT) AS rate0_ppm,
+       |  CAST(CASE WHEN n1 = 0 THEN 0
+       |    ELSE (c1 * 1000000) $div n1 END AS BIGINT) AS rate1_ppm,
+       |  $zr AS z,
+       |  ($zr > 1.96 OR $zr < -1.96) AS significant
+       |FROM r""".stripMargin
+  }
+
+  def abConversionZtest(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(abZtestSql(
+      "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 1), 16, 10) AS BIGINT)",
+      "div"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ab_cuped_lift" -> (abCupedLift(_, _)),
+    "ab_conversion_ztest" -> (abConversionZtest(_, _)),
     "benford_digit_audit" -> (benfordDigitAudit _),
     "price_outliers_mad" -> (priceOutliersMad _),
     "price_winsorized_mean" -> (priceWinsorizedMean _),
@@ -798,6 +869,10 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "ab_conversion_ztest" -> abZtestSql(
+      "(instr('0123456789abcdef', " +
+        "substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)",
+      "//"),
     "ab_cuped_lift" -> {
       val nib = "(instr('0123456789abcdef', " +
         "substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)"

@@ -27,7 +27,8 @@ class ContractSpec extends AnyFunSuite {
       "value_drift_tv", "join_card_estimate", "spend_gini",
       "segment_rank_sum", "lsh_recall_audit", "not_in_null_semantics",
       "orders_count_metadata", "sq8_recall", "ivfsq8_recall",
-      "forecast_revenue", "promo_share", "knn_triangles", "dsir_auc")
+      "forecast_revenue", "promo_share", "knn_triangles", "dsir_auc",
+      "ab_conversion_ztest")
     // strip parenthesized content so OVER(ORDER BY ...) / subquery
     // ORDER BYs can't satisfy the check
     def topLevel(sql: String): String = {

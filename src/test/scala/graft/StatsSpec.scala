@@ -173,4 +173,48 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(pooledRaw - pooledAdj) < 1e-3,
       s"CUPED shifted the pooled mean: $pooledRaw vs $pooledAdj")
   }
+
+  test("ab_conversion_ztest equals a from-scratch two-proportion test") {
+    import org.apache.spark.sql.functions._
+    def round(x: Double, n: Int): Double = {
+      val p = math.pow(10, n); math.floor(x * p + 0.5) / p
+    }
+    def nib(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      "0123456789abcdef".indexOf("%02x".format(md(0)).charAt(0)).toLong % 2
+    }
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("event_type"),
+        (col("value").cast("decimal(18,4)") * 10000).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tots = ev.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.filter(_._2 == "purchase").map(_._3).sum
+    }.toSeq
+    // percentile_disc(0.5): smallest member with cume_dist >= 0.5
+    val sorted = tots.map(_._2).sorted
+    val med = sorted(math.ceil(0.5 * sorted.length).toInt.max(1) - 1)
+    val byUser = tots.map { case (u, tot) =>
+      (nib(u), if (tot > med) 1L else 0L)
+    }
+    val n0 = byUser.count(_._1 == 0L).toLong
+    val c0 = byUser.filter(_._1 == 0L).map(_._2).sum
+    val n1 = byUser.count(_._1 == 1L).toLong
+    val c1 = byUser.filter(_._1 == 1L).map(_._2).sum
+    val p0 = c0.toDouble / n0; val p1 = c1.toDouble / n1
+    val ph = (c0.toDouble + c1.toDouble) / (n0.toDouble + n1.toDouble)
+    val z = if (n0 == 0 || n1 == 0 || c0 + c1 == 0 || c0 + c1 == n0 + n1) 0.0
+      else round((p1 - p0) /
+        math.sqrt(ph * (1.0 - ph) * (1.0 / n0 + 1.0 / n1)), 4)
+    val expected = (n0, c0, n1, c1, c0 * 1000000L / n0, c1 * 1000000L / n1,
+      z, z > 1.96 || z < -1.96)
+    assert(c0 + c1 > 0 && c0 + c1 < n0 + n1,
+      "conversion flag degenerate — the z statistic is untested")
+    val r = graft.operators.Stats.abConversionZtest(spark, sf0001)
+      .collect()(0)
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getDouble(6), r.getBoolean(7))
+    assert(got == expected)
+    assert(n0 > 0 && n1 > 0, "an arm is empty — assignment degenerate")
+  }
 }

@@ -50,6 +50,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(hot * 3 > all, "hot key lost its skew — tune the derivation")
   }
 
+  test("dq_referential_audit: existence joins broadcast the parent keysets") {
+    val plan = SparkEntry.queries("dq_referential_audit")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"no broadcast in the FK audit:\n${plan.take(2000)}")
+  }
+
+  test("term_autocomplete: the term count is partially aggregated before " +
+      "its one shuffle (vocabulary-granularity, not token instances)") {
+    val plan = SparkEntry.queries("term_autocomplete")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"no map-side combine on the term count:\n${plan.take(2000)}")
+  }
+
   test("topk_orders compiles to TakeOrderedAndProject (no global sort)") {
     val plan = SparkEntry.queries("topk_orders")(spark, sf0001)
       .queryExecution.executedPlan.toString

@@ -38,9 +38,23 @@ object Bench {
     // hot spot without paying the full board); the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Bench ORDER: alphabetical, except explicit owner-precedes-
+    // consumer pins. A ResultCache cold build bills whichever consumer
+    // runs FIRST, so a pure alphabetical order can bill a family's
+    // builds to an incidental early-sorting reader: r10's
+    // lsh_recall_audit ('l' < 'n' < 's') absorbed both the LSH pair
+    // build and the exact-join build that neardup_pairs /
+    // similarity_join_exact own semantically (r10 verdict #1). Pinning
+    // the audit to run directly AFTER the family it audits keeps every
+    // build billed to its natural owner and keeps the family contiguous
+    // (all cache reads well inside the 300 s TTL). Total is unchanged —
+    // the same builds run exactly once either way.
+    val orderPins = Map(
+      "similarity_join_exact" -> "neardup_survivors~1",
+      "lsh_recall_audit" -> "neardup_survivors~2")
     val sorted = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .sortBy(_._1)
+      .sortBy { case (n, _) => orderPins.getOrElse(n, n) }
     // Untimed warm-up: run EVERY query once at the tiny SF so that
     // codegen compilation, JIT (C2) compilation of the generated
     // classes, parquet footer/metadata reads, and shuffle machinery all
@@ -57,24 +71,42 @@ object Bench {
       System.err.println(
         s"[bench] WARNING: $warmupFailures/${sorted.size} warm-up runs failed " +
         s"(warmDir=$warmDir) — timed numbers may include JIT/codegen cost")
+    // SPARK_GRAFT_BENCH_REPS=k (k>1): self-denoising mode (r10 verdict
+    // #5) — run each query k times back-to-back and report the
+    // per-query MEDIAN. All four r10 boards were load-tainted (±4×
+    // swings on untouched trivial queries); medians-of-3 within one
+    // JVM cut that to the ~±15 % of back-to-back history. Caveat
+    // (documented in BASELINE.md): reps 2..k hit the session's
+    // ResultCache/GramStore state, so cached-build OWNERS read as
+    // steady-state serving cost here — the single-shot board remains
+    // the cold-attribution record; this mode measures per-plan
+    // steady-state. The driver never sets it.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 1)
+      .getOrElse(1)
     // A failed query records -1 (never a normal-looking elapsed time)
     // and is counted in "failures" — a broken run must not be
     // indistinguishable from a passing one.
     val results = sorted.map { case (name, fn) =>
-      // Collect garbage from the previous query outside the timed
-      // window: a 50-query shared session otherwise bills query N for
-      // the heap pressure of queries 1..N-1.
-      System.gc()
-      val t0 = System.nanoTime()
-      val ok = try {
-        force(spark, fn, sfDir)
-        true
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+      val times = (1 to reps).map { _ =>
+        // Collect garbage from the previous query outside the timed
+        // window: a 50-query shared session otherwise bills query N for
+        // the heap pressure of queries 1..N-1.
+        System.gc()
+        val t0 = System.nanoTime()
+        val ok = try {
+          force(spark, fn, sfDir)
+          true
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      // any failed rep poisons the query (a -1 median could otherwise
+      // hide a flaky failure among passing reps)
+      name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(reps / 2))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -86,7 +118,7 @@ object Bench {
     // clips this line's HEAD so the match would bind to a truncated
     // record (BENCH_r03/r04 parsed: null; r5 advice).
     val line =
-      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
     // Short headline record (≤120 bytes) carrying the canonical
     // "metric":"total". Printed LAST — build.sbt routes forked stdout
     // straight through (no "[info] " prefix) and suppresses sbt's

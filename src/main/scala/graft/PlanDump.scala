@@ -105,7 +105,9 @@ object PlanDump {
     "fuzzy_join_symspell", "label_propagation", "coreset_kcenter",
     "knn_f1_by_class", "funnel_latency_quartiles", "mutual_knn_margin",
     "proximity_search", "ab_cuped_lift", "prefix_dup_groups",
-    "ab_conversion_ztest")
+    "ab_conversion_ztest",
+    "langid_confusion", "langid_f1_by_class", "source_cap_sample",
+    "chunk_retrieval_recall")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

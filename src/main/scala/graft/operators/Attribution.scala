@@ -110,7 +110,7 @@ object Attribution {
     * would smear cross-engine, so decay is DISCRETE and integer:
     * weight = `10⁶ div 2^floor(Δμs / 15 min)` (Δ ∈ [0, 1 h] → exponent
     * 0..4 — a power-of-two table, exact in both engines), and each
-    * view's credit is `floor(vu·10⁶·w / Σw)` with the product widened
+    * view's credit is `(vu·10⁶·w) div Σw` with the product widened
     * DECIMAL(38,0)/HUGEINT before the ×10⁶ (the [[Baskets]] idiom —
     * vu·10⁶·w overflows BIGINT at the 100 TB framing). Same join
     * graph as the linear form — only the credit rule changes. */
@@ -128,8 +128,11 @@ object Attribution {
         "1000000L div shiftleft(1L, CAST((unix_micros(pts) - unix_micros(vts)) div 900000000L AS INT))"))
     val sw = j.groupBy(col("pid")).agg(sum(col("w")).as("sumw"))
     j.join(sw, Seq("pid"))
+      // div (IntegralDivide on DECIMAL) truncates exactly like the
+      // oracle's HUGEINT `//`; floor(DECIMAL `/`) rounds HALF_UP to
+      // result scale first and can land one higher (r10 advice).
       .withColumn("credit", expr(
-        "CAST(floor((CAST(vu AS DECIMAL(38,0)) * 1000000 * w) / sumw) AS BIGINT)"))
+        "CAST((CAST(vu AS DECIMAL(38,0)) * 1000000 * w) div sumw AS BIGINT)"))
       .groupBy(hour(col("vts")).cast("long").as("view_hour"))
       .agg(count(lit(1)).as("n_views"),
         countDistinct(col("pid")).as("n_purchases"),

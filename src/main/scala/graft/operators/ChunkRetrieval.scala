@@ -1,0 +1,320 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.ScalarFns
+
+/** CHUNK-LEVEL RETRIEVAL QUALITY BOARD — the composition the RAG tier
+  * was missing (r10 verdict #4): [[Chunking]] builds the chunk store
+  * and [[Hybrid]] grades fusion at the document grain, but nothing
+  * measured whether HYBRID RETRIEVAL OVER CHUNKS actually works. This
+  * board does, with KNOWN-PROVENANCE ground truth: the query is a
+  * chunk, the relevant set is its SIBLING chunks (same document,
+  * overlap-correlated by construction — the provenance column IS the
+  * relevance judgment, no human labels needed), and the graded figure
+  * is recall@k of the fused ranking — the acceptance test a RAG stack
+  * runs before trusting its chunk index.
+  *
+  * Pipeline, per query chunk (chunk 0 of the first [[NQ]] docs with ≥ 2
+  * chunks): a SPARSE tier (BM25 over chunk word-BIGRAMS) and a DENSE
+  * tier (cosine over hashed bag-of-bigrams vectors, B = 256 buckets —
+  * the [[Dsir]] hashed-feature discipline standing in for learned
+  * embeddings, which the chunk grain has none of), each ranked to
+  * depth [[TierN]], fused by Reciprocal Rank Fusion exactly as
+  * [[Hybrid.hybridSearchRrf]] (1/(60+r), absent tier → 0, 6-dp
+  * floor-rounded), top [[TopK]] kept. Bigrams, not unigrams — see
+  * [[chunks]] for why unigram recall is degenerate here.
+  *
+  * Determinism: the sparse score is BM25 REWRITTEN AS AN EXACT
+  * RATIONAL in ppm — with k1 = 1.2, b = 0.75 every per-term
+  * contribution is `((2(nn−df)+1)·22·tf·Σdl·10⁶) div
+  * ((2df+1)·(10·tf·Σdl + 3·Σdl + 9·dl·nn))`, an integral division of
+  * exact integers — because the per-pair score sums over a DATA-
+  * DEPENDENT set of matched terms, and a float sum aggregate is
+  * partition-order-dependent (the one BM25 shape [[TextSignals]]
+  * never hits: its query is a FIXED term list folded as columns).
+  * Integer contributions commute; the deviation from float BM25 is
+  * the per-term floor, stated here not hidden. Query term multiplicity
+  * is ignored (qtf = 1, the standard simplification). The dense cosine
+  * is a SINGLE IEEE expression per pair over exact integer dot/norms
+  * (sqrt is exactly rounded), 6-dp floor-rounded — the [[Hybrid]]
+  * discipline.
+  *
+  * 100 TB shape: tf/df/vec frames are partial-agg shuffles at chunk ×
+  * term/bucket granularity off the shared chunk store; the query side
+  * is [[NQ]] rows BROADCAST; per-query ranks are windows over
+  * tier-bounded groups (TakeOrdered-shaped). The dense leg here is the
+  * brute-force baseline on purpose — at scale it swaps for the graded
+  * ANN families (IVF/PQ/graph) with this same board as the recall
+  * gate; nothing in the fusion or grading changes.
+  */
+object ChunkRetrieval {
+
+  /** Query chunks graded. */
+  private[graft] val NQ = 16
+  /** Per-tier ranking depth fed into fusion. */
+  private val TierN = 50
+  /** RRF smoothing constant (the [[Hybrid.RrfK]] default). */
+  private val RrfK = 60
+  /** Fused results kept per query. */
+  private[graft] val TopK = 10
+  /** Hashed bag-of-BIGRAMS dimension for the dense tier (256: the
+    * ~31-bigram chunks must not drown verbatim overlap in bucket
+    * collisions — at 64, random collision mass ≈ the sibling signal). */
+  private val Buckets = 256
+
+  /** The shared chunk-BIGRAM frame (doc_id, chunk_idx, n_grams, gs) —
+    * S6-cached: tf, df, dl and both vector legs all read it. The
+    * retrieval unit is the word BIGRAM, not the unigram, because the
+    * sibling signal IS verbatim overlap: on a small vocabulary (this
+    * corpus: ~50 words) every chunk's unigram bag looks like every
+    * other's and unigram recall measures nothing, while the 8-token
+    * overlap window carries 7 verbatim bigrams whose df is low —
+    * exactly the n-gram-over-token escalation the dedup tier's
+    * shingles already institutionalize. Chunks with < 2 tokens have no
+    * bigrams and leave the retrieval universe here (one rule,
+    * all three legs + the oracle + the spec). */
+  private def chunks(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|chunk_bigrams|$dir",
+      ttlSeconds = 300)(
+      Chunking.chunkTokenRows(spark, dir)
+        .filter(size(col("ct")) >= 2) // sequence(1,0) counts DOWN — guard
+        .select(col("doc_id"), col("chunk_idx"),
+          (size(col("ct")) - 1).cast("long").as("n_grams"),
+          expr("""transform(sequence(1, size(ct) - 1),
+                 |  i -> concat(element_at(ct, i), ' ',
+                 |              element_at(ct, i + 1)))""".stripMargin)
+            .as("gs")))
+
+  /** GRADED: per-query recall@[[TopK]] of RRF-fused chunk retrieval
+    * against the sibling-chunk ground truth. */
+  def chunkRetrievalRecall(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunks(spark, dir)
+
+    // ---- query set: chunk 0 of the NQ lowest doc_ids with ≥ 2 chunks
+    val eligible = ch.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+      .filter(col("n_chunks") >= 2)
+      .orderBy(col("doc_id"))
+      .limit(NQ)
+    val q = ch.filter(col("chunk_idx") === 0)
+      .join(broadcast(eligible), Seq("doc_id"))
+      .select(col("doc_id").as("qdoc"), col("gs").as("qgs"),
+        (col("n_chunks") - 1).as("n_relevant"))
+
+    // ---- sparse tier: exact-rational BM25 in ppm
+    val tf = ch.select(col("doc_id"), col("chunk_idx"), col("n_grams"),
+        explode(col("gs")).as("term"))
+      .groupBy(col("doc_id"), col("chunk_idx"), col("n_grams"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = ch.agg(count(lit(1)).as("nn"),
+      sum(col("n_grams")).as("sumdl"))
+    val qterms = q.select(col("qdoc"), explode(col("qgs")).as("term"))
+      .distinct()
+    val sparse = qterms
+      .join(tf, Seq("term"))
+      .join(dfT.hint("broadcast"), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .filter(!(col("doc_id") === col("qdoc") && col("chunk_idx") === 0))
+      .withColumn("s_ppm", expr(
+        """(CAST(2 * (nn - df) + 1 AS DECIMAL(38,0)) * 22 * tf * sumdl
+          |  * 1000000)
+          |div (CAST(2 * df + 1 AS DECIMAL(38,0))
+          |  * (10 * tf * sumdl + 3 * sumdl + 9 * n_grams * nn))"""
+          .stripMargin))
+      .groupBy(col("qdoc"), col("doc_id"), col("chunk_idx"))
+      .agg(sum(col("s_ppm")).as("bm25_ppm"))
+      .withColumn("rs", row_number().over(
+        Window.partitionBy(col("qdoc"))
+          .orderBy(col("bm25_ppm").desc, col("doc_id"), col("chunk_idx")))
+        .cast("long"))
+      .filter(col("rs") <= TierN)
+      .select(col("qdoc"), col("doc_id"), col("chunk_idx"), col("rs"))
+
+    // ---- dense tier: hashed-BoW cosine
+    def vecOf(df0: DataFrame, docC: String, idxC: String,
+        tokC: String): DataFrame =
+      df0.select(col(docC), col(idxC), explode(col(tokC)).as("term"))
+        .withColumn("b", pmod(
+          expr("CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT)"),
+          lit(Buckets.toLong)))
+        .groupBy(col(docC), col(idxC), col("b"))
+        .agg(count(lit(1)).as("v"))
+    val cvec = vecOf(ch, "doc_id", "chunk_idx", "gs")
+    val cnorm = cvec.groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(sum(col("v") * col("v")).as("cn2"))
+    val qvec = vecOf(q.withColumn("zero", lit(0L)), "qdoc", "zero", "qgs")
+      .select(col("qdoc"), col("b"), col("v").as("qv"))
+    val qnorm = qvec.groupBy(col("qdoc")).agg(sum(col("qv") * col("qv"))
+      .as("qn2"))
+    val dense = qvec.join(cvec, Seq("b"))
+      .filter(!(col("doc_id") === col("qdoc") && col("chunk_idx") === 0))
+      .groupBy(col("qdoc"), col("doc_id"), col("chunk_idx"))
+      .agg(sum(col("qv") * col("v")).as("dot"))
+      .join(broadcast(qnorm), Seq("qdoc"))
+      .join(cnorm, Seq("doc_id", "chunk_idx"))
+      .withColumn("cos", ScalarFns.roundN(
+        col("dot").cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))),
+        6))
+      .withColumn("rd", row_number().over(
+        Window.partitionBy(col("qdoc"))
+          .orderBy(col("cos").desc, col("doc_id"), col("chunk_idx")))
+        .cast("long"))
+      .filter(col("rd") <= TierN)
+      .select(col("qdoc"), col("doc_id"), col("chunk_idx"), col("rd"))
+
+    // ---- RRF fusion + top-K (the Hybrid rule verbatim)
+    val fused = sparse.join(dense, Seq("qdoc", "doc_id", "chunk_idx"),
+        "full_outer")
+      .withColumn("rrf", ScalarFns.roundN(
+        when(col("rs").isNotNull, lit(1.0) / (lit(RrfK) + col("rs")))
+          .otherwise(lit(0.0)) +
+        when(col("rd").isNotNull, lit(1.0) / (lit(RrfK) + col("rd")))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qdoc"))
+          .orderBy(col("rrf").desc, col("doc_id"), col("chunk_idx"))))
+      .filter(col("rk") <= TopK)
+
+    // ---- recall@K against the sibling ground truth
+    fused.groupBy(col("qdoc"))
+      .agg(sum(when(col("doc_id") === col("qdoc"), 1L).otherwise(0L))
+        .as("n_hits"))
+      .join(q.select(col("qdoc"), col("n_relevant")), Seq("qdoc"), "right")
+      .select(col("qdoc").as("doc_id"), col("n_relevant"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_ppm",
+        expr("(n_hits * 1000000) div n_relevant"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chunk_retrieval_recall" -> (chunkRetrievalRecall _))
+
+  /** DuckDB twin of the first-8-nibble u32 over hex column `h`. */
+  private val u32Poly: String = (1 to 8).map { j =>
+    val mult = 1L << (4 * (8 - j))
+    s"(instr('0123456789abcdef', substr(h, $j, 1)) - 1) * $mult"
+  }.mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "chunk_retrieval_recall" ->
+      s"""${Chunking.chunkCte},
+         |chu AS (
+         |  SELECT doc_id, chunk_idx,
+         |    CAST(len(ct) - 1 AS BIGINT) AS n_grams, ct
+         |  FROM ch WHERE len(ct) >= 2),
+         |cg AS (
+         |  SELECT doc_id, chunk_idx, n_grams,
+         |    ct[i] || ' ' || ct[i + 1] AS term
+         |  FROM chu, LATERAL unnest(generate_series(1, n_grams)) AS u(i)),
+         |elig AS (
+         |  SELECT doc_id, count(*) - 1 AS n_relevant
+         |  FROM chu GROUP BY 1 HAVING count(*) >= 2
+         |  ORDER BY doc_id LIMIT $NQ),
+         |tf AS (
+         |  SELECT doc_id, chunk_idx, n_grams, term,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM cg GROUP BY 1, 2, 3, 4),
+         |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM tf GROUP BY 1),
+         |corpus AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+         |    CAST(sum(n_grams) AS BIGINT) AS sumdl FROM chu),
+         |qterms AS (
+         |  SELECT DISTINCT e.doc_id AS qdoc, g.term
+         |  FROM elig e JOIN cg g
+         |    ON g.doc_id = e.doc_id AND g.chunk_idx = 0),
+         |sparse0 AS (
+         |  SELECT qt.qdoc, t.doc_id, t.chunk_idx,
+         |    sum(CAST((CAST(2 * (c.nn - d.df) + 1 AS HUGEINT) * 22
+         |        * t.tf * c.sumdl * 1000000)
+         |      // (CAST(2 * d.df + 1 AS HUGEINT)
+         |        * (10 * t.tf * c.sumdl + 3 * c.sumdl
+         |           + 9 * t.n_grams * c.nn)) AS BIGINT)) AS bm25_ppm
+         |  FROM qterms qt
+         |  JOIN tf t ON t.term = qt.term
+         |  JOIN dft d ON d.term = qt.term
+         |  CROSS JOIN corpus c
+         |  WHERE NOT (t.doc_id = qt.qdoc AND t.chunk_idx = 0)
+         |  GROUP BY 1, 2, 3),
+         |sparse AS (
+         |  SELECT qdoc, doc_id, chunk_idx,
+         |    CAST(row_number() OVER (PARTITION BY qdoc
+         |      ORDER BY bm25_ppm DESC, doc_id, chunk_idx) AS BIGINT) AS rs
+         |  FROM sparse0
+         |  QUALIFY rs <= $TierN),
+         |cvh AS (
+         |  SELECT doc_id, chunk_idx, md5(term) AS h FROM cg),
+         |cvec AS (
+         |  SELECT doc_id, chunk_idx, ($u32Poly) % $Buckets AS b,
+         |    CAST(count(*) AS BIGINT) AS v
+         |  FROM cvh GROUP BY 1, 2, 3),
+         |cnorm AS (SELECT doc_id, chunk_idx, sum(v * v) AS cn2
+         |  FROM cvec GROUP BY 1, 2),
+         |qvh AS (
+         |  SELECT e.doc_id AS qdoc, md5(g.term) AS h
+         |  FROM elig e JOIN cg g
+         |    ON g.doc_id = e.doc_id AND g.chunk_idx = 0),
+         |qvec AS (
+         |  SELECT qdoc, ($u32Poly) % $Buckets AS b,
+         |    CAST(count(*) AS BIGINT) AS qv
+         |  FROM qvh GROUP BY 1, 2),
+         |qnorm AS (SELECT qdoc, sum(qv * qv) AS qn2 FROM qvec GROUP BY 1),
+         |dense0 AS (
+         |  SELECT qv.qdoc, cv.doc_id, cv.chunk_idx,
+         |    sum(qv.qv * cv.v) AS dot
+         |  FROM qvec qv JOIN cvec cv ON cv.b = qv.b
+         |  WHERE NOT (cv.doc_id = qv.qdoc AND cv.chunk_idx = 0)
+         |  GROUP BY 1, 2, 3),
+         |dense1 AS (
+         |  SELECT d.qdoc, d.doc_id, d.chunk_idx,
+         |    ${ScalarFns.roundSql(
+              """CAST(d.dot AS DOUBLE)
+                |      / (sqrt(CAST(qn.qn2 AS DOUBLE))
+                |         * sqrt(CAST(cn.cn2 AS DOUBLE)))""".stripMargin,
+              6)} AS cos
+         |  FROM dense0 d
+         |  JOIN qnorm qn ON qn.qdoc = d.qdoc
+         |  JOIN cnorm cn ON cn.doc_id = d.doc_id
+         |    AND cn.chunk_idx = d.chunk_idx),
+         |dense AS (
+         |  SELECT qdoc, doc_id, chunk_idx,
+         |    CAST(row_number() OVER (PARTITION BY qdoc
+         |      ORDER BY cos DESC, doc_id, chunk_idx) AS BIGINT) AS rd
+         |  FROM dense1
+         |  QUALIFY rd <= $TierN),
+         |fused AS (
+         |  SELECT coalesce(s.qdoc, de.qdoc) AS qdoc,
+         |    coalesce(s.doc_id, de.doc_id) AS doc_id,
+         |    coalesce(s.chunk_idx, de.chunk_idx) AS chunk_idx,
+         |    ${ScalarFns.roundSql(
+              """CASE WHEN s.rs IS NOT NULL
+                |      THEN 1.0 / ($RRFK + s.rs) ELSE 0.0 END
+                |    + CASE WHEN de.rd IS NOT NULL
+                |      THEN 1.0 / ($RRFK + de.rd) ELSE 0.0 END""".stripMargin
+                .replace("$RRFK", RrfK.toString), 6)} AS rrf
+         |  FROM sparse s
+         |  FULL OUTER JOIN dense de
+         |    ON de.qdoc = s.qdoc AND de.doc_id = s.doc_id
+         |    AND de.chunk_idx = s.chunk_idx),
+         |top AS (
+         |  SELECT qdoc, doc_id,
+         |    row_number() OVER (PARTITION BY qdoc
+         |      ORDER BY rrf DESC, doc_id, chunk_idx) AS rk
+         |  FROM fused
+         |  QUALIFY rk <= $TopK),
+         |hits AS (
+         |  SELECT qdoc, CAST(sum(CASE WHEN doc_id = qdoc THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits
+         |  FROM top GROUP BY 1)
+         |SELECT q.doc_id, CAST(q.n_relevant AS BIGINT) AS n_relevant,
+         |  coalesce(h.n_hits, 0) AS n_hits,
+         |  CAST((coalesce(h.n_hits, 0) * 1000000) // q.n_relevant
+         |    AS BIGINT) AS recall_ppm
+         |FROM elig q LEFT JOIN hits h ON h.qdoc = q.doc_id
+         |ORDER BY doc_id""".stripMargin)
+}

@@ -67,6 +67,18 @@ object Chunking {
         size(col("ct")).cast("long").as("n_tokens"),
         md5(array_join(col("ct"), " ")).as("chunk_md5"))
 
+  /** Chunk rows WITH the token slice — the retrieval tier
+    * ([[ChunkRetrieval]]) needs chunk TERMS, not just identity.
+    * Same chunk rule, same constants; one extra column. */
+  private[operators] def chunkTokenRows(spark: SparkSession,
+      dir: String): DataFrame =
+    startsOf(Tables(spark, dir, "documents"))
+      .withColumn("ct", expr(s"slice(t, s + 1, $Chunk)"))
+      .select(col("doc_id"),
+        (col("s") / Stride).cast("long").as("chunk_idx"),
+        size(col("ct")).cast("long").as("n_tokens"),
+        col("ct"))
+
   /** The membership-level chunk index: every chunk's ordinal, token
     * offset, length and content hash. */
   def docChunksIndex(spark: SparkSession, dir: String): DataFrame =
@@ -241,7 +253,9 @@ object Chunking {
 
   /** Shared oracle prefix ending at ch(doc_id, source, chunk_idx,
     * start_tok, n_tokens, chunk_md5) — the identical start/slice rule. */
-  private val chunkCte: String =
+  // `ct` rides along for the retrieval tier's oracle ([[ChunkRetrieval]]);
+  // the store oracles below never select it.
+  private[operators] val chunkCte: String =
     s"""WITH toks AS (
        |  ${Shingles.duckToksWithSource}),
        |st AS (SELECT doc_id, source, len(t) AS n, t FROM toks
@@ -251,7 +265,8 @@ object Chunking {
        |    s AS start_tok,
        |    len(t[s + 1 : least(s + $Chunk, n)]) AS n_tokens,
        |    md5(array_to_string(t[s + 1 : least(s + $Chunk, n)], ' '))
-       |      AS chunk_md5
+       |      AS chunk_md5,
+       |    t[s + 1 : least(s + $Chunk, n)] AS ct
        |  FROM st, LATERAL unnest(
        |    generate_series(0, ((n - 1) // $Stride) * $Stride, $Stride))
        |      AS u(s)

@@ -223,12 +223,17 @@ object Curation {
       sum(col("w_fp")).as("sum_w"))
     avail.crossJoin(broadcast(totals))
       .withColumn("budget", expr("(3 * tot_avail) div 4"))
+      // `div` (IntegralDivide) truncates DECIMAL quotients exactly,
+      // matching the oracle's HUGEINT `//`; floor(DECIMAL `/`) does
+      // NOT — Spark decimal division rounds HALF_UP to result scale
+      // before the floor, so a fractional part within 5e-7 of 1 would
+      // floor one higher than the oracle (r10 advice).
       .withColumn("alloc_temp", expr(
-        "CAST(floor((CAST(budget AS DECIMAL(38,0)) * w_fp) / sum_w) AS BIGINT)"))
+        "CAST((CAST(budget AS DECIMAL(38,0)) * w_fp) div sum_w AS BIGINT)"))
       .withColumn("alloc_prop", expr(
-        "CAST(floor((CAST(budget AS DECIMAL(38,0)) * n_tokens_available) / tot_avail) AS BIGINT)"))
+        "CAST((CAST(budget AS DECIMAL(38,0)) * n_tokens_available) div tot_avail AS BIGINT)"))
       .withColumn("rate_ppm", expr(
-        "CAST(floor((CAST(alloc_temp AS DECIMAL(38,0)) * 1000000) / n_tokens_available) AS BIGINT)"))
+        "CAST((CAST(alloc_temp AS DECIMAL(38,0)) * 1000000) div n_tokens_available AS BIGINT)"))
       .select(col("source"), col("n_tokens_available"), col("w_fp"),
         col("alloc_temp"), col("alloc_prop"), col("rate_ppm"))
       .orderBy("source")
@@ -488,7 +493,55 @@ object Curation {
       .orderBy("pos")
   }
 
+  /** Per-source admission cap K (C4/RefinedWeb practice: no single
+    * domain may exceed a fixed share of the corpus). 10 leaves every
+    * sf0.01+ source over the cap (25+ docs) and every sf0.001 source
+    * under it — both branches exercised at every graded SF. */
+  private[graft] val CapK = 10
+
+  /** N-mix: PER-DOMAIN ADMISSION CAP — the frequency-cap rule of the
+    * C4 / RefinedWeb / FineWeb cleaning recipes (Raffel et al. 2020;
+    * Penedo et al. 2023): no source contributes more than [[CapK]]
+    * documents; the survivors are chosen by DETERMINISTIC HASH RANK
+    * (md5-hex prefix of doc_id, then doc_id — the [[hashSample]]
+    * uniform, so admission is unbiased and reproducible, never
+    * "first K by ingest order"). The graded report is the per-source
+    * admission account: docs and character mass kept vs dropped, and
+    * the kept share in ppm (integral division, exact).
+    *
+    * Conservation laws (spec-pinned): n_kept + n_dropped = n_docs;
+    * chars_kept + chars_dropped = chars_total; n_kept = min(n_docs,
+    * K); n_kept < K ⟹ n_dropped = 0.
+    *
+    * 100 TB shape: rank is a window over SOURCE partitions (domains ≪
+    * docs, groups sort-local); at scale the same admission set comes
+    * from a per-source TopK by hash (TakeOrdered per group — no full
+    * sort), because membership only needs rank ≤ K, not the rank
+    * itself; the report is ONE partial-agg shuffle at source
+    * granularity. Mass = the stored n_chars column — no tokenize pass. */
+  def sourceCapSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(substring(md5(col("doc_id").cast("string")), 1, 8),
+        col("doc_id"))
+    Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= CapK, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(col("rk") <= CapK, col("n_chars")).otherwise(0L))
+          .as("chars_kept"))
+      .selectExpr("source", "n_docs", "n_kept",
+        "n_docs - n_kept AS n_dropped", "chars_total", "chars_kept",
+        "chars_total - chars_kept AS chars_dropped",
+        "(n_kept * 1000000) div n_docs AS kept_share_ppm")
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_cap_sample" -> (sourceCapSample _),
     "doc_shuffle_order" -> (docShuffleOrder _),
     "source_mix_apportion" -> (sourceMixApportion _),
     "source_mix_sample" -> (sourceMixSample _),
@@ -575,6 +628,26 @@ object Curation {
          |FROM v
          |ORDER BY priority DESC, doc_id
          |LIMIT $PriorityK""".stripMargin,
+    "source_cap_sample" ->
+      s"""WITH r AS (
+         |  SELECT source, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+         |        doc_id) AS rk
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN rk <= $CapK THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(count(*) - sum(CASE WHEN rk <= $CapK THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dropped,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+         |  CAST(sum(CASE WHEN rk <= $CapK THEN n_chars ELSE 0 END)
+         |    AS BIGINT) AS chars_kept,
+         |  CAST(sum(n_chars) - sum(CASE WHEN rk <= $CapK THEN n_chars
+         |    ELSE 0 END) AS BIGINT) AS chars_dropped,
+         |  CAST((sum(CASE WHEN rk <= $CapK THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS BIGINT) AS kept_share_ppm
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "hash_sample" ->
       s"""SELECT source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN ${keepSql()} THEN 1 ELSE 0 END) AS BIGINT)

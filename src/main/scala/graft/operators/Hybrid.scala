@@ -163,13 +163,19 @@ object Hybrid {
         ScalarFns.roundN(expr("cosine_sim(e1, e2)"), 6).as("psim"))
     // tuple encoders resolve struct fields BY NAME (_1, _2, …) — alias
     // the collected structs and the top-level columns accordingly
+    // LEFT join + coalesce-to-empty: a query whose pool has a single
+    // candidate produces NO v1<v2 pair rows — an inner join would drop
+    // the query entirely while the unrolled oracle still emits its
+    // pick 1 from the qsim argmax (r10 advice).
     val grouped = top.groupBy(col("qid"))
       .agg(collect_list(struct(col("vec_id").as("_1"), col("qsim").as("_2")))
         .as("cands"))
       .join(pairs.groupBy(col("qid"))
         .agg(collect_list(struct(col("v1").as("_1"), col("v2").as("_2"),
           col("psim").as("_3"))).as("ps")),
-        Seq("qid"))
+        Seq("qid"), "left")
+      .withColumn("ps",
+        coalesce(col("ps"), typedLit(Seq.empty[(Long, Long, Double)])))
     grouped
       .select(col("qid").as("_1"), col("cands").as("_2"), col("ps").as("_3"))
       .as[(Long, Seq[(Long, Double)], Seq[(Long, Long, Double)])]

@@ -1,0 +1,309 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** LANGUAGE IDENTIFICATION — the one standard LLM-corpus stage the
+  * curation tier had not yet graded (CCNet/RefinedWeb/FineWeb all gate
+  * on a fastText-style langid before anything else): a hashed
+  * char-n-gram LINEAR scorer over `documents(text, lang)`, trained
+  * per-class on a deterministic split and graded as a confusion
+  * matrix + per-class F1 on the held-out slice.
+  *
+  * Model, exactly as fastText's classifier reduces for this feature
+  * set: features = hashed char-3-grams (B = 64 buckets, the
+  * [[Dsir]] hashed-feature discipline: b = u32(md5(gram)) % B); the
+  * per-class weight is the Laplace-smoothed class-conditional bucket
+  * frequency in ppm, `w_ppm(c,b) = ((cnt(c,b)+1)·10⁶) div
+  * (tot(c)+B)`; a doc's class score is the exact integer dot product
+  * `Σ_b tf(d,b)·w_ppm(c,b)` and the prediction is argmax (ties → lang
+  * asc). No logs, no softmax: logarithms are last-ulp divergent
+  * across engines (the [[Dsir]] substitution, stated not hidden), and
+  * argmax over the linear form is the graded contract. Split =
+  * md5-hex-prefix of doc_id < 'c0000000' (~75 % train), the
+  * [[Curation.hashSample]] convention — deterministic, join-free,
+  * leakage-safe at the document grain.
+  *
+  * Honesty note on THIS corpus: the synthetic `lang` label is not
+  * correlated with the synthetic token stream (per-lang word profiles
+  * differ only by sampling noise), so accuracy sits near chance — the
+  * graded fact is the exact confusion matrix of the pipeline STAGE,
+  * which is what the oracle can verify; on a real corpus the same plan
+  * carries the real signal.
+  *
+  * 100 TB shape: training is ONE map-side-combined (lang, bucket)
+  * aggregate into a 5×64-row frame; scoring joins that frame BROADCAST
+  * onto the per-doc bucket tf table (rows ≤ docs × min(B, grams)) and
+  * one (doc, lang) partial agg; the argmax is a window over 5-row doc
+  * groups. Score magnitude ≤ n_grams(d)·10⁶ — BIGINT-safe because doc
+  * length is platform-bounded, and the count side of the model is
+  * widened DECIMAL(38,0)/HUGEINT before its ×10⁶ (the share-ppm
+  * overflow lesson). No all-pairs, no driver-side math.
+  */
+object LangId {
+
+  /** Hashed feature buckets (the [[Dsir.Buckets]] discipline). */
+  private[graft] val Buckets = 64
+  /** Char n-gram width. */
+  private[graft] val N = 3
+  /** Train-split hex-prefix threshold (~75 % of md5 space). */
+  private[graft] val TrainHexThreshold = "c0000000"
+
+  private def isTrain = substring(md5(col("doc_id").cast("string")), 1, 8) <
+    lit(TrainHexThreshold)
+
+  /** (doc_id, lang, b) — one row per char-3-gram OCCURRENCE, plus the
+    * split flag. */
+  private def features(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.CharGrams.register(spark)
+    Tables(spark, dir, "documents")
+      .filter(length(col("text")) >= N)
+      .select(col("doc_id"), col("lang"), isTrain.as("train"),
+        expr(s"char_grams(text, $N)").as("g"))
+      .withColumn("b", pmod(
+        expr("CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT)"),
+        lit(Buckets.toLong)))
+      .drop("g")
+  }
+
+  /** Spine-complete weights from a (lang, b, c) COUNTS frame — every
+    * class × every bucket, zero counts smoothed, totals derived from
+    * the counts themselves (Σ_b c ≡ the class's gram occurrences).
+    * Factored out so the maintained/erased variants can feed it
+    * algebraically-derived counts. */
+  private def weightsFrom(spark: SparkSession, dir: String,
+      cnt: DataFrame): DataFrame = {
+    val langs = Tables(spark, dir, "documents").select(col("lang")).distinct()
+    val spine = langs.crossJoin(
+      spark.range(1).select(
+        explode(sequence(lit(0L), lit((Buckets - 1).toLong))).as("b")))
+    val tot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
+    spine.join(cnt, Seq("lang", "b"), "left")
+      .select(col("lang"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+      .join(tot, Seq("lang"), "left")
+      .withColumn("tot", coalesce(col("tot"), lit(0L)))
+      .selectExpr("lang", "b", "c",
+        s"""CAST((CAST(c + 1 AS DECIMAL(38,0)) * 1000000)
+           |  DIV (tot + $Buckets) AS BIGINT) AS w_ppm""".stripMargin)
+  }
+
+  /** Raw (lang, b, c) counts over the TRAIN split of `docs`. */
+  private def trainCounts(spark: SparkSession, dir: String): DataFrame =
+    features(spark, dir).filter(col("train"))
+      .groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
+
+  /** The (lang × bucket) weight model over the TRAIN split. */
+  private[graft] def model(spark: SparkSession, dir: String): DataFrame =
+    weightsFrom(spark, dir, trainCounts(spark, dir))
+
+  /** The ingest class (md5 first nibble ∈ {0,1} — the
+    * [[IncrementalDedup]] incoming convention). */
+  private def isIngest = substring(md5(col("doc_id").cast("string")), 1, 1)
+    .isin("0", "1")
+
+  /** GRADED: MAINTAINED langid model — the maintenance-matrix row for
+    * the classifier tier: the model's sufficient statistics are PLAIN
+    * COUNTS, so day-2 training docs (the [[IncrementalDedup]] ingest
+    * class) maintain a stored model by COUNT ADDITION — no day-1
+    * re-tokenization, weights recomputed from the merged counts. The
+    * day-1 counts frame is barriered (localCheckpoint) to stand in for
+    * the stored artifact; the oracle trains from scratch over the full
+    * train split, so hash equality proves the addition algebra. */
+  def langidModelMaintained(spark: SparkSession, dir: String): DataFrame = {
+    val f = features(spark, dir).filter(col("train"))
+    val base = f.filter(!isIngest)
+      .groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // the "stored" day-1 model counts
+    val day2 = f.filter(isIngest)
+      .groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
+    val merged = base.unionByName(day2)
+      .groupBy(col("lang"), col("b")).agg(sum(col("c")).as("c"))
+    weightsFrom(spark, dir, merged).orderBy("lang", "b")
+  }
+
+  /** GRADED: ERASED langid model — the GDPR row, and the deliberate
+    * COUNTERPOINT to the sketch tier's rebuild-only law
+    * ([[KmvOps]] `kmv_users_erased_rebuild`): count models ARE
+    * subtractable, so erasure retires the erased docs' contributions
+    * by SUBTRACTION from the stored full counts — only the erased
+    * class (md5 nibble 'a', the [[IndexErasure]] id rule) is
+    * re-tokenized, never the survivors. The oracle REBUILDS from
+    * scratch over surviving train docs; hash equality proves
+    * subtraction ≡ rebuild — exactly the algebra KMV/HLL lack. */
+  def langidModelErased(spark: SparkSession, dir: String): DataFrame = {
+    val f = features(spark, dir).filter(col("train"))
+    val full = f.groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // the "stored" full model counts
+    val del = f.filter(IndexErasure.erased(col("doc_id")))
+      .groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c_del"))
+    val surv = full.join(del, Seq("lang", "b"), "left")
+      .select(col("lang"), col("b"),
+        (col("c") - coalesce(col("c_del"), lit(0L))).as("c"))
+    weightsFrom(spark, dir, surv).orderBy("lang", "b")
+  }
+
+  /** Held-out predictions (doc_id, lang_true, lang_pred) — S6-cached:
+    * the confusion matrix and the F1 board both read it, one
+    * tokenize+hash+score pass per (session, corpus). */
+  private def predictions(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|langid_pred|$dir",
+      ttlSeconds = 300)(predictionsUncached(spark, dir))
+
+  private def predictionsUncached(spark: SparkSession, dir: String): DataFrame = {
+    val tf = features(spark, dir).filter(!col("train"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumnRenamed("lang", "lang_true")
+    val scored = tf
+      .join(broadcast(model(spark, dir)
+        .select(col("lang").as("lang_pred"), col("b"), col("w_ppm"))),
+        Seq("b"))
+      .groupBy(col("doc_id"), col("lang_true"), col("lang_pred"))
+      .agg(sum(col("tf") * col("w_ppm")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang_pred"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang_true"), col("lang_pred"))
+  }
+
+  /** GRADED: the held-out confusion matrix — observed (true, pred)
+    * class pairs with counts; the standard langid acceptance artifact. */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame =
+    predictions(spark, dir)
+      .groupBy(col("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang_true", "lang_pred")
+
+  /** GRADED: per-class precision / recall / F1 off the SAME prediction
+    * frame (the [[Similarity]] kNN-F1 discipline): tp on the diagonal,
+    * fp down the predicted column, fn across the true row; ppm ratios
+    * by integral division, F1 = the integer harmonic of the two ppm
+    * figures, all zero-guarded identically in the oracle. */
+  def langidF1ByClass(spark: SparkSession, dir: String): DataFrame = {
+    val p = predictions(spark, dir)
+    val byTrue = p.groupBy(col("lang_true").as("lang"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("lang_pred") === col("lang_true"), 1L).otherwise(0L))
+          .as("tp"))
+    val byPred = p.groupBy(col("lang_pred").as("lang"))
+      .agg(count(lit(1)).as("n_pred"))
+    byTrue.join(byPred, Seq("lang"), "left")
+      .withColumn("n_pred", coalesce(col("n_pred"), lit(0L)))
+      .selectExpr("lang", "n_true", "n_pred", "tp",
+        "CASE WHEN n_pred = 0 THEN 0 ELSE (tp * 1000000) div n_pred END" +
+          " AS precision_ppm",
+        "(tp * 1000000) div n_true AS recall_ppm")
+      .selectExpr("lang", "n_true", "n_pred", "tp", "precision_ppm",
+        "recall_ppm",
+        """CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+          |  ELSE (2 * precision_ppm * recall_ppm)
+          |    div (precision_ppm + recall_ppm) END AS f1_ppm""".stripMargin)
+      .orderBy("lang")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "langid_confusion" -> (langidConfusion _),
+    "langid_f1_by_class" -> (langidF1ByClass _),
+    "langid_model_maintained" -> (langidModelMaintained _),
+    "langid_model_erased" -> (langidModelErased _))
+
+  /** DuckDB twin of the first-8-nibble u32 over hex column `h` (the
+    * [[Dsir]] polynomial). */
+  private val u32Poly: String = (1 to 8).map { j =>
+    val mult = 1L << (4 * (8 - j))
+    s"(instr('0123456789abcdef', substr(h, $j, 1)) - 1) * $mult"
+  }.mkString(" + ")
+
+  /** Oracle model chain over the train split, with an optional extra
+    * doc predicate (the erased variant trains on survivors only) —
+    * always a FROM-SCRATCH build, so the lifecycle grades prove the
+    * Spark side's count algebra, not engine parity. */
+  private def modelCteFor(surv: String): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, lang,
+       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+       |      < '$TrainHexThreshold' AS train,
+       |    md5(substr(text, i, $N)) AS h
+       |  FROM documents,
+       |    LATERAL unnest(generate_series(1, len(text) - ${N - 1}))
+       |      AS u(i)
+       |  WHERE len(text) >= $N),
+       |f AS (SELECT doc_id, lang, train, ($u32Poly) % $Buckets AS b
+       |  FROM g),
+       |langs AS (SELECT DISTINCT lang FROM documents),
+       |spine AS (SELECT l.lang, s.b FROM langs l,
+       |  LATERAL (SELECT unnest(generate_series(0, ${Buckets - 1})) AS b) s),
+       |cnt AS (SELECT lang, b, count(*) AS c FROM f
+       |  WHERE train AND ($surv) GROUP BY 1, 2),
+       |tot AS (SELECT lang, count(*) AS tot FROM f
+       |  WHERE train AND ($surv) GROUP BY 1),
+       |model AS (
+       |  SELECT s.lang, s.b, coalesce(c.c, 0) AS c,
+       |    CAST((CAST(coalesce(c.c, 0) + 1 AS HUGEINT) * 1000000)
+       |      // (coalesce(t.tot, 0) + $Buckets) AS BIGINT) AS w_ppm
+       |  FROM spine s
+       |  LEFT JOIN cnt c ON c.lang = s.lang AND c.b = s.b
+       |  LEFT JOIN tot t ON t.lang = s.lang)""".stripMargin
+
+  /** Shared oracle prefix ending at pred(doc_id, lang_true, lang_pred). */
+  private val predCte: String =
+    s"""${modelCteFor("TRUE")},
+       |tf AS (SELECT doc_id, lang AS lang_true, b,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM f WHERE NOT train GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.lang_true, m.lang AS lang_pred,
+       |    sum(tf.tf * m.w_ppm) AS score
+       |  FROM tf JOIN model m USING (b)
+       |  GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT doc_id, lang_true, lang_pred
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, lang_pred) AS rn FROM scored) x
+       |  WHERE rn = 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "langid_confusion" ->
+      s"""$predCte
+         |SELECT lang_true, lang_pred, count(*) AS n
+         |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "langid_f1_by_class" ->
+      s"""$predCte,
+         |bt AS (SELECT lang_true AS lang, CAST(count(*) AS BIGINT) AS n_true,
+         |    CAST(sum(CASE WHEN lang_pred = lang_true THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp
+         |  FROM pred GROUP BY 1),
+         |bp AS (SELECT lang_pred AS lang, CAST(count(*) AS BIGINT) AS n_pred
+         |  FROM pred GROUP BY 1),
+         |pr AS (
+         |  SELECT bt.lang, bt.n_true, coalesce(bp.n_pred, 0) AS n_pred,
+         |    bt.tp,
+         |    CASE WHEN coalesce(bp.n_pred, 0) = 0 THEN 0
+         |      ELSE (bt.tp * 1000000) // bp.n_pred END AS precision_ppm,
+         |    (bt.tp * 1000000) // bt.n_true AS recall_ppm
+         |  FROM bt LEFT JOIN bp ON bp.lang = bt.lang)
+         |SELECT lang, n_true, n_pred, tp, precision_ppm, recall_ppm,
+         |  CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+         |    ELSE (2 * precision_ppm * recall_ppm)
+         |      // (precision_ppm + recall_ppm) END AS f1_ppm
+         |FROM pr ORDER BY lang""".stripMargin,
+    // from-scratch one-shot train — proves the Spark side's day-1 +
+    // day-2 COUNT ADDITION maintenance algebra
+    "langid_model_maintained" ->
+      s"""${modelCteFor("TRUE")}
+         |SELECT lang, CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
+         |  w_ppm
+         |FROM model ORDER BY lang, b""".stripMargin,
+    // from-scratch rebuild over SURVIVORS — proves the Spark side's
+    // count SUBTRACTION erasure ≡ rebuild (the algebra sketches lack)
+    "langid_model_erased" ->
+      s"""${modelCteFor(
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'a'")}
+         |SELECT lang, CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
+         |  w_ppm
+         |FROM model ORDER BY lang, b""".stripMargin)
+}

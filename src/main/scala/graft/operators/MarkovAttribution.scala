@@ -73,8 +73,10 @@ object MarkovAttribution {
   /** The per-variant conversion-probability expression (ppm), shared
     * by both engines; `divOp` is `div` (Spark) or `//` (DuckDB).
     * `removed` = -1 for the full chain, else the channel index whose
-    * inbound transitions are cut. */
-  private def convPpmExpr(removed: Int, divOp: String): String = {
+    * inbound transitions are cut. Returns the (numerator, determinant)
+    * expression strings — the ONE shared generator both engines'
+    * quotients are composed from. */
+  private def convPpmParts(removed: Int): (String, String) = {
     def pcol(f: String, t: String) = s"p_${f}_$t"
     // M = 10⁶·I − P with column `removed` cut (inbound edges to the
     // removed channel are lost, rows NOT renormalized)
@@ -94,7 +96,25 @@ object MarkovAttribution {
     val terms = (0 to 3).collect {
       case j if j != removed => s"${pcol("st", Keys(j))} * (${detMj(j)})"
     } :+ s"${pcol("st", "conv")} * ($detM)"
-    s"(${terms.mkString(" + ")}) $divOp ($detM)"
+    ((s"(${terms.mkString(" + ")})"), s"($detM)")
+  }
+
+  /** The guarded quotient over ALREADY-NAMED num/det attributes —
+    * det(M) = 0 is reachable when a closed channel subset's floored
+    * rows sum to exactly 10⁶ (all mass cycling, no conv/null leak):
+    * Spark non-ANSI `div` would return NULL while DuckDB `//` raises —
+    * the engines would FAIL DIFFERENTLY instead of agreeing (r10
+    * advice). One wording, both engines; Spark applies it over a
+    * BARRIERED (num, det) frame because inlining the 24-term
+    * determinant twice per variant (once in the guard, once in the
+    * quotient) overflows Janino's 64 KB codegen method limit. */
+  private def guardedPpm(num: String, det: String, divOp: String): String =
+    s"(CASE WHEN $det = 0 THEN 0 ELSE $num $divOp $det END)"
+
+  /** Composed form for the oracle (DuckDB has no codegen limit). */
+  private def convPpmExpr(removed: Int, divOp: String): String = {
+    val (num, det) = convPpmParts(removed)
+    guardedPpm(num, det, divOp)
   }
 
   /** Shared generator for the transition-count conditional sums —
@@ -151,8 +171,11 @@ object MarkovAttribution {
     val pCols: Seq[Column] = Froms.flatMap { f =>
       val n = Tos.map(t => col(s"c_${f}_$t")).reduce(_ + _)
       Tos.filterNot(_ == "nl").map { t =>
+        // count cast to DECIMAL(38,0) BEFORE the ×10⁶ — `c * 1000000L`
+        // in BIGINT overflows at ~9.2e12 edge counts per cell, inside
+        // the 100 TB envelope (r10 advice); oracle mirrors in HUGEINT
         when(n === 0, lit(0L).cast("decimal(38,0)"))
-          .otherwise(expr(s"(c_${f}_$t * 1000000L) div " +
+          .otherwise(expr(s"(CAST(c_${f}_$t AS DECIMAL(38,0)) * 1000000) div " +
             s"(${Tos.map(t2 => s"c_${f}_$t2").mkString(" + ")})")
             .cast("decimal(38,0)"))
           .as(s"p_${f}_$t")
@@ -167,10 +190,21 @@ object MarkovAttribution {
     // figure on a cold session is dominated by ordinary Spark session
     // warmup, not by this plan.
     val p = cnt.select(pCols: _*).localCheckpoint(true)
-    val variants = p.select(
-      (expr(convPpmExpr(-1, "div")).as("p_full") +:
+    // SECOND barrier: name each variant's (numerator, determinant) as
+    // plain attributes before the guarded quotient references the
+    // determinant twice ([[guardedPpm]] — Janino limit). 1 row ×
+    // 10 columns; same localCheckpoint discipline as `p`.
+    val variantKeys = ("full", -1) +:
+      Keys.indices.map(i => (s"rm_${Keys(i)}", i))
+    val nd = p.select(variantKeys.flatMap { case (nm, idx) =>
+      val (num, det) = convPpmParts(idx)
+      Seq(expr(num).as(s"num_$nm"), expr(det).as(s"det_$nm"))
+    }: _*).localCheckpoint(true)
+    val variants = nd.select(
+      (expr(guardedPpm("num_full", "det_full", "div")).as("p_full") +:
         Keys.indices.map(i =>
-          expr(convPpmExpr(i, "div")).as(s"p_rm_${Keys(i)}"))): _*)
+          expr(guardedPpm(s"num_rm_${Keys(i)}", s"det_rm_${Keys(i)}", "div"))
+            .as(s"p_rm_${Keys(i)}"))): _*)
     val stacked = variants.select(expr(
       "stack(5, " +
         ("'full', p_full" +:
@@ -206,7 +240,8 @@ object MarkovAttribution {
       val nSum = Tos.map(t2 => s"c_${f}_$t2").mkString(" + ")
       Tos.filterNot(_ == "nl").map { t =>
         s"CAST(CASE WHEN ($nSum) = 0 THEN 0 " +
-          s"ELSE (c_${f}_$t * 1000000) // ($nSum) END AS HUGEINT) AS p_${f}_$t"
+          s"ELSE (CAST(c_${f}_$t AS HUGEINT) * 1000000) // ($nSum) END " +
+          s"AS HUGEINT) AS p_${f}_$t"
       }
     }.mkString(",\n    ")
     val varSels = ("full", -1) +: Channels.zipWithIndex

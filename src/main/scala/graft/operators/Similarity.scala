@@ -95,8 +95,15 @@ object Similarity {
     * for its persisted blocks, released by the TTL sweep like every
     * other cached result (round-2 advice: no session-lifetime leak). */
   def neardupPairs(spark: SparkSession, dir: String): DataFrame =
+    // TTL 600 (not the default 300): the pair table is KB-sized and its
+    // consumers span the bench board — `neardup_pairs` builds it and
+    // `lsh_recall_audit`/`source_overlap_matrix` read it ~200 s later
+    // at sf0.1; under a load-stretched board a 300 s TTL could expire
+    // between owner and reader, re-billing the build to the audit (the
+    // exact r10 attribution defect the bench-order pins fix).
     cachedWithPins(
-      s"${graft.sources.ResultCache.sessionId(spark)}|neardup_pairs|$dir")(
+      s"${graft.sources.ResultCache.sessionId(spark)}|neardup_pairs|$dir",
+      ttlSeconds = 600)(
       neardupPairsUncached(spark, dir, _))
 
   private def neardupPairsUncached(spark: SparkSession, dir: String,

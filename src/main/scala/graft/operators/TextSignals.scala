@@ -376,7 +376,48 @@ object TextSignals {
       .orderBy(col("prefix"), col("rank"))
   }
 
+  /** Low-diversity threshold (ppm) for the Simpson gate — probed at
+    * sf0.01: corpus diversity spans [0.78, 0.96], 5th percentile
+    * ≈ 0.906, so 0.9 flags a live ~4-5 % low-diversity tail. */
+  private[graft] val DiversityLowPpm = 900000L
+
+  /** N-text QUALITY SIGNAL: per-source TOKEN DIVERSITY via the
+    * GINI-SIMPSON index — the log-free diversity measure (Shannon
+    * entropy is the textbook choice, but ln is libm-divergent across
+    * engines; 1 − Σp² carries the same "repetitive template / spam"
+    * signal as an EXACT RATIONAL): per doc,
+    * `div_ppm = 10⁶ − (Σ cnt(term)²·10⁶) div n²`, all BIGINT (cnt ≤ n,
+    * doc length platform-bounded; the ×10⁶ widened DECIMAL(38,0)/
+    * HUGEINT for the 100 TB envelope). The per-source report is the
+    * curation gate's acceptance row: doc count, mean diversity
+    * (floored ppm), min, and how many docs fall under the
+    * [[DiversityLowPpm]] low-diversity line — the C4-style "remove
+    * boilerplate/repetitive pages" screen, graded.
+    *
+    * 100 TB: one token explode → (doc, term) partial-agg shuffle →
+    * per-doc fold → ONE source-granularity aggregate. No windows, no
+    * joins. */
+  def tokenDiversityBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("ss"))
+      .selectExpr("doc_id", "source",
+        """1000000L - CAST((CAST(ss AS DECIMAL(38,0)) * 1000000)
+          |  DIV (n * n) AS BIGINT) AS div_ppm""".stripMargin)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(sum(div_ppm) DIV count(*) AS BIGINT)")
+          .as("mean_div_ppm"),
+        min(col("div_ppm")).as("min_div_ppm"),
+        sum(when(col("div_ppm") < DiversityLowPpm, 1L).otherwise(0L))
+          .as("n_low_diversity"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_diversity_by_source" -> (tokenDiversityBySource _),
     "term_autocomplete" -> (termAutocomplete(_, _)),
     "bpe_merges_learned" -> (bpeMergesLearned _),
     "rep_signals" -> (repSignals _),
@@ -454,6 +495,23 @@ object TextSignals {
     val g3 = Shingles.duckExprN(3)
     val g2 = Shingles.duckExprN(2)
     Map(
+      "token_diversity_by_source" ->
+        s"""WITH c AS (
+           |  SELECT doc_id, source, term, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT doc_id, source, unnest(t) AS term
+           |        FROM (${Shingles.duckToksWithSource}) toks) u
+           |  GROUP BY 1, 2, 3),
+           |d AS (
+           |  SELECT doc_id, source,
+           |    1000000 - CAST((CAST(sum(c * c) AS HUGEINT) * 1000000)
+           |      // (sum(c) * sum(c)) AS BIGINT) AS div_ppm
+           |  FROM c GROUP BY 1, 2)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(div_ppm) // count(*) AS BIGINT) AS mean_div_ppm,
+           |  CAST(min(div_ppm) AS BIGINT) AS min_div_ppm,
+           |  CAST(sum(CASE WHEN div_ppm < $DiversityLowPpm THEN 1 ELSE 0
+           |    END) AS BIGINT) AS n_low_diversity
+           |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
       "term_autocomplete" ->
         s"""WITH terms AS (
            |  SELECT term, CAST(count(*) AS BIGINT) AS term_count

@@ -245,4 +245,36 @@ class CurationSpec extends SparkSpec {
       assert(byRaw.sameElements(byRaw.sorted), "qnorm not monotone")
     }
   }
+
+  test("source_cap_sample: conservation laws + hash-rank membership recompute") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables(spark, sf0001, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val k = graft.operators.Curation.CapK
+    val expected = docs.groupBy(_._2).toSeq.map { case (src, xs) =>
+      val kept = xs.sortBy { case (id, _, _) =>
+        (md5hex(id.toString).substring(0, 8), id) }.take(k)
+      val nKept = kept.length.toLong
+      (src, xs.length.toLong, nKept, xs.length.toLong - nKept,
+        xs.map(_._3).sum, kept.map(_._3).sum,
+        xs.map(_._3).sum - kept.map(_._3).sum,
+        nKept * 1000000L / xs.length)
+    }.sortBy(_._1)
+    val got = graft.operators.Curation.sourceCapSample(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    assert(got == expected)
+    // conservation laws on every row
+    got.foreach { case (_, n, nk, nd, ct, ck, cd, _) =>
+      assert(nk + nd == n && ck + cd == ct)
+      assert(nk == math.min(n, k.toLong))
+      assert(nk == k.toLong || nd == 0L, "under cap must drop nothing")
+    }
+  }
 }

@@ -155,4 +155,33 @@ class TextSignalsSpec extends SparkSpec {
         r.getLong(3), r.getLong(4))).toSeq
     assert(got == expected)
   }
+
+  test("token_diversity_by_source equals a from-scratch JVM fold") {
+    val rows = Tables(spark, sf0001, "documents")
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val perDoc = rows.flatMap { case (src, text) =>
+      val t = text.split(" ").filter(_.nonEmpty)
+      if (t.isEmpty) None
+      else {
+        val n = t.length.toLong
+        val ss = t.groupBy(identity).values
+          .map(g => g.length.toLong * g.length).sum
+        Some((src, 1000000L - ss * 1000000L / (n * n)))
+      }
+    }
+    val expected = perDoc.groupBy(_._1).toSeq.map { case (src, xs) =>
+      val divs = xs.map(_._2)
+      (src, divs.length.toLong, divs.sum / divs.length,
+        divs.min, divs.count(_ < 900000L).toLong)
+    }.sortBy(_._1)
+    val got = graft.operators.TextSignals.tokenDiversityBySource(
+        spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // the low-diversity screen is live somewhere in the corpus
+    assert(expected.map(_._5).sum > 0, "no low-diversity docs — vacuous")
+  }
 }

@@ -107,7 +107,9 @@ object PlanDump {
     "proximity_search", "ab_cuped_lift", "prefix_dup_groups",
     "ab_conversion_ztest",
     "langid_confusion", "langid_f1_by_class", "source_cap_sample",
-    "chunk_retrieval_recall")
+    "chunk_retrieval_recall", "langid_model_maintained",
+    "langid_model_erased", "langid_confusion_streamed",
+    "source_cap_maintained", "token_diversity_by_source")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

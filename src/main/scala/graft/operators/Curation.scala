@@ -540,8 +540,65 @@ object Curation {
       .orderBy("source")
   }
 
+  /** N-mix cap lifecycle: MAINTAINED per-domain cap — the HONEST
+    * maintenance row for hash-rank admission, and the deliberate
+    * contrast to [[Packing]]'s append-stable shards: rank-based
+    * membership is NOT append-stable. Day-2 docs (the
+    * [[IncrementalDedup]] ingest nibbles {0,1}) re-rank WITHIN their
+    * source against the stored day-1 admits, and a new doc whose hash
+    * ranks inside the top-K EVICTS a day-1 admit — silently keeping
+    * the day-1 list would bias admission toward early-crawled pages,
+    * exactly the bias the hash rank exists to remove. The graded
+    * report makes the churn first-class: per source, the day-1
+    * admission count, the final count, how many day-1 admits were
+    * evicted, and how many day-2 docs were admitted; conservation
+    * (final = day1 − evicted + day2) is spec-pinned. The day-1 admit
+    * list is barriered (localCheckpoint) as the stored artifact; the
+    * final membership is the ONE-SHOT rule over the union, so the
+    * oracle (from-scratch both memberships) proves the re-rank
+    * algebra. Scale shape: two source-partitioned rank windows (the
+    * [[sourceCapSample]] TopK-at-scale note applies to both) + one
+    * source-granularity anti-join fold. */
+  def sourceCapMaintained(spark: SparkSession, dir: String): DataFrame = {
+    val isIngest = substring(md5(col("doc_id").cast("string")), 1, 1)
+      .isin("0", "1")
+    val d = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"))
+    def admits(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(substring(md5(col("doc_id").cast("string")), 1, 8),
+          col("doc_id"))
+      df.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= CapK)
+        .select(col("source"), col("doc_id"))
+    }
+    val day1 = admits(d.filter(!isIngest)).localCheckpoint(true)
+    val fin = admits(d)
+    val day1N = day1.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_day1_admits"))
+    val finN = fin
+      .withColumn("ing", isIngest)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_final_admits"),
+        sum(when(col("ing"), 1L).otherwise(0L)).as("n_day2_admits"))
+    val evictedN = day1.join(fin, Seq("source", "doc_id"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_evicted"))
+    d.select(col("source")).distinct()
+      .join(day1N, Seq("source"), "left")
+      .join(finN, Seq("source"), "left")
+      .join(evictedN, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_day1_admits"), lit(0L)).as("n_day1_admits"),
+        coalesce(col("n_final_admits"), lit(0L)).as("n_final_admits"),
+        coalesce(col("n_evicted"), lit(0L)).as("n_evicted"),
+        coalesce(col("n_day2_admits"), lit(0L)).as("n_day2_admits"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_cap_sample" -> (sourceCapSample _),
+    "source_cap_maintained" -> (sourceCapMaintained _),
     "doc_shuffle_order" -> (docShuffleOrder _),
     "source_mix_apportion" -> (sourceMixApportion _),
     "source_mix_sample" -> (sourceMixSample _),
@@ -628,6 +685,49 @@ object Curation {
          |FROM v
          |ORDER BY priority DESC, doc_id
          |LIMIT $PriorityK""".stripMargin,
+    "source_cap_maintained" ->
+      s"""WITH ing AS (
+         |  SELECT source, doc_id,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+         |      AS is_ing
+         |  FROM documents),
+         |a1 AS (
+         |  SELECT source, doc_id FROM (
+         |    SELECT source, doc_id,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+         |          doc_id) AS rk
+         |    FROM ing WHERE NOT is_ing) x
+         |  WHERE rk <= $CapK),
+         |af AS (
+         |  SELECT source, doc_id, is_ing FROM (
+         |    SELECT source, doc_id, is_ing,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+         |          doc_id) AS rk
+         |    FROM ing) x
+         |  WHERE rk <= $CapK),
+         |d1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_day1_admits
+         |  FROM a1 GROUP BY 1),
+         |fn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_final_admits,
+         |    CAST(sum(CASE WHEN is_ing THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_day2_admits
+         |  FROM af GROUP BY 1),
+         |ev AS (SELECT a1.source, CAST(count(*) AS BIGINT) AS n_evicted
+         |  FROM a1 LEFT JOIN af
+         |    ON af.source = a1.source AND af.doc_id = a1.doc_id
+         |  WHERE af.doc_id IS NULL GROUP BY 1),
+         |spine AS (SELECT DISTINCT source FROM documents)
+         |SELECT s.source,
+         |  coalesce(d1.n_day1_admits, 0) AS n_day1_admits,
+         |  coalesce(fn.n_final_admits, 0) AS n_final_admits,
+         |  coalesce(ev.n_evicted, 0) AS n_evicted,
+         |  coalesce(fn.n_day2_admits, 0) AS n_day2_admits
+         |FROM spine s
+         |LEFT JOIN d1 ON d1.source = s.source
+         |LEFT JOIN fn ON fn.source = s.source
+         |LEFT JOIN ev ON ev.source = s.source
+         |ORDER BY s.source""".stripMargin,
     "source_cap_sample" ->
       s"""WITH r AS (
          |  SELECT source, doc_id, n_chars,

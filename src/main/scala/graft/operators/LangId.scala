@@ -54,10 +54,14 @@ object LangId {
     lit(TrainHexThreshold)
 
   /** (doc_id, lang, b) — one row per char-3-gram OCCURRENCE, plus the
-    * split flag. */
-  private def features(spark: SparkSession, dir: String): DataFrame = {
-    graft.plans.CharGrams.register(spark)
-    Tables(spark, dir, "documents")
+    * split flag; over an arbitrary docs frame (the streamed variant
+    * scores micro-batches through this same code path). */
+  private def featuresOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    // register on the FRAME's session, not the caller's: foreachBatch
+    // hands micro-batch frames bound to an isolated session clone, and
+    // `char_grams` must resolve there (LangIdSpec's streamed arm)
+    graft.plans.CharGrams.register(docs.sparkSession)
+    docs
       .filter(length(col("text")) >= N)
       .select(col("doc_id"), col("lang"), isTrain.as("train"),
         expr(s"char_grams(text, $N)").as("g"))
@@ -66,6 +70,17 @@ object LangId {
         lit(Buckets.toLong)))
       .drop("g")
   }
+
+  /** The corpus feature substrate, served from scratch parquet once
+    * per (JVM, corpus) — the [[graft.sources.GramStore]] "derive once,
+    * serve many" discipline: the model build, the held-out scoring,
+    * the maintained/erased count algebra and the streamed model freeze
+    * (five graded queries) all read this one column-pruned parquet
+    * instead of re-tokenizing `documents` each. */
+  private def features(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.GramStore.serve(spark, "lid3", dir) {
+      featuresOf(spark, Tables(spark, dir, "documents"))
+    }
 
   /** Spine-complete weights from a (lang, b, c) COUNTS frame — every
     * class × every bucket, zero counts smoothed, totals derived from
@@ -151,14 +166,19 @@ object LangId {
       s"${graft.sources.ResultCache.sessionId(spark)}|langid_pred|$dir",
       ttlSeconds = 300)(predictionsUncached(spark, dir))
 
-  private def predictionsUncached(spark: SparkSession, dir: String): DataFrame = {
-    val tf = features(spark, dir).filter(!col("train"))
+  /** Score an arbitrary docs frame against a model frame — the shared
+    * code path of the batch grade and the streamed micro-batches
+    * (scoring is STATELESS given the frozen model, so chopping the
+    * eval set cannot change any prediction). */
+  private def predictionsOf(spark: SparkSession, docs: DataFrame,
+      m: DataFrame): DataFrame = {
+    val tf = featuresOf(spark, docs).filter(!col("train"))
       .groupBy(col("doc_id"), col("lang"), col("b"))
       .agg(count(lit(1)).as("tf"))
       .withColumnRenamed("lang", "lang_true")
     val scored = tf
-      .join(broadcast(model(spark, dir)
-        .select(col("lang").as("lang_pred"), col("b"), col("w_ppm"))),
+      .join(broadcast(
+        m.select(col("lang").as("lang_pred"), col("b"), col("w_ppm"))),
         Seq("b"))
       .groupBy(col("doc_id"), col("lang_true"), col("lang_pred"))
       .agg(sum(col("tf") * col("w_ppm")).as("score"))
@@ -169,6 +189,9 @@ object LangId {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang_true"), col("lang_pred"))
   }
+
+  private def predictionsUncached(spark: SparkSession, dir: String): DataFrame =
+    predictionsOf(spark, Tables(spark, dir, "documents"), model(spark, dir))
 
   /** GRADED: the held-out confusion matrix — observed (true, pred)
     * class pairs with counts; the standard langid acceptance artifact. */
@@ -205,11 +228,72 @@ object LangId {
       .orderBy("lang")
   }
 
+  private val streamedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build (once per JVM, corpus) the streamed-inference artifact: the
+    * model trained ONCE on the train split and FROZEN to scratch
+    * parquet (the stored-model stand-in), then the eval docs replayed
+    * as a real 2-file stream (AvailableNow + foreachBatch,
+    * maxFilesPerTrigger=1) with each micro-batch scored against the
+    * frozen model through [[predictionsOf]] — the online-inference
+    * half of the langid lifecycle. Per-batch OVERWRITE dirs (the
+    * versioned-sink idempotency rule: a replayed batch rewrites its
+    * own dir, never appends duplicates). */
+  private[graft] def streamedPredsDir(spark: SparkSession,
+      dir: String): String =
+    streamedDirs.computeIfAbsent(dir, { _ =>
+      val root = graft.Tables.scratchDir("graft_langid_stream_")
+        .getAbsolutePath
+      val ckpt = graft.Tables.scratchDir("graft_langid_sckpt_")
+        .getAbsolutePath
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "2")
+      model(ss, dir).write.mode("overwrite").parquet(s"$root/model")
+      val evalDocs = Tables(ss, dir, "documents").filter(!isTrain)
+      val feed = graft.Tables.scratchDir("graft_langid_feed_")
+      Seq(0, 1).foreach { par =>
+        graft.Tables.writeFeedFile(
+          evalDocs.filter(pmod(col("doc_id"), lit(2)) === par),
+          feed, f"eval$par%03d.parquet", par)
+      }
+      val stream = ss.readStream
+        .schema(ss.read.parquet(feed.getAbsolutePath).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.getAbsolutePath)
+      val query = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            predictionsOf(ss, batch.toDF(),
+              ss.read.parquet(s"$root/model"))
+              .write.mode("overwrite").parquet(s"$root/preds/b$batchId")
+        }
+        .start()
+      query.awaitTermination()
+      root
+    })
+
+  /** GRADED: the STREAM-SCORED confusion matrix — batch oracle
+    * VERBATIM: scoring with a frozen model is stateless per doc, so
+    * the micro-batch chopping must be invisible, and the graded fact
+    * is that the online-inference plumbing (feed, trigger, per-batch
+    * sinks) preserves exactly the one-shot result. */
+  def langidConfusionStreamed(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${streamedPredsDir(spark, dir)}/preds/*")
+      .groupBy(col("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang_true", "lang_pred")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "langid_confusion" -> (langidConfusion _),
     "langid_f1_by_class" -> (langidF1ByClass _),
     "langid_model_maintained" -> (langidModelMaintained _),
-    "langid_model_erased" -> (langidModelErased _))
+    "langid_model_erased" -> (langidModelErased _),
+    "langid_confusion_streamed" -> (langidConfusionStreamed _))
 
   /** DuckDB twin of the first-8-nibble u32 over hex column `h` (the
     * [[Dsir]] polynomial). */
@@ -268,6 +352,12 @@ object LangId {
 
   val oracles: Map[String, String] = Map(
     "langid_confusion" ->
+      s"""$predCte
+         |SELECT lang_true, lang_pred, count(*) AS n
+         |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // stream-scored ≡ one-shot: batch oracle VERBATIM (stateless
+    // scoring with a frozen model — chopping must be invisible)
+    "langid_confusion_streamed" ->
       s"""$predCte
          |SELECT lang_true, lang_pred, count(*) AS n
          |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

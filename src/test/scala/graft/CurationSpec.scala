@@ -277,4 +277,38 @@ class CurationSpec extends SparkSpec {
       assert(nk == k.toLong || nd == 0L, "under cap must drop nothing")
     }
   }
+
+  test("source_cap_maintained: re-rank recompute, conservation, live evictions") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables(spark, sf0001, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val k = graft.operators.Curation.CapK
+    def ing(id: Long) = Set("0", "1")(md5hex(id.toString).substring(0, 1))
+    def admits(xs: Seq[(Long, String)]): Set[(String, Long)] =
+      xs.groupBy(_._2).toSeq.flatMap { case (src, ys) =>
+        ys.sortBy { case (id, _) => (md5hex(id.toString).substring(0, 8), id) }
+          .take(k).map(d => src -> d._1)
+      }.toSet
+    val day1 = admits(docs.filterNot(d => ing(d._1)).toSeq)
+    val fin = admits(docs.toSeq)
+    val expected = docs.map(_._2).distinct.sorted.map { src =>
+      val d1 = day1.count(_._1 == src).toLong
+      val fN = fin.count(_._1 == src).toLong
+      val ev = day1.count(a => a._1 == src && !fin(a)).toLong
+      val d2 = fin.count(a => a._1 == src && ing(a._2)).toLong
+      (src, d1, fN, ev, d2)
+    }.toSeq
+    val got = graft.operators.Curation.sourceCapMaintained(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // conservation: final = day1 − evicted + day2, on every row
+    got.foreach { case (_, d1, fN, ev, d2) => assert(fN == d1 - ev + d2) }
+    // the honest law is non-vacuous: hash-rank admission really churns
+    assert(got.map(_._4).sum > 0, "no evictions anywhere — vacuous")
+  }
 }

@@ -116,6 +116,20 @@ class LangIdSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("stream-scored confusion equals the one-shot matrix row for row, " +
+      "through real micro-batches") {
+    val batch = LangId.langidConfusion(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val streamed = LangId.langidConfusionStreamed(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+    // the replay really chopped: two per-batch sink generations exist
+    val root = LangId.streamedPredsDir(spark, sf0001)
+    val gens = new java.io.File(s"$root/preds").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(gens.sameElements(Array("b0", "b1")))
+  }
+
   test("the split is honest and the model spine is total") {
     // both splits non-empty at sf0.001 (the ~75/25 hex threshold)
     assert(docs.exists(_._3) && docs.exists(!_._3))

@@ -88,23 +88,33 @@ object ChunkRetrieval {
                  |              element_at(ct, i + 1)))""".stripMargin)
             .as("gs")))
 
-  /** GRADED: per-query recall@[[TopK]] of RRF-fused chunk retrieval
-    * against the sibling-chunk ground truth. */
-  def chunkRetrievalRecall(spark: SparkSession, dir: String): DataFrame = {
-    val ch = chunks(spark, dir)
-
-    // ---- query set: chunk 0 of the NQ lowest doc_ids with ≥ 2 chunks
+  /** The query frame: chunk 0 of the NQ lowest doc_ids with ≥ 2
+    * chunks, with the sibling ground-truth size. */
+  private def queryFrame(ch: DataFrame): DataFrame = {
     val eligible = ch.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"))
       .filter(col("n_chunks") >= 2)
       .orderBy(col("doc_id"))
       .limit(NQ)
-    val q = ch.filter(col("chunk_idx") === 0)
+    ch.filter(col("chunk_idx") === 0)
       .join(broadcast(eligible), Seq("doc_id"))
       .select(col("doc_id").as("qdoc"), col("gs").as("qgs"),
         (col("n_chunks") - 1).as("n_relevant"))
+  }
 
-    // ---- sparse tier: exact-rational BM25 in ppm
+  /** GRADED: per-query recall@[[TopK]] of RRF-fused chunk retrieval
+    * against the sibling-chunk ground truth. */
+  def chunkRetrievalRecall(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunks(spark, dir)
+    val q = queryFrame(ch)
+    val sparse = sparseRanks(ch, q)
+    // dense tier: hashed-BoW cosine (brute — every pair scored)
+    val dense = denseRanks(ch, q, None)
+    fuseAndGrade(sparse, dense, q)
+  }
+
+  /** Sparse tier: exact-rational BM25 ranks (shared by both variants). */
+  private def sparseRanks(ch: DataFrame, q: DataFrame): DataFrame = {
     val tf = ch.select(col("doc_id"), col("chunk_idx"), col("n_grams"),
         explode(col("gs")).as("term"))
       .groupBy(col("doc_id"), col("chunk_idx"), col("n_grams"), col("term"))
@@ -114,7 +124,7 @@ object ChunkRetrieval {
       sum(col("n_grams")).as("sumdl"))
     val qterms = q.select(col("qdoc"), explode(col("qgs")).as("term"))
       .distinct()
-    val sparse = qterms
+    qterms
       .join(tf, Seq("term"))
       .join(dfT.hint("broadcast"), Seq("term"))
       .crossJoin(broadcast(corpus))
@@ -133,8 +143,59 @@ object ChunkRetrieval {
         .cast("long"))
       .filter(col("rs") <= TierN)
       .select(col("qdoc"), col("doc_id"), col("chunk_idx"), col("rs"))
+  }
 
-    // ---- dense tier: hashed-BoW cosine
+  /** GRADED: the SCALE-PATH twin — the dense tier served from
+    * MinHash-BAND candidates instead of a brute all-pairs sweep (the
+    * [[Similarity]] LSH discipline at chunk granularity): each chunk
+    * carries 4 band minhashes over its bigram set (the md5 4-slice
+    * scheme; min() is duplicate-invariant so set-vs-stream is moot),
+    * candidates are pairs sharing ANY band value, and cosine is
+    * computed ONLY on candidates. Sparse tier, fusion rule and grading
+    * are IDENTICAL to [[chunkRetrievalRecall]], so the two graded rows
+    * differ exactly by the dense leg's candidate generation — the
+    * recall-vs-cost dial a 100 TB deployment turns, made measurable
+    * (the rp/pq recall-board discipline applied to the RAG tier). */
+  def chunkRetrievalRecallBanded(spark: SparkSession,
+      dir: String): DataFrame = {
+    val ch = chunks(spark, dir)
+    val q = queryFrame(ch)
+    val sparse = sparseRanks(ch, q)
+    val sigs = bandSigs(ch)
+    val qsigs = q.select(col("qdoc"), col("qgs"))
+      .join(sigs, col("qdoc") === col("doc_id") && col("chunk_idx") === 0)
+      .select(col("qdoc"), col("band"), col("m"))
+    val cand = qsigs.join(sigs, Seq("band", "m"))
+      .filter(!(col("doc_id") === col("qdoc") && col("chunk_idx") === 0))
+      .select(col("qdoc"), col("doc_id"), col("chunk_idx"))
+      .distinct()
+    val dense = denseRanks(ch, q, Some(cand))
+    fuseAndGrade(sparse, dense, q)
+  }
+
+  /** Per-chunk 4-band minhash rows (doc_id, chunk_idx, band, m) over
+    * the bigram multiset — the [[Similarity.signaturesFrom]] md5-slice
+    * scheme, unpivoted for the single-exchange band join. */
+  private def bandSigs(ch: DataFrame): DataFrame = {
+    val slices = (0 to 3).map(i =>
+      substring(md5(col("term")), 1 + 8 * i, 8).as(s"h$i"))
+    val mins = (0 to 3).map(i => min(col(s"h$i")).as(s"m$i"))
+    ch.select(col("doc_id"), col("chunk_idx"),
+        explode(col("gs")).as("term"))
+      .select(Seq(col("doc_id"), col("chunk_idx")) ++ slices: _*)
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), col("chunk_idx"),
+        explode(array((0 to 3).map(i =>
+          struct(lit(i).as("band"), col(s"m$i").as("m"))): _*)).as("bm"))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("bm.band").as("band"), col("bm.m").as("m"))
+  }
+
+  /** The dense cosine ranking; `candOpt` restricts scored pairs to a
+    * candidate set (the banded scale path) — None scores every pair. */
+  private def denseRanks(ch: DataFrame, q: DataFrame,
+      candOpt: Option[DataFrame]): DataFrame = {
     def vecOf(df0: DataFrame, docC: String, idxC: String,
         tokC: String): DataFrame =
       df0.select(col(docC), col(idxC), explode(col(tokC)).as("term"))
@@ -150,8 +211,15 @@ object ChunkRetrieval {
       .select(col("qdoc"), col("b"), col("v").as("qv"))
     val qnorm = qvec.groupBy(col("qdoc")).agg(sum(col("qv") * col("qv"))
       .as("qn2"))
-    val dense = qvec.join(cvec, Seq("b"))
+    val dots0 = qvec.join(cvec, Seq("b"))
       .filter(!(col("doc_id") === col("qdoc") && col("chunk_idx") === 0))
+    val dots = candOpt match {
+      case Some(cand) =>
+        dots0.join(cand.hint("broadcast"),
+          Seq("qdoc", "doc_id", "chunk_idx"), "left_semi")
+      case None => dots0
+    }
+    dots
       .groupBy(col("qdoc"), col("doc_id"), col("chunk_idx"))
       .agg(sum(col("qv") * col("v")).as("dot"))
       .join(broadcast(qnorm), Seq("qdoc"))
@@ -166,8 +234,11 @@ object ChunkRetrieval {
         .cast("long"))
       .filter(col("rd") <= TierN)
       .select(col("qdoc"), col("doc_id"), col("chunk_idx"), col("rd"))
+  }
 
-    // ---- RRF fusion + top-K (the Hybrid rule verbatim)
+  /** RRF fusion + top-K + sibling recall — shared by both variants. */
+  private def fuseAndGrade(sparse: DataFrame, dense: DataFrame,
+      q: DataFrame): DataFrame = {
     val fused = sparse.join(dense, Seq("qdoc", "doc_id", "chunk_idx"),
         "full_outer")
       .withColumn("rrf", ScalarFns.roundN(
@@ -179,8 +250,6 @@ object ChunkRetrieval {
         Window.partitionBy(col("qdoc"))
           .orderBy(col("rrf").desc, col("doc_id"), col("chunk_idx"))))
       .filter(col("rk") <= TopK)
-
-    // ---- recall@K against the sibling ground truth
     fused.groupBy(col("qdoc"))
       .agg(sum(when(col("doc_id") === col("qdoc"), 1L).otherwise(0L))
         .as("n_hits"))
@@ -193,7 +262,8 @@ object ChunkRetrieval {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "chunk_retrieval_recall" -> (chunkRetrievalRecall _))
+    "chunk_retrieval_recall" -> (chunkRetrievalRecall _),
+    "chunk_retrieval_recall_banded" -> (chunkRetrievalRecallBanded _))
 
   /** DuckDB twin of the first-8-nibble u32 over hex column `h`. */
   private val u32Poly: String = (1 to 8).map { j =>
@@ -201,120 +271,156 @@ object ChunkRetrieval {
     s"(instr('0123456789abcdef', substr(h, $j, 1)) - 1) * $mult"
   }.mkString(" + ")
 
+  /** Shared oracle prefix: chunking → bigrams → query set → sparse
+    * tier → vectors → dense dots (dense0 = every bucket-sharing pair,
+    * self excluded). Both variants build on this verbatim. */
+  private def retrievalPrefix: String =
+    s"""${Chunking.chunkCte},
+       |chu AS (
+       |  SELECT doc_id, chunk_idx,
+       |    CAST(len(ct) - 1 AS BIGINT) AS n_grams, ct
+       |  FROM ch WHERE len(ct) >= 2),
+       |cg AS (
+       |  SELECT doc_id, chunk_idx, n_grams,
+       |    ct[i] || ' ' || ct[i + 1] AS term
+       |  FROM chu, LATERAL unnest(generate_series(1, n_grams)) AS u(i)),
+       |elig AS (
+       |  SELECT doc_id, count(*) - 1 AS n_relevant
+       |  FROM chu GROUP BY 1 HAVING count(*) >= 2
+       |  ORDER BY doc_id LIMIT $NQ),
+       |tf AS (
+       |  SELECT doc_id, chunk_idx, n_grams, term,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM cg GROUP BY 1, 2, 3, 4),
+       |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM tf GROUP BY 1),
+       |corpus AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+       |    CAST(sum(n_grams) AS BIGINT) AS sumdl FROM chu),
+       |qterms AS (
+       |  SELECT DISTINCT e.doc_id AS qdoc, g.term
+       |  FROM elig e JOIN cg g
+       |    ON g.doc_id = e.doc_id AND g.chunk_idx = 0),
+       |sparse0 AS (
+       |  SELECT qt.qdoc, t.doc_id, t.chunk_idx,
+       |    sum(CAST((CAST(2 * (c.nn - d.df) + 1 AS HUGEINT) * 22
+       |        * t.tf * c.sumdl * 1000000)
+       |      // (CAST(2 * d.df + 1 AS HUGEINT)
+       |        * (10 * t.tf * c.sumdl + 3 * c.sumdl
+       |           + 9 * t.n_grams * c.nn)) AS BIGINT)) AS bm25_ppm
+       |  FROM qterms qt
+       |  JOIN tf t ON t.term = qt.term
+       |  JOIN dft d ON d.term = qt.term
+       |  CROSS JOIN corpus c
+       |  WHERE NOT (t.doc_id = qt.qdoc AND t.chunk_idx = 0)
+       |  GROUP BY 1, 2, 3),
+       |sparse AS (
+       |  SELECT qdoc, doc_id, chunk_idx,
+       |    CAST(row_number() OVER (PARTITION BY qdoc
+       |      ORDER BY bm25_ppm DESC, doc_id, chunk_idx) AS BIGINT) AS rs
+       |  FROM sparse0
+       |  QUALIFY rs <= $TierN),
+       |cvh AS (
+       |  SELECT doc_id, chunk_idx, md5(term) AS h FROM cg),
+       |cvec AS (
+       |  SELECT doc_id, chunk_idx, ($u32Poly) % $Buckets AS b,
+       |    CAST(count(*) AS BIGINT) AS v
+       |  FROM cvh GROUP BY 1, 2, 3),
+       |cnorm AS (SELECT doc_id, chunk_idx, sum(v * v) AS cn2
+       |  FROM cvec GROUP BY 1, 2),
+       |qvh AS (
+       |  SELECT e.doc_id AS qdoc, md5(g.term) AS h
+       |  FROM elig e JOIN cg g
+       |    ON g.doc_id = e.doc_id AND g.chunk_idx = 0),
+       |qvec AS (
+       |  SELECT qdoc, ($u32Poly) % $Buckets AS b,
+       |    CAST(count(*) AS BIGINT) AS qv
+       |  FROM qvh GROUP BY 1, 2),
+       |qnorm AS (SELECT qdoc, sum(qv * qv) AS qn2 FROM qvec GROUP BY 1),
+       |dense0 AS (
+       |  SELECT qv.qdoc, cv.doc_id, cv.chunk_idx,
+       |    sum(qv.qv * cv.v) AS dot
+       |  FROM qvec qv JOIN cvec cv ON cv.b = qv.b
+       |  WHERE NOT (cv.doc_id = qv.qdoc AND cv.chunk_idx = 0)
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Shared oracle tail from a `densed(qdoc, doc_id, chunk_idx, dot)`
+    * CTE: cosine + rank, RRF fusion, top-K, sibling recall. */
+  private def retrievalTail: String =
+    s"""dense1 AS (
+       |  SELECT d.qdoc, d.doc_id, d.chunk_idx,
+       |    ${ScalarFns.roundSql(
+          """CAST(d.dot AS DOUBLE)
+            |      / (sqrt(CAST(qn.qn2 AS DOUBLE))
+            |         * sqrt(CAST(cn.cn2 AS DOUBLE)))""".stripMargin,
+          6)} AS cos
+       |  FROM densed d
+       |  JOIN qnorm qn ON qn.qdoc = d.qdoc
+       |  JOIN cnorm cn ON cn.doc_id = d.doc_id
+       |    AND cn.chunk_idx = d.chunk_idx),
+       |dense AS (
+       |  SELECT qdoc, doc_id, chunk_idx,
+       |    CAST(row_number() OVER (PARTITION BY qdoc
+       |      ORDER BY cos DESC, doc_id, chunk_idx) AS BIGINT) AS rd
+       |  FROM dense1
+       |  QUALIFY rd <= $TierN),
+       |fused AS (
+       |  SELECT coalesce(s.qdoc, de.qdoc) AS qdoc,
+       |    coalesce(s.doc_id, de.doc_id) AS doc_id,
+       |    coalesce(s.chunk_idx, de.chunk_idx) AS chunk_idx,
+       |    ${ScalarFns.roundSql(
+          """CASE WHEN s.rs IS NOT NULL
+            |      THEN 1.0 / ($RRFK + s.rs) ELSE 0.0 END
+            |    + CASE WHEN de.rd IS NOT NULL
+            |      THEN 1.0 / ($RRFK + de.rd) ELSE 0.0 END""".stripMargin
+            .replace("$RRFK", RrfK.toString), 6)} AS rrf
+       |  FROM sparse s
+       |  FULL OUTER JOIN dense de
+       |    ON de.qdoc = s.qdoc AND de.doc_id = s.doc_id
+       |    AND de.chunk_idx = s.chunk_idx),
+       |top AS (
+       |  SELECT qdoc, doc_id,
+       |    row_number() OVER (PARTITION BY qdoc
+       |      ORDER BY rrf DESC, doc_id, chunk_idx) AS rk
+       |  FROM fused
+       |  QUALIFY rk <= $TopK),
+       |hits AS (
+       |  SELECT qdoc, CAST(sum(CASE WHEN doc_id = qdoc THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hits
+       |  FROM top GROUP BY 1)
+       |SELECT q.doc_id, CAST(q.n_relevant AS BIGINT) AS n_relevant,
+       |  coalesce(h.n_hits, 0) AS n_hits,
+       |  CAST((coalesce(h.n_hits, 0) * 1000000) // q.n_relevant
+       |    AS BIGINT) AS recall_ppm
+       |FROM elig q LEFT JOIN hits h ON h.qdoc = q.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "chunk_retrieval_recall" ->
-      s"""${Chunking.chunkCte},
-         |chu AS (
-         |  SELECT doc_id, chunk_idx,
-         |    CAST(len(ct) - 1 AS BIGINT) AS n_grams, ct
-         |  FROM ch WHERE len(ct) >= 2),
-         |cg AS (
-         |  SELECT doc_id, chunk_idx, n_grams,
-         |    ct[i] || ' ' || ct[i + 1] AS term
-         |  FROM chu, LATERAL unnest(generate_series(1, n_grams)) AS u(i)),
-         |elig AS (
-         |  SELECT doc_id, count(*) - 1 AS n_relevant
-         |  FROM chu GROUP BY 1 HAVING count(*) >= 2
-         |  ORDER BY doc_id LIMIT $NQ),
-         |tf AS (
-         |  SELECT doc_id, chunk_idx, n_grams, term,
-         |    CAST(count(*) AS BIGINT) AS tf
-         |  FROM cg GROUP BY 1, 2, 3, 4),
-         |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-         |  FROM tf GROUP BY 1),
-         |corpus AS (SELECT CAST(count(*) AS BIGINT) AS nn,
-         |    CAST(sum(n_grams) AS BIGINT) AS sumdl FROM chu),
-         |qterms AS (
-         |  SELECT DISTINCT e.doc_id AS qdoc, g.term
-         |  FROM elig e JOIN cg g
-         |    ON g.doc_id = e.doc_id AND g.chunk_idx = 0),
-         |sparse0 AS (
-         |  SELECT qt.qdoc, t.doc_id, t.chunk_idx,
-         |    sum(CAST((CAST(2 * (c.nn - d.df) + 1 AS HUGEINT) * 22
-         |        * t.tf * c.sumdl * 1000000)
-         |      // (CAST(2 * d.df + 1 AS HUGEINT)
-         |        * (10 * t.tf * c.sumdl + 3 * c.sumdl
-         |           + 9 * t.n_grams * c.nn)) AS BIGINT)) AS bm25_ppm
-         |  FROM qterms qt
-         |  JOIN tf t ON t.term = qt.term
-         |  JOIN dft d ON d.term = qt.term
-         |  CROSS JOIN corpus c
-         |  WHERE NOT (t.doc_id = qt.qdoc AND t.chunk_idx = 0)
+      s"""$retrievalPrefix,
+         |densed AS (SELECT * FROM dense0),
+         |$retrievalTail""".stripMargin,
+    // banded: the dense dots restricted to MinHash-band candidates —
+    // everything else (sparse tier, fusion, grading) verbatim
+    "chunk_retrieval_recall_banded" ->
+      s"""$retrievalPrefix,
+         |sigs AS (
+         |  SELECT doc_id, chunk_idx, band,
+         |    min(substr(md5(term), 1 + band * 8, 8)) AS m
+         |  FROM cg, (SELECT unnest([0, 1, 2, 3]) AS band) bands
          |  GROUP BY 1, 2, 3),
-         |sparse AS (
-         |  SELECT qdoc, doc_id, chunk_idx,
-         |    CAST(row_number() OVER (PARTITION BY qdoc
-         |      ORDER BY bm25_ppm DESC, doc_id, chunk_idx) AS BIGINT) AS rs
-         |  FROM sparse0
-         |  QUALIFY rs <= $TierN),
-         |cvh AS (
-         |  SELECT doc_id, chunk_idx, md5(term) AS h FROM cg),
-         |cvec AS (
-         |  SELECT doc_id, chunk_idx, ($u32Poly) % $Buckets AS b,
-         |    CAST(count(*) AS BIGINT) AS v
-         |  FROM cvh GROUP BY 1, 2, 3),
-         |cnorm AS (SELECT doc_id, chunk_idx, sum(v * v) AS cn2
-         |  FROM cvec GROUP BY 1, 2),
-         |qvh AS (
-         |  SELECT e.doc_id AS qdoc, md5(g.term) AS h
-         |  FROM elig e JOIN cg g
-         |    ON g.doc_id = e.doc_id AND g.chunk_idx = 0),
-         |qvec AS (
-         |  SELECT qdoc, ($u32Poly) % $Buckets AS b,
-         |    CAST(count(*) AS BIGINT) AS qv
-         |  FROM qvh GROUP BY 1, 2),
-         |qnorm AS (SELECT qdoc, sum(qv * qv) AS qn2 FROM qvec GROUP BY 1),
-         |dense0 AS (
-         |  SELECT qv.qdoc, cv.doc_id, cv.chunk_idx,
-         |    sum(qv.qv * cv.v) AS dot
-         |  FROM qvec qv JOIN cvec cv ON cv.b = qv.b
-         |  WHERE NOT (cv.doc_id = qv.qdoc AND cv.chunk_idx = 0)
-         |  GROUP BY 1, 2, 3),
-         |dense1 AS (
-         |  SELECT d.qdoc, d.doc_id, d.chunk_idx,
-         |    ${ScalarFns.roundSql(
-              """CAST(d.dot AS DOUBLE)
-                |      / (sqrt(CAST(qn.qn2 AS DOUBLE))
-                |         * sqrt(CAST(cn.cn2 AS DOUBLE)))""".stripMargin,
-              6)} AS cos
+         |qs AS (
+         |  SELECT e.doc_id AS qdoc, s.band, s.m
+         |  FROM elig e JOIN sigs s
+         |    ON s.doc_id = e.doc_id AND s.chunk_idx = 0),
+         |cand AS (
+         |  SELECT DISTINCT q.qdoc, s.doc_id, s.chunk_idx
+         |  FROM qs q JOIN sigs s ON s.band = q.band AND s.m = q.m
+         |  WHERE NOT (s.doc_id = q.qdoc AND s.chunk_idx = 0)),
+         |densed AS (
+         |  SELECT d.qdoc, d.doc_id, d.chunk_idx, d.dot
          |  FROM dense0 d
-         |  JOIN qnorm qn ON qn.qdoc = d.qdoc
-         |  JOIN cnorm cn ON cn.doc_id = d.doc_id
-         |    AND cn.chunk_idx = d.chunk_idx),
-         |dense AS (
-         |  SELECT qdoc, doc_id, chunk_idx,
-         |    CAST(row_number() OVER (PARTITION BY qdoc
-         |      ORDER BY cos DESC, doc_id, chunk_idx) AS BIGINT) AS rd
-         |  FROM dense1
-         |  QUALIFY rd <= $TierN),
-         |fused AS (
-         |  SELECT coalesce(s.qdoc, de.qdoc) AS qdoc,
-         |    coalesce(s.doc_id, de.doc_id) AS doc_id,
-         |    coalesce(s.chunk_idx, de.chunk_idx) AS chunk_idx,
-         |    ${ScalarFns.roundSql(
-              """CASE WHEN s.rs IS NOT NULL
-                |      THEN 1.0 / ($RRFK + s.rs) ELSE 0.0 END
-                |    + CASE WHEN de.rd IS NOT NULL
-                |      THEN 1.0 / ($RRFK + de.rd) ELSE 0.0 END""".stripMargin
-                .replace("$RRFK", RrfK.toString), 6)} AS rrf
-         |  FROM sparse s
-         |  FULL OUTER JOIN dense de
-         |    ON de.qdoc = s.qdoc AND de.doc_id = s.doc_id
-         |    AND de.chunk_idx = s.chunk_idx),
-         |top AS (
-         |  SELECT qdoc, doc_id,
-         |    row_number() OVER (PARTITION BY qdoc
-         |      ORDER BY rrf DESC, doc_id, chunk_idx) AS rk
-         |  FROM fused
-         |  QUALIFY rk <= $TopK),
-         |hits AS (
-         |  SELECT qdoc, CAST(sum(CASE WHEN doc_id = qdoc THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_hits
-         |  FROM top GROUP BY 1)
-         |SELECT q.doc_id, CAST(q.n_relevant AS BIGINT) AS n_relevant,
-         |  coalesce(h.n_hits, 0) AS n_hits,
-         |  CAST((coalesce(h.n_hits, 0) * 1000000) // q.n_relevant
-         |    AS BIGINT) AS recall_ppm
-         |FROM elig q LEFT JOIN hits h ON h.qdoc = q.doc_id
-         |ORDER BY doc_id""".stripMargin)
+         |  JOIN cand c ON c.qdoc = d.qdoc AND c.doc_id = d.doc_id
+         |    AND c.chunk_idx = d.chunk_idx),
+         |$retrievalTail""".stripMargin)
+
 }

@@ -38,7 +38,15 @@ class ChunkRetrievalSpec extends SparkSpec {
           }
       }
 
-  private lazy val expected: Seq[(Long, Long, Long, Long)] = {
+  private def bandsOf(grams: Seq[String]): Seq[(Int, String)] =
+    (0 to 3).map(i => i -> grams.map(g => md5hex(g).substring(8 * i, 8 * i + 8)).min)
+
+  private lazy val expected: Seq[(Long, Long, Long, Long)] =
+    pipeline(banded = false)
+  private lazy val expectedBanded: Seq[(Long, Long, Long, Long)] =
+    pipeline(banded = true)
+
+  private def pipeline(banded: Boolean): Seq[(Long, Long, Long, Long)] = {
     val nn = chunks.length.toLong
     val sumdl = chunks.map(_.grams.length.toLong).sum
     val tf: Map[(Long, Long, String), Long] = chunks.flatMap(c =>
@@ -70,10 +78,15 @@ class ChunkRetrievalSpec extends SparkSpec {
         if (s.isEmpty) None else Some((c.doc, c.idx, s.sum))
       }.sortBy { case (d, i, s) => (-s, d, i) }.take(50)
         .zipWithIndex.map { case ((d, i, _), r) => (d, i) -> (r + 1L) }.toMap
-      // dense: hashed-BoW cosine, 6-dp floor-rounded
+      // dense: hashed-BoW cosine, 6-dp floor-rounded; the banded arm
+      // scores only candidates sharing a band minhash with the query
+      val qbands = bandsOf(q.grams).toSet
+      val denseCands =
+        if (!banded) cands
+        else cands.filter(c => bandsOf(c.grams).exists(qbands))
       val qv = vec(q.grams)
       val qn2 = qv.values.map(v => v * v).sum
-      val dense = cands.flatMap { c =>
+      val dense = denseCands.flatMap { c =>
         val cv = vec(c.grams)
         val dot = qv.map { case (b, v) => v * cv.getOrElse(b, 0L) }.sum
         if (dot == 0L) None
@@ -101,6 +114,27 @@ class ChunkRetrievalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
     assert(got == expected)
+  }
+
+  test("banded variant equals a from-scratch JVM pipeline whose dense " +
+      "candidates share a band minhash, and banding really prunes") {
+    val got = ChunkRetrieval.chunkRetrievalRecallBanded(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expectedBanded)
+    // banding is a real restriction somewhere: at least one query's
+    // candidate set shrinks (else the scale-path grade is vacuous)
+    val qdocs = chunks.groupBy(_.doc).filter(_._2.size >= 2)
+      .keys.toSeq.sorted.take(ChunkRetrieval.NQ)
+    val byChunk = chunks.map(c => (c.doc, c.idx) -> c).toMap
+    val pruned = qdocs.exists { qd =>
+      val q = byChunk((qd, 0L))
+      val qbands = bandsOf(q.grams).toSet
+      chunks.exists(c => !(c.doc == qd && c.idx == 0L) &&
+        !bandsOf(c.grams).exists(qbands))
+    }
+    assert(pruned, "band candidates = all pairs everywhere — vacuous")
   }
 
   test("ground truth is non-vacuous and self-exclusion holds") {

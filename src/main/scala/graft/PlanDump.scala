@@ -109,7 +109,8 @@ object PlanDump {
     "langid_confusion", "langid_f1_by_class", "source_cap_sample",
     "chunk_retrieval_recall", "langid_model_maintained",
     "langid_model_erased", "langid_confusion_streamed",
-    "source_cap_maintained", "token_diversity_by_source")
+    "source_cap_maintained", "token_diversity_by_source",
+    "chunk_retrieval_recall_banded")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

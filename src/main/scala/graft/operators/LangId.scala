@@ -170,7 +170,7 @@ object LangId {
     * code path of the batch grade and the streamed micro-batches
     * (scoring is STATELESS given the frozen model, so chopping the
     * eval set cannot change any prediction). */
-  private def predictionsOf(spark: SparkSession, docs: DataFrame,
+  private[graft] def predictionsOf(spark: SparkSession, docs: DataFrame,
       m: DataFrame): DataFrame = {
     val tf = featuresOf(spark, docs).filter(!col("train"))
       .groupBy(col("doc_id"), col("lang"), col("b"))

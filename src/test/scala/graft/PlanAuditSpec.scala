@@ -340,4 +340,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(mc.exists(_.contains("xxhash64(l_orderkey")), mc.mkString("; "))
     assert(!mc.exists(_.contains("xxhash64(o_orderkey")), mc.mkString("; "))
   }
+
+  test("langid scoring: the 5×64-row model joins BROADCAST onto the " +
+      "per-doc bucket tf table (the corpus side never shuffles for it)") {
+    // audit the SCORING plan itself — the graded confusion query reads
+    // the S6-cached prediction frame, whose served plan is deliberately
+    // truncated to a LogicalRDD leaf (the r4 re-analysis fix), so the
+    // join is invisible from the cached consumer's executedPlan
+    val plan = graft.operators.LangId.predictionsOf(spark,
+        Tables(spark, sf0001, "documents"),
+        graft.operators.LangId.model(spark, sf0001))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("source_cap rank windows partition by SOURCE — never an " +
+      "unpartitioned (single-partition) window") {
+    for (q <- Seq("source_cap_sample", "source_cap_maintained")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      val specs = plan.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(specs.nonEmpty, s"$q: no window in plan?\n$plan")
+      assert(specs.forall(_.contains("source")),
+        s"$q: a window is not source-partitioned: ${specs.mkString("; ")}")
+    }
+  }
+
+  test("banded chunk retrieval: the candidate restriction is a " +
+      "broadcast semi-join, never a shuffle of the dot table") {
+    val plan = SparkEntry.queries("chunk_retrieval_recall_banded")(
+        spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+  }
 }

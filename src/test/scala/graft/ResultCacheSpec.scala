@@ -116,8 +116,9 @@ class ResultCacheSpec extends SparkSpec {
     frames.foreach { case (n, df) =>
       assert(pinned(df), s"$n should be pinned while fresh") }
     // expire everything PAST the release grace, then trigger the sweep
-    // with an unrelated lookup (TTL 300 s + grace 120 s < 421 s)
-    now += 421 * 1000
+    // with an unrelated lookup (the pair table's board-span TTL is
+    // 600 s — the longest graft-owned TTL — + grace 120 s < 721 s)
+    now += 721 * 1000
     ResultCache.getOrCompute("unrelated", 300)(Seq(1).toDF("x"))
     frames.foreach { case (n, df) =>
       assert(!pinned(df),

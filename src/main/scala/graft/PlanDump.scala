@@ -110,7 +110,8 @@ object PlanDump {
     "chunk_retrieval_recall", "langid_model_maintained",
     "langid_model_erased", "langid_confusion_streamed",
     "source_cap_maintained", "token_diversity_by_source",
-    "chunk_retrieval_recall_banded")
+    "chunk_retrieval_recall_banded", "chunk_retrieval_ndcg",
+    "langid_mix_by_source")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

@@ -173,6 +173,43 @@ object ChunkRetrieval {
     fuseAndGrade(sparse, dense, q)
   }
 
+  /** GRADED: nDCG@[[TopK]] of the fused (brute-dense) ranking — the
+    * ORDER-sensitive companion to the recall row (the [[Similarity]]
+    * `pq_ndcg` discipline applied to the RAG tier): binary relevance =
+    * sibling chunk, discount 1/log₂(i+1) via the SAME driver-side
+    * integer weight table ([[Similarity.DcgWeights]] — log evaluated
+    * once on the driver, interpolated into BOTH engines' expressions,
+    * so the whole grade is integer arithmetic over shared constants).
+    * IDCG is query-dependent — the ideal list front-loads all
+    * min(n_relevant, K) siblings — so its prefix sums are interpolated
+    * as a CASE over least(n_relevant, K); ndcg_ppm = DCG·10⁶ div IDCG.
+    * Rides the same tiers and fusion as the recall row; the whole
+    * grade is one fold over the 16×10-row fused list. */
+  def chunkRetrievalNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunks(spark, dir)
+    val q = queryFrame(ch)
+    val fused = fusedTop(sparseRanks(ch, q), denseRanks(ch, q, None))
+    val weightCase = Similarity.DcgWeights.zipWithIndex
+      .map { case (wt, i) => s"WHEN ${i + 1} THEN ${wt}L" }
+      .mkString("CASE rk ", " ", " ELSE 0L END")
+    val idcgPrefix = Similarity.DcgWeights.scanLeft(0L)(_ + _).tail
+    val idcgCase = idcgPrefix.zipWithIndex
+      .map { case (c, i) => s"WHEN ${i + 1} THEN ${c}L" }
+      .mkString(s"CASE least(n_relevant, $TopK) ", " ", " ELSE 0L END")
+    val dcg = fused
+      .withColumn("gain",
+        when(col("doc_id") === col("qdoc"), expr(weightCase))
+          .otherwise(lit(0L)))
+      .groupBy(col("qdoc")).agg(sum(col("gain")).as("dcg"))
+    q.select(col("qdoc"), col("n_relevant"))
+      .join(dcg, Seq("qdoc"), "left")
+      .select(col("qdoc").as("doc_id"), col("n_relevant"),
+        coalesce(col("dcg"), lit(0L)).as("dcg_scaled"))
+      .withColumn("ndcg_ppm", expr(
+        s"(dcg_scaled * 1000000L) div ($idcgCase)"))
+      .orderBy("doc_id")
+  }
+
   /** Per-chunk 4-band minhash rows (doc_id, chunk_idx, band, m) over
     * the bigram multiset — the [[Similarity.signaturesFrom]] md5-slice
     * scheme, unpivoted for the single-exchange band join. */
@@ -236,10 +273,10 @@ object ChunkRetrieval {
       .select(col("qdoc"), col("doc_id"), col("chunk_idx"), col("rd"))
   }
 
-  /** RRF fusion + top-K + sibling recall — shared by both variants. */
-  private def fuseAndGrade(sparse: DataFrame, dense: DataFrame,
-      q: DataFrame): DataFrame = {
-    val fused = sparse.join(dense, Seq("qdoc", "doc_id", "chunk_idx"),
+  /** The fused top-[[TopK]] list (qdoc, doc_id, chunk_idx, rk) — RRF
+    * rule verbatim from [[Hybrid]]; recall and nDCG both fold it. */
+  private def fusedTop(sparse: DataFrame, dense: DataFrame): DataFrame =
+    sparse.join(dense, Seq("qdoc", "doc_id", "chunk_idx"),
         "full_outer")
       .withColumn("rrf", ScalarFns.roundN(
         when(col("rs").isNotNull, lit(1.0) / (lit(RrfK) + col("rs")))
@@ -250,6 +287,11 @@ object ChunkRetrieval {
         Window.partitionBy(col("qdoc"))
           .orderBy(col("rrf").desc, col("doc_id"), col("chunk_idx"))))
       .filter(col("rk") <= TopK)
+
+  /** RRF fusion + top-K + sibling recall — shared by both variants. */
+  private def fuseAndGrade(sparse: DataFrame, dense: DataFrame,
+      q: DataFrame): DataFrame = {
+    val fused = fusedTop(sparse, dense)
     fused.groupBy(col("qdoc"))
       .agg(sum(when(col("doc_id") === col("qdoc"), 1L).otherwise(0L))
         .as("n_hits"))
@@ -263,7 +305,8 @@ object ChunkRetrieval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "chunk_retrieval_recall" -> (chunkRetrievalRecall _),
-    "chunk_retrieval_recall_banded" -> (chunkRetrievalRecallBanded _))
+    "chunk_retrieval_recall_banded" -> (chunkRetrievalRecallBanded _),
+    "chunk_retrieval_ndcg" -> (chunkRetrievalNdcg _))
 
   /** DuckDB twin of the first-8-nibble u32 over hex column `h`. */
   private val u32Poly: String = (1 to 8).map { j =>
@@ -343,9 +386,9 @@ object ChunkRetrieval {
        |  WHERE NOT (cv.doc_id = qv.qdoc AND cv.chunk_idx = 0)
        |  GROUP BY 1, 2, 3)""".stripMargin
 
-  /** Shared oracle tail from a `densed(qdoc, doc_id, chunk_idx, dot)`
-    * CTE: cosine + rank, RRF fusion, top-K, sibling recall. */
-  private def retrievalTail: String =
+  /** Shared oracle middle from a `densed(qdoc, doc_id, chunk_idx,
+    * dot)` CTE: cosine + rank, RRF fusion, top-K (ends at `top`). */
+  private def retrievalRankCtes: String =
     s"""dense1 AS (
        |  SELECT d.qdoc, d.doc_id, d.chunk_idx,
        |    ${ScalarFns.roundSql(
@@ -382,8 +425,11 @@ object ChunkRetrieval {
        |    row_number() OVER (PARTITION BY qdoc
        |      ORDER BY rrf DESC, doc_id, chunk_idx) AS rk
        |  FROM fused
-       |  QUALIFY rk <= $TopK),
-       |hits AS (
+       |  QUALIFY rk <= $TopK)""".stripMargin
+
+  /** The recall fold over `top` (both variants' final SELECT). */
+  private def recallTail: String =
+    s"""hits AS (
        |  SELECT qdoc, CAST(sum(CASE WHEN doc_id = qdoc THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_hits
        |  FROM top GROUP BY 1)
@@ -394,11 +440,41 @@ object ChunkRetrieval {
        |FROM elig q LEFT JOIN hits h ON h.qdoc = q.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** The nDCG fold over `top` — the pq_ndcg integer-weight discipline
+    * with the SAME driver-side constants as the Spark side. */
+  private def ndcgTail: String = {
+    val weightCase = Similarity.DcgWeights.zipWithIndex
+      .map { case (wt, i) => s"WHEN ${i + 1} THEN $wt" }
+      .mkString("CASE t.rk ", " ", " ELSE 0 END")
+    val idcgPrefix = Similarity.DcgWeights.scanLeft(0L)(_ + _).tail
+    val idcgCase = idcgPrefix.zipWithIndex
+      .map { case (c, i) => s"WHEN ${i + 1} THEN $c" }
+      .mkString(s"CASE least(q.n_relevant, $TopK) ", " ", " ELSE 0 END")
+    s"""dcg AS (
+       |  SELECT t.qdoc,
+       |    CAST(sum(CASE WHEN t.doc_id = t.qdoc
+       |      THEN $weightCase ELSE 0 END) AS BIGINT) AS dcg_scaled
+       |  FROM top t GROUP BY 1)
+       |SELECT q.doc_id, CAST(q.n_relevant AS BIGINT) AS n_relevant,
+       |  coalesce(d.dcg_scaled, 0) AS dcg_scaled,
+       |  CAST((coalesce(d.dcg_scaled, 0) * 1000000)
+       |    // ($idcgCase) AS BIGINT) AS ndcg_ppm
+       |FROM elig q LEFT JOIN dcg d ON d.qdoc = q.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "chunk_retrieval_recall" ->
       s"""$retrievalPrefix,
          |densed AS (SELECT * FROM dense0),
-         |$retrievalTail""".stripMargin,
+         |$retrievalRankCtes,
+         |$recallTail""".stripMargin,
+    // same tiers + fusion, ORDER-sensitive fold
+    "chunk_retrieval_ndcg" ->
+      s"""$retrievalPrefix,
+         |densed AS (SELECT * FROM dense0),
+         |$retrievalRankCtes,
+         |$ndcgTail""".stripMargin,
     // banded: the dense dots restricted to MinHash-band candidates —
     // everything else (sparse tier, fusion, grading) verbatim
     "chunk_retrieval_recall_banded" ->
@@ -421,6 +497,7 @@ object ChunkRetrieval {
          |  FROM dense0 d
          |  JOIN cand c ON c.qdoc = d.qdoc AND c.doc_id = d.doc_id
          |    AND c.chunk_idx = d.chunk_idx),
-         |$retrievalTail""".stripMargin)
+         |$retrievalRankCtes,
+         |$recallTail""".stripMargin)
 
 }

@@ -228,6 +228,20 @@ object LangId {
       .orderBy("lang")
   }
 
+  /** GRADED: predicted-language COMPOSITION per source — the artifact
+    * a CCNet-style pipeline actually ships (each crawl source's
+    * language mix drives per-language shard routing and the
+    * temperature-mixing weights downstream). Pure composition over the
+    * cached prediction frame + a doc-granularity provenance join —
+    * zero new scoring work. */
+  def langidMixBySource(spark: SparkSession, dir: String): DataFrame =
+    predictions(spark, dir)
+      .join(Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("source", "lang_pred")
+
   private val streamedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -293,7 +307,8 @@ object LangId {
     "langid_f1_by_class" -> (langidF1ByClass _),
     "langid_model_maintained" -> (langidModelMaintained _),
     "langid_model_erased" -> (langidModelErased _),
-    "langid_confusion_streamed" -> (langidConfusionStreamed _))
+    "langid_confusion_streamed" -> (langidConfusionStreamed _),
+    "langid_mix_by_source" -> (langidMixBySource _))
 
   /** DuckDB twin of the first-8-nibble u32 over hex column `h` (the
     * [[Dsir]] polynomial). */
@@ -355,6 +370,11 @@ object LangId {
       s"""$predCte
          |SELECT lang_true, lang_pred, count(*) AS n
          |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "langid_mix_by_source" ->
+      s"""$predCte
+         |SELECT d.source, p.lang_pred, count(*) AS n
+         |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // stream-scored ≡ one-shot: batch oracle VERBATIM (stateless
     // scoring with a frozen model — chopping must be invisible)
     "langid_confusion_streamed" ->

@@ -42,11 +42,28 @@ class ChunkRetrievalSpec extends SparkSpec {
     (0 to 3).map(i => i -> grams.map(g => md5hex(g).substring(8 * i, 8 * i + 8)).min)
 
   private lazy val expected: Seq[(Long, Long, Long, Long)] =
-    pipeline(banded = false)
+    fusedLists(banded = false).map { case (qd, nRel, fused) =>
+      val hits = fused.count(_._1 == qd).toLong
+      (qd, nRel, hits, hits * 1000000L / nRel)
+    }
   private lazy val expectedBanded: Seq[(Long, Long, Long, Long)] =
-    pipeline(banded = true)
+    fusedLists(banded = true).map { case (qd, nRel, fused) =>
+      val hits = fused.count(_._1 == qd).toLong
+      (qd, nRel, hits, hits * 1000000L / nRel)
+    }
+  private lazy val expectedNdcg: Seq[(Long, Long, Long, Long)] =
+    fusedLists(banded = false).map { case (qd, nRel, fused) =>
+      val w = graft.operators.Similarity.DcgWeights
+      val dcg = fused.zipWithIndex.collect {
+        case ((d, _, _), i) if d == qd => w(i)
+      }.sum
+      val idcg = w.take(math.min(nRel, 10L).toInt).sum
+      (qd, nRel, dcg, dcg * 1000000L / idcg)
+    }
 
-  private def pipeline(banded: Boolean): Seq[(Long, Long, Long, Long)] = {
+  /** Per query: (qdoc, n_relevant, fused top-10 in rank order). */
+  private def fusedLists(banded: Boolean)
+      : Seq[(Long, Long, Seq[(Long, Long, Double)])] = {
     val nn = chunks.length.toLong
     val sumdl = chunks.map(_.grams.length.toLong).sum
     val tf: Map[(Long, Long, String), Long] = chunks.flatMap(c =>
@@ -104,8 +121,7 @@ class ChunkRetrievalSpec extends SparkSpec {
           dense.get(k).map(r => 1.0 / (60.0 + r)).getOrElse(0.0))
         (k._1, k._2, rrf)
       }.sortBy { case (d, i, s) => (-s, d, i) }.take(ChunkRetrieval.TopK)
-      val hits = fused.count(_._1 == qd).toLong
-      (qd, nRel, hits, hits * 1000000L / nRel)
+      (qd, nRel, fused)
     }.sortBy(_._1)
   }
 
@@ -135,6 +151,19 @@ class ChunkRetrievalSpec extends SparkSpec {
         !bandsOf(c.grams).exists(qbands))
     }
     assert(pruned, "band candidates = all pairs everywhere — vacuous")
+  }
+
+  test("chunk_retrieval_ndcg equals the from-scratch fold with the " +
+      "shared integer weight table") {
+    val got = ChunkRetrieval.chunkRetrievalNdcg(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expectedNdcg)
+    // order-sensitivity is live: some query's nDCG differs from its
+    // recall share (a pure set metric could not distinguish them)
+    val recallPpm = expected.map(x => x._1 -> x._4).toMap
+    assert(expectedNdcg.exists(x => x._4 != recallPpm(x._1)),
+      "nDCG ≡ recall everywhere — the order grade is vacuous")
   }
 
   test("ground truth is non-vacuous and self-exclusion holds") {

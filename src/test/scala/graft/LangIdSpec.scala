@@ -116,6 +116,20 @@ class LangIdSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("langid_mix_by_source equals the provenance fold of the predictions") {
+    val srcOf = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = expectedPred.toSeq
+      .map { case (id, (_, pred)) => (srcOf(id), pred) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((s0, p0), n) => (s0, p0, n) }
+      .sortBy(x => (x._1, x._2))
+    val got = LangId.langidMixBySource(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   test("stream-scored confusion equals the one-shot matrix row for row, " +
       "through real micro-batches") {
     val batch = LangId.langidConfusion(spark, sf0001).collect()

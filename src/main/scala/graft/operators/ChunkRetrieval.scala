@@ -107,11 +107,28 @@ object ChunkRetrieval {
   def chunkRetrievalRecall(spark: SparkSession, dir: String): DataFrame = {
     val ch = chunks(spark, dir)
     val q = queryFrame(ch)
-    val sparse = sparseRanks(ch, q)
-    // dense tier: hashed-BoW cosine (brute — every pair scored)
-    val dense = denseRanks(ch, q, None)
-    fuseAndGrade(sparse, dense, q)
+    fuseAndGrade(fusedBrute(spark, dir, ch, q), q)
   }
+
+  /** The brute-dense fused top list, S6-cached (NQ×TopK rows): recall
+    * and nDCG fold the IDENTICAL frame — one tier build serves both
+    * graded rows (alphabetical owner: `chunk_retrieval_ndcg`). */
+  private def fusedBrute(spark: SparkSession, dir: String,
+      ch: DataFrame, q: DataFrame): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|chunk_fused|$dir",
+      ttlSeconds = 300)(
+      fusedTop(sparseRanksCached(spark, dir, ch, q),
+        denseRanks(ch, q, None)))
+
+  /** The sparse tier ranks, S6-cached (≤ NQ×TierN rows): shared by the
+    * brute pair AND the banded variant — the BM25 tier is identical
+    * across all three graded retrieval rows. */
+  private def sparseRanksCached(spark: SparkSession, dir: String,
+      ch: DataFrame, q: DataFrame): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|chunk_sparse|$dir",
+      ttlSeconds = 300)(sparseRanks(ch, q))
 
   /** Sparse tier: exact-rational BM25 ranks (shared by both variants). */
   private def sparseRanks(ch: DataFrame, q: DataFrame): DataFrame = {
@@ -160,7 +177,7 @@ object ChunkRetrieval {
       dir: String): DataFrame = {
     val ch = chunks(spark, dir)
     val q = queryFrame(ch)
-    val sparse = sparseRanks(ch, q)
+    val sparse = sparseRanksCached(spark, dir, ch, q)
     val sigs = bandSigs(ch)
     val qsigs = q.select(col("qdoc"), col("qgs"))
       .join(sigs, col("qdoc") === col("doc_id") && col("chunk_idx") === 0)
@@ -170,7 +187,7 @@ object ChunkRetrieval {
       .select(col("qdoc"), col("doc_id"), col("chunk_idx"))
       .distinct()
     val dense = denseRanks(ch, q, Some(cand))
-    fuseAndGrade(sparse, dense, q)
+    fuseAndGrade(fusedTop(sparse, dense), q)
   }
 
   /** GRADED: nDCG@[[TopK]] of the fused (brute-dense) ranking — the
@@ -188,7 +205,7 @@ object ChunkRetrieval {
   def chunkRetrievalNdcg(spark: SparkSession, dir: String): DataFrame = {
     val ch = chunks(spark, dir)
     val q = queryFrame(ch)
-    val fused = fusedTop(sparseRanks(ch, q), denseRanks(ch, q, None))
+    val fused = fusedBrute(spark, dir, ch, q)
     val weightCase = Similarity.DcgWeights.zipWithIndex
       .map { case (wt, i) => s"WHEN ${i + 1} THEN ${wt}L" }
       .mkString("CASE rk ", " ", " ELSE 0L END")
@@ -288,10 +305,8 @@ object ChunkRetrieval {
           .orderBy(col("rrf").desc, col("doc_id"), col("chunk_idx"))))
       .filter(col("rk") <= TopK)
 
-  /** RRF fusion + top-K + sibling recall — shared by both variants. */
-  private def fuseAndGrade(sparse: DataFrame, dense: DataFrame,
-      q: DataFrame): DataFrame = {
-    val fused = fusedTop(sparse, dense)
+  /** Sibling recall over a fused top list — shared by both variants. */
+  private def fuseAndGrade(fused: DataFrame, q: DataFrame): DataFrame = {
     fused.groupBy(col("qdoc"))
       .agg(sum(when(col("doc_id") === col("qdoc"), 1L).otherwise(0L))
         .as("n_hits"))

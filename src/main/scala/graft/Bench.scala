@@ -52,6 +52,21 @@ object Bench {
     val orderPins = Map(
       "similarity_join_exact" -> "neardup_survivors~1",
       "lsh_recall_audit" -> "neardup_survivors~2")
+    // The '~' sort-key suffix places pinned consumers right after their
+    // owner ONLY while no real query name sorts between "neardup_survivors"
+    // and "neardup_survivors~" — i.e. no other name extends the owner's
+    // name ('~' is 0x7E, above every identifier char, but a future
+    // "neardup_survivors_audit" would wedge in between and silently break
+    // the owner→consumer contiguity the pins promise (r11 advice). Fail
+    // loudly instead of reordering silently.
+    for (owner <- orderPins.values.toSet[String].map(_.takeWhile(_ != '~'))) {
+      val extenders = SparkEntry.queries.keys
+        .filter(n => n != owner && n.startsWith(owner))
+      require(extenders.isEmpty,
+        s"Bench.orderPins contiguity broken: ${extenders.mkString(", ")} " +
+          s"sort(s) between pin owner '$owner' and its pinned consumers — " +
+          "switch the pins to explicit index keys")
+    }
     val sorted = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .sortBy { case (n, _) => orderPins.getOrElse(n, n) }
@@ -105,8 +120,15 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       // any failed rep poisons the query (a -1 median could otherwise
-      // hide a flaky failure among passing reps)
-      name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(reps / 2))
+      // hide a flaky failure among passing reps). True median for even k
+      // too: average the two middle elements (r11 advice — sorted(k/2)
+      // alone reports the SLOWER middle rep for k=2).
+      val median = {
+        val s = times.sorted
+        if (reps % 2 == 1) s(reps / 2)
+        else (s(reps / 2 - 1) + s(reps / 2)) / 2.0
+      }
+      name -> (if (times.exists(_ < 0)) -1.0 else median)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

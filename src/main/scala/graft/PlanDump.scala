@@ -111,7 +111,10 @@ object PlanDump {
     "langid_model_erased", "langid_confusion_streamed",
     "source_cap_maintained", "token_diversity_by_source",
     "chunk_retrieval_recall_banded", "chunk_retrieval_ndcg",
-    "langid_mix_by_source")
+    "langid_mix_by_source",
+    "source_cap_topk", "dsir_selected_streamed",
+    "curation_pipeline_account", "chunk_retrieval_recall_ivf",
+    "graph_ann_topk_hnsw", "graph_ann_recall_hnsw")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

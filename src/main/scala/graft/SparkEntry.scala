@@ -51,7 +51,7 @@ object SparkEntry {
     Skyline.queries ++ Concentration.queries ++ Erasure.queries ++
     Stats.queries ++ RankTest.queries ++ Membership.queries ++
     BitmapOps.queries ++ Sweepline.queries ++ Cep.queries ++
-    Cusum.queries ++ Subqueries.queries ++ TpchShapes.queries ++ Cbo.queries ++ Sq8.queries ++ Governance.queries ++ KmvOps.queries ++ Dsir.queries ++ Chunking.queries ++ Paging.queries ++ Sharding.queries ++ Hybrid.queries ++ MarkovAttribution.queries ++ Coreset.queries ++ LangId.queries ++ ChunkRetrieval.queries ++
+    Cusum.queries ++ Subqueries.queries ++ TpchShapes.queries ++ Cbo.queries ++ Sq8.queries ++ Governance.queries ++ KmvOps.queries ++ Dsir.queries ++ Chunking.queries ++ Paging.queries ++ Sharding.queries ++ Hybrid.queries ++ MarkovAttribution.queries ++ Coreset.queries ++ LangId.queries ++ ChunkRetrieval.queries ++ CurationPipeline.queries ++
     Bootstrap.queries ++ Rfm.queries ++
     graft.functions.TypedAggs.queries ++
     Multimodal.queries ++ Skew.queries ++ graft.streaming.StreamReplay.queries
@@ -81,7 +81,7 @@ object SparkEntry {
     Skyline.oracles ++ Concentration.oracles ++ Erasure.oracles ++
     Stats.oracles ++ RankTest.oracles ++ Membership.oracles ++
     BitmapOps.oracles ++ Sweepline.oracles ++ Cep.oracles ++
-    Cusum.oracles ++ Subqueries.oracles ++ TpchShapes.oracles ++ Cbo.oracles ++ Sq8.oracles ++ Governance.oracles ++ KmvOps.oracles ++ Dsir.oracles ++ Chunking.oracles ++ Paging.oracles ++ Sharding.oracles ++ Hybrid.oracles ++ MarkovAttribution.oracles ++ Coreset.oracles ++ LangId.oracles ++ ChunkRetrieval.oracles ++
+    Cusum.oracles ++ Subqueries.oracles ++ TpchShapes.oracles ++ Cbo.oracles ++ Sq8.oracles ++ Governance.oracles ++ KmvOps.oracles ++ Dsir.oracles ++ Chunking.oracles ++ Paging.oracles ++ Sharding.oracles ++ Hybrid.oracles ++ MarkovAttribution.oracles ++ Coreset.oracles ++ LangId.oracles ++ ChunkRetrieval.oracles ++ CurationPipeline.oracles ++
     Bootstrap.oracles ++ Rfm.oracles ++
     graft.functions.TypedAggs.oracles ++
     Multimodal.oracles ++ Skew.oracles ++ graft.streaming.StreamReplay.oracles

@@ -48,7 +48,8 @@ object Attribution {
     // per-purchase touch count: the 1/n denominator
     val n = j.groupBy(col("pid")).agg(count(lit(1)).as("n"))
     j.join(n, Seq("pid"))
-      .withColumn("credit", expr("(vu * 1000000L) div n"))
+      .withColumn("credit",
+        expr("CAST((CAST(vu AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)"))
       .groupBy(hour(col("vts")).cast("long").as("view_hour"))
       .agg(count(lit(1)).as("n_views"),
         countDistinct(col("pid")).as("n_purchases"),

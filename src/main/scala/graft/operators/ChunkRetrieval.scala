@@ -34,8 +34,13 @@ import graft.functions.ScalarFns
   * DEPENDENT set of matched terms, and a float sum aggregate is
   * partition-order-dependent (the one BM25 shape [[TextSignals]]
   * never hits: its query is a FIXED term list folded as columns).
-  * Integer contributions commute; the deviation from float BM25 is
-  * the per-term floor, stated here not hidden. Query term multiplicity
+  * Integer contributions commute. TWO deviations from float BM25,
+  * stated here not hidden: (1) the per-term floor; (2) idf is the RAW
+  * ODDS RATIO (N−df+0.5)/(df+0.5), NOT its logarithm — dropping the
+  * log (libm-divergent across engines) compresses nothing per term
+  * but reweights multi-term sums toward rare terms substantially, so
+  * this is a different (self-consistent, oracle-matched) ranking
+  * function, not float-BM25-with-rounding (r11 advice). Query term multiplicity
   * is ignored (qtf = 1, the standard simplification). The dense cosine
   * is a SINGLE IEEE expression per pair over exact integer dot/norms
   * (sqrt is exactly rounded), 6-dp floor-rounded — the [[Hybrid]]
@@ -44,10 +49,13 @@ import graft.functions.ScalarFns
   * 100 TB shape: tf/df/vec frames are partial-agg shuffles at chunk ×
   * term/bucket granularity off the shared chunk store; the query side
   * is [[NQ]] rows BROADCAST; per-query ranks are windows over
-  * tier-bounded groups (TakeOrdered-shaped). The dense leg here is the
-  * brute-force baseline on purpose — at scale it swaps for the graded
-  * ANN families (IVF/PQ/graph) with this same board as the recall
-  * gate; nothing in the fusion or grading changes.
+  * tier-bounded groups (TakeOrdered-shaped). The brute dense leg is
+  * the deliberate baseline arm; its two SERVED twins are graded on the
+  * same board — MinHash-banded candidates
+  * ([[chunkRetrievalRecallBanded]]) and IVF-cell candidates
+  * ([[chunkRetrievalRecallIvf]], r12) — so both candidate-generation
+  * dials a 100 TB deployment turns are measured against the brute
+  * recall; nothing in the fusion or grading changes between arms.
   */
 object ChunkRetrieval {
 
@@ -119,7 +127,7 @@ object ChunkRetrieval {
       s"${graft.sources.ResultCache.sessionId(spark)}|chunk_fused|$dir",
       ttlSeconds = 300)(
       fusedTop(sparseRanksCached(spark, dir, ch, q),
-        denseRanks(ch, q, None)))
+        denseRanks(spark, dir, ch, q, None)))
 
   /** The sparse tier ranks, S6-cached (≤ NQ×TierN rows): shared by the
     * brute pair AND the banded variant — the BM25 tier is identical
@@ -186,8 +194,82 @@ object ChunkRetrieval {
       .filter(!(col("doc_id") === col("qdoc") && col("chunk_idx") === 0))
       .select(col("qdoc"), col("doc_id"), col("chunk_idx"))
       .distinct()
-    val dense = denseRanks(ch, q, Some(cand))
+    val dense = denseRanks(spark, dir, ch, q, Some(cand))
     fuseAndGrade(fusedTop(sparse, dense), q)
+  }
+
+  /** IVF centroids (the [[Similarity]] frozen-centroid convention:
+    * deterministic member election, here the [[IvfC]] lexicographically
+    * first chunks) and probe width. */
+  private[graft] val IvfC = 8
+  private[graft] val IvfProbe = 2
+
+  /** GRADED: the ANN-SERVED dense leg (r11 verdict #6) — the third
+    * candidate-generation grade beside brute and MinHash-banded, making
+    * the scaladoc's "at scale the dense leg swaps for the graded ANN
+    * families" REAL: chunk vectors are routed into [[IvfC]] IVF cells
+    * (nearest frozen centroid by the tier's own 6-dp cosine, ties →
+    * centroid id), each query probes its [[IvfProbe]] nearest cells,
+    * and the dense cosine is computed ONLY on probed-cell members —
+    * the inverted-file recall/cost dial measured on the same board.
+    * Sparse tier, fusion rule and grading verbatim from
+    * [[chunkRetrievalRecall]]; centroid tables are catalog-sized and
+    * broadcast everywhere (the corpus side never shuffles for them).
+    * A chunk sharing no hash bucket with any centroid has no cell and
+    * leaves the dense universe (inner-join semantics, both engines);
+    * the sparse tier still carries it. */
+  def chunkRetrievalRecallIvf(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunks(spark, dir)
+    val q = queryFrame(ch)
+    val sparse = sparseRanksCached(spark, dir, ch, q)
+    val cvec = cvecStore(spark, dir)
+    val cnorm = cvec.groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(sum(col("v") * col("v")).as("cn2"))
+    val cent = ch.select(col("doc_id"), col("chunk_idx"))
+      .orderBy(col("doc_id"), col("chunk_idx")).limit(IvfC)
+      .withColumn("cid", row_number().over(
+        Window.orderBy(col("doc_id"), col("chunk_idx"))).cast("long"))
+    val cvc = cvec.join(broadcast(cent), Seq("doc_id", "chunk_idx"))
+      .select(col("cid"), col("b"), col("v").as("cv"))
+    val cvn = cvc.groupBy(col("cid")).agg(sum(col("cv") * col("cv"))
+      .as("cc2"))
+    val assign = cvec.join(broadcast(cvc), Seq("b"))
+      .groupBy(col("doc_id"), col("chunk_idx"), col("cid"))
+      .agg(sum(col("v") * col("cv")).as("dot"))
+      .join(cnorm, Seq("doc_id", "chunk_idx"))
+      .join(broadcast(cvn), Seq("cid"))
+      .withColumn("cos", ScalarFns.roundN(
+        col("dot").cast("double") /
+          (sqrt(col("cn2").cast("double")) * sqrt(col("cc2").cast("double"))),
+        6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"), col("chunk_idx"))
+          .orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("chunk_idx"), col("cid"))
+    val qvec = vecOf(q.withColumn("zero", lit(0L)), "qdoc", "zero", "qgs")
+      .select(col("qdoc"), col("b"), col("v").as("qv"))
+    val qnorm = qvec.groupBy(col("qdoc")).agg(sum(col("qv") * col("qv"))
+      .as("qn2"))
+    val probe = qvec.join(broadcast(cvc), Seq("b"))
+      .groupBy(col("qdoc"), col("cid"))
+      .agg(sum(col("qv") * col("cv")).as("dot"))
+      .join(broadcast(qnorm), Seq("qdoc"))
+      .join(broadcast(cvn), Seq("cid"))
+      .withColumn("cos", ScalarFns.roundN(
+        col("dot").cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("cc2").cast("double"))),
+        6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qdoc"))
+          .orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rn") <= IvfProbe)
+      .select(col("qdoc"), col("cid"))
+    val cand = probe.join(assign, Seq("cid"))
+      .filter(!(col("doc_id") === col("qdoc") && col("chunk_idx") === 0))
+      .select(col("qdoc"), col("doc_id"), col("chunk_idx"))
+    fuseAndGrade(fusedTop(sparse, denseRanks(spark, dir, ch, q,
+      Some(cand))), q)
   }
 
   /** GRADED: nDCG@[[TopK]] of the fused (brute-dense) ranking — the
@@ -223,7 +305,8 @@ object ChunkRetrieval {
       .select(col("qdoc").as("doc_id"), col("n_relevant"),
         coalesce(col("dcg"), lit(0L)).as("dcg_scaled"))
       .withColumn("ndcg_ppm", expr(
-        s"(dcg_scaled * 1000000L) div ($idcgCase)"))
+        s"CAST((CAST(dcg_scaled AS DECIMAL(38,0)) * 1000000)" +
+          s" div ($idcgCase) AS BIGINT)"))
       .orderBy("doc_id")
   }
 
@@ -246,19 +329,34 @@ object ChunkRetrieval {
         col("bm.band").as("band"), col("bm.m").as("m"))
   }
 
+  /** Hashed bag-of-bigrams count vectors at (doc, idx, b) granularity —
+    * shared by the dense tier and the IVF candidate generator. */
+  private def vecOf(df0: DataFrame, docC: String, idxC: String,
+      tokC: String): DataFrame =
+    df0.select(col(docC), col(idxC), explode(col(tokC)).as("term"))
+      .withColumn("b", pmod(
+        expr("CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT)"),
+        lit(Buckets.toLong)))
+      .groupBy(col(docC), col(idxC), col("b"))
+      .agg(count(lit(1)).as("v"))
+
+  /** The corpus chunk-vector table, served from scratch parquet once
+    * per (JVM, corpus) — the GramStore "derive once, serve many"
+    * discipline: the brute, banded and IVF dense legs (and the IVF
+    * cell assignment) each used to re-run the explode+hash+agg pass;
+    * one build now serves all four consumers. */
+  private def cvecStore(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.GramStore.serve(spark, "chunkvec", dir) {
+      vecOf(chunks(spark, dir), "doc_id", "chunk_idx", "gs")
+    }
+
   /** The dense cosine ranking; `candOpt` restricts scored pairs to a
-    * candidate set (the banded scale path) — None scores every pair. */
-  private def denseRanks(ch: DataFrame, q: DataFrame,
+    * candidate set (the banded/IVF scale paths) — None scores every
+    * pair. */
+  private def denseRanks(spark: SparkSession, dir: String,
+      ch: DataFrame, q: DataFrame,
       candOpt: Option[DataFrame]): DataFrame = {
-    def vecOf(df0: DataFrame, docC: String, idxC: String,
-        tokC: String): DataFrame =
-      df0.select(col(docC), col(idxC), explode(col(tokC)).as("term"))
-        .withColumn("b", pmod(
-          expr("CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT)"),
-          lit(Buckets.toLong)))
-        .groupBy(col(docC), col(idxC), col("b"))
-        .agg(count(lit(1)).as("v"))
-    val cvec = vecOf(ch, "doc_id", "chunk_idx", "gs")
+    val cvec = cvecStore(spark, dir)
     val cnorm = cvec.groupBy(col("doc_id"), col("chunk_idx"))
       .agg(sum(col("v") * col("v")).as("cn2"))
     val qvec = vecOf(q.withColumn("zero", lit(0L)), "qdoc", "zero", "qgs")
@@ -314,13 +412,15 @@ object ChunkRetrieval {
       .select(col("qdoc").as("doc_id"), col("n_relevant"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("recall_ppm",
-        expr("(n_hits * 1000000) div n_relevant"))
+        expr("CAST((CAST(n_hits AS DECIMAL(38,0)) * 1000000)" +
+          " div n_relevant AS BIGINT)"))
       .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "chunk_retrieval_recall" -> (chunkRetrievalRecall _),
     "chunk_retrieval_recall_banded" -> (chunkRetrievalRecallBanded _),
+    "chunk_retrieval_recall_ivf" -> (chunkRetrievalRecallIvf _),
     "chunk_retrieval_ndcg" -> (chunkRetrievalNdcg _))
 
   /** DuckDB twin of the first-8-nibble u32 over hex column `h`. */
@@ -490,6 +590,73 @@ object ChunkRetrieval {
          |densed AS (SELECT * FROM dense0),
          |$retrievalRankCtes,
          |$ndcgTail""".stripMargin,
+    // IVF-served: the dense dots restricted to probed-cell members —
+    // frozen centroids = the IvfC lexicographically first chunks,
+    // assignment/probe by the tier's own 6-dp cosine; everything else
+    // (sparse tier, fusion, grading) verbatim
+    "chunk_retrieval_recall_ivf" ->
+      s"""$retrievalPrefix,
+         |cent AS (
+         |  SELECT doc_id, chunk_idx,
+         |    CAST(row_number() OVER (ORDER BY doc_id, chunk_idx)
+         |      AS BIGINT) AS cid
+         |  FROM (SELECT doc_id, chunk_idx FROM chu
+         |        ORDER BY doc_id, chunk_idx LIMIT $IvfC) x),
+         |cvc AS (
+         |  SELECT c.cid, v.b, v.v AS cv
+         |  FROM cent c JOIN cvec v
+         |    ON v.doc_id = c.doc_id AND v.chunk_idx = c.chunk_idx),
+         |cvn AS (SELECT cid, sum(cv * cv) AS cc2 FROM cvc GROUP BY 1),
+         |adot AS (
+         |  SELECT v.doc_id, v.chunk_idx, c.cid, sum(v.v * c.cv) AS dot
+         |  FROM cvec v JOIN cvc c ON c.b = v.b
+         |  GROUP BY 1, 2, 3),
+         |acos AS (
+         |  SELECT a.doc_id, a.chunk_idx, a.cid,
+         |    ${ScalarFns.roundSql(
+            """CAST(a.dot AS DOUBLE)
+              |      / (sqrt(CAST(n.cn2 AS DOUBLE))
+              |         * sqrt(CAST(cn.cc2 AS DOUBLE)))""".stripMargin,
+            6)} AS cos
+         |  FROM adot a
+         |  JOIN cnorm n ON n.doc_id = a.doc_id
+         |    AND n.chunk_idx = a.chunk_idx
+         |  JOIN cvn cn ON cn.cid = a.cid),
+         |assign AS (
+         |  SELECT doc_id, chunk_idx, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id, chunk_idx
+         |      ORDER BY cos DESC, cid) AS rn FROM acos) x
+         |  WHERE rn = 1),
+         |qdot AS (
+         |  SELECT q.qdoc, c.cid, sum(q.qv * c.cv) AS dot
+         |  FROM qvec q JOIN cvc c ON c.b = q.b
+         |  GROUP BY 1, 2),
+         |qcos AS (
+         |  SELECT d.qdoc, d.cid,
+         |    ${ScalarFns.roundSql(
+            """CAST(d.dot AS DOUBLE)
+              |      / (sqrt(CAST(qn.qn2 AS DOUBLE))
+              |         * sqrt(CAST(cn.cc2 AS DOUBLE)))""".stripMargin,
+            6)} AS cos
+         |  FROM qdot d
+         |  JOIN qnorm qn ON qn.qdoc = d.qdoc
+         |  JOIN cvn cn ON cn.cid = d.cid),
+         |probe AS (
+         |  SELECT qdoc, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qdoc
+         |      ORDER BY cos DESC, cid) AS rn FROM qcos) x
+         |  WHERE rn <= $IvfProbe),
+         |icand AS (
+         |  SELECT p.qdoc, a.doc_id, a.chunk_idx
+         |  FROM probe p JOIN assign a ON a.cid = p.cid
+         |  WHERE NOT (a.doc_id = p.qdoc AND a.chunk_idx = 0)),
+         |densed AS (
+         |  SELECT d.qdoc, d.doc_id, d.chunk_idx, d.dot
+         |  FROM dense0 d
+         |  JOIN icand c ON c.qdoc = d.qdoc AND c.doc_id = d.doc_id
+         |    AND c.chunk_idx = d.chunk_idx),
+         |$retrievalRankCtes,
+         |$recallTail""".stripMargin,
     // banded: the dense dots restricted to MinHash-band candidates —
     // everything else (sparse tier, fusion, grading) verbatim
     "chunk_retrieval_recall_banded" ->

@@ -122,7 +122,8 @@ object Cohorts {
       .withColumn("gone", coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
       .select(col("lifetime"), (col("total") - col("gone")).as("n_at_risk"),
         col("d").as("n_events"), col("c").as("n_censored"))
-      .withColumn("hazard_ppm", expr("1000000 * n_events div n_at_risk"))
+      .withColumn("hazard_ppm", expr("CAST((CAST(n_events AS DECIMAL(38,0)) * 1000000)" +
+        " div n_at_risk AS BIGINT)"))
       .orderBy(col("lifetime"))
   }
 

@@ -274,7 +274,8 @@ object Curation {
       .withColumn("n", count(lit(1)).over(nSrc))
       .withColumn("pr_ppm",
         when(col("n") === 1, lit(500000L))
-          .otherwise(expr("((rk - 1) * 1000000L) div (n - 1)")))
+          .otherwise(expr(
+            "CAST((CAST(rk - 1 AS DECIMAL(38,0)) * 1000000) div (n - 1) AS BIGINT)")))
     // global distribution at value granularity: value v covers global
     // positions [cum_hi − cnt + 1, cum_hi] of the (n_chars, doc_id)
     // total order
@@ -514,11 +515,12 @@ object Curation {
     * K); n_kept < K ⟹ n_dropped = 0.
     *
     * 100 TB shape: rank is a window over SOURCE partitions (domains ≪
-    * docs, groups sort-local); at scale the same admission set comes
-    * from a per-source TopK by hash (TakeOrdered per group — no full
-    * sort), because membership only needs rank ≤ K, not the rank
-    * itself; the report is ONE partial-agg shuffle at source
-    * granularity. Mass = the stored n_chars column — no tokenize pass. */
+    * docs, groups sort-local). The scale path — the same admission set
+    * from a bounded-heap per-source TopK (membership only needs
+    * rank ≤ K, not the rank itself) — is the GRADED twin
+    * [[sourceCapTopk]], window-free by plan assertion; this window
+    * form stays graded as its ground-truth shape. Mass = the stored
+    * n_chars column — no tokenize pass. */
   def sourceCapSample(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
@@ -536,7 +538,54 @@ object Curation {
       .selectExpr("source", "n_docs", "n_kept",
         "n_docs - n_kept AS n_dropped", "chars_total", "chars_kept",
         "chars_total - chars_kept AS chars_dropped",
-        "(n_kept * 1000000) div n_docs AS kept_share_ppm")
+        """CAST((CAST(n_kept AS DECIMAL(38,0)) * 1000000) div n_docs
+          |  AS BIGINT) AS kept_share_ppm""".stripMargin)
+      .orderBy("source")
+  }
+
+  /** GRADED: the documented 100 TB scale path of the admission cap
+    * MADE REAL (r11 verdict #5): the IDENTICAL admission set as
+    * [[sourceCapSample]] — per-source top-[[CapK]] by (md5-hex
+    * prefix, doc_id) — computed by the bounded-heap
+    * [[graft.plans.TopKAgg]] aggregate instead of a per-source rank
+    * window. Membership needs rank ≤ K, never the rank itself, so the
+    * full per-group sort the window form runs (one task per source —
+    * a single hot domain serializes the job on a Zipfian crawl) is
+    * replaced by a MERGEABLE partial aggregate whose shuffle carries
+    * ≤ K (value, key) pairs per (source, partition), independent of
+    * domain skew. Order mapping: TopKAgg keeps value DESC then key
+    * ASC; value = −u32(first 8 md5 nibbles) makes value-DESC ≡
+    * hex-prefix ASC (u32 < 2³² is EXACT in a double — no rounding can
+    * reorder), and the key tiebreak is doc_id ASC — the window's
+    * total order, ties included. The report joins the K-row-per-source
+    * admit list back for its char mass (doc-granularity equi-join) and
+    * finishes with the same source-granularity account. Oracle: the
+    * `source_cap_sample` window SQL VERBATIM — hash equality proves
+    * select-k ≡ rank-k; PlanAuditSpec pins that this plan contains NO
+    * Window node. */
+  def sourceCapTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.TopKAgg.register(spark)
+    val d = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val admits = d
+      .withColumn("negu", -expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+        .cast("double"))
+      .groupBy(col("source"))
+      .agg(expr(s"top_k_by(negu, doc_id, $CapK)").as("top"))
+      .select(col("source"),
+        explode(expr("transform(top, p -> p.key)")).as("doc_id"))
+    val kept = admits.join(d, Seq("source", "doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_total"))
+      .join(kept, Seq("source"))
+      .selectExpr("source", "n_docs", "n_kept",
+        "n_docs - n_kept AS n_dropped", "chars_total", "chars_kept",
+        "chars_total - chars_kept AS chars_dropped",
+        """CAST((CAST(n_kept AS DECIMAL(38,0)) * 1000000) div n_docs
+          |  AS BIGINT) AS kept_share_ppm""".stripMargin)
       .orderBy("source")
   }
 
@@ -598,6 +647,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_cap_sample" -> (sourceCapSample _),
+    "source_cap_topk" -> (sourceCapTopk _),
     "source_cap_maintained" -> (sourceCapMaintained _),
     "doc_shuffle_order" -> (docShuffleOrder _),
     "source_mix_apportion" -> (sourceMixApportion _),
@@ -640,6 +690,30 @@ object Curation {
        |    CAST(q_floor + CASE WHEN rnk <= short THEN 1 ELSE 0 END AS BIGINT)
        |      AS allotted
        |  FROM r)""".stripMargin
+
+  /** The admission-cap ground truth (naive window form) — shared by
+    * the window-form query AND its bounded-heap TopK twin, so the two
+    * graded rows provably answer the same question. */
+  private val sourceCapOracle: String =
+    s"""WITH r AS (
+       |  SELECT source, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+       |        doc_id) AS rk
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN rk <= $CapK THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(count(*) - sum(CASE WHEN rk <= $CapK THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dropped,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       |  CAST(sum(CASE WHEN rk <= $CapK THEN n_chars ELSE 0 END)
+       |    AS BIGINT) AS chars_kept,
+       |  CAST(sum(n_chars) - sum(CASE WHEN rk <= $CapK THEN n_chars
+       |    ELSE 0 END) AS BIGINT) AS chars_dropped,
+       |  CAST((sum(CASE WHEN rk <= $CapK THEN 1 ELSE 0 END) * 1000000)
+       |    // count(*) AS BIGINT) AS kept_share_ppm
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the naive single-window ground truth the two-phase rank must equal
@@ -728,26 +802,10 @@ object Curation {
          |LEFT JOIN fn ON fn.source = s.source
          |LEFT JOIN ev ON ev.source = s.source
          |ORDER BY s.source""".stripMargin,
-    "source_cap_sample" ->
-      s"""WITH r AS (
-         |  SELECT source, doc_id, n_chars,
-         |    row_number() OVER (PARTITION BY source
-         |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
-         |        doc_id) AS rk
-         |  FROM documents)
-         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(CASE WHEN rk <= $CapK THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_kept,
-         |  CAST(count(*) - sum(CASE WHEN rk <= $CapK THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_dropped,
-         |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
-         |  CAST(sum(CASE WHEN rk <= $CapK THEN n_chars ELSE 0 END)
-         |    AS BIGINT) AS chars_kept,
-         |  CAST(sum(n_chars) - sum(CASE WHEN rk <= $CapK THEN n_chars
-         |    ELSE 0 END) AS BIGINT) AS chars_dropped,
-         |  CAST((sum(CASE WHEN rk <= $CapK THEN 1 ELSE 0 END) * 1000000)
-         |    // count(*) AS BIGINT) AS kept_share_ppm
-         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "source_cap_sample" -> sourceCapOracle,
+    // the window ground truth VERBATIM — hash equality proves the
+    // bounded-heap select-k admission ≡ the rank-k window admission
+    "source_cap_topk" -> sourceCapOracle,
     "hash_sample" ->
       s"""SELECT source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN ${keepSql()} THEN 1 ELSE 0 END) AS BIGINT)

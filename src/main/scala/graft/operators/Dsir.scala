@@ -45,16 +45,23 @@ object Dsir {
 
   /** (doc_id, source, lang, b) — one row per bigram OCCURRENCE, b =
     * u32(md5(gram)) % B. The repo-wide md5-nibble uniform, so the
-    * oracle rebuilds b with the nibble polynomial. */
-  private def features(spark: SparkSession, dir: String): DataFrame = {
-    WordGrams.register(spark)
-    Tables(spark, dir, "documents")
+    * oracle rebuilds b with the nibble polynomial. Over an ARBITRARY
+    * docs frame: the streamed variant scores micro-batches through
+    * this same code path, and `word_grams` registers on the FRAME's
+    * session (foreachBatch hands frames bound to an isolated session
+    * clone — the [[LangId.featuresOf]] lesson). */
+  private def featuresOf(docs: DataFrame): DataFrame = {
+    WordGrams.register(docs.sparkSession)
+    docs
       .select(col("doc_id"), col("source"), col("lang"),
         expr("word_grams(text, 2)").as("g"))
       .withColumn("b", pmod(
         expr("CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT)"),
         lit(Buckets.toLong)))
   }
+
+  private def features(spark: SparkSession, dir: String): DataFrame =
+    featuresOf(Tables(spark, dir, "documents"))
 
   /** The 64-row bucket model: target/raw occurrence counts + the
     * smoothed relevance ratio. The bucket spine is generated in-plan
@@ -98,14 +105,21 @@ object Dsir {
       s"${graft.sources.ResultCache.sessionId(spark)}|dsir_scored|$dir",
       ttlSeconds = 300)(scoredUncached(spark, dir))
 
-  private def scoredUncached(spark: SparkSession, dir: String): DataFrame =
-    features(spark, dir)
-      .join(broadcast(dsirBucketModel(spark, dir)
-        .select(col("b"), col("ratio_ppm"))), Seq("b"))
+  /** Score an arbitrary docs frame against a (64-row, broadcast)
+    * model frame — the shared code path of the batch grade and the
+    * streamed micro-batches: scoring is STATELESS per doc given the
+    * frozen model (one broadcast join + one per-doc fold), so chopping
+    * the corpus into micro-batches cannot change any score. */
+  private[graft] def scoredOf(docs: DataFrame, m: DataFrame): DataFrame =
+    featuresOf(docs)
+      .join(broadcast(m.select(col("b"), col("ratio_ppm"))), Seq("b"))
       .groupBy(col("doc_id"), col("source"), col("lang"))
       .agg(count(lit(1)).as("n_grams"), sum(col("ratio_ppm")).as("rsum"))
       .selectExpr("doc_id", "source", "lang", "n_grams",
         "rsum DIV n_grams AS score_ppm")
+
+  private def scoredUncached(spark: SparkSession, dir: String): DataFrame =
+    scoredOf(Tables(spark, dir, "documents"), dsirBucketModel(spark, dir))
 
   /** The SELECTED slice: global top-[[SelK]] docs by (score desc,
     * doc_id) — membership-level grading, rank included so row identity
@@ -113,6 +127,80 @@ object Dsir {
     * partition top-k, k-row reduce — no global sort shuffle). */
   def dsirSelectedDocs(spark: SparkSession, dir: String): DataFrame = {
     val top = scored(spark, dir)
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(SelK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_ppm").desc, col("doc_id")) // SelK rows only
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("source"), col("lang"),
+        col("n_grams"), col("score_ppm"))
+      .orderBy("rank")
+  }
+
+  private val streamedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build (once per JVM, corpus) the STREAMED-SCORING artifact (r10
+    * brief #6 / r11 verdict #2 — the selection tier's streamed twin):
+    * the 64-row bucket model built ONCE and FROZEN to scratch parquet
+    * (the stored-model stand-in), then the whole corpus replayed as a
+    * real 2-file stream (AvailableNow + foreachBatch,
+    * maxFilesPerTrigger=1) with each micro-batch scored against the
+    * frozen model through [[scoredOf]] — the online half of a DSIR
+    * deployment, where crawl ingest is scored as it lands and only
+    * the top slice is ever shipped to training. Per-batch OVERWRITE
+    * dirs (the versioned-sink idempotency rule: a replayed batch
+    * rewrites its own dir, never appends duplicates). */
+  private[graft] def streamedScoresDir(spark: SparkSession,
+      dir: String): String =
+    streamedDirs.computeIfAbsent(dir, { _ =>
+      val root = graft.Tables.scratchDir("graft_dsir_stream_")
+        .getAbsolutePath
+      val ckpt = graft.Tables.scratchDir("graft_dsir_sckpt_")
+        .getAbsolutePath
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "2")
+      dsirBucketModel(ss, dir).write.mode("overwrite")
+        .parquet(s"$root/model")
+      val docs = Tables(ss, dir, "documents")
+      val feed = graft.Tables.scratchDir("graft_dsir_feed_")
+      Seq(0, 1).foreach { par =>
+        graft.Tables.writeFeedFile(
+          docs.filter(pmod(col("doc_id"), lit(2)) === par),
+          feed, f"docs$par%03d.parquet", par)
+      }
+      val stream = ss.readStream
+        .schema(ss.read.parquet(feed.getAbsolutePath).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.getAbsolutePath)
+      val query = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            scoredOf(batch.toDF(), ss.read.parquet(s"$root/model"))
+              .write.mode("overwrite").parquet(s"$root/scores/b$batchId")
+        }
+        .start()
+      query.awaitTermination()
+      root
+    })
+
+  /** GRADED: the STREAM-SCORED selection — batch oracle VERBATIM
+    * (`dsir_selected_docs`): per-doc scoring against a frozen model is
+    * stateless, so the micro-batch chopping must be invisible, and the
+    * graded fact is that the online-scoring plumbing (feed, trigger,
+    * per-batch sinks) composed with the terminal top-K reproduces
+    * exactly the one-shot selection. The top-K itself runs over the
+    * union of the per-batch score dumps — selection is the one
+    * non-streamable step (a global rank), deliberately kept OUT of the
+    * stream: a production deployment re-ranks the accumulated score
+    * table per shipping cycle, exactly this shape. */
+  def dsirSelectedStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val top = spark.read
+      .parquet(s"${streamedScoresDir(spark, dir)}/scores/*")
       .orderBy(col("score_ppm").desc, col("doc_id"))
       .limit(SelK)
     val w = org.apache.spark.sql.expressions.Window
@@ -295,6 +383,7 @@ object Dsir {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dsir_bucket_model" -> (dsirBucketModel _),
     "dsir_selected_docs" -> (dsirSelectedDocs _),
+    "dsir_selected_streamed" -> (dsirSelectedStreamed _),
     "dsir_source_yield" -> (dsirSourceYield _),
     "dsir_auc" -> (dsirAuc _),
     "dsir_decile_lift" -> (dsirDecileLift _))
@@ -306,6 +395,14 @@ object Dsir {
          |  CAST(c_raw AS BIGINT) AS c_raw, ratio_ppm
          |FROM ratio ORDER BY b""".stripMargin,
     "dsir_selected_docs" ->
+      s"""$scoredCte,
+         |$selectedCte
+         |SELECT CAST(rank AS BIGINT) AS rank, doc_id, source, lang,
+         |  n_grams, score_ppm
+         |FROM sel ORDER BY rank""".stripMargin,
+    // stream-scored ≡ one-shot: batch oracle VERBATIM (stateless
+    // scoring with a frozen model — chopping must be invisible)
+    "dsir_selected_streamed" ->
       s"""$scoredCte,
          |$selectedCte
          |SELECT CAST(rank AS BIGINT) AS rank, doc_id, source, lang,

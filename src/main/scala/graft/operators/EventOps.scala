@@ -283,7 +283,8 @@ object EventOps {
         sum(abs(col("n_events") - col("fc"))).as("sae_seasonal"),
         sum(abs(col("n_events") - col("nv"))).as("sae_naive"))
       .withColumn("mase_ppm",
-        expr("(1000000 * sae_seasonal) DIV sae_naive"))
+        expr("CAST((CAST(sae_seasonal AS DECIMAL(38,0)) * 1000000)" +
+          " DIV sae_naive AS BIGINT)"))
       .orderBy("event_type")
   }
 

@@ -729,6 +729,144 @@ object GraphOps {
           col("n_overlap").cast("double") / 10.0, 4).as("recall_at_10"))
   }
 
+  // ----------------------------------------------------------------
+  // HNSW (r11 verdict #4): the hierarchical entry-point layers that
+  // complete the graph-ANN family — Malkov & Yashunin's move over the
+  // NSW base graph the repo already walks. Two SPARSE upper layers
+  // (every vertex with md5 first nibble < '4' is promoted to layer 1
+  // — p = 1/4, the deterministic stand-in for HNSW's geometric level
+  // draw; first TWO nibbles < '4' promotes to layer 2, p = 1/16), each
+  // carrying its own top-2 kNN graph among ITS members only (derived
+  // from the shared scored-candidate table with a layer-membership
+  // semi-filter — no new scoring work). Search = greedy DESCENT: start
+  // at the ONE global entry point (max level, then min vec_id),
+  // [[HnswDescentRounds]] fixed rounds per layer of "move to the
+  // argmax cosine among {current} ∪ layer-neighbors(current)" (beam
+  // width 1 — monotone by construction since the current node is in
+  // its own candidate set, deterministic, unrollable), landing node
+  // seeds the UNCHANGED base-layer beam walk. What the hierarchy buys
+  // and the board measures: the base walk's IVF-centroid seeding costs
+  // an O(√N)-candidate coarse sweep per query; the HNSW entry costs
+  // O(deg·R) point reads through layers of N/16 and N/4 vertices —
+  // the logarithmic-entry property that makes graph-ANN serving
+  // corpus-size-independent end to end. Levels are a pure function of
+  // vec_id, so insert/erasure maintenance composes exactly as the base
+  // graph's (a new vector joins its layers by hash; no rebalancing).
+  // ----------------------------------------------------------------
+
+  private[graft] val HnswDescentRounds = 4
+
+  /** Deterministic level: 2, 1 or 0 (see block comment). */
+  private def hnswLevels(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("vec_id").cast("string"))
+    Tables(spark, dir, "embeddings").select(col("vec_id"),
+      when(substring(h, 1, 1) < "4",
+        when(substring(h, 2, 1) < "4", 2L).otherwise(1L))
+        .otherwise(0L).as("lvl"))
+  }
+
+  /** Layer-ℓ top-2 kNN edges among level ≥ ℓ members, from the shared
+    * scored-candidate substrate (semi-filtered, re-windowed — the
+    * d2/d4 degree-variant pattern applied to layer membership). */
+  private def layerEdges(spark: SparkSession, dir: String,
+      minLvl: Long): DataFrame = {
+    val members = hnswLevels(spark, dir).filter(col("lvl") >= minLvl)
+      .select(col("vec_id"))
+    val scored = scoredCand(spark, dir)
+      .join(members.select(col("vec_id").as("va")), Seq("va"), "left_semi")
+      .join(members.select(col("vec_id").as("vb")), Seq("vb"), "left_semi")
+    val wk = Window.partitionBy("va").orderBy(col("cs").desc, col("vb"))
+    val knn = scored.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= 2)
+      .select(col("va"), col("vb"))
+    knn.select(col("va").as("src"), col("vb").as("dst"))
+      .unionByName(knn.select(col("vb").as("src"), col("va").as("dst")))
+      .distinct()
+  }
+
+  // the HNSW walk's final beam per (JVM, corpus) — descent + base walk
+  // materialized once; both graded consumers read it
+  private val hnswDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def hnswBeamDir(spark: SparkSession, dir: String): String =
+    hnswDirs.computeIfAbsent(dir, { _ =>
+      graft.plans.VectorExpressions.register(spark)
+      val out = Tables.scratchDir("graft_hnsw_").getAbsolutePath
+      val e = Tables(spark, dir, "embeddings")
+      val baseEdges = spark.read.parquet(knnEdgesDir(spark, dir, 2))
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      def scoreOf(cands: DataFrame): DataFrame =
+        cands.join(e, Seq("vec_id"))
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), expr("cosine_sim(embedding, qv)").as("cs"))
+      // the ONE global entry point: max level, then min vec_id
+      val entry = hnswLevels(spark, dir)
+        .orderBy(col("lvl").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"))
+      var cur = scoreOf(entry).localCheckpoint(true)
+      try {
+        for (minLvl <- Seq(2L, 1L)) {
+          val edges = layerEdges(spark, dir, minLvl).localCheckpoint(true)
+          try {
+            for (_ <- 1 to HnswDescentRounds) {
+              val cand = cur.select(col("vec_id")).unionByName(
+                  cur.select(col("vec_id"))
+                    .join(edges, col("vec_id") === col("src"))
+                    .select(col("dst").as("vec_id")))
+                .distinct()
+              val nc = scoreOf(cand)
+                .orderBy(col("cs").desc, col("vec_id")).limit(1)
+                .localCheckpoint(true)
+              Similarity.releaseCheckpoint(cur)
+              cur = nc
+            }
+          } finally Similarity.releaseCheckpoint(edges)
+        }
+        // base layer: the unchanged beam walk, seeded at the landing
+        // node instead of the IVF coarse sweep
+        for (_ <- 1 to BeamRounds) {
+          val cand = cur.select(col("vec_id")).unionByName(
+              cur.select(col("vec_id"))
+                .join(baseEdges, col("vec_id") === col("src"))
+                .select(col("dst").as("vec_id")))
+            .distinct()
+          val nb = scoreOf(cand)
+            .orderBy(col("cs").desc, col("vec_id")).limit(BeamWidth)
+            .localCheckpoint(true)
+          Similarity.releaseCheckpoint(cur)
+          cur = nb
+        }
+        cur.write.mode("overwrite").parquet(out)
+      } finally Similarity.releaseCheckpoint(cur)
+      out
+    })
+
+  /** GRADED: top-10 off the HNSW walk's final beam — judged against
+    * the per-layer unrolled walk in DuckDB. */
+  def graphAnnTopkHnsw(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(hnswBeamDir(spark, dir))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("cs").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"),
+        graft.functions.ScalarFns.roundN(col("cs"), 6).as("cosine_sim"))
+
+  /** GRADED: the HNSW row of the recall board, beside d2/d4 — what the
+    * hierarchical entry gives or costs against the same exact top-10. */
+  def graphAnnRecallHnsw(spark: SparkSession, dir: String): DataFrame = {
+    val res = spark.read.parquet(hnswBeamDir(spark, dir))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("cs").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"))
+    val exact = Similarity.cosineTopk(spark, dir).select(col("vec_id"))
+    exact.join(res, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(s"graph_hnsw_l2_b${BeamWidth}_r${BeamRounds}_d2")
+        .as("method"),
+        col("n_overlap"),
+        graft.functions.ScalarFns.roundN(
+          col("n_overlap").cast("double") / 10.0, 4).as("recall_at_10"))
+  }
+
   /** Batch query set: every [[BatchQueryMod]]-th vector (~4 %). */
   private[graft] val BatchQueryMod = 25
 
@@ -899,6 +1037,11 @@ object GraphOps {
     // against the surviving-corpus ground truth
     "graph_ann_topk_erased" -> (graphAnnTopkErased(_, _)),
     "graph_ann_recall_erased" -> (graphAnnRecallErased(_, _)),
+    // the hierarchical entry layer (r11 #4): greedy descent through
+    // two sparse layers seeds the same base walk — graded beside
+    // d2/d4 on the recall board
+    "graph_ann_topk_hnsw" -> (graphAnnTopkHnsw(_, _)),
+    "graph_ann_recall_hnsw" -> (graphAnnRecallHnsw(_, _)),
     "knn_triangles" -> (knnTriangles(_, _)))
 
   /** DuckDB twin: same IVF multi-probe kNN edge derivation (identical
@@ -1167,6 +1310,8 @@ object GraphOps {
     "graph_ann_recall_d4" -> recallOracle(4),
     "graph_ann_topk_erased" -> topkErasedOracle,
     "graph_ann_recall_erased" -> recallErasedOracle,
+    "graph_ann_topk_hnsw" -> topkHnswOracle,
+    "graph_ann_recall_hnsw" -> recallHnswOracle,
     // INDEPENDENT formulation on purpose: the naive id-ordered triple
     // join (a<b<c, all three edges present) — not a restatement of
     // the Spark side's degree orientation, so hash equality proves
@@ -1393,6 +1538,109 @@ object GraphOps {
        |                       ORDER BY cs DESC, vec_id) AS rn
        |  FROM b$BeamRounds WHERE vec_id <> qid) WHERE rn <= 10
        |ORDER BY qid, cosine_sim DESC, vec_id""".stripMargin
+  }
+
+  /** The HNSW walk unrolled: level table → per-layer top-2 graphs →
+    * greedy descent (width-1 beam, [[HnswDescentRounds]] rounds per
+    * layer) → the base beam rounds seeded at the landing node. Ends at
+    * `b$BeamRounds(vec_id, cs)` like [[beamCtes]]. */
+  private def hnswCtes: String = {
+    import Similarity.duckDot
+    def cos(a: String, b: String) =
+      s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+    def layer(k: String, e: String, l: String) =
+      s"""$k AS MATERIALIZED (
+         |  SELECT va, vb FROM (
+         |    SELECT s.va, s.vb,
+         |      row_number() OVER (PARTITION BY s.va
+         |                         ORDER BY s.cs DESC, s.vb) AS rn
+         |    FROM scored s
+         |    JOIN $l la ON la.vec_id = s.va
+         |    JOIN $l lb ON lb.vec_id = s.vb) x WHERE rn <= 2),
+         |$e AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT va AS src, vb AS dst FROM $k
+         |    UNION ALL SELECT vb, va FROM $k))""".stripMargin
+    def greedy(pref: String, start: String, etab: String) =
+      (1 to HnswDescentRounds).map { r =>
+        val prev = if (r == 1) start else s"${pref}_${r - 1}"
+        s"""${pref}_$r AS MATERIALIZED (SELECT vec_id FROM (
+           |  SELECT a.vec_id,
+           |    row_number() OVER (ORDER BY a.cs DESC, a.vec_id) AS rn
+           |  FROM allcos a
+           |  WHERE a.vec_id IN (SELECT vec_id FROM $prev)
+           |     OR a.vec_id IN (SELECT e.dst FROM $etab e
+           |                     JOIN $prev p ON e.src = p.vec_id)
+           |  ) x WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+    val baseRounds = (1 to BeamRounds).map { r =>
+      val prev = s"b${r - 1}"
+      s"""b$r AS MATERIALIZED (SELECT vec_id, cs FROM (
+         |  SELECT a.vec_id, a.cs,
+         |    row_number() OVER (ORDER BY a.cs DESC, a.vec_id) AS rn
+         |  FROM allcos a
+         |  WHERE a.vec_id IN (SELECT vec_id FROM $prev)
+         |     OR a.vec_id IN (SELECT e.dst FROM edges e
+         |                     JOIN $prev p ON e.src = p.vec_id)
+         |  ) WHERE rn <= $BeamWidth)""".stripMargin
+    }.mkString(",\n")
+    s"""lvl AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'
+       |      THEN CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)
+       |          < '4' THEN 2 ELSE 1 END
+       |      ELSE 0 END AS lvl
+       |  FROM embeddings),
+       |l2 AS (SELECT vec_id FROM lvl WHERE lvl >= 2),
+       |l1 AS (SELECT vec_id FROM lvl WHERE lvl >= 1),
+       |${layer("k2", "e2", "l2")},
+       |${layer("k1", "e1", "l1")},
+       |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+       |allcos AS MATERIALIZED (
+       |  SELECT e.vec_id, ${cos("e.embedding", "q.v")} AS cs
+       |  FROM embeddings e, qv q),
+       |ent AS MATERIALIZED (SELECT vec_id FROM (
+       |  SELECT vec_id, row_number() OVER (ORDER BY lvl DESC, vec_id)
+       |    AS rn
+       |  FROM lvl) x WHERE rn = 1),
+       |${greedy("g2", "ent", "e2")},
+       |${greedy("g1", s"g2_$HnswDescentRounds", "e1")},
+       |b0 AS MATERIALIZED (SELECT a.vec_id, a.cs FROM allcos a
+       |  WHERE a.vec_id IN (SELECT vec_id FROM g1_$HnswDescentRounds)),
+       |$baseRounds""".stripMargin
+  }
+
+  private def topkHnswOracle: String =
+    s"""WITH ${edgeCtesDeg(2)},
+       |$hnswCtes
+       |SELECT vec_id,
+       |  ${graft.functions.ScalarFns.roundSql("cs", 6)} AS cosine_sim
+       |FROM b$BeamRounds
+       |WHERE vec_id <> 0 ORDER BY cs DESC, vec_id LIMIT 10""".stripMargin
+
+  private def recallHnswOracle: String = {
+    import Similarity.duckDot
+    val cosR = graft.functions.ScalarFns.roundSql(
+      s"(${duckDot("e.embedding", "q.v")} / " +
+        s"(sqrt(${duckDot("e.embedding", "e.embedding")}) * " +
+        s"sqrt(${duckDot("q.v", "q.v")})))", 6)
+    s"""WITH ${edgeCtesDeg(2)},
+       |$hnswCtes,
+       |res AS (SELECT vec_id FROM (
+       |  SELECT vec_id, cs,
+       |    row_number() OVER (ORDER BY cs DESC, vec_id) AS rn
+       |  FROM b$BeamRounds WHERE vec_id <> 0) WHERE rn <= 10),
+       |exact AS (
+       |  SELECT e.vec_id, $cosR AS cse
+       |  FROM embeddings e, qv q
+       |  WHERE e.vec_id <> 0
+       |  ORDER BY cse DESC, e.vec_id LIMIT 10)
+       |SELECT 'graph_hnsw_l2_b${BeamWidth}_r${BeamRounds}_d2' AS method,
+       |  CAST(count(*) AS BIGINT) AS n_overlap,
+       |  ${graft.functions.ScalarFns.roundSql("count(*) / 10.0", 4)}
+       |    AS recall_at_10
+       |FROM res JOIN exact USING (vec_id)
+       |ORDER BY method""".stripMargin
   }
 
   private def topkOracle(deg: Int): String =

@@ -222,7 +222,8 @@ object MarkovAttribution {
             Window.unboundedFollowing)))
       .withColumn("credit_share_ppm",
         when(col("variant") === "full" || col("total_effect") === 0, lit(0L))
-          .otherwise(expr("(removal_effect_ppm * 1000000L) div total_effect")))
+          .otherwise(expr("CAST((CAST(removal_effect_ppm AS DECIMAL(38,0))" +
+            " * 1000000) div total_effect AS BIGINT)")))
       .select(col("variant"), col("p_conv_ppm"), col("removal_effect_ppm"),
         col("credit_share_ppm"))
       .orderBy("variant")

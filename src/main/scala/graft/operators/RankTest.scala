@@ -151,7 +151,8 @@ object RankTest {
       .agg(min((col("v").cast("decimal(18,2)") * 100).cast("long"))
         .as("v_at_max_cents"))
       .selectExpr("n_a", "n_b", "d_num_max", "v_at_max_cents",
-        "(d_num_max * 1000000L) div (n_a * n_b) AS ks_d_ppm")
+        """CAST((CAST(d_num_max AS DECIMAL(38,0)) * 1000000)
+          |  div (n_a * n_b) AS BIGINT) AS ks_d_ppm""".stripMargin)
       .orderBy("n_a")
   }
 

@@ -2138,13 +2138,16 @@ object Similarity {
           .as("fn"))
       .withColumn("precision_ppm",
         when(col("tp") + col("fp") === 0, lit(0L))
-          .otherwise(expr("(tp * 1000000L) div (tp + fp)")))
+          .otherwise(expr(
+            "CAST((CAST(tp AS DECIMAL(38,0)) * 1000000) div (tp + fp) AS BIGINT)")))
       .withColumn("recall_ppm",
         when(col("tp") + col("fn") === 0, lit(0L))
-          .otherwise(expr("(tp * 1000000L) div (tp + fn)")))
+          .otherwise(expr(
+            "CAST((CAST(tp AS DECIMAL(38,0)) * 1000000) div (tp + fn) AS BIGINT)")))
       .withColumn("f1_ppm",
         when(col("tp") * 2 + col("fp") + col("fn") === 0, lit(0L))
-          .otherwise(expr("(2 * tp * 1000000L) div (2 * tp + fp + fn)")))
+          .otherwise(expr(
+            "CAST((CAST(tp AS DECIMAL(38,0)) * 2000000) div (2 * tp + fp + fn) AS BIGINT)")))
       .orderBy("label")
   }
 
@@ -2233,7 +2236,8 @@ object Similarity {
       .groupBy(col("method")).agg(sum(expr(weightCase)).as("dcg"))
     methodDim.join(dcg, Seq("method"), "left")
       .select(col("method"), lit(k.toLong).as("k"),
-        expr(s"(coalesce(dcg, 0L) * 1000000L) div ${IdcgScaled}L")
+        expr(s"CAST((CAST(coalesce(dcg, 0L) AS DECIMAL(38,0)) * 1000000)" +
+          s" div ${IdcgScaled}L AS BIGINT)")
           .as("ndcg_ppm"))
       .orderBy("method")
   }
@@ -2806,7 +2810,7 @@ object Similarity {
     * family) so the closure definition cannot drift between them.
     * Requires `scored` (from [[lshScoredCtes]]) and a RECURSIVE WITH;
     * ends with `clu(doc_id, cluster)`. */
-  private val clusterClosureCtes: String =
+  private[graft] val clusterClosureCtes: String =
     s"""pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
        |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),

@@ -403,7 +403,8 @@ object Stats {
       .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
     counts
       .crossJoin(broadcast(counts.agg(sum(col("n_orders")).as("total"))))
-      .withColumn("observed_ppm", expr("(1000000 * n_orders) DIV total"))
+      .withColumn("observed_ppm", expr("CAST((CAST(n_orders AS DECIMAL(38,0)) * 1000000)" +
+        " DIV total AS BIGINT)"))
       .join(broadcast(expected), Seq("digit"))
       .select(col("digit"), col("n_orders"), col("observed_ppm"),
         col("expected_ppm"))
@@ -582,7 +583,7 @@ object Stats {
     * two engine spellings (the MAD idiom). One (user) partial-agg
     * shuffle + two tiny aggregates — one pass over events. Single-row
     * global aggregate (ContractSpec singleRow allowlist). */
-  private def abZtestSql(nib: String, div: String): String = {
+  private def abZtestSql(nib: String, div: String, wide: String): String = {
     val z = "(CASE WHEN n0 = 0 OR n1 = 0 OR (c0 + c1) = 0" +
       " OR (c0 + c1) = (n0 + n1) THEN 0.0 ELSE " +
       "(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)" +
@@ -622,9 +623,11 @@ object Stats {
        |  FROM c)
        |SELECT n0, c0, n1, c1,
        |  CAST(CASE WHEN n0 = 0 THEN 0
-       |    ELSE (c0 * 1000000) $div n0 END AS BIGINT) AS rate0_ppm,
+       |    ELSE (CAST(c0 AS $wide) * 1000000) $div n0 END AS BIGINT)
+       |    AS rate0_ppm,
        |  CAST(CASE WHEN n1 = 0 THEN 0
-       |    ELSE (c1 * 1000000) $div n1 END AS BIGINT) AS rate1_ppm,
+       |    ELSE (CAST(c1 AS $wide) * 1000000) $div n1 END AS BIGINT)
+       |    AS rate1_ppm,
        |  $zr AS z,
        |  ($zr > 1.96 OR $zr < -1.96) AS significant
        |FROM r""".stripMargin
@@ -634,7 +637,7 @@ object Stats {
     graft.Tables.registerAll(spark, dir)
     spark.sql(abZtestSql(
       "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 1), 16, 10) AS BIGINT)",
-      "div"))
+      "div", "DECIMAL(38,0)"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -872,7 +875,7 @@ object Stats {
     "ab_conversion_ztest" -> abZtestSql(
       "(instr('0123456789abcdef', " +
         "substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)",
-      "//"),
+      "//", "HUGEINT"),
     "ab_cuped_lift" -> {
       val nib = "(instr('0123456789abcdef', " +
         "substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)"

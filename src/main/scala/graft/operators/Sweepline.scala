@@ -91,7 +91,8 @@ object Sweepline {
     filledDays(spark, dir)
       .groupBy(trunc(col("day"), "month").as("month"))
       .agg(count(lit(1)).as("n_days"),
-        expr("CAST((1000000 * sum(lvl2)) DIV count(1) AS BIGINT)")
+        expr("CAST((CAST(sum(lvl2) AS DECIMAL(38,0)) * 1000000)" +
+          " DIV count(1) AS BIGINT)")
           .as("avg_open_ppm"))
       .orderBy("month")
 

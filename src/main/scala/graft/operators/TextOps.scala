@@ -484,7 +484,8 @@ object TextOps {
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .filter(col("n") * lit(HhK) > lit(total))
       .select(col("term"), col("n"),
-        expr(s"1000000 * n div ${total}L").as("share_ppm"))
+        expr(s"CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div ${total}L" +
+          " AS BIGINT)").as("share_ppm"))
       .orderBy(col("n").desc, col("term"))
   }
 

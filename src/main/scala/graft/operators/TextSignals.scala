@@ -201,7 +201,8 @@ object TextSignals {
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(nn))
       .selectExpr("doc_id", "term", "tf", "df",
-        "(tf * nn * 1000000L) div (df * dl) AS salience_ppm")
+        """CAST((CAST(tf AS DECIMAL(38,0)) * nn * 1000000)
+          |  div (df * dl) AS BIGINT) AS salience_ppm""".stripMargin)
       .withColumn("kw_rank", row_number().over(w))
       .filter(col("kw_rank") <= topK)
       .select(col("doc_id"), col("kw_rank").cast("long").as("kw_rank"),
@@ -255,7 +256,9 @@ object TextSignals {
         "substring(g, 1, length(g) - length(element_at(split(g, ' '), 3)) - 1)"))
     val c2 = c3.groupBy(col("pfx")).agg(sum(col("c3")).as("c2"))
     val lm = c3.join(c2, Seq("pfx"))
-      .select(col("g"), expr("1000000 * c3 div c2").as("ppm"))
+      .select(col("g"),
+        expr("CAST((CAST(c3 AS DECIMAL(38,0)) * 1000000) div c2 AS BIGINT)")
+          .as("ppm"))
     val perDoc = tri.filter(col("half") === "eval")
       .join(lm, Seq("g"), "left")
       .groupBy(col("doc_id"), col("source"))
@@ -397,7 +400,12 @@ object TextSignals {
     * 100 TB: one token explode → (doc, term) partial-agg shuffle →
     * per-doc fold → ONE source-granularity aggregate. No windows, no
     * joins. */
-  def tokenDiversityBySource(spark: SparkSession, dir: String): DataFrame =
+  /** The per-doc Gini-Simpson frame (doc_id, source, div_ppm) — the
+    * source report folds it, and the [[CurationPipeline]] diversity
+    * GATE consumes it directly (a doc with zero tokens emits no row —
+    * the pipeline treats absent as fail-the-screen in both engines). */
+  private[operators] def docDiversity(spark: SparkSession,
+      dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"), explode(toks).as("term"))
       .groupBy(col("doc_id"), col("source"), col("term"))
@@ -407,6 +415,9 @@ object TextSignals {
       .selectExpr("doc_id", "source",
         """1000000L - CAST((CAST(ss AS DECIMAL(38,0)) * 1000000)
           |  DIV (n * n) AS BIGINT) AS div_ppm""".stripMargin)
+
+  def tokenDiversityBySource(spark: SparkSession, dir: String): DataFrame =
+    docDiversity(spark, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         expr("CAST(sum(div_ppm) DIV count(*) AS BIGINT)")

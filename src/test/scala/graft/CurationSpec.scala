@@ -278,6 +278,15 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("source_cap_topk: the bounded-heap twin lands on the window " +
+      "form's rows exactly (select-k ≡ rank-k, ties included)") {
+    val a = Curation.sourceCapSample(spark, sf0001).collect()
+      .map(_.toSeq).toSeq
+    val b = Curation.sourceCapTopk(spark, sf0001).collect()
+      .map(_.toSeq).toSeq
+    assert(b == a)
+  }
+
   test("source_cap_maintained: re-rank recompute, conservation, live evictions") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

@@ -76,6 +76,22 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("stream-scored selection equals the one-shot selection row for " +
+      "row, through real micro-batches") {
+    val batch = Dsir.dsirSelectedDocs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5))).toSeq
+    val streamed = Dsir.dsirSelectedStreamed(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(streamed == batch)
+    // the replay really chopped: two per-batch sink generations exist
+    val root = Dsir.streamedScoresDir(spark, sf0001)
+    val gens = new java.io.File(s"$root/scores").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(gens.sameElements(Array("b0", "b1")))
+  }
+
   test("AUC: the doubled-midrank statistic equals brute-force pair counting") {
     val feats = jvmFeatures()
     val model = jvmModel(feats)

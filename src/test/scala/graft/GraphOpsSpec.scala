@@ -174,6 +174,67 @@ class GraphOpsSpec extends SparkSpec {
     assert(overlap > 0, "recall 0 — the walk never left its seeds")
   }
 
+  test("hnsw walk: levels, layer graphs, greedy descent and the seeded " +
+      "base walk all replay exactly on the driver; recall row consistent") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def lvlOf(v: Long): Int = {
+      val h = md5hex(v.toString)
+      if (h(0) < '4') { if (h(1) < '4') 2 else 1 } else 0
+    }
+    val emb = Tables(spark, sf0001, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cosq = emb.map { case (v, e) => v -> cosine(e, emb(0L)) }
+    // layers are non-trivially populated and nest
+    val l1 = emb.keySet.filter(lvlOf(_) >= 1)
+    val l2 = emb.keySet.filter(lvlOf(_) >= 2)
+    assert(l2.nonEmpty && l2.subsetOf(l1) && l1.size < emb.size)
+    // layer edges replayed from the shared scored-candidate table
+    val scored = GraphOps.scoredCand(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def layerEdges(members: Set[Long]): Map[Long, Set[Long]] = {
+      val knn = scored.filter(s => members(s._1) && members(s._2))
+        .groupBy(_._1).toSeq.flatMap { case (va, xs) =>
+          xs.sortBy(x => (-x._3, x._2)).take(2).map(x => (va, x._2)) }
+      (knn ++ knn.map(p => (p._2, p._1))).groupBy(_._1)
+        .map { case (s, es) => s -> es.map(_._2).toSet }
+    }
+    val entry = emb.keySet.toSeq.sortBy(v => (-lvlOf(v), v)).head
+    var cur = entry
+    for (members <- Seq(l2, l1)) {
+      val le = layerEdges(members)
+      for (_ <- 1 to GraphOps.HnswDescentRounds) {
+        val cand = Set(cur) ++ le.getOrElse(cur, Set.empty)
+        cur = cand.toSeq.sortBy(v => (-cosq(v), v)).head
+      }
+    }
+    var beam = Set(cur)
+    for (_ <- 1 to GraphOps.BeamRounds) {
+      val cand = beam ++ beam.flatMap(v => edges.getOrElse(v, Set.empty))
+      beam = cand.toSeq.sortBy(v => (-cosq(v), v))
+        .take(GraphOps.BeamWidth).toSet
+    }
+    val got = spark.read.parquet(GraphOps.hnswBeamDir(spark, sf0001))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == beam,
+      s"hnsw beam diff: +${got.keySet -- beam} -${beam -- got.keySet}")
+    got.foreach { case (v, cs) => assert(cs == cosq(v), s"score drift $v") }
+    val expectTop = beam.toSeq.filter(_ != 0L)
+      .sortBy(v => (-cosq(v), v)).take(10)
+    val gotTop = GraphOps.graphAnnTopkHnsw(spark, sf0001).collect()
+      .map(_.getLong(0)).toSeq
+    assert(gotTop == expectTop)
+    val exact = emb.keySet.filter(_ != 0L).toSeq
+      .sortBy(v => (-math.floor(cosq(v) * 1e6 + 0.5) / 1e6, v)).take(10)
+    val overlap = exact.toSet.intersect(gotTop.toSet).size
+    val row = GraphOps.graphAnnRecallHnsw(spark, sf0001).collect().head
+    assert(row.getString(0) == s"graph_hnsw_l2_b${GraphOps.BeamWidth}" +
+      s"_r${GraphOps.BeamRounds}_d2")
+    assert(row.getLong(1) == overlap.toLong)
+    assert(overlap > 0, "hnsw recall 0 — the descent stranded the walk")
+  }
+
   test("deterministic across shuffle-partition settings") {
     val a = hops
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

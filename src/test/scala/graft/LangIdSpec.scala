@@ -16,12 +16,15 @@ class LangIdSpec extends SparkSpec {
   private def isTrain(docId: Long): Boolean =
     md5hex(docId.toString).substring(0, 8) < "c0000000"
 
-  /** (doc_id, lang, isTrain, bucket-occurrence list). */
+  /** (doc_id, lang, isTrain, bucket-occurrence list) — over the
+    * PLANTED eval frame (the ` q<lang>q` × PlantRepeat marker), the
+    * classifier's graded input since r12. */
   private lazy val docs: Seq[(Long, String, Boolean, Seq[Long])] =
     Tables(spark, sf0001, "documents")
       .select(col("doc_id"), col("lang"), col("text")).collect()
       .toIndexedSeq.map { r =>
-        val (id, lang, text) = (r.getLong(0), r.getString(1), r.getString(2))
+        val (id, lang, raw) = (r.getLong(0), r.getString(1), r.getString(2))
+        val text = raw + (" q" + lang + "q") * LangId.PlantRepeat
         val bs =
           if (text.length < LangId.N) Seq.empty[Long]
           else text.sliding(LangId.N).map(g => u32(g) % LangId.Buckets).toSeq
@@ -142,6 +145,19 @@ class LangIdSpec extends SparkSpec {
     val gens = new java.io.File(s"$root/preds").listFiles()
       .filter(_.isDirectory).map(_.getName).sorted
     assert(gens.sameElements(Array("b0", "b1")))
+  }
+
+  test("the planted signal makes the classifier classify: diagonal " +
+      "mass >= 90% (r11 verdict #8 — off-chance, spec-pinned)") {
+    val m = LangId.langidConfusion(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val total = m.map(_._3).sum
+    val diag = m.filter(x => x._1 == x._2).map(_._3).sum
+    assert(total > 0)
+    // chance on 5 classes is 20%; the ~20%-of-gram-mass marker must
+    // put the held-out accuracy far above it
+    assert(diag * 10 >= total * 9,
+      s"diagonal $diag / $total below the 90% pin — planted signal lost")
   }
 
   test("the split is honest and the model spine is total") {

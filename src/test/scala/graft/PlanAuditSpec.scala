@@ -16,6 +16,66 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** r11 verdict #3 — the overflow class that recurred three rounds
+    * running (Q8/Q14 ppm, Baskets, MarkovAttribution ×10⁶), codified:
+    * a ppm-scale integer multiply left in BIGINT overflows once its
+    * data-dependent side reaches ~9.2×10¹² — trivially reachable for
+    * corpus-scaled counts at the 100 TB framing — so every such
+    * multiply must be widened to DECIMAL(38,0) BEFORE the product.
+    * The walk is deliberately STRICTER than "after an aggregate": it
+    * flags ANY integer-typed Multiply with a literal factor ≥ 10⁶
+    * anywhere in any graded plan (dubiously-bounded sites are widened
+    * too — widening is value-identical where no overflow occurs, and
+    * a boundedness proof in a comment rots while a DECIMAL cast
+    * doesn't). The ONE exception is itself machine-checked, never a
+    * comment: `(x % m) * f` with literal m and f is bounded by |m|·|f|
+    * independent of scale — the Packing fingerprint's modular Knuth
+    * hash — and the walk verifies |m|·|f| < Long.MaxValue instead of
+    * trusting an allowlist. */
+  test("overflow audit: no graded plan multiplies an integer by a " +
+      "ppm-scale literal without DECIMAL(38,0) widening") {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression,
+      Literal, Multiply, Pmod, Remainder}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    def litVal(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, LongType) => Some(v)
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case c: Cast => litVal(c.child)
+      case _ => None
+    }
+    def modBound(e: Expression): Option[Long] = e match {
+      case r: Remainder => litVal(r.right).map(math.abs)
+      case p: Pmod => litVal(p.right).map(math.abs)
+      case c: Cast => modBound(c.child)
+      case _ => None
+    }
+    def provablyBounded(m: Multiply): Boolean =
+      Seq((m.left, m.right), (m.right, m.left)).exists { case (a, b) =>
+        (for { mb <- modBound(a); f <- litVal(b) } yield
+          BigInt(mb) * BigInt(math.abs(f)) < BigInt(Long.MaxValue))
+          .getOrElse(false)
+      }
+    val offenders = scala.collection.mutable.Buffer[String]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf0001).queryExecution.optimizedPlan
+      plan.foreach { node =>
+        node.expressions.foreach { root =>
+          root.foreach {
+            case m: Multiply
+                if m.dataType == LongType || m.dataType == IntegerType =>
+              val big = Seq(m.left, m.right).flatMap(litVal)
+                .exists(v => math.abs(v) >= 1000000L)
+              if (big && !provablyBounded(m))
+                offenders += s"$name: ${m.sql}"
+            case _ => ()
+          }
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"un-widened ppm multiplies:\n${offenders.distinct.mkString("\n")}")
+  }
+
   test("pricing_summary pushes the shipdate filter into the parquet scan") {
     val plan = SparkEntry.queries("pricing_summary")(spark, sf0001)
       .queryExecution.executedPlan.toString
@@ -365,6 +425,18 @@ class PlanAuditSpec extends SparkSpec {
       assert(specs.forall(_.contains("source")),
         s"$q: a window is not source-partitioned: ${specs.mkString("; ")}")
     }
+  }
+
+  test("source_cap_topk: the bounded-heap admission plans with NO " +
+      "window at all — the Zipfian-hot-domain scale path (r11 #5)") {
+    val plan = SparkEntry.queries("source_cap_topk")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition"),
+      s"TopK twin re-grew a window:\n$plan")
+    // the mergeable-partial shape: ObjectHashAggregate with a PARTIAL
+    // top_k_by before the exchange — ≤K pairs per (source, partition)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_top_k_by"), plan)
   }
 
   test("banded chunk retrieval: the candidate restriction is a " +

@@ -114,7 +114,8 @@ object PlanDump {
     "langid_mix_by_source",
     "source_cap_topk", "dsir_selected_streamed",
     "curation_pipeline_account", "chunk_retrieval_recall_ivf",
-    "graph_ann_topk_hnsw", "graph_ann_recall_hnsw")
+    "graph_ann_topk_hnsw", "graph_ann_recall_hnsw",
+    "curation_pipeline_erased")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

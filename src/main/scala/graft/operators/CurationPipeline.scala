@@ -67,24 +67,25 @@ import graft.functions.Shingles
   */
 object CurationPipeline {
 
-  /** The flagged frame (one row per doc, all stage flags) — shared by
-    * the graded account and the ContractSpec implication pins. */
-  private[graft] def flagged(spark: SparkSession, dir: String): DataFrame = {
+  /** The funnel over pluggable substrates — the base row and the
+    * erased row differ ONLY in which docs/gate/cluster/diversity
+    * frames flow in (full corpus vs survivor algebra); the flag
+    * windows, cap rule and account are this ONE code path. */
+  private def flaggedFrom(docs0: DataFrame, gate0: DataFrame,
+      clu: DataFrame, div0: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val docs = Tables(spark, dir, "documents")
+    val docs = docs0
       .withColumn("n_tok", size(Shingles.sparkToks).cast("bigint"))
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
         col("n_tok"))
-    val gate = LangId.gatePredictions(spark, dir)
-      .select(col("doc_id"),
-        (col("lang_pred") === col("lang_true")).as("g_ok"))
-    val div = TextSignals.docDiversity(spark, dir)
-      .select(col("doc_id"),
-        (col("div_ppm") >= TextSignals.DiversityLowPpm).as("dv_ok"))
+    val gate = gate0.select(col("doc_id"),
+      (col("lang_pred") === col("lang_true")).as("g_ok"))
+    val div = div0.select(col("doc_id"),
+      (col("div_ppm") >= TextSignals.DiversityLowPpm).as("dv_ok"))
     docs
       .join(gate, Seq("doc_id"), "left")
       .withColumn("g_pass", coalesce(col("g_ok"), lit(false)))
-      .join(Similarity.neardupClusters(spark, dir), Seq("doc_id"))
+      .join(clu, Seq("doc_id"))
       .withColumn("dd_rn", row_number().over(
         w.partitionBy(col("g_pass"), col("cluster"))
           .orderBy(col("doc_id"))))
@@ -99,10 +100,29 @@ object CurationPipeline {
       .withColumn("admit", col("dv_pass") && col("cap_rn") <= Curation.CapK)
   }
 
-  /** GRADED: the per-source admission account + the mix allocation
-    * over the admits (see object scaladoc). */
-  def curationPipelineAccount(spark: SparkSession, dir: String): DataFrame = {
-    val acct = flagged(spark, dir)
+  /** The flagged frame (one row per doc, all stage flags) — shared by
+    * the graded account and the spec implication pins. */
+  private[graft] def flagged(spark: SparkSession, dir: String): DataFrame =
+    flaggedFrom(Tables(spark, dir, "documents"),
+      LangId.gatePredictions(spark, dir),
+      Similarity.neardupClusters(spark, dir),
+      TextSignals.docDiversity(spark, dir))
+
+  /** The erased twin's flagged frame: survivors only, every substrate
+    * updated by its own erasure ALGEBRA — see
+    * [[curationPipelineErased]]. */
+  private[graft] def flaggedErased(spark: SparkSession, dir: String): DataFrame = {
+    val surv = !IndexErasure.erased(col("doc_id"))
+    flaggedFrom(Tables(spark, dir, "documents").filter(surv),
+      LangId.gatePredictionsErased(spark, dir),
+      Similarity.neardupClustersErased(spark, dir),
+      TextSignals.docDiversity(spark, dir).filter(surv))
+  }
+
+  /** The per-source account + mix allocation over a flagged frame —
+    * shared terminal of both graded rows. */
+  private def accountFrom(flaggedFrame: DataFrame): DataFrame = {
+    val acct = flaggedFrame
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_raw"),
         sum(when(col("g_pass"), 1L).otherwise(0L)).as("n_langid"),
@@ -137,12 +157,40 @@ object CurationPipeline {
       .orderBy("source")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "curation_pipeline_account" -> (curationPipelineAccount _))
+  /** GRADED: the per-source admission account + the mix allocation
+    * over the admits (see object scaladoc). */
+  def curationPipelineAccount(spark: SparkSession, dir: String): DataFrame =
+    accountFrom(flagged(spark, dir))
 
-  val oracles: Map[String, String] = Map(
-    "curation_pipeline_account" ->
-      s"""WITH RECURSIVE ${LangId.gatePredCtes},
+  /** GRADED: GDPR ERASURE PROPAGATED THROUGH THE COMPOSED PIPELINE —
+    * the [[IndexErasure]] discipline (each stored artifact updated by
+    * its own erasure algebra, survivors never re-derived) applied to
+    * the whole funnel at once: the langid gate scores SURVIVOR
+    * features (read from the stored substrate, not re-tokenized)
+    * against the COUNT-SUBTRACTED model ([[LangId.langidModelErased]]
+    * algebra), the dedup stage clusters the DV-FILTERED stored pair
+    * table (pair candidacy is per-pair, so the filtered set ≡ the
+    * survivor rebuild's pair set), diversity rows are per-doc and
+    * simply retired, the cap re-ranks among survivors (hash-rank is
+    * not append- OR delete-stable — eviction's mirror image: a
+    * survivor can be ADMITTED because an erased admit vacated a slot),
+    * and the mix re-allocates over the surviving admitted mass. The
+    * oracle runs the ENTIRE from-scratch pipeline over `documents
+    * WHERE survivor` — hash equality proves algebraic-update ≡
+    * full-rebuild for the COMPOSITION, which no per-family erasure row
+    * can see. */
+  def curationPipelineErased(spark: SparkSession, dir: String): DataFrame =
+    accountFrom(flaggedErased(spark, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_pipeline_account" -> (curationPipelineAccount _),
+    "curation_pipeline_erased" -> (curationPipelineErased _))
+
+  /** The full staged-CTE from-scratch pipeline (no WITH prefix) — the
+    * erased oracle rewrites its base-table references to a survivor
+    * CTE, so the one body serves both grades. */
+  private val pipelineBody: String =
+      s"""${LangId.gatePredCtes},
          |${Similarity.shingleCte.stripPrefix("WITH ")},
          |${Similarity.lshScoredCtes},
          |${Similarity.clusterClosureCtes},
@@ -214,5 +262,22 @@ object CurationPipeline {
          |  CASE WHEN tok_admitted = 0 THEN 0
          |    ELSE CAST((CAST(alloc_tokens AS HUGEINT) * 1000000)
          |      // tok_admitted AS BIGINT) END AS rate_ppm
-         |FROM alloc ORDER BY source""".stripMargin)
+         |FROM alloc ORDER BY source""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "curation_pipeline_account" -> ("WITH RECURSIVE " + pipelineBody),
+    // the IDENTICAL from-scratch pipeline over the survivor slice —
+    // proving the Spark side's composed algebraic erasure ≡ rebuild.
+    // The rewrite is validated, not assumed: the body must reference
+    // the base table at exactly the five known sites (planted frame,
+    // langid class spine, tokenizer, cluster vertex set, account base).
+    "curation_pipeline_erased" -> {
+      val refs = "FROM documents".r.findAllIn(pipelineBody).length
+      require(refs == 5,
+        s"pipeline oracle: expected 5 base-table refs, found $refs — " +
+          "update the erased rewrite alongside the body")
+      "WITH RECURSIVE surv AS (SELECT * FROM documents WHERE " +
+        IndexErasure.survivorSql("doc_id") + "),\n" +
+        pipelineBody.replace("FROM documents", "FROM surv")
+    })
 }

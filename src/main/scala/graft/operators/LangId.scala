@@ -189,6 +189,22 @@ object LangId {
     weightsFrom(spark, dir, surv).orderBy("lang", "b")
   }
 
+  /** SURVIVOR predictions against the SUBTRACTED model — the erased
+    * pipeline's gate ([[CurationPipeline]] GDPR row): features come
+    * from the stored substrate FILTERED to survivors (no
+    * re-tokenization — the erasure discipline), the model from the
+    * count-subtraction algebra ([[langidModelErased]], proven ≡ a
+    * survivor-only rebuild). */
+  private[graft] def gatePredictionsErased(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|langid_gate_erased|$dir",
+      ttlSeconds = 300)(
+      predictionsFrom(
+        features(spark, dir)
+          .filter(!IndexErasure.erased(col("doc_id"))),
+        langidModelErased(spark, dir)))
+
   /** Held-out predictions (doc_id, lang_true, lang_pred) — S6-cached:
     * the confusion matrix and the F1 board both read it, one
     * tokenize+hash+score pass per (session, corpus). */

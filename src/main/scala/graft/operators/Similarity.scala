@@ -763,6 +763,26 @@ object Similarity {
       neardupPairs(spark, dir).filter(col("jaccard") >= threshold),
       "doc_a", "doc_b", defer)
 
+  /** SURVIVOR cluster labels — the erased pipeline's dedup substrate
+    * ([[CurationPipeline]] GDPR row): the stored pair table
+    * DV-filtered (a pair's candidacy depends only on its own two
+    * docs' signatures, so the filtered pair set IS exactly the pair
+    * set a survivor-only rebuild would produce — the
+    * [[IndexErasure]] per-row-independence principle applied to the
+    * LSH pair table), components over survivor vertices only. */
+  private[graft] def neardupClustersErased(spark: SparkSession,
+      dir: String, threshold: Double = 0.5): DataFrame =
+    cachedWithPins(
+      s"${graft.sources.ResultCache.sessionId(spark)}|neardup_clusters_erased|$dir|$threshold")(
+      defer => clusterFrame(
+        Tables(spark, dir, "documents")
+          .filter(!IndexErasure.erased(col("doc_id")))
+          .select(col("doc_id")), "doc_id",
+        neardupPairs(spark, dir).filter(col("jaccard") >= threshold)
+          .filter(!IndexErasure.erased(col("doc_a")) &&
+            !IndexErasure.erased(col("doc_b"))),
+        "doc_a", "doc_b", defer))
+
   /** The DISTRIBUTED component path GRADED (r6): identical semantics
     * to [[neardupClusters]], but dispatched through
     * [[connectedComponentsLoop]] unconditionally — at bench scale the

@@ -79,6 +79,39 @@ class CurationPipelineSpec extends SparkSpec {
     assert(account.map(_._4).sum == expectDedup)
   }
 
+  test("erased pipeline: survivors only, erasure is live, and the " +
+      "account obeys the same conservation laws") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = Tables(spark, sf0001, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val nErased = ids.count(id => md5hex(id.toString).startsWith("a"))
+    assert(nErased > 0, "no erased docs at sf0.001 — vacuous")
+    val er = CurationPipeline.curationPipelineErased(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9), r.getLong(10), r.getLong(11)))
+      .toSeq
+    // raw counts shrink by exactly the per-source erased masses
+    val baseRaw = account.map(a => a._1 -> a._2).toMap
+    val srcOf = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val erasedBySrc = srcOf.filter(p => md5hex(p._1.toString)
+      .startsWith("a")).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    er.foreach { case (src, raw, lang, dd, dv, adm, _, _, _, _, _, _) =>
+      assert(raw == baseRaw(src) - erasedBySrc.getOrElse(src, 0L),
+        s"survivor raw count at $src")
+      assert(raw >= lang && lang >= dd && dd >= dv && dv >= adm)
+      assert(adm == math.min(dv, Curation.CapK.toLong))
+    }
+    // the composition is non-vacuous: at least one source's account
+    // moved (the erased class is ~1/16 of every source)
+    assert(er != account)
+  }
+
   test("mix arithmetic is the exact integer recompute of the account " +
       "columns (temperatureMix discipline over admitted tokens)") {
     val totAdm = account.map(_._9).sum

@@ -115,7 +115,8 @@ object PlanDump {
     "source_cap_topk", "dsir_selected_streamed",
     "curation_pipeline_account", "chunk_retrieval_recall_ivf",
     "graph_ann_topk_hnsw", "graph_ann_recall_hnsw",
-    "curation_pipeline_erased")
+    "curation_pipeline_erased",
+    "graph_ann_topk_hnsw_maintained", "graph_ann_recall_hnsw_maintained")
   def main(args: Array[String]): Unit = {
     ToolLogging.init()
     val spark = SparkSession.builder().master("local[4]")

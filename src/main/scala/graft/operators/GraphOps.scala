@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -252,20 +252,7 @@ object GraphOps {
           .filter(col("rn") <= 2)
           .select(col("vec_id"), col("cid"))
       }
-      def topkSym(cand: DataFrame): DataFrame = {
-        val scored = cand
-          .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")),
-            "va")
-          .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")),
-            "vb")
-          .select(col("va"), col("vb"), expr("cosine_sim(ea, eb)").as("cs"))
-        val wk = Window.partitionBy("va").orderBy(col("cs").desc, col("vb"))
-        val knn = scored.withColumn("rn", row_number().over(wk))
-          .filter(col("rn") <= 2).select(col("va"), col("vb"))
-        knn.select(col("va").as("src"), col("vb").as("dst"))
-          .unionByName(knn.select(col("vb").as("src"), col("va").as("dst")))
-          .distinct()
-      }
+      def topkSym(cand: DataFrame): DataFrame = topkSymOf(cand, e)
       val baseAssign = assignOf(base)
       // base graph: candidates among base only
       val baseCand = baseAssign.as("a")
@@ -276,14 +263,39 @@ object GraphOps {
       topkSym(baseCand).write.mode("overwrite").parquet(root)
       val baseFiles = listParquet(root)
       // insert: new probes base — candidates are new×base ONLY
-      val newCand = assignOf(fresh).as("n")
+      val freshAssign = assignOf(fresh)
+      val newCand = freshAssign.as("n")
         .join(baseAssign.as("a"), col("n.cid") === col("a.cid"))
         .select(col("n.vec_id").as("va"), col("a.vec_id").as("vb"))
         .distinct()
       topkSym(newCand).write.mode("append").parquet(root)
+      // persist the (tiny) probe assignments as index metadata under
+      // SUBDIRS (invisible to listParquet's base-file immutability
+      // pin): the HNSW-maintained walk derives its layer graphs from
+      // them without re-running either coarse sweep
+      baseAssign.write.mode("overwrite").parquet(s"$root/assign_base")
+      freshAssign.write.mode("overwrite").parquet(s"$root/assign_new")
       val all = listParquet(root)
       GraphState(root, baseFiles, all -- baseFiles.keys)
     })
+
+  /** Exact-cosine top-2-per-`va` over a candidate pair set, then
+    * symmetrized — the edge finisher shared by the maintained base
+    * graph and the maintained HNSW layer graphs. */
+  private def topkSymOf(cand: DataFrame, e: DataFrame): DataFrame = {
+    val scored = cand
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")),
+        "va")
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")),
+        "vb")
+      .select(col("va"), col("vb"), expr("cosine_sim(ea, eb)").as("cs"))
+    val wk = Window.partitionBy("va").orderBy(col("cs").desc, col("vb"))
+    val knn = scored.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= 2).select(col("va"), col("vb"))
+    knn.select(col("va").as("src"), col("vb").as("dst"))
+      .unionByName(knn.select(col("vb").as("src"), col("va").as("dst")))
+      .distinct()
+  }
 
   /** The BFS loop over ANY edge table — shared by the one-shot and
     * the maintained graphs (one definition, cannot drift). */
@@ -756,14 +768,18 @@ object GraphOps {
 
   private[graft] val HnswDescentRounds = 4
 
-  /** Deterministic level: 2, 1 or 0 (see block comment). */
-  private def hnswLevels(spark: SparkSession, dir: String): DataFrame = {
-    val h = md5(col("vec_id").cast("string"))
-    Tables(spark, dir, "embeddings").select(col("vec_id"),
-      when(substring(h, 1, 1) < "4",
-        when(substring(h, 2, 1) < "4", 2L).otherwise(1L))
-        .otherwise(0L).as("lvl"))
+  /** Deterministic level of an id column: 2, 1 or 0 (see block
+    * comment) — the pure hash the INSERT story leans on. */
+  private def hnswLvlCol(id: Column): Column = {
+    val h = md5(id.cast("string"))
+    when(substring(h, 1, 1) < "4",
+      when(substring(h, 2, 1) < "4", 2L).otherwise(1L))
+      .otherwise(0L)
   }
+
+  private def hnswLevels(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings").select(col("vec_id"),
+      hnswLvlCol(col("vec_id")).as("lvl"))
 
   /** Layer-ℓ top-2 kNN edges among level ≥ ℓ members, from the shared
     * scored-candidate substrate (semi-filtered, re-windowed — the
@@ -861,6 +877,118 @@ object GraphOps {
     exact.join(res, Seq("vec_id"))
       .agg(count(lit(1)).as("n_overlap"))
       .select(lit(s"graph_hnsw_l2_b${BeamWidth}_r${BeamRounds}_d2")
+        .as("method"),
+        col("n_overlap"),
+        graft.functions.ScalarFns.roundN(
+          col("n_overlap").cast("double") / 10.0, 4).as("recall_at_10"))
+  }
+
+  // HNSW INSERT maintenance (r12): levels are a pure hash of vec_id,
+  // so a new vector joins its layers with no rebalancing, and each
+  // layer graph maintains EXACTLY like the graded base graph — stored
+  // base-layer edges are never rewritten, the new member's
+  // top-2-into-base edges land as an appended file set (new×base
+  // candidates only; base×base never re-forms). The walk then runs
+  // over the union layer graphs and the union base graph — serving
+  // composed with insert, the half of index maintenance that matters.
+  private val hnswMaintDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def hnswMaintainedDir(spark: SparkSession,
+      dir: String): String =
+    hnswMaintDirs.computeIfAbsent(dir, { _ =>
+      graft.plans.VectorExpressions.register(spark)
+      val st = maintainedEdges(spark, dir)
+      val out = Tables.scratchDir("graft_hnsw_maint_").getAbsolutePath
+      val e = Tables(spark, dir, "embeddings")
+      // the stored probe assignments — no coarse sweep re-runs here
+      val baseAssign = spark.read.parquet(s"${st.root}/assign_base")
+      val freshAssign = spark.read.parquet(s"${st.root}/assign_new")
+      for (minLvl <- Seq(2L, 1L)) {
+        val bm = baseAssign.filter(hnswLvlCol(col("vec_id")) >= minLvl)
+        val lCand = bm.as("a")
+          .join(bm.as("b"), col("a.cid") === col("b.cid") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+          .distinct()
+        topkSymOf(lCand, e).write.mode("overwrite")
+          .parquet(s"$out/l$minLvl")
+        val nm = freshAssign.filter(hnswLvlCol(col("vec_id")) >= minLvl)
+        val dCand = nm.as("n")
+          .join(bm.as("a"), col("n.cid") === col("a.cid"))
+          .select(col("n.vec_id").as("va"), col("a.vec_id").as("vb"))
+          .distinct()
+        topkSymOf(dCand, e).write.mode("append")
+          .parquet(s"$out/l$minLvl")
+      }
+      val baseEdges = spark.read.parquet(st.root) // base + delta files
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      def scoreOf(cands: DataFrame): DataFrame =
+        cands.join(e, Seq("vec_id"))
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), expr("cosine_sim(embedding, qv)").as("cs"))
+      // entry over the UNION corpus: a new vector can be the new entry
+      val entry = hnswLevels(spark, dir)
+        .orderBy(col("lvl").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"))
+      var cur = scoreOf(entry).localCheckpoint(true)
+      try {
+        for (minLvl <- Seq(2L, 1L)) {
+          val edges = spark.read.parquet(s"$out/l$minLvl")
+          for (_ <- 1 to HnswDescentRounds) {
+            val cand = cur.select(col("vec_id")).unionByName(
+                cur.select(col("vec_id"))
+                  .join(edges, col("vec_id") === col("src"))
+                  .select(col("dst").as("vec_id")))
+              .distinct()
+            val nc = scoreOf(cand)
+              .orderBy(col("cs").desc, col("vec_id")).limit(1)
+              .localCheckpoint(true)
+            Similarity.releaseCheckpoint(cur)
+            cur = nc
+          }
+        }
+        for (_ <- 1 to BeamRounds) {
+          val cand = cur.select(col("vec_id")).unionByName(
+              cur.select(col("vec_id"))
+                .join(baseEdges, col("vec_id") === col("src"))
+                .select(col("dst").as("vec_id")))
+            .distinct()
+          val nb = scoreOf(cand)
+            .orderBy(col("cs").desc, col("vec_id")).limit(BeamWidth)
+            .localCheckpoint(true)
+          Similarity.releaseCheckpoint(cur)
+          cur = nb
+        }
+        cur.write.mode("overwrite").parquet(s"$out/beam")
+      } finally Similarity.releaseCheckpoint(cur)
+      out
+    })
+
+  /** GRADED: HNSW serving composed with INSERT — top-10 off the
+    * maintained-hierarchy walk (union layer graphs + union base
+    * graph); judged against the composed union-graph walk unrolled in
+    * DuckDB. */
+  def graphAnnTopkHnswMaintained(spark: SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(s"${hnswMaintainedDir(spark, dir)}/beam")
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("cs").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"),
+        graft.functions.ScalarFns.roundN(col("cs"), 6).as("cosine_sim"))
+
+  /** GRADED: post-insert recall — the maintained walk's top-10 against
+    * the exact top-10 over the FULL (base + inserted) corpus: does
+    * serving stay accurate after the index grew by appended deltas? */
+  def graphAnnRecallHnswMaintained(spark: SparkSession,
+      dir: String): DataFrame = {
+    val res = spark.read.parquet(s"${hnswMaintainedDir(spark, dir)}/beam")
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("cs").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"))
+    val exact = Similarity.cosineTopk(spark, dir).select(col("vec_id"))
+    exact.join(res, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(s"graph_hnsw_maint_l2_b${BeamWidth}_r${BeamRounds}_d2")
         .as("method"),
         col("n_overlap"),
         graft.functions.ScalarFns.roundN(
@@ -1042,6 +1170,12 @@ object GraphOps {
     // d2/d4 on the recall board
     "graph_ann_topk_hnsw" -> (graphAnnTopkHnsw(_, _)),
     "graph_ann_recall_hnsw" -> (graphAnnRecallHnsw(_, _)),
+    // INSERT maintenance composed with hierarchical serving: layer
+    // membership is a pure hash, base layer edges frozen, new members'
+    // top-2-into-base edges appended — then the same walk
+    "graph_ann_topk_hnsw_maintained" -> (graphAnnTopkHnswMaintained(_, _)),
+    "graph_ann_recall_hnsw_maintained" ->
+      (graphAnnRecallHnswMaintained(_, _)),
     "knn_triangles" -> (knnTriangles(_, _)))
 
   /** DuckDB twin: same IVF multi-probe kNN edge derivation (identical
@@ -1312,6 +1446,8 @@ object GraphOps {
     "graph_ann_recall_erased" -> recallErasedOracle,
     "graph_ann_topk_hnsw" -> topkHnswOracle,
     "graph_ann_recall_hnsw" -> recallHnswOracle,
+    "graph_ann_topk_hnsw_maintained" -> topkHnswMaintainedOracle,
+    "graph_ann_recall_hnsw_maintained" -> recallHnswMaintainedOracle,
     // INDEPENDENT formulation on purpose: the naive id-ordered triple
     // join (a<b<c, all three edges present) — not a restatement of
     // the Spark side's degree orientation, so hash equality proves
@@ -1544,10 +1680,63 @@ object GraphOps {
     * greedy descent (width-1 beam, [[HnswDescentRounds]] rounds per
     * layer) → the base beam rounds seeded at the landing node. Ends at
     * `b$BeamRounds(vec_id, cs)` like [[beamCtes]]. */
-  private def hnswCtes: String = {
+  private def hnswCos(a: String, b: String): String = {
     import Similarity.duckDot
-    def cos(a: String, b: String) =
-      s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+  }
+
+  /** The shared walk prelude: levels, query cosines, global entry.
+    * Every doubling-referenced CTE is MATERIALIZED — DuckDB inlines
+    * plain CTEs and 14 doubling rounds otherwise expand past the
+    * process fd limit (the neardup_coreness lesson). */
+  private def hnswCommonCtes: String =
+    s"""lvl AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'
+       |      THEN CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)
+       |          < '4' THEN 2 ELSE 1 END
+       |      ELSE 0 END AS lvl
+       |  FROM embeddings),
+       |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+       |allcos AS MATERIALIZED (
+       |  SELECT e.vec_id, ${hnswCos("e.embedding", "q.v")} AS cs
+       |  FROM embeddings e, qv q),
+       |ent AS MATERIALIZED (SELECT vec_id FROM (
+       |  SELECT vec_id, row_number() OVER (ORDER BY lvl DESC, vec_id)
+       |    AS rn
+       |  FROM lvl) x WHERE rn = 1)""".stripMargin
+
+  /** Width-1 greedy descent rounds over layer graph `etab`. */
+  private def hnswGreedyCtes(pref: String, start: String,
+      etab: String): String =
+    (1 to HnswDescentRounds).map { r =>
+      val prev = if (r == 1) start else s"${pref}_${r - 1}"
+      s"""${pref}_$r AS MATERIALIZED (SELECT vec_id FROM (
+         |  SELECT a.vec_id,
+         |    row_number() OVER (ORDER BY a.cs DESC, a.vec_id) AS rn
+         |  FROM allcos a
+         |  WHERE a.vec_id IN (SELECT vec_id FROM $prev)
+         |     OR a.vec_id IN (SELECT e.dst FROM $etab e
+         |                     JOIN $prev p ON e.src = p.vec_id)
+         |  ) x WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
+  /** The base-layer beam rounds b1..b[[BeamRounds]] over `edges`
+    * (whatever edge CTE the surrounding chain defines). */
+  private def hnswBeamRoundCtes: String =
+    (1 to BeamRounds).map { r =>
+      val prev = s"b${r - 1}"
+      s"""b$r AS MATERIALIZED (SELECT vec_id, cs FROM (
+         |  SELECT a.vec_id, a.cs,
+         |    row_number() OVER (ORDER BY a.cs DESC, a.vec_id) AS rn
+         |  FROM allcos a
+         |  WHERE a.vec_id IN (SELECT vec_id FROM $prev)
+         |     OR a.vec_id IN (SELECT e.dst FROM edges e
+         |                     JOIN $prev p ON e.src = p.vec_id)
+         |  ) WHERE rn <= $BeamWidth)""".stripMargin
+    }.mkString(",\n")
+
+  private def hnswCtes: String = {
     def layer(k: String, e: String, l: String) =
       s"""$k AS MATERIALIZED (
          |  SELECT va, vb FROM (
@@ -1561,53 +1750,106 @@ object GraphOps {
          |  SELECT DISTINCT src, dst FROM (
          |    SELECT va AS src, vb AS dst FROM $k
          |    UNION ALL SELECT vb, va FROM $k))""".stripMargin
-    def greedy(pref: String, start: String, etab: String) =
-      (1 to HnswDescentRounds).map { r =>
-        val prev = if (r == 1) start else s"${pref}_${r - 1}"
-        s"""${pref}_$r AS MATERIALIZED (SELECT vec_id FROM (
-           |  SELECT a.vec_id,
-           |    row_number() OVER (ORDER BY a.cs DESC, a.vec_id) AS rn
-           |  FROM allcos a
-           |  WHERE a.vec_id IN (SELECT vec_id FROM $prev)
-           |     OR a.vec_id IN (SELECT e.dst FROM $etab e
-           |                     JOIN $prev p ON e.src = p.vec_id)
-           |  ) x WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-    val baseRounds = (1 to BeamRounds).map { r =>
-      val prev = s"b${r - 1}"
-      s"""b$r AS MATERIALIZED (SELECT vec_id, cs FROM (
-         |  SELECT a.vec_id, a.cs,
-         |    row_number() OVER (ORDER BY a.cs DESC, a.vec_id) AS rn
-         |  FROM allcos a
-         |  WHERE a.vec_id IN (SELECT vec_id FROM $prev)
-         |     OR a.vec_id IN (SELECT e.dst FROM edges e
-         |                     JOIN $prev p ON e.src = p.vec_id)
-         |  ) WHERE rn <= $BeamWidth)""".stripMargin
-    }.mkString(",\n")
-    s"""lvl AS MATERIALIZED (
-       |  SELECT vec_id,
-       |    CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'
-       |      THEN CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)
-       |          < '4' THEN 2 ELSE 1 END
-       |      ELSE 0 END AS lvl
-       |  FROM embeddings),
+    s"""$hnswCommonCtes,
        |l2 AS (SELECT vec_id FROM lvl WHERE lvl >= 2),
        |l1 AS (SELECT vec_id FROM lvl WHERE lvl >= 1),
        |${layer("k2", "e2", "l2")},
        |${layer("k1", "e1", "l1")},
-       |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
-       |allcos AS MATERIALIZED (
-       |  SELECT e.vec_id, ${cos("e.embedding", "q.v")} AS cs
-       |  FROM embeddings e, qv q),
-       |ent AS MATERIALIZED (SELECT vec_id FROM (
-       |  SELECT vec_id, row_number() OVER (ORDER BY lvl DESC, vec_id)
-       |    AS rn
-       |  FROM lvl) x WHERE rn = 1),
-       |${greedy("g2", "ent", "e2")},
-       |${greedy("g1", s"g2_$HnswDescentRounds", "e1")},
+       |${hnswGreedyCtes("g2", "ent", "e2")},
+       |${hnswGreedyCtes("g1", s"g2_$HnswDescentRounds", "e1")},
        |b0 AS MATERIALIZED (SELECT a.vec_id, a.cs FROM allcos a
        |  WHERE a.vec_id IN (SELECT vec_id FROM g1_$HnswDescentRounds)),
-       |$baseRounds""".stripMargin
+       |$hnswBeamRoundCtes""".stripMargin
+  }
+
+  /** The MAINTAINED hierarchy unrolled: layer graphs derived from the
+    * stored base/new probe assignments exactly as the Spark builder —
+    * base-member candidates (base×base within the layer) plus
+    * new-member probes (new×base within the layer), each top-2 by
+    * cosine then symmetrized — then the shared descent and the beam
+    * rounds over the union base graph (`edges` from
+    * [[maintainedEdgeCtes]]). */
+  private def hnswMaintainedCtes: String = {
+    def layerM(tag: Int): String =
+      s"""bm$tag AS (
+         |  SELECT a.vec_id, a.cid FROM assign a
+         |  JOIN lvl h ON h.vec_id = a.vec_id AND h.lvl >= $tag),
+         |nm$tag AS (
+         |  SELECT n.vec_id, n.cid FROM nassign n
+         |  JOIN lvl h ON h.vec_id = n.vec_id AND h.lvl >= $tag),
+         |bc$tag AS (
+         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |  FROM bm$tag a JOIN bm$tag b
+         |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |bs$tag AS (
+         |  SELECT c.va, c.vb, ${hnswCos("ea.embedding", "eb.embedding")}
+         |    AS cs
+         |  FROM bc$tag c JOIN embeddings ea ON ea.vec_id = c.va
+         |  JOIN embeddings eb ON eb.vec_id = c.vb),
+         |bk$tag AS (
+         |  SELECT va, vb FROM (
+         |    SELECT va, vb, row_number() OVER (PARTITION BY va
+         |      ORDER BY cs DESC, vb) AS rn FROM bs$tag) x WHERE rn <= 2),
+         |dc$tag AS (
+         |  SELECT DISTINCT n.vec_id AS va, a.vec_id AS vb
+         |  FROM nm$tag n JOIN bm$tag a ON n.cid = a.cid),
+         |ds$tag AS (
+         |  SELECT c.va, c.vb, ${hnswCos("ea.embedding", "eb.embedding")}
+         |    AS cs
+         |  FROM dc$tag c JOIN embeddings ea ON ea.vec_id = c.va
+         |  JOIN embeddings eb ON eb.vec_id = c.vb),
+         |dk$tag AS (
+         |  SELECT va, vb FROM (
+         |    SELECT va, vb, row_number() OVER (PARTITION BY va
+         |      ORDER BY cs DESC, vb) AS rn FROM ds$tag) x WHERE rn <= 2),
+         |e${tag}m AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT va AS src, vb AS dst FROM bk$tag
+         |    UNION ALL SELECT vb, va FROM bk$tag
+         |    UNION ALL SELECT va, vb FROM dk$tag
+         |    UNION ALL SELECT vb, va FROM dk$tag))""".stripMargin
+    s"""$hnswCommonCtes,
+       |${layerM(2)},
+       |${layerM(1)},
+       |${hnswGreedyCtes("g2", "ent", "e2m")},
+       |${hnswGreedyCtes("g1", s"g2_$HnswDescentRounds", "e1m")},
+       |b0 AS MATERIALIZED (SELECT a.vec_id, a.cs FROM allcos a
+       |  WHERE a.vec_id IN (SELECT vec_id FROM g1_$HnswDescentRounds)),
+       |$hnswBeamRoundCtes""".stripMargin
+  }
+
+  private def topkHnswMaintainedOracle: String =
+    s"""WITH RECURSIVE $maintainedEdgeCtes,
+       |$hnswMaintainedCtes
+       |SELECT vec_id,
+       |  ${graft.functions.ScalarFns.roundSql("cs", 6)} AS cosine_sim
+       |FROM b$BeamRounds
+       |WHERE vec_id <> 0 ORDER BY cs DESC, vec_id LIMIT 10""".stripMargin
+
+  private def recallHnswMaintainedOracle: String = {
+    import Similarity.duckDot
+    val cosR = graft.functions.ScalarFns.roundSql(
+      s"(${duckDot("e.embedding", "q.v")} / " +
+        s"(sqrt(${duckDot("e.embedding", "e.embedding")}) * " +
+        s"sqrt(${duckDot("q.v", "q.v")})))", 6)
+    s"""WITH RECURSIVE $maintainedEdgeCtes,
+       |$hnswMaintainedCtes,
+       |res AS (SELECT vec_id FROM (
+       |  SELECT vec_id, cs,
+       |    row_number() OVER (ORDER BY cs DESC, vec_id) AS rn
+       |  FROM b$BeamRounds WHERE vec_id <> 0) WHERE rn <= 10),
+       |exact AS (
+       |  SELECT e.vec_id, $cosR AS cse
+       |  FROM embeddings e, qv q
+       |  WHERE e.vec_id <> 0
+       |  ORDER BY cse DESC, e.vec_id LIMIT 10)
+       |SELECT 'graph_hnsw_maint_l2_b${BeamWidth}_r${BeamRounds}_d2'
+       |    AS method,
+       |  CAST(count(*) AS BIGINT) AS n_overlap,
+       |  ${graft.functions.ScalarFns.roundSql("count(*) / 10.0", 4)}
+       |    AS recall_at_10
+       |FROM res JOIN exact USING (vec_id)
+       |ORDER BY method""".stripMargin
   }
 
   private def topkHnswOracle: String =

@@ -235,6 +235,95 @@ class GraphOpsSpec extends SparkSpec {
     assert(overlap > 0, "hnsw recall 0 — the descent stranded the walk")
   }
 
+  test("hnsw maintained: layer graphs replay from independently " +
+      "recomputed probe assignments (base frozen + delta appended), " +
+      "and the union-graph walk replays exactly") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def lvlOf(v: Long): Int = {
+      val h = md5hex(v.toString)
+      if (h(0) < '4') { if (h(1) < '4') 2 else 1 } else 0
+    }
+    val emb = Tables(spark, sf0001, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cosq = emb.map { case (v, e) => v -> cosine(e, emb(0L)) }
+    val baseIds = emb.keySet.filter(v => md5hex(v.toString)(0) >= '2')
+    val freshIds = emb.keySet -- baseIds
+    assert(freshIds.nonEmpty && baseIds.nonEmpty)
+    // independent replay of the probe assignments (centroids = the
+    // ⌈√|base|⌉ smallest base ids, top-2 cells by cosine then cid)
+    val nl = math.ceil(math.sqrt(baseIds.size.toDouble)).toInt
+    val cents = baseIds.toSeq.sorted.take(nl)
+    def assignOf(v: Long): Seq[Long] = cents
+      .map(c => (c, cosine(emb(v), emb(c))))
+      .sortBy { case (c, s) => (-s, c) }.take(2).map(_._1)
+    val bAssign = baseIds.toSeq.map(v => v -> assignOf(v)).toMap
+    val nAssign = freshIds.toSeq.map(v => v -> assignOf(v)).toMap
+    def top2Sym(cand: Seq[(Long, Long)]): Set[(Long, Long)] = {
+      val knn = cand.distinct.groupBy(_._1).toSeq.flatMap { case (va, xs) =>
+        xs.map(_._2).distinct
+          .map(vb => (vb, cosine(emb(va), emb(vb))))
+          .sortBy { case (vb, cs) => (-cs, vb) }.take(2)
+          .map { case (vb, _) => (va, vb) }
+      }
+      (knn ++ knn.map(p => (p._2, p._1))).toSet
+    }
+    def layerEdges(minLvl: Int): Map[Long, Set[Long]] = {
+      val bm = baseIds.filter(lvlOf(_) >= minLvl)
+      val nm = freshIds.filter(lvlOf(_) >= minLvl)
+      val bCand = for {
+        a <- bm.toSeq; b <- bm.toSeq
+        if a != b && bAssign(a).intersect(bAssign(b)).nonEmpty
+      } yield (a, b)
+      val dCand = for {
+        n <- nm.toSeq; b <- bm.toSeq
+        if nAssign(n).intersect(bAssign(b)).nonEmpty
+      } yield (n, b)
+      (top2Sym(bCand) ++ top2Sym(dCand)).groupBy(_._1)
+        .map { case (s, es) => s -> es.map(_._2).toSet }
+    }
+    // base union graph: the maintained artifact's own files (its
+    // base-frozen/delta-appended construction is pinned by the
+    // maintained-graph test above)
+    val st = GraphOps.maintainedEdges(spark, sf0001)
+    val unionEdges = spark.read.parquet(st.root).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    var cur = emb.keySet.toSeq.sortBy(v => (-lvlOf(v), v)).head
+    for (minLvl <- Seq(2, 1)) {
+      val le = layerEdges(minLvl)
+      for (_ <- 1 to GraphOps.HnswDescentRounds) {
+        val cand = Set(cur) ++ le.getOrElse(cur, Set.empty)
+        cur = cand.toSeq.sortBy(v => (-cosq(v), v)).head
+      }
+    }
+    var beam = Set(cur)
+    for (_ <- 1 to GraphOps.BeamRounds) {
+      val cand = beam ++ beam.flatMap(v =>
+        unionEdges.getOrElse(v, Set.empty))
+      beam = cand.toSeq.sortBy(v => (-cosq(v), v))
+        .take(GraphOps.BeamWidth).toSet
+    }
+    val root = GraphOps.hnswMaintainedDir(spark, sf0001)
+    val got = spark.read.parquet(s"$root/beam")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == beam,
+      s"maint beam diff: +${got.keySet -- beam} -${beam -- got.keySet}")
+    val gotTop = GraphOps.graphAnnTopkHnswMaintained(spark, sf0001)
+      .collect().map(_.getLong(0)).toSeq
+    val expectTop = beam.toSeq.filter(_ != 0L)
+      .sortBy(v => (-cosq(v), v)).take(10)
+    assert(gotTop == expectTop)
+    // the delta layer files really exist beside the frozen base set
+    for (l <- Seq(1, 2)) {
+      val files = new java.io.File(s"$root/l$l").listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      assert(files.length >= 2,
+        s"layer $l has ${files.length} file(s) — no appended delta set")
+    }
+  }
+
   test("deterministic across shuffle-partition settings") {
     val a = hops
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

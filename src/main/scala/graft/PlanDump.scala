@@ -130,7 +130,12 @@ object PlanDump {
       "Regenerate with `sbt \"runMain graft.PlanDump\"`. Things to check per\n" +
       "plan: `PushedFilters`/`ReadSchema` on scans, `BroadcastHashJoin` for\n" +
       "dims, partial+final `HashAggregate`, `TakeOrderedAndProject` for\n" +
-      "top-k, `*(n)` whole-stage-codegen spans, no `CartesianProduct`.\n")
+      "top-k, `*(n)` whole-stage-codegen spans, no `CartesianProduct`.\n" +
+      "The EXECUTABLE plan contracts live in `PlanAuditSpec.scala` (no\n" +
+      "cartesian products over every graded plan, pushdown/broadcast/\n" +
+      "bucket/codegen pins, the overflow walk); this dump is the\n" +
+      "human-readable companion and MUST be regenerated in any round\n" +
+      "that adds headline queries — a stale dump is worse than none.\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // resolve AQE to the final plan

@@ -218,35 +218,57 @@ object ChunkRetrieval {
     * A chunk sharing no hash bucket with any centroid has no cell and
     * leaves the dense universe (inner-join semantics, both engines);
     * the sparse tier still carries it. */
+  /** The centroid vector table (IvfC × ≤Buckets rows — catalog-sized,
+    * broadcast everywhere). */
+  private def centVecs(spark: SparkSession, dir: String): DataFrame = {
+    val cent = chunks(spark, dir).select(col("doc_id"), col("chunk_idx"))
+      .orderBy(col("doc_id"), col("chunk_idx")).limit(IvfC)
+      .withColumn("cid", row_number().over(
+        Window.orderBy(col("doc_id"), col("chunk_idx"))).cast("long"))
+    cvecStore(spark, dir)
+      .join(broadcast(cent), Seq("doc_id", "chunk_idx"))
+      .select(col("cid"), col("b"), col("v").as("cv"))
+  }
+
+  /** The corpus→cell assignment (doc_id, chunk_idx, cid), served from
+    * scratch parquet once per (JVM, corpus): a pure function of the
+    * corpus and the frozen centroids — exactly the inverted-file
+    * LISTS a deployment stores next to its index, so serving reps
+    * never re-pay the assignment sweep (only the probed-cell dense
+    * scoring, the per-query cost IVF exists to bound). */
+  private def ivfCells(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.GramStore.serve(spark, "chunkcells", dir) {
+      val cvec = cvecStore(spark, dir)
+      val cnorm = cvec.groupBy(col("doc_id"), col("chunk_idx"))
+        .agg(sum(col("v") * col("v")).as("cn2"))
+      val cvc = centVecs(spark, dir)
+      val cvn = cvc.groupBy(col("cid")).agg(sum(col("cv") * col("cv"))
+        .as("cc2"))
+      cvec.join(broadcast(cvc), Seq("b"))
+        .groupBy(col("doc_id"), col("chunk_idx"), col("cid"))
+        .agg(sum(col("v") * col("cv")).as("dot"))
+        .join(cnorm, Seq("doc_id", "chunk_idx"))
+        .join(broadcast(cvn), Seq("cid"))
+        .withColumn("cos", ScalarFns.roundN(
+          col("dot").cast("double") /
+            (sqrt(col("cn2").cast("double")) *
+              sqrt(col("cc2").cast("double"))),
+          6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"), col("chunk_idx"))
+            .orderBy(col("cos").desc, col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("chunk_idx"), col("cid"))
+    }
+
   def chunkRetrievalRecallIvf(spark: SparkSession, dir: String): DataFrame = {
     val ch = chunks(spark, dir)
     val q = queryFrame(ch)
     val sparse = sparseRanksCached(spark, dir, ch, q)
-    val cvec = cvecStore(spark, dir)
-    val cnorm = cvec.groupBy(col("doc_id"), col("chunk_idx"))
-      .agg(sum(col("v") * col("v")).as("cn2"))
-    val cent = ch.select(col("doc_id"), col("chunk_idx"))
-      .orderBy(col("doc_id"), col("chunk_idx")).limit(IvfC)
-      .withColumn("cid", row_number().over(
-        Window.orderBy(col("doc_id"), col("chunk_idx"))).cast("long"))
-    val cvc = cvec.join(broadcast(cent), Seq("doc_id", "chunk_idx"))
-      .select(col("cid"), col("b"), col("v").as("cv"))
+    val cvc = centVecs(spark, dir)
     val cvn = cvc.groupBy(col("cid")).agg(sum(col("cv") * col("cv"))
       .as("cc2"))
-    val assign = cvec.join(broadcast(cvc), Seq("b"))
-      .groupBy(col("doc_id"), col("chunk_idx"), col("cid"))
-      .agg(sum(col("v") * col("cv")).as("dot"))
-      .join(cnorm, Seq("doc_id", "chunk_idx"))
-      .join(broadcast(cvn), Seq("cid"))
-      .withColumn("cos", ScalarFns.roundN(
-        col("dot").cast("double") /
-          (sqrt(col("cn2").cast("double")) * sqrt(col("cc2").cast("double"))),
-        6))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id"), col("chunk_idx"))
-          .orderBy(col("cos").desc, col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("chunk_idx"), col("cid"))
+    val assign = ivfCells(spark, dir)
     val qvec = vecOf(q.withColumn("zero", lit(0L)), "qdoc", "zero", "qgs")
       .select(col("qdoc"), col("b"), col("v").as("qv"))
     val qnorm = qvec.groupBy(col("qdoc")).agg(sum(col("qv") * col("qv"))

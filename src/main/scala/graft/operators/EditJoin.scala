@@ -118,6 +118,18 @@ object EditJoin {
       .agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("ent_id"))
       .orderBy(col("df"), col("g"), col("occ"))
+    // r12 NOTE (§1.1 "a fresh implementation of the ideal plan is
+    // usually slower"): carrying names INTO the posting join (to drop
+    // the two post-distinct name joins) was tried and REGRESSED 3.8 s →
+    // 12 s — with names present on both join inputs the optimizer
+    // pushes the levenshtein verify through the distinct INTO the
+    // posting join condition, so it runs per RAW collision (once per
+    // shared prefix element) instead of per deduplicated pair, and the
+    // now-wider join side falls out of broadcast into a sort-merge
+    // join. This shape — dedup pairs first, attach names by two
+    // broadcast joins, verify once per candidate — is the measured
+    // optimum; the sibling passjoin/symspell chains carry names inline
+    // instead because their raw collision sets are near-minimal.
     val pref = bag.join(dfreq, Seq("g", "occ"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= PrefixLen)
@@ -174,20 +186,20 @@ object EditJoin {
   def fuzzyJoinPassjoin(spark: SparkSession, dir: String): DataFrame = {
     val ents = entities(spark, dir)
     val keys = segmentKeys(ents)
-    val cand = keys.as("a").join(keys.as("b"),
+    // same r12 restructure as the q-gram chain: names ride the segment
+    // keys, verify runs on the raw key-join output, distinct only the
+    // verified (near-true) pair set — two name joins and one
+    // candidate-granularity exchange removed (§2.3/§2.4).
+    keys.as("a").join(keys.as("b"),
         col("a.l") === col("b.l") && col("a.kind") === col("b.kind") &&
           col("a.seg") === col("b.seg") &&
           col("a.ent_id") < col("b.ent_id"))
-      .select(col("a.ent_id").as("ent_a"), col("b.ent_id").as("ent_b"))
-      .distinct()
-    cand
-      .join(ents.select(col("ent_id").as("ent_a"), col("name").as("na")),
-        Seq("ent_a"))
-      .join(ents.select(col("ent_id").as("ent_b"), col("name").as("nb")),
-        Seq("ent_b"))
+      .select(col("a.ent_id").as("ent_a"), col("b.ent_id").as("ent_b"),
+        col("a.name").as("na"), col("b.name").as("nb"))
       .withColumn("dist", levenshtein(col("na"), col("nb")).cast("bigint"))
       .filter(col("dist") <= K)
       .select(col("ent_a"), col("ent_b"), col("dist"))
+      .distinct()
       .orderBy(col("ent_a"), col("ent_b"))
   }
 
@@ -197,15 +209,15 @@ object EditJoin {
       .select(col("ent_id"), col("name"), length(col("name")).as("len"))
       .select(col("ent_id"), col("name"), col("len"),
         explode(expr("filter(array(len, len - 1), x -> x >= 1)")).as("l"))
-      .select(col("ent_id"), col("l"),
+      .select(col("ent_id"), col("name"), col("l"),
         explode(array(
           struct(lit("P").as("kind"),
             expr("substring(name, 1, l div 2)").as("seg")),
           struct(lit("S").as("kind"),
             expr("substring(name, len - (l - l div 2) + 1, " +
               "l - l div 2)").as("seg")))).as("ks"))
-      .select(col("ent_id"), col("l"), col("ks.kind").as("kind"),
-        col("ks.seg").as("seg"))
+      .select(col("ent_id"), col("name"), col("l"),
+        col("ks.kind").as("kind"), col("ks.seg").as("seg"))
 
   /** Pass-join candidate count for the selectivity audit. */
   private[graft] def passjoinCandidateCount(spark: SparkSession,
@@ -253,28 +265,28 @@ object EditJoin {
     * tier); verify is the same bounded levenshtein. */
   def fuzzyJoinSymspell(spark: SparkSession, dir: String): DataFrame = {
     val ents = entities(spark, dir)
+    // same r12 restructure: the name rides the delete keys (it is
+    // functionally dependent on ent_id, so the key distinct is
+    // unchanged), verify runs on the raw key-join output, distinct only
+    // the verified pair set (§2.3/§2.4).
     val keys = ents
-      .select(col("ent_id"), length(col("name")).as("len"),
+      .select(col("ent_id"), col("name"), length(col("name")).as("len"),
         explode(expr(
           "transform(sequence(0, length(name)), i -> " +
             "CASE WHEN i = 0 THEN name " +
             "ELSE concat(substring(name, 1, i - 1), substring(name, i + 1)) " +
             "END)")).as("k"))
       .distinct()
-    val cand = keys.as("a").join(keys.as("b"),
+    keys.as("a").join(keys.as("b"),
         col("a.k") === col("b.k") &&
           col("a.ent_id") < col("b.ent_id") &&
           abs(col("a.len") - col("b.len")) <= K)
-      .select(col("a.ent_id").as("ent_a"), col("b.ent_id").as("ent_b"))
-      .distinct()
-    cand
-      .join(ents.select(col("ent_id").as("ent_a"), col("name").as("na")),
-        Seq("ent_a"))
-      .join(ents.select(col("ent_id").as("ent_b"), col("name").as("nb")),
-        Seq("ent_b"))
+      .select(col("a.ent_id").as("ent_a"), col("b.ent_id").as("ent_b"),
+        col("a.name").as("na"), col("b.name").as("nb"))
       .withColumn("dist", levenshtein(col("na"), col("nb")).cast("bigint"))
       .filter(col("dist") <= K)
       .select(col("ent_a"), col("ent_b"), col("dist"))
+      .distinct()
       .orderBy(col("ent_a"), col("ent_b"))
   }
 

@@ -80,7 +80,17 @@ object Multimodal {
     * By the BMP layout in [[mediaTable]] these equal md5(text) bytes
     * 0–3 — the property that keeps the column-expression twin (and
     * through it the DuckDB oracle) exact. */
+  // ImageIO defaults to a DISK-backed stream cache: every read() opens,
+  // writes and deletes a temp file — per 70-byte payload that is pure
+  // synchronous-I/O overhead (and lock contention across 32 concurrent
+  // decode tasks). Memory caching decodes the identical bytes. Executor
+  // JVM-wide, set once (§4.5: per-task init cost belongs at setup).
+  private object ImageIoInit {
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
   private def decodeFeatures(payload: Array[Byte]): (Double, Double, Double, Double) = {
+    ImageIoInit
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(img != null, "payload is not a decodable image")
     val y = img.getHeight - 1 // BMP stores bottom row first
@@ -117,6 +127,7 @@ object Multimodal {
     * first, the BMP layout). 4 bits here; a real 8×8 thumbnail gives
     * the classic 64-bit hash through the SAME decode shape. */
   private def decodePhash(payload: Array[Byte]): Int = {
+    ImageIoInit
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
     require(img != null, "payload is not a decodable image")
@@ -137,7 +148,13 @@ object Multimodal {
   private def mediaPhashes(spark: SparkSession, dir: String)
       : Dataset[MediaHash] = {
     import spark.implicits._
-    mediaTable(spark, dir).as[MediaRow].mapPartitions { rows =>
+    // fanOut (§2.5/§4): the ImageIO decode is CPU-bound per-row work
+    // running on the scan's splits — one split at bench scale, profiled
+    // ~3 s single-task for the 50k decodes. Hash-fanning to every core
+    // is the guide's "let Spark do distribution, decode in parallel"
+    // shape; a 100 TB scan already has thousands of splits (no-op).
+    graft.Tables.fanOut(spark, mediaTable(spark, dir), key = "doc_id")
+      .as[MediaRow].mapPartitions { rows =>
       rows.map(r =>
         MediaHash(r.doc_id, r.kind, decodePhash(r.payload), r.payload))
     }

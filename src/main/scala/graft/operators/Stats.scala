@@ -174,39 +174,47 @@ object Stats {
   // ANALYZE-style column statistics — the per-column (null count,
   // distinct count, min, max) table `ANALYZE TABLE ... COMPUTE
   // STATISTICS FOR COLUMNS` produces, i.e. the numbers a cost-based
-  // optimizer joins/filters are planned from. ONE pass: a single
-  // aggregate computes every column's stats (the multi-countDistinct
-  // expands the input ×columns before the partial agg — at 100 TB
-  // swap exact distinct for approx_count_distinct / the HLL sketch,
-  // the `approx_users` discipline), then `stack` unpivots to one row
-  // per column. Min/max aggregate the VALUE and render the 1-row
-  // result in exactly-rendered types (BIGINT/VARCHAR/DECIMAL(18,2)/
+  // optimizer joins/filters are planned from. One pruned one-column
+  // scan per column, each folded value-granularity (r12: the previous
+  // single multi-countDistinct aggregate planned an Expand ×7 with an
+  // all-columns grouping key — see ordersColumnStats; at 100 TB swap
+  // exact distinct for approx_count_distinct / the HLL sketch, the
+  // `approx_users` discipline). Min/max aggregate the VALUE and render
+  // the result in exactly-rendered types (BIGINT/VARCHAR/DECIMAL(18,2)/
   // DATE — the Integrity canonical-text discipline), never
   // lexicographic min over rendered strings.
   // ----------------------------------------------------------------
 
   def ordersColumnStats(spark: SparkSession, dir: String): DataFrame = {
+    // r12 (§1.2/§2.3): the old single-agg form used one 6-way
+    // multi-countDistinct, which plans an Expand (input ×7) feeding a
+    // hash aggregate whose grouping key is ALL six columns at once —
+    // profiled 4.7 s of near-single-task compute (and ~30 s of total
+    // CPU when fanned out). Per-column value-granularity aggregation is
+    // the classic ANALYZE decomposition: each column gets a pruned
+    // one-column scan → (value, cnt) partial agg → 1-row fold, all six
+    // subtrees running concurrently in one job. Same exact results
+    // (count over the value frame ≡ countDistinct; sum of null-group
+    // counts ≡ null count; min/max unchanged). At 100 TB the six pruned
+    // scans read the same bytes the one 6-column scan did, with no ×7
+    // row expansion and value-granularity (skew-free) partials.
     val o = Tables(spark, dir, "orders")
-    def renderMin(c: String, f: Column => Column): Seq[Column] = Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-      countDistinct(col(c)).as(s"${c}__nd"),
-      f(min(col(c))).cast("string").as(s"${c}__min"),
-      f(max(col(c))).cast("string").as(s"${c}__max"))
+    def statsOf(c: String, f: Column => Column): DataFrame =
+      o.select(col(c)).groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(when(col(c).isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
+          count(col(c)).as("n_distinct"),
+          f(min(col(c))).cast("string").as("min_value"),
+          f(max(col(c))).cast("string").as("max_value"))
+        .select(lit(c).as("col_name"), col("n_nulls"), col("n_distinct"),
+          col("min_value"), col("max_value"))
     val plain: Column => Column = identity
-    val aggs =
-      renderMin("o_orderkey", plain) ++
-      renderMin("o_custkey", plain) ++
-      renderMin("o_orderstatus", plain) ++
-      renderMin("o_totalprice", _.cast("decimal(18,2)")) ++
-      renderMin("o_orderdate", to_date(_)) ++
-      renderMin("o_orderpriority", plain)
-    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-      "o_totalprice", "o_orderdate", "o_orderpriority")
-    o.agg(aggs.head, aggs.tail: _*)
-      .select(expr("stack(6, " + cols.map(c =>
-        s"'$c', `${c}__nulls`, `${c}__nd`, `${c}__min`, `${c}__max`")
-        .mkString(", ") +
-        ") as (col_name, n_nulls, n_distinct, min_value, max_value)"))
+    statsOf("o_orderkey", plain)
+      .unionByName(statsOf("o_custkey", plain))
+      .unionByName(statsOf("o_orderstatus", plain))
+      .unionByName(statsOf("o_totalprice", _.cast("decimal(18,2)")))
+      .unionByName(statsOf("o_orderdate", to_date(_)))
+      .unionByName(statsOf("o_orderpriority", plain))
       .orderBy("col_name")
   }
 

@@ -58,9 +58,20 @@ object StreamReplay {
     * query on the caller's session can never be silently planned at 8
     * (r3 advice — the previous set/restore had exactly that race). A
     * production deployment sizes this to its actual key cardinality. */
-  private def replaySession(spark: SparkSession): SparkSession = {
+  private def replaySession(spark: SparkSession): SparkSession =
+    replaySessionP(spark, 8)
+
+  /** Replay clone with an explicit state-partition count — the
+    * CPU-heavy stateful replays (stream-stream interval joins, the
+    * fmgws session machine) spread their state probing over every core
+    * (r12, guide §2.5): their per-partition state work dominates the
+    * per-partition store overhead that motivates 8 for the light
+    * replays. Scale-adaptive, never a constant: callers pass
+    * `defaultParallelism`, so the driver's lower-core scaling runs get
+    * proportionally fewer stores exactly like the main session does. */
+  private def replaySessionP(spark: SparkSession, parts: Int): SparkSession = {
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
     ss
   }
 
@@ -121,13 +132,36 @@ object StreamReplay {
       Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
     f.delete(); ()
   }
+  // Replay scratch lives on RAM-backed storage when the host offers it
+  // (r12, guide §2.1/§6): every micro-batch fsyncs its offset/commit
+  // WAL entries and state-store delta files — per batch × partition ×
+  // stateful operator — and on a disk-backed /tmp those synchronous
+  // writes ARE the streaming floor (measured: the stream-stream joins'
+  // summed task time scaled superlinearly with state-partition count,
+  // the signature of commit-latency amplification, not compute). The
+  // replay artifacts are bounded (MB-sized), JVM-lifetime, and deleted
+  // at exit; durability of a bounded replay's checkpoint is
+  // meaningless, so tmpfs is semantically identical. A production
+  // deployment keeps checkpoints on durable shared storage — this
+  // dial only moves the REPLAY HARNESS's scratch. Overridable via
+  // SPARK_GRAFT_STREAM_SCRATCH; falls back to java.io.tmpdir.
+  private lazy val scratchRoot: Option[java.nio.file.Path] = {
+    val cand = sys.env.get("SPARK_GRAFT_STREAM_SCRATCH")
+      .orElse(Some("/dev/shm").filter(p => new java.io.File(p).canWrite))
+    cand.map(java.nio.file.Paths.get(_)).filter(p =>
+      java.nio.file.Files.isDirectory(p) && java.nio.file.Files.isWritable(p))
+  }
+
   private def newReplayDir(prefix: String): String = {
     if (hookInstalled.compareAndSet(false, true))
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         var f = tmpDirs.poll()
         while (f != null) { rm(f); f = tmpDirs.poll() }
       }))
-    val f = java.nio.file.Files.createTempDirectory(prefix).toFile
+    val f = (scratchRoot match {
+      case Some(root) => java.nio.file.Files.createTempDirectory(root, prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
+    }).toFile
     tmpDirs.add(f)
     f.getAbsolutePath
   }
@@ -583,7 +617,7 @@ object StreamReplay {
     * FILE sink (r6): the match count scales with the corpus, so its
     * rows should never live on the driver. */
   def viewPurchaseJoinStreamed(spark: SparkSession, dir: String): DataFrame = {
-    val ss = replaySession(spark)
+    val ss = replaySessionP(spark, 4)
     drainToParquet(StreamOps.viewToPurchase(eventsStream(ss, dir)), "viewjoin")
       .orderBy("user_id", "view_id", "purchase_id")
   }
@@ -599,7 +633,7 @@ object StreamReplay {
     * precisely that; sentinel rows (user −1) are dropped at the
     * sink. */
   def viewPurchaseLeftStreamed(spark: SparkSession, dir: String): DataFrame = {
-    val ss = replaySession(spark)
+    val ss = replaySessionP(spark, 4)
     val input = sessionReplayInput(ss, dir)
     val stream = ss.readStream
       .schema(ss.read.parquet(input).schema)
@@ -619,7 +653,7 @@ object StreamReplay {
     * that); the self-joining sentinel pair lands on user −1 through
     * the coalesced key and is dropped at the sink. */
   def viewPurchaseFullStreamed(spark: SparkSession, dir: String): DataFrame = {
-    val ss = replaySession(spark)
+    val ss = replaySessionP(spark, 4)
     val input = sessionReplayInput(ss, dir)
     val stream = ss.readStream
       .schema(ss.read.parquet(input).schema)

@@ -298,12 +298,17 @@ object GraphOps {
   }
 
   /** The BFS loop over ANY edge table — shared by the one-shot and
-    * the maintained graphs (one definition, cannot drift). */
-  private def bfsFrom(spark: SparkSession, edgesIn: DataFrame): DataFrame = {
+    * the maintained graphs (one definition, cannot drift). `edgesOf`
+    * receives the session the loop PLANS under
+    * ([[Similarity.loopSession]]: adaptive off — one job per round
+    * instead of one per exchange; r12) so every loop frame derives
+    * from it. */
+  private def bfsFrom(spark: SparkSession,
+      edgesOf: SparkSession => DataFrame): DataFrame = {
     val P = Similarity.LoopParts
     // edge side of every round's join: checkpoint ONCE, partitioned on
     // the join key so rounds re-shuffle only the (small) frontier
-    val edges = edgesIn
+    val edges = edgesOf(Similarity.loopSession(spark))
       .repartition(P, col("src")).localCheckpoint(true)
     var visited: DataFrame = null
     var ok = false
@@ -360,8 +365,10 @@ object GraphOps {
 
   /** GRADED: min-hop distance from the seed set for every vertex
     * reached within [[MaxHops]] — (vec_id, hop), hop ∈ [0, MaxHops]. */
-  def knnBfsHops(spark: SparkSession, dir: String): DataFrame =
-    bfsFrom(spark, spark.read.parquet(knnEdgesDir(spark, dir)))
+  def knnBfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val path = knnEdgesDir(spark, dir)
+    bfsFrom(spark, ss => ss.read.parquet(path))
+  }
 
   // ----------------------------------------------------------------
   // WEIGHTED single-source shortest paths — the min-PLUS upgrade of
@@ -403,7 +410,10 @@ object GraphOps {
     * dist_ppm). */
   def knnSsspDeficit(spark: SparkSession, dir: String): DataFrame = {
     val P = Similarity.LoopParts
-    val edges = weightedEdges(spark, dir)
+    // the scored-cand substrate is built under the caller's session;
+    // the loop itself plans non-adaptively (see Similarity.loopSession)
+    scoredCandDir(spark, dir)
+    val edges = weightedEdges(Similarity.loopSession(spark), dir)
       .repartition(P, col("src")).localCheckpoint(true)
     var dists: DataFrame = null
     var ok = false
@@ -464,9 +474,10 @@ object GraphOps {
     * — the composed oracle re-derives base edges, the NSW insert
     * edges, unions, and walks; distances may legitimately shorten
     * through new nodes, which is exactly union-graph semantics. */
-  def knnBfsHopsMaintained(spark: SparkSession, dir: String): DataFrame =
-    bfsFrom(spark,
-      spark.read.parquet(maintainedEdges(spark, dir).root))
+  def knnBfsHopsMaintained(spark: SparkSession, dir: String): DataFrame = {
+    val root = maintainedEdges(spark, dir).root
+    bfsFrom(spark, ss => ss.read.parquet(root))
+  }
 
   /** GRADED (r10): the FULL index lifecycle — the maintained
     * (base ∪ inserted) graph under the GDPR retirement, in one
@@ -478,10 +489,11 @@ object GraphOps {
     * oracle re-derives the union graph, drops every edge touching an
     * erased vector, and walks — grow and forget must commute into
     * plain predicate semantics. */
-  def knnBfsHopsLifecycle(spark: SparkSession, dir: String): DataFrame =
-    bfsFrom(spark, IndexErasure.erasedView(spark,
-      maintainedEdges(spark, dir).root,
+  def knnBfsHopsLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val root = maintainedEdges(spark, dir).root
+    bfsFrom(spark, ss => IndexErasure.erasedView(ss, root,
       IndexErasure.erased(col("src")) || IndexErasure.erased(col("dst"))))
+  }
 
   /** ERASURE propagation into the kNN edge files (r8 verdict #1):
     * erasing a vector must retire every edge row that references it —
@@ -493,10 +505,11 @@ object GraphOps {
     * exactly what the oracle's surviving-edge walk computes. Seeds
     * derive from the surviving edges (an erased seed is gone with its
     * edges), matching the seeds-from-edges rule of the base query. */
-  def knnBfsHopsErased(spark: SparkSession, dir: String): DataFrame =
-    bfsFrom(spark,
-      IndexErasure.erasedView(spark, knnEdgesDir(spark, dir),
-        IndexErasure.erased(col("src")) || IndexErasure.erased(col("dst"))))
+  def knnBfsHopsErased(spark: SparkSession, dir: String): DataFrame = {
+    val path = knnEdgesDir(spark, dir)
+    bfsFrom(spark, ss => IndexErasure.erasedView(ss, path,
+      IndexErasure.erased(col("src")) || IndexErasure.erased(col("dst"))))
+  }
 
   /** GRADED: exact TRIANGLE census of the undirected kNN graph — the
     * standard graph-quality statistic (a kNN graph whose neighbors
@@ -600,10 +613,14 @@ object GraphOps {
   private[graft] def beamDir(spark: SparkSession, dir: String,
       deg: Int = 2): String =
     beamDirs.computeIfAbsent(s"$dir#$deg", { _ =>
-      graft.plans.VectorExpressions.register(spark)
+      // walk loop plans non-adaptively (Similarity.loopSession, r12):
+      // per-round frames are 16 rows; AQE only adds per-exchange jobs
+      val edgesPath = knnEdgesDir(spark, dir, deg) // substrate: parent session
+      val ls = Similarity.loopSession(spark)
+      graft.plans.VectorExpressions.register(ls)
       val out = Tables.scratchDir("graft_beam_").getAbsolutePath
-      val e = Tables(spark, dir, "embeddings")
-      val edges = spark.read.parquet(knnEdgesDir(spark, dir, deg))
+      val e = Tables(ls, dir, "embeddings")
+      val edges = ls.read.parquet(edgesPath)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       // exact cosine of a candidate set against the broadcast query —
       // the only way the walk ever touches an embedding
@@ -662,10 +679,12 @@ object GraphOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def beamErasedDir(spark: SparkSession, dir: String): String =
     beamErasedDirs.computeIfAbsent(dir, { _ =>
-      graft.plans.VectorExpressions.register(spark)
+      val edgesPath = knnEdgesDir(spark, dir) // substrate: parent session
+      val ls = Similarity.loopSession(spark)
+      graft.plans.VectorExpressions.register(ls)
       val out = Tables.scratchDir("graft_beam_erased_").getAbsolutePath
-      val e = Tables(spark, dir, "embeddings")
-      val edges = IndexErasure.erasedView(spark, knnEdgesDir(spark, dir),
+      val e = Tables(ls, dir, "embeddings")
+      val edges = IndexErasure.erasedView(ls, edgesPath,
         IndexErasure.erased(col("src")) || IndexErasure.erased(col("dst")))
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       def scoreOf(cands: DataFrame): DataFrame =
@@ -806,23 +825,25 @@ object GraphOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def hnswBeamDir(spark: SparkSession, dir: String): String =
     hnswDirs.computeIfAbsent(dir, { _ =>
-      graft.plans.VectorExpressions.register(spark)
+      val basePath = knnEdgesDir(spark, dir, 2) // substrate: parent session
+      val ls = Similarity.loopSession(spark)
+      graft.plans.VectorExpressions.register(ls)
       val out = Tables.scratchDir("graft_hnsw_").getAbsolutePath
-      val e = Tables(spark, dir, "embeddings")
-      val baseEdges = spark.read.parquet(knnEdgesDir(spark, dir, 2))
+      val e = Tables(ls, dir, "embeddings")
+      val baseEdges = ls.read.parquet(basePath)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       def scoreOf(cands: DataFrame): DataFrame =
         cands.join(e, Seq("vec_id"))
           .crossJoin(broadcast(q))
           .select(col("vec_id"), expr("cosine_sim(embedding, qv)").as("cs"))
       // the ONE global entry point: max level, then min vec_id
-      val entry = hnswLevels(spark, dir)
+      val entry = hnswLevels(ls, dir)
         .orderBy(col("lvl").desc, col("vec_id")).limit(1)
         .select(col("vec_id"))
       var cur = scoreOf(entry).localCheckpoint(true)
       try {
         for (minLvl <- Seq(2L, 1L)) {
-          val edges = layerEdges(spark, dir, minLvl).localCheckpoint(true)
+          val edges = layerEdges(ls, dir, minLvl).localCheckpoint(true)
           try {
             for (_ <- 1 to HnswDescentRounds) {
               val cand = cur.select(col("vec_id")).unionByName(
@@ -920,20 +941,23 @@ object GraphOps {
         topkSymOf(dCand, e).write.mode("append")
           .parquet(s"$out/l$minLvl")
       }
-      val baseEdges = spark.read.parquet(st.root) // base + delta files
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val ls = Similarity.loopSession(spark)
+      graft.plans.VectorExpressions.register(ls)
+      val le = Tables(ls, dir, "embeddings")
+      val baseEdges = ls.read.parquet(st.root) // base + delta files
+      val q = le.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       def scoreOf(cands: DataFrame): DataFrame =
-        cands.join(e, Seq("vec_id"))
+        cands.join(le, Seq("vec_id"))
           .crossJoin(broadcast(q))
           .select(col("vec_id"), expr("cosine_sim(embedding, qv)").as("cs"))
       // entry over the UNION corpus: a new vector can be the new entry
-      val entry = hnswLevels(spark, dir)
+      val entry = hnswLevels(ls, dir)
         .orderBy(col("lvl").desc, col("vec_id")).limit(1)
         .select(col("vec_id"))
       var cur = scoreOf(entry).localCheckpoint(true)
       try {
         for (minLvl <- Seq(2L, 1L)) {
-          val edges = spark.read.parquet(s"$out/l$minLvl")
+          val edges = ls.read.parquet(s"$out/l$minLvl")
           for (_ <- 1 to HnswDescentRounds) {
             val cand = cur.select(col("vec_id")).unionByName(
                 cur.select(col("vec_id"))
@@ -1007,10 +1031,12 @@ object GraphOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def beamBatchDir(spark: SparkSession, dir: String): String =
     beamBatchDirs.computeIfAbsent(dir, { _ =>
-      graft.plans.VectorExpressions.register(spark)
+      val edgesPath = knnEdgesDir(spark, dir) // substrate: parent session
+      val ls = Similarity.loopSession(spark)
+      graft.plans.VectorExpressions.register(ls)
       val out = Tables.scratchDir("graft_beam_batch_").getAbsolutePath
-      val e = Tables(spark, dir, "embeddings")
-      val edges = spark.read.parquet(knnEdgesDir(spark, dir))
+      val e = Tables(ls, dir, "embeddings")
+      val edges = ls.read.parquet(edgesPath)
       val qs = e.filter(col("vec_id") % BatchQueryMod === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       def scoreOf(cands: DataFrame): DataFrame =
@@ -1108,9 +1134,11 @@ object GraphOps {
     * substrate shared with the BFS/beam/SSSP family (one IVF sweep
     * per JVM×corpus). */
   def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
-    val embs = Tables(spark, dir, "embeddings")
+    val edgesPath = knnEdgesDir(spark, dir) // substrate: parent session
+    val ls = Similarity.loopSession(spark)
+    val embs = Tables(ls, dir, "embeddings")
       .select(col("vec_id"), col("label").cast("bigint").as("label_true"))
-    val edges = spark.read.parquet(knnEdgesDir(spark, dir))
+    val edges = ls.read.parquet(edgesPath)
     var lab = embs.select(col("vec_id"),
       when(col("vec_id") % LpSeedMod === 0, col("label_true"))
         .otherwise(lit(null).cast("bigint")).as("lab"))

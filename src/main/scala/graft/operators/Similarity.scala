@@ -489,6 +489,28 @@ object Similarity {
     * sf0.1). A production deployment sizes this to |edges|. */
   private[operators] val LoopParts = 8
 
+  /** Session clone the ITERATIVE loops plan under (r12, guide §1.2 +
+    * §7.2): every loop frame is explicitly repartitioned to
+    * [[LoopParts]] and spans only edge-endpoint vertices, so adaptive
+    * execution has nothing to improve — but AQE materializes EVERY
+    * exchange inside a round's single action as its own job with a
+    * driver re-planning pass, profiled as 35-60 jobs per loop query
+    * (~45 ms of scheduling each) against ~1 s of actual compute.
+    * Planning the loop body non-adaptively pipelines each round into
+    * one job. A clone, never the caller's session (the r3 set/restore
+    * race); one per parent (the r5 once-per-JVM idiom). Adaptive stays
+    * ON everywhere data sizes are unknown — this is only for loop
+    * bodies whose partitioning is pinned by construction. */
+  private val loopSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private[operators] def loopSession(spark: SparkSession): SparkSession =
+    loopSessions.computeIfAbsent(spark, { s =>
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
+      ss.conf.set("spark.sql.shuffle.partitions", LoopParts.toString)
+      ss
+    })
+
   /** Edge-count gate below which components are solved ON THE DRIVER
     * (union-find over the collected edge list) instead of by the
     * distributed loop. This is the same scale-adaptive move as a

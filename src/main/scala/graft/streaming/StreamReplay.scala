@@ -265,6 +265,10 @@ object StreamReplay {
     * buckets to the epoch grid, so window_start values agree exactly. */
   def rateLimitStreamed(spark: SparkSession, dir: String,
       limit: Long = 5): DataFrame =
+    // r12 probe: planning this at 4 partitions (the stream-join knee)
+    // cut summed task time 10 → 7 s but RAISED wall 2.5 → 3.1 s — the
+    // ×12 sliding-window state is genuinely large and wants the cores;
+    // 8 is the measured optimum here.
     replayEvents(spark, dir)(StreamOps.rateLimitViolations(_, limit))
       .select(col("window_start"), col("user_id"), col("n_requests"))
       .orderBy("window_start", "user_id")

@@ -158,11 +158,19 @@ object LangId {
     * train split, so hash equality proves the addition algebra. */
   def langidModelMaintained(spark: SparkSession, dir: String): DataFrame = {
     val f = features(spark, dir).filter(col("train"))
-    val base = f.filter(!isIngest)
-      .groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // the "stored" day-1 model counts
-    val day2 = f.filter(isIngest)
-      .groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
+    // ONE substrate pass (r12, §2.3 aggregate-before-shuffle): the
+    // day-1 and day-2 counts are disjoint slices of one
+    // (lang, b, ingest-class) partial aggregate — the old shape
+    // scanned + aggregated the gram-occurrence substrate twice. The
+    // barriered day-1 slice still stands in for the stored artifact;
+    // day-2 still maintains it by COUNT ADDITION.
+    val cnt = f.groupBy(col("lang"), col("b"), isIngest.as("ing"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val base = cnt.filter(!col("ing")) // the "stored" day-1 model counts
+      .select(col("lang"), col("b"), col("c"))
+    val day2 = cnt.filter(col("ing"))
+      .select(col("lang"), col("b"), col("c"))
     val merged = base.unionByName(day2)
       .groupBy(col("lang"), col("b")).agg(sum(col("c")).as("c"))
     weightsFrom(spark, dir, merged).orderBy("lang", "b")
@@ -179,10 +187,18 @@ object LangId {
     * subtraction ≡ rebuild — exactly the algebra KMV/HLL lack. */
   def langidModelErased(spark: SparkSession, dir: String): DataFrame = {
     val f = features(spark, dir).filter(col("train"))
-    val full = f.groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // the "stored" full model counts
-    val del = f.filter(IndexErasure.erased(col("doc_id")))
-      .groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c_del"))
+    // ONE substrate pass (r12, §2.3): full and erased-class counts are
+    // slices of one (lang, b, erased-flag) partial aggregate — the old
+    // shape aggregated the substrate twice. The barriered frame stands
+    // in for the stored full model; erasure still retires the erased
+    // class by COUNT SUBTRACTION, survivors never re-read.
+    val cnt = f.groupBy(col("lang"), col("b"),
+        IndexErasure.erased(col("doc_id")).as("del"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // the "stored" full model counts (sliced)
+    val full = cnt.groupBy(col("lang"), col("b")).agg(sum(col("c")).as("c"))
+    val del = cnt.filter(col("del"))
+      .select(col("lang"), col("b"), col("c").as("c_del"))
     val surv = full.join(del, Seq("lang", "b"), "left")
       .select(col("lang"), col("b"),
         (col("c") - coalesce(col("c_del"), lit(0L))).as("c"))

@@ -16,6 +16,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Parquet schema memo per absolute path (r12, §1.2 per-task work →
+  // per-QUERY work): the corpus files are immutable for the JVM's
+  // lifetime, but every `spark.read.parquet(path)` re-opens a footer
+  // to re-infer the same schema — ~1000 loader calls per bench pass.
+  // Feeding the once-inferred StructType back via `.schema(...)` skips
+  // the footer read; the value is byte-identical to what inference
+  // yields for the same file, so plans and results are unchanged.
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+  private def readMemoized(spark: SparkSession, path: String): DataFrame = {
+    val s = schemaMemo.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(s).parquet(path)
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // The events table carries parquet TIMESTAMP(NANOS), which Spark's
@@ -23,8 +39,8 @@ object Tables {
       // shim is applied ONCE per (JVM, corpus dir) — an ingest-time
       // format fix, not a per-query one — so no graded query path ever
       // mutates shared session conf (r5 verdict #5).
-      spark.read.parquet(eventsMicros(spark, sfDir))
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+      readMemoized(spark, eventsMicros(spark, sfDir))
+    } else readMemoized(spark, s"$sfDir/$name.parquet")
 
   /** Register every table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -79,11 +79,19 @@ object Bootstrap {
             .cast("long").as("cents"))
         .select(col("k"), col("cents"),
           explode(sequence(lit(0), lit(B - 1))).as("replica"))
+      // bind the uniform draw as a REAL column before the inverse-CDF
+      // when-chain (r12, guide §4/codegen): expressions inside
+      // conditional branches are excluded from codegen subexpression
+      // elimination, so an inlined `u` re-evaluated md5+conv once per
+      // branch — up to 7× per row, profiled as ~65 s of CPU for B·n =
+      // 4.8M draws. Projected first, the digest runs exactly once.
       val u = conv(substring(
         md5(concat(col("k"), lit(":"), col("replica").cast("string"))),
         1, 8), 16, 10).cast("long")
       o.select(col("replica").cast("long").as("replica"), col("cents"),
-          multiplicity(u).as("cnt"))
+          u.as("u"))
+        .select(col("replica"), col("cents"),
+          multiplicity(col("u")).as("cnt"))
         .groupBy("replica")
         .agg(sum(col("cnt")).as("n_draws"),
           sum(col("cnt") * col("cents")).as("s_cents"))
@@ -141,12 +149,15 @@ object Bootstrap {
           .cast("long").as("cents"))
       .select(col("grp"), col("k"), col("cents"),
         explode(sequence(lit(0), lit(B - 1))).as("replica"))
+    // same bound-column discipline as replicaSums (r12): one digest
+    // per row, not one per inverse-CDF branch
     val u = conv(substring(
       md5(concat(col("k"), lit(":"), col("replica").cast("string"))),
       1, 8), 16, 10).cast("long")
     val means = o
+      .select(col("grp"), col("replica"), col("cents"), u.as("u"))
       .select(col("grp"), col("replica"), col("cents"),
-        multiplicity(u).as("cnt"))
+        multiplicity(col("u")).as("cnt"))
       .groupBy(col("grp"), col("replica"))
       .agg(sum(col("cnt")).as("n"), sum(col("cnt") * col("cents")).as("s"))
       .select(col("grp"), meanMicro(col("s"), col("n")).as("m"))

@@ -23,6 +23,14 @@ object Tables {
   // Feeding the once-inferred StructType back via `.schema(...)` skips
   // the footer read; the value is byte-identical to what inference
   // yields for the same file, so plans and results are unchanged.
+  // INVARIANT (r12 advice #4): a memoized path's files are immutable
+  // for the JVM's lifetime. Every caller reads either the driver's
+  // corpus files or a write-once per-(JVM, corpus) scratch
+  // materialization; no code path rewrites a path after first read. A
+  // future writer that replaces files under a memoized path with a
+  // DIFFERENT schema would silently read through the stale StructType
+  // (missing columns as nulls) — key such a path by a file-listing
+  // fingerprint instead, or don't memoize it.
   private val schemaMemo =
     new java.util.concurrent.ConcurrentHashMap[String,
       org.apache.spark.sql.types.StructType]()
@@ -136,13 +144,46 @@ object Tables {
   // checkpoints on durable shared storage; this only moves the bench
   // harness's scratch. Overridable via SPARK_GRAFT_SCRATCH.
   private lazy val scratchRoot: Option[java.nio.file.Path] = {
-    val cand = sys.env.get("SPARK_GRAFT_SCRATCH")
+    val env = sys.env.get("SPARK_GRAFT_SCRATCH")
+    val cand = env
       .orElse(Some("/dev/shm").filter(p => new java.io.File(p).canWrite))
-    cand.map(java.nio.file.Paths.get(_)).filter(p =>
+    val ok = cand.map(java.nio.file.Paths.get(_)).filter(p =>
       java.nio.file.Files.isDirectory(p) && java.nio.file.Files.isWritable(p))
+    // a set-but-unusable override must never be SILENTLY ignored
+    // (r12 advice #3)
+    if (env.isDefined && ok.isEmpty)
+      System.err.println(s"[graft] SPARK_GRAFT_SCRATCH=${env.get} is not a " +
+        "writable directory — falling back to java.io.tmpdir")
+    ok
   }
+
+  /** RAM-backed-scratch budget (r12 verdict #2): tmpfs scratch
+    * competes with executor memory, so each new scratch dir is only
+    * placed on the RAM root while that filesystem still has this many
+    * usable bytes; below the line, new dirs silently land on the
+    * disk-backed default tmpdir instead (warned once). Overridable via
+    * SPARK_GRAFT_SCRATCH_MIN_FREE_BYTES. */
+  private[graft] val MinScratchFreeBytes: Long =
+    sys.env.get("SPARK_GRAFT_SCRATCH_MIN_FREE_BYTES")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(4L << 30)
+  private[graft] def usableBytes(p: java.nio.file.Path): Long =
+    try java.nio.file.Files.getFileStore(p).getUsableSpace
+    catch { case _: Throwable => Long.MaxValue }
+  private val budgetWarned = new java.util.concurrent.atomic.AtomicBoolean()
+  private[graft] def guardedScratchRoot(
+      root: Option[java.nio.file.Path]): Option[java.nio.file.Path] =
+    root match {
+      case Some(r) if usableBytes(r) < MinScratchFreeBytes =>
+        if (budgetWarned.compareAndSet(false, true))
+          System.err.println(s"[graft] scratch root $r below the " +
+            s"$MinScratchFreeBytes-byte free-space budget — new scratch " +
+            "dirs fall back to java.io.tmpdir")
+        None
+      case other => other
+    }
   private def newTempDir(prefix: String): java.io.File =
-    (scratchRoot match {
+    (guardedScratchRoot(scratchRoot) match {
       case Some(root) => java.nio.file.Files.createTempDirectory(root, prefix)
       case None => java.nio.file.Files.createTempDirectory(prefix)
     }).toFile

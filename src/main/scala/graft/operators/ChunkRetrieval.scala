@@ -155,10 +155,19 @@ object ChunkRetrieval {
       s"${graft.sources.ResultCache.sessionId(spark)}|chunk_sparse|$dir",
       ttlSeconds = 300)(sparseRanks(ch, q))
 
-  /** Sparse tier: exact-rational BM25 ranks (shared by both variants). */
+  /** Sparse tier: exact-rational BM25 ranks (shared by both variants).
+    * The corpus (chunk, term) tf aggregate is PRUNED to query terms
+    * BEFORE the exchange (r13, guide §2.3 / §3.2 — a broadcast
+    * semi-join on the ≤ NQ×|chunk grams| distinct query bigrams): only
+    * matched terms ever reach the BM25 sum, term-pruning drops no
+    * chunk for a surviving term (df per query term is unchanged), and
+    * the full gram stream no longer shuffles for the ~90 % of terms no
+    * query contains. */
   private def sparseRanks(ch: DataFrame, q: DataFrame): DataFrame = {
+    val qtermSet = q.select(explode(col("qgs")).as("term")).distinct()
     val tf = ch.select(col("doc_id"), col("chunk_idx"), col("n_grams"),
         explode(col("gs")).as("term"))
+      .join(broadcast(qtermSet), Seq("term"), "left_semi")
       .groupBy(col("doc_id"), col("chunk_idx"), col("n_grams"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Shingles
 
 /** THE CURATION PIPELINE COMPOSED END-TO-END (r11 verdict #1): every
   * C4/RefinedWeb/FineWeb stage exists in isolation — langid gate
@@ -75,12 +74,16 @@ object CurationPipeline {
       clu: DataFrame, div0: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val docs = docs0
-      .withColumn("n_tok", size(Shingles.sparkToks).cast("bigint"))
-      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
-        col("n_tok"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
     val gate = gate0.select(col("doc_id"),
       (col("lang_pred") === col("lang_true")).as("g_ok"))
-    val div = div0.select(col("doc_id"),
+    // n_tok rides the S6-cached diversity frame (r13): Σ per-term
+    // counts ≡ size([[Shingles.sparkToks]]) for any doc WITH tokens,
+    // and the account only ever sums n_tok over ADMITS (admit ⇒
+    // dv_pass ⇒ a diversity row exists), so the coalesce-0 for
+    // token-less docs is value-invisible — the pipeline no longer pays
+    // its own tokenize pass for a number the diversity fold computes.
+    val div = div0.select(col("doc_id"), col("n_tok"),
       (col("div_ppm") >= TextSignals.DiversityLowPpm).as("dv_ok"))
     docs
       .join(gate, Seq("doc_id"), "left")
@@ -91,6 +94,7 @@ object CurationPipeline {
           .orderBy(col("doc_id"))))
       .withColumn("dd_pass", col("g_pass") && col("dd_rn") === 1)
       .join(div, Seq("doc_id"), "left")
+      .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
       .withColumn("dv_pass",
         col("dd_pass") && coalesce(col("dv_ok"), lit(false)))
       .withColumn("cap_rn", row_number().over(

@@ -840,43 +840,50 @@ object GraphOps {
       val entry = hnswLevels(ls, dir)
         .orderBy(col("lvl").desc, col("vec_id")).limit(1)
         .select(col("vec_id"))
+      // Rounds UNROLL inside one plan per layer (r13, guide §1.2): the
+      // per-round frames are ≤ beam-width + neighbor rows, so the old
+      // one-action-per-round localCheckpoint discipline paid 14 jobs
+      // (+ eager cache materializations) for microscopic state; one
+      // TakeOrdered-terminated plan per layer (3 actions total) walks
+      // the identical recurrence — same rounds, same tie-breaks.
       var cur = scoreOf(entry).localCheckpoint(true)
       try {
         for (minLvl <- Seq(2L, 1L)) {
           val edges = layerEdges(ls, dir, minLvl).localCheckpoint(true)
           try {
-            for (_ <- 1 to HnswDescentRounds) {
-              val cand = cur.select(col("vec_id")).unionByName(
-                  cur.select(col("vec_id"))
-                    .join(edges, col("vec_id") === col("src"))
-                    .select(col("dst").as("vec_id")))
-                .distinct()
-              val nc = scoreOf(cand)
-                .orderBy(col("cs").desc, col("vec_id")).limit(1)
-                .localCheckpoint(true)
-              Similarity.releaseCheckpoint(cur)
-              cur = nc
-            }
+            val nc = descentUnrolled(cur, edges, scoreOf,
+              HnswDescentRounds, 1).localCheckpoint(true)
+            Similarity.releaseCheckpoint(cur)
+            cur = nc
           } finally Similarity.releaseCheckpoint(edges)
         }
         // base layer: the unchanged beam walk, seeded at the landing
         // node instead of the IVF coarse sweep
-        for (_ <- 1 to BeamRounds) {
-          val cand = cur.select(col("vec_id")).unionByName(
-              cur.select(col("vec_id"))
-                .join(baseEdges, col("vec_id") === col("src"))
-                .select(col("dst").as("vec_id")))
-            .distinct()
-          val nb = scoreOf(cand)
-            .orderBy(col("cs").desc, col("vec_id")).limit(BeamWidth)
-            .localCheckpoint(true)
-          Similarity.releaseCheckpoint(cur)
-          cur = nb
-        }
-        cur.write.mode("overwrite").parquet(out)
+        val nb = descentUnrolled(cur, baseEdges, scoreOf,
+          BeamRounds, BeamWidth)
+        nb.write.mode("overwrite").parquet(out)
       } finally Similarity.releaseCheckpoint(cur)
       out
     })
+
+  /** `rounds` iterations of "beam ∪ beam-neighbors → score → top-k"
+    * composed into ONE lazy plan (no per-round action): the exact
+    * recurrence the HNSW walks ran round-at-a-time, with identical
+    * (cs desc, vec_id) tie-breaks at every round. */
+  private def descentUnrolled(cur0: DataFrame, edges: DataFrame,
+      scoreOf: DataFrame => DataFrame, rounds: Int, k: Int): DataFrame = {
+    var cur = cur0
+    for (_ <- 1 to rounds) {
+      val cand = cur.select(col("vec_id")).unionByName(
+          cur.select(col("vec_id"))
+            .join(edges, col("vec_id") === col("src"))
+            .select(col("dst").as("vec_id")))
+        .distinct()
+      cur = scoreOf(cand)
+        .orderBy(col("cs").desc, col("vec_id")).limit(k)
+    }
+    cur
+  }
 
   /** GRADED: top-10 off the HNSW walk's final beam — judged against
     * the per-layer unrolled walk in DuckDB. */
@@ -924,23 +931,35 @@ object GraphOps {
       // the stored probe assignments — no coarse sweep re-runs here
       val baseAssign = spark.read.parquet(s"${st.root}/assign_base")
       val freshAssign = spark.read.parquet(s"${st.root}/assign_new")
-      for (minLvl <- Seq(2L, 1L)) {
+      // ONE write action for all four layer-edge sets (r12 verdict #5
+      // / guide §1.2): the base-graph top-2 per layer and the
+      // inserted-member delta per layer are computed exactly as
+      // before (top-k windows stay SEPARATE per set — base×base edges
+      // are never re-formed against the inserts), but their union
+      // lands in a single (lvl, part)-partitioned parquet instead of
+      // four sequential write jobs. part ∈ {base, delta} keeps the
+      // maintenance story's FILE-SET separation (the delta is a
+      // distinct file set beside the frozen base — GraphOpsSpec
+      // asserts it); the walk below partition-prunes by lvl.
+      Seq(2L, 1L).map { minLvl =>
         val bm = baseAssign.filter(hnswLvlCol(col("vec_id")) >= minLvl)
         val lCand = bm.as("a")
           .join(bm.as("b"), col("a.cid") === col("b.cid") &&
             col("a.vec_id") =!= col("b.vec_id"))
           .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
           .distinct()
-        topkSymOf(lCand, e).write.mode("overwrite")
-          .parquet(s"$out/l$minLvl")
         val nm = freshAssign.filter(hnswLvlCol(col("vec_id")) >= minLvl)
         val dCand = nm.as("n")
           .join(bm.as("a"), col("n.cid") === col("a.cid"))
           .select(col("n.vec_id").as("va"), col("a.vec_id").as("vb"))
           .distinct()
-        topkSymOf(dCand, e).write.mode("append")
-          .parquet(s"$out/l$minLvl")
-      }
+        topkSymOf(lCand, e).select(lit(minLvl).as("lvl"),
+            lit("base").as("part"), col("src"), col("dst"))
+          .unionByName(topkSymOf(dCand, e).select(lit(minLvl).as("lvl"),
+            lit("delta").as("part"), col("src"), col("dst")))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").partitionBy("lvl", "part")
+        .parquet(s"$out/layers")
       val ls = Similarity.loopSession(spark)
       graft.plans.VectorExpressions.register(ls)
       val le = Tables(ls, dir, "embeddings")
@@ -954,36 +973,20 @@ object GraphOps {
       val entry = hnswLevels(ls, dir)
         .orderBy(col("lvl").desc, col("vec_id")).limit(1)
         .select(col("vec_id"))
+      // one unrolled action per layer + one for the base walk (r13 —
+      // see [[descentUnrolled]]); recurrence and tie-breaks unchanged
       var cur = scoreOf(entry).localCheckpoint(true)
       try {
         for (minLvl <- Seq(2L, 1L)) {
-          val edges = ls.read.parquet(s"$out/l$minLvl")
-          for (_ <- 1 to HnswDescentRounds) {
-            val cand = cur.select(col("vec_id")).unionByName(
-                cur.select(col("vec_id"))
-                  .join(edges, col("vec_id") === col("src"))
-                  .select(col("dst").as("vec_id")))
-              .distinct()
-            val nc = scoreOf(cand)
-              .orderBy(col("cs").desc, col("vec_id")).limit(1)
-              .localCheckpoint(true)
-            Similarity.releaseCheckpoint(cur)
-            cur = nc
-          }
-        }
-        for (_ <- 1 to BeamRounds) {
-          val cand = cur.select(col("vec_id")).unionByName(
-              cur.select(col("vec_id"))
-                .join(baseEdges, col("vec_id") === col("src"))
-                .select(col("dst").as("vec_id")))
-            .distinct()
-          val nb = scoreOf(cand)
-            .orderBy(col("cs").desc, col("vec_id")).limit(BeamWidth)
-            .localCheckpoint(true)
+          val edges = ls.read.parquet(s"$out/layers")
+            .filter(col("lvl") === minLvl).select(col("src"), col("dst"))
+          val nc = descentUnrolled(cur, edges, scoreOf,
+            HnswDescentRounds, 1).localCheckpoint(true)
           Similarity.releaseCheckpoint(cur)
-          cur = nb
+          cur = nc
         }
-        cur.write.mode("overwrite").parquet(s"$out/beam")
+        descentUnrolled(cur, baseEdges, scoreOf, BeamRounds, BeamWidth)
+          .write.mode("overwrite").parquet(s"$out/beam")
       } finally Similarity.releaseCheckpoint(cur)
       out
     })

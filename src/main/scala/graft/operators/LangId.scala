@@ -103,14 +103,24 @@ object LangId {
   }
 
   /** The corpus feature substrate, served from scratch parquet once
-    * per (JVM, corpus) — the [[graft.sources.GramStore]] "derive once,
-    * serve many" discipline: the model build, the held-out scoring,
-    * the maintained/erased count algebra and the streamed model freeze
-    * (five graded queries) all read this one column-pruned parquet
-    * instead of re-tokenizing `documents` each. */
-  private def features(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.GramStore.serve(spark, "lid3", dir) {
+    * per (JVM, corpus) at (doc_id, lang, train, b, tf) TERM-FREQUENCY
+    * granularity — the [[graft.sources.GramStore]] "derive once, serve
+    * many" discipline, pre-aggregated BEFORE it is stored (r13, guide
+    * §2.3 / §8.4 lightweight proxy): every consumer — the model
+    * builds, the maintained/erased count algebra, held-out +
+    * whole-corpus + survivor scoring (seven graded queries plus the
+    * composed pipeline's gates) — needs at most per-(doc, bucket)
+    * counts, so the stored substrate is the SMALL frame (≤ docs × B
+    * rows, ~a tenth of the occurrence stream) and each consumer's scan
+    * shrinks accordingly. Per-(lang, b[, flag]) counts fold from tf by
+    * SUM — identical algebra to counting occurrences (the split/
+    * ingest/erasure flags are doc_id functions, constant within a tf
+    * group). */
+  private def tfStore(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.GramStore.serve(spark, "lid3tf", dir) {
       featuresOf(spark, Tables(spark, dir, "documents"))
+        .groupBy(col("doc_id"), col("lang"), col("train"), col("b"))
+        .agg(count(lit(1)).as("tf"))
     }
 
   /** Spine-complete weights from a (lang, b, c) COUNTS frame — every
@@ -134,10 +144,11 @@ object LangId {
            |  DIV (tot + $Buckets) AS BIGINT) AS w_ppm""".stripMargin)
   }
 
-  /** Raw (lang, b, c) counts over the TRAIN split of `docs`. */
+  /** Raw (lang, b, c) occurrence counts over the TRAIN split — folded
+    * from the stored tf substrate (sum(tf) ≡ count of occurrences). */
   private def trainCounts(spark: SparkSession, dir: String): DataFrame =
-    features(spark, dir).filter(col("train"))
-      .groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
+    tfStore(spark, dir).filter(col("train"))
+      .groupBy(col("lang"), col("b")).agg(sum(col("tf")).as("c"))
 
   /** The (lang × bucket) weight model over the TRAIN split. */
   private[graft] def model(spark: SparkSession, dir: String): DataFrame =
@@ -157,15 +168,16 @@ object LangId {
     * the stored artifact; the oracle trains from scratch over the full
     * train split, so hash equality proves the addition algebra. */
   def langidModelMaintained(spark: SparkSession, dir: String): DataFrame = {
-    val f = features(spark, dir).filter(col("train"))
+    val f = tfStore(spark, dir).filter(col("train"))
     // ONE substrate pass (r12, §2.3 aggregate-before-shuffle): the
     // day-1 and day-2 counts are disjoint slices of one
     // (lang, b, ingest-class) partial aggregate — the old shape
-    // scanned + aggregated the gram-occurrence substrate twice. The
-    // barriered day-1 slice still stands in for the stored artifact;
-    // day-2 still maintains it by COUNT ADDITION.
+    // scanned + aggregated the gram-occurrence substrate twice; since
+    // r13 the substrate itself is tf-granularity (sum(tf) ≡ occurrence
+    // count). The barriered day-1 slice still stands in for the stored
+    // artifact; day-2 still maintains it by COUNT ADDITION.
     val cnt = f.groupBy(col("lang"), col("b"), isIngest.as("ing"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("tf")).as("c"))
       .localCheckpoint(true)
     val base = cnt.filter(!col("ing")) // the "stored" day-1 model counts
       .select(col("lang"), col("b"), col("c"))
@@ -186,15 +198,16 @@ object LangId {
     * scratch over surviving train docs; hash equality proves
     * subtraction ≡ rebuild — exactly the algebra KMV/HLL lack. */
   def langidModelErased(spark: SparkSession, dir: String): DataFrame = {
-    val f = features(spark, dir).filter(col("train"))
+    val f = tfStore(spark, dir).filter(col("train"))
     // ONE substrate pass (r12, §2.3): full and erased-class counts are
     // slices of one (lang, b, erased-flag) partial aggregate — the old
-    // shape aggregated the substrate twice. The barriered frame stands
-    // in for the stored full model; erasure still retires the erased
-    // class by COUNT SUBTRACTION, survivors never re-read.
+    // shape aggregated the substrate twice; since r13 the substrate is
+    // tf-granularity (sum(tf) ≡ occurrence count). The barriered frame
+    // stands in for the stored full model; erasure still retires the
+    // erased class by COUNT SUBTRACTION, survivors never re-read.
     val cnt = f.groupBy(col("lang"), col("b"),
         IndexErasure.erased(col("doc_id")).as("del"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("tf")).as("c"))
       .localCheckpoint(true) // the "stored" full model counts (sliced)
     val full = cnt.groupBy(col("lang"), col("b")).agg(sum(col("c")).as("c"))
     val del = cnt.filter(col("del"))
@@ -216,9 +229,9 @@ object LangId {
     graft.sources.ResultCache.getOrCompute(
       s"${graft.sources.ResultCache.sessionId(spark)}|langid_gate_erased|$dir",
       ttlSeconds = 300)(
-      predictionsFrom(
-        features(spark, dir)
-          .filter(!IndexErasure.erased(col("doc_id"))),
+      predictionsFromTf(
+        tfForScoring(spark, dir)
+          .filter(!IndexErasure.erased(col("doc_id"))).drop("train"),
         langidModelErased(spark, dir)))
 
   /** Held-out predictions (doc_id, lang_true, lang_pred) — S6-cached:
@@ -229,14 +242,12 @@ object LangId {
       s"${graft.sources.ResultCache.sessionId(spark)}|langid_pred|$dir",
       ttlSeconds = 300)(predictionsUncached(spark, dir))
 
-  /** Argmax scoring of a FEATURE frame against a model frame — the
-    * single prediction definition every consumer (held-out grade,
-    * streamed micro-batches, whole-corpus pipeline gate) folds. */
-  private def predictionsFrom(feats: DataFrame, m: DataFrame): DataFrame = {
-    val tf = feats
-      .groupBy(col("doc_id"), col("lang"), col("b"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumnRenamed("lang", "lang_true")
+  /** Argmax scoring of a (doc_id, lang_true, b, tf) frame against a
+    * model frame — the single prediction definition every consumer
+    * (held-out grade, streamed micro-batches, whole-corpus pipeline
+    * gates) folds; batch consumers feed it the stored tf substrate
+    * directly (no per-consumer re-aggregation of the gram stream). */
+  private def predictionsFromTf(tf: DataFrame, m: DataFrame): DataFrame = {
     val scored = tf
       .join(broadcast(
         m.select(col("lang").as("lang_pred"), col("b"), col("w_ppm"))),
@@ -250,6 +261,19 @@ object LangId {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang_true"), col("lang_pred"))
   }
+
+  /** Scoring of a raw gram-occurrence FEATURE frame (the streamed
+    * micro-batch path, which never touches the stored substrate). */
+  private def predictionsFrom(feats: DataFrame, m: DataFrame): DataFrame =
+    predictionsFromTf(
+      feats.groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumnRenamed("lang", "lang_true"), m)
+
+  /** The stored tf substrate shaped for scoring. */
+  private def tfForScoring(spark: SparkSession, dir: String): DataFrame =
+    tfStore(spark, dir).select(col("doc_id"),
+      col("lang").as("lang_true"), col("train"), col("b"), col("tf"))
 
   /** Score an arbitrary docs frame against a model frame — the shared
     * code path of the batch grade and the streamed micro-batches
@@ -269,10 +293,15 @@ object LangId {
     graft.sources.ResultCache.getOrCompute(
       s"${graft.sources.ResultCache.sessionId(spark)}|langid_gate|$dir",
       ttlSeconds = 300)(
-      predictionsFrom(features(spark, dir), model(spark, dir)))
+      predictionsFromTf(tfForScoring(spark, dir).drop("train"),
+        model(spark, dir)))
 
+  /** Held-out scoring off the stored tf substrate (r13 — the old shape
+    * re-tokenized `documents` from scratch for this one consumer). */
   private def predictionsUncached(spark: SparkSession, dir: String): DataFrame =
-    predictionsOf(spark, Tables(spark, dir, "documents"), model(spark, dir))
+    predictionsFromTf(
+      tfForScoring(spark, dir).filter(!col("train")).drop("train"),
+      model(spark, dir))
 
   /** GRADED: the held-out confusion matrix — observed (true, pred)
     * class pairs with counts; the standard langid acceptance artifact. */

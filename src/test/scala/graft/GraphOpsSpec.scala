@@ -316,11 +316,16 @@ class GraphOpsSpec extends SparkSpec {
       .sortBy(v => (-cosq(v), v)).take(10)
     assert(gotTop == expectTop)
     // the delta layer files really exist beside the frozen base set
-    for (l <- Seq(1, 2)) {
-      val files = new java.io.File(s"$root/l$l").listFiles()
+    // (r13: the four layer-edge writes are batched into ONE
+    // (lvl, part)-partitioned write; base/delta remain separate file
+    // sets under their part= dirs)
+    for (l <- Seq(1, 2); part <- Seq("base", "delta")) {
+      val d = new java.io.File(s"$root/layers/lvl=$l/part=$part")
+      val files = Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      assert(files.length >= 2,
-        s"layer $l has ${files.length} file(s) — no appended delta set")
+      assert(files.nonEmpty,
+        s"layer $l $part set is empty — the maintenance file-set " +
+          "separation is gone")
     }
   }
 

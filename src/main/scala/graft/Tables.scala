@@ -435,6 +435,40 @@ object Tables {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Materialize independent substrate builds CONCURRENTLY (guide
+    * §2.6: "actions are only sequential because your driver code calls
+    * them sequentially"): each thunk runs on its own driver thread
+    * with the caller's session active, so one build's straggler tail
+    * back-fills executors freed by the others instead of serializing
+    * whole builds end to end. Spark's scheduler is explicitly designed
+    * for concurrent jobs from one application (FIFO back-fill);
+    * ResultCache/GramStore builds are per-key-locked, so concurrent
+    * distinct-substrate builds are safe and a shared key builds once.
+    * Results return in call order; the first failure rethrows its
+    * cause. */
+  private[graft] def concurrently(spark: SparkSession)(
+      thunks: (() => DataFrame)*): Seq[DataFrame] = {
+    val tasks = thunks.map { t =>
+      new java.util.concurrent.FutureTask[DataFrame](() => {
+        SparkSession.setActiveSession(spark)
+        t()
+      })
+    }
+    val runners = tasks.zipWithIndex.map { case (ft, i) =>
+      val th = new Thread(ft, s"graft-substrate-$i")
+      th.setDaemon(true)
+      th
+    }
+    runners.foreach(_.start())
+    tasks.map { ft =>
+      try ft.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause
+      }
+    }
+  }
+
   /** Fan a scan out to every core iff the source yields fewer splits
     * than the default parallelism. CPU-bound per-row pipelines
     * (shingle/gram hashing, cosine-kernel sweeps, per-doc token

@@ -142,9 +142,17 @@ object ChunkRetrieval {
       ch: DataFrame, q: DataFrame): DataFrame =
     graft.sources.ResultCache.getOrCompute(
       s"${graft.sources.ResultCache.sessionId(spark)}|chunk_fused|$dir",
-      ttlSeconds = 300)(
-      fusedTop(sparseRanksCached(spark, dir, ch, q),
-        denseRanks(spark, dir, ch, q, None)))
+      ttlSeconds = 300) {
+      // the sparse tier and the dense tier's stored inputs are
+      // independent builds — materialize them on concurrent driver
+      // threads (r13, guide §2.6); denseRanks below then reads the
+      // just-built cvec store / qvec cache
+      val Seq(sparse, _, _) = graft.Tables.concurrently(spark)(
+        () => sparseRanksCached(spark, dir, ch, q),
+        () => cvecStore(spark, dir),
+        () => qvecCached(spark, dir, q))
+      fusedTop(sparse, denseRanks(spark, dir, ch, q, None))
+    }
 
   /** The sparse tier ranks, S6-cached (≤ NQ×TierN rows): shared by the
     * brute pair AND the banded variant — the BM25 tier is identical

@@ -69,7 +69,13 @@ object Chunking {
 
   /** Chunk rows WITH the token slice — the retrieval tier
     * ([[ChunkRetrieval]]) needs chunk TERMS, not just identity.
-    * Same chunk rule, same constants; one extra column. */
+    * Same chunk rule, same constants; one extra column. (r13 probe,
+    * honest negative result: fanning the docs scan out to every core
+    * here EXPLODED the retrieval board's summed task time 8.1 s ->
+    * 78.7 s — the 32-way cached chunk frame multiplies every
+    * downstream broadcast/window stage's per-task setup over frames
+    * that are only a few MB. The single-split scan is the measured
+    * optimum at bench scale; production scans have real splits.) */
   private[operators] def chunkTokenRows(spark: SparkSession,
       dir: String): DataFrame =
     startsOf(Tables(spark, dir, "documents"))

@@ -105,22 +105,31 @@ object CurationPipeline {
   }
 
   /** The flagged frame (one row per doc, all stage flags) — shared by
-    * the graded account and the spec implication pins. */
-  private[graft] def flagged(spark: SparkSession, dir: String): DataFrame =
-    flaggedFrom(Tables(spark, dir, "documents"),
-      LangId.gatePredictions(spark, dir),
-      Similarity.neardupClusters(spark, dir),
-      TextSignals.docDiversity(spark, dir))
+    * the graded account and the spec implication pins. The three
+    * substrates (gate scoring, LSH cluster closure, diversity fold)
+    * are INDEPENDENT builds; materializing them on concurrent driver
+    * threads (r13, guide §2.6) overlaps their straggler tails instead
+    * of paying the three cold builds end to end. */
+  private[graft] def flagged(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(gate, clu, div) = Tables.concurrently(spark)(
+      () => LangId.gatePredictions(spark, dir),
+      () => Similarity.neardupClusters(spark, dir),
+      () => TextSignals.docDiversity(spark, dir))
+    flaggedFrom(Tables(spark, dir, "documents"), gate, clu, div)
+  }
 
   /** The erased twin's flagged frame: survivors only, every substrate
     * updated by its own erasure ALGEBRA — see
-    * [[curationPipelineErased]]. */
+    * [[curationPipelineErased]]. Substrates build concurrently as in
+    * [[flagged]]. */
   private[graft] def flaggedErased(spark: SparkSession, dir: String): DataFrame = {
     val surv = !IndexErasure.erased(col("doc_id"))
-    flaggedFrom(Tables(spark, dir, "documents").filter(surv),
-      LangId.gatePredictionsErased(spark, dir),
-      Similarity.neardupClustersErased(spark, dir),
-      TextSignals.docDiversity(spark, dir).filter(surv))
+    val Seq(gate, clu, div) = Tables.concurrently(spark)(
+      () => LangId.gatePredictionsErased(spark, dir),
+      () => Similarity.neardupClustersErased(spark, dir),
+      () => TextSignals.docDiversity(spark, dir))
+    flaggedFrom(Tables(spark, dir, "documents").filter(surv), gate, clu,
+      div.filter(surv))
   }
 
   /** The per-source account + mix allocation over a flagged frame —

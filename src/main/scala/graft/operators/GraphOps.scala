@@ -840,50 +840,51 @@ object GraphOps {
       val entry = hnswLevels(ls, dir)
         .orderBy(col("lvl").desc, col("vec_id")).limit(1)
         .select(col("vec_id"))
-      // Rounds UNROLL inside one plan per layer (r13, guide §1.2): the
-      // per-round frames are ≤ beam-width + neighbor rows, so the old
-      // one-action-per-round localCheckpoint discipline paid 14 jobs
-      // (+ eager cache materializations) for microscopic state; one
-      // TakeOrdered-terminated plan per layer (3 actions total) walks
-      // the identical recurrence — same rounds, same tie-breaks.
+      // NOTE (r13, honest negative result per guide §1.1): unrolling
+      // the rounds into one lazy plan per layer was tried and
+      // REGRESSED ~2.7x (recall_hnsw 3.3 -> 8.8 s board): each round
+      // references the previous beam TWICE (self ∪ neighbors), so an
+      // unrolled plan doubles per round and Spark's physical planner
+      // has no common-subplan reuse across union branches — the prefix
+      // recomputes 2^rounds times. The one-action-per-round
+      // localCheckpoint discipline below is load-bearing, not overhead.
       var cur = scoreOf(entry).localCheckpoint(true)
       try {
         for (minLvl <- Seq(2L, 1L)) {
           val edges = layerEdges(ls, dir, minLvl).localCheckpoint(true)
           try {
-            val nc = descentUnrolled(cur, edges, scoreOf,
-              HnswDescentRounds, 1).localCheckpoint(true)
-            Similarity.releaseCheckpoint(cur)
-            cur = nc
+            for (_ <- 1 to HnswDescentRounds) {
+              val cand = cur.select(col("vec_id")).unionByName(
+                  cur.select(col("vec_id"))
+                    .join(edges, col("vec_id") === col("src"))
+                    .select(col("dst").as("vec_id")))
+                .distinct()
+              val nc = scoreOf(cand)
+                .orderBy(col("cs").desc, col("vec_id")).limit(1)
+                .localCheckpoint(true)
+              Similarity.releaseCheckpoint(cur)
+              cur = nc
+            }
           } finally Similarity.releaseCheckpoint(edges)
         }
         // base layer: the unchanged beam walk, seeded at the landing
         // node instead of the IVF coarse sweep
-        val nb = descentUnrolled(cur, baseEdges, scoreOf,
-          BeamRounds, BeamWidth)
-        nb.write.mode("overwrite").parquet(out)
+        for (_ <- 1 to BeamRounds) {
+          val cand = cur.select(col("vec_id")).unionByName(
+              cur.select(col("vec_id"))
+                .join(baseEdges, col("vec_id") === col("src"))
+                .select(col("dst").as("vec_id")))
+            .distinct()
+          val nb = scoreOf(cand)
+            .orderBy(col("cs").desc, col("vec_id")).limit(BeamWidth)
+            .localCheckpoint(true)
+          Similarity.releaseCheckpoint(cur)
+          cur = nb
+        }
+        cur.write.mode("overwrite").parquet(out)
       } finally Similarity.releaseCheckpoint(cur)
       out
     })
-
-  /** `rounds` iterations of "beam ∪ beam-neighbors → score → top-k"
-    * composed into ONE lazy plan (no per-round action): the exact
-    * recurrence the HNSW walks ran round-at-a-time, with identical
-    * (cs desc, vec_id) tie-breaks at every round. */
-  private def descentUnrolled(cur0: DataFrame, edges: DataFrame,
-      scoreOf: DataFrame => DataFrame, rounds: Int, k: Int): DataFrame = {
-    var cur = cur0
-    for (_ <- 1 to rounds) {
-      val cand = cur.select(col("vec_id")).unionByName(
-          cur.select(col("vec_id"))
-            .join(edges, col("vec_id") === col("src"))
-            .select(col("dst").as("vec_id")))
-        .distinct()
-      cur = scoreOf(cand)
-        .orderBy(col("cs").desc, col("vec_id")).limit(k)
-    }
-    cur
-  }
 
   /** GRADED: top-10 off the HNSW walk's final beam — judged against
     * the per-layer unrolled walk in DuckDB. */
@@ -973,20 +974,37 @@ object GraphOps {
       val entry = hnswLevels(ls, dir)
         .orderBy(col("lvl").desc, col("vec_id")).limit(1)
         .select(col("vec_id"))
-      // one unrolled action per layer + one for the base walk (r13 —
-      // see [[descentUnrolled]]); recurrence and tie-breaks unchanged
       var cur = scoreOf(entry).localCheckpoint(true)
       try {
         for (minLvl <- Seq(2L, 1L)) {
           val edges = ls.read.parquet(s"$out/layers")
             .filter(col("lvl") === minLvl).select(col("src"), col("dst"))
-          val nc = descentUnrolled(cur, edges, scoreOf,
-            HnswDescentRounds, 1).localCheckpoint(true)
-          Similarity.releaseCheckpoint(cur)
-          cur = nc
+          for (_ <- 1 to HnswDescentRounds) {
+            val cand = cur.select(col("vec_id")).unionByName(
+                cur.select(col("vec_id"))
+                  .join(edges, col("vec_id") === col("src"))
+                  .select(col("dst").as("vec_id")))
+              .distinct()
+            val nc = scoreOf(cand)
+              .orderBy(col("cs").desc, col("vec_id")).limit(1)
+              .localCheckpoint(true)
+            Similarity.releaseCheckpoint(cur)
+            cur = nc
+          }
         }
-        descentUnrolled(cur, baseEdges, scoreOf, BeamRounds, BeamWidth)
-          .write.mode("overwrite").parquet(s"$out/beam")
+        for (_ <- 1 to BeamRounds) {
+          val cand = cur.select(col("vec_id")).unionByName(
+              cur.select(col("vec_id"))
+                .join(baseEdges, col("vec_id") === col("src"))
+                .select(col("dst").as("vec_id")))
+            .distinct()
+          val nb = scoreOf(cand)
+            .orderBy(col("cs").desc, col("vec_id")).limit(BeamWidth)
+            .localCheckpoint(true)
+          Similarity.releaseCheckpoint(cur)
+          cur = nb
+        }
+        cur.write.mode("overwrite").parquet(s"$out/beam")
       } finally Similarity.releaseCheckpoint(cur)
       out
     })

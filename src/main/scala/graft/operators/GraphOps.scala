@@ -219,7 +219,8 @@ object GraphOps {
     substring(md5(col("vec_id").cast("string")), 1, 1) < "2"
 
   private[graft] final case class GraphState(root: String,
-      baseFiles: Map[String, Long], deltaFiles: Map[String, Long])
+      baseFiles: Map[String, Long], deltaFiles: Map[String, Long],
+      assignRoot: String)
 
   private def listParquet(root: String): Map[String, Long] =
     Option(new java.io.File(root).listFiles).getOrElse(Array.empty)
@@ -253,7 +254,24 @@ object GraphOps {
           .select(col("vec_id"), col("cid"))
       }
       def topkSym(cand: DataFrame): DataFrame = topkSymOf(cand, e)
-      val baseAssign = assignOf(base)
+      // Persist the (tiny) probe assignments FIRST — in their own
+      // scratch root, since the edge overwrite below truncates `root` —
+      // and derive every candidate set from the read-back parquet
+      // (r13, guide §1.2 don't-compute-twice): the coarse sweeps
+      // (corpus × √N-centroid cosine) previously re-ran inside EVERY
+      // downstream action — base sweep 3× (base-edge write, delta
+      // write, assign_base write), fresh sweep 2×. One sweep each now;
+      // the two writes overlap (§2.6). The HNSW-maintained walk reads
+      // the same stored assignments via GraphState.assignRoot.
+      val assignRoot = Tables.scratchDir("graft_knn_assign_")
+        .getAbsolutePath
+      Tables.concurrently(spark)(
+        () => { assignOf(base).write.mode("overwrite")
+          .parquet(s"$assignRoot/base"); null },
+        () => { assignOf(fresh).write.mode("overwrite")
+          .parquet(s"$assignRoot/new"); null })
+      val baseAssign = spark.read.parquet(s"$assignRoot/base")
+      val freshAssign = spark.read.parquet(s"$assignRoot/new")
       // base graph: candidates among base only
       val baseCand = baseAssign.as("a")
         .join(baseAssign.as("b"),
@@ -263,20 +281,13 @@ object GraphOps {
       topkSym(baseCand).write.mode("overwrite").parquet(root)
       val baseFiles = listParquet(root)
       // insert: new probes base — candidates are new×base ONLY
-      val freshAssign = assignOf(fresh)
       val newCand = freshAssign.as("n")
         .join(baseAssign.as("a"), col("n.cid") === col("a.cid"))
         .select(col("n.vec_id").as("va"), col("a.vec_id").as("vb"))
         .distinct()
       topkSym(newCand).write.mode("append").parquet(root)
-      // persist the (tiny) probe assignments as index metadata under
-      // SUBDIRS (invisible to listParquet's base-file immutability
-      // pin): the HNSW-maintained walk derives its layer graphs from
-      // them without re-running either coarse sweep
-      baseAssign.write.mode("overwrite").parquet(s"$root/assign_base")
-      freshAssign.write.mode("overwrite").parquet(s"$root/assign_new")
       val all = listParquet(root)
-      GraphState(root, baseFiles, all -- baseFiles.keys)
+      GraphState(root, baseFiles, all -- baseFiles.keys, assignRoot)
     })
 
   /** Exact-cosine top-2-per-`va` over a candidate pair set, then
@@ -930,8 +941,8 @@ object GraphOps {
       val out = Tables.scratchDir("graft_hnsw_maint_").getAbsolutePath
       val e = Tables(spark, dir, "embeddings")
       // the stored probe assignments — no coarse sweep re-runs here
-      val baseAssign = spark.read.parquet(s"${st.root}/assign_base")
-      val freshAssign = spark.read.parquet(s"${st.root}/assign_new")
+      val baseAssign = spark.read.parquet(s"${st.assignRoot}/base")
+      val freshAssign = spark.read.parquet(s"${st.assignRoot}/new")
       // ONE write action for all four layer-edge sets (r12 verdict #5
       // / guide §1.2): the base-graph top-2 per layer and the
       // inserted-member delta per layer are computed exactly as
